@@ -1,0 +1,63 @@
+"""Deterministic, cross-engine-reproducible hash primitives.
+
+The dedup/fingerprint operators need a 64-bit hash that an external
+oracle (DuckDB) can reproduce bit-for-bit. ``xxhash64``/``hash`` differ
+across engines, so the shared primitive is *md5 truncated to 60 bits*:
+
+    Spark :  conv(substring(md5(s), 1, 15), 16, 10) :: bigint
+    DuckDB:  CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)
+
+15 hex chars = 60 bits → always non-negative, fits a signed int64 in
+both engines. md5 is a JVM-side codegen'd builtin — this is NOT a
+Python UDF. (The reference itself derives IDs the same way:
+``md5(concat(...))`` in ``0_prepare_transactions_dataset.ipynb:522-525``.)
+
+Derived per-permutation hashes for MinHash use the standard universal
+family ``h_i(x) = (a_i * x + b_i) mod p`` over the base 60-bit hash,
+with p = 2^61 - 1 (Mersenne prime). All arithmetic stays in int64...
+careful: a_i * x overflows int64, so the engines compute it in
+DOUBLE-free integer space via two 30-bit halves; see ``minhash_expr``
+in operators/dedup.py which instead uses xor-mixing with per-seed salts:
+``h_i(x) = h64(concat(seed_i, s))`` — one md5 per (seed, shingle),
+trivially reproducible in SQL and collision-grade for LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def h64(col: Column | str) -> Column:
+    """60-bit deterministic hash of a string column (oracle: DuckDB
+    ``CAST('0x' || substring(md5(x),1,15) AS BIGINT)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def h64_seeded(col: Column | str, seed: int) -> Column:
+    """Seeded variant: hash of ``seed || ':' || s``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return h64(F.concat(F.lit(f"{seed}:"), c))
+
+
+def shingle_hashes(text_col: str, k: int = 5) -> Column:
+    """Character k-gram shingle hash set of a text column, array<bigint>.
+
+    Built entirely from JVM expressions (no Python UDF):
+    ``transform(sequence(1, greatest(length(t)-k+1, 1)),
+    i -> substring(t, i, k))`` → distinct → md5-based h64 per gram.
+    Texts shorter than ``k`` yield one shingle (the whole text).
+    """
+    expr = f"""
+      transform(
+        array_distinct(
+          transform(
+            sequence(1, greatest(length({text_col}) - {k - 1}, 1)),
+            i -> substring({text_col}, i, {k})
+          )
+        ),
+        g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)
+      )
+    """
+    return F.expr(expr)

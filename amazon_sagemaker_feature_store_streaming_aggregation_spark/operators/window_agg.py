@@ -1,0 +1,135 @@
+"""Trailing time-RANGE window aggregation (the reference's semantic core).
+
+Reference: the batch aggregation SQL embedded in
+``notebooks/2_batch_ingestion.ipynb:271-287`` — per-card trailing
+COUNT/AVG over two time-range frames::
+
+    COUNT(*) OVER w1 AS num_trans_last_10m,  AVG(amount) OVER w1 ...
+    COUNT(*) OVER w2 AS num_trans_last_1w,   AVG(amount) OVER w2 ...
+    w1 = (PARTITION BY cc_num ORDER BY cast(datetime as timestamp)
+          RANGE INTERVAL 10 MINUTE PRECEDING)
+    w2 = (... RANGE INTERVAL 1 WEEK PRECEDING)
+
+Both frames are *trailing inclusive*: all of the key's rows with
+``datetime in [current - T, current]``, including peers at the exact
+same timestamp (RANGE semantics).
+
+Spark-first design notes
+------------------------
+* Expressed with ``Window.partitionBy(key).orderBy(unix_micros(ts))
+  .rangeBetween(-T_us, 0)`` — pure Catalyst ``WindowExec``: one hash
+  shuffle on the key, one per-partition sort on the timestamp, then a
+  streaming running-frame evaluation. Whole-stage-codegen'd input, no
+  Python in the hot path.
+* Ordering on ``unix_micros`` (exact integer microseconds) rather than a
+  seconds cast preserves sub-second event times; the reference's
+  ``cast(datetime as timestamp)`` ordering is equivalent for its
+  second-granularity data.
+* Both frames share one (partition, order) spec, so Catalyst plans a
+  SINGLE exchange + sort for all four aggregates (one Window node).
+* 100 TB: the shuffle is keyed on ``cc_num`` (high-cardinality card
+  numbers → even distribution). A pathologically hot key serializes one
+  partition; AQE skew handling does not split window partitions, so the
+  documented mitigation is pre-bucketing the table by key or splitting
+  hot keys with a bounded-history rewrite (state is (count, sum) per
+  frame — see streaming/sliding_agg.py for the sketch form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TEN_MINUTES_US = 600 * 1_000_000
+ONE_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+#: Column with the amount in integer cents (deterministic long, exact
+#: order-independent window SUM — see ``trailing_window_features_exact``).
+AMT_CENTS = "_amt_cents"
+
+
+def trailing_window_features(
+    df: DataFrame,
+    key: str = "cc_num",
+    ts: str = "datetime",
+    amount: str = "amount",
+    short_us: int = TEN_MINUTES_US,
+    long_us: int = ONE_WEEK_US,
+    short_label: str = "10m",
+    long_label: str = "1w",
+) -> DataFrame:
+    """Append the four trailing-window aggregate columns (B3–B6).
+
+    Output columns: ``num_trans_last_{short}``, ``avg_amt_last_{short}``,
+    ``num_trans_last_{long}``, ``avg_amt_last_{long}``.
+    """
+    order = F.unix_micros(F.col(ts).cast("timestamp"))
+    w_short = (
+        Window.partitionBy(key).orderBy(order).rangeBetween(-short_us, 0)
+    )
+    w_long = Window.partitionBy(key).orderBy(order).rangeBetween(-long_us, 0)
+    return (
+        df.withColumn(f"num_trans_last_{short_label}", F.count("*").over(w_short))
+        .withColumn(f"avg_amt_last_{short_label}", F.avg(amount).over(w_short))
+        .withColumn(f"num_trans_last_{long_label}", F.count("*").over(w_long))
+        .withColumn(f"avg_amt_last_{long_label}", F.avg(amount).over(w_long))
+    )
+
+
+def trailing_window_features_exact(
+    df: DataFrame,
+    key: str = "cc_num",
+    ts: str = "datetime",
+    amount: str = "amount",
+    short_us: int = TEN_MINUTES_US,
+    long_us: int = ONE_WEEK_US,
+    short_label: str = "10m",
+    long_label: str = "1w",
+) -> DataFrame:
+    """Bit-deterministic variant of :func:`trailing_window_features`.
+
+    Floating-point SUM/AVG is accumulation-order dependent, so Spark and
+    an external engine legally differ in the last ulps. Here amounts are
+    first quantized to integer *cents* (``round(amount*100) :: long`` —
+    exact for currency data, the reference's domain), the window SUM runs
+    over longs (exact, order-independent), and the average is derived as
+    ``(sum_cents / 100.0) / count`` — a fixed sequence of IEEE-754 ops on
+    identical inputs, hence bit-identical across engines. Oracle twin::
+
+        (SUM(cents) OVER w / 100.0) / COUNT(*) OVER w
+
+    Same single-exchange WindowExec plan as the generic variant.
+    """
+    order = F.unix_micros(F.col(ts).cast("timestamp"))
+    w_short = Window.partitionBy(key).orderBy(order).rangeBetween(-short_us, 0)
+    w_long = Window.partitionBy(key).orderBy(order).rangeBetween(-long_us, 0)
+    df = df.withColumn(AMT_CENTS, F.round(F.col(amount) * 100, 0).cast("long"))
+
+    def avg_over(w):
+        return (F.sum(AMT_CENTS).over(w) / F.lit(100.0)) / F.count("*").over(w)
+
+    return (
+        df.withColumn(f"num_trans_last_{short_label}", F.count("*").over(w_short))
+        .withColumn(f"avg_amt_last_{short_label}", avg_over(w_short))
+        .withColumn(f"num_trans_last_{long_label}", F.count("*").over(w_long))
+        .withColumn(f"avg_amt_last_{long_label}", avg_over(w_long))
+        .drop(AMT_CENTS)
+    )
+
+
+def agg_features_query(transactions: DataFrame, exact: bool = True) -> DataFrame:
+    """The full E1 flagship query: windows (B3–B6) + ratio projection (B8).
+
+    Reference: ``2_batch_ingestion.ipynb:271-287`` — outer SELECT adds
+    ``amt_ratio1 = avg_amt_last_10m / avg_amt_last_1w``,
+    ``amt_ratio2 = amount / avg_amt_last_1w``,
+    ``count_ratio = num_trans_last_10m / num_trans_last_1w``.
+
+    ``exact=True`` uses the cents-quantized deterministic window variant
+    (bit-reproducible against the DuckDB oracle); ``exact=False`` is the
+    reference-literal double AVG.
+    """
+    from .ratios import with_ratio_features
+
+    windows = trailing_window_features_exact if exact else trailing_window_features
+    return with_ratio_features(windows(transactions))

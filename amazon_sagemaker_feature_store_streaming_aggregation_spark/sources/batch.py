@@ -1,0 +1,81 @@
+"""Batch sources.
+
+The reference reads its transaction table as schema-declared CSV
+(``notebooks/2_batch_ingestion.ipynb:255-268``: explicit ``StructType``,
+``header=False``). This engine's primary format is Parquet (columnar,
+predicate pushdown, column pruning — the right scan for 100 TB), with a
+schema-declared CSV reader kept for format parity.
+
+The driver's testdata maps onto the reference transaction table as
+``events(user_id -> cc_num, ts -> datetime, value -> amount,
+event_id -> tid)`` (see FIXTURES.md F1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Reference batch-scan schema, ``2_batch_ingestion.ipynb:255-260``.
+TRANSACTION_SCHEMA = T.StructType(
+    [
+        T.StructField("tid", T.StringType(), True),
+        T.StructField("datetime", T.TimestampType(), True),
+        T.StructField("cc_num", T.LongType(), True),
+        T.StructField("amount", T.DoubleType(), True),
+        T.StructField("fraud_label", T.LongType(), True),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated Parquet table from ``sf_dir``.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    refuses natively; it is read via the legacy nanos-as-long path and
+    truncated to microseconds (``ts div 1000``) — the same ns→µs
+    truncation DuckDB applies, so event-time semantics agree with the
+    oracle exactly.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load ``events`` mapped to the reference transaction-table shape.
+
+    Reference columns ``(tid, datetime, cc_num, amount)`` per
+    ``2_batch_ingestion.ipynb:255-260``; mapping per FIXTURES.md F1.
+    Only the needed columns are selected so the Parquet scan prunes
+    ``event_type``/``props`` (check ``ReadSchema`` in ``.explain``).
+    """
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("datetime"),
+        F.col("user_id").alias("cc_num"),
+        F.col("value").alias("amount"),
+    )
+
+
+def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-declared CSV scan (format parity with the reference B1)."""
+    return spark.read.schema(TRANSACTION_SCHEMA).csv(path, header=False)

@@ -1,0 +1,64 @@
+"""Mirror of the driver's DuckDB-oracle comparison, for local tests.
+
+Runs a registered Spark query and its oracle SQL side-by-side on the
+same parquet tables and asserts row count, schema-sorted column names,
+and order-insensitive value equality (doubles to 1e-9 after the
+queries' own declared rounding).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return con.sql(sql).df()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def assert_matches(spark_df, oracle_pdf):
+    import pandas as pd
+
+    spdf = spark_df.toPandas()
+    assert len(spdf) == len(oracle_pdf), (
+        f"row count: spark={len(spdf)} oracle={len(oracle_pdf)}"
+    )
+    s_cols = sorted(spdf.columns)
+    o_cols = sorted(oracle_pdf.columns)
+    assert s_cols == o_cols, f"columns: {s_cols} vs {o_cols}"
+
+    def canon(pdf: pd.DataFrame):
+        pdf = pdf[s_cols].copy()
+        rows = [
+            tuple(_norm_cell(v) for v in row)
+            for row in pdf.itertuples(index=False, name=None)
+        ]
+        return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+    a, b = canon(spdf), canon(oracle_pdf)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{len(mismatches)} value mismatches; first: {mismatches[:3]}"
