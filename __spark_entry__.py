@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
     agg_features_query,
 )
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
+    batch_feature_records,
+    train_prep,
+)
 from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import (
     load_transactions,
 )
@@ -33,20 +37,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg_features_query(load_transactions(spark, SF0001))
 
 
-def _q_e1_agg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg_features_query(load_transactions(spark, sf_dir))
+# --------------------------------------------------------------------------
+# Shared oracle scaffolding: the E1 windowed CTE over the events table.
+# epoch_us ordering + integer-cent sums make every double a fixed IEEE-op
+# sequence over identical inputs in both engines (bit-equal, no rounding).
+# --------------------------------------------------------------------------
 
-
-# DuckDB twin of the E1 query. epoch_us ordering + integer-cent sums make
-# every double a fixed IEEE-op sequence over identical inputs in both
-# engines (bit-equal, no rounding needed).
-_E1_ORACLE = """
+_ORACLE_WINDOWED = """
 WITH transactions AS (
   SELECT event_id AS tid, ts AS datetime, user_id AS cc_num, value AS amount,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS fraud_label,
          CAST(round(value * 100) AS BIGINT) AS amt_cents
   FROM events
 ), windowed AS (
-  SELECT tid, datetime, cc_num, amount,
+  SELECT tid, datetime, cc_num, amount, fraud_label,
          COUNT(*) OVER w10 AS num_trans_last_10m,
          (CAST(SUM(amt_cents) OVER w10 AS DOUBLE) / 100.0)
            / COUNT(*) OVER w10 AS avg_amt_last_10m,
@@ -59,25 +63,103 @@ WITH transactions AS (
             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW),
     w1w AS (PARTITION BY cc_num ORDER BY epoch_us(datetime)
             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+), enriched AS (
+  SELECT *,
+         avg_amt_last_10m / avg_amt_last_1w AS amt_ratio1,
+         amount / avg_amt_last_1w AS amt_ratio2,
+         CAST(num_trans_last_10m AS DOUBLE)
+           / CAST(num_trans_last_1w AS DOUBLE) AS count_ratio
+  FROM windowed
 )
+"""
+
+# ------------------------------------------------------------------ E1 (B3-B9)
+
+def _q_e1_agg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_features_query(load_transactions(spark, sf_dir))
+
+
+_E1_ORACLE = (
+    _ORACLE_WINDOWED
+    + """
 SELECT tid, datetime, cc_num, amount,
        num_trans_last_10m, avg_amt_last_10m,
        num_trans_last_1w, avg_amt_last_1w,
-       avg_amt_last_10m / avg_amt_last_1w AS amt_ratio1,
-       amount / avg_amt_last_1w AS amt_ratio2,
-       CAST(num_trans_last_10m AS DOUBLE)
-         / CAST(num_trans_last_1w AS DOUBLE) AS count_ratio
-FROM windowed
+       amt_ratio1, amt_ratio2, count_ratio
+FROM enriched
 """
+)
+
+# --------------------------------------------------------- B11-B13 feature recs
+
+def _q_batch_feature_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return batch_feature_records(
+        agg_features_query(load_transactions(spark, sf_dir), keep_cent_sums=True)
+    )
+
+
+# 2-dp rounding done half-up in integer space ((2s+n) // (2n) cents):
+# rounding a *double* to decimals is engine-specific at representable
+# midpoints (observed: 74.085 -> Spark 74.09, DuckDB 74.08).
+_B13_ORACLE = (
+    _ORACLE_WINDOWED
+    + """
+, summed AS (
+  SELECT cc_num, datetime,
+         COUNT(*) OVER w1w AS num_trans_last_1w,
+         SUM(amt_cents) OVER w1w AS sum_amt_cents_1w
+  FROM transactions
+  WINDOW w1w AS (PARTITION BY cc_num ORDER BY epoch_us(datetime)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+), ranked AS (
+  SELECT cc_num, num_trans_last_1w, sum_amt_cents_1w,
+         dense_rank() OVER (PARTITION BY cc_num ORDER BY datetime DESC) AS rnk
+  FROM summed
+)
+SELECT cc_num, num_trans_last_1w,
+       CAST((2 * sum_amt_cents_1w + num_trans_last_1w)
+            // (2 * num_trans_last_1w) AS DOUBLE) / 100.0 AS avg_amt_last_1w
+FROM ranked
+WHERE rnk = 1 AND cc_num IS NOT NULL
+"""
+)
+
+# ----------------------------------------------------------- T1-T4 train prep
+
+_TRAIN_START, _TRAIN_END = "2024-01-08", "2024-01-25"
+
+
+def _q_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = agg_features_query(load_transactions(spark, sf_dir, with_label=True))
+    return train_prep(agg, "fraud_label", _TRAIN_START, _TRAIN_END)
+
+
+_TRAIN_ORACLE = (
+    _ORACLE_WINDOWED
+    + f"""
+SELECT CAST(fraud_label AS BIGINT) AS fraud_label,
+       amount, amt_ratio1, amt_ratio2, count_ratio
+FROM enriched
+WHERE datetime > TIMESTAMP '{_TRAIN_START}'
+  AND datetime < TIMESTAMP '{_TRAIN_END}'
+  AND fraud_label IS NOT NULL AND amount IS NOT NULL
+  AND amt_ratio1 IS NOT NULL AND amt_ratio2 IS NOT NULL
+  AND count_ratio IS NOT NULL
+"""
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "e1_agg_features": _q_e1_agg_features,
+        "b13_feature_records": _q_batch_feature_records,
+        "t_train_prep": _q_train_prep,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "e1_agg_features": _E1_ORACLE,
+        "b13_feature_records": _B13_ORACLE,
+        "t_train_prep": _TRAIN_ORACLE,
     }

@@ -85,6 +85,7 @@ def trailing_window_features_exact(
     long_us: int = ONE_WEEK_US,
     short_label: str = "10m",
     long_label: str = "1w",
+    keep_cent_sums: bool = False,
 ) -> DataFrame:
     """Bit-deterministic variant of :func:`trailing_window_features`.
 
@@ -108,16 +109,25 @@ def trailing_window_features_exact(
     def avg_over(w):
         return (F.sum(AMT_CENTS).over(w) / F.lit(100.0)) / F.count("*").over(w)
 
-    return (
+    out = (
         df.withColumn(f"num_trans_last_{short_label}", F.count("*").over(w_short))
         .withColumn(f"avg_amt_last_{short_label}", avg_over(w_short))
         .withColumn(f"num_trans_last_{long_label}", F.count("*").over(w_long))
         .withColumn(f"avg_amt_last_{long_label}", avg_over(w_long))
-        .drop(AMT_CENTS)
     )
+    if keep_cent_sums:
+        # Exact integer window sums, for downstream ops that must round
+        # the average reproducibly (see plans/batch_ingest.py — half-up
+        # rounding done in integer space, no double-rounding ambiguity).
+        out = out.withColumn(
+            f"sum_amt_cents_{short_label}", F.sum(AMT_CENTS).over(w_short)
+        ).withColumn(f"sum_amt_cents_{long_label}", F.sum(AMT_CENTS).over(w_long))
+    return out.drop(AMT_CENTS)
 
 
-def agg_features_query(transactions: DataFrame, exact: bool = True) -> DataFrame:
+def agg_features_query(
+    transactions: DataFrame, exact: bool = True, keep_cent_sums: bool = False
+) -> DataFrame:
     """The full E1 flagship query: windows (B3–B6) + ratio projection (B8).
 
     Reference: ``2_batch_ingestion.ipynb:271-287`` — outer SELECT adds
@@ -131,5 +141,10 @@ def agg_features_query(transactions: DataFrame, exact: bool = True) -> DataFrame
     """
     from .ratios import with_ratio_features
 
-    windows = trailing_window_features_exact if exact else trailing_window_features
-    return with_ratio_features(windows(transactions))
+    if exact:
+        win = trailing_window_features_exact(
+            transactions, keep_cent_sums=keep_cent_sums
+        )
+    else:
+        win = trailing_window_features(transactions)
+    return with_ratio_features(win)

@@ -60,20 +60,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_transactions(
+    spark: SparkSession, sf_dir: str, with_label: bool = False
+) -> DataFrame:
     """Load ``events`` mapped to the reference transaction-table shape.
 
-    Reference columns ``(tid, datetime, cc_num, amount)`` per
-    ``2_batch_ingestion.ipynb:255-260``; mapping per FIXTURES.md F1.
-    Only the needed columns are selected so the Parquet scan prunes
-    ``event_type``/``props`` (check ``ReadSchema`` in ``.explain``).
+    Reference columns ``(tid, datetime, cc_num, amount[, fraud_label])``
+    per ``2_batch_ingestion.ipynb:255-260``; mapping per FIXTURES.md F1.
+    ``with_label=True`` derives the fraud label from ``event_type``
+    (``'error'`` plays the fraud class in the driver's testdata). Only
+    the needed columns are selected so the Parquet scan prunes the rest
+    (check ``ReadSchema`` in ``.explain``).
     """
-    return load_table(spark, sf_dir, "events").select(
+    cols = [
         F.col("event_id").alias("tid"),
         F.col("ts").alias("datetime"),
         F.col("user_id").alias("cc_num"),
         F.col("value").alias("amount"),
-    )
+    ]
+    if with_label:
+        cols.append(
+            F.when(F.col("event_type") == "error", F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("fraud_label")
+        )
+    return load_table(spark, sf_dir, "events").select(*cols)
 
 
 def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:

@@ -1,0 +1,99 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.featurestore import FeatureGroup
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import run_batch_ingest
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_transactions
+
+from .conftest import SF0001
+
+
+@pytest.fixture()
+def fg(spark, tmp_path):
+    return FeatureGroup(
+        spark,
+        "cc-agg-batch-fg",
+        record_identifier_feature_name="cc_num",
+        event_time_feature_name="trans_time",
+        base_path=str(tmp_path),
+        n_buckets=4,
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "cc_num long, avg_amt double, trans_time timestamp"
+    )
+
+
+def test_upsert_keeps_latest_per_key(spark, fg):
+    t0 = dt.datetime(2024, 1, 1)
+    fg.upsert(
+        _df(
+            spark,
+            [
+                (1, 10.0, t0),
+                (1, 20.0, t0 + dt.timedelta(hours=1)),  # newer wins
+                (2, 5.0, t0),
+            ],
+        )
+    )
+    latest = {r["cc_num"]: r for r in fg.get_latest().collect()}
+    assert len(latest) == 2
+    assert latest[1]["avg_amt"] == 20.0
+    assert latest[2]["avg_amt"] == 5.0
+
+
+def test_second_upsert_overwrites_and_retains(spark, fg):
+    t0 = dt.datetime(2024, 1, 1)
+    fg.upsert(_df(spark, [(1, 10.0, t0), (2, 5.0, t0)]))
+    fg.upsert(_df(spark, [(1, 99.0, t0 + dt.timedelta(days=1))]))
+    latest = {r["cc_num"]: r["avg_amt"] for r in fg.get_latest().collect()}
+    assert latest == {1: 99.0, 2: 5.0}
+
+
+def test_get_record_point_lookup(spark, fg):
+    t0 = dt.datetime(2024, 1, 1)
+    fg.upsert(_df(spark, [(i, float(i) * 2, t0) for i in range(20)]))
+    rec = fg.get_record(7)
+    assert rec is not None and rec["avg_amt"] == 14.0
+    assert fg.get_record(12345) is None
+
+
+def test_event_time_stamped_when_missing(spark, fg):
+    df = spark.createDataFrame([(1, 10.0)], "cc_num long, avg_amt double")
+    fg.upsert(df)
+    rec = fg.get_record(1)
+    assert rec["trans_time"] is not None
+
+
+def test_null_keys_skipped(spark, fg):
+    df = spark.createDataFrame(
+        [(None, 1.0, dt.datetime(2024, 1, 1)), (3, 2.0, dt.datetime(2024, 1, 1))],
+        "cc_num long, avg_amt double, trans_time timestamp",
+    )
+    fg.upsert(df)
+    assert fg.get_latest().count() == 1
+
+
+def test_run_batch_ingest_end_to_end(spark, tmp_path):
+    fg = FeatureGroup(
+        spark, "batch-fg", "cc_num", "trans_time", str(tmp_path), n_buckets=4
+    )
+    tx = load_transactions(spark, SF0001)
+    agg = run_batch_ingest(tx, str(tmp_path / "csv_out"), fg)
+    n_keys = tx.select("cc_num").distinct().count()
+    # every key present in the store exactly once
+    assert fg.get_latest().count() == n_keys
+    # CSV golden output exists with a header
+    import glob
+
+    files = glob.glob(str(tmp_path / "csv_out" / "*.csv"))
+    assert len(files) == 1
+    with open(files[0]) as f:
+        header = f.readline()
+    assert header.startswith("tid,")
+    assert agg.columns[-1] == "count_ratio"
