@@ -28,6 +28,10 @@ from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
 from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import (
     load_transactions,
 )
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+    read_event_stream,
+    sliding_agg_exact,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -149,11 +153,68 @@ WHERE datetime > TIMESTAMP '{_TRAIN_START}'
 )
 
 
+# ------------------------------------------------- S4 streaming sliding agg
+
+_S4_SEQ = __import__("itertools").count()
+
+
+def _q_s4_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL streaming operator (applyInPandasWithState) over the
+    events table replayed as a file stream, availableNow trigger, memory
+    sink — then returns the materialized result. The oracle is the batch
+    RANGE-window twin: the reference's batch/stream duality as an exact,
+    checkable invariant."""
+    import os
+    import tempfile
+
+    name = f"s4_out_{next(_S4_SEQ)}"
+    # The file stream source requires a *directory*; expose the single
+    # events.parquet file through a temp dir symlink.
+    stream_dir = tempfile.mkdtemp(prefix="s4_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    stream = read_event_stream(
+        spark,
+        stream_dir,
+        "event_id long, ts long, user_id long, value double",
+    )
+    agg = sliding_agg_exact(stream, key="user_id", ts="ts", amount="value")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="s4_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+_S4_ORACLE = """
+WITH src AS (
+  SELECT user_id AS cc_num, ts,
+         CAST(round(value * 100) AS BIGINT) AS amt_cents
+  FROM events
+)
+SELECT cc_num, ts,
+       COUNT(*) OVER w AS num_trans_last_10m,
+       (CAST(SUM(amt_cents) OVER w AS DOUBLE) / 100.0)
+         / COUNT(*) OVER w AS avg_amt_last_10m
+FROM src
+WINDOW w AS (PARTITION BY cc_num ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "e1_agg_features": _q_e1_agg_features,
         "b13_feature_records": _q_batch_feature_records,
         "t_train_prep": _q_train_prep,
+        "s4_sliding_agg": _q_s4_sliding_agg,
     }
 
 
@@ -162,4 +223,5 @@ def oracle_sql() -> dict[str, str]:
         "e1_agg_features": _E1_ORACLE,
         "b13_feature_records": _B13_ORACLE,
         "t_train_prep": _TRAIN_ORACLE,
+        "s4_sliding_agg": _S4_ORACLE,
     }

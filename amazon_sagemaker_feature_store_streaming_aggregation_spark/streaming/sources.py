@@ -1,0 +1,68 @@
+"""Streaming sources.
+
+Reference S1 (``notebooks/1_setup.ipynb:487-510``): a Kinesis stream of
+JSON transaction payloads ``{cc_num, merchant, amount, zip_code,
+trans_ts}`` mapped to typed columns via JSONPath. The Spark-native
+equivalent is ``spark.readStream`` + ``from_json`` with a declared
+schema. Tests and replay use the *file* source (deterministic,
+replayable — the 'rate' source is wall-clock-dependent); a production
+deployment swaps in the kafka source with the same downstream plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Reference stream payload schema (``4_streaming_predictions.ipynb:188-202``).
+STREAM_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("cc_num", T.LongType(), True),
+        T.StructField("merchant", T.StringType(), True),
+        T.StructField("amount", T.DoubleType(), True),
+        T.StructField("zip_code", T.IntegerType(), True),
+        T.StructField("trans_ts", T.DoubleType(), True),  # epoch seconds
+    ]
+)
+
+
+def read_json_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S1: stream of JSON lines -> typed columns + event-time timestamp.
+
+    ``value`` text -> ``from_json`` (the Spark analogue of KDA's
+    RecordColumns JSONPath mapping) -> columns + ``ts`` timestamp derived
+    from the payload's epoch-seconds ``trans_ts``.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(path)
+    return (
+        raw.select(F.from_json(F.col("value"), STREAM_EVENT_SCHEMA).alias("j"))
+        .select("j.*")
+        .withColumn("ts", F.timestamp_seconds(F.col("trans_ts")))
+    )
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Parquet-file stream with a declared schema (replay of a table).
+
+    Handles the driver testdata's TIMESTAMP(NANOS) ``ts`` the same way
+    the batch loader does (nanos-as-long + truncate to micros).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

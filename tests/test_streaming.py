@@ -1,0 +1,166 @@
+"""Streaming parity tests: replay the events table as a file stream and
+assert the reference's batch/stream duality EXACTLY — the per-event
+streaming aggregates must equal the batch RANGE-window query over the
+same data (README.md:19-22 of the reference)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.featurestore import FeatureGroup
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+    trailing_window_features_exact,
+)
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+    read_event_stream,
+    sliding_agg_exact,
+    sliding_agg_windowed,
+    start_stream_upsert,
+)
+
+from .conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    """sf0.001 events split into 3 time-ordered parquet files."""
+    d = tmp_path_factory.mktemp("replay")
+    events = (
+        load_table(spark, SF0001, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("ts")
+    )
+    rows = events.collect()
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.parquet(
+            str(d / f"chunk_{i}")
+        )
+    # flatten: file source wants one dir of files
+    import glob
+    import shutil
+
+    out = tmp_path_factory.mktemp("replay_flat")
+    import os
+    import time
+
+    now = time.time()
+    for i in range(3):
+        src = glob.glob(str(d / f"chunk_{i}" / "*.parquet"))[0]
+        dst = str(out / f"{i:02d}.parquet")
+        shutil.copy(src, dst)
+        # FileStreamSource orders by modification time — make the replay
+        # order explicit (chunks are time-ordered).
+        os.utime(dst, (now + i * 60, now + i * 60))
+    return str(out)
+
+
+def _batch_twin(spark):
+    tx = load_table(spark, SF0001, "events").select(
+        F.col("user_id").alias("cc_num"),
+        F.col("ts"),
+        F.col("value").alias("amount"),
+    )
+    return trailing_window_features_exact(
+        tx, key="cc_num", ts="ts", amount="amount"
+    ).select("cc_num", "ts", "num_trans_last_10m", "avg_amt_last_10m")
+
+
+def _canon(df):
+    return sorted(
+        (r["cc_num"], r["ts"], r["num_trans_last_10m"], r["avg_amt_last_10m"])
+        for r in df.collect()
+    )
+
+
+def test_no_duplicate_event_times_per_key(spark):
+    # precondition for exact stream/batch equality (ties across batch
+    # boundaries would be invisible to earlier-arriving rows)
+    dups = (
+        load_table(spark, SF0001, "events")
+        .groupBy("user_id", "ts")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dups == 0
+
+
+def test_exact_stream_equals_batch_twin_multibatch(spark, replay_dir, tmp_path):
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = read_event_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+    agg = sliding_agg_exact(stream, key="user_id", ts="ts", amount="value")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("s4_exact_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _canon(spark.table("s4_exact_out"))
+    want = _canon(_batch_twin(spark))
+    assert len(got) == len(want)
+    assert got == want  # bit-exact duality, doubles included
+
+
+def test_stream_upsert_into_feature_group(spark, replay_dir, tmp_path):
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = read_event_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+    agg = sliding_agg_exact(stream, key="user_id", ts="ts", amount="value")
+    fg = FeatureGroup(
+        spark, "cc-agg-fg", "cc_num", "trans_time", str(tmp_path), n_buckets=4
+    )
+    q = start_stream_upsert(
+        agg, fg, str(tmp_path / "ckpt2"), ts="ts", available_now=True
+    )
+    q.awaitTermination(120)
+    # store state == latest row per key of the batch twin
+    twin = _batch_twin(spark)
+    w_latest = {
+        r["cc_num"]: (r["num_trans_last_10m"], r["avg_amt_last_10m"])
+        for r in twin.withColumn(
+            "__rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "cc_num"
+                ).orderBy(F.col("ts").desc())
+            ),
+        )
+        .filter("__rn = 1")
+        .collect()
+    }
+    got = {
+        r["cc_num"]: (r["num_trans_last_10m"], r["avg_amt_last_10m"])
+        for r in fg.get_latest().collect()
+    }
+    assert got == w_latest
+
+
+def test_windowed_approximation_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 30)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(minutes=2), 20.0),
+        (2, t0 + dt.timedelta(minutes=1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "cc_num long, ts timestamp, amount double")
+    out = sliding_agg_windowed(df).collect()
+    # the window ending right after t0+2min for key 1 must contain both rows
+    best = {}
+    for r in out:
+        k = r["cc_num"]
+        if k not in best or r["ts"] > best[k][0]:
+            pass
+        # keep max count row per key as proxy
+    counts = {}
+    for r in out:
+        counts[r["cc_num"]] = max(counts.get(r["cc_num"], 0), r["num_trans_last_10m"])
+    assert counts[1] == 2
+    assert counts[2] == 1
