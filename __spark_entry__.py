@@ -209,12 +209,136 @@ WINDOW w AS (PARTITION BY cc_num ORDER BY epoch_us(ts)
 """
 
 
+# ---------------------------------------------- I3-I6 inference enrichment
+
+
+def _q_inference_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the inference pipeline: every event enriched
+    against the feature tables as of dataset end; 'now' = max event
+    time (deterministic clock). Exercises both broadcast left joins,
+    the staleness cutoff and the guarded ratios (I3-I6)."""
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        latest_per_key,
+        trailing_window_features_exact,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
+        enrich_transactions,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import (
+        load_table,
+    )
+
+    tx_all = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("tid"),
+        F.col("ts"),
+        F.col("user_id").alias("cc_num"),
+        F.col("value").alias("amount"),
+    )
+    win = trailing_window_features_exact(
+        tx_all, key="cc_num", ts="ts", amount="amount", keep_cent_sums=True
+    )
+    latest = latest_per_key(win, key="cc_num", ts="ts", keep_ties=False)
+    f10 = latest.select(
+        "cc_num",
+        "num_trans_last_10m",
+        "avg_amt_last_10m",
+        F.col("ts").alias("trans_time"),
+    )
+    f1w = latest.select(
+        "cc_num",
+        "num_trans_last_1w",
+        F.expr(
+            "cast((2 * sum_amt_cents_1w + num_trans_last_1w) "
+            "div (2 * num_trans_last_1w) as double) / 100.0"
+        ).alias("avg_amt_last_1w"),
+    )
+    now = tx_all.agg(F.max("ts")).first()[0]
+    tx = tx_all.select("tid", "cc_num", F.col("ts").alias("trans_ts"), "amount")
+    return enrich_transactions(tx, f10, f1w, now=F.lit(now))
+
+
+_I_ENRICH_ORACLE = """
+WITH transactions AS (
+  SELECT event_id AS tid, ts, user_id AS cc_num, value AS amount,
+         CAST(round(value * 100) AS BIGINT) AS amt_cents
+  FROM events
+), win AS (
+  SELECT tid, ts, cc_num, amount,
+         COUNT(*) OVER w10 AS n10,
+         (CAST(SUM(amt_cents) OVER w10 AS DOUBLE) / 100.0)
+           / COUNT(*) OVER w10 AS a10,
+         COUNT(*) OVER w1w AS n1w,
+         SUM(amt_cents) OVER w1w AS s1w
+  FROM transactions
+  WINDOW
+    w10 AS (PARTITION BY cc_num ORDER BY epoch_us(ts)
+            RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW),
+    w1w AS (PARTITION BY cc_num ORDER BY epoch_us(ts)
+            RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY cc_num ORDER BY ts DESC) AS rn
+    FROM win
+  ) WHERE rn = 1
+), f10 AS (
+  SELECT cc_num, n10, a10, ts AS trans_time FROM latest
+), f1w AS (
+  SELECT cc_num, n1w,
+         CAST((2 * s1w + n1w) // (2 * n1w) AS DOUBLE) / 100.0 AS a1w
+  FROM latest
+), nowt AS (
+  SELECT max(ts) AS now FROM events
+), joined AS (
+  SELECT t.tid, t.cc_num, t.ts AS trans_ts, t.amount,
+         f10.n10, f10.a10, f10.trans_time, f1w.n1w, f1w.a1w,
+         (f10.trans_time IS NULL
+          OR (CAST(floor(epoch(nowt.now)) AS BIGINT)
+              - CAST(floor(epoch(f10.trans_time)) AS BIGINT)) > 600)
+           AS is_stale_10m
+  FROM transactions t
+  LEFT JOIN f10 USING (cc_num)
+  LEFT JOIN f1w USING (cc_num)
+  CROSS JOIN nowt
+), zeroed AS (
+  SELECT tid, cc_num, trans_ts, amount, trans_time, is_stale_10m,
+         CASE WHEN is_stale_10m THEN 0 ELSE coalesce(n10, 0) END
+           AS num_trans_last_10m,
+         CASE WHEN is_stale_10m THEN 0.0 ELSE coalesce(a10, 0.0) END
+           AS avg_amt_last_10m,
+         coalesce(n1w, 0) AS num_trans_last_1w,
+         coalesce(a1w, 0.0) AS avg_amt_last_1w
+  FROM joined
+)
+SELECT tid, cc_num, trans_ts, amount, trans_time, is_stale_10m,
+       num_trans_last_10m, avg_amt_last_10m,
+       num_trans_last_1w, avg_amt_last_1w,
+       CASE WHEN avg_amt_last_1w IS NULL OR avg_amt_last_1w <= 0.0
+                 OR num_trans_last_1w IS NULL OR num_trans_last_1w <= 0
+                 OR is_stale_10m
+            THEN 0.0 ELSE avg_amt_last_10m / avg_amt_last_1w END AS amt_ratio1,
+       CASE WHEN avg_amt_last_1w IS NULL OR avg_amt_last_1w <= 0.0
+                 OR num_trans_last_1w IS NULL OR num_trans_last_1w <= 0
+                 OR is_stale_10m
+            THEN 0.0 ELSE amount / avg_amt_last_1w END AS amt_ratio2,
+       CASE WHEN avg_amt_last_1w IS NULL OR avg_amt_last_1w <= 0.0
+                 OR num_trans_last_1w IS NULL OR num_trans_last_1w <= 0
+                 OR is_stale_10m
+            THEN 0.0
+            ELSE CAST(num_trans_last_10m AS DOUBLE)
+                 / CAST(num_trans_last_1w AS DOUBLE) END AS count_ratio
+FROM zeroed
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "e1_agg_features": _q_e1_agg_features,
         "b13_feature_records": _q_batch_feature_records,
         "t_train_prep": _q_train_prep,
         "s4_sliding_agg": _q_s4_sliding_agg,
+        "i_enrich": _q_inference_enrich,
     }
 
 
@@ -224,4 +348,5 @@ def oracle_sql() -> dict[str, str]:
         "b13_feature_records": _B13_ORACLE,
         "t_train_prep": _TRAIN_ORACLE,
         "s4_sliding_agg": _S4_ORACLE,
+        "i_enrich": _I_ENRICH_ORACLE,
     }

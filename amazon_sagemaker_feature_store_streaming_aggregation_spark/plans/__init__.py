@@ -1,2 +1,8 @@
 from .batch_ingest import batch_feature_records, run_batch_ingest  # noqa: F401
-from .train_prep import train_prep  # noqa: F401
+from .inference import (  # noqa: F401
+    assemble_features_csv,
+    enrich_transactions,
+    latency_metric,
+    threshold_classify,
+)
+from .train_prep import train_prep, train_test_split  # noqa: F401

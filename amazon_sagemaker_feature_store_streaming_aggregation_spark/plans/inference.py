@@ -1,0 +1,127 @@
+"""Inference enrichment pipeline (reference I1-I11).
+
+Reference ``src/lambda/InvokeFraudEndpointLambda/lambda_function.py``:
+per incoming transaction, point-lookup the streaming (10-min) and batch
+(1-week) feature groups, zero-fill missing keys, zero the 10-minute
+aggregates when staler than 600 s, compute guarded ratio features,
+assemble the model feature vector, score, threshold.
+
+Spark-first: the per-event ``get_record`` RPCs become ONE stream-static
+(or batch) **broadcast left equi-join** per feature table — the feature
+tables are small keyed dimensions (10 K cards in the reference), so the
+join ships the dimension to every executor and never shuffles the event
+stream. ``F.broadcast`` makes that explicit rather than relying on the
+autoBroadcastJoinThreshold. All guards are Catalyst ``when()`` column
+expressions (codegen, no UDFs).
+
+At 100 TB: the event side stays un-shuffled (narrow plan); if a feature
+table outgrows broadcast size, drop the hint and let AQE pick a shuffled
+hash join keyed on ``cc_num`` — the code path is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from ..operators.ratios import with_guarded_inference_ratios
+
+#: Reference staleness bound (``lambda_function.py:17``).
+TEN_MINUTES_IN_SEC = 600
+
+
+def enrich_transactions(
+    tx: DataFrame,
+    features_10m: DataFrame,
+    features_1w: DataFrame,
+    now: Column,
+    staleness_s: int = TEN_MINUTES_IN_SEC,
+    key: str = "cc_num",
+) -> DataFrame:
+    """I3-I7: two broadcast left joins + staleness + guarded ratios.
+
+    ``tx`` columns: ``(cc_num, amount, trans_ts, ...)``.
+    ``features_10m``: ``(cc_num, num_trans_last_10m, avg_amt_last_10m,
+    trans_time)`` — the online 10-minute aggregates with their ingest
+    time. ``features_1w``: ``(cc_num, num_trans_last_1w,
+    avg_amt_last_1w)``. ``now`` is the evaluation clock as a column
+    (``F.current_timestamp()`` in production; a fixed literal for
+    deterministic replay/tests).
+
+    Missing 10-min key -> zero-filled defaults (``lambda_function.py:
+    113-118``); record staler than ``staleness_s`` -> 10-min aggregates
+    zeroed AND ratios forced to 0.0 (``:137-146,215-227``).
+    """
+    f10 = F.broadcast(
+        features_10m.select(
+            key, "num_trans_last_10m", "avg_amt_last_10m", "trans_time"
+        )
+    )
+    f1w = F.broadcast(
+        features_1w.select(key, "num_trans_last_1w", "avg_amt_last_1w")
+    )
+
+    joined = tx.join(f10, on=key, how="left").join(f1w, on=key, how="left")
+
+    stale = (
+        F.col("trans_time").isNull()
+        | ((F.unix_timestamp(now) - F.unix_timestamp(F.col("trans_time")))
+           > F.lit(staleness_s))
+    )
+    joined = (
+        joined.withColumn("is_stale_10m", stale)
+        .withColumn(
+            "num_trans_last_10m",
+            F.when(stale, F.lit(0)).otherwise(
+                F.coalesce(F.col("num_trans_last_10m"), F.lit(0))
+            ),
+        )
+        .withColumn(
+            "avg_amt_last_10m",
+            F.when(stale, F.lit(0.0)).otherwise(
+                F.coalesce(F.col("avg_amt_last_10m"), F.lit(0.0))
+            ),
+        )
+        .withColumn(
+            "num_trans_last_1w", F.coalesce(F.col("num_trans_last_1w"), F.lit(0))
+        )
+        .withColumn(
+            "avg_amt_last_1w", F.coalesce(F.col("avg_amt_last_1w"), F.lit(0.0))
+        )
+    )
+    return with_guarded_inference_ratios(joined, invalid=F.col("is_stale_10m"))
+
+
+def assemble_features_csv(
+    df: DataFrame,
+    cols: tuple[str, ...] = ("amount", "amt_ratio1", "amt_ratio2", "count_ratio"),
+    out: str = "features_csv",
+) -> DataFrame:
+    """I7: comma-joined feature string (reference ``assemble_features``,
+    ``lambda_function.py:193-212``)."""
+    return df.withColumn(out, F.concat_ws(",", *[F.col(c) for c in cols]))
+
+
+def threshold_classify(
+    df: DataFrame,
+    probability_col: str = "probability",
+    threshold: float = 0.25,
+    out: str = "prediction",
+) -> DataFrame:
+    """I9: ``probability > 0.25 -> 'FRAUD' else 'NOT FRAUD'`` (threshold
+    from ``templates/sagemaker-featurestore-template.yaml:289``)."""
+    return df.withColumn(
+        out,
+        F.when(F.col(probability_col) > F.lit(threshold), F.lit("FRAUD")).otherwise(
+            F.lit("NOT FRAUD")
+        ),
+    )
+
+
+def latency_metric(df: DataFrame, event_ts: str = "trans_ts", now: Column | None = None) -> DataFrame:
+    """I11: per-event end-to-end latency column (``lambda_function.py:102-107``)."""
+    clock = now if now is not None else F.current_timestamp()
+    return df.withColumn(
+        "latency_sec", F.unix_timestamp(clock) - F.unix_timestamp(F.col(event_ts))
+    )
