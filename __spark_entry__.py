@@ -33,6 +33,8 @@ from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import
     sliding_agg_exact,
 )
 
+from entry_ext import ext_oracles, ext_queries
+
 SF0001 = "/root/testdata/sf0.001"
 
 
@@ -339,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_train_prep": _q_train_prep,
         "s4_sliding_agg": _q_s4_sliding_agg,
         "i_enrich": _q_inference_enrich,
+        **ext_queries(),
     }
 
 
@@ -349,4 +352,5 @@ def oracle_sql() -> dict[str, str]:
         "t_train_prep": _TRAIN_ORACLE,
         "s4_sliding_agg": _S4_ORACLE,
         "i_enrich": _I_ENRICH_ORACLE,
+        **ext_oracles(),
     }

@@ -1,2 +1,8 @@
-from .hashing import h64, shingle_hashes  # noqa: F401
+from .hashing import h64, h64_seeded, shingle_hashes  # noqa: F401
 from .stable import stabilize_doubles  # noqa: F401
+from .text import (  # noqa: F401
+    LANG_STOPWORDS,
+    with_fingerprint,
+    with_lang_id,
+    with_text_stats,
+)

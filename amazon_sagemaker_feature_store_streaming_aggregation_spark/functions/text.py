@@ -1,0 +1,153 @@
+"""Text analysis functions (training-data pipeline extension).
+
+Language-ID (stopword-overlap heuristic), quality scoring, token
+counting and rolling-hash document fingerprinting over the
+``documents`` table. Everything is built-in column expressions
+(codegen, scan-side, zero shuffles) with exact DuckDB oracle twins:
+counts are integers, ratios are single IEEE divisions of integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic.
+#: (Deterministic, embedded — a real deployment swaps in fastText et al.
+#: behind the same column contract.)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "and", "is", "not", "of", "to", "in"),
+    "es": ("el", "la", "los", "y", "es", "no", "un", "con"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "un", "avec"),
+    "zh": ("的", "是", "不", "了", "在", "我", "有", "和"),
+}
+
+#: ASCII punctuation counted by the quality heuristics (explicit set —
+#: regex character-class semantics differ across engines).
+_PUNCT = ".,;:!?"
+
+_TOKENS = "filter(split(trim({c}), '\\\\s+'), t -> t != '')"
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, char count, punctuation ratio, stopword ratio and a
+    composite quality score.
+
+    quality = 0.4*[20 <= tokens <= 1000] + 0.3*(1 - punct_ratio)
+            + 0.3*stopword_ratio   (all deterministic arithmetic)
+    """
+    tokens = _TOKENS.format(c=text_col)
+    en_stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    punct_classes = "".join(f"\\\\{ch}" for ch in _PUNCT)
+    return (
+        df.withColumn("n_tokens", F.expr(f"size({tokens})").cast("long"))
+        .withColumn("n_chars_m", F.length(text_col).cast("long"))
+        .withColumn(
+            "n_punct",
+            F.expr(
+                f"length({text_col}) - length(regexp_replace({text_col},"
+                f" '[{punct_classes}]', ''))"
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_stopwords",
+            F.expr(
+                f"size(filter({tokens}, t -> array_contains(array({en_stop}),"
+                f" lower(t))))"
+            ).cast("long"),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(F.col("n_chars_m") > 0,
+                   F.col("n_punct").cast("double") / F.col("n_chars_m").cast("double"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(F.col("n_tokens") > 0,
+                   F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "quality_score",
+            F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), F.lit(0.4))
+            .otherwise(F.lit(0.0))
+            + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
+            + F.lit(0.3) * F.col("stopword_ratio"),
+        )
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: per language, count tokens in its
+    stopword list; argmax with deterministic tie-break (score desc,
+    language code asc). Adds ``lang_pred`` + per-language scores."""
+    tokens = _TOKENS.format(c=text_col)
+    out = df
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        out = out.withColumn(
+            f"score_{lang}",
+            F.expr(
+                f"size(filter({tokens}, t -> array_contains(array({lst}), lower(t))))"
+            ).cast("long"),
+        )
+    structs = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("score"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(LANG_STOPWORDS)
+        ]
+    )
+    # array_sort on (score asc, lang asc) then take the last of max score:
+    # pick via aggregate: keep struct with higher score; ties -> smaller lang.
+    return out.withColumn(
+        "lang_pred",
+        F.expr(
+            "aggregate("
+            + "array("
+            + ", ".join(
+                f"struct(score_{lang} as score, '{lang}' as lang)"
+                for lang in sorted(LANG_STOPWORDS)
+            )
+            + "), cast(null as struct<score:bigint, lang:string>),"
+            " (acc, x) -> case when acc is null then x"
+            " when x.score > acc.score then x else acc end"
+            ").lang"
+        ),
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 9, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprint: k-gram 60-bit hashes, minimum per
+    sliding window of ``window`` grams, distinct + sorted.
+
+    The fingerprint is robust to local edits (standard winnowing,
+    Schleimer et al. 2003) and each array element is reproducible in
+    SQL, so the whole column has an exact oracle."""
+    grams = f"""
+      transform(
+        sequence(1, greatest(length({text_col}) - {k - 1}, 1)),
+        i -> cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 15), 16, 10)
+             as bigint)
+      )
+    """
+    return (
+        df.withColumn("__g", F.expr(grams))
+        .withColumn(
+            "fingerprint",
+            F.expr(
+                f"""array_sort(array_distinct(
+                  transform(
+                    sequence(1, greatest(size(__g) - {window - 1}, 1)),
+                    i -> array_min(slice(__g, i, {window}))
+                  )
+                ))"""
+            ),
+        )
+        .drop("__g")
+    )

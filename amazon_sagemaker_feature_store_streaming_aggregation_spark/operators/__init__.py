@@ -5,3 +5,23 @@ from .window_agg import (  # noqa: F401
 )
 from .ratios import with_ratio_features, with_guarded_inference_ratios  # noqa: F401
 from .latest_per_key import latest_per_key  # noqa: F401
+from .dedup import (  # noqa: F401
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    jaccard_verify_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .similarity import (  # noqa: F401
+    ann_srp_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    srp_signatures,
+)
+from .multimodal import (  # noqa: F401
+    extract_features,
+    resize_plan,
+    sample_frames,
+    synth_media,
+)

@@ -1,0 +1,267 @@
+"""Document deduplication operators (training-data pipeline extension).
+
+Beyond the reference's own surface (its only dedup-like op is
+latest-per-key, ``2_batch_ingestion.ipynb:303-307``), a 100 TB training
+-data pipeline needs document dedup. All operators below are pure JVM
+column expressions / joins — no Python UDFs — and every hash is the
+cross-engine-reproducible md5-based ``h64`` (functions/hashing.py), so
+each operator has an exact DuckDB oracle.
+
+Scale notes per operator:
+
+* ``dedup_exact`` — one hash-shuffle on a 60-bit text hash (not the
+  full text: shuffle keys stay 8 bytes); keeps the min doc_id per group.
+* ``minhash_signatures`` / ``lsh_candidate_pairs`` — the classic
+  MinHash+LSH banding pipeline: signatures are computed scan-side
+  (higher-order array exprs, no shuffle), candidates come from ONE
+  shuffle on (band_id, band_hash); pair verification joins only within
+  buckets. This is the scale path for near-dup: O(N·bands) shuffle
+  rows, never O(N^2) comparisons.
+* ``ngram_jaccard_pairs`` — exact pairwise Jaccard via a shingle
+  self-join; O(sum_shingle_freq^2) blowup on hot shingles, so it is the
+  *verification* stage to run on LSH candidates (or small corpora), not
+  the discovery stage. Common-shingle counting happens map-side first.
+* ``simhash`` — 60-bit per-document signature from token-hash bit
+  votes; exact-match grouping on the signature finds near-dups with
+  single-bit tolerance left to a banded variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64
+
+DEFAULT_SHINGLE_K = 9
+SIMHASH_BITS = 60
+
+
+def _shingle_expr(text_col: str, k: int) -> str:
+    """Distinct character-k-gram 60-bit hashes, as a SQL array expr."""
+    return f"""
+      transform(
+        array_distinct(
+          transform(
+            sequence(1, greatest(length({text_col}) - {k - 1}, 1)),
+            i -> substring({text_col}, i, {k})
+          )
+        ),
+        g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)
+      )
+    """
+
+
+def dedup_exact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the smallest id per distinct text.
+
+    The group key is ``h64(text)`` (8-byte shuffle key), with the full
+    text kept only for the (vanishingly unlikely) 60-bit collision check
+    left to the caller at these cardinalities.
+    """
+    return (
+        docs.withColumn("__th", h64(text_col))
+        .groupBy("__th")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("__th")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Per-document MinHash signature, ``array<bigint>`` of length
+    ``num_hashes``.
+
+    Permutation ``i`` is simulated by seeding the shingle hash:
+    ``min over shingles of h64(concat('i:', g))`` — one md5 per
+    (seed, shingle), reproducible verbatim in SQL. All scan-side
+    (no shuffle, whole-stage codegen'd array exprs).
+    """
+    shingles = _shingle_expr(text_col, k)
+    sigs = ", ".join(
+        f"""array_min(transform(__shingles,
+              g -> cast(conv(substring(md5(concat('{i}:', cast(g as string))), 1, 15), 16, 10)
+                   as bigint)))"""
+        for i in range(num_hashes)
+    )
+    return (
+        docs.withColumn("__shingles", F.expr(shingles))
+        .withColumn("minhash", F.expr(f"array({sigs})"))
+        .drop("__shingles")
+        .select(id_col, "minhash")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature are
+    candidate near-duplicates. Output: distinct ``(doc_a, doc_b)``
+    with ``doc_a < doc_b``.
+
+    One shuffle keyed on ``(band, band_hash)``; the self-join happens
+    inside buckets only.
+    """
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                h64(
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col("minhash")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = (
+        signatures.withColumn("__band", F.explode(band_cols))
+        .select(id_col, F.col("__band.band").alias("band"), F.col("__band.bhash").alias("bhash"))
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE_K,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
+
+    Jaccard computed from exact integer counts (|A∩B| via the join,
+    |A∪B| = |A|+|B|-|A∩B|), division double-deterministic. Output:
+    ``(doc_a, doc_b, jaccard)`` with ``jaccard >= threshold``.
+    """
+    with_sh = docs.withColumn("__shingles", F.expr(_shingle_expr(text_col, k)))
+    sizes = with_sh.select(
+        F.col(id_col), F.size("__shingles").alias("n_shingles"), "__shingles"
+    )
+    ex = sizes.select(id_col, "n_shingles", F.explode("__shingles").alias("sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE_K,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard for a given candidate-pair list (the verification
+    stage after LSH discovery).
+
+    Each pair joins its two shingle sets and computes
+    ``|A∩B| / (|A|+|B|-|A∩B|)`` with JVM ``array_intersect`` — per-pair
+    array math, NO shingle self-join, so cost is O(pairs · shingles)
+    instead of the O(sum_freq^2) hot-shingle blowup of
+    :func:`ngram_jaccard_pairs`. This composition (LSH -> verify) is
+    the scale path for near-dup detection.
+    """
+    sh = docs.select(
+        F.col(id_col), F.expr(_shingle_expr(text_col, k)).alias("__sh")
+    )
+    out = (
+        pairs.join(
+            sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sa")),
+            on="doc_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb")),
+            on="doc_b",
+        )
+        .withColumn("__ni", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn(
+            "jaccard",
+            F.col("__ni").cast("double")
+            / (F.size("__sa") + F.size("__sb") - F.col("__ni")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """60-bit SimHash per document over whitespace tokens.
+
+    Bit ``b`` of the signature is 1 iff the majority of token hashes
+    have bit ``b`` set (ties -> 1, since vote >= 0). Pure array
+    expressions: tokens -> h64 per token -> per-bit votes -> bit
+    assembly with shifts. No shuffle, no UDF.
+    """
+    tokens = f"""
+      transform(
+        filter(split(trim({text_col}), '\\\\s+'), t -> t != ''),
+        t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)
+      )
+    """
+    # vote_b = sum over tokens of (bit set ? 1 : -1); bit set iff vote >= 0
+    bit_terms = " + ".join(
+        f"""(case when aggregate(__thashes, 0L,
+               (acc, h) -> acc + (case when ((h >> {b}) & 1) = 1 then 1 else -1 end)
+             ) >= 0 then shiftleft(1L, {b}) else 0L end)"""
+        for b in range(bits)
+    )
+    return (
+        docs.withColumn("__thashes", F.expr(tokens))
+        .withColumn("simhash", F.expr(bit_terms))
+        .select(id_col, "simhash")
+    )

@@ -68,11 +68,16 @@ def trailing_window_features(
         Window.partitionBy(key).orderBy(order).rangeBetween(-short_us, 0)
     )
     w_long = Window.partitionBy(key).orderBy(order).rangeBetween(-long_us, 0)
-    return (
-        df.withColumn(f"num_trans_last_{short_label}", F.count("*").over(w_short))
-        .withColumn(f"avg_amt_last_{short_label}", F.avg(amount).over(w_short))
-        .withColumn(f"num_trans_last_{long_label}", F.count("*").over(w_long))
-        .withColumn(f"avg_amt_last_{long_label}", F.avg(amount).over(w_long))
+    # All four aggregates in ONE select: chained withColumn would
+    # interleave Projects between the Window nodes and block Catalyst's
+    # CollapseWindow rule (observed: 4 Window + 4 Sort nodes instead of
+    # 2 Window + 1 Sort over a single exchange).
+    return df.select(
+        "*",
+        F.count("*").over(w_short).alias(f"num_trans_last_{short_label}"),
+        F.avg(amount).over(w_short).alias(f"avg_amt_last_{short_label}"),
+        F.count("*").over(w_long).alias(f"num_trans_last_{long_label}"),
+        F.avg(amount).over(w_long).alias(f"avg_amt_last_{long_label}"),
     )
 
 
@@ -109,20 +114,23 @@ def trailing_window_features_exact(
     def avg_over(w):
         return (F.sum(AMT_CENTS).over(w) / F.lit(100.0)) / F.count("*").over(w)
 
-    out = (
-        df.withColumn(f"num_trans_last_{short_label}", F.count("*").over(w_short))
-        .withColumn(f"avg_amt_last_{short_label}", avg_over(w_short))
-        .withColumn(f"num_trans_last_{long_label}", F.count("*").over(w_long))
-        .withColumn(f"avg_amt_last_{long_label}", avg_over(w_long))
-    )
+    # Single select (see trailing_window_features): one Window node per
+    # frame, one Sort, one Exchange.
+    cols = [
+        F.count("*").over(w_short).alias(f"num_trans_last_{short_label}"),
+        avg_over(w_short).alias(f"avg_amt_last_{short_label}"),
+        F.count("*").over(w_long).alias(f"num_trans_last_{long_label}"),
+        avg_over(w_long).alias(f"avg_amt_last_{long_label}"),
+    ]
     if keep_cent_sums:
         # Exact integer window sums, for downstream ops that must round
         # the average reproducibly (see plans/batch_ingest.py — half-up
         # rounding done in integer space, no double-rounding ambiguity).
-        out = out.withColumn(
-            f"sum_amt_cents_{short_label}", F.sum(AMT_CENTS).over(w_short)
-        ).withColumn(f"sum_amt_cents_{long_label}", F.sum(AMT_CENTS).over(w_long))
-    return out.drop(AMT_CENTS)
+        cols += [
+            F.sum(AMT_CENTS).over(w_short).alias(f"sum_amt_cents_{short_label}"),
+            F.sum(AMT_CENTS).over(w_long).alias(f"sum_amt_cents_{long_label}"),
+        ]
+    return df.select("*", *cols).drop(AMT_CENTS)
 
 
 def agg_features_query(

@@ -1,0 +1,435 @@
+"""Extension queries()/oracle_sql() entries: dedup, similarity search,
+text analysis (SURVEY.md §7-M4, graded as first-class operators).
+
+Imported by __spark_entry__.py. Same hash-stability convention: every
+hash is md5-derived (bit-equal in DuckDB), every ratio/cosine a fixed
+IEEE op sequence over exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions import (
+    LANG_STOPWORDS,
+    with_fingerprint,
+    with_lang_id,
+    with_text_stats,
+)
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+    cosine_topk,
+    dedup_exact,
+    jaccard_verify_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+# 60-bit md5 hash, DuckDB spelling (bit-equal with functions/hashing.h64)
+_H64 = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+
+_SHINGLES = (
+    "list_distinct([" + _H64.format(x="substring(text, i, 9)") + " "
+    "for i in range(1, greatest(length(text) - 8, 1) + 1)])"
+)
+
+# ------------------------------------------------------------- exact dedup
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_ORACLE = f"""
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents
+GROUP BY {_H64.format(x="text")}
+"""
+
+# ---------------------------------------------------------- minhash + LSH
+
+_NUM_HASHES = 16
+_BANDS, _ROWS_PER_BAND = 4, 4
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return sigs.select(
+        "doc_id", F.posexplode("minhash").alias("seed", "sig")
+    )
+
+
+def _minhash_list_sql() -> str:
+    per_seed = [
+        "list_min(["
+        + _H64.format(x=f"concat('{i}:', CAST(g AS VARCHAR))")
+        + " for g in __sh])"
+        for i in range(_NUM_HASHES)
+    ]
+    return "[" + ", ".join(per_seed) + "]"
+
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS __sh FROM documents
+), sig AS (
+  SELECT doc_id, {_minhash_list_sql()} AS minhash FROM sh
+)
+SELECT doc_id, i - 1 AS seed, minhash[i] AS sig
+FROM sig, range(1, {_NUM_HASHES} + 1) AS t(i)
+"""
+
+
+def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND)
+
+
+def _band_hash_sql(b: int) -> str:
+    parts = ", ".join(
+        f"CAST(minhash[{b * _ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+        for r in range(_ROWS_PER_BAND)
+    )
+    return _H64.format(x=f"concat_ws(':', {parts})")
+
+
+_LSH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS __sh FROM documents
+), sig AS (
+  SELECT doc_id, {_minhash_list_sql()} AS minhash FROM sh
+), bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS bhash FROM sig"
+      for b in range(_BANDS)
+  )}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+"""
+
+# ------------------------------------------------------- n-gram jaccard
+
+_JACCARD_THRESHOLD = 0.2
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: LSH candidate discovery -> exact per-pair Jaccard
+    verification (no shingle self-join; the exact all-pairs variant
+    explodes to ~4e8 joined rows on sf0.1's hot shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND)
+    return jaccard_verify_pairs(docs, cands, threshold=_JACCARD_THRESHOLD)
+
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS __sh FROM documents
+), sig AS (
+  SELECT doc_id, {_minhash_list_sql()} AS minhash FROM sh
+), bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS bhash FROM sig"
+      for b in range(_BANDS)
+  )}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.__sh, sb.__sh)) AS ni,
+         len(sa.__sh) AS na, len(sb.__sh) AS nb
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard
+FROM verified
+WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= {_JACCARD_THRESHOLD}
+"""
+
+# --------------------------------------------------------------- simhash
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_BIT_TERMS = " + ".join(
+    f"""(CASE WHEN list_sum([
+           CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END for h in __th
+         ]) >= 0 THEN 1::BIGINT << {b} ELSE 0 END)"""
+    for b in range(60)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         [{_H64.format(x="t")}
+          for t in list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t != '')] AS __th
+  FROM documents
+)
+SELECT doc_id, CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS simhash
+FROM toks
+"""
+
+# ------------------------------------------------------------- text stats
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_text_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_m",
+        "n_punct",
+        "n_stopwords",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+_EN_STOP = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+_TEXT_STATS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')
+           AS toks,
+         length(text) AS n_chars_m,
+         length(text) - length(regexp_replace(text, '[\\.\\,\\;\\:\\!\\?]', '', 'g'))
+           AS n_punct
+  FROM documents
+), counted AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(n_chars_m AS BIGINT) AS n_chars_m,
+         CAST(n_punct AS BIGINT) AS n_punct,
+         CAST(len(list_filter(toks,
+              t -> list_contains([{_EN_STOP}], lower(t)))) AS BIGINT)
+           AS n_stopwords
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars_m, n_punct, n_stopwords,
+       CASE WHEN n_chars_m > 0
+            THEN CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            ELSE 0.0 END AS stopword_ratio,
+       (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.4 ELSE 0.0 END)
+       + 0.3 * (1.0 - CASE WHEN n_chars_m > 0
+                  THEN CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
+                  ELSE 0.0 END)
+       + 0.3 * (CASE WHEN n_tokens > 0
+                  THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END) AS quality_score
+FROM counted
+"""
+
+# ---------------------------------------------------------------- lang id
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_lang_id(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", *[f"score_{lang}" for lang in sorted(LANG_STOPWORDS)], "lang_pred"
+    )
+
+
+def _lang_oracle() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = ", ".join(
+        "CAST(len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        + f"], lower(t)))) AS BIGINT) AS score_{lang}"
+        for lang in langs
+    )
+    # first language (in sorted order) reaching the maximum score —
+    # mirrors the Spark aggregate's strictly-greater replacement rule
+    case = "CASE "
+    for lang in langs:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs if other != lang
+        )
+        case += f"WHEN {conds} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')
+           AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, {score_cols} FROM toks
+)
+SELECT doc_id, {", ".join("score_" + lang for lang in langs)},
+       {case} AS lang_pred
+FROM scored
+"""
+
+
+# ------------------------------------------------------------ fingerprint
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = with_fingerprint(load_table(spark, sf_dir, "documents"))
+    return fp.select("doc_id", F.posexplode("fingerprint").alias("pos", "fp_hash"))
+
+
+_FP_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+         [{_H64.format(x="substring(text, i, 9)")}
+          for i in range(1, greatest(length(text) - 8, 1) + 1)] AS g
+  FROM documents
+), fp AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [list_min(g[i:i+3]) for i in range(1, greatest(len(g) - 3, 1) + 1)]
+         )) AS fingerprint
+  FROM grams
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fp_hash) - 1
+            AS INTEGER) AS pos,
+       fp_hash
+FROM (SELECT doc_id, unnest(fingerprint) AS fp_hash FROM fp)
+"""
+
+# ------------------------------------------------------------ cosine topk
+
+_TOPK_K = 5
+_N_QUERIES = 10
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(emb, queries, k=_TOPK_K)
+
+
+_COSINE_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS qq
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+), c AS (
+  SELECT vec_id AS c_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS cq
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.c_id,
+         CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(c.cq, q.qq)])
+                   AS BIGINT) AS DOUBLE)
+         / (sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(c.cq, c.cq)])
+                           AS BIGINT) AS DOUBLE))
+            * sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(q.qq, q.qq)])
+                             AS BIGINT) AS DOUBLE))) AS cosine
+  FROM c JOIN q ON c.c_id != q.query_id
+), ranked AS (
+  SELECT query_id, c_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT query_id, c_id AS vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+# ------------------------------------------- S4b windowed sliding agg (1-min)
+
+
+def _q_sliding_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in groupBy(window(...)) sliding aggregation (S4 option
+    b) in batch mode over events: per (key, 1-min-grain 10-min window)
+    COUNT + exact-cents AVG. Watermark applies only in streaming; the
+    batch plan is the same aggregation."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import (
+        load_table,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    prepared = events.select(
+        F.col("user_id").alias("cc_num"),
+        F.col("ts"),
+        F.expr("cast(round(value * 100) as bigint)").alias("amt_cents"),
+    )
+    return (
+        prepared.groupBy(
+            F.window(F.col("ts"), "10 minutes", "1 minute"), F.col("cc_num")
+        )
+        .agg(
+            F.count("*").alias("num_trans_last_10m"),
+            F.expr(
+                "(cast(sum(amt_cents) as double) / 100.0) / count(*)"
+            ).alias("avg_amt_last_10m"),
+        )
+        .select(
+            F.col("cc_num"),
+            F.col("window.end").alias("ts"),
+            "num_trans_last_10m",
+            "avg_amt_last_10m",
+        )
+    )
+
+
+# Spark's window(ts, 10m, 1m) assigns each event to the 10 slide-aligned
+# windows with start <= ts < end; reproduce by exploding 10 offsets.
+_SLIDING_WINDOWED_ORACLE = """
+WITH src AS (
+  SELECT user_id AS cc_num, ts,
+         CAST(round(value * 100) AS BIGINT) AS amt_cents,
+         CAST(floor(epoch(ts) / 60) AS BIGINT) AS slide_idx
+  FROM events
+), assigned AS (
+  SELECT cc_num, amt_cents,
+         CAST(to_timestamp((slide_idx + 1 + i) * 60) AS TIMESTAMP) AS w_end
+  FROM src, range(0, 10) AS t(i)
+)
+SELECT cc_num, w_end AS ts,
+       COUNT(*) AS num_trans_last_10m,
+       (CAST(SUM(amt_cents) AS DOUBLE) / 100.0) / COUNT(*) AS avg_amt_last_10m
+FROM assigned
+GROUP BY cc_num, w_end
+"""
+
+
+def ext_queries():
+    return {
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_sigs": _q_minhash_signatures,
+        "dedup_minhash_lsh_pairs": _q_lsh_pairs,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_simhash": _q_simhash,
+        "text_stats": _q_text_stats,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprint": _q_fingerprint,
+        "sim_cosine_topk": _q_cosine_topk,
+        "s4_sliding_windowed": _q_sliding_windowed,
+    }
+
+
+def ext_oracles():
+    return {
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "dedup_minhash_sigs": _MINHASH_ORACLE,
+        "dedup_minhash_lsh_pairs": _LSH_ORACLE,
+        "dedup_ngram_jaccard": _JACCARD_ORACLE,
+        "dedup_simhash": _SIMHASH_ORACLE,
+        "text_stats": _TEXT_STATS_ORACLE,
+        "text_lang_id": _lang_oracle(),
+        "text_fingerprint": _FP_ORACLE,
+        "sim_cosine_topk": _COSINE_TOPK_ORACLE,
+        "s4_sliding_windowed": _SLIDING_WINDOWED_ORACLE,
+    }

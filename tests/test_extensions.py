@@ -1,0 +1,161 @@
+"""Tests for the training-data pipeline extensions: dedup semantics,
+ANN recall, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+    ann_srp_topk,
+    cosine_topk,
+    dedup_exact,
+    embedding_near_dup_pairs,
+    extract_features,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    resize_plan,
+    sample_frames,
+    simhash,
+    synth_media,
+)
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+from .conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF0001, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF0001, "embeddings")
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ------------------------------------------------------------------- dedup
+
+def test_dedup_exact_collapses_duplicates(spark):
+    df = _docs_df(spark, ["same text here", "same text here", "different"])
+    out = {r["doc_id"]: r["dup_count"] for r in dedup_exact(df).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = _docs_df(spark, ["the quick brown fox jumps", "the quick brown fox jumps"])
+    sigs = minhash_signatures(df).collect()
+    assert sigs[0]["minhash"] == sigs[1]["minhash"]
+
+
+def test_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs_df(spark, [base, base + " x", "completely unrelated words entirely"])
+    sigs = minhash_signatures(df)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_jaccard_bounds_and_symmetric_inputs(spark):
+    df = _docs_df(spark, ["abcdefghijklm", "abcdefghijklm"])
+    rows = ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == 1.0
+
+
+def test_simhash_close_for_near_duplicates(spark):
+    base = "spark window join filter aggregate shuffle partition broadcast"
+    df = _docs_df(spark, [base, base + " extra", "zzz yyy xxx www vvv uuu"])
+    hs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    d01 = bin(hs[0] ^ hs[1]).count("1")
+    d02 = bin(hs[0] ^ hs[2]).count("1")
+    assert d01 < d02  # near-dup closer in hamming space
+    assert all(0 <= h < (1 << 60) for h in hs.values())
+
+
+# ------------------------------------------------------------- similarity
+
+def test_srp_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_srp_topk(emb, queries, k=5, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 4 planes -> 16 buckets over 500 vecs: recall is partial by design
+    # but must be well above random (5/500 = 1%).
+    assert recall > 0.2, recall
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    rows = cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in rows:
+        assert r["vec_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r[0] for r in rs] == [1, 2, 3, 4, 5]
+        cosines = [r[1] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_embedding_near_dup_finds_planted_duplicate(spark, emb):
+    # plant an exact duplicate of vec 0 with a new id
+    dup = emb.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(100000).cast("long")
+    )
+    planted = emb.unionByName(dup)
+    pairs = embedding_near_dup_pairs(planted, threshold=0.999).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 100000 for r in pairs)
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_fake_decode_deterministic(spark, docs):
+    media = synth_media(spark, docs.limit(20))
+    a = extract_features(media, decoder="fake").collect()
+    b = extract_features(media, decoder="fake").collect()
+    fa = {r["media_id"]: r["features"] for r in a}
+    fb = {r["media_id"]: r["features"] for r in b}
+    assert fa == fb
+    assert all(len(v) == 16 for v in fa.values())
+
+
+def test_multimodal_stub_raises(spark, docs):
+    media = synth_media(spark, docs.limit(2))
+    with pytest.raises(Exception) as exc:
+        extract_features(media, decoder="stub").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_frame_sampling_jvm_side(spark, docs):
+    vids = synth_media(spark, docs.limit(10), kind="video")
+    frames = sample_frames(vids, every_n=7).collect()
+    metas = {r["media_id"]: r["meta"]["n_frames"] for r in vids.collect()}
+    for mid, n in metas.items():
+        expect = list(range(0, n, 7)) or [0]
+        got = sorted(r["frame_idx"] for r in frames if r["media_id"] == mid)
+        assert got == expect, (mid, n)
+
+
+def test_resize_plan_preserves_aspect_flag(spark, docs):
+    media = synth_media(spark, docs.limit(50))
+    out = resize_plan(media, max_width=32).collect()
+    for r in out:
+        assert r["target"]["width"] <= 32
