@@ -35,6 +35,54 @@ def h64(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+MERSENNE_61 = (1 << 61) - 1
+HALF_BITS = 30
+HALF_MOD = 1 << HALF_BITS
+
+
+def minhash_perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the integer MinHash
+    permutation family ``perm_i(x) = (a_i * x + b_i) mod (2^61 - 1)``,
+    derived host-side from md5 so both engines embed identical
+    literals. ``a`` is odd and < 2^30.
+    """
+    import hashlib
+
+    consts = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash-perm-{i}".encode()).hexdigest()
+        a = (int(d[0:8], 16) % HALF_MOD) | 1
+        b = int(d[8:24], 16) % MERSENNE_61
+        consts.append((a, b))
+    return consts
+
+
+def minhash_perm_sql(var: str, a: int, b: int) -> str:
+    """``(a * var + b) mod (2^61 - 1)`` over a 60-bit bigint ``var``,
+    decomposed so every intermediate fits int64 — exact and
+    overflow-free in BOTH Spark (no Java wrap-around) and DuckDB
+    (which errors on BIGINT overflow).
+
+    With var = hi*2^30 + lo (30-bit halves):
+      s  = a*hi                      (< 2^60)
+      t  = a*hi*2^30 mod M           via 2^61 ≡ 1 (mod M):
+           (s div 2^31) + (s mod 2^31)*2^30      (< 2^61 + 2^30)
+      out = (t + a*lo + b) mod M     (sum < 2^63)
+
+    The true modular multiply is what makes the family approximately
+    min-wise independent; a wrap-free affine map is monotone in the
+    high bits, every document elects its lowest-high-bits shingle, and
+    LSH candidates explode (measured 407 -> 144k pairs at sf0.1).
+
+    ~10 integer ops per (seed, shingle) instead of an md5 — the
+    md5-per-seed variant costs ~100 us per interpreted call
+    (MessageDigest set-up dominates), 75 s for sf0.1's 24 M calls.
+    """
+    s = f"({a} * ({var} div {HALF_MOD}))"
+    t = f"(({s} div {1 << 31}) + ({s} % {1 << 31}) * {HALF_MOD})"
+    return f"(({t} + {a} * ({var} % {HALF_MOD}) + {b}) % {MERSENNE_61})"
+
+
 def h64_seeded(col: Column | str, seed: int) -> Column:
     """Seeded variant: hash of ``seed || ':' || s``."""
     c = F.col(col) if isinstance(col, str) else col

@@ -128,7 +128,14 @@ def with_fingerprint(
 
     The fingerprint is robust to local edits (standard winnowing,
     Schleimer et al. 2003) and each array element is reproducible in
-    SQL, so the whole column has an exact oracle."""
+    SQL, so the whole column has an exact oracle.
+
+    The repartition between the gram projection and the window-min
+    projection is a deliberate exchange barrier: without it Catalyst's
+    CollapseProject inlines the md5-gram array into the per-window
+    lambda and the hash array is recomputed for EVERY window — O(n^2)
+    md5 calls per document (measured 930 s vs ~2 s at sf0.1). The
+    barrier also parallelizes the single-file documents scan."""
     grams = f"""
       transform(
         sequence(1, greatest(length({text_col}) - {k - 1}, 1)),
@@ -136,8 +143,13 @@ def with_fingerprint(
              as bigint)
       )
     """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # pre-repartition: the heavy md5-per-gram projection must not run in
+    # the scan's single task (small single-file inputs -> 1 partition)
+    with_g = df.repartition(par).withColumn("__g", F.expr(grams))
+    with_g = with_g.repartition(par)
     return (
-        df.withColumn("__g", F.expr(grams))
+        with_g
         .withColumn(
             "fingerprint",
             F.expr(

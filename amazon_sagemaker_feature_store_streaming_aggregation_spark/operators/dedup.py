@@ -79,21 +79,34 @@ def minhash_signatures(
     """Per-document MinHash signature, ``array<bigint>`` of length
     ``num_hashes``.
 
-    Permutation ``i`` is simulated by seeding the shingle hash:
-    ``min over shingles of h64(concat('i:', g))`` — one md5 per
-    (seed, shingle), reproducible verbatim in SQL. All scan-side
-    (no shuffle, whole-stage codegen'd array exprs).
+    Permutation ``i`` is the integer universal-hash family over the
+    60-bit shingle hash (functions/hashing.py::minhash_perm_constants
+    — overflow-free int64 arithmetic, exact in both engines): md5 runs
+    ONCE per shingle, each of the ``num_hashes`` permutations is ~10
+    integer ops. The md5-per-seed variant costs ~100 us per call
+    (MessageDigest set-up dominates interpreted eval) — 75 s at sf0.1.
+
+    The repartition between the shingle projection and the signature
+    projection is an exchange barrier: otherwise CollapseProject
+    inlines the shingle-hash array into each of the ``num_hashes``
+    signature expressions and the base shingling is recomputed per
+    seed. It also parallelizes the single-file documents scan.
     """
+    from ..functions.hashing import minhash_perm_constants, minhash_perm_sql
+
     shingles = _shingle_expr(text_col, k)
     sigs = ", ".join(
-        f"""array_min(transform(__shingles,
-              g -> cast(conv(substring(md5(concat('{i}:', cast(g as string))), 1, 15), 16, 10)
-                   as bigint)))"""
-        for i in range(num_hashes)
+        f"array_min(transform(__shingles, g -> {minhash_perm_sql('g', a, b)}))"
+        for a, b in minhash_perm_constants(num_hashes)
     )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    # pre-repartition parallelizes the md5-shingling itself (single-file
+    # scans are 1 partition); the second exchange is the anti-inlining
+    # barrier for the per-seed signature expressions
+    with_sh = docs.repartition(par).withColumn("__shingles", F.expr(shingles))
+    with_sh = with_sh.repartition(par)
     return (
-        docs.withColumn("__shingles", F.expr(shingles))
-        .withColumn("minhash", F.expr(f"array({sigs})"))
+        with_sh.withColumn("minhash", F.expr(f"array({sigs})"))
         .drop("__shingles")
         .select(id_col, "minhash")
     )
@@ -260,8 +273,13 @@ def simhash(
              ) >= 0 then shiftleft(1L, {b}) else 0L end)"""
         for b in range(bits)
     )
+    # exchange barrier: without it the token-hash array is inlined into
+    # all ``bits`` vote expressions and recomputed per bit (see
+    # minhash_signatures); also parallelizes the docs scan
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    with_t = docs.repartition(par).withColumn("__thashes", F.expr(tokens))
+    with_t = with_t.repartition(par)
     return (
-        docs.withColumn("__thashes", F.expr(tokens))
-        .withColumn("simhash", F.expr(bit_terms))
+        with_t.withColumn("simhash", F.expr(bit_terms))
         .select(id_col, "simhash")
     )

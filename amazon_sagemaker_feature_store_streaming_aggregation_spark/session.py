@@ -44,6 +44,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate turns explode(expensive_expr) into a
+        # scan-level filter size(expensive_expr)>0 that is pushed below
+        # every exchange — the whole array expression then re-evaluates
+        # in the scan task (measured: minhash/fingerprint queries ran
+        # their md5 pipelines twice, once single-task). The inferred
+        # filter is worthless for our always-non-empty arrays.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))

@@ -62,11 +62,16 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_list_sql() -> str:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions.hashing import (
+        minhash_perm_constants,
+        minhash_perm_sql,
+    )
+
     per_seed = [
         "list_min(["
-        + _H64.format(x=f"concat('{i}:', CAST(g AS VARCHAR))")
+        + minhash_perm_sql("g", a, b).replace(" div ", " // ")
         + " for g in __sh])"
-        for i in range(_NUM_HASHES)
+        for a, b in minhash_perm_constants(_NUM_HASHES)
     ]
     return "[" + ", ".join(per_seed) + "]"
 
