@@ -3,9 +3,10 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced to full materialization with a cheap
-count-all-columns action (``df.foreach`` would ship rows to Python;
-``count()`` after a ``cache``-free pipeline measures the real compute).
+Each query is forced to FULL materialization with a row count + an
+xxhash64-over-all-columns checksum aggregate — a bare ``count()`` lets
+Catalyst prune every derived column (a window query 'benchmarked' with
+count() never computes the windows).
 """
 
 from __future__ import annotations
@@ -17,7 +18,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from amazon_sagemaker_feature_store_streaming_aggregation_spark import get_spark
+
+
+def force(df):
+    """Materialize every column: (row_count, checksum) in one pass."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("checksum"),
+    ).first()
+    return row["n"]
 
 
 def main() -> None:
@@ -33,7 +45,7 @@ def main() -> None:
     for name, fn in qmap.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        n = force(df)
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt

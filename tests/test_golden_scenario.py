@@ -87,6 +87,35 @@ def test_burst_reaches_feature_store(spark, scenario_dir, tmp_path):
     assert fg.get_latest().count() == 4
 
 
+def test_bounded_state_mode_matches_exact_on_second_grain(
+    spark, scenario_dir, tmp_path
+):
+    """The O(window) per-second bucket-ring state (hot-key mode) must
+    emit identical aggregates to the raw-point mode for second-grain
+    event times (the reference's domain)."""
+
+    def run(bounded, name, ck):
+        stream = read_json_event_stream(spark, scenario_dir)
+        agg = sliding_agg_exact(
+            stream, key="cc_num", ts="ts", amount="amount", bounded_state=bounded
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["cc_num"], r["ts"], r["num_trans_last_10m"], r["avg_amt_last_10m"])
+            for r in spark.table(name).collect()
+        )
+
+    assert run(False, "gb_exact", "cka") == run(True, "gb_bucketed", "ckb")
+
+
 def test_csv_source_parity(spark, tmp_path):
     """B1: schema-declared headerless CSV scan round-trips."""
     p = tmp_path / "tx.csv"
