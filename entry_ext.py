@@ -352,6 +352,133 @@ FROM ranked WHERE rank <= {_TOPK_K}
 """
 
 
+# ------------------------------------------------------------ SRP ANN top-k
+
+_ANN_PLANES, _ANN_TABLES, _ANN_DIMS, _ANN_K = 4, 2, 64, 5
+
+
+def _q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ann_srp_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ann_srp_topk(
+        emb, queries, k=_ANN_K, n_planes=_ANN_PLANES, n_tables=_ANN_TABLES
+    )
+
+
+def _srp_bucket_sql(table: int) -> str:
+    """DuckDB bucket expression for one SRP table (same md5-derived
+    integer weights as operators/similarity.py::srp_signatures)."""
+    terms = []
+    for p in range(_ANN_PLANES):
+        seed = table * _ANN_PLANES + p
+        weights = ", ".join(
+            "(" + _H64.format(x=f"'{seed}:{d}'") + " % 2001) - 1000"
+            for d in range(_ANN_DIMS)
+        )
+        terms.append(
+            f"(CASE WHEN list_sum([z[1] * z[2] for z in"
+            f" list_zip(qv, [{weights}]::BIGINT[])]) >= 0"
+            f" THEN 1::BIGINT << {p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _ann_oracle() -> str:
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_srp_bucket_sql(t)} AS bucket FROM q"
+        for t in range(_ANN_TABLES)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS qv
+  FROM embeddings
+), sigs AS (
+  {buckets}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS c_id, b.vec_id AS query_id
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE b.vec_id < {_N_QUERIES} AND a.vec_id != b.vec_id
+), scored AS (
+  SELECT c.query_id, c.c_id,
+         CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(ca.qv, qa.qv)])
+                   AS BIGINT) AS DOUBLE)
+         / (sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(ca.qv, ca.qv)])
+                           AS BIGINT) AS DOUBLE))
+            * sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(qa.qv, qa.qv)])
+                             AS BIGINT) AS DOUBLE))) AS cosine
+  FROM cand c
+  JOIN q ca ON ca.vec_id = c.c_id
+  JOIN q qa ON qa.vec_id = c.query_id
+), ranked AS (
+  SELECT query_id, c_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT query_id, c_id AS vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+# -------------------------------------------------- embedding near-dup pairs
+
+_NEAR_DUP_THRESHOLD = 0.3  # testdata embeddings are centered: max
+# pairwise cosine ~0.40, so 0.3 exercises both match and reject paths
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb,
+        threshold=_NEAR_DUP_THRESHOLD,
+        n_planes=_ANN_PLANES,
+        n_tables=_ANN_TABLES,
+    )
+
+
+def _near_dup_oracle() -> str:
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_srp_bucket_sql(t)} AS bucket FROM q"
+        for t in range(_ANN_TABLES)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS qv
+  FROM embeddings
+), sigs AS (
+  {buckets}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(va.qv, vb.qv)])
+                   AS BIGINT) AS DOUBLE)
+         / (sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(va.qv, va.qv)])
+                           AS BIGINT) AS DOUBLE))
+            * sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(vb.qv, vb.qv)])
+                             AS BIGINT) AS DOUBLE))) AS cosine
+  FROM cand c
+  JOIN q va ON va.vec_id = c.id_a
+  JOIN q vb ON vb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_NEAR_DUP_THRESHOLD}
+"""
+
+
 # ------------------------------------------- S4b windowed sliding agg (1-min)
 
 
@@ -422,6 +549,8 @@ def ext_queries():
         "text_fingerprint": _q_fingerprint,
         "sim_cosine_topk": _q_cosine_topk,
         "s4_sliding_windowed": _q_sliding_windowed,
+        "sim_ann_srp_topk": _q_ann_srp,
+        "sim_embedding_near_dup": _q_embedding_near_dup,
     }
 
 
@@ -437,4 +566,6 @@ def ext_oracles():
         "text_fingerprint": _FP_ORACLE,
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
         "s4_sliding_windowed": _SLIDING_WINDOWED_ORACLE,
+        "sim_ann_srp_topk": _ann_oracle(),
+        "sim_embedding_near_dup": _near_dup_oracle(),
     }
