@@ -42,6 +42,17 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_classes = "".join(f"\\\\{ch}" for ch in _PUNCT)
     return (
         df.withColumn("n_tokens", F.expr(f"size({tokens})").cast("long"))
+        # BPE-ish sub-word segmentation: letter runs | digit runs |
+        # single non-alnum marks (the GPT-2-style pre-tokenizer shape;
+        # the pattern is chosen to behave identically under Java regex
+        # and RE2, verified against DuckDB)
+        .withColumn(
+            "n_tokens_bpe",
+            F.expr(
+                f"size(regexp_extract_all({text_col},"
+                " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))"
+            ).cast("long"),
+        )
         .withColumn("n_chars_m", F.length(text_col).cast("long"))
         .withColumn(
             "n_punct",

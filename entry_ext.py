@@ -192,6 +192,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_text_stats(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         "n_tokens",
+        "n_tokens_bpe",
         "n_chars_m",
         "n_punct",
         "n_stopwords",
@@ -210,11 +211,14 @@ WITH base AS (
            AS toks,
          length(text) AS n_chars_m,
          length(text) - length(regexp_replace(text, '[\\.\\,\\;\\:\\!\\?]', '', 'g'))
-           AS n_punct
+           AS n_punct,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS n_bpe
   FROM documents
 ), counted AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(n_bpe AS BIGINT) AS n_tokens_bpe,
          CAST(n_chars_m AS BIGINT) AS n_chars_m,
          CAST(n_punct AS BIGINT) AS n_punct,
          CAST(len(list_filter(toks,
@@ -222,7 +226,7 @@ WITH base AS (
            AS n_stopwords
   FROM base
 )
-SELECT doc_id, n_tokens, n_chars_m, n_punct, n_stopwords,
+SELECT doc_id, n_tokens, n_tokens_bpe, n_chars_m, n_punct, n_stopwords,
        CASE WHEN n_chars_m > 0
             THEN CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
             ELSE 0.0 END AS punct_ratio,

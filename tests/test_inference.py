@@ -107,6 +107,18 @@ def test_assemble_and_threshold(spark):
     assert preds == {1: "FRAUD", 2: "NOT FRAUD"}
 
 
+def test_latency_metric(spark):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
+        latency_metric,
+    )
+
+    df = spark.createDataFrame(
+        [(1, NOW - dt.timedelta(seconds=42))], "cc_num long, trans_ts timestamp"
+    )
+    out = latency_metric(df, now=F.lit(NOW)).first()
+    assert out["latency_sec"] == 42
+
+
 def test_train_and_score_end_to_end(spark):
     agg = agg_features_query(load_transactions(spark, SF0001, with_label=True))
     train = train_prep(agg, "fraud_label", "2024-01-02", "2024-01-25")

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): the core trailing-window operator
+against a brute-force pure-Python model on random inputs — catches
+boundary/tie/partition bugs the fixed fixtures can't."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+    latest_per_key,
+    trailing_window_features_exact,
+)
+
+_T0 = dt.datetime(2024, 1, 1)
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # key
+        st.integers(min_value=0, max_value=3000),         # offset seconds
+        st.integers(min_value=1, max_value=99999),        # amount cents
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _model(rows, window_s):
+    """Brute-force trailing [t - w, t] count/sum-cents per row."""
+    out = []
+    for k, t, c in rows:
+        in_frame = [
+            (k2, t2, c2)
+            for (k2, t2, c2) in rows
+            if k2 == k and t - window_s <= t2 <= t
+        ]
+        n = len(in_frame)
+        s = sum(c2 for (_, _, c2) in in_frame)
+        out.append((k, t, c, n, s))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_events)
+def test_trailing_window_matches_bruteforce(spark, events):
+    rows = [
+        (i, k, _T0 + dt.timedelta(seconds=t), c / 100.0)
+        for i, (k, t, c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, cc_num long, datetime timestamp, amount double"
+    )
+    got = {
+        r["rid"]: (r["num_trans_last_10m"], r["avg_amt_last_10m"])
+        for r in trailing_window_features_exact(df).collect()
+    }
+    for i, (k, t, n, s) in enumerate(
+        (k, t, n, s) for (k, t, _, n, s) in _model(events, 600)
+    ):
+        want_avg = (s / 100.0) / n
+        assert got[i][0] == n, (i, events)
+        assert got[i][1] == want_avg, (i, events)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_events)
+def test_latest_per_key_dense_rank_ties(spark, events):
+    rows = [
+        (i, k, _T0 + dt.timedelta(seconds=t), c / 100.0)
+        for i, (k, t, c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, cc_num long, datetime timestamp, amount double"
+    )
+    got = sorted(
+        (r["cc_num"], r["rid"]) for r in latest_per_key(df, keep_ties=True).collect()
+    )
+    # model: ALL rows tied on each key's max timestamp survive
+    want = []
+    by_key: dict[int, list] = {}
+    for i, (k, t, _) in enumerate(events):
+        by_key.setdefault(k, []).append((t, i))
+    for k, lst in by_key.items():
+        mx = max(t for t, _ in lst)
+        want += [(k, i) for (t, i) in lst if t == mx]
+    assert got == sorted(want)
