@@ -169,30 +169,44 @@ def _q_s4_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    import shutil
+    import tempfile
+
     name = f"s4_out_{next(_S4_SEQ)}"
     # The file stream source requires a *directory*; expose the single
     # events.parquet file through a temp dir symlink.
     stream_dir = tempfile.mkdtemp(prefix="s4_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s4_ckpt_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(stream_dir, "events.parquet"),
     )
-    stream = read_event_stream(
-        spark,
-        stream_dir,
-        "event_id long, ts long, user_id long, value double",
-    )
-    agg = sliding_agg_exact(stream, key="user_id", ts="ts", amount="value")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="s4_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    try:
+        stream = read_event_stream(
+            spark,
+            stream_dir,
+            "event_id long, ts long, user_id long, value double",
+        )
+        agg = sliding_agg_exact(stream, key="user_id", ts="ts", amount="value")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "s4_sliding_agg availableNow replay exceeded 300s; "
+                "memory table would be partial"
+            )
+        # memory-sink table is fully materialized once the query ends
+        return spark.table(name)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
 _S4_ORACLE = """

@@ -14,23 +14,43 @@ Spark-native keyed table:
 
 Scale design (100 TB / 1000 executors)
 --------------------------------------
-The store is a snapshot-versioned parquet table hash-bucketed on the
-record identifier:
+The store is hash-bucketed on the record identifier with PER-BUCKET
+snapshot versioning::
 
-* every snapshot is written ``partitionBy(bucket)`` where
-  ``bucket = pmod(xxhash64(key), n_buckets)`` — a point lookup prunes
-  to ONE bucket directory (partition pruning on the filter), and the
-  upsert's latest-per-key window shuffles once on the same key the data
-  is already bucketed by;
-* upsert is a distributed window merge (``row_number() over (partition
-  by key order by event_time desc) = 1``) — never a driver-side
-  ``collect`` + RPC loop like the reference's batch ingest
-  (``2_batch_ingestion.ipynb:311-343``); on a real deployment the same
-  logic is a Delta/Iceberg ``MERGE INTO`` — snapshot versioning here
-  keeps the engine dependency-free;
-* snapshots give readers a consistent view while an upsert is in
-  flight (the ``_VERSION`` pointer flips only after the new snapshot is
-  fully written).
+    <base>/<name>/bucket=B/v=K/part-*.parquet     (+ bucket=B/_VERSION)
+
+* ``bucket = pmod(xxhash64(key), n_buckets)`` — a point lookup reads
+  exactly one bucket's current snapshot directory; the upsert's
+  latest-per-key window shuffles once on the key the data is already
+  bucketed by.
+* ``upsert`` is BUCKET-LOCAL: it reads, merges and rewrites only the
+  buckets actually present in the incoming batch (one distributed job
+  over the touched buckets, written ``partitionBy(bucket)`` then moved
+  into place per bucket). A streaming micro-batch touching k keys costs
+  O(k/n_buckets · store) — not O(store) — per trigger, so store size
+  never multiplies per-batch cost at scale.
+* Consistency is PER KEY: a key's records live entirely in one bucket,
+  and each bucket's ``_VERSION`` pointer flips atomically after its new
+  snapshot is fully written, so every key is always read at a complete
+  snapshot. Cross-key reads spanning buckets may interleave two
+  versions mid-upsert — the same (actually weaker-than) guarantee the
+  reference's online store gives, where ``put_record`` is per-item with
+  no cross-item isolation at all.
+* The merge itself is a distributed window (``row_number() over
+  (partition by key order by event_time desc) = 1``) — never a
+  driver-side ``collect`` + RPC loop like the reference's batch ingest
+  (``2_batch_ingestion.ipynb:311-343``). On a real deployment the same
+  logic is a Delta/Iceberg ``MERGE INTO``; per-bucket snapshots keep
+  this engine dependency-free.
+* Single-writer assumption: concurrent ``upsert`` calls on the same
+  store are NOT serialized (last ``_VERSION`` writer wins per bucket).
+  Serialize upserts per store — trivially true for the intended caller,
+  a streaming query's ``foreachBatch``.
+
+Incoming batches are type-reconciled against the stored schema before
+the merge (numeric/timestamp upcasts are applied; anything else raises
+``TypeError`` naming the column) — ``createDataFrame`` type inference
+must not poison the store or crash mid-write.
 
 The tie policy is ``row_number`` (exactly one row per key). The
 reference's *batch* dedup uses ``dense_rank`` (keeps ties,
@@ -42,13 +62,39 @@ a deterministic tie-break on all value columns.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _BUCKET = "__fg_bucket"
+
+_NUMERIC = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def _upcastable(src: T.DataType, dst: T.DataType) -> bool:
+    if src == dst:
+        return True
+    if isinstance(src, _NUMERIC) and isinstance(dst, _NUMERIC):
+        return True
+    if isinstance(src, (T.DateType, T.TimestampType)) and isinstance(
+        dst, (T.DateType, T.TimestampType)
+    ):
+        return True
+    if isinstance(dst, T.StringType):
+        return True
+    return False
 
 
 class FeatureGroup:
@@ -72,102 +118,195 @@ class FeatureGroup:
         os.makedirs(self.path, exist_ok=True)
 
     # ---------------------------------------------------------------- state
-    def _version_file(self) -> str:
-        return os.path.join(self.path, "_VERSION")
+    def _bucket_dir(self, bucket: int) -> str:
+        return os.path.join(self.path, f"bucket={bucket}")
 
-    def _current_version(self) -> int:
+    def _bucket_version(self, bucket: int) -> int:
         try:
-            with open(self._version_file()) as f:
+            with open(os.path.join(self._bucket_dir(bucket), "_VERSION")) as f:
                 return int(f.read().strip())
         except (FileNotFoundError, ValueError):
             return 0
 
-    def _snapshot_dir(self, version: int) -> str:
-        return os.path.join(self.path, f"v={version}")
+    def _bucket_snapshot(self, bucket: int, version: int) -> str:
+        return os.path.join(self._bucket_dir(bucket), f"v={version}")
+
+    def _live_snapshots(self) -> list[str]:
+        out = []
+        for b in range(self.n_buckets):
+            v = self._bucket_version(b)
+            if v > 0:
+                out.append(self._bucket_snapshot(b, v))
+        return out
 
     def exists(self) -> bool:
-        return self._current_version() > 0
+        return bool(self._live_snapshots())
+
+    # --------------------------------------------------------------- schema
+    def _schema_file(self) -> str:
+        return os.path.join(self.path, "_SCHEMA.json")
+
+    def _stored_schema(self) -> T.StructType | None:
+        try:
+            with open(self._schema_file()) as f:
+                return T.StructType.fromJson(json.load(f))
+        except FileNotFoundError:
+            return None
+
+    def _write_schema(self, schema: T.StructType) -> None:
+        tmp = self._schema_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(schema.jsonValue(), f)
+        os.replace(tmp, self._schema_file())
+
+    def _reconcile(self, df: DataFrame, stored: T.StructType) -> DataFrame:
+        """Cast incoming columns to the stored column types (upcasts
+        only); raise TypeError on an incompatible column instead of
+        failing mid-write or silently nulling values."""
+        for field in stored.fields:
+            if field.name not in df.columns:
+                continue
+            src = df.schema[field.name].dataType
+            if src == field.dataType:
+                continue
+            if not _upcastable(src, field.dataType):
+                raise TypeError(
+                    f"feature group {self.name!r}: column {field.name!r} has "
+                    f"incompatible type {src.simpleString()} (store has "
+                    f"{field.dataType.simpleString()})"
+                )
+            df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
+        return df
 
     # ---------------------------------------------------------------- write
     def upsert(self, df: DataFrame) -> None:
         """Merge ``df`` into the store, keeping the latest record per key.
 
-        Rows missing the event-time column are stamped with the current
-        timestamp (the reference stamps ``trans_time = now()`` at ingest,
+        Bucket-local: only the hash buckets present in ``df`` are read,
+        merged and rewritten (see module docstring). Rows missing the
+        event-time column are stamped with the current timestamp (the
+        reference stamps ``trans_time = now()`` at ingest,
         ``StreamingIngestAggFeatures/lambda_function.py:29``).
         """
         if self.event_time not in df.columns:
             df = df.withColumn(self.event_time, F.current_timestamp())
         df = df.filter(F.col(self.key).isNotNull())
 
-        cur = self._current_version()
-        if cur > 0:
-            existing = self.spark.read.parquet(self._snapshot_dir(cur)).drop(_BUCKET)
-            df = existing.unionByName(df, allowMissingColumns=True)
+        stored = self._stored_schema()
+        if stored is not None:
+            df = self._reconcile(df, stored)
 
-        value_cols = [c for c in df.columns if c not in (self.key, self.event_time)]
+        df = df.withColumn(
+            _BUCKET, F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
+        )
+        touched = sorted(
+            r[0] for r in df.select(_BUCKET).distinct().collect()
+        )  # <= n_buckets small ints — driver-size by construction
+        if not touched:
+            return
+
+        existing_paths = []
+        for b in touched:
+            v = self._bucket_version(b)
+            if v > 0:
+                existing_paths.append(self._bucket_snapshot(b, v))
+        merged = df
+        if existing_paths:
+            existing = self.spark.read.parquet(*existing_paths).withColumn(
+                _BUCKET, F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
+            )
+            merged = existing.unionByName(df, allowMissingColumns=True)
+
+        value_cols = [
+            c for c in merged.columns if c not in (self.key, self.event_time, _BUCKET)
+        ]
         w = Window.partitionBy(self.key).orderBy(
-            F.col(self.event_time).desc(), *[F.col(c).desc_nulls_last() for c in value_cols]
+            F.col(self.event_time).desc(),
+            *[F.col(c).desc_nulls_last() for c in value_cols],
         )
         latest = (
-            df.withColumn("__rn", F.row_number().over(w))
+            merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-            .withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)))
         )
 
-        nxt = cur + 1
-        latest.write.mode("overwrite").partitionBy(_BUCKET).parquet(
-            self._snapshot_dir(nxt)
+        # One distributed job over the touched buckets; outputs land per
+        # bucket and are moved into place, then each pointer flips.
+        staging = os.path.join(self.path, "_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        latest.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
+
+        new_schema = T.StructType(
+            [f for f in latest.schema.fields if f.name != _BUCKET]
         )
-        tmp = self._version_file() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(nxt))
-        os.replace(tmp, self._version_file())
-        # Retire snapshots older than the previous one (kept for in-flight readers).
-        for v in range(1, cur):
-            old = self._snapshot_dir(v)
-            if os.path.isdir(old):
-                shutil.rmtree(old, ignore_errors=True)
+        flips = []
+        for b in touched:
+            src = os.path.join(staging, f"{_BUCKET}={b}")
+            cur = self._bucket_version(b)
+            nxt_dir = self._bucket_snapshot(b, cur + 1)
+            os.makedirs(self._bucket_dir(b), exist_ok=True)
+            shutil.rmtree(nxt_dir, ignore_errors=True)
+            if os.path.isdir(src):
+                os.rename(src, nxt_dir)
+            else:  # every key of this bucket vanished (can't happen via
+                os.makedirs(nxt_dir)  # upsert, but keep the flip total)
+            flips.append((b, cur))
+        for b, cur in flips:
+            vf = os.path.join(self._bucket_dir(b), "_VERSION")
+            with open(vf + ".tmp", "w") as f:
+                f.write(str(cur + 1))
+            os.replace(vf + ".tmp", vf)
+            # Retire snapshots older than the previous one (kept for
+            # in-flight readers).
+            for v in range(1, cur):
+                old = self._bucket_snapshot(b, v)
+                if os.path.isdir(old):
+                    shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        self._write_schema(new_schema)
 
     def put_record(self, record: dict) -> None:
         """Single-record upsert (reference ``put_record`` parity).
 
         Driver-side convenience only — at scale, batch ``upsert`` is the
-        API; a per-record loop is the reference's anti-pattern.
+        API; a per-record loop is the reference's anti-pattern. (Still
+        bucket-local: touches exactly one bucket.)
         """
         self.upsert(self.spark.createDataFrame([record]))
 
     # ----------------------------------------------------------------- read
     def get_latest(self) -> DataFrame:
         """The full latest-record-per-key table (one row per key)."""
-        cur = self._current_version()
-        if cur == 0:
+        snaps = self._live_snapshots()
+        if not snaps:
             raise ValueError(f"feature group {self.name!r} has no data")
-        return self.spark.read.parquet(self._snapshot_dir(cur)).drop(_BUCKET)
+        return self.spark.read.parquet(*snaps)
 
     def get_record(self, identifier) -> dict | None:
         """Point lookup by record identifier (reference ``get_record``).
 
-        The bucket predicate prunes the scan to one partition directory;
-        the key predicate pushes down into the parquet row groups.
+        Reads exactly one bucket's current snapshot directory (the
+        bucket is derived from the key on the driver); the key predicate
+        pushes down into that bucket's parquet row groups.
         """
-        cur = self._current_version()
-        if cur == 0:
+        stored = self._stored_schema()
+        if stored is None:
             return None
-        snap = self.spark.read.parquet(self._snapshot_dir(cur))
         # xxhash64 is type-sensitive: the literal must carry the stored
         # key type (lit(7) is int, a long key hashes differently).
-        key_type = snap.schema[self.key].dataType
+        key_type = stored[self.key].dataType
         key_lit = F.lit(identifier).cast(key_type)
         bucket = (
             self.spark.range(1)
             .select(F.pmod(F.xxhash64(key_lit), F.lit(self.n_buckets)))
             .first()[0]
         )
+        v = self._bucket_version(bucket)
+        if v == 0:
+            return None
         rows = (
-            snap.filter((F.col(_BUCKET) == bucket) & (F.col(self.key) == identifier))
-            .drop(_BUCKET)
+            self.spark.read.parquet(self._bucket_snapshot(bucket, v))
+            .filter(F.col(self.key) == identifier)
             .limit(1)
             .collect()
         )

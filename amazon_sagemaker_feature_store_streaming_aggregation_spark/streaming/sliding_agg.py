@@ -20,13 +20,20 @@ Two Spark-native implementations:
     summed as integer cents, so the emitted averages are bit-identical
     to the batch twin (operators/window_agg.py) — the reference's own
     batch/stream duality (``README.md:19-22``) is an exact invariant
-    here, which tests assert.
+    here, which tests assert. Frames are RANGE frames: all events that
+    share the current event's timestamp are peers and are included in
+    its window, matching ``RANGE ... CURRENT ROW`` (ties included) in
+    the batch twin and ANSI SQL.
 
-    Scale: state per key is bounded by the event rate within the window
-    (ring of raw points). For adversarially hot keys, a per-second
-    (count, sum) bucket ring caps state at O(window_seconds) regardless
-    of rate — ``bucket_seconds`` enables that mode with second-grain
-    timestamps (the reference's own data is second-grain).
+    Scale (the DEFAULT ``state_mode="auto"``): state per key is the
+    raw-point ring while it stays small, and permanently collapses to a
+    per-second (count, cents) bucket ring the first time it exceeds
+    ``spill_points`` after eviction — capping state at
+    O(max(spill_points, window_seconds)) per key regardless of event
+    rate. The spill trades sub-second timestamp resolution for bounded
+    state on adversarially hot keys; on second-grain inputs (the
+    reference's own domain) bucketed results equal raw results exactly,
+    which tests assert.
 
 ``sliding_agg_windowed``
     Fully built-in approximation: ``groupBy(window(ts, '10 min',
@@ -55,121 +62,128 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 TEN_MINUTES_S = 600
 
+#: auto-mode spill threshold: a key sustaining more raw points than this
+#: *within one window* (i.e. > spill_points/window_s events per second,
+#: 8/s at the 10-min default) collapses to the O(window_s) bucket ring.
+DEFAULT_SPILL_FACTOR = 8
 
-def _make_exact_fn(window_us: int):
+
+def _raw_chunk(ts_buf, cents_buf, new_ts, new_cents, window_us):
+    """Exact RANGE-frame counts/sums for one sorted chunk against the
+    raw-point buffer. Returns (count, avg, kept_ts, kept_cents) with the
+    buffer already evicted to the trailing window."""
+    all_ts = np.concatenate([ts_buf, new_ts])
+    all_cents = np.concatenate([cents_buf, new_cents])
+    csum = np.concatenate([[0], np.cumsum(all_cents)])
+    # RANGE frame [t - window, t]: side='right' on the upper bound pulls
+    # in ALL rows tied at t — including same-timestamp events later in
+    # this chunk and in the buffer — matching RANGE ... CURRENT ROW peer
+    # semantics (ANSI / DuckDB / the batch twin), not per-row ROWS.
+    lo = np.searchsorted(all_ts, new_ts - window_us, side="left")
+    hi = np.searchsorted(all_ts, new_ts, side="right")
+    count = hi - lo
+    ssum = csum[hi] - csum[lo]
+    avg = (ssum / 100.0) / count
+    keep = all_ts >= all_ts[-1] - window_us
+    return count, avg, all_ts[keep], all_cents[keep]
+
+
+def _bucket_chunk(b_sec, b_cnt, b_cents, ev_sec, ev_cents, window_s):
+    """Second-grain RANGE-frame counts/sums for one sorted chunk against
+    the (sec, count, cents) bucket ring. Returns (count, avg, new ring)
+    with the ring folded + evicted."""
+    # state contribution: buckets with sec in [ev_sec - window_s, ev_sec];
+    # every state bucket is <= the chunk max, and ties at ev_sec are
+    # peers, so the upper bound is the end of the ring for rows at the
+    # max second and searchsorted-right elsewhere.
+    cnt_csum = np.concatenate([[0], np.cumsum(b_cnt)])
+    cents_csum = np.concatenate([[0], np.cumsum(b_cents)])
+    lo = np.searchsorted(b_sec, ev_sec - window_s, side="left")
+    hi = np.searchsorted(b_sec, ev_sec, side="right")
+    st_cnt = cnt_csum[hi] - cnt_csum[lo]
+    st_cents = cents_csum[hi] - cents_csum[lo]
+    # chunk contribution: RANGE peers within the chunk itself
+    e_csum = np.concatenate([[0], np.cumsum(ev_cents)])
+    blo = np.searchsorted(ev_sec, ev_sec - window_s, side="left")
+    bhi = np.searchsorted(ev_sec, ev_sec, side="right")
+    count = st_cnt + (bhi - blo)
+    total = st_cents + (e_csum[bhi] - e_csum[blo])
+    avg = (total / 100.0) / count
+
+    # fold chunk into the ring, evict stale buckets
+    sec_u, inv = np.unique(ev_sec, return_inverse=True)
+    add_cnt = np.bincount(inv).astype(np.int64)
+    add_cents = np.bincount(inv, weights=ev_cents).astype(np.int64)
+    all_sec = np.concatenate([b_sec, sec_u])
+    all_cnt = np.concatenate([b_cnt, add_cnt])
+    all_cents = np.concatenate([b_cents, add_cents])
+    sec_m, inv_m = np.unique(all_sec, return_inverse=True)
+    m_cnt = np.bincount(inv_m, weights=all_cnt).astype(np.int64)
+    m_cents = np.bincount(inv_m, weights=all_cents).astype(np.int64)
+    keep = sec_m >= sec_m[-1] - window_s
+    return count, avg, sec_m[keep], m_cnt[keep], m_cents[keep]
+
+
+def _to_buckets(ts_buf, cents_buf):
+    """Collapse a raw-point ring (µs) into the per-second bucket ring."""
+    sec = ts_buf // 1_000_000
+    sec_u, inv = np.unique(sec, return_inverse=True)
+    cnt = np.bincount(inv).astype(np.int64)
+    cents = np.bincount(inv, weights=cents_buf).astype(np.int64)
+    return sec_u, cnt, cents
+
+
+def _make_state_fn(window_s: int, mode: str, spill_points: int):
+    """Unified stateful fn. State is three long arrays ``(a, b, c)``:
+    raw mode stores ``(ts_us, [], cents)`` (empty ``b`` tags the mode),
+    bucket mode stores ``(sec, count, cents)``. ``mode`` is one of
+    'raw' (never spill), 'bucket' (bucketed from the start), 'auto'
+    (raw until a key's evicted ring exceeds ``spill_points``, then
+    permanently bucketed — the bounded-state default)."""
+    window_us = window_s * 1_000_000
+
     def fn(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            ts_buf, cents_buf = state.get
-            ts_buf = np.asarray(ts_buf, dtype=np.int64)
-            cents_buf = np.asarray(cents_buf, dtype=np.int64)
+            a, b, c = state.get
+            a = np.asarray(a, dtype=np.int64)
+            b = np.asarray(b, dtype=np.int64)
+            c = np.asarray(c, dtype=np.int64)
+            bucketed = len(b) > 0
         else:
-            ts_buf = np.empty(0, dtype=np.int64)
-            cents_buf = np.empty(0, dtype=np.int64)
-
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values("__ts_us", kind="mergesort")
-            new_ts = pdf["__ts_us"].to_numpy(np.int64)
-            new_cents = pdf["__amt_cents"].to_numpy(np.int64)
-
-            all_ts = np.concatenate([ts_buf, new_ts])
-            all_cents = np.concatenate([cents_buf, new_cents])
-            csum = np.concatenate([[0], np.cumsum(all_cents)])
-
-            n_old = len(ts_buf)
-            idx = np.arange(n_old, len(all_ts))
-            # trailing frame [t - window, t] inclusive == batch RANGE frame
-            lo = np.searchsorted(all_ts, new_ts - window_us, side="left")
-            count = idx + 1 - lo
-            ssum = csum[idx + 1] - csum[lo]
-            avg = (ssum / 100.0) / count
-
-            yield pd.DataFrame(
-                {
-                    "cc_num": np.full(len(new_ts), key[0], dtype=np.int64),
-                    "__ts_us": new_ts,
-                    "num_trans_last_10m": count,
-                    "avg_amt_last_10m": avg,
-                }
-            )
-            ts_buf, cents_buf = all_ts, all_cents
-
-        if len(ts_buf):
-            keep = ts_buf >= ts_buf[-1] - window_us
-            state.update((ts_buf[keep].tolist(), cents_buf[keep].tolist()))
-
-    return fn
-
-
-def _make_bucketed_fn(window_s: int):
-    """Per-second (count, cents) bucket-ring state: O(window_s) per key
-    regardless of event rate — the hot-key mitigation. Aggregates over
-    second-truncated event times, so it equals the exact operator
-    whenever inputs are second-grain (the reference's domain)."""
-
-    def fn(
-        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            b_sec, b_cnt, b_cents = (
-                np.asarray(a, dtype=np.int64) for a in state.get
-            )
-        else:
-            b_sec = np.empty(0, dtype=np.int64)
-            b_cnt = np.empty(0, dtype=np.int64)
-            b_cents = np.empty(0, dtype=np.int64)
+            a = np.empty(0, dtype=np.int64)
+            b = np.empty(0, dtype=np.int64)
+            c = np.empty(0, dtype=np.int64)
+            bucketed = mode == "bucket"
 
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values("__ts_us", kind="mergesort")
             ev_us = pdf["__ts_us"].to_numpy(np.int64)
-            ev_sec = ev_us // 1_000_000
             ev_cents = pdf["__amt_cents"].to_numpy(np.int64)
 
-            # state contribution: buckets with sec >= ev_sec - window_s
-            cnt_csum = np.concatenate([[0], np.cumsum(b_cnt)])
-            cents_csum = np.concatenate([[0], np.cumsum(b_cents)])
-            lo = np.searchsorted(b_sec, ev_sec - window_s, side="left")
-            st_cnt = cnt_csum[-1] - cnt_csum[lo]
-            st_cents = cents_csum[-1] - cents_csum[lo]
-            # batch contribution: prior events within the window
-            e_cents_csum = np.concatenate([[0], np.cumsum(ev_cents)])
-            idx = np.arange(len(ev_sec))
-            blo = np.searchsorted(ev_sec, ev_sec - window_s, side="left")
-            bt_cnt = idx + 1 - blo
-            bt_cents = e_cents_csum[idx + 1] - e_cents_csum[blo]
+            if bucketed:
+                count, avg, a, b, c = _bucket_chunk(
+                    a, b, c, ev_us // 1_000_000, ev_cents, window_s
+                )
+            else:
+                count, avg, a, c = _raw_chunk(a, c, ev_us, ev_cents, window_us)
+                if mode == "auto" and len(a) > spill_points:
+                    a, b, c = _to_buckets(a, c)
+                    bucketed = True
 
-            count = st_cnt + bt_cnt
-            total = st_cents + bt_cents
-            avg = (total / 100.0) / count
             yield pd.DataFrame(
                 {
-                    "cc_num": np.full(len(ev_sec), key[0], dtype=np.int64),
+                    "cc_num": np.full(len(ev_us), key[0], dtype=np.int64),
                     "__ts_us": ev_us,
                     "num_trans_last_10m": count,
                     "avg_amt_last_10m": avg,
                 }
             )
 
-            # fold batch into buckets, evict stale ones
-            sec_u, inv = np.unique(ev_sec, return_inverse=True)
-            add_cnt = np.bincount(inv).astype(np.int64)
-            add_cents = np.bincount(inv, weights=ev_cents).astype(np.int64)
-            all_sec = np.concatenate([b_sec, sec_u])
-            all_cnt = np.concatenate([b_cnt, add_cnt])
-            all_cents = np.concatenate([b_cents, add_cents])
-            sec_m, inv_m = np.unique(all_sec, return_inverse=True)
-            b_sec = sec_m
-            b_cnt = np.bincount(inv_m, weights=all_cnt).astype(np.int64)
-            b_cents = np.bincount(inv_m, weights=all_cents).astype(np.int64)
-            keep = b_sec >= b_sec[-1] - window_s
-            b_sec, b_cnt, b_cents = b_sec[keep], b_cnt[keep], b_cents[keep]
-
-        state.update((b_sec.tolist(), b_cnt.tolist(), b_cents.tolist()))
+        state.update((a.tolist(), b.tolist(), c.tolist()))
 
     return fn
 
@@ -180,7 +194,9 @@ def sliding_agg_exact(
     ts: str = "ts",
     amount: str = "amount",
     window_s: int = TEN_MINUTES_S,
-    bounded_state: bool = False,
+    state_mode: str = "auto",
+    spill_points: int | None = None,
+    bounded_state: bool | None = None,
 ) -> DataFrame:
     """Exact per-event trailing 10-min COUNT/AVG per key (S4 option a).
 
@@ -188,42 +204,39 @@ def sliding_agg_exact(
     requires streaming; tests replay files). Output: one row per input
     event with ``(cc_num, ts, num_trans_last_10m, avg_amt_last_10m)``.
 
-    ``bounded_state=True`` switches to the per-second bucket ring
-    (state O(window_s) per key independent of event rate — the
-    adversarially-hot-key mode); aggregates are then computed over
-    second-truncated event times, identical to the default mode for
-    second-grain inputs.
+    ``state_mode`` (the scale knob; default ``"auto"``):
+
+    - ``"auto"`` — raw-point state (bit-exact at any timestamp grain)
+      until a key's ring exceeds ``spill_points`` after eviction, then
+      permanently collapses to the per-second bucket ring. Bounds state
+      at O(max(spill_points, window_s)) per key, so adversarially hot
+      keys cannot grow state with event rate.
+    - ``"raw"`` — raw points always (state grows with in-window rate).
+    - ``"bucket"`` — per-second buckets from the start: O(window_s)
+      state, aggregates over second-truncated event times (identical to
+      raw mode for second-grain inputs, the reference's domain).
+
+    ``bounded_state`` is the deprecated boolean alias (True→"bucket",
+    False→"raw") kept for callers of the round-1 API.
     """
+    if bounded_state is not None:
+        state_mode = "bucket" if bounded_state else "raw"
+    if state_mode not in ("auto", "raw", "bucket"):
+        raise ValueError(f"state_mode must be auto|raw|bucket, got {state_mode!r}")
+    if spill_points is None:
+        spill_points = DEFAULT_SPILL_FACTOR * window_s
     prepared = events.select(
         F.col(key).alias("cc_num"),
         F.unix_micros(F.col(ts).cast("timestamp")).alias("__ts_us"),
         F.round(F.col(amount) * 100, 0).cast("long").alias("__amt_cents"),
     )
-    if bounded_state:
-        return prepared.groupBy("cc_num").applyInPandasWithState(
-            _make_bucketed_fn(window_s),
-            outputStructType=(
-                "cc_num long, __ts_us long, num_trans_last_10m long, "
-                "avg_amt_last_10m double"
-            ),
-            stateStructType=(
-                "sec array<long>, cnt array<long>, cents array<long>"
-            ),
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        ).select(
-            "cc_num",
-            F.timestamp_micros(F.col("__ts_us")).alias("ts"),
-            "num_trans_last_10m",
-            "avg_amt_last_10m",
-        )
     out = prepared.groupBy("cc_num").applyInPandasWithState(
-        _make_exact_fn(window_s * 1_000_000),
+        _make_state_fn(window_s, state_mode, spill_points),
         outputStructType=(
             "cc_num long, __ts_us long, num_trans_last_10m long, "
             "avg_amt_last_10m double"
         ),
-        stateStructType="ts_us array<long>, cents array<long>",
+        stateStructType="a array<long>, b array<long>, c array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

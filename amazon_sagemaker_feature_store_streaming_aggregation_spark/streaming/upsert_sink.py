@@ -34,7 +34,7 @@ def start_stream_upsert(
     key = fg.key
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.columns:
+        if batch_df.isEmpty():  # empty triggers must not touch the store
             return
         w = Window.partitionBy(key).orderBy(F.col(ts).desc())
         latest = (

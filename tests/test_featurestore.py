@@ -79,6 +79,44 @@ def test_null_keys_skipped(spark, fg):
     assert fg.get_latest().count() == 1
 
 
+def test_upsert_is_bucket_local(spark, fg):
+    """A batch touching one key must rewrite ONLY that key's hash bucket
+    (the scale property: per-trigger cost is O(touched buckets), not
+    O(store))."""
+    t0 = dt.datetime(2024, 1, 1)
+    fg.upsert(_df(spark, [(i, float(i), t0) for i in range(40)]))  # all buckets
+    before = {b: fg._bucket_version(b) for b in range(fg.n_buckets)}
+    assert all(v == 1 for v in before.values())
+
+    fg.upsert(_df(spark, [(7, 700.0, t0 + dt.timedelta(hours=1))]))
+    after = {b: fg._bucket_version(b) for b in range(fg.n_buckets)}
+    bumped = [b for b in after if after[b] != before[b]]
+    assert len(bumped) == 1  # exactly the bucket key 7 hashes into
+    latest = {r["cc_num"]: r["avg_amt"] for r in fg.get_latest().collect()}
+    assert latest[7] == 700.0 and len(latest) == 40 and latest[11] == 11.0
+
+
+def test_upsert_reconciles_incoming_types(spark, fg):
+    t0 = dt.datetime(2024, 1, 1)
+    fg.upsert(_df(spark, [(1, 10.0, t0)]))  # avg_amt: double
+    # int-typed aggregate (createDataFrame inference) upcasts to double
+    fg.upsert(
+        spark.createDataFrame(
+            [(1, 20, t0 + dt.timedelta(hours=1))],
+            "cc_num long, avg_amt long, trans_time timestamp",
+        )
+    )
+    assert fg.get_record(1)["avg_amt"] == 20.0
+    # incompatible type fails fast with a clear error, store untouched
+    with pytest.raises(TypeError, match="avg_amt"):
+        fg.upsert(
+            spark.createDataFrame(
+                [(1, "oops", t0)], "cc_num long, avg_amt string, trans_time timestamp"
+            )
+        )
+    assert fg.get_record(1)["avg_amt"] == 20.0
+
+
 def test_run_batch_ingest_end_to_end(spark, tmp_path):
     fg = FeatureGroup(
         spark, "batch-fg", "cc_num", "trans_time", str(tmp_path), n_buckets=4

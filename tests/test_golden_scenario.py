@@ -1,9 +1,13 @@
 """Reference-faithful golden scenario (SURVEY.md §5): one-off
-transactions plus a 10-transaction fraud burst 1-2 s apart on one card,
+transactions plus a 10-transaction fraud burst 1 s apart on one card,
 replayed through the JSON streaming path. The per-event 10-minute
 aggregates must climb exactly 1, 2, ..., 10 for the burst card —
 that is what lets the reference flag the burst from tx #2
-(`4_streaming_predictions.ipynb:217-259`)."""
+(`4_streaming_predictions.ipynb:217-259`). The burst uses distinct
+event times: KDA windows over arrival ROWTIME (always unique), whereas
+our operator windows over event time with ANSI RANGE peer semantics —
+tied-timestamp behavior is covered by
+test_streaming.py::test_tied_timestamps_use_range_peer_semantics."""
 
 from __future__ import annotations
 
@@ -40,7 +44,7 @@ def scenario_dir(tmp_path):
     for i in range(10):
         events.append(
             {"cc_num": BURST_CARD, "merchant": "fraudster", "amount": 1.0 + i,
-             "zip_code": 99999, "trans_ts": float(T0 + 120 + i + (i % 2))}
+             "zip_code": 99999, "trans_ts": float(T0 + 120 + i)}
         )
     p = tmp_path / "stream"
     p.mkdir()

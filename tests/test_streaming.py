@@ -143,6 +143,129 @@ def test_stream_upsert_into_feature_group(spark, replay_dir, tmp_path):
     assert got == w_latest
 
 
+def _run_stream_jsonl(spark, src_dir, tmp_path, name, **agg_kwargs):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_json_event_stream,
+    )
+
+    stream = read_json_event_stream(spark, src_dir, max_files_per_trigger=1)
+    agg = sliding_agg_exact(stream, key="cc_num", ts="ts", amount="amount", **agg_kwargs)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return sorted(
+        (r["cc_num"], r["ts"], r["num_trans_last_10m"], r["avg_amt_last_10m"])
+        for r in spark.table(name).collect()
+    )
+
+
+def test_tied_timestamps_use_range_peer_semantics(spark, tmp_path):
+    """RANGE ... CURRENT ROW includes ALL rows tied at the current
+    timestamp (ANSI peers), so two same-(key, ts) events arriving in one
+    micro-batch must BOTH see count=2 — and a later event must count
+    buffered same-ts peers from earlier batches. (An *earlier*-arriving
+    row can never see a future tie: inherent to streaming, same as KDA.)"""
+    import json
+
+    T0 = 1_700_000_000
+    src = tmp_path / "ties"
+    src.mkdir()
+    f0 = [
+        {"cc_num": 1, "merchant": "m", "amount": 10.0, "zip_code": 1, "trans_ts": float(T0)},
+        {"cc_num": 1, "merchant": "m", "amount": 20.0, "zip_code": 1, "trans_ts": float(T0)},
+        {"cc_num": 1, "merchant": "m", "amount": 40.0, "zip_code": 1, "trans_ts": float(T0 + 30)},
+        {"cc_num": 2, "merchant": "m", "amount": 5.0, "zip_code": 1, "trans_ts": float(T0)},
+    ]
+    f1 = [
+        {"cc_num": 2, "merchant": "m", "amount": 7.0, "zip_code": 1, "trans_ts": float(T0)},
+    ]
+    (src / "00.jsonl").write_text("\n".join(json.dumps(e) for e in f0))
+    (src / "01.jsonl").write_text("\n".join(json.dumps(e) for e in f1))
+    import os
+    import time
+
+    now = time.time()
+    os.utime(src / "00.jsonl", (now, now))
+    os.utime(src / "01.jsonl", (now + 60, now + 60))
+
+    got = _run_stream_jsonl(spark, str(src), tmp_path, "s4_ties")
+    ts0 = dt.datetime.fromtimestamp(T0, dt.timezone.utc).replace(tzinfo=None)
+    ts30 = dt.datetime.fromtimestamp(T0 + 30, dt.timezone.utc).replace(tzinfo=None)
+    want = sorted(
+        [
+            (1, ts0, 2, 15.0),          # tie peer, same batch
+            (1, ts0, 2, 15.0),          # tie peer, same batch
+            (1, ts30, 3, 70.0 / 3),
+            (2, ts0, 1, 5.0),           # earlier arrival: future tie invisible
+            (2, ts0, 2, 6.0),           # later arrival: buffered peer counted
+        ]
+    )
+    assert got == want
+
+
+def test_auto_spill_matches_raw_on_second_grain_hot_key(spark, tmp_path):
+    """state_mode='auto' (the default) must spill a hot key's ring to the
+    per-second bucket mode without changing second-grain results: 60
+    events on one key across 2 micro-batches with spill_points=16 forces
+    the spill after batch 1, so batch 2 runs bucketed."""
+    import json
+
+    T0 = 1_700_000_000
+    src = tmp_path / "hot"
+    src.mkdir()
+    rows = [
+        {"cc_num": 7, "merchant": "m", "amount": float(i % 9 + 1), "zip_code": 1,
+         "trans_ts": float(T0 + i * 3)}
+        for i in range(60)
+    ]
+    (src / "00.jsonl").write_text("\n".join(json.dumps(e) for e in rows[:30]))
+    (src / "01.jsonl").write_text("\n".join(json.dumps(e) for e in rows[30:]))
+    import os
+    import time
+
+    now = time.time()
+    os.utime(src / "00.jsonl", (now, now))
+    os.utime(src / "01.jsonl", (now + 60, now + 60))
+
+    auto = _run_stream_jsonl(
+        spark, str(src), tmp_path, "s4_auto", state_mode="auto", spill_points=16
+    )
+    raw = _run_stream_jsonl(spark, str(src), tmp_path, "s4_raw", state_mode="raw")
+    assert auto == raw
+    assert len(auto) == 60
+
+
+def test_bucket_ring_state_is_bounded_by_window():
+    """numpy-level: after folding any chunk, the bucket ring holds at
+    most window_s+1 buckets, independent of event count."""
+    import numpy as np
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.sliding_agg import (
+        _bucket_chunk,
+        _to_buckets,
+    )
+
+    window_s = 600
+    # 100k events, 1000/s over 100 s on one key
+    ts_us = np.repeat(np.arange(100, dtype=np.int64), 1000) * 1_000_000
+    cents = np.ones(100_000, dtype=np.int64)
+    sec, cnt, c = _to_buckets(ts_us, cents)
+    assert len(sec) == 100 and cnt.sum() == 100_000
+    count, avg, sec2, cnt2, c2 = _bucket_chunk(
+        sec, cnt, c, np.arange(100, 700, dtype=np.int64), np.ones(600, dtype=np.int64), window_s
+    )
+    assert len(sec2) <= window_s + 1
+    # RANGE check at second 100: 100 old buckets (100k) + itself +
+    # in-chunk peers at sec<=100 (just itself) => 100_001
+    assert count[0] == 100_001
+
+
 def test_windowed_approximation_semantics(spark):
     t0 = dt.datetime(2024, 1, 1, 0, 0, 30)
     rows = [
