@@ -19,14 +19,64 @@ the small query side broadcast; SRP trades recall for an O(N) bucketed
 plan. At 100 TB the bucketed variant plus a re-rank of bucket members
 is the intended deployment; tests measure SRP recall against the exact
 baseline.
+
+Bucket-cardinality policy (the 100×-scale knob): a FIXED plane count
+means bucket occupancy grows linearly with N and within-bucket
+candidate pairs grow ~N²/2^planes — quasi-all-pairs at 100×. Three
+levers keep the candidate stage ~linear in N:
+
+* :func:`auto_planes` — planes ≈ log2(N / target_bucket_size), so
+  expected occupancy stays ~target_bucket_size and candidate pairs stay
+  ~N·target/2 as the corpus grows (tests assert ~linear growth on a
+  doubled corpus). Both ANN entry points take ``n_planes=None`` to
+  apply the policy from the corpus count.
+* ``bucket_cap`` — hard per-(table, bucket) candidate cap (deterministic
+  ``row_number`` by id), bounding worst-case skewed buckets (e.g. a
+  near-duplicate pile-up collapsing into one bucket).
+* ``multi_probe`` — probing the query bucket plus all buckets at
+  Hamming distance ≤1 buys back the recall that more planes cost,
+  multiplying only the (tiny, broadcast) query side by planes+1 — the
+  standard multi-probe LSH trade (Lv et al., VLDB'07).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 QUANT = 1_000_000
+
+#: auto_planes default: expected bucket occupancy the policy aims for.
+TARGET_BUCKET_SIZE = 256
+
+
+def auto_planes(
+    n_rows: int,
+    target_bucket_size: int = TARGET_BUCKET_SIZE,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """Corpus-scaled SRP plane count: ``ceil(log2(N / target))`` clamped
+    to [min_planes, max_planes].
+
+    Keeps expected bucket occupancy ~``target_bucket_size`` so the
+    within-bucket candidate join stays ~linear in N (N·target/2 pairs)
+    instead of ~N²/2^planes. ``max_planes`` bounds signature cost (each
+    plane is a dims-wide dot product at scan time): at N=10^9 and
+    target 256, planes=22 < 24."""
+    ratio = max(1.0, n_rows / max(1, target_bucket_size))
+    return max(min_planes, min(max_planes, math.ceil(math.log2(ratio))))
+
+
+def _resolve_planes(
+    embeddings: DataFrame, n_planes: int | None, corpus_count: int | None
+) -> int:
+    if n_planes is not None:
+        return n_planes
+    n = corpus_count if corpus_count is not None else embeddings.count()
+    return auto_planes(n)
 
 
 def quantize(col: str = "embedding", out: str = "qvec"):
@@ -139,15 +189,49 @@ def srp_signatures(
     )
 
 
+def _cap_buckets(sigs: DataFrame, id_name: str, bucket_cap: int | None) -> DataFrame:
+    """Deterministic per-(table, bucket) candidate cap: keep the
+    ``bucket_cap`` lowest ids. Bounds worst-case skewed buckets (a
+    near-dup pile-up collapsing into one bucket) so no single bucket can
+    turn the candidate join quadratic."""
+    if bucket_cap is None:
+        return sigs
+    w = Window.partitionBy("table", "bucket").orderBy(F.col(id_name))
+    return (
+        sigs.withColumn("__bn", F.row_number().over(w))
+        .filter(F.col("__bn") <= bucket_cap)
+        .drop("__bn")
+    )
+
+
+def _multi_probe(sigs: DataFrame, n_planes: int, multi_probe: int) -> DataFrame:
+    """Expand each (table, bucket) row to the buckets within Hamming
+    distance ``multi_probe`` (0 or 1 supported): the standard
+    multi-probe LSH recall lever — only the small query side pays the
+    (planes+1)× row blow-up."""
+    if multi_probe <= 0:
+        return sigs
+    if multi_probe > 1:
+        raise ValueError("multi_probe > 1 not supported (cost grows as planes^p)")
+    probes = F.array(
+        F.col("bucket"),
+        *[F.expr(f"bucket ^ shiftleft(1L, {p})") for p in range(n_planes)],
+    )
+    return sigs.withColumn("bucket", F.explode(probes))
+
+
 def ann_srp_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
     n_tables: int = 4,
+    multi_probe: int = 0,
+    bucket_cap: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Bucketed ANN: exact cosine top-k among SRP bucket collisions
     (candidate = same bucket in ANY of ``n_tables`` tables).
@@ -156,28 +240,68 @@ def ann_srp_topk(
     (tests measure it against the exact baseline). The join is keyed on
     ``(table, bucket)`` — at scale this is a shuffle/bucket-pruned
     plan, not a cross product; more tables buy recall for shuffle rows.
+
+    ``n_planes=None`` applies the :func:`auto_planes` corpus-scaled
+    policy (pass ``corpus_count`` if known — e.g. from parquet footer
+    metadata — to skip the count job). ``multi_probe=1`` probes all
+    buckets at Hamming distance ≤1 from the query bucket;
+    ``bucket_cap`` bounds per-bucket candidates (see :func:`_cap_buckets`).
+
+    Cost shape: candidate (c_id, query_id) ids are deduped FIRST — no
+    embedding arrays ride through the join or the ``distinct()`` — then
+    each survivor joins the per-vector (qvec, squared-norm) computed
+    ONCE per vector.
     """
-    corpus = srp_signatures(
-        embeddings, n_planes, id_col, vec_col, dims, n_tables
-    ).select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "table", "bucket")
-    qs = srp_signatures(
-        queries, n_planes, id_col, vec_col, dims, n_tables
-    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "table", "bucket")
-    joined = (
+    n_planes = _resolve_planes(embeddings, n_planes, corpus_count)
+    corpus = _cap_buckets(
+        srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
+        .select(F.col(id_col).alias("c_id"), "table", "bucket"),
+        "c_id",
+        bucket_cap,
+    )
+    qs = _multi_probe(
+        srp_signatures(queries, n_planes, id_col, vec_col, dims, n_tables)
+        .select(F.col(id_col).alias("query_id"), "table", "bucket"),
+        n_planes,
+        multi_probe,
+    )
+    cand = (
         corpus.join(F.broadcast(qs), on=["table", "bucket"], how="inner")
         .filter(F.col("c_id") != F.col("query_id"))
-        .select("c_id", "c_vec", "query_id", "q_vec")
+        .select("c_id", "query_id")
         .distinct()
     )
+    feats = embeddings.select(F.col(id_col), quantize(vec_col, "qv")).withColumn(
+        "n2", F.expr(_dot("qv", "qv"))
+    )
+    qfeats = queries.select(F.col(id_col), quantize(vec_col, "qv")).withColumn(
+        "n2", F.expr(_dot("qv", "qv"))
+    )
     scored = (
-        joined.withColumn("c_q", quantize("c_vec", "c_q"))
-        .withColumn("q_q", quantize("q_vec", "q_q"))
+        cand.join(
+            feats.select(
+                F.col(id_col).alias("c_id"),
+                F.col("qv").alias("c_q"),
+                F.col("n2").alias("c_n2"),
+            ),
+            on="c_id",
+        )
+        .join(
+            F.broadcast(
+                qfeats.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col("qv").alias("q_q"),
+                    F.col("n2").alias("q_n2"),
+                )
+            ),
+            on="query_id",
+        )
         .withColumn(
             "cosine",
             F.expr(_dot("c_q", "q_q")).cast("double")
             / (
-                F.sqrt(F.expr(_dot("c_q", "c_q")).cast("double"))
-                * F.sqrt(F.expr(_dot("q_q", "q_q")).cast("double"))
+                F.sqrt(F.col("c_n2").cast("double"))
+                * F.sqrt(F.col("q_n2").cast("double"))
             ),
         )
     )
@@ -192,11 +316,13 @@ def ann_srp_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
     n_tables: int = 4,
+    bucket_cap: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP buckets: pairs
     colliding in any table with cosine >= threshold. Output ``(id_a,
@@ -204,11 +330,22 @@ def embedding_near_dup_pairs(
     every table (all plane signs agree), so recall at high thresholds
     is ~1.
 
+    ``n_planes=None`` applies the :func:`auto_planes` corpus-scaled
+    policy (both self-join sides are the full corpus, so this is where
+    fixed bucket counts hurt most — candidate pairs ~N²/2^planes);
+    ``bucket_cap`` bounds skewed buckets deterministically.
+
     Cost shape: candidate ids are deduped FIRST (ids only — no arrays
     through the distinct), then each pair joins the per-vector
     (qvec, squared-norm) computed ONCE per vector — one dot product per
     pair instead of three (measured 42 s -> ~14 s at sf0.1)."""
-    sigs = srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
+    n_planes = _resolve_planes(embeddings, n_planes, corpus_count)
+    sigs = _cap_buckets(
+        srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
+        .select(F.col(id_col), "table", "bucket"),
+        id_col,
+        bucket_cap,
+    )
     a = sigs.select(F.col(id_col).alias("id_a"), "table", "bucket")
     b = sigs.select(F.col(id_col).alias("id_b"), "table", "bucket")
     cand = (

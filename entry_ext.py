@@ -8,6 +8,8 @@ IEEE op sequence over exact integers.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -358,7 +360,34 @@ FROM ranked WHERE rank <= {_TOPK_K}
 
 # ------------------------------------------------------------ SRP ANN top-k
 
-_ANN_PLANES, _ANN_TABLES, _ANN_DIMS, _ANN_K = 4, 2, 64, 5
+_ANN_TABLES, _ANN_DIMS, _ANN_K = 2, 64, 5
+_ANN_BUCKET_CAP = 512  # generous at sf0.01/sf0.1 — the cap exists to
+# bound adversarially skewed buckets; the oracle mirrors it exactly.
+#: the driver contract runs oracle_sql() against sf0.01 — the plane
+#: policy for the SQL side is evaluated at this scale.
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _emb_count(sf_dir: str) -> int:
+    """Embeddings row count from the parquet footer (no Spark job)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
+
+
+def _ann_planes_for(sf_dir: str) -> int:
+    """Corpus-scaled SRP plane count (auto_planes policy) for the
+    embeddings table at ``sf_dir`` — queries() and oracle_sql() both
+    derive planes from the corpus they actually run on, so the two
+    sides always agree at the driver's sf0.01 while bench at larger
+    scales automatically gets more buckets."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        auto_planes,
+    )
+
+    return auto_planes(_emb_count(sf_dir))
 
 
 def _q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,16 +398,23 @@ def _q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ann_srp_topk(
-        emb, queries, k=_ANN_K, n_planes=_ANN_PLANES, n_tables=_ANN_TABLES
+        emb,
+        queries,
+        k=_ANN_K,
+        n_planes=None,
+        n_tables=_ANN_TABLES,
+        multi_probe=1,
+        bucket_cap=_ANN_BUCKET_CAP,
+        corpus_count=_emb_count(sf_dir),
     )
 
 
-def _srp_bucket_sql(table: int) -> str:
+def _srp_bucket_sql(table: int, n_planes: int) -> str:
     """DuckDB bucket expression for one SRP table (same md5-derived
     integer weights as operators/similarity.py::srp_signatures)."""
     terms = []
-    for p in range(_ANN_PLANES):
-        seed = table * _ANN_PLANES + p
+    for p in range(n_planes):
+        seed = table * n_planes + p
         weights = ", ".join(
             "(" + _H64.format(x=f"'{seed}:{d}'") + " % 2001) - 1000"
             for d in range(_ANN_DIMS)
@@ -391,23 +427,48 @@ def _srp_bucket_sql(table: int) -> str:
     return " + ".join(terms)
 
 
-def _ann_oracle() -> str:
+def _sigs_sql(n_planes: int, capped: bool) -> str:
+    """Shared CTE body: per-(vector, table) buckets, optionally with the
+    deterministic per-bucket cap (row_number by vec_id <= cap) the Spark
+    operator applies."""
     buckets = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, {_srp_bucket_sql(t)} AS bucket FROM q"
+        f"SELECT vec_id, {t} AS tbl, {_srp_bucket_sql(t, n_planes)} AS bucket FROM q"
         for t in range(_ANN_TABLES)
     )
+    if not capped:
+        return f"sigs AS (\n  {buckets}\n)"
+    return f"""rawsigs AS (
+  {buckets}
+), sigs AS (
+  SELECT vec_id, tbl, bucket FROM (
+    SELECT vec_id, tbl, bucket,
+           row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS __bn
+    FROM rawsigs)
+  WHERE __bn <= {_ANN_BUCKET_CAP}
+)"""
+
+
+def _ann_oracle() -> str:
+    n_planes = _ann_planes_for(_ORACLE_SF_DIR)
     return f"""
 WITH q AS (
   SELECT vec_id,
          [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
           for x in embedding] AS qv
   FROM embeddings
-), sigs AS (
-  {buckets}
+), {_sigs_sql(n_planes, capped=True)}
+, qprobe AS (
+  -- query side: UNCAPPED signatures (the cap is corpus-side only in
+  -- the operator) expanded to Hamming-distance-<=1 probe buckets
+  SELECT vec_id, tbl, bucket FROM rawsigs WHERE vec_id < {_N_QUERIES}
+  UNION ALL
+  SELECT s.vec_id, s.tbl, xor(s.bucket, 1::BIGINT << pp.p) AS bucket
+  FROM rawsigs s CROSS JOIN (SELECT unnest(range({n_planes})) AS p) pp
+  WHERE s.vec_id < {_N_QUERIES}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS c_id, b.vec_id AS query_id
-  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
-  WHERE b.vec_id < {_N_QUERIES} AND a.vec_id != b.vec_id
+  FROM sigs a JOIN qprobe b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id != b.vec_id
 ), scored AS (
   SELECT c.query_id, c.c_id,
          CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(ca.qv, qa.qv)])
@@ -445,25 +506,23 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         emb,
         threshold=_NEAR_DUP_THRESHOLD,
-        n_planes=_ANN_PLANES,
+        n_planes=None,
         n_tables=_ANN_TABLES,
+        bucket_cap=_ANN_BUCKET_CAP,
+        corpus_count=_emb_count(sf_dir),
     )
 
 
 def _near_dup_oracle() -> str:
-    buckets = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, {_srp_bucket_sql(t)} AS bucket FROM q"
-        for t in range(_ANN_TABLES)
-    )
+    n_planes = _ann_planes_for(_ORACLE_SF_DIR)
     return f"""
 WITH q AS (
   SELECT vec_id,
          [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
           for x in embedding] AS qv
   FROM embeddings
-), sigs AS (
-  {buckets}
-), cand AS (
+), {_sigs_sql(n_planes, capped=True)}
+, cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
   WHERE a.vec_id < b.vec_id

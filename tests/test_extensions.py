@@ -99,6 +99,87 @@ def test_srp_recall_vs_bruteforce(spark, emb):
     assert recall > 0.2, recall
 
 
+def test_multi_probe_improves_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(**kw):
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in ann_srp_topk(emb, queries, k=5, n_planes=6, **kw).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r0, r1 = recall(multi_probe=0), recall(multi_probe=1)
+    assert r1 >= r0  # probing Hamming-1 buckets can only add candidates
+    assert r1 > 0.3, (r0, r1)
+
+
+def test_auto_planes_policy_and_linear_candidate_growth(spark):
+    """The corpus-scaled plane policy must keep LSH candidate-pair count
+    ~linear when the corpus doubles (a fixed plane count grows ~N^2)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        auto_planes,
+        srp_signatures,
+    )
+
+    # policy shape: occupancy-targeting, clamped
+    assert auto_planes(500) == 4  # min clamp
+    assert auto_planes(256 * 2**10) == 10
+    assert auto_planes(10**9) == 22
+    assert auto_planes(10**12) == 24  # max clamp
+
+    def make(n):
+        # deterministic pseudo-random 8-dim vectors, md5-free and cheap
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 7), d -> cast("
+                "  pmod(xxhash64(id, d), 2001) - 1000 as float))"
+            ).alias("embedding"),
+        )
+
+    def n_cand(n, target):
+        sigs = srp_signatures(
+            make(n), auto_planes(n, target), dims=8, n_tables=1
+        ).select("vec_id", "table", "bucket")
+        a = sigs.select(F.col("vec_id").alias("id_a"), "table", "bucket")
+        b = sigs.select(F.col("vec_id").alias("id_b"), "table", "bucket")
+        return (
+            a.join(b, on=["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .count()
+        )
+
+    c1, c2 = n_cand(2000, 16), n_cand(4000, 16)
+    # doubling N adds one plane (7 -> 8): candidates stay ~linear.
+    # Allow generous slack for uneven occupancy; quadratic would be ~4x.
+    assert c2 < 3.0 * c1, (c1, c2)
+
+
+def test_bucket_cap_bounds_skewed_buckets(spark, emb):
+    """An adversarial pile-up (many copies of one vector) lands in one
+    bucket; bucket_cap must bound the pair count it can generate."""
+    dup = (
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(spark.range(200).select(F.col("id").alias("__i")))
+        .withColumn("vec_id", (F.lit(10000) + F.col("__i")).cast("long"))
+        .drop("__i")
+    )
+    piled = emb.unionByName(dup)
+    capped = embedding_near_dup_pairs(
+        piled, threshold=0.999, n_planes=4, bucket_cap=16
+    ).count()
+    uncapped = embedding_near_dup_pairs(
+        piled, threshold=0.999, n_planes=4
+    ).count()
+    assert uncapped >= 200 * 201 / 2  # the pile-up alone is ~20k pairs
+    assert capped <= 16 * 15 / 2 * 2 + 50  # per-bucket cap bounds the blow-up
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark, emb):
     queries = emb.filter(F.col("vec_id") < 3)
     rows = cosine_topk(emb, queries, k=5).collect()
