@@ -27,24 +27,71 @@ STREAM_EVENT_SCHEMA = T.StructType(
 )
 
 
-def read_json_event_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
-) -> DataFrame:
-    """S1: stream of JSON lines -> typed columns + event-time timestamp.
-
-    ``value`` text -> ``from_json`` (the Spark analogue of KDA's
-    RecordColumns JSONPath mapping) -> columns + ``ts`` timestamp derived
-    from the payload's epoch-seconds ``trans_ts``.
-    """
-    reader = spark.readStream.format("text")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.load(path)
+def _project_event_json(raw: DataFrame) -> DataFrame:
+    """``value`` text -> ``from_json`` (the Spark analogue of KDA's
+    RecordColumns JSONPath mapping) -> typed columns + ``ts`` timestamp
+    derived from the payload's epoch-seconds ``trans_ts``."""
     return (
         raw.select(F.from_json(F.col("value"), STREAM_EVENT_SCHEMA).alias("j"))
         .select("j.*")
         .withColumn("ts", F.timestamp_seconds(F.col("trans_ts")))
     )
+
+
+def _text_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None
+) -> DataFrame:
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def read_json_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S1: stream of JSON lines -> typed columns + event-time timestamp."""
+    return _project_event_json(_text_stream(spark, path, max_files_per_trigger))
+
+
+def read_base64_json_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """U1 wire-format parity: one base64-encoded JSON record per line.
+
+    The reference Lambda base64-decodes every Kinesis record before
+    ``json.loads`` (``src/lambda/StreamingIngestAggFeatures/
+    lambda_function.py:41-48``) — this is the same decode leg as a
+    scan-side column expression (``unbase64`` is JVM codegen, no UDF).
+    """
+    raw = _text_stream(spark, path, max_files_per_trigger)
+    return _project_event_json(
+        raw.select(F.unbase64(F.col("value")).cast("string").alias("value"))
+    )
+
+
+def drop_stale_records(
+    events: DataFrame,
+    ts_col: str = "ts",
+    max_age_s: int = 600,
+    now=None,
+) -> DataFrame:
+    """I1: ``MaximumRecordAgeInSeconds=600`` parity — drop records older
+    than ``max_age_s`` at consume time.
+
+    The reference configures its event-source mapping to retire records
+    that aged past 600 s without being processed
+    (``notebooks/1_setup.ipynb:434-441``), so a restart/backfill never
+    floods the model with ancient transactions. ``now`` defaults to the
+    processing-time clock (``current_timestamp()``, evaluated once per
+    micro-batch — the Spark analogue of Kinesis record age); pass a
+    fixed timestamp for deterministic replay and tests.
+    """
+    now_col = (
+        F.current_timestamp() if now is None else F.lit(now).cast("timestamp")
+    )
+    age = F.unix_timestamp(now_col) - F.unix_timestamp(F.col(ts_col))
+    return events.filter(age <= F.lit(max_age_s))
 
 
 def read_event_stream(

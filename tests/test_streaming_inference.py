@@ -83,3 +83,77 @@ def test_streaming_enrichment_end_to_end(spark, stream_dir, tmp_path):
     # unknown card: zero-filled defaults
     assert out[3]["num_trans_last_1w"] == 0
     assert out[3]["features_csv"].startswith("10.0,")
+
+
+def _run_to_memory(df, name, tmp_path):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return name
+
+
+def test_base64_json_stream_decodes_wire_format(spark, tmp_path):
+    """U1 base64 leg: the same payloads base64-encoded per line (the
+    Kinesis wire format the reference Lambda decodes) must produce the
+    identical typed rows as the plain JSON source."""
+    import base64
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_base64_json_event_stream,
+    )
+
+    events = [
+        {"cc_num": 5, "merchant": "x", "amount": 12.5, "zip_code": 7,
+         "trans_ts": float(T0 - 2)},
+        {"cc_num": 6, "merchant": "y", "amount": 99.0, "zip_code": 8,
+         "trans_ts": float(T0 - 1)},
+    ]
+    p = tmp_path / "b64"
+    p.mkdir()
+    (p / "00.b64").write_text(
+        "\n".join(
+            base64.b64encode(json.dumps(e).encode()).decode() for e in events
+        )
+    )
+    stream = read_base64_json_event_stream(spark, str(p))
+    name = _run_to_memory(stream, "b64_out", tmp_path)
+    got = sorted(
+        (r["cc_num"], r["merchant"], r["amount"], r["zip_code"], r["ts"])
+        for r in spark.table(name).collect()
+    )
+    ts = dt.datetime.fromtimestamp(T0, dt.timezone.utc).replace(tzinfo=None)
+    assert got == [
+        (5, "x", 12.5, 7, ts - dt.timedelta(seconds=2)),
+        (6, "y", 99.0, 8, ts - dt.timedelta(seconds=1)),
+    ]
+
+
+def test_stale_records_dropped_at_consume(spark, tmp_path):
+    """I1 MaximumRecordAgeInSeconds parity: an event older than 600 s at
+    consume time must produce NO output row anywhere downstream."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        drop_stale_records,
+        read_json_event_stream,
+    )
+
+    events = [
+        {"cc_num": 1, "merchant": "a", "amount": 50.0, "zip_code": 1,
+         "trans_ts": float(T0 - 5)},       # fresh
+        {"cc_num": 9, "merchant": "z", "amount": 66.6, "zip_code": 9,
+         "trans_ts": float(T0 - 601)},     # aged out: dropped
+    ]
+    p = tmp_path / "stale"
+    p.mkdir()
+    (p / "00.jsonl").write_text("\n".join(json.dumps(e) for e in events))
+    stream = drop_stale_records(
+        read_json_event_stream(spark, str(p)), max_age_s=600, now=NOW
+    )
+    name = _run_to_memory(stream, "stale_out", tmp_path)
+    rows = spark.table(name).collect()
+    assert [r["cc_num"] for r in rows] == [1]
