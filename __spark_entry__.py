@@ -96,6 +96,52 @@ FROM enriched
 """
 )
 
+# ------------------------------------------------------ B2 SQL-string entry
+
+#: The reference's flagship query IS a SQL string over a temp view
+#: (``2_batch_ingestion.ipynb:271-289``): subquery + named WINDOW clause
+#: + RANGE INTERVAL frames + ratio projection. Same structure here,
+#: dialect-fixed (``INTERVAL 7 DAYS`` — Spark has no ``1 WEEK`` interval
+#: literal) and with the averages computed via exact integer-cent sums
+#: instead of ``AVG(amount)`` so the result is bit-identical to the
+#: DataFrame twin and the DuckDB oracle (same numeric plumbing as
+#: operators/window_agg.py — double accumulation order is engine-
+#: specific, integer sums are not).
+_B2_SQL = """
+SELECT tid, datetime, cc_num, amount,
+       num_trans_last_10m, avg_amt_last_10m,
+       num_trans_last_1w, avg_amt_last_1w,
+       avg_amt_last_10m / avg_amt_last_1w AS amt_ratio1,
+       amount / avg_amt_last_1w AS amt_ratio2,
+       CAST(num_trans_last_10m AS DOUBLE)
+         / CAST(num_trans_last_1w AS DOUBLE) AS count_ratio
+FROM (
+    SELECT *,
+           COUNT(*) OVER w1 AS num_trans_last_10m,
+           (CAST(SUM(CAST(ROUND(amount * 100) AS BIGINT)) OVER w1 AS DOUBLE)
+              / 100.0) / COUNT(*) OVER w1 AS avg_amt_last_10m,
+           COUNT(*) OVER w2 AS num_trans_last_1w,
+           (CAST(SUM(CAST(ROUND(amount * 100) AS BIGINT)) OVER w2 AS DOUBLE)
+              / 100.0) / COUNT(*) OVER w2 AS avg_amt_last_1w
+    FROM transactions
+    WINDOW
+        w1 AS (PARTITION BY cc_num ORDER BY CAST(datetime AS TIMESTAMP)
+               RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW),
+        w2 AS (PARTITION BY cc_num ORDER BY CAST(datetime AS TIMESTAMP)
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+def _q_b2_sql_agg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: the SQL-string surface — ``createOrReplaceTempView`` +
+    ``spark.sql`` of the reference query shape, proving the engine's SQL
+    entry point (not just the DataFrame API) reproduces E1 exactly
+    (shares the E1 oracle)."""
+    load_transactions(spark, sf_dir).createOrReplaceTempView("transactions")
+    return spark.sql(_B2_SQL)
+
+
 # --------------------------------------------------------- B11-B13 feature recs
 
 def _q_batch_feature_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,6 +397,7 @@ FROM zeroed
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "e1_agg_features": _q_e1_agg_features,
+        "b2_sql_agg_features": _q_b2_sql_agg_features,
         "b13_feature_records": _q_batch_feature_records,
         "t_train_prep": _q_train_prep,
         "s4_sliding_agg": _q_s4_sliding_agg,
@@ -362,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "e1_agg_features": _E1_ORACLE,
+        "b2_sql_agg_features": _E1_ORACLE,
         "b13_feature_records": _B13_ORACLE,
         "t_train_prep": _TRAIN_ORACLE,
         "s4_sliding_agg": _S4_ORACLE,

@@ -66,3 +66,26 @@ def test_whole_stage_codegen_in_hot_path(spark):
     # no Python evaluation in the batch path
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_b2_sql_surface_equals_dataframe_plan(spark):
+    """B2: the SQL-string entry (temp view + spark.sql of the
+    reference-shaped WINDOW query) must produce bit-identical rows AND
+    the same single-exchange single-sort physical plan as the DataFrame
+    twin."""
+    import __spark_entry__ as e
+
+    from .conftest import SF0001
+
+    sql_df = e._q_b2_sql_agg_features(spark, SF0001)
+    plan = _plan(sql_df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Window") == 1, plan
+
+    df_rows = sorted(
+        map(tuple, e._q_e1_agg_features(spark, SF0001).collect())
+    )
+    sql_rows = sorted(
+        map(tuple, sql_df.select(*e._q_e1_agg_features(spark, SF0001).columns).collect())
+    )
+    assert sql_rows == df_rows
