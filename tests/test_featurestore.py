@@ -135,3 +135,29 @@ def test_run_batch_ingest_end_to_end(spark, tmp_path):
         header = f.readline()
     assert header.startswith("tid,")
     assert agg.columns[-1] == "count_ratio"
+
+
+def test_cli_driver_main(spark, tmp_path):
+    """B15: the argparse job driver sequences B1->B14 end-to-end from a
+    command line (reference batch_aggregation.py main,
+    2_batch_ingestion.ipynb:245-252,345-358)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.cli import main
+
+    rc = main(
+        [
+            "--input", SF0001,
+            "--input-format", "sf-parquet",
+            "--csv-out", str(tmp_path / "agg_csv"),
+            "--store-path", str(tmp_path / "store"),
+            "--feature-group", "cli-fg",
+            "--n-buckets", "4",
+        ]
+    )
+    assert rc == 0
+    import glob
+
+    assert glob.glob(str(tmp_path / "agg_csv" / "*.csv"))
+    fg = FeatureGroup(
+        spark, "cli-fg", "cc_num", "trans_time", str(tmp_path / "store"), n_buckets=4
+    )
+    assert fg.get_latest().count() > 0
