@@ -287,3 +287,42 @@ def test_windowed_approximation_semantics(spark):
         counts[r["cc_num"]] = max(counts.get(r["cc_num"], 0), r["num_trans_last_10m"])
     assert counts[1] == 2
     assert counts[2] == 1
+
+
+def test_kafka_value_projection_plan(spark):
+    """S1 kafka leg: the value projection applied to kafka-wire-shaped
+    rows (binary value + metadata) yields the identical typed schema and
+    rows as the file JSON source — the downstream plan is source-
+    agnostic. (No broker in the sandbox: the reader config is exercised
+    only up to .load(), the projection is what carries the semantics.)"""
+    import json as _json
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        kafka_value_projection,
+    )
+
+    payloads = [
+        {"cc_num": 1, "merchant": "m", "amount": 10.0, "zip_code": 1,
+         "trans_ts": 1_700_000_000.0},
+        {"cc_num": 2, "merchant": "n", "amount": 20.0, "zip_code": 2,
+         "trans_ts": 1_700_000_001.0},
+    ]
+    wire = spark.createDataFrame(
+        [
+            (str(p["cc_num"]).encode(), _json.dumps(p).encode(), "tx", 0, i,
+             dt.datetime(2024, 1, 1), 0)
+            for i, p in enumerate(payloads)
+        ],
+        "key binary, value binary, topic string, partition int, offset long,"
+        " timestamp timestamp, timestampType int",
+    )
+    out = kafka_value_projection(wire)
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "cc_num:bigint", "merchant:string", "amount:double",
+        "zip_code:int", "trans_ts:double", "ts:timestamp",
+    ]
+    rows = sorted((r["cc_num"], r["amount"]) for r in out.collect())
+    assert rows == [(1, 10.0), (2, 20.0)]
+    # no Python evaluation anywhere in the projection
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
