@@ -141,12 +141,15 @@ def with_fingerprint(
     Schleimer et al. 2003) and each array element is reproducible in
     SQL, so the whole column has an exact oracle.
 
-    The repartition between the gram projection and the window-min
-    projection is a deliberate exchange barrier: without it Catalyst's
-    CollapseProject inlines the md5-gram array into the per-window
-    lambda and the hash array is recomputed for EVERY window — O(n^2)
-    md5 calls per document (measured 930 s vs ~2 s at sf0.1). The
-    barrier also parallelizes the single-file documents scan."""
+    The md5-gram array is let-bound once inside the fingerprint
+    expression (operators/dedup.py::_let_bound): Catalyst's
+    CollapseProject would otherwise inline it into the per-window
+    ``array_min(slice(...))`` lambda and recompute the hash array for
+    EVERY window — O(n^2) md5 calls per document (measured 930 s vs
+    ~2 s at sf0.1). Round 1 paid a full corpus shuffle as an exchange
+    barrier instead; the let binding removes that shuffle."""
+    from ..operators.dedup import _let_bound, _parallelize_scan
+
     grams = f"""
       transform(
         sequence(1, greatest(length({text_col}) - {k - 1}, 1)),
@@ -154,23 +157,14 @@ def with_fingerprint(
              as bigint)
       )
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    # pre-repartition: the heavy md5-per-gram projection must not run in
-    # the scan's single task (small single-file inputs -> 1 partition)
-    with_g = df.repartition(par).withColumn("__g", F.expr(grams))
-    with_g = with_g.repartition(par)
-    return (
-        with_g
-        .withColumn(
-            "fingerprint",
-            F.expr(
-                f"""array_sort(array_distinct(
-                  transform(
-                    sequence(1, greatest(size(__g) - {window - 1}, 1)),
-                    i -> array_min(slice(__g, i, {window}))
-                  )
-                ))"""
-            ),
-        )
-        .drop("__g")
+    fp = _let_bound(
+        grams,
+        "__g",
+        f"""array_sort(array_distinct(
+          transform(
+            sequence(1, greatest(size(__g) - {window - 1}, 1)),
+            i -> array_min(slice(__g, i, {window}))
+          )
+        ))""",
     )
+    return _parallelize_scan(df).withColumn("fingerprint", F.expr(fp))

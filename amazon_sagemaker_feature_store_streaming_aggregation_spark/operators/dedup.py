@@ -37,6 +37,34 @@ DEFAULT_SHINGLE_K = 9
 SIMHASH_BITS = 60
 
 
+def _let_bound(expensive: str, var: str, body: str) -> str:
+    """Bind ``expensive`` ONCE as lambda variable ``var`` inside a
+    single projection expression: ``transform(array(e), v -> body)[0]``.
+
+    Catalyst's CollapseProject inlines a withColumn'd array into every
+    consumer lambda (recomputing an md5-heavy array per consumer — the
+    O(n·seeds) pathology); the classic fix was an exchange barrier
+    between the two projections, i.e. a full extra shuffle of the
+    corpus. The single-element-transform let binding removes the need:
+    the expensive subtree appears exactly once in the expression tree,
+    so no projection collapse can duplicate it — and no barrier shuffle
+    is paid. (Higher-order functions evaluate their argument once per
+    outer element; the outer array has exactly one element.)"""
+    return f"transform(array({expensive}), {var} -> {body})[0]"
+
+
+def _parallelize_scan(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan under-parallelizes the cluster
+    (local single-file inputs -> 1-2 partitions; the md5-heavy
+    projections must not run single-task). A 100 TB input already has
+    thousands of splits — repartitioning it would be a pointless full
+    shuffle of the corpus text, so it is skipped."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(par, 8):
+        return df
+    return df.repartition(par)
+
+
 def _shingle_expr(text_col: str, k: int) -> str:
     """Distinct character-k-gram 60-bit hashes, as a SQL array expr."""
     return f"""
@@ -86,29 +114,21 @@ def minhash_signatures(
     integer ops. The md5-per-seed variant costs ~100 us per call
     (MessageDigest set-up dominates interpreted eval) — 75 s at sf0.1.
 
-    The repartition between the shingle projection and the signature
-    projection is an exchange barrier: otherwise CollapseProject
-    inlines the shingle-hash array into each of the ``num_hashes``
-    signature expressions and the base shingling is recomputed per
-    seed. It also parallelizes the single-file documents scan.
+    One projection, ZERO shuffles beyond scan parallelization: the
+    shingle-hash array is let-bound (:func:`_let_bound`) inside the
+    signature expression, so CollapseProject cannot duplicate it into
+    the per-seed ``array_min`` lambdas — the round-1 design paid a full
+    extra corpus shuffle as an anti-inlining exchange barrier here.
     """
     from ..functions.hashing import minhash_perm_constants, minhash_perm_sql
 
-    shingles = _shingle_expr(text_col, k)
     sigs = ", ".join(
-        f"array_min(transform(__shingles, g -> {minhash_perm_sql('g', a, b)}))"
+        f"array_min(transform(__sh, g -> {minhash_perm_sql('g', a, b)}))"
         for a, b in minhash_perm_constants(num_hashes)
     )
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    # pre-repartition parallelizes the md5-shingling itself (single-file
-    # scans are 1 partition); the second exchange is the anti-inlining
-    # barrier for the per-seed signature expressions
-    with_sh = docs.repartition(par).withColumn("__shingles", F.expr(shingles))
-    with_sh = with_sh.repartition(par)
-    return (
-        with_sh.withColumn("minhash", F.expr(f"array({sigs})"))
-        .drop("__shingles")
-        .select(id_col, "minhash")
+    minhash = _let_bound(_shingle_expr(text_col, k), "__sh", f"array({sigs})")
+    return _parallelize_scan(docs).select(
+        F.col(id_col), F.expr(minhash).alias("minhash")
     )
 
 
@@ -268,18 +288,16 @@ def simhash(
     """
     # vote_b = sum over tokens of (bit set ? 1 : -1); bit set iff vote >= 0
     bit_terms = " + ".join(
-        f"""(case when aggregate(__thashes, 0L,
-               (acc, h) -> acc + (case when ((h >> {b}) & 1) = 1 then 1 else -1 end)
+        f"""(case when aggregate(__th, 0L,
+               (acc, h) -> acc + (case when (shiftright(h, {b}) & 1) = 1
+                                 then 1 else -1 end)
              ) >= 0 then shiftleft(1L, {b}) else 0L end)"""
         for b in range(bits)
     )
-    # exchange barrier: without it the token-hash array is inlined into
-    # all ``bits`` vote expressions and recomputed per bit (see
-    # minhash_signatures); also parallelizes the docs scan
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    with_t = docs.repartition(par).withColumn("__thashes", F.expr(tokens))
-    with_t = with_t.repartition(par)
-    return (
-        with_t.withColumn("simhash", F.expr(bit_terms))
-        .select(id_col, "simhash")
+    # token-hash array let-bound once inside the expression — immune to
+    # CollapseProject inlining into the ``bits`` vote lambdas, no
+    # exchange barrier needed (see minhash_signatures)
+    sim = _let_bound(tokens, "__th", f"({bit_terms})")
+    return _parallelize_scan(docs).select(
+        F.col(id_col), F.expr(sim).alias("simhash")
     )
