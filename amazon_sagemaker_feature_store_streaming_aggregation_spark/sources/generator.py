@@ -100,10 +100,12 @@ def inject_fraud_chains(
 ) -> DataFrame:
     """G5: replace ~``fraud_rate`` of rows with fraud-burst chains.
 
-    Seed rows are sampled, each explodes into a 3-10 transaction chain
-    on its card spaced 30-120 s apart, labeled ``fraud_label=1``, and
-    unioned with the clean rows. Mean chain length (min+max)/2 sizes
-    the number of seeds so the injected-row share ≈ fraud_rate — the
+    Seed rows are sampled and REPLACED: each seed explodes into a 3-10
+    transaction chain on its card spaced 30-120 s apart, labeled
+    ``fraud_label=1``; the seed's original clean row is anti-joined out
+    before the union (no ``fraud_label=0`` duplicate remains at the
+    chain's start timestamp). Mean chain length (min+max)/2 sizes the
+    number of seeds so the injected-row share ≈ fraud_rate — the
     reference's own accounting (``0_…ipynb:609-611``).
     """
     mean_chain = (min_chain + max_chain) / 2.0
@@ -135,4 +137,7 @@ def inject_fraud_chains(
         )
         .select("tid", "datetime", "cc_num", "amount", "fraud_label")
     )
-    return tx.unionByName(chains)
+    # drop the replaced seed rows (broadcast anti-join on tid: the seed
+    # side is ~fraud_rate/mean_chain of the corpus, always tiny)
+    clean = tx.join(F.broadcast(seeds.select("tid")), on="tid", how="left_anti")
+    return clean.unionByName(chains)

@@ -64,3 +64,21 @@ def test_fraud_injection_rate_and_chains(spark):
             gaps.append((b["datetime"] - a["datetime"]).total_seconds())
     in_band = [g for g in gaps if 30 <= g <= 120 * 9]
     assert len(in_band) >= 0.9 * len(gaps)
+
+
+def test_fraud_seeds_replaced_not_duplicated(spark):
+    """G5 accounting: a chain REPLACES its seed row — no fraud_label=0
+    twin may survive at the chain's start (cc_num, datetime)."""
+    tx = gen_transactions(spark, n=20_000, n_cards=200, partitions=4)
+    out = inject_fraud_chains(tx, fraud_rate=0.01)
+    starts = (
+        out.filter("fraud_label = 1")
+        .groupBy("cc_num")
+        .agg(F.min("datetime").alias("datetime"))
+    )
+    dupes = (
+        out.filter("fraud_label = 0")
+        .join(starts, on=["cc_num", "datetime"])
+        .count()
+    )
+    assert dupes == 0
