@@ -82,16 +82,143 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return rng.random(dim)
 
 
+def _decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval<=255) -> (h, w, 3) uint8 array. Pure
+    parsing, no codec library."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval as whitespace-separated
+    # tokens, '#' comments allowed between them
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB array (rows are
+    stored bottom-up, BGR, 4-byte-padded). Pure header parsing."""
+    if not data.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * abs(h), offset=off
+    ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV/PCM -> (samples as float64 in [-1, 1] mono-mixed, rate).
+    Stdlib ``wave`` module — a real container/codec, no external libs."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        channels = wf.getnchannels()
+        raw = wf.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+def _image_features(px: np.ndarray, dim: int) -> np.ndarray:
+    h, w = px.shape[0], px.shape[1]
+    flat = px.reshape(-1, 3).astype(np.float64)
+    v = np.array(
+        [
+            float(w),
+            float(h),
+            *flat.mean(axis=0),  # per-channel means
+            *flat.std(axis=0),  # per-channel stds
+            float(flat.min()),
+            float(flat.max()),
+            float(np.median(flat)),
+        ]
+    )
+    return np.pad(v, (0, max(0, dim - len(v))))[:dim]
+
+
+def _audio_features(x: np.ndarray, rate: int, dim: int) -> np.ndarray:
+    n = len(x)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if n > 1 else 0.0
+    v = np.array(
+        [
+            float(n),
+            float(rate),
+            n / rate if rate else 0.0,  # duration s
+            float(x.mean()) if n else 0.0,
+            float(np.sqrt(np.mean(x * x))) if n else 0.0,  # RMS
+            float(x.min()) if n else 0.0,
+            float(x.max()) if n else 0.0,
+            zc,  # zero-crossing rate
+        ]
+    )
+    return np.pad(v, (0, max(0, dim - len(v))))[:dim]
+
+
+def _real_features(payload: bytes, kind: str, fmt: str, dim: int) -> list:
+    """Dispatch to a REAL pure-Python decoder by declared format."""
+    if payload is None:
+        return np.zeros(dim).tolist()
+    if fmt == "ppm":
+        return _image_features(_decode_ppm(payload), dim).tolist()
+    if fmt == "bmp":
+        return _image_features(_decode_bmp(payload), dim).tolist()
+    if fmt == "wav":
+        x, rate = _decode_wav(payload)
+        return _audio_features(x, rate, dim).tolist()
+    raise NotImplementedError(
+        f"no in-container decoder for format {fmt!r} (kind {kind!r}); "
+        "ppm/bmp/wav decode natively — other codecs plug in here"
+    )
+
+
 def extract_features(
     media: DataFrame, decoder: str = "stub", dim: int = FEATURE_DIM
 ) -> DataFrame:
     """Decode + feature-extract each asset via Arrow-batched mapInPandas.
 
-    ``decoder='stub'`` marks the real-codec integration point
-    (NotImplementedError); ``'fake'`` produces deterministic vectors so
-    the plumbing (batching, schema, ordering) is testable.
+    ``decoder='real'`` decodes natively-supported containers — PPM/BMP
+    images and WAV/PCM audio (stdlib ``wave``) — into per-asset stat
+    vectors; unsupported formats raise ``NotImplementedError`` naming
+    the plug-in point. ``'stub'`` marks that integration point
+    unconditionally; ``'fake'`` produces deterministic md5-seeded
+    vectors so the plumbing (batching, schema, ordering) is testable
+    independent of any codec.
     """
-    if decoder not in ("stub", "fake"):
+    if decoder not in ("stub", "fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -101,9 +228,18 @@ def extract_features(
                     "real image/audio decode requires codec libraries not "
                     "present in this environment; plug the decoder in here"
                 )
-            feats = [
-                _fake_features(c, dim).tolist() for c in pdf["content"]
-            ]
+            if decoder == "real":
+                fmts = [
+                    (m or {}).get("format") for m in pdf["meta"]
+                ]
+                feats = [
+                    _real_features(c, k, f, dim)
+                    for c, k, f in zip(pdf["content"], pdf["kind"], fmts)
+                ]
+            else:
+                feats = [
+                    _fake_features(c, dim).tolist() for c in pdf["content"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

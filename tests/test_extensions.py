@@ -240,3 +240,75 @@ def test_resize_plan_preserves_aspect_flag(spark, docs):
     out = resize_plan(media, max_width=32).collect()
     for r in out:
         assert r["target"]["width"] <= 32
+
+
+def test_real_decoder_wav_ppm_bmp_end_to_end(spark):
+    """decoder='real': actual WAV (stdlib wave), PPM (P6) and BMP
+    (24-bit) payloads decode through the full Arrow mapInPandas path to
+    exact, independently-computed feature stats."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    # WAV: 1 kHz of int16 ramp at 8 kHz mono
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        samples = np.arange(-500, 500, dtype="<i2")
+        wf.writeframes(samples.tobytes())
+    wav_bytes = buf.getvalue()
+
+    # PPM: 4x2 image, pixel value = x * 40 on all channels
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    for x in range(4):
+        px[:, x, :] = x * 40
+    ppm_bytes = b"P6\n# comment\n4 2\n255\n" + px.tobytes()
+
+    # BMP: same 4x2 image, bottom-up BGR rows padded to 4 bytes
+    stride = (4 * 3 + 3) & ~3
+    bmp_rows = b""
+    for y in range(1, -1, -1):  # bottom-up
+        row = px[y][:, ::-1].tobytes()  # RGB -> BGR
+        bmp_rows += row + b"\x00" * (stride - len(row))
+    bmp_bytes = (
+        b"BM" + struct.pack("<IHHI", 54 + len(bmp_rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 24, 0, len(bmp_rows),
+                      2835, 2835, 0, 0)
+        + bmp_rows
+    )
+
+    rows = [
+        (1, "audio", bytearray(wav_bytes), (None, None, 8000, None, "wav")),
+        (2, "image", bytearray(ppm_bytes), (4, 2, None, None, "ppm")),
+        (3, "image", bytearray(bmp_bytes), (4, 2, None, None, "bmp")),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary,"
+        " meta struct<width:int,height:int,sample_rate:int,"
+        "n_frames:int,format:string>",
+    )
+    out = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, decoder="real").collect()
+    }
+    # audio: n, rate, duration, mean, rms...
+    x = samples.astype(np.float64) / 32768.0
+    assert out[1][0] == 1000.0 and out[1][1] == 8000.0
+    assert out[1][2] == pytest.approx(0.125)
+    assert out[1][4] == pytest.approx(float(np.sqrt(np.mean(x * x))))
+    # image stats identical for the PPM and BMP encodings of the SAME pixels
+    assert out[2] == out[3]
+    assert out[2][0] == 4.0 and out[2][1] == 2.0
+    assert out[2][2] == pytest.approx(60.0)  # mean of 0,40,80,120
+    # unknown format still raises at the declared plug-in point
+    raw = spark.createDataFrame(
+        [(9, "video", bytearray(b"xx"), (None, None, None, 3, "mp4"))],
+        media.schema,
+    )
+    with pytest.raises(Exception, match="mp4"):
+        extract_features(raw, decoder="real").collect()
