@@ -96,6 +96,51 @@ FROM enriched
 """
 )
 
+# ------------------------------------------------- E1 skew (bucketed) rewrite
+
+def _q_e1_skew_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key rewrite of the E1 windows: pre-aggregate per (key, 1-s
+    bucket), sweep-cumsum the bucket totals, join back — the per-key
+    window input is O(active buckets) regardless of key heat. The oracle
+    states the operator's bucket-grain semantics directly (RANGE over
+    integer second-buckets); on second-grain data this equals E1 exactly
+    (asserted in tests/test_window_agg.py)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        trailing_window_features_bucketed,
+    )
+
+    return trailing_window_features_bucketed(
+        load_transactions(spark, sf_dir)
+    ).select(
+        "tid", "datetime", "cc_num", "amount",
+        "num_trans_last_10m", "avg_amt_last_10m",
+        "num_trans_last_1w", "avg_amt_last_1w",
+    )
+
+
+_E1_SKEW_ORACLE = """
+WITH transactions AS (
+  SELECT event_id AS tid, ts AS datetime, user_id AS cc_num, value AS amount,
+         CAST(round(value * 100) AS BIGINT) AS amt_cents,
+         epoch_us(ts) // 1000000 AS b
+  FROM events
+)
+SELECT tid, datetime, cc_num, amount,
+       COUNT(*) OVER w10 AS num_trans_last_10m,
+       (CAST(SUM(amt_cents) OVER w10 AS DOUBLE) / 100.0)
+         / COUNT(*) OVER w10 AS avg_amt_last_10m,
+       COUNT(*) OVER w1w AS num_trans_last_1w,
+       (CAST(SUM(amt_cents) OVER w1w AS DOUBLE) / 100.0)
+         / COUNT(*) OVER w1w AS avg_amt_last_1w
+FROM transactions
+WINDOW
+  w10 AS (PARTITION BY cc_num ORDER BY b
+          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW),
+  w1w AS (PARTITION BY cc_num ORDER BY b
+          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ------------------------------------------------------ B2 SQL-string entry
 
 #: The reference's flagship query IS a SQL string over a temp view
@@ -397,6 +442,7 @@ FROM zeroed
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "e1_agg_features": _q_e1_agg_features,
+        "e1_skew_window": _q_e1_skew_window,
         "b2_sql_agg_features": _q_b2_sql_agg_features,
         "b13_feature_records": _q_batch_feature_records,
         "t_train_prep": _q_train_prep,
@@ -409,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "e1_agg_features": _E1_ORACLE,
+        "e1_skew_window": _E1_SKEW_ORACLE,
         "b2_sql_agg_features": _E1_ORACLE,
         "b13_feature_records": _B13_ORACLE,
         "t_train_prep": _TRAIN_ORACLE,

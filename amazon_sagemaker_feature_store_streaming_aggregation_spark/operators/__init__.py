@@ -1,5 +1,6 @@
 from .window_agg import (  # noqa: F401
     trailing_window_features,
+    trailing_window_features_bucketed,
     trailing_window_features_exact,
     agg_features_query,
 )

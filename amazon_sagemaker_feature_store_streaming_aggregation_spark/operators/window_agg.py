@@ -133,6 +133,135 @@ def trailing_window_features_exact(
     return df.select("*", *cols).drop(AMT_CENTS)
 
 
+def trailing_window_features_bucketed(
+    df: DataFrame,
+    key: str = "cc_num",
+    ts: str = "datetime",
+    amount: str = "amount",
+    bucket_s: int = 1,
+    short_s: int = 600,
+    long_s: int = 7 * 24 * 3600,
+    short_label: str = "10m",
+    long_label: str = "1w",
+) -> DataFrame:
+    """Hot-key (skew) rewrite of :func:`trailing_window_features_exact`:
+    pre-aggregate ``(count, cent-sum)`` per ``(key, time-bucket)``, run
+    the RANGE window over the BUCKETS, then join the per-bucket frame
+    totals back to the rows.
+
+    Why this kills skew: the per-key window input collapses from
+    O(events) to O(active time buckets) — bounded by the time span
+    (604 800 buckets/key/week at 1 s grain) no matter how hot the key —
+    and every other stage distributes on ``(key, bucket)``, which
+    spreads a hot key across the cluster. The groupBy's map-side
+    partial aggregation means the shuffle also carries buckets, not
+    events. The plain window plan cannot be skew-split by AQE (window
+    partitions are atomic); this rewrite is the documented mitigation
+    made code.
+
+    The per-bucket frame totals are computed as a SWEEP, not a sliding
+    window frame: every bucket emits an *enter* delta at its own
+    position and an *exit* delta at ``pos + W + 1`` for each frame, and
+    one running ``rowsBetween(unboundedPreceding, currentRow)``
+    cumulative sum per key yields all four totals. Spark's bounded
+    sliding frames re-aggregate the in-frame buffer on every row
+    (aggregates cannot retract), i.e. O(rows x frame-width) — ruinous
+    at a week-wide frame of 1 s buckets — while the running frame is a
+    single O(n) pass.
+
+    EXACT (bit-identical to :func:`trailing_window_features_exact`,
+    tests assert it) whenever event times are multiples of ``bucket_s``
+    seconds — the reference's domain is second-grain, so ``bucket_s=1``
+    is exact there. For finer-grained timestamps the frame boundary
+    truncates to bucket grain (a documented approximation; pick
+    ``bucket_s`` at or below the data's grain to stay exact).
+    """
+    b = "__bucket"
+    # Integer `div`, not floor(double /): exact for any epoch range (a
+    # double quotient near an integer boundary could floor wrong).
+    rows = df.withColumn(
+        AMT_CENTS, F.round(F.col(amount) * 100, 0).cast("long")
+    ).withColumn(
+        b,
+        F.expr(
+            f"unix_micros(cast({ts} as timestamp)) div {1_000_000 * bucket_s}"
+        ),
+    )
+
+    buckets = rows.groupBy(key, b).agg(
+        F.count("*").alias("__bn"), F.sum(AMT_CENTS).alias("__bs")
+    )
+
+    # Sweep deltas. Frame [p - W, p] inclusive <=> bucket b' is in the
+    # frame at query position p iff b' <= p < b' + W + 1, so b' enters
+    # the running total at b' and leaves at b' + W + 1. All deltas are
+    # cheap long arithmetic, so the explode is safe (no expensive-expr
+    # re-eval hazard).
+    w_s = F.lit(short_s // bucket_s)
+    w_l = F.lit(long_s // bucket_s)
+    n, s, zero = F.col("__bn"), F.col("__bs"), F.lit(0).cast("long")
+
+    def delta(pos, dns, dss, dnl, dsl):
+        return F.struct(
+            pos.alias("__pos"),
+            dns.alias("__dns"),
+            dss.alias("__dss"),
+            dnl.alias("__dnl"),
+            dsl.alias("__dsl"),
+        )
+
+    deltas = buckets.select(
+        key,
+        F.explode(
+            F.array(
+                delta(F.col(b), n, s, n, s),  # enters both frames
+                delta(F.col(b) + w_s + 1, -n, -s, zero, zero),  # exits short
+                delta(F.col(b) + w_l + 1, zero, zero, -n, -s),  # exits long
+            )
+        ).alias("__d"),
+    ).select(key, "__d.*")
+
+    # Collapse ties so positions are unique per key, then one O(n)
+    # running cumulative sum (UnboundedPreceding frame = streaming add,
+    # never re-aggregates a buffer).
+    cum = deltas.groupBy(key, "__pos").agg(
+        F.sum("__dns").alias("__dns"),
+        F.sum("__dss").alias("__dss"),
+        F.sum("__dnl").alias("__dnl"),
+        F.sum("__dsl").alias("__dsl"),
+    )
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = cum.select(
+        key,
+        F.col("__pos").alias(b),
+        F.sum("__dns").over(w_run).alias(f"num_trans_last_{short_label}"),
+        F.sum("__dss").over(w_run).alias(f"sum_amt_cents_{short_label}"),
+        F.sum("__dnl").over(w_run).alias(f"num_trans_last_{long_label}"),
+        F.sum("__dsl").over(w_run).alias(f"sum_amt_cents_{long_label}"),
+    )
+
+    def avg_of(label):
+        return (
+            F.col(f"sum_amt_cents_{label}") / F.lit(100.0)
+        ) / F.col(f"num_trans_last_{label}")
+
+    return (
+        rows.join(totals, on=[key, b], how="inner")
+        .withColumn(f"avg_amt_last_{short_label}", avg_of(short_label))
+        .withColumn(f"avg_amt_last_{long_label}", avg_of(long_label))
+        .drop(
+            b,
+            AMT_CENTS,
+            f"sum_amt_cents_{short_label}",
+            f"sum_amt_cents_{long_label}",
+        )
+    )
+
+
 def agg_features_query(
     transactions: DataFrame, exact: bool = True, keep_cent_sums: bool = False
 ) -> DataFrame:

@@ -84,3 +84,64 @@ def test_e1_single_exchange_plan(spark):
         load_transactions(spark, SF001)
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bucketed_rewrite_equals_exact_on_second_grain(spark):
+    """The hot-key bucketed rewrite must be BIT-identical to the exact
+    per-row window on second-grain data — including tied timestamps on
+    a hot key (RANGE peers) and window-boundary events."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        trailing_window_features_bucketed,
+        trailing_window_features_exact,
+    )
+
+    t0 = dt.datetime(2020, 1, 6, 0, 0, 0)
+    rows = []
+    # hot key 7: bursts with ties, spanning both frame boundaries
+    for i in range(400):
+        ts = t0 + dt.timedelta(seconds=(i // 3) * 37)  # 3-way ties
+        rows.append((f"h{i}", ts, 7, float(1 + i % 50) + 0.17))
+    # sparse keys, some beyond the 10m window from each other
+    for k in range(5):
+        for i in range(10):
+            rows.append(
+                (f"s{k}{i}", t0 + dt.timedelta(minutes=11 * i), 100 + k,
+                 float(10 * k + i) + 0.99)
+            )
+    tx = _tx(spark, rows)
+    cols = ["tid", "num_trans_last_10m", "avg_amt_last_10m",
+            "num_trans_last_1w", "avg_amt_last_1w"]
+    exact = sorted(map(tuple, trailing_window_features_exact(tx).select(*cols).collect()))
+    bucketed = sorted(map(tuple, trailing_window_features_bucketed(tx).select(*cols).collect()))
+    assert bucketed == exact
+
+
+def test_bucketed_rewrite_tames_hot_key(spark):
+    """Skew benchmark: one key holding ALL rows must run within ~2x of
+    the same row count spread uniformly (the per-key window input is
+    O(time buckets), and every stage distributes on (key, bucket))."""
+    import time
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        trailing_window_features_bucketed,
+    )
+
+    n = 400_000
+    base = spark.range(n).withColumn(
+        "datetime", F.timestamp_seconds(F.lit(1_600_000_000) + (F.col("id") % 600_000))
+    ).withColumn("amount", (F.col("id") % 997).cast("double"))
+
+    def run(df):
+        t0 = time.time()
+        out = trailing_window_features_bucketed(
+            df.withColumn("tid", F.col("id").cast("string")), key="cc_num"
+        )
+        out.agg(F.sum("num_trans_last_10m"), F.sum("num_trans_last_1w")).collect()
+        return time.time() - t0
+
+    uniform = base.withColumn("cc_num", F.col("id") % 1000)
+    hot = base.withColumn("cc_num", F.lit(42).cast("long"))
+    t_uniform = run(uniform)
+    t_hot = run(hot)
+    # generous CI margin over the ~2x design target
+    assert t_hot < 3.0 * t_uniform + 2.0, (t_hot, t_uniform)
