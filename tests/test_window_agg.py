@@ -145,3 +145,23 @@ def test_bucketed_rewrite_tames_hot_key(spark):
     t_hot = run(hot)
     # generous CI margin over the ~2x design target
     assert t_hot < 3.0 * t_uniform + 2.0, (t_hot, t_uniform)
+
+
+def test_bucketed_rewrite_plan_has_no_sliding_frame(spark):
+    """Regression guard for the sweep: the only window frame in the plan
+    must be the O(n) running frame (unboundedpreceding, currentrow) —
+    a bounded sliding frame re-aggregates its buffer per row and is
+    O(rows x frame-width) at a week-wide 1-s-bucket frame."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        trailing_window_features_bucketed,
+    )
+
+    t0 = dt.datetime(2020, 1, 6)
+    tx = _tx(spark, [(f"t{i}", t0 + dt.timedelta(seconds=i), 1, 1.0)
+                     for i in range(10)])
+    plan = (
+        trailing_window_features_bucketed(tx)
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert "unboundedpreceding$(), currentrow$()" in plan, plan
+    assert "preceding$(" not in plan.replace("unboundedpreceding$(", ""), plan
