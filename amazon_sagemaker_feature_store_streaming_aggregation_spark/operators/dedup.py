@@ -144,6 +144,14 @@ def lsh_candidate_pairs(
 
     One shuffle keyed on ``(band, band_hash)``; the self-join happens
     inside buckets only.
+
+    The self-join is pinned to sort-merge (``hint('merge')``): both
+    sides then require the IDENTICAL exchange on (band, bhash), so
+    Catalyst's ReuseExchange evaluates the signature+explode subtree
+    ONCE and the second side reads the shuffle files. Left to AQE at
+    small scale, the join flips to broadcast-hash — which broadcasts
+    the exploded corpus signatures AND recomputes the md5-heavy
+    signatures separately per side: wrong twice at 100 TB.
     """
     band_cols = F.array(
         *[
@@ -166,8 +174,8 @@ def lsh_candidate_pairs(
         signatures.withColumn("__band", F.explode(band_cols))
         .select(id_col, F.col("__band.band").alias("band"), F.col("__band.bhash").alias("bhash"))
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    a = exploded.hint("merge").alias("a")
+    b = exploded.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -243,8 +251,24 @@ def jaccard_verify_pairs(
     instead of the O(sum_freq^2) hot-shingle blowup of
     :func:`ngram_jaccard_pairs`. This composition (LSH -> verify) is
     the scale path for near-dup detection.
+
+    Shingles are computed only for documents that actually occur in a
+    candidate pair (semi-join pre-filter): candidates are a vanishing
+    fraction of a deduped-ish corpus, so this turns two full-corpus
+    md5-shingle passes into two passes over the candidate set.
     """
-    sh = docs.select(
+    # The pairs plan (typically the whole LSH pipeline) is referenced
+    # three times below; localCheckpoint materializes its tiny result
+    # once instead of re-running discovery per reference. Eager: a lazy
+    # checkpoint would let the three subtrees of the final job race to
+    # compute the un-materialized RDD concurrently (observed 3x cost).
+    pairs = pairs.localCheckpoint(eager=True)
+    pair_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(pair_ids, on=id_col, how="left_semi").select(
         F.col(id_col), F.expr(_shingle_expr(text_col, k)).alias("__sh")
     )
     out = (
