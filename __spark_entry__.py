@@ -316,6 +316,60 @@ WINDOW w AS (PARTITION BY cc_num ORDER BY epoch_us(ts)
 """
 
 
+# ----------------------------------------------------- as-of join (I3/I4)
+
+_ASOF_TOL_US = 600 * 1_000_000  # the reference's 600 s staleness cutoff
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of join: every event reads the most recent
+    'feature update' (every 10th event, per user) at-or-before its own
+    time, NULLed when staler than 600 s — the reference's point-lookup
+    + staleness semantics (I3/I4) as a first-class time-series join.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        asof_join,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.select("event_id", "ts", "user_id", "value")
+    build = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts", F.col("value").alias("feat_value")
+    )
+    return asof_join(
+        probe,
+        build,
+        key="user_id",
+        probe_ts="ts",
+        build_ts="ts",
+        value_cols=["feat_value"],
+        tolerance_us=_ASOF_TOL_US,
+    )
+
+
+_ASOF_ORACLE = f"""
+WITH probe AS (
+  SELECT event_id, ts, user_id, value FROM events
+), build AS (
+  SELECT user_id, ts, value AS feat_value FROM events WHERE event_id % 10 = 0
+)
+SELECT p.event_id, p.ts, p.user_id, p.value,
+       CASE WHEN b.ts IS NOT NULL
+             AND epoch_us(p.ts) - epoch_us(b.ts) <= {_ASOF_TOL_US}
+            THEN b.ts END AS matched_ts,
+       CASE WHEN b.ts IS NOT NULL
+             AND epoch_us(p.ts) - epoch_us(b.ts) <= {_ASOF_TOL_US}
+            THEN b.feat_value END AS feat_value
+FROM probe p ASOF LEFT JOIN build b
+  ON p.user_id = b.user_id AND p.ts >= b.ts
+"""
+
+
 # ---------------------------------------------- I3-I6 inference enrichment
 
 
@@ -448,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_train_prep": _q_train_prep,
         "s4_sliding_agg": _q_s4_sliding_agg,
         "i_enrich": _q_inference_enrich,
+        "asof_join": _q_asof_join,
         **ext_queries(),
     }
 
@@ -461,5 +516,6 @@ def oracle_sql() -> dict[str, str]:
         "t_train_prep": _TRAIN_ORACLE,
         "s4_sliding_agg": _S4_ORACLE,
         "i_enrich": _I_ENRICH_ORACLE,
+        "asof_join": _ASOF_ORACLE,
         **ext_oracles(),
     }
