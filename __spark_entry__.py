@@ -316,6 +316,61 @@ WINDOW w AS (PARTITION BY cc_num ORDER BY epoch_us(ts)
 """
 
 
+# ------------------------------------------------------- streaming dedup
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under total redelivery: the events table is
+    replayed TWICE (two micro-batches — an at-least-once transport
+    redelivering everything); watermark-bounded per-key state must drop
+    the entire second pass, so the sink holds exactly the distinct
+    events. Oracle: the events table itself."""
+    import os
+    import shutil
+    import tempfile
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        dedup_stream_exact,
+        read_event_stream,
+    )
+
+    name = f"stream_dedup_out_{next(_S4_SEQ)}"
+    stream_dir = tempfile.mkdtemp(prefix="sdedup_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="sdedup_ckpt_")
+    src = os.path.join(sf_dir, "events.parquet")
+    os.symlink(src, os.path.join(stream_dir, "00.parquet"))
+    shutil.copy(src, os.path.join(stream_dir, "01.parquet"))  # redelivery
+    try:
+        stream = read_event_stream(
+            spark,
+            stream_dir,
+            "event_id long, ts long, user_id long, value double",
+            max_files_per_trigger=1,
+        )
+        deduped = dedup_stream_exact(
+            stream, ["event_id"], ts_col="ts", watermark="10 minutes"
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_dedup availableNow replay exceeded 300s")
+        return spark.table(name)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_id, ts, user_id, value FROM events
+"""
+
+
 # ----------------------------------------------------- as-of join (I3/I4)
 
 _ASOF_TOL_US = 600 * 1_000_000  # the reference's 600 s staleness cutoff
@@ -503,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_sliding_agg": _q_s4_sliding_agg,
         "i_enrich": _q_inference_enrich,
         "asof_join": _q_asof_join,
+        "s_stream_dedup": _q_stream_dedup,
         **ext_queries(),
     }
 
@@ -517,5 +573,6 @@ def oracle_sql() -> dict[str, str]:
         "s4_sliding_agg": _S4_ORACLE,
         "i_enrich": _I_ENRICH_ORACLE,
         "asof_join": _ASOF_ORACLE,
+        "s_stream_dedup": _STREAM_DEDUP_ORACLE,
         **ext_oracles(),
     }

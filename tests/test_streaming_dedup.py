@@ -1,0 +1,98 @@
+"""Streaming dedup: at-least-once redelivery across micro-batches is
+dropped; only first arrivals reach the sink."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+    dedup_stream_content,
+    dedup_stream_exact,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _write_chunks(spark, tmp_path, chunks, schema):
+    d = tmp_path / "stream"
+    d.mkdir()
+    now = time.time()
+    for i, rows in enumerate(chunks):
+        f = str(d / f"{i:02d}.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f + ".dir")
+        import glob
+        import shutil
+
+        shutil.copy(glob.glob(f + ".dir/*.parquet")[0], f)
+        shutil.rmtree(f + ".dir")
+        os.utime(f, (now + i * 60, now + i * 60))  # replay order
+    return str(d)
+
+
+def _run_to_memory(spark, df, name, ckpt):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_exact_dedup_drops_redelivery(spark, tmp_path):
+    schema = "event_id long, ts timestamp, value double"
+    mk = lambda i, s, v: (i, T0 + dt.timedelta(seconds=s), v)
+    chunk0 = [mk(1, 0, 1.0), mk(2, 10, 2.0), mk(3, 20, 3.0)]
+    # chunk1: events 2 and 3 redelivered (same event time), plus new 4
+    chunk1 = [mk(2, 10, 2.0), mk(3, 20, 3.0), mk(4, 30, 4.0)]
+    path = _write_chunks(spark, tmp_path, [chunk0, chunk1], schema)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    out = _run_to_memory(
+        spark,
+        dedup_stream_exact(stream, ["event_id"], ts_col="ts"),
+        "dedup_exact_out",
+        tmp_path / "ckpt1",
+    )
+    rows = sorted((r["event_id"], r["value"]) for r in out.collect())
+    assert rows == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+
+
+def test_stream_content_dedup_keeps_first_arrival(spark, tmp_path):
+    schema = "doc_id long, ts timestamp, text string"
+    mk = lambda i, s, t: (i, T0 + dt.timedelta(seconds=s), t)
+    chunk0 = [mk(1, 0, "alpha beta"), mk(2, 5, "gamma delta")]
+    # chunk1: doc 3 repeats doc 1's payload byte-for-byte; doc 4 is new
+    chunk1 = [mk(3, 60, "alpha beta"), mk(4, 70, "epsilon")]
+    path = _write_chunks(spark, tmp_path, [chunk0, chunk1], schema)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    out = _run_to_memory(
+        spark,
+        dedup_stream_content(stream, text_col="text", ts_col="ts"),
+        "dedup_content_out",
+        tmp_path / "ckpt2",
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 2, 4]
+    assert "__th" not in out.columns
