@@ -19,6 +19,8 @@ from .similarity import (  # noqa: F401
     ann_srp_topk,
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_centroids,
+    ivf_topk,
     srp_signatures,
 )
 from .multimodal import (  # noqa: F401

@@ -220,6 +220,60 @@ def _multi_probe(sigs: DataFrame, n_planes: int, multi_probe: int) -> DataFrame:
     return sigs.withColumn("bucket", F.explode(probes))
 
 
+def _exact_topk_on_candidates(
+    cand: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ANN tail: exact cosine + per-query top-k over deduped
+    candidate ``(c_id, query_id)`` ids. Vectors and squared norms are
+    computed ONCE per vector and joined to the id pairs — no embedding
+    arrays ride through the candidate dedup."""
+    feats = embeddings.select(F.col(id_col), quantize(vec_col, "qv")).withColumn(
+        "n2", F.expr(_dot("qv", "qv"))
+    )
+    qfeats = queries.select(F.col(id_col), quantize(vec_col, "qv")).withColumn(
+        "n2", F.expr(_dot("qv", "qv"))
+    )
+    scored = (
+        cand.join(
+            feats.select(
+                F.col(id_col).alias("c_id"),
+                F.col("qv").alias("c_q"),
+                F.col("n2").alias("c_n2"),
+            ),
+            on="c_id",
+        )
+        .join(
+            F.broadcast(
+                qfeats.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col("qv").alias("q_q"),
+                    F.col("n2").alias("q_n2"),
+                )
+            ),
+            on="query_id",
+        )
+        .withColumn(
+            "cosine",
+            F.expr(_dot("c_q", "q_q")).cast("double")
+            / (
+                F.sqrt(F.col("c_n2").cast("double"))
+                * F.sqrt(F.col("q_n2").cast("double"))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("c_id").alias(id_col), "cosine", "rank")
+    )
+
+
 def ann_srp_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -271,46 +325,7 @@ def ann_srp_topk(
         .select("c_id", "query_id")
         .distinct()
     )
-    feats = embeddings.select(F.col(id_col), quantize(vec_col, "qv")).withColumn(
-        "n2", F.expr(_dot("qv", "qv"))
-    )
-    qfeats = queries.select(F.col(id_col), quantize(vec_col, "qv")).withColumn(
-        "n2", F.expr(_dot("qv", "qv"))
-    )
-    scored = (
-        cand.join(
-            feats.select(
-                F.col(id_col).alias("c_id"),
-                F.col("qv").alias("c_q"),
-                F.col("n2").alias("c_n2"),
-            ),
-            on="c_id",
-        )
-        .join(
-            F.broadcast(
-                qfeats.select(
-                    F.col(id_col).alias("query_id"),
-                    F.col("qv").alias("q_q"),
-                    F.col("n2").alias("q_n2"),
-                )
-            ),
-            on="query_id",
-        )
-        .withColumn(
-            "cosine",
-            F.expr(_dot("c_q", "q_q")).cast("double")
-            / (
-                F.sqrt(F.col("c_n2").cast("double"))
-                * F.sqrt(F.col("q_n2").cast("double"))
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("c_id").alias(id_col), "cosine", "rank")
-    )
+    return _exact_topk_on_candidates(cand, embeddings, queries, k, id_col, vec_col)
 
 
 def embedding_near_dup_pairs(
@@ -386,3 +401,109 @@ def embedding_near_dup_pairs(
     return scored.filter(F.col("cosine") >= F.lit(threshold)).select(
         "id_a", "id_b", "cosine"
     )
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+#: auto_cells default: IVF convention cells ~ sqrt(N) (assignment cost
+#: N*cells and probe cost Q*nprobe*N/cells balance at sqrt(N)).
+MAX_CELLS = 1 << 16
+
+
+def auto_cells(n_rows: int, min_cells: int = 4, max_cells: int = MAX_CELLS) -> int:
+    """IVF cell-count policy: ``2^round(log2(sqrt(N)))`` clamped — the
+    same shape as :func:`auto_planes`: expected cell occupancy (and so
+    per-probe candidate count) grows ~sqrt(N) instead of linearly the
+    way a FIXED cell count would."""
+    return max(min_cells, min(max_cells, 2 ** round(math.log2(max(4.0, n_rows) ** 0.5))))
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """Deterministic seeded centroids: corpus vectors with ids
+    ``{0, step, 2*step, ...}`` where ``step = N div n_cells``; cell id
+    = ``vec_id div step``. K-means iterations would make the layout
+    engine-dependent (and the oracle unverifiable); seeded IVF-flat is
+    the deterministic degenerate case — a production deployment trains
+    centroids offline (k-means||) and feeds them in as a table, which
+    changes ONLY this function."""
+    n = corpus_count if corpus_count is not None else embeddings.count()
+    step = max(1, n // n_cells)
+    return (
+        embeddings.filter(
+            (F.col(id_col) % step == 0) & (F.col(id_col) < step * n_cells)
+        )
+        .select((F.col(id_col) / step).cast("int").alias("cell"), quantize(vec_col, "cq"))
+        .withColumn("cn2", F.expr(_dot("cq", "cq")))
+    )
+
+
+def _ivf_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by exact
+    cosine (centroids broadcast; ties broken by cell id)."""
+    v = vecs.select(F.col(id_col).alias(out_id), quantize(vec_col, "vq")).withColumn(
+        "vn2", F.expr(_dot("vq", "vq"))
+    )
+    scored = v.join(F.broadcast(centroids)).withColumn(
+        "__cos",
+        F.expr(_dot("vq", "cq")).cast("double")
+        / (F.sqrt(F.col("vn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+    )
+    w = Window.partitionBy(out_id).orderBy(F.col("__cos").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(out_id, "cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int | None = None,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """IVF(-flat) ANN top-k: corpus vectors are partitioned into
+    ``n_cells`` Voronoi cells around seeded centroids; each query scans
+    only its ``nprobe`` nearest cells. The second of the brief's two
+    scale paths next to SRP-LSH (:func:`ann_srp_topk`).
+
+    Plan shape: assignment is N x cells dot products with the (tiny)
+    centroid table broadcast — linear in N, scan-side; the candidate
+    join is keyed on ``cell`` (one shuffle of 8-byte ids, query side
+    broadcast); exact re-rank only touches candidate vectors. Expected
+    candidates per query ~ nprobe * N / cells; with
+    :func:`auto_cells` (cells ~ sqrt(N)) that stays ~nprobe * sqrt(N)
+    as the corpus grows. Same output shape and determinism contract as
+    :func:`cosine_topk`.
+    """
+    if n_cells is None:
+        n = corpus_count if corpus_count is not None else embeddings.count()
+        n_cells = auto_cells(n)
+        corpus_count = n
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col, corpus_count)
+    corpus_assign = _ivf_assign(embeddings, cents, 1, id_col, vec_col, "c_id")
+    q_assign = _ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
+    cand = (
+        corpus_assign.join(F.broadcast(q_assign), on="cell", how="inner")
+        .filter(F.col("c_id") != F.col("query_id"))
+        .select("c_id", "query_id")
+        .distinct()
+    )
+    return _exact_topk_on_candidates(cand, embeddings, queries, k, id_col, vec_col)

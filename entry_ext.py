@@ -491,6 +491,82 @@ FROM ranked WHERE rank <= {_ANN_K}
 """
 
 
+# ------------------------------------------------------------- IVF ANN topk
+
+_IVF_CELLS, _IVF_NPROBE = 32, 2
+
+_COS_SQL = (
+    "CAST(CAST(list_sum([z[1] * z[2] for z in list_zip({a}, {b})])"
+    " AS BIGINT) AS DOUBLE)"
+    " / (sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip({a}, {a})])"
+    " AS BIGINT) AS DOUBLE))"
+    " * sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip({b}, {b})])"
+    " AS BIGINT) AS DOUBLE)))"
+)
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(-flat) ANN: seeded Voronoi cells, nprobe-cell probe, exact
+    re-rank of cell members — the second scale path next to SRP-LSH."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(
+        emb,
+        queries,
+        k=_ANN_K,
+        n_cells=_IVF_CELLS,
+        nprobe=_IVF_NPROBE,
+        corpus_count=_emb_count(sf_dir),
+    )
+
+
+def _ivf_oracle() -> str:
+    step = max(1, _emb_count(_ORACLE_SF_DIR) // _IVF_CELLS)
+    cos_vc = _COS_SQL.format(a="v.qv", b="c.cq")
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS qv
+  FROM embeddings
+), cent AS (
+  SELECT CAST(vec_id // {step} AS INTEGER) AS cell, qv AS cq FROM q
+  WHERE vec_id % {step} = 0 AND vec_id < {step * _IVF_CELLS}
+), allassign AS (
+  SELECT v.vec_id, c.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {cos_vc} DESC, c.cell) AS rn
+  FROM q v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id AS c_id, cell FROM allassign WHERE rn = 1
+), qassign AS (
+  SELECT vec_id AS query_id, cell FROM allassign
+  WHERE rn <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}
+), cand AS (
+  SELECT DISTINCT a.c_id, b.query_id
+  FROM assign a JOIN qassign b ON a.cell = b.cell
+  WHERE a.c_id != b.query_id
+), scored AS (
+  SELECT c.query_id, c.c_id,
+         {_COS_SQL.format(a="ca.qv", b="qa.qv")} AS cosine
+  FROM cand c
+  JOIN q ca ON ca.vec_id = c.c_id
+  JOIN q qa ON qa.vec_id = c.query_id
+), ranked AS (
+  SELECT query_id, c_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT query_id, c_id AS vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
 # -------------------------------------------------- embedding near-dup pairs
 
 _NEAR_DUP_THRESHOLD = 0.3  # testdata embeddings are centered: max
@@ -613,6 +689,7 @@ def ext_queries():
         "sim_cosine_topk": _q_cosine_topk,
         "s4_sliding_windowed": _q_sliding_windowed,
         "sim_ann_srp_topk": _q_ann_srp,
+        "sim_ivf_topk": _q_ivf_topk,
         "sim_embedding_near_dup": _q_embedding_near_dup,
     }
 
@@ -630,5 +707,6 @@ def ext_oracles():
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
         "s4_sliding_windowed": _SLIDING_WINDOWED_ORACLE,
         "sim_ann_srp_topk": _ann_oracle(),
+        "sim_ivf_topk": _ivf_oracle(),
         "sim_embedding_near_dup": _near_dup_oracle(),
     }

@@ -312,3 +312,49 @@ def test_real_decoder_wav_ppm_bmp_end_to_end(spark):
     )
     with pytest.raises(Exception, match="mp4"):
         extract_features(raw, decoder="real").collect()
+
+
+def test_ivf_recall_and_probe_monotonicity(spark, emb):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ivf_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(nprobe):
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(
+                emb, queries, k=5, n_cells=16, nprobe=nprobe
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1  # more probed cells can only add candidates
+    assert r4 > 0.3, (r1, r4)
+    # probing ALL cells = exact brute force (cells partition the corpus)
+    rall = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=5, n_cells=16, nprobe=16).collect()
+    }
+    assert rall == exact
+
+
+def test_auto_cells_policy(spark):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        auto_cells,
+    )
+
+    # cells ~ sqrt(N): expected occupancy (candidates per probe) grows
+    # ~sqrt(N) instead of linearly as it would with a fixed cell count
+    assert auto_cells(1_000) == 32
+    assert auto_cells(1_000_000) == 1024
+    assert auto_cells(100) >= 4
+    for n, n2 in ((10_000, 40_000), (1_000_000, 4_000_000)):
+        c, c2 = auto_cells(n), auto_cells(n2)
+        assert 1 < c2 / c <= 4  # 4x corpus -> ~2x cells
