@@ -316,6 +316,119 @@ WINDOW w AS (PARTITION BY cc_num ORDER BY epoch_us(ts)
 """
 
 
+# ------------------------------------ sessionization / rollup / sampling
+
+_SESSION_GAP_S = 1800
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream + per-session stats
+    (count, bounds, duration, exact cent sum)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        session_stats,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, key="user_id", ts="ts", gap_s=_SESSION_GAP_S)
+
+
+_SESSIONIZE_ORACLE = f"""
+WITH lagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                  > {_SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS st
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+), sid AS (
+  SELECT user_id, ts, value,
+         SUM(st) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM sid GROUP BY user_id, session_id
+"""
+
+
+def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical hour->day rollup (continuous-aggregate pattern): raw
+    events aggregate once at hour grain; day re-aggregates the hour
+    buckets — no Expand-style G-times shuffle of the events."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        time_rollup,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_rollup(ev, key="user_id", ts="ts", value="value",
+                       grains=("hour", "day"))
+
+
+_ROLLUP_ORACLE = """
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT user_id, date_trunc('day', bucket_start) AS bucket_start,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         CAST(SUM(value_cents) AS BIGINT) AS value_cents
+  FROM h GROUP BY 1, 2
+), u AS (
+  SELECT user_id, 'hour' AS grain, bucket_start, n_events, value_cents FROM h
+  UNION ALL
+  SELECT user_id, 'day' AS grain, bucket_start, n_events, value_cents FROM d
+)
+SELECT user_id, grain, bucket_start, n_events, value_cents,
+       (CAST(value_cents AS DOUBLE) / 100.0) / CAST(n_events AS DOUBLE)
+         AS avg_value
+FROM u
+"""
+
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.1}
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling of the documents corpus:
+    membership is a pure md5 function of doc_id, stable under any
+    partitioning/engine (DataFrame.sample is not) — absent strata drop
+    to 0 (es/fr here)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        stratified_sample,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, _SAMPLE_FRACTIONS, strata_col="lang", id_col="doc_id"
+    )
+
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE CAST('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) % 10000
+      < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                  WHEN 'zh' THEN 1000 ELSE 0 END
+"""
+
+
 # ------------------------------------------------------- streaming dedup
 
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,6 +672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i_enrich": _q_inference_enrich,
         "asof_join": _q_asof_join,
         "s_stream_dedup": _q_stream_dedup,
+        "sessionize": _q_sessionize,
+        "time_rollup": _q_time_rollup,
+        "stratified_sample": _q_stratified_sample,
         **ext_queries(),
     }
 
@@ -574,5 +690,8 @@ def oracle_sql() -> dict[str, str]:
         "i_enrich": _I_ENRICH_ORACLE,
         "asof_join": _ASOF_ORACLE,
         "s_stream_dedup": _STREAM_DEDUP_ORACLE,
+        "sessionize": _SESSIONIZE_ORACLE,
+        "time_rollup": _ROLLUP_ORACLE,
+        "stratified_sample": _SAMPLE_ORACLE,
         **ext_oracles(),
     }

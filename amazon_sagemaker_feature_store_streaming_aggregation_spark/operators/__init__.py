@@ -5,6 +5,9 @@ from .window_agg import (  # noqa: F401
     agg_features_query,
 )
 from .asof_join import asof_join  # noqa: F401
+from .rollup import time_rollup  # noqa: F401
+from .sampling import deterministic_sample, stratified_sample  # noqa: F401
+from .sessionize import session_stats, sessionize  # noqa: F401
 from .ratios import with_ratio_features, with_guarded_inference_ratios  # noqa: F401
 from .latest_per_key import latest_per_key  # noqa: F401
 from .dedup import (  # noqa: F401

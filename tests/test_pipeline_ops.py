@@ -1,0 +1,135 @@
+"""Sessionization, hierarchical rollup, deterministic sampling."""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+    deterministic_sample,
+    session_stats,
+    sessionize,
+    stratified_sample,
+    time_rollup,
+)
+
+T0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+def test_sessionize_gap_boundaries(spark):
+    s = dt.timedelta
+    rows = [
+        (1, T0, 1.0),                      # session 1
+        (1, T0 + s(seconds=1800), 2.0),    # gap == 1800s: NOT > gap -> same
+        (1, T0 + s(seconds=3601), 3.0),    # gap 1801s -> session 2
+        (1, T0 + s(seconds=9000), 4.0),    # -> session 3
+        (2, T0, 5.0),                      # other key: own session 1
+    ]
+    out = {
+        (r["user_id"], r["value"]): r["session_id"]
+        for r in sessionize(_ev(spark, rows), gap_s=1800).collect()
+    }
+    assert out == {(1, 1.0): 1, (1, 2.0): 1, (1, 3.0): 2, (1, 4.0): 3,
+                   (2, 5.0): 1}
+
+
+def test_session_stats(spark):
+    s = dt.timedelta
+    rows = [
+        (1, T0, 1.25),
+        (1, T0 + s(seconds=60), 2.50),
+        (1, T0 + s(hours=2), 10.0),
+    ]
+    stats = {
+        r["session_id"]: r
+        for r in session_stats(_ev(spark, rows), gap_s=1800).collect()
+    }
+    assert stats[1]["n_events"] == 2
+    assert stats[1]["duration_us"] == 60_000_000
+    assert stats[1]["value_cents"] == 375
+    assert stats[2]["n_events"] == 1 and stats[2]["value_cents"] == 1000
+
+
+def test_rollup_hierarchy_matches_direct_grouping(spark):
+    """Day rows re-aggregated from hour buckets must equal grouping the
+    raw events by day directly (lossless re-aggregation)."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [
+        (
+            rnd.randrange(3),
+            T0 + dt.timedelta(minutes=rnd.randrange(5000)),
+            rnd.randrange(1, 10_000) / 100.0,
+        )
+        for _ in range(500)
+    ]
+    ev = _ev(spark, rows)
+    got = {
+        (r["user_id"], r["bucket_start"]): (r["n_events"], r["value_cents"])
+        for r in time_rollup(ev, grains=("hour", "day")).collect()
+        if r["grain"] == "day"
+    }
+    direct = {
+        (r["user_id"], r["bucket_start"]): (r["n"], r["c"])
+        for r in ev.groupBy(
+            "user_id", F.date_trunc("day", "ts").alias("bucket_start")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    a = {r["doc_id"] for r in deterministic_sample(docs, 0.3, "doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(
+            docs.repartition(17), 0.3, "doc_id"
+        ).collect()
+    }
+    assert a == b  # membership is a pure function of the id
+    assert 0.25 < len(a) / 2000 < 0.35
+    # different salts give (near-)independent samples
+    c = {
+        r["doc_id"]
+        for r in deterministic_sample(docs, 0.3, "doc_id", salt="other").collect()
+    }
+    assert c != a
+    overlap = len(a & c) / len(a)
+    assert 0.15 < overlap < 0.45  # ~0.3 expected under independence
+
+
+def test_stratified_sample_rates(spark):
+    docs = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = (
+        stratified_sample(docs, {"en": 0.5, "de": 0.1}, "lang", "doc_id")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    counts = {r["lang"]: r["count"] for r in out}
+    assert "fr" not in counts  # default fraction 0
+    assert 800 < counts["en"] < 1200  # ~1000 of 2000
+    assert 120 < counts["de"] < 280  # ~200 of 2000
