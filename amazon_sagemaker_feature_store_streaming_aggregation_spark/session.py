@@ -57,6 +57,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Every query compiles fresh whole-stage-codegen classes; across
+        # a few dozen queries (plus streaming's class load) the default
+        # 240 MB JIT code cache fills, HotSpot disables compilation, and
+        # CPU-bound expression loops (md5/minhash) crawl ~10x until the
+        # sweeper frees space — observed as a roving ~40 s slow window
+        # mid-benchmark. 512 MB keeps the JIT on for the whole run.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         # Streaming micro-batches in tests write checkpoints under /tmp.
         .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")
     )

