@@ -4,5 +4,6 @@ from .text import (  # noqa: F401
     LANG_STOPWORDS,
     with_fingerprint,
     with_lang_id,
+    with_repetition,
     with_text_stats,
 )

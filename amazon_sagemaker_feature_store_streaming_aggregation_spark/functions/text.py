@@ -168,3 +168,98 @@ def with_fingerprint(
         ))""",
     )
     return _parallelize_scan(df).withColumn("fingerprint", F.expr(fp))
+
+
+def with_repetition(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 — public paper): for each word
+    n-gram size ``n`` emit
+
+    * ``n_{n}grams`` — total n-grams in the document,
+    * ``top_{n}gram_count`` — occurrences of the most frequent n-gram,
+    * ``dup_{n}gram_tokens`` — n-grams occurring more than once
+      (counted with multiplicity),
+    * ``top_{n}gram_frac`` / ``dup_{n}gram_frac`` — the two ratios
+      filters actually threshold on.
+
+    All scan-side: instead of exploding every n-gram through a
+    groupBy (an O(corpus tokens) shuffle at 100 TB), each document
+    sorts its own n-gram array and computes the run-length stats with
+    a single ``aggregate`` pass — integer arithmetic only, so DuckDB
+    reproduces every value exactly (the oracle uses the unnest+group
+    formulation; same integers). The token array and the sorted gram
+    array are let-bound (operators/dedup.py::_let_bound) so
+    CollapseProject cannot duplicate them into consumer lambdas, and
+    the run-length struct is extracted in a SEPARATE projection whose
+    source column is referenced 3x — multi-use non-cheap aliases are
+    not collapsed, so the aggregate runs once per (doc, n).
+    """
+    from ..operators.dedup import _let_bound, _parallelize_scan
+
+    out = _parallelize_scan(df)
+    for n in ns:
+        gram = "concat_ws(' ', " + ", ".join(
+            f"element_at(__tk, i + {j})" for j in range(n)
+        ) + ")"
+        # Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty —
+        # short documents must be guarded explicitly.
+        grams = (
+            f"IF(size(__tk) >= {n}, "
+            f"transform(sequence(1, size(__tk) - {n - 1}), i -> {gram}), "
+            f"array())"
+        )
+        run_length = """aggregate(
+            __gs,
+            named_struct('prev', CAST(NULL AS STRING),
+                         'run', CAST(0 AS BIGINT),
+                         'best', CAST(0 AS BIGINT),
+                         'dup', CAST(0 AS BIGINT)),
+            (s, x) -> IF(x <=> s.prev,
+                named_struct('prev', x, 'run', s.run + 1,
+                             'best', s.best, 'dup', s.dup),
+                named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+                             'best', greatest(s.best, s.run),
+                             'dup', s.dup
+                               + IF(s.run > 1, s.run, CAST(0 AS BIGINT)))),
+            s -> named_struct(
+                'best', greatest(s.best, s.run),
+                'dup', s.dup + IF(s.run > 1, s.run, CAST(0 AS BIGINT))))"""
+        struct_expr = _let_bound(
+            _TOKENS.format(c=text_col),
+            "__tk",
+            _let_bound(
+                f"array_sort({grams})",
+                "__gs",
+                "named_struct("
+                "'total', CAST(size(__gs) AS BIGINT), "
+                f"'rl', {run_length})",
+            ),
+        )
+        tmp = f"__rep{n}"
+        total = F.col(f"{tmp}.total")
+        top = F.col(f"{tmp}.rl.best")
+        dup = F.col(f"{tmp}.rl.dup")
+        out = (
+            out.withColumn(tmp, F.expr(struct_expr))
+            .withColumn(f"n_{n}grams", total)
+            .withColumn(f"top_{n}gram_count", top)
+            .withColumn(f"dup_{n}gram_tokens", dup)
+            .withColumn(
+                f"top_{n}gram_frac",
+                F.when(
+                    total > 0,
+                    top.cast("double") / total.cast("double"),
+                ).otherwise(F.lit(0.0)),
+            )
+            .withColumn(
+                f"dup_{n}gram_frac",
+                F.when(
+                    total > 0,
+                    dup.cast("double") / total.cast("double"),
+                ).otherwise(F.lit(0.0)),
+            )
+            .drop(tmp)
+        )
+    return out

@@ -11,10 +11,12 @@ from .sessionize import session_stats, sessionize  # noqa: F401
 from .ratios import with_ratio_features, with_guarded_inference_ratios  # noqa: F401
 from .latest_per_key import latest_per_key  # noqa: F401
 from .dedup import (  # noqa: F401
+    connected_components,
     dedup_exact,
     lsh_candidate_pairs,
     minhash_signatures,
     jaccard_verify_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
 )

@@ -325,3 +325,114 @@ def simhash(
     return _parallelize_scan(docs).select(
         F.col(id_col), F.expr(sim).alias("simhash")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list: each node is
+    labelled with the MINIMUM node id reachable from it.
+
+    Output: ``(node, label)`` for every node that appears in an edge.
+
+    Algorithm: min-label propagation with pointer jumping (the
+    map-reduce CC family of Kiveris et al., "Connected Components in
+    MapReduce and Beyond" — public algorithm). Each round
+
+    1. propagates ``min(label)`` across edges (one groupBy shuffle of
+       O(E) fixed-width ``(node, label)`` rows), then
+    2. pointer-jumps ``label <- label(label)`` (one self-join),
+
+    so label distance to the component minimum roughly doubles per
+    round: O(log(diameter)) rounds, each O(E) shuffle rows — never
+    materializing O(N^2) pairs. Per-node labels are monotonically
+    non-increasing, so convergence is detected when ``sum(label)``
+    stops decreasing (one cheap agg action per round on the cached
+    frame). Lineage is truncated per round with ``localCheckpoint``
+    (iterative plans otherwise grow exponentially in Catalyst).
+
+    This is driver-COORDINATED but not driver-computed: the driver
+    sees one 8-byte sum per round; labels stay distributed.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        merged = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        jump = merged.select(
+            F.col("node").alias("jn"), F.col("label").alias("jl")
+        )
+        new_labels = (
+            merged.join(jump, merged["label"] == jump["jn"], "left")
+            .select(
+                F.col("node"),
+                F.coalesce(F.col("jl"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Canonicalize near-duplicate PAIRS into clusters — the final step
+    of the LSH dedup workflow: every document gets a ``cluster_id``
+    (the minimum doc id of its connected component in the near-dup
+    graph), a ``cluster_size``, and ``is_canonical`` = 1 for the one
+    row per cluster a dedup job would KEEP.
+
+    Documents in no pair are singleton clusters of themselves. The
+    component map is broadcast to the corpus join (it is bounded by
+    2x the pair count, not the corpus size); cluster sizes reuse the
+    cluster_id shuffle.
+    """
+    comp = connected_components(pairs, max_iter=max_iter).withColumnRenamed(
+        "node", id_col
+    )
+    assigned = (
+        docs.select(id_col)
+        .join(F.broadcast(comp), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        F.when(F.col(id_col) == F.col("cluster_id"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_canonical"),
+    )

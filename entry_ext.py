@@ -676,14 +676,117 @@ GROUP BY cc_num, w_end
 """
 
 
+# --------------------------------------------- near-dup cluster keep-list
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup workflow: MinHash -> LSH candidates -> exact-Jaccard
+    verify -> connected components -> one canonical doc per cluster."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND)
+    pairs = jaccard_verify_pairs(docs, cands, threshold=_JACCARD_THRESHOLD)
+    return near_dup_clusters(docs, pairs)
+
+
+# Component labels via recursive CTE: min reachable id (+ self) per node.
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS cluster_id FROM reach GROUP BY node
+), assigned AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+), sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM assigned GROUP BY cluster_id
+)
+SELECT a.doc_id, a.cluster_id, s.cluster_size,
+       CASE WHEN a.doc_id = a.cluster_id THEN 1 ELSE 0 END AS is_canonical
+FROM assigned a JOIN sizes s ON a.cluster_id = s.cluster_id
+"""
+
+# ------------------------------------------------- repetition signals
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions import with_repetition
+
+    cols = ["doc_id"]
+    for n in (2, 3):
+        cols += [
+            f"n_{n}grams",
+            f"top_{n}gram_count",
+            f"dup_{n}gram_tokens",
+            f"top_{n}gram_frac",
+            f"dup_{n}gram_frac",
+        ]
+    return with_repetition(load_table(spark, sf_dir, "documents")).select(*cols)
+
+
+def _rep_gram_cte(n: int) -> str:
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+g{n} AS (
+  SELECT doc_id, unnest([{gram} for i in range(1, len(toks) - {n - 2})]) AS g
+  FROM rep_base
+), gc{n} AS (
+  SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g
+), a{n} AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+         CAST(max(c) AS BIGINT) AS top,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+  FROM gc{n} GROUP BY doc_id
+)"""
+
+
+def _rep_cols(n: int) -> str:
+    return f"""
+       COALESCE(a{n}.total, 0) AS n_{n}grams,
+       COALESCE(a{n}.top, 0) AS top_{n}gram_count,
+       COALESCE(a{n}.dup, 0) AS dup_{n}gram_tokens,
+       CASE WHEN COALESCE(a{n}.total, 0) > 0
+            THEN CAST(a{n}.top AS DOUBLE) / CAST(a{n}.total AS DOUBLE)
+            ELSE 0.0 END AS top_{n}gram_frac,
+       CASE WHEN COALESCE(a{n}.total, 0) > 0
+            THEN CAST(a{n}.dup AS DOUBLE) / CAST(a{n}.total AS DOUBLE)
+            ELSE 0.0 END AS dup_{n}gram_frac"""
+
+
+_REPETITION_ORACLE = f"""
+WITH rep_base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')
+           AS toks
+  FROM documents
+), {_rep_gram_cte(2)}, {_rep_gram_cte(3)}
+SELECT d.doc_id, {_rep_cols(2)}, {_rep_cols(3)}
+FROM documents d
+LEFT JOIN a2 ON d.doc_id = a2.doc_id
+LEFT JOIN a3 ON d.doc_id = a3.doc_id
+"""
+
+
 def ext_queries():
     return {
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_minhash_signatures,
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
         "text_stats": _q_text_stats,
+        "text_repetition": _q_text_repetition,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
         "sim_cosine_topk": _q_cosine_topk,
@@ -700,8 +803,10 @@ def ext_oracles():
         "dedup_minhash_sigs": _MINHASH_ORACLE,
         "dedup_minhash_lsh_pairs": _LSH_ORACLE,
         "dedup_ngram_jaccard": _JACCARD_ORACLE,
+        "dedup_clusters": _CLUSTERS_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
+        "text_repetition": _REPETITION_ORACLE,
         "text_lang_id": _lang_oracle(),
         "text_fingerprint": _FP_ORACLE,
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
