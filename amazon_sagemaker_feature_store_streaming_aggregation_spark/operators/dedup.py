@@ -357,9 +357,19 @@ def connected_components(
     This is driver-COORDINATED but not driver-computed: the driver
     sees one 8-byte sum per round; labels stay distributed.
     """
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    # Materialize the symmetrized edge list ONCE: every round joins
+    # against it, and without the checkpoint each round would re-run
+    # the entire upstream pipeline that produced the pairs (for the
+    # LSH workflow that is the full signature+banding computation).
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

@@ -1,3 +1,4 @@
+from .analytics import pricing_summary, revenue_by_nation  # noqa: F401
 from .batch_ingest import batch_feature_records, run_batch_ingest  # noqa: F401
 from .inference import (  # noqa: F401
     assemble_features_csv,

@@ -1,0 +1,121 @@
+"""General OLAP analytics plans over the warehouse tables (extension).
+
+The reference pipeline only ever aggregates its own transaction stream;
+an analytics engine also needs classic star-schema OLAP: wide fact
+scans with partial aggregation, and fact-to-dimension joins where the
+dimensions are broadcast. These two plans exercise exactly that on the
+TPC-H-shaped tables (``lineitem``/``orders``/``customer``/``nation``),
+with the repo's integer-cent discipline so every money aggregate is an
+exact integer sum (order-independent -> bit-equal in DuckDB) and only
+the FINAL projection divides back to dollars.
+
+Scale design:
+
+* ``pricing_summary`` — single fact scan, 4-column pruning, map-side
+  partial aggregation into 4 groups: the shuffle moves O(partitions x
+  groups) pre-aggregated rows, not the fact table. Integer sums are
+  widened to ``decimal(38,0)`` before summing: the charge term is
+  ~1e11 per row in 1e-6-dollar units, which overflows int64 around
+  1e8 rows per group — real at 100 TB.
+* ``revenue_by_nation`` — fact-to-fact join (lineitem x orders) on the
+  natural key stays a shuffle join (both sides are huge at scale; AQE
+  may legitimately flip it to broadcast at toy scale), while the
+  ``customer`` and ``nation`` dimensions are EXPLICIT broadcasts. The
+  date filter lands in the orders scan (PushedFilters), so the join
+  only shuffles the surviving year.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Exact integer money: 2-decimal doubles -> cents (the round(x*100)
+# pattern is bit-stable across Spark and DuckDB for 2-decimal data).
+_CENTS = "CAST(round({c} * 100) AS BIGINT)"
+
+
+def pricing_summary(
+    lineitem: DataFrame, ship_cutoff: str = "2001-09-01"
+) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus)
+    totals and means over all line items shipped before the cutoff.
+
+    disc_price/charge are computed entirely in integer units (1e-4 and
+    1e-6 dollars respectively) and summed as decimal(38,0); each output
+    double is ONE final cast+division chain, identical in the oracle.
+    """
+    ep = _CENTS.format(c="l_extendedprice")
+    d = _CENTS.format(c="l_discount")
+    t = _CENTS.format(c="l_tax")
+    dec = "CAST({x} AS DECIMAL(38,0))"
+    sums = {
+        "qty": "CAST(round(l_quantity) AS BIGINT)",
+        "base": ep,
+        "disc": f"{ep} * (100 - {d})",
+        "charge": f"{ep} * (100 - {d}) * (100 + {t})",
+        "dpct": d,
+    }
+    agg = [
+        F.expr(f"sum({dec.format(x=x)})").alias(f"__{k}")
+        for k, x in sums.items()
+    ] + [F.count("*").alias("count_order")]
+    cnt = "CAST(count_order AS DOUBLE)"
+    return (
+        lineitem.where(F.col("l_shipdate") < F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(*agg)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr("CAST(__qty AS BIGINT)").alias("sum_qty"),
+            F.expr("CAST(__base AS DOUBLE) / 100.0").alias("sum_base_price"),
+            F.expr("CAST(__disc AS DOUBLE) / 10000.0").alias("sum_disc_price"),
+            F.expr("CAST(__charge AS DOUBLE) / 1000000.0").alias("sum_charge"),
+            F.expr(f"CAST(__qty AS DOUBLE) / {cnt}").alias("avg_qty"),
+            F.expr(f"CAST(__base AS DOUBLE) / {cnt} / 100.0").alias("avg_price"),
+            F.expr(f"CAST(__dpct AS DOUBLE) / {cnt} / 100.0").alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """Revenue per customer nation for orders placed in a date range:
+    ``lineitem |x| orders |x| broadcast(customer) |x| broadcast(nation)``.
+
+    Revenue is the exact integer sum of ``cents * (100 - discount_pct)``
+    (1e-4-dollar units, decimal-widened), divided back once.
+    """
+    ep = _CENTS.format(c="l_extendedprice")
+    d = _CENTS.format(c="l_discount")
+    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.expr(f"CAST(sum({rev}) AS DOUBLE) / 10000.0").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count("*").alias("n_items"),
+        )
+    )

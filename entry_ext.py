@@ -777,8 +777,82 @@ LEFT JOIN a3 ON d.doc_id = a3.doc_id
 """
 
 
+# --------------------------------------------------- OLAP star queries
+
+_OLAP_CENTS = "CAST(round({c} * 100) AS BIGINT)"
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import pricing_summary
+
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _pricing_oracle() -> str:
+    ep = _OLAP_CENTS.format(c="l_extendedprice")
+    d = _OLAP_CENTS.format(c="l_discount")
+    t = _OLAP_CENTS.format(c="l_tax")
+    return f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS s_qty,
+         sum({ep}) AS s_base,
+         sum({ep} * (100 - {d})) AS s_disc,
+         sum({ep} * (100 - {d}) * (100 + {t})) AS s_charge,
+         sum({d}) AS s_dpct,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '2001-09-01'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(s_qty AS BIGINT) AS sum_qty,
+       CAST(s_base AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(s_disc AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(s_charge AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(s_qty AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_qty,
+       CAST(s_base AS DOUBLE) / CAST(count_order AS DOUBLE) / 100.0
+         AS avg_price,
+       CAST(s_dpct AS DOUBLE) / CAST(count_order AS DOUBLE) / 100.0
+         AS avg_disc,
+       count_order
+FROM agg
+"""
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import revenue_by_nation
+
+    return revenue_by_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _revenue_oracle() -> str:
+    ep = _OLAP_CENTS.format(c="l_extendedprice")
+    d = _OLAP_CENTS.format(c="l_discount")
+    return f"""
+SELECT n_name,
+       CAST(sum({ep} * (100 - {d})) AS DOUBLE) / 10000.0 AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def ext_queries():
     return {
+        "olap_pricing_summary": _q_pricing_summary,
+        "olap_revenue_by_nation": _q_revenue_by_nation,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_minhash_signatures,
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
@@ -799,6 +873,8 @@ def ext_queries():
 
 def ext_oracles():
     return {
+        "olap_pricing_summary": _pricing_oracle(),
+        "olap_revenue_by_nation": _revenue_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_sigs": _MINHASH_ORACLE,
         "dedup_minhash_lsh_pairs": _LSH_ORACLE,

@@ -1,0 +1,113 @@
+"""OLAP star-schema plans: correctness vs DuckDB + plan-shape checks."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
+    pricing_summary,
+    revenue_by_nation,
+)
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+from .conftest import SF001
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF001}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_pricing_summary_matches_duckdb(spark, duck):
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in pricing_summary(load_table(spark, SF001, "lineitem")).collect()
+    }
+    c = "CAST(round({c} * 100) AS BIGINT)"
+    ep, d, t = (c.format(c=x) for x in ("l_extendedprice", "l_discount", "l_tax"))
+    exp = duck.execute(f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity) AS BIGINT)),
+               CAST(sum({ep}) AS DOUBLE) / 100.0,
+               CAST(sum({ep} * (100 - {d})) AS DOUBLE) / 10000.0,
+               CAST(sum({ep} * (100 - {d}) * (100 + {t})) AS DOUBLE) / 1000000.0,
+               count(*)
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-09-01'
+        GROUP BY 1, 2
+    """).fetchall()
+    assert len(exp) == len(got)
+    for rf, ls, qty, base, disc, charge, cnt in exp:
+        r = got[(rf, ls)]
+        assert r["sum_qty"] == qty
+        assert r["sum_base_price"] == base      # bit-exact, no tolerance
+        assert r["sum_disc_price"] == disc
+        assert r["sum_charge"] == charge
+        assert r["count_order"] == cnt
+
+
+def test_revenue_by_nation_matches_duckdb(spark, duck):
+    df = revenue_by_nation(
+        load_table(spark, SF001, "lineitem"),
+        load_table(spark, SF001, "orders"),
+        load_table(spark, SF001, "customer"),
+        load_table(spark, SF001, "nation"),
+    )
+    got = {r["n_name"]: r for r in df.collect()}
+    c = "CAST(round({c} * 100) AS BIGINT)"
+    ep, d = c.format(c="l_extendedprice"), c.format(c="l_discount")
+    exp = duck.execute(f"""
+        SELECT n_name, CAST(sum({ep} * (100 - {d})) AS DOUBLE) / 10000.0,
+               count(DISTINCT o_orderkey), count(*)
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """).fetchall()
+    assert len(exp) == len(got) > 0
+    for name, rev, orders, items in exp:
+        r = got[name]
+        assert r["revenue"] == rev
+        assert r["n_orders"] == orders
+        assert r["n_items"] == items
+
+
+def test_pricing_summary_plan_shape(spark):
+    plan = (
+        pricing_summary(load_table(spark, SF001, "lineitem"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # map-side partial aggregation before the exchange
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_revenue_plan_broadcasts_dimensions(spark):
+    plan = (
+        revenue_by_nation(
+            load_table(spark, SF001, "lineitem"),
+            load_table(spark, SF001, "orders"),
+            load_table(spark, SF001, "customer"),
+            load_table(spark, SF001, "nation"),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the two dimension joins are broadcasts by construction
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the orders date filter is pushed into the scan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
