@@ -484,6 +484,103 @@ SELECT event_id, ts, user_id, value FROM events
 """
 
 
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: ``session_window`` + zero-delay
+    watermark over a replay of the events table. Two far-future
+    sentinel rows (user_id = -1) ride in as extra micro-batches purely
+    to advance the watermark past every real session so append mode
+    flushes them all — the standard end-of-stream flush technique for
+    a bounded replay; the sentinels themselves never emit (their own
+    session end never passes the final watermark) and are filtered out
+    regardless. Oracle: batch gap-sessionization with the strict-> gap
+    break rule — session_window merges an event landing EXACTLY at
+    session_end (verified in tests/test_streaming_sessions.py), i.e.
+    identical boundary semantics to operators/sessionize.py."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_event_stream,
+        session_window_stats,
+    )
+
+    name = f"stream_sessions_out_{next(_S4_SEQ)}"
+    stream_dir = tempfile.mkdtemp(prefix="ssess_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ssess_ckpt_")
+    src = os.path.join(sf_dir, "events.parquet")
+    os.symlink(src, os.path.join(stream_dir, "00.parquet"))
+    max_ns = pc.max(pq.read_table(src, columns=["ts"])["ts"]).value
+    gap_ns = _SESSION_GAP_S * 1_000_000_000
+    now = time.time()
+    for i in (1, 2):
+        sentinel = pa.table(
+            {
+                "event_id": pa.array([-i], pa.int64()),
+                "ts": pa.array([max_ns + i * (gap_ns + 10**10)], pa.int64()),
+                "user_id": pa.array([-1], pa.int64()),
+                "value": pa.array([0.0], pa.float64()),
+            }
+        )
+        p = os.path.join(stream_dir, f"0{i}.parquet")
+        pq.write_table(sentinel, p)
+        # the file source orders batches by mtime: events (old) first,
+        # then the sentinels in sequence
+        os.utime(p, (now + 10 * i, now + 10 * i))
+    try:
+        stream = read_event_stream(
+            spark,
+            stream_dir,
+            "event_id long, ts long, user_id long, value double",
+            max_files_per_trigger=1,
+        )
+        sessions = session_window_stats(
+            stream, key="user_id", ts_col="ts", gap_s=_SESSION_GAP_S
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_sessions availableNow run exceeded 300s")
+        return spark.table(name).where("user_id >= 0")
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+_STREAM_SESSIONS_ORACLE = f"""
+WITH lagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                  > {1800 * 1_000_000}
+              THEN 1 ELSE 0 END AS st
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+), sid AS (
+  SELECT user_id, ts, value,
+         SUM(st) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM sid GROUP BY user_id, session_id
+"""
+
+
 # ----------------------------------------------------- as-of join (I3/I4)
 
 _ASOF_TOL_US = 600 * 1_000_000  # the reference's 600 s staleness cutoff
@@ -672,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i_enrich": _q_inference_enrich,
         "asof_join": _q_asof_join,
         "s_stream_dedup": _q_stream_dedup,
+        "s_stream_sessions": _q_stream_sessions,
         "sessionize": _q_sessionize,
         "time_rollup": _q_time_rollup,
         "stratified_sample": _q_stratified_sample,
@@ -690,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         "i_enrich": _I_ENRICH_ORACLE,
         "asof_join": _ASOF_ORACLE,
         "s_stream_dedup": _STREAM_DEDUP_ORACLE,
+        "s_stream_sessions": _STREAM_SESSIONS_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "time_rollup": _ROLLUP_ORACLE,
         "stratified_sample": _SAMPLE_ORACLE,
