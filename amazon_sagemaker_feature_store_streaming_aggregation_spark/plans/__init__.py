@@ -1,4 +1,9 @@
-from .analytics import pricing_summary, revenue_by_nation  # noqa: F401
+from .analytics import (  # noqa: F401
+    pricing_summary,
+    revenue_by_nation,
+    revenue_cube,
+    topk_orders_per_customer,
+)
 from .batch_ingest import batch_feature_records, run_batch_ingest  # noqa: F401
 from .inference import (  # noqa: F401
     assemble_features_csv,

@@ -119,3 +119,74 @@ def revenue_by_nation(
             F.count("*").alias("n_items"),
         )
     )
+
+
+def topk_orders_per_customer(
+    orders: DataFrame, customer: DataFrame, k: int = 3
+) -> DataFrame:
+    """Top-k orders by value per customer: ``row_number`` over a
+    DETERMINISTIC total order (price desc, orderkey asc tiebreak — the
+    tiebreak is what makes the result reproducible across engines).
+
+    Scale: one shuffle on the grouping key; Spark's WindowGroupLimit
+    rewrite pushes the ``rk <= k`` filter below the sort, so each
+    partition keeps a k-row heap per key instead of fully sorting every
+    customer's order history before filtering. ``o_totalprice`` is
+    emitted verbatim (no arithmetic), hence bit-stable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name",
+            F.col("rk").alias("order_rank"),
+            "o_orderkey", "o_totalprice",
+        )
+    )
+
+
+def revenue_cube(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Multi-dimensional CUBE over (nation, order priority): every
+    subtotal combination in one pass. Spark plans this as one Expand
+    (4x row multiplication for 2 dims) feeding a single hash
+    aggregate — revenue stays an exact integer-cent sum per cell.
+    ``grouping()`` flags disambiguate genuine NULL dimension values
+    from subtotal rows, and match DuckDB's GROUPING() bit-for-bit.
+    """
+    cents = _CENTS.format(c="o_totalprice")
+    base = (
+        orders.select("o_custkey", "o_orderpriority", "o_totalprice")
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        base.cube("n_name", "o_orderpriority")
+        .agg(
+            # grouping() is only legal inside the Cube aggregate itself
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.expr(f"CAST(sum(CAST({cents} AS DECIMAL(38,0))) AS DOUBLE)"
+                   " / 100.0").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "n_name",
+            "o_orderpriority",
+            "g_nation",
+            "g_priority",
+            "revenue",
+            "n_orders",
+        )
+    )

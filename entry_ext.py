@@ -849,10 +849,59 @@ GROUP BY n_name
 """
 
 
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import topk_orders_per_customer
+
+    return topk_orders_per_customer(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+_TOPK_ORDERS_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+SELECT c_custkey, c_name, rk AS order_rank, o_orderkey, o_totalprice
+FROM ranked JOIN customer ON o_custkey = c_custkey
+WHERE rk <= 3
+"""
+
+
+def _q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import revenue_cube
+
+    return revenue_cube(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _cube_oracle() -> str:
+    cents = _OLAP_CENTS.format(c="o_totalprice")
+    return f"""
+SELECT n_name, o_orderpriority,
+       CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       CAST(sum({cents}) AS DOUBLE) / 100.0 AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, o_orderpriority)
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
         "olap_revenue_by_nation": _q_revenue_by_nation,
+        "olap_topk_orders": _q_topk_orders,
+        "olap_revenue_cube": _q_revenue_cube,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_minhash_signatures,
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
@@ -875,6 +924,8 @@ def ext_oracles():
     return {
         "olap_pricing_summary": _pricing_oracle(),
         "olap_revenue_by_nation": _revenue_oracle(),
+        "olap_topk_orders": _TOPK_ORDERS_ORACLE,
+        "olap_revenue_cube": _cube_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_sigs": _MINHASH_ORACLE,
         "dedup_minhash_lsh_pairs": _LSH_ORACLE,

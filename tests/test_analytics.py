@@ -111,3 +111,42 @@ def test_revenue_plan_broadcasts_dimensions(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     # the orders date filter is pushed into the scan
     assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_topk_orders_deterministic_and_limited(spark):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
+        topk_orders_per_customer,
+    )
+
+    df = topk_orders_per_customer(
+        load_table(spark, SF001, "orders"),
+        load_table(spark, SF001, "customer"),
+        k=3,
+    )
+    rows = df.collect()
+    per_cust = {}
+    for r in rows:
+        per_cust.setdefault(r["c_custkey"], []).append(r)
+    for grp in per_cust.values():
+        assert len(grp) <= 3
+        grp.sort(key=lambda r: r["order_rank"])
+        prices = [r["o_totalprice"] for r in grp]
+        assert prices == sorted(prices, reverse=True)
+    # WindowGroupLimit: the rank filter is pushed below the sort
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_revenue_cube_subtotals_consistent(spark):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import revenue_cube
+
+    rows = revenue_cube(
+        load_table(spark, SF001, "orders"),
+        load_table(spark, SF001, "customer"),
+        load_table(spark, SF001, "nation"),
+    ).collect()
+    grand = [r for r in rows if r["g_nation"] == 1 and r["g_priority"] == 1]
+    assert len(grand) == 1
+    cells = [r for r in rows if r["g_nation"] == 0 and r["g_priority"] == 0]
+    assert abs(sum(c["revenue"] for c in cells) - grand[0]["revenue"]) < 1e-6
+    assert sum(c["n_orders"] for c in cells) == grand[0]["n_orders"] == 15000
