@@ -559,6 +559,76 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: the replayed event stream split by
+    event-id parity into two live sides, inner-joined per user where
+    the odd-side event lands within +-60 s of the even-side event.
+    Inner matches emit immediately, so the bounded replay needs no
+    flush sentinels. Oracle: the equivalent batch self-join."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        interval_join,
+        read_event_stream,
+    )
+
+    name = f"stream_ijoin_out_{next(_S4_SEQ)}"
+    stream_dir = tempfile.mkdtemp(prefix="sij_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="sij_ckpt_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    try:
+        schema = "event_id long, ts long, user_id long, value double"
+        left = (
+            read_event_stream(spark, stream_dir, schema)
+            .where("event_id % 2 = 0")
+            .select("user_id", F.col("event_id").alias("a_id"),
+                    F.col("ts").alias("a_ts"))
+        )
+        right = (
+            read_event_stream(spark, stream_dir, schema)
+            .where("event_id % 2 = 1")
+            .select("user_id", F.col("event_id").alias("b_id"),
+                    F.col("ts").alias("b_ts"))
+        )
+        joined = interval_join(
+            left, right, key="user_id", left_ts="a_ts", right_ts="b_ts",
+            lower_s=-60, upper_s=60,
+        ).select("user_id", "a_id", "b_id", "a_ts", "b_ts")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_interval_join run exceeded 300s")
+        return spark.table(name)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+_STREAM_IJOIN_ORACLE = """
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       a.ts AS a_ts, b.ts AS b_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+ AND epoch_us(b.ts) >= epoch_us(a.ts) - 60000000
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+"""
+
+
 _STREAM_SESSIONS_ORACLE = f"""
 WITH lagged AS (
   SELECT user_id, ts, value,
@@ -770,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "s_stream_dedup": _q_stream_dedup,
         "s_stream_sessions": _q_stream_sessions,
+        "s_stream_interval_join": _q_stream_interval_join,
         "sessionize": _q_sessionize,
         "time_rollup": _q_time_rollup,
         "stratified_sample": _q_stratified_sample,
@@ -789,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ASOF_ORACLE,
         "s_stream_dedup": _STREAM_DEDUP_ORACLE,
         "s_stream_sessions": _STREAM_SESSIONS_ORACLE,
+        "s_stream_interval_join": _STREAM_IJOIN_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "time_rollup": _ROLLUP_ORACLE,
         "stratified_sample": _SAMPLE_ORACLE,

@@ -11,4 +11,16 @@ from .inference import (  # noqa: F401
     latency_metric,
     threshold_classify,
 )
+from .relational import (  # noqa: F401
+    approx_value_percentiles,
+    churned_buyers,
+    customers_with_urgent_orders,
+    dormant_customers,
+    monthly_orders_by_id_parity,
+    nation_order_profile,
+    props_profile,
+    repeat_buyers,
+    user_value_arrays,
+    value_percentiles,
+)
 from .train_prep import train_prep, train_test_split  # noqa: F401

@@ -896,6 +896,200 @@ GROUP BY CUBE (n_name, o_orderpriority)
 """
 
 
+# ------------------------------------------- relational coverage (§2.7)
+# Semi/anti joins, set operators, distinct aggregation, regex/date
+# scalar functions, JSON/array functions, exact percentiles — the
+# remaining categories SURVEY §2.7 lists as absent from the reference.
+
+
+def _q_rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import customers_with_urgent_orders
+
+    return customers_with_urgent_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+_REL_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT')
+"""
+
+
+def _q_rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import dormant_customers
+
+    return dormant_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+_REL_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+"""
+
+
+def _q_rel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import repeat_buyers
+
+    return repeat_buyers(load_table(spark, sf_dir, "orders"))
+
+
+_REL_INTERSECT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def _q_rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import churned_buyers
+
+    return churned_buyers(load_table(spark, sf_dir, "orders"))
+
+
+_REL_EXCEPT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def _q_rel_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import nation_order_profile
+
+    return nation_order_profile(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+_REL_DISTINCT_ORACLE = """
+SELECT n_name,
+       count(DISTINCT o_custkey) AS n_buyers,
+       count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months,
+       count(*) AS n_orders,
+       CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _q_rel_regex_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import monthly_orders_by_id_parity
+
+    return monthly_orders_by_id_parity(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+_REL_REGEX_ORACLE = r"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) % 2
+         AS id_parity,
+       count(*) AS n_orders,
+       CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY month, id_parity
+"""
+
+
+def _q_rel_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import props_profile
+
+    return props_profile(load_table(spark, sf_dir, "events"))
+
+
+_REL_JSON_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS n_distinct_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def _q_rel_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import user_value_arrays
+
+    return user_value_arrays(load_table(spark, sf_dir, "events"))
+
+
+_REL_ARRAY_ORACLE = """
+WITH arrs AS (
+  SELECT user_id,
+         list_sort(list(CAST(round(value * 100) AS BIGINT))) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS INTEGER) AS n_values,
+       vals[1] AS v_min,
+       vals[-1] AS v_max,
+       CAST(list_sum(vals) AS BIGINT) AS v_sum
+FROM arrs
+"""
+
+
+def _q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import value_percentiles
+
+    return value_percentiles(load_table(spark, sf_dir, "events"))
+
+
+_REL_PCTL_ORACLE = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(round(value * 100) AS BIGINT))
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS INTEGER)
+                THEN cents END) AS p50_cents,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS INTEGER)
+                THEN cents END) AS p90_cents,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS INTEGER)
+                THEN cents END) AS p99_cents
+FROM ranked
+WHERE rn = CAST(ceil(0.5 * n) AS INTEGER)
+   OR rn = CAST(ceil(0.9 * n) AS INTEGER)
+   OR rn = CAST(ceil(0.99 * n) AS INTEGER)
+GROUP BY event_type
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -917,6 +1111,15 @@ def ext_queries():
         "sim_ann_srp_topk": _q_ann_srp,
         "sim_ivf_topk": _q_ivf_topk,
         "sim_embedding_near_dup": _q_embedding_near_dup,
+        "rel_semi_join": _q_rel_semi_join,
+        "rel_anti_join": _q_rel_anti_join,
+        "rel_intersect": _q_rel_intersect,
+        "rel_except": _q_rel_except,
+        "rel_distinct_agg": _q_rel_distinct_agg,
+        "rel_regex_month": _q_rel_regex_month,
+        "rel_json_props": _q_rel_json_props,
+        "rel_array_agg": _q_rel_array_agg,
+        "rel_percentiles": _q_rel_percentiles,
     }
 
 
@@ -941,4 +1144,13 @@ def ext_oracles():
         "sim_ann_srp_topk": _ann_oracle(),
         "sim_ivf_topk": _ivf_oracle(),
         "sim_embedding_near_dup": _near_dup_oracle(),
+        "rel_semi_join": _REL_SEMI_ORACLE,
+        "rel_anti_join": _REL_ANTI_ORACLE,
+        "rel_intersect": _REL_INTERSECT_ORACLE,
+        "rel_except": _REL_EXCEPT_ORACLE,
+        "rel_distinct_agg": _REL_DISTINCT_ORACLE,
+        "rel_regex_month": _REL_REGEX_ORACLE,
+        "rel_json_props": _REL_JSON_ORACLE,
+        "rel_array_agg": _REL_ARRAY_ORACLE,
+        "rel_percentiles": _REL_PCTL_ORACLE,
     }

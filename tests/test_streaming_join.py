@@ -1,0 +1,104 @@
+"""Stream-stream interval join: inner matches within the time range
+emit; rows outside the range never pair; watermark + range condition
+bound state.
+
+Reference parity: the reference has no stream-stream join (its joins
+are stream-to-static point lookups, `InvokeFraudEndpointLambda`);
+this is an extension operator per SURVEY §7.1.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import interval_join
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _mk_stream(spark, tmp_path, name, rows, schema):
+    d = tmp_path / name
+    d.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "00.parquet"))
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(str(d / "00.parquet"))
+    )
+
+
+def _run(spark, df, name, ckpt):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_interval_join_matches_within_range_only(spark, tmp_path):
+    lschema = "user_id long, a_id long, a_ts timestamp"
+    rschema = "user_id long, b_id long, b_ts timestamp"
+    sec = lambda s: T0 + dt.timedelta(seconds=s)
+    left_rows = [(1, 10, sec(0)), (1, 11, sec(300)), (2, 20, sec(0))]
+    right_rows = [
+        (1, 100, sec(30)),    # within +-60s of a_id=10
+        (1, 101, sec(250)),   # within +-60s of a_id=11, not 10
+        (1, 102, sec(500)),   # matches nothing
+        (3, 300, sec(0)),     # key with no left side
+    ]
+    left = _mk_stream(spark, tmp_path, "l", left_rows, lschema)
+    right = _mk_stream(spark, tmp_path, "r", right_rows, rschema)
+    out = _run(
+        spark,
+        interval_join(left, right, key="user_id", left_ts="a_ts",
+                      right_ts="b_ts", lower_s=-60, upper_s=60),
+        "ij_out",
+        tmp_path / "ckpt",
+    )
+    pairs = sorted((r["a_id"], r["b_id"]) for r in out.collect())
+    assert pairs == [(10, 100), (11, 101)]
+    assert "__rkey" not in out.columns
+
+
+def test_interval_join_matches_batch_self_join(spark, tmp_path):
+    """Stream result equals the batch interval join over the same rows."""
+    lschema = "user_id long, a_id long, a_ts timestamp"
+    rschema = "user_id long, b_id long, b_ts timestamp"
+    sec = lambda s: T0 + dt.timedelta(seconds=s)
+    left_rows = [(u, u * 10 + i, sec(i * 45)) for u in (1, 2) for i in range(4)]
+    right_rows = [(u, u * 100 + i, sec(i * 45 + 20)) for u in (1, 2) for i in range(4)]
+
+    left_s = _mk_stream(spark, tmp_path, "l2", left_rows, lschema)
+    right_s = _mk_stream(spark, tmp_path, "r2", right_rows, rschema)
+    out = _run(
+        spark,
+        interval_join(left_s, right_s, key="user_id", left_ts="a_ts",
+                      right_ts="b_ts", lower_s=-60, upper_s=60),
+        "ij_out2",
+        tmp_path / "ckpt2",
+    )
+    got = sorted((r["a_id"], r["b_id"]) for r in out.collect())
+
+    lb = spark.createDataFrame(left_rows, lschema)
+    rb = spark.createDataFrame(right_rows, rschema).withColumnRenamed(
+        "user_id", "u2"
+    )
+    import pyspark.sql.functions as F
+
+    batch = lb.join(
+        rb,
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 60 SECONDS")),
+    )
+    want = sorted((r["a_id"], r["b_id"]) for r in batch.collect())
+    assert got == want and len(want) > 0
