@@ -2,6 +2,7 @@ from .analytics import (  # noqa: F401
     pricing_summary,
     revenue_by_nation,
     revenue_cube,
+    small_quantity_revenue,
     topk_orders_per_customer,
 )
 from .batch_ingest import batch_feature_records, run_batch_ingest  # noqa: F401
@@ -18,7 +19,9 @@ from .relational import (  # noqa: F401
     dormant_customers,
     monthly_orders_by_id_parity,
     nation_order_profile,
+    order_deltas,
     props_profile,
+    revenue_pivot_by_priority,
     repeat_buyers,
     user_value_arrays,
     value_percentiles,

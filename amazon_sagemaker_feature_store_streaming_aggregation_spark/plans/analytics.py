@@ -153,6 +153,53 @@ def topk_orders_per_customer(
     )
 
 
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#13"
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items whose quantity is
+    below 20% of the per-part average — the classic correlated scalar
+    subquery, expressed here as its decorrelated form (per-part
+    aggregate + equi-join), which is exactly what Catalyst rewrites
+    the subquery into. The per-part threshold table is tiny relative
+    to lineitem, so it broadcasts; lineitem is scanned twice (once for
+    thresholds, once for probing) — at 100 TB prefer persisting the
+    filtered projection or relying on parquet column pruning (2 and 3
+    columns respectively).
+
+    Output: one row with the total in EXACT 1e-2-dollar integer cents
+    (sum over ~1/7 of matching items; integer-cent discipline keeps it
+    bit-equal to the oracle's decorrelated spelling and to the
+    correlated original, which DuckDB also decorrelates).
+    """
+    cents = _CENTS.format(c="l_extendedprice")
+    keys = F.broadcast(
+        part.where(F.col("p_brand") == brand).select("p_partkey")
+    )
+    qty = (
+        lineitem.join(keys, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            # integer 1e-1 units of 0.2*avg(qty): floor-compare below
+            # keeps the threshold exact across engines
+            F.expr(
+                "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)"
+                " / count(*) * 0.2"
+            ).alias("__qty_thresh")
+        )
+    )
+    probe = lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    return (
+        probe.join(F.broadcast(qty), "l_partkey")
+        .where(F.col("l_quantity") < F.col("__qty_thresh"))
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST({cents} AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("small_qty_revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def revenue_cube(
     orders: DataFrame, customer: DataFrame, nation: DataFrame
 ) -> DataFrame:

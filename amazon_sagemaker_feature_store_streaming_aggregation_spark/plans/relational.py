@@ -225,6 +225,82 @@ def user_value_arrays(events: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------- analytic window functions
+
+
+def order_deltas(orders: DataFrame) -> DataFrame:
+    """Analytic-function family over each customer's order sequence:
+    ``lag`` (previous order's price), delta vs previous, ``ntile``
+    spend-quartile within the customer, and a running order index.
+    One exchange + one sort serve every function (same window key and
+    compatible orderings), pinned in ``tests/test_plans.py``.
+
+    All outputs are integer cents / small ints — bit-stable. The ORDER
+    BY carries ``o_orderkey`` as a tiebreak so ties at equal dates are
+    deterministic across engines.
+    """
+    cents = F.expr(_CENTS.format(c="o_totalprice"))
+    seq = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    prev = F.lag(cents).over(seq)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(seq).alias("order_idx"),
+        cents.alias("price_cents"),
+        prev.alias("prev_cents"),
+        (cents - prev).alias("delta_cents"),
+        F.ntile(4).over(by_price).alias("spend_quartile"),
+    )
+
+
+# ------------------------------------------------------------- pivot
+
+
+def revenue_pivot_by_priority(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """PIVOT: nation rows x order-priority columns, each cell the
+    exact integer-cent revenue. ``groupBy().pivot(values=...)`` with
+    the value list supplied explicitly, so Spark skips the extra
+    distinct-values JOB a value-less pivot runs first. The fact table
+    is consumed in ONE map-side partial-aggregation pass; the two
+    exchanges that follow carry only pre-aggregated
+    (nation, priority) cells — O(groups x pivot values) rows, not
+    fact rows.
+    """
+    cents = _CENTS.format(c="o_totalprice")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        orders.select("o_custkey", "o_orderpriority",
+                      F.expr(cents).alias("__cents"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .pivot("o_orderpriority", pris)
+        .agg(F.expr(
+            "CAST(sum(CAST(__cents AS DECIMAL(38,0))) AS BIGINT)"
+        ))
+        .select(
+            "n_name",
+            *[
+                F.col(p).alias(f"rev_p{p[0]}_cents")
+                for p in pris
+            ],
+        )
+    )
+
+
 # --------------------------------------------------- exact percentiles
 
 

@@ -1,1 +1,6 @@
 from .batch import write_csv_single, write_parquet  # noqa: F401
+from .layout import (  # noqa: F401
+    read_pruned,
+    write_bucketed_table,
+    write_hash_layout,
+)

@@ -896,6 +896,35 @@ GROUP BY CUBE (n_name, o_orderpriority)
 """
 
 
+def _q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import small_quantity_revenue
+
+    return small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _small_qty_oracle() -> str:
+    # Written in the CORRELATED form on purpose: DuckDB decorrelates it
+    # into the same per-part aggregate + join our DataFrame plan spells
+    # out — so this row also proves the decorrelation equivalence.
+    cents = _OLAP_CENTS.format(c="l_extendedprice")
+    return f"""
+SELECT CAST(sum(CAST({cents} AS DECIMAL(38,0))) AS BIGINT)
+         AS small_qty_revenue_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey AND p_brand = 'Brand#13'
+WHERE l.l_quantity < (
+  SELECT CAST(sum(CAST(round(l2.l_quantity) AS BIGINT)) AS DOUBLE)
+           / count(*) * 0.2
+  FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
 # ------------------------------------------- relational coverage (§2.7)
 # Semi/anti joins, set operators, distinct aggregation, regex/date
 # scalar functions, JSON/array functions, exact percentiles — the
@@ -1090,12 +1119,66 @@ GROUP BY event_type
 """
 
 
+def _q_rel_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import order_deltas
+
+    return order_deltas(load_table(spark, sf_dir, "orders"))
+
+
+_REL_WINDOW_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER seq AS order_idx,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       lag(CAST(round(o_totalprice * 100) AS BIGINT)) OVER seq
+         AS prev_cents,
+       CAST(round(o_totalprice * 100) AS BIGINT)
+         - lag(CAST(round(o_totalprice * 100) AS BIGINT)) OVER seq
+         AS delta_cents,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey)
+            AS INTEGER) AS spend_quartile
+FROM orders
+WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def _q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import revenue_pivot_by_priority
+
+    return revenue_pivot_by_priority(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _rel_pivot_oracle() -> str:
+    cents = _OLAP_CENTS.format(c="o_totalprice")
+    cols = []
+    for p in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"):
+        cols.append(
+            f"CAST(sum(CAST({cents} AS DECIMAL(38,0))) "
+            f"FILTER (WHERE o_orderpriority = '{p}') AS BIGINT) "
+            f"AS rev_p{p[0]}_cents"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+SELECT n_name,
+       {sel}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
         "olap_revenue_by_nation": _q_revenue_by_nation,
         "olap_topk_orders": _q_topk_orders,
         "olap_revenue_cube": _q_revenue_cube,
+        "olap_small_qty_revenue": _q_small_qty_revenue,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_minhash_signatures,
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
@@ -1120,6 +1203,8 @@ def ext_queries():
         "rel_json_props": _q_rel_json_props,
         "rel_array_agg": _q_rel_array_agg,
         "rel_percentiles": _q_rel_percentiles,
+        "rel_window_funcs": _q_rel_window_funcs,
+        "rel_pivot": _q_rel_pivot,
     }
 
 
@@ -1129,6 +1214,7 @@ def ext_oracles():
         "olap_revenue_by_nation": _revenue_oracle(),
         "olap_topk_orders": _TOPK_ORDERS_ORACLE,
         "olap_revenue_cube": _cube_oracle(),
+        "olap_small_qty_revenue": _small_qty_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_sigs": _MINHASH_ORACLE,
         "dedup_minhash_lsh_pairs": _LSH_ORACLE,
@@ -1153,4 +1239,6 @@ def ext_oracles():
         "rel_json_props": _REL_JSON_ORACLE,
         "rel_array_agg": _REL_ARRAY_ORACLE,
         "rel_percentiles": _REL_PCTL_ORACLE,
+        "rel_window_funcs": _REL_WINDOW_ORACLE,
+        "rel_pivot": _rel_pivot_oracle(),
     }

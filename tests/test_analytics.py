@@ -150,3 +150,36 @@ def test_revenue_cube_subtotals_consistent(spark):
     cells = [r for r in rows if r["g_nation"] == 0 and r["g_priority"] == 0]
     assert abs(sum(c["revenue"] for c in cells) - grand[0]["revenue"]) < 1e-6
     assert sum(c["n_orders"] for c in cells) == grand[0]["n_orders"] == 15000
+
+
+def test_q17_correlated_sql_equals_decorrelated_dataframe(spark):
+    """The SQL surface with the CORRELATED scalar subquery must give
+    the same answer as the hand-decorrelated DataFrame plan — i.e.
+    Catalyst's decorrelation and our spelled-out rewrite agree."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import small_quantity_revenue
+
+    li = load_table(spark, SF001, "lineitem")
+    pt = load_table(spark, SF001, "part")
+    li.createOrReplaceTempView("v_lineitem")
+    pt.createOrReplaceTempView("v_part")
+    try:
+        sql_row = spark.sql("""
+            SELECT CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                 AS DECIMAL(38,0))) AS BIGINT)
+                     AS small_qty_revenue_cents,
+                   count(*) AS n_items
+            FROM v_lineitem l
+            JOIN v_part ON l.l_partkey = p_partkey AND p_brand = 'Brand#13'
+            WHERE l.l_quantity < (
+              SELECT CAST(sum(CAST(round(l2.l_quantity) AS BIGINT)) AS DOUBLE)
+                       / count(*) * 0.2
+              FROM v_lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+            )
+        """).collect()[0]
+        df_row = small_quantity_revenue(li, pt).collect()[0]
+        assert tuple(sql_row) == tuple(df_row)
+        assert df_row["n_items"] > 0
+    finally:
+        spark.catalog.dropTempView("v_lineitem")
+        spark.catalog.dropTempView("v_part")

@@ -1,0 +1,64 @@
+"""Scale table layout (sinks/layout.py): partition pruning on the
+hash layout, and shuffle-free joins between co-bucketed tables —
+the plan-level contracts the 100 TB story rests on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.sinks import (
+    read_pruned,
+    write_bucketed_table,
+    write_hash_layout,
+)
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+from .conftest import SF0001
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hash_layout_prunes_partitions_on_point_lookup(spark, tmp_path):
+    ev = load_table(spark, SF0001, "events").select("user_id", "ts", "value")
+    path = str(tmp_path / "events_layout")
+    write_hash_layout(ev, path, key_col="user_id", num_buckets=8,
+                      date_col="ts")
+
+    key = ev.select("user_id").first()[0]
+    got = read_pruned(spark, path, "user_id", key, num_buckets=8)
+
+    plan = _plan(got)
+    # the bucket predicate must land in PartitionFilters (directory
+    # pruning), not just a post-scan Filter
+    assert "PartitionFilters: [" in plan
+    assert "__bucket" in plan.split("PartitionFilters")[1].split("]")[0], plan
+
+    want = ev.where(F.col("user_id") == key).count()
+    assert got.count() == want and want > 0
+    assert set(got.columns) == {"user_id", "ts", "value"}
+
+
+def test_cobucketed_join_is_shuffle_free(spark, tmp_path):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = load_table(spark, SF0001, "events")
+        left = ev.select("user_id", "value")
+        right = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+        write_bucketed_table(left, "t_left", "user_id", 8,
+                             sort_col="user_id", path=str(tmp_path / "l"))
+        write_bucketed_table(right, "t_right", "user_id", 8,
+                             sort_col="user_id", path=str(tmp_path / "r"))
+
+        joined = spark.table("t_left").join(spark.table("t_right"), "user_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-bucketed => no shuffle
+
+        assert joined.count() == left.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_left")
+        spark.sql("DROP TABLE IF EXISTS t_right")

@@ -68,6 +68,94 @@ def test_whole_stage_codegen_in_hot_path(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_semi_anti_join_build_side_is_key_only(spark):
+    """Semi/anti joins must broadcast a key-only projection of the
+    filtered orders side, with the filter pushed into the scan — at
+    scale the build side carries 8-byte keys, not order rows."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
+        customers_with_urgent_orders,
+        dormant_customers,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    cust = load_table(spark, SF001, "customer")
+    orders = load_table(spark, SF001, "orders")
+
+    semi = _plan(customers_with_urgent_orders(cust, orders))
+    assert "LeftSemi" in semi, semi
+    assert "EqualTo(o_orderpriority,1-URGENT)" in semi  # pushed filter
+    # build-side scan reads exactly the key + filter column
+    build_schema = semi.split("ReadSchema")[-1]
+    assert "o_totalprice" not in build_schema
+
+    anti = _plan(dormant_customers(cust, orders))
+    assert "LeftAnti" in anti, anti
+    assert "GreaterThanOrEqual(o_orderdate" in anti  # pushed filter
+
+
+def test_distinct_agg_single_expand(spark):
+    """Multi-DISTINCT agg: ONE Expand node, broadcast dims, and no
+    more than the two inherent exchanges (expanded partial + final)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import nation_order_profile
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(
+        nation_order_profile(
+            load_table(spark, SF001, "orders"),
+            load_table(spark, SF001, "customer"),
+            load_table(spark, SF001, "nation"),
+        )
+    )
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_percentiles_single_exchange_reused_by_final_agg(spark):
+    """Exact percentiles: one hash exchange on the group key feeds the
+    sort, both Window nodes, AND the final aggregate (Catalyst must not
+    re-shuffle for the groupBy over the same key)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import value_percentiles
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(value_percentiles(load_table(spark, SF001, "events")))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort") == 1, plan
+
+
+def test_window_funcs_share_one_exchange(spark):
+    """lag/row_number/ntile over two orderings of the same partition
+    key: one hash exchange, two sorts — never an exchange per
+    function."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import order_deltas
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(order_deltas(load_table(spark, SF001, "orders")))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Window") == 2, plan
+
+
+def test_pivot_preaggregates_before_shuffle(spark):
+    """Explicit-values pivot: the fact scan feeds a map-side partial
+    aggregate; every exchange moves only (group, pivot-value) cells.
+    A value-less pivot would also run a distinct-values job first."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import revenue_pivot_by_priority
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(
+        revenue_pivot_by_priority(
+            load_table(spark, SF001, "orders"),
+            load_table(spark, SF001, "customer"),
+            load_table(spark, SF001, "nation"),
+        )
+    )
+    assert "pivotfirst" in plan, plan
+    # partial agg sits below the first exchange
+    first_exchange = plan.index("Exchange hashpartitioning")
+    assert "partial_sum" in plan[first_exchange:], plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
 def test_b2_sql_surface_equals_dataframe_plan(spark):
     """B2: the SQL-string entry (temp view + spark.sql of the
     reference-shaped WINDOW query) must produce bit-identical rows AND
