@@ -687,6 +687,66 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training join: every 'purchase' event (the label
+    row) reads the user's latest 'click' and 'view' events as of the
+    purchase time — clicks NULLed beyond a 1-hour staleness tolerance,
+    views unbounded. No feature may postdate its label (leakage guard
+    tested in tests/test_point_in_time.py). Oracle: two DuckDB native
+    ASOF LEFT JOINs."""
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.featurestore import (
+        point_in_time_features,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", F.col("value").alias("label_value")
+    )
+    hist = {
+        "click": ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").alias("v")
+        ),
+        "view": ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("value").alias("v")
+        ),
+    }
+    return point_in_time_features(
+        labels,
+        hist,
+        key="user_id",
+        tolerances_us={"click": 3_600_000_000},
+    )
+
+
+_PIT_ORACLE = """
+WITH labels AS (
+  SELECT event_id, ts, user_id, value AS label_value
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, value AS v FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, value AS v FROM events WHERE event_type = 'view'
+)
+SELECT l.event_id, l.ts, l.user_id, l.label_value,
+       CASE WHEN c.ts IS NOT NULL
+             AND epoch_us(l.ts) - epoch_us(c.ts) <= 3600000000
+            THEN c.ts END AS click__asof_ts,
+       CASE WHEN c.ts IS NOT NULL
+             AND epoch_us(l.ts) - epoch_us(c.ts) <= 3600000000
+            THEN c.v END AS click__v,
+       v.ts AS view__asof_ts,
+       v.v AS view__v
+FROM labels l
+ASOF LEFT JOIN clicks c ON l.user_id = c.user_id AND l.ts >= c.ts
+ASOF LEFT JOIN views v ON l.user_id = v.user_id AND l.ts >= v.ts
+"""
+
+
 _ASOF_ORACLE = f"""
 WITH probe AS (
   SELECT event_id, ts, user_id, value FROM events
@@ -838,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_sliding_agg": _q_s4_sliding_agg,
         "i_enrich": _q_inference_enrich,
         "asof_join": _q_asof_join,
+        "pit_training_set": _q_pit_training_set,
         "s_stream_dedup": _q_stream_dedup,
         "s_stream_sessions": _q_stream_sessions,
         "s_stream_interval_join": _q_stream_interval_join,
@@ -858,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
         "s4_sliding_agg": _S4_ORACLE,
         "i_enrich": _I_ENRICH_ORACLE,
         "asof_join": _ASOF_ORACLE,
+        "pit_training_set": _PIT_ORACLE,
         "s_stream_dedup": _STREAM_DEDUP_ORACLE,
         "s_stream_sessions": _STREAM_SESSIONS_ORACLE,
         "s_stream_interval_join": _STREAM_IJOIN_ORACLE,
