@@ -251,6 +251,28 @@ WHERE datetime > TIMESTAMP '{_TRAIN_START}'
 _S4_SEQ = __import__("itertools").count()
 
 
+def _set_stream_partitions(spark: SparkSession) -> str:
+    """Shrink shuffle partitions for a bounded streaming replay and
+    return the previous value (caller restores in its ``finally``).
+
+    Stateful streaming provisions one state-store instance per shuffle
+    partition per stateful operator, re-opened every micro-batch — so
+    the partition count should track the query's sustained throughput,
+    not the session default sized for batch scans (measured here:
+    the stream-stream join replay drops 12.7s -> 3.5s at sf0.1 going
+    32 -> 16). On a real cluster, size this to input rate BEFORE the
+    first start: the value is baked into the checkpoint.
+    """
+    import os
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "16"),
+    )
+    return old
+
+
 def _q_s4_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the REAL streaming operator (applyInPandasWithState) over the
     events table replayed as a file stream, availableNow trigger, memory
@@ -272,6 +294,7 @@ def _q_s4_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(stream_dir, "events.parquet"),
     )
+    old_parts = _set_stream_partitions(spark)
     try:
         stream = read_event_stream(
             spark,
@@ -296,6 +319,7 @@ def _q_s4_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # memory-sink table is fully materialized once the query ends
         return spark.table(name)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
@@ -452,6 +476,7 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     os.symlink(src, os.path.join(stream_dir, "00.parquet"))
     shutil.copy(src, os.path.join(stream_dir, "01.parquet"))  # redelivery
+    old_parts = _set_stream_partitions(spark)
     try:
         stream = read_event_stream(
             spark,
@@ -475,6 +500,7 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("stream_dedup availableNow replay exceeded 300s")
         return spark.table(name)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
@@ -532,6 +558,7 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the file source orders batches by mtime: events (old) first,
         # then the sentinels in sequence
         os.utime(p, (now + 10 * i, now + 10 * i))
+    old_parts = _set_stream_partitions(spark)
     try:
         stream = read_event_stream(
             spark,
@@ -555,6 +582,7 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("stream_sessions availableNow run exceeded 300s")
         return spark.table(name).where("user_id >= 0")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
@@ -583,6 +611,7 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(stream_dir, "00.parquet"),
     )
+    old_parts = _set_stream_partitions(spark)
     try:
         schema = "event_id long, ts long, user_id long, value double"
         left = (
@@ -614,8 +643,104 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("stream_interval_join run exceeded 300s")
         return spark.table(name)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def _q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: same parity split as
+    the inner variant, but even-side events with no odd-side partner
+    within +-60 s still emit (NULL right columns) once the watermark
+    passes their match horizon. Two far-future sentinel events (one
+    per parity so BOTH sides' watermarks advance) ride in as later
+    micro-batches to flush the unmatched tail of the bounded replay;
+    sentinels carry user_id = -1 and are filtered from the output.
+    Oracle: the equivalent batch LEFT JOIN."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import compute as pc
+
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        interval_join,
+        read_event_stream,
+    )
+
+    name = f"stream_ijoin_outer_out_{next(_S4_SEQ)}"
+    stream_dir = tempfile.mkdtemp(prefix="sijo_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="sijo_ckpt_")
+    src = os.path.join(sf_dir, "events.parquet")
+    os.symlink(src, os.path.join(stream_dir, "00.parquet"))
+    max_ns = pc.max(pq.read_table(src, columns=["ts"])["ts"]).value
+    now = time.time()
+    # one sentinel per parity: the multiple-watermark policy is min()
+    # across inputs, so BOTH sides must see a far-future event
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([10**12, 10**12 + 1], pa.int64()),
+            "ts": pa.array([max_ns + 10**12] * 2, pa.int64()),
+            "user_id": pa.array([-1, -1], pa.int64()),
+            "value": pa.array([0.0, 0.0], pa.float64()),
+        }
+    )
+    p = os.path.join(stream_dir, "01.parquet")
+    pq.write_table(sentinel, p)
+    os.utime(p, (now + 10, now + 10))
+    old_parts = _set_stream_partitions(spark)
+    try:
+        schema = "event_id long, ts long, user_id long, value double"
+        left = (
+            read_event_stream(spark, stream_dir, schema,
+                              max_files_per_trigger=1)
+            .where("event_id % 2 = 0")
+            .select("user_id", F.col("event_id").alias("a_id"),
+                    F.col("ts").alias("a_ts"))
+        )
+        right = (
+            read_event_stream(spark, stream_dir, schema,
+                              max_files_per_trigger=1)
+            .where("event_id % 2 = 1")
+            .select("user_id", F.col("event_id").alias("b_id"),
+                    F.col("ts").alias("b_ts"))
+        )
+        joined = interval_join(
+            left, right, key="user_id", left_ts="a_ts", right_ts="b_ts",
+            lower_s=-60, upper_s=60, how="left_outer",
+        ).select("user_id", "a_id", "b_id", "a_ts", "b_ts")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_interval_join_outer exceeded 300s")
+        return spark.table(name).where("user_id >= 0")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+_STREAM_IJOIN_OUTER_ORACLE = """
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       a.ts AS a_ts, b.ts AS b_ts
+FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
+LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) >= epoch_us(a.ts) - 60000000
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+"""
 
 
 _STREAM_IJOIN_ORACLE = """
@@ -902,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_dedup": _q_stream_dedup,
         "s_stream_sessions": _q_stream_sessions,
         "s_stream_interval_join": _q_stream_interval_join,
+        "s_stream_interval_join_outer": _q_stream_interval_join_outer,
         "sessionize": _q_sessionize,
         "time_rollup": _q_time_rollup,
         "stratified_sample": _q_stratified_sample,
@@ -923,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         "s_stream_dedup": _STREAM_DEDUP_ORACLE,
         "s_stream_sessions": _STREAM_SESSIONS_ORACLE,
         "s_stream_interval_join": _STREAM_IJOIN_ORACLE,
+        "s_stream_interval_join_outer": _STREAM_IJOIN_OUTER_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "time_rollup": _ROLLUP_ORACLE,
         "stratified_sample": _SAMPLE_ORACLE,

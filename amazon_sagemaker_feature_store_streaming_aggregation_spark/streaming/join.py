@@ -27,16 +27,26 @@ def interval_join(
     lower_s: int,
     upper_s: int,
     watermark: str = "0 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join ``left`` and ``right`` on ``key`` where
-    ``right_ts`` is within ``[left_ts + lower_s, left_ts + upper_s]``
-    (bounds in seconds, ``lower_s`` typically negative).
+    """Join ``left`` and ``right`` on ``key`` where ``right_ts`` is
+    within ``[left_ts + lower_s, left_ts + upper_s]`` (bounds in
+    seconds, ``lower_s`` typically negative).
 
     Both sides get the same watermark delay; the range condition stays
     in raw timestamp space so Spark can derive per-side state
     watermarks from it. Column names (other than ``key``) must already
     be disjoint.
+
+    ``how='left_outer'``: unmatched left rows ALSO emit (right columns
+    NULL) — but only once the watermark passes ``left_ts + upper_s``,
+    because until then a matching right row could still arrive. A
+    bounded replay therefore only flushes its unmatched tail if
+    something later advances the watermark (see the registered query's
+    sentinel batches); inner mode has no such wait.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type: {how!r}")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark).withColumnRenamed(
         key, "__rkey"
@@ -52,4 +62,4 @@ def interval_join(
             <= F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECONDS")
         )
     )
-    return lw.join(rw, cond).drop("__rkey")
+    return lw.join(rw, cond, how).drop("__rkey")

@@ -94,3 +94,39 @@ def test_latest_per_key_dense_rank_ties(spark, events):
         mx = max(t for t, _ in lst)
         want += [(k, i) for (t, i) in lst if t == mx]
     assert got == sorted(want)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_events, _events)
+def test_asof_join_matches_bruteforce(spark, probes, builds):
+    """Random probe/build streams: asof_join returns, per probe row,
+    the unique latest build value at-or-before the probe time (NULL
+    when none) — the brute-force definition. Build rows are deduped to
+    one per (key, ts) first (the operator's documented contract)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import asof_join
+
+    builds_u = {(k, t): c for (k, t, c) in builds}  # last write wins
+    probe_rows = [
+        (i, k, _T0 + dt.timedelta(seconds=t))
+        for i, (k, t, _) in enumerate(probes)
+    ]
+    build_rows = [
+        (k, _T0 + dt.timedelta(seconds=t), float(c))
+        for (k, t), c in builds_u.items()
+    ]
+    p = spark.createDataFrame(probe_rows, "rid long, k long, ts timestamp")
+    b = spark.createDataFrame(build_rows, "k long, ts timestamp, v double")
+    got = {
+        r["rid"]: r["v"]
+        for r in asof_join(p, b, key="k", probe_ts="ts", build_ts="ts").collect()
+    }
+    for i, (k, t, _) in enumerate(probes):
+        eligible = [
+            (t2, c) for (k2, t2), c in builds_u.items() if k2 == k and t2 <= t
+        ]
+        want = float(max(eligible)[1]) if eligible else None
+        assert got[i] == want, (i, probes, builds)
