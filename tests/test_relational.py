@@ -104,3 +104,24 @@ def test_approx_percentiles_track_exact_within_sketch_error(spark):
             # generous value tolerance via the observed value spread
             assert abs(approx[et][c] - ex[c]) <= max(50, ex[c] * 0.05), (
                 et, c, approx[et][c], ex[c], n)
+
+
+def test_approx_count_distinct_tracks_exact_within_rsd(spark):
+    """HLL++ sketch twin of the exact distinct aggregate: single-pass,
+    mergeable — the 100x path when exact cardinality is negotiable.
+    rsd=0.01 keeps observed error well within 5% on real data."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(2, 0.05 * r["exact"]), (
+            r["event_type"], r["approx"], r["exact"])
