@@ -812,6 +812,50 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch range join via the bucketed-explode rewrite: every event
+    joined to the same user's 'signup' follow-up windows
+    [signup_ts, signup_ts + 30 min] that contain it. The naive
+    spelling is a BroadcastNestedLoopJoin; this plans as a shuffled
+    equi-join on (user, hour-bucket) with the range check residual
+    (plan asserted in tests/test_range_join.py). Oracle: the naive
+    BETWEEN join, which DuckDB executes natively (IEJoin)."""
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import range_join
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select("event_id", "ts", "user_id", "value")
+    windows = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("w_lo"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_hi"),
+        )
+    )
+    return range_join(
+        points, windows, point_ts="ts", lo="w_lo", hi="w_hi",
+        key="user_id", bucket_s=1800,
+    ).select("event_id", "user_id", "signup_id", "ts", "w_lo", "w_hi")
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT p.event_id, p.user_id, w.signup_id, p.ts, w.w_lo, w.w_hi
+FROM events p
+JOIN (
+  SELECT user_id, event_id AS signup_id, ts AS w_lo,
+         ts + INTERVAL 30 MINUTE AS w_hi
+  FROM events WHERE event_type = 'signup'
+) w
+  ON p.user_id = w.user_id
+ AND epoch_us(p.ts) >= epoch_us(w.w_lo)
+ AND epoch_us(p.ts) <= epoch_us(w.w_hi)
+"""
+
+
 def _q_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time training join: every 'purchase' event (the label
     row) reads the user's latest 'click' and 'view' events as of the
@@ -1023,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_sliding_agg": _q_s4_sliding_agg,
         "i_enrich": _q_inference_enrich,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "pit_training_set": _q_pit_training_set,
         "s_stream_dedup": _q_stream_dedup,
         "s_stream_sessions": _q_stream_sessions,
@@ -1045,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "s4_sliding_agg": _S4_ORACLE,
         "i_enrich": _I_ENRICH_ORACLE,
         "asof_join": _ASOF_ORACLE,
+        "range_join": _RANGE_JOIN_ORACLE,
         "pit_training_set": _PIT_ORACLE,
         "s_stream_dedup": _STREAM_DEDUP_ORACLE,
         "s_stream_sessions": _STREAM_SESSIONS_ORACLE,

@@ -1,0 +1,81 @@
+"""Batch range join (operators/range_join.py): bucketed-explode
+rewrite — correctness on crafted intervals, equivalence to the naive
+theta join, and the no-nested-loop plan guarantee."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import range_join
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _frames(spark):
+    points = spark.createDataFrame(
+        [(i, 7, _ts(i * 1000)) for i in range(10)],
+        "pid long, k long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (100, 7, _ts(500), _ts(2500)),     # covers pids 1,2
+            (101, 7, _ts(2000), _ts(2000)),    # degenerate: pid 2 exactly
+            (102, 7, _ts(8999), _ts(9001)),    # pid 9 on the boundary
+            (103, 8, _ts(0), _ts(10_000)),     # wrong key: matches nothing
+        ],
+        "iid long, k long, lo timestamp, hi timestamp",
+    )
+    return points, ivs
+
+
+def test_range_join_inner_matches_naive(spark):
+    points, ivs = _frames(spark)
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, ivs, point_ts="ts", lo="lo", hi="hi", key="k",
+            bucket_s=900,
+        ).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in points.alias("p")
+        .join(
+            ivs.withColumnRenamed("k", "k2").alias("i"),
+            (F.col("k") == F.col("k2"))
+            & (F.col("ts") >= F.col("lo"))
+            & (F.col("ts") <= F.col("hi")),
+        )
+        .collect()
+    )
+    assert got == naive == [(1, 100), (2, 100), (2, 101), (9, 102)]
+
+
+def test_range_join_left_outer_keeps_unmatched_points(spark):
+    points, ivs = _frames(spark)
+    out = range_join(
+        points, ivs, point_ts="ts", lo="lo", hi="hi", key="k",
+        bucket_s=900, how="left_outer",
+    )
+    rows = sorted((r["pid"], r["iid"]) for r in out.collect())
+    matched = [(1, 100), (2, 100), (2, 101), (9, 102)]
+    unmatched = [(p, None) for p in (0, 3, 4, 5, 6, 7, 8)]
+    assert rows == sorted(matched + unmatched)
+
+
+def test_range_join_plans_as_equi_join_not_nested_loop(spark):
+    points, ivs = _frames(spark)
+    plan = (
+        range_join(points, ivs, point_ts="ts", lo="lo", hi="hi", key="k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan and "Explode" not in plan.split("Join")[0], plan
