@@ -3,6 +3,7 @@ from .analytics import (  # noqa: F401
     revenue_by_nation,
     revenue_cube,
     small_quantity_revenue,
+    status_priority_grouping_sets,
     topk_orders_per_customer,
 )
 from .batch_ingest import batch_feature_records, run_batch_ingest  # noqa: F401

@@ -153,6 +153,43 @@ def topk_orders_per_customer(
     )
 
 
+def status_priority_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the sparse subtotal lattice
+    ``(status, priority), (status), ()`` that CUBE would over-produce
+    (CUBE adds the ``(priority)``-only cell this report doesn't want).
+    Plans as ONE Expand (3 projections) into one aggregate, same as
+    CUBE/rollup; ``grouping()`` flags disambiguate subtotal rows from
+    genuine NULL dimension values.
+    """
+    cents = _CENTS.format(c="o_totalprice")
+    return (
+        orders.select(
+            "o_orderstatus", "o_orderpriority", F.expr(cents).alias("__cents")
+        )
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(__cents AS DECIMAL(38,0))) AS DOUBLE) / 100.0"
+            ).alias("revenue"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
 def small_quantity_revenue(
     lineitem: DataFrame, part: DataFrame, brand: str = "Brand#13"
 ) -> DataFrame:

@@ -896,6 +896,29 @@ GROUP BY CUBE (n_name, o_orderpriority)
 """
 
 
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
+        status_priority_grouping_sets,
+    )
+
+    return status_priority_grouping_sets(load_table(spark, sf_dir, "orders"))
+
+
+def _grouping_sets_oracle() -> str:
+    cents = _OLAP_CENTS.format(c="o_totalprice")
+    return f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST({cents} AS DECIMAL(38,0))) AS DOUBLE) / 100.0
+         AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
 def _q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import small_quantity_revenue
 
@@ -1179,6 +1202,7 @@ def ext_queries():
         "olap_topk_orders": _q_topk_orders,
         "olap_revenue_cube": _q_revenue_cube,
         "olap_small_qty_revenue": _q_small_qty_revenue,
+        "olap_grouping_sets": _q_grouping_sets,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_minhash_signatures,
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
@@ -1215,6 +1239,7 @@ def ext_oracles():
         "olap_topk_orders": _TOPK_ORDERS_ORACLE,
         "olap_revenue_cube": _cube_oracle(),
         "olap_small_qty_revenue": _small_qty_oracle(),
+        "olap_grouping_sets": _grouping_sets_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_sigs": _MINHASH_ORACLE,
         "dedup_minhash_lsh_pairs": _LSH_ORACLE,
