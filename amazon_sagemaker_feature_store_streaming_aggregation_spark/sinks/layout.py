@@ -60,24 +60,30 @@ def read_pruned(
     key_col: str,
     key_value,
     num_buckets: int = 32,
+    date=None,
 ) -> DataFrame:
     """Read a :func:`write_hash_layout` table restricted to one key:
     the bucket predicate is a PARTITION filter (directory pruning — no
     data files outside the key's bucket are opened), the key equality
-    a pushed data filter inside it.
+    a pushed data filter inside it. Pass ``date`` (anything
+    ``to_date`` accepts) for a table written with ``date_col`` to also
+    prune to the one (day, bucket) directory.
+
+    The key literal is cast to the key COLUMN's actual type before
+    hashing — ``xxhash64`` is type-sensitive, so hashing e.g. an int
+    literal against a bigint-bucketed column would silently select the
+    wrong directory. The bucket expression is a constant; Catalyst
+    folds it, so no extra job runs to compute it.
     """
     df = spark.read.parquet(path)
-    bucket = (
-        spark.range(1)
-        .select(
-            F.pmod(F.xxhash64(F.lit(key_value).cast("long")), F.lit(num_buckets))
-        )
-        .first()[0]
+    key_type = df.schema[key_col].dataType
+    bucket = F.pmod(
+        F.xxhash64(F.lit(key_value).cast(key_type)), F.lit(num_buckets)
     )
-    return df.where(
-        (F.col(_BUCKET) == F.lit(int(bucket)))
-        & (F.col(key_col) == F.lit(key_value))
-    ).drop(_BUCKET, "__date")
+    cond = (F.col(_BUCKET) == bucket) & (F.col(key_col) == F.lit(key_value))
+    if date is not None:
+        cond = cond & (F.col("__date") == F.to_date(F.lit(date)))
+    return df.where(cond).drop(_BUCKET, "__date")
 
 
 def write_bucketed_table(

@@ -67,7 +67,10 @@ def main() -> None:
     stream_dir = tempfile.mkdtemp(prefix="benchref_src_")
     ckpt_dir = tempfile.mkdtemp(prefix="benchref_ckpt_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "16"),
+    )  # same sizing knob as __spark_entry__._set_stream_partitions
     try:
         tx.select("tid", "datetime", "cc_num", "amount").write.mode(
             "overwrite"

@@ -13,3 +13,9 @@ def spark():
     s = get_spark("tests", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+def plan_str(df) -> str:
+    """Executed-plan string for plan-shape assertions (single home so
+    AQE/stringification changes are fixed in one place)."""
+    return df._jdf.queryExecution().executedPlan().toString()

@@ -13,11 +13,7 @@ from amazon_sagemaker_feature_store_streaming_aggregation_spark.sinks import (
 )
 from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
 
-from .conftest import SF0001
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from .conftest import SF0001, plan_str as _plan
 
 
 def test_hash_layout_prunes_partitions_on_point_lookup(spark, tmp_path):
@@ -38,6 +34,48 @@ def test_hash_layout_prunes_partitions_on_point_lookup(spark, tmp_path):
     want = ev.where(F.col("user_id") == key).count()
     assert got.count() == want and want > 0
     assert set(got.columns) == {"user_id", "ts", "value"}
+
+
+def test_hash_layout_roundtrips_non_bigint_keys(spark, tmp_path):
+    """xxhash64 is type-sensitive: the reader must hash the key
+    literal AT THE COLUMN'S TYPE or it selects the wrong bucket
+    directory (silent 0 rows). Covers string and int key columns."""
+    docs = load_table(spark, SF0001, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_key"),
+        "n_chars",
+    )
+    path = str(tmp_path / "docs_layout")
+    write_hash_layout(docs, path, key_col="doc_key", num_buckets=8)
+    key = docs.select("doc_key").first()[0]
+    got = read_pruned(spark, path, "doc_key", key, num_buckets=8)
+    assert got.count() == 1
+
+    ints = load_table(spark, SF0001, "nation").select("n_nationkey", "n_name")
+    path2 = str(tmp_path / "nation_layout")
+    write_hash_layout(ints, path2, key_col="n_nationkey", num_buckets=4)
+    got2 = read_pruned(spark, path2, "n_nationkey", 3, num_buckets=4)
+    assert got2.count() == 1
+
+
+def test_hash_layout_date_pruning(spark, tmp_path):
+    """With date_col set, passing date= prunes to the single
+    (day, bucket) directory — both predicates land in
+    PartitionFilters."""
+    ev = load_table(spark, SF0001, "events").select("user_id", "ts", "value")
+    path = str(tmp_path / "events_dated")
+    write_hash_layout(ev, path, key_col="user_id", num_buckets=4,
+                      date_col="ts")
+    row = ev.select("user_id", F.to_date("ts").alias("d")).first()
+    got = read_pruned(spark, path, "user_id", row["user_id"],
+                      num_buckets=4, date=str(row["d"]))
+    plan = _plan(got)
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "__bucket" in pf and "__date" in pf, plan
+    want = ev.where(
+        (F.col("user_id") == row["user_id"])
+        & (F.to_date("ts") == F.lit(str(row["d"])))
+    ).count()
+    assert got.count() == want and want > 0
 
 
 def test_cobucketed_join_is_shuffle_free(spark, tmp_path):

@@ -15,11 +15,7 @@ from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import (
     load_transactions,
 )
 
-from .conftest import SF001
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from .conftest import SF001, plan_str as _plan
 
 
 def test_scan_prunes_unused_columns(spark):

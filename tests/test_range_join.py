@@ -71,11 +71,10 @@ def test_range_join_left_outer_keeps_unmatched_points(spark):
 
 def test_range_join_plans_as_equi_join_not_nested_loop(spark):
     points, ivs = _frames(spark)
-    plan = (
+    from .conftest import plan_str
+
+    plan = plan_str(
         range_join(points, ivs, point_ts="ts", lo="lo", hi="hi", key="k")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
     )
     assert "NestedLoop" not in plan, plan
     assert "Join" in plan and "Explode" not in plan.split("Join")[0], plan
