@@ -587,6 +587,105 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
+def _q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE watermark-based streaming aggregation (append mode): per
+    (user, 1-hour tumbling window) COUNT + exact-cents AVG. Append
+    mode only emits a window once the watermark passes its end — the
+    state store holds exactly the open windows — so a far-future
+    sentinel batch flushes the bounded replay's tail (it never emits
+    itself; its own window stays open, and its user_id = -1 row is
+    filtered regardless). The batch twin of this aggregation is
+    ``s4_sliding_windowed``; THIS entry proves the streaming execution
+    path with watermark eviction. Oracle: hourly GROUP BY."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import compute as pc
+
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_event_stream,
+    )
+
+    name = f"stream_tumble_out_{next(_S4_SEQ)}"
+    stream_dir = tempfile.mkdtemp(prefix="stumble_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stumble_ckpt_")
+    src = os.path.join(sf_dir, "events.parquet")
+    os.symlink(src, os.path.join(stream_dir, "00.parquet"))
+    max_ns = pc.max(pq.read_table(src, columns=["ts"])["ts"]).value
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([-1], pa.int64()),
+            "ts": pa.array([max_ns + 10**13], pa.int64()),
+            "user_id": pa.array([-1], pa.int64()),
+            "value": pa.array([0.0], pa.float64()),
+        }
+    )
+    p = os.path.join(stream_dir, "01.parquet")
+    pq.write_table(sentinel, p)
+    now = time.time()
+    os.utime(p, (now + 10, now + 10))
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = read_event_stream(
+            spark,
+            stream_dir,
+            "event_id long, ts long, user_id long, value double",
+            max_files_per_trigger=1,
+        )
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+                    "__cents"
+                ),
+            )
+            .select(
+                "user_id",
+                F.col("window.end").alias("window_end"),
+                "n_events",
+                F.expr(
+                    "(CAST(__cents AS DOUBLE) / 100.0)"
+                    " / CAST(n_events AS DOUBLE)"
+                ).alias("avg_value"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_tumbling_agg exceeded 300s")
+        return spark.table(name).where("user_id >= 0")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+_STREAM_TUMBLE_ORACLE = """
+SELECT user_id,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       count(*) AS n_events,
+       (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+         / CAST(count(*) AS DOUBLE) AS avg_value
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
 def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: the replayed event stream split by
     event-id parity into two live sides, inner-joined per user where
@@ -1071,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_training_set": _q_pit_training_set,
         "s_stream_dedup": _q_stream_dedup,
         "s_stream_sessions": _q_stream_sessions,
+        "s_stream_tumbling_agg": _q_stream_tumbling_agg,
         "s_stream_interval_join": _q_stream_interval_join,
         "s_stream_interval_join_outer": _q_stream_interval_join_outer,
         "sessionize": _q_sessionize,
@@ -1094,6 +1194,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_training_set": _PIT_ORACLE,
         "s_stream_dedup": _STREAM_DEDUP_ORACLE,
         "s_stream_sessions": _STREAM_SESSIONS_ORACLE,
+        "s_stream_tumbling_agg": _STREAM_TUMBLE_ORACLE,
         "s_stream_interval_join": _STREAM_IJOIN_ORACLE,
         "s_stream_interval_join_outer": _STREAM_IJOIN_OUTER_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
