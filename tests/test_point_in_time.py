@@ -84,3 +84,15 @@ def test_pit_never_leaks_future_features(spark):
     assert leaks == 0
     # and the join is not vacuous: most labels found some history
     assert out.where(F.col("view__asof_ts").isNotNull()).count() > 0
+
+
+def test_pit_empty_history_keeps_labels_with_nulls(spark):
+    labels = spark.createDataFrame(
+        [(1, _ts(0), 7)], "label_id long, ts timestamp, user_id long"
+    )
+    hist = spark.createDataFrame(
+        [], "user_id long, ts timestamp, score double"
+    )
+    out = point_in_time_features(labels, {"m": hist}, key="user_id").collect()
+    assert len(out) == 1
+    assert out[0]["m__score"] is None and out[0]["m__asof_ts"] is None

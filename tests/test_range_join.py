@@ -78,3 +78,18 @@ def test_range_join_plans_as_equi_join_not_nested_loop(spark):
     )
     assert "NestedLoop" not in plan, plan
     assert "Join" in plan and "Explode" not in plan.split("Join")[0], plan
+
+
+def test_range_join_empty_interval_side(spark):
+    points, ivs = _frames(spark)
+    empty = ivs.where("iid < 0")
+    assert range_join(
+        points, empty, point_ts="ts", lo="lo", hi="hi", key="k"
+    ).count() == 0
+    outer = range_join(
+        points, empty, point_ts="ts", lo="lo", hi="hi", key="k",
+        how="left_outer",
+    )
+    rows = outer.collect()
+    assert len(rows) == points.count()
+    assert all(r["iid"] is None for r in rows)
