@@ -24,6 +24,8 @@ from .relational import (  # noqa: F401
     props_profile,
     revenue_pivot_by_priority,
     repeat_buyers,
+    trailing_distinct_types,
+    unpivot_lineitem_measures,
     user_value_arrays,
     value_percentiles,
 )

@@ -301,6 +301,59 @@ def revenue_pivot_by_priority(
     )
 
 
+# ----------------------------------------- windowed distinct count
+
+
+def trailing_distinct_types(
+    events: DataFrame, window_s: int = 3600
+) -> DataFrame:
+    """COUNT(DISTINCT) OVER a trailing RANGE window — a feature Spark
+    SQL does not support natively (DISTINCT aggregates are rejected in
+    window frames). Emulated exactly as
+    ``size(collect_set(x) OVER w)``: the set dedups inside the frame,
+    ``size`` reduces it to the count. Same single exchange + sort as
+    any other window query; per-row state is the distinct-value set of
+    the frame (bounded by the value domain — event types here), which
+    is the honest cost of exact windowed cardinality at any scale.
+    Oracle: DuckDB's native ``count(DISTINCT ...) OVER``.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-window_s * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w)).alias(
+            "n_distinct_types_1h"
+        ),
+        F.count("*").over(w).alias("n_events_1h"),
+    )
+
+
+# --------------------------------------------------------- unpivot/melt
+
+
+def unpivot_lineitem_measures(lineitem: DataFrame) -> DataFrame:
+    """UNPIVOT (melt): the three lineitem money/quantity measures as
+    (id, measure, value) rows — the inverse of PIVOT, used to feed
+    generic per-measure pipelines. ``DataFrame.unpivot`` is a
+    scan-side Expand (3x row multiplication), no shuffle at all.
+    Values are emitted verbatim (no arithmetic) => bit-stable.
+    """
+    return lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount",
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
 # --------------------------------------------------- exact percentiles
 
 

@@ -1111,6 +1111,40 @@ FROM arrs
 """
 
 
+def _q_rel_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import trailing_distinct_types
+
+    return trailing_distinct_types(load_table(spark, sf_dir, "events"))
+
+
+_REL_WDISTINCT_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(count(DISTINCT event_type) OVER w AS INTEGER)
+         AS n_distinct_types_1h,
+       count(*) OVER w AS n_events_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import unpivot_lineitem_measures
+
+    return unpivot_lineitem_measures(load_table(spark, sf_dir, "lineitem"))
+
+
+_REL_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                  l_extendedprice, l_discount FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount
+  INTO NAME measure VALUE value
+)
+"""
+
+
 def _q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import value_percentiles
 
@@ -1229,6 +1263,8 @@ def ext_queries():
         "rel_percentiles": _q_rel_percentiles,
         "rel_window_funcs": _q_rel_window_funcs,
         "rel_pivot": _q_rel_pivot,
+        "rel_window_distinct": _q_rel_window_distinct,
+        "rel_unpivot": _q_rel_unpivot,
     }
 
 
@@ -1266,4 +1302,6 @@ def ext_oracles():
         "rel_percentiles": _REL_PCTL_ORACLE,
         "rel_window_funcs": _REL_WINDOW_ORACLE,
         "rel_pivot": _rel_pivot_oracle(),
+        "rel_window_distinct": _REL_WDISTINCT_ORACLE,
+        "rel_unpivot": _REL_UNPIVOT_ORACLE,
     }

@@ -173,3 +173,23 @@ def test_b2_sql_surface_equals_dataframe_plan(spark):
         map(tuple, sql_df.select(*e._q_e1_agg_features(spark, SF0001).columns).collect())
     )
     assert sql_rows == df_rows
+
+
+def test_window_distinct_single_exchange(spark):
+    """collect_set-emulated COUNT(DISTINCT) OVER: same one-exchange
+    window envelope as any analytic function."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import trailing_distinct_types
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(trailing_distinct_types(load_table(spark, SF001, "events")))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_unpivot_is_scan_side_expand(spark):
+    """unpivot = one Expand, zero exchanges (no shuffle at all)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import unpivot_lineitem_measures
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(unpivot_lineitem_measures(load_table(spark, SF001, "lineitem")))
+    assert plan.count("Expand") == 1, plan
+    assert "Exchange" not in plan, plan
