@@ -1078,6 +1078,10 @@ def _q_inference_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (2 * num_trans_last_1w) as double) / 100.0"
         ).alias("avg_amt_last_1w"),
     )
+    # Deterministic clock for the oracle: 'now' = max event time. This
+    # is a second (2-column, filter-free) scan of events by design — a
+    # driver-side action here is the price of a reproducible staleness
+    # cutoff; a deployment would pass wall-clock 'now' and scan once.
     now = tx_all.agg(F.max("ts")).first()[0]
     tx = tx_all.select("tid", "cc_num", F.col("ts").alias("trans_ts"), "amount")
     return enrich_transactions(tx, f10, f1w, now=F.lit(now))
