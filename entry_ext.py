@@ -1,5 +1,8 @@
 """Extension queries()/oracle_sql() entries: dedup, similarity search,
-text analysis (SURVEY.md §7-M4, graded as first-class operators).
+text analysis (SURVEY.md §7-M4), OLAP star-schema plans, and the
+relational §2.7 coverage (semi/anti/set ops, distinct agg, scalar
+function families, pivot/unpivot, percentiles, windowed distinct) —
+all graded as first-class operators.
 
 Imported by __spark_entry__.py. Same hash-stability convention: every
 hash is md5-derived (bit-equal in DuckDB), every ratio/cosine a fixed
