@@ -675,6 +675,17 @@ def _q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
+_STREAM_IJOIN_FULL_ORACLE = """
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       a.ts AS a_ts, b.ts AS b_ts
+FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
+FULL JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) >= epoch_us(a.ts) - 60000000
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+"""
+
+
 _STREAM_TUMBLE_ORACLE = """
 SELECT user_id,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -747,15 +758,15 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
-def _q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER stream-stream interval join: same parity split as
-    the inner variant, but even-side events with no odd-side partner
-    within +-60 s still emit (NULL right columns) once the watermark
+def _run_interval_join_replay(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Outer stream-stream interval join replay: parity-split event
+    stream, unmatched rows emit (other side NULL) once the watermark
     passes their match horizon. Two far-future sentinel events (one
-    per parity so BOTH sides' watermarks advance) ride in as later
-    micro-batches to flush the unmatched tail of the bounded replay;
-    sentinels carry user_id = -1 and are filtered from the output.
-    Oracle: the equivalent batch LEFT JOIN."""
+    per parity so BOTH sides' watermarks advance — min-watermark
+    policy) ride in as later micro-batches to flush the unmatched
+    tail; sentinels carry user_id = -1 and are filtered out."""
     import os
     import shutil
     import tempfile
@@ -772,7 +783,7 @@ def _q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         read_event_stream,
     )
 
-    name = f"stream_ijoin_outer_out_{next(_S4_SEQ)}"
+    name = f"stream_ijoin_{how}_out_{next(_S4_SEQ)}"
     stream_dir = tempfile.mkdtemp(prefix="sijo_src_")
     ckpt_dir = tempfile.mkdtemp(prefix="sijo_ckpt_")
     src = os.path.join(sf_dir, "events.parquet")
@@ -811,7 +822,7 @@ def _q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         joined = interval_join(
             left, right, key="user_id", left_ts="a_ts", right_ts="b_ts",
-            lower_s=-60, upper_s=60, how="left_outer",
+            lower_s=-60, upper_s=60, how=how,
         ).select("user_id", "a_id", "b_id", "a_ts", "b_ts")
         q = (
             joined.writeStream.format("memory")
@@ -823,12 +834,29 @@ def _q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise TimeoutError("stream_interval_join_outer exceeded 300s")
-        return spark.table(name).where("user_id >= 0")
+            raise TimeoutError("stream_interval_join outer replay exceeded 300s")
+        # Drop sentinel artifacts: the two sentinels match EACH OTHER
+        # (same user -1, same far-future ts), emitting one inner row
+        # with user_id = -1; unmatched sentinels never emit (their own
+        # horizon never passes). full_outer right-unmatched rows have
+        # NULL user_id (the left key) and must be kept.
+        return spark.table(name).where("user_id IS NULL OR user_id >= 0")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def _q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (see
+    _run_interval_join_replay). Oracle: batch LEFT JOIN."""
+    return _run_interval_join_replay(spark, sf_dir, "left_outer")
+
+
+def _q_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join: unmatched rows of BOTH
+    sides emit with the other side NULL. Oracle: batch FULL JOIN."""
+    return _run_interval_join_replay(spark, sf_dir, "full_outer")
 
 
 _STREAM_IJOIN_OUTER_ORACLE = """
@@ -1177,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_tumbling_agg": _q_stream_tumbling_agg,
         "s_stream_interval_join": _q_stream_interval_join,
         "s_stream_interval_join_outer": _q_stream_interval_join_outer,
+        "s_stream_interval_join_full": _q_stream_interval_join_full,
         "sessionize": _q_sessionize,
         "time_rollup": _q_time_rollup,
         "stratified_sample": _q_stratified_sample,
@@ -1201,6 +1230,7 @@ def oracle_sql() -> dict[str, str]:
         "s_stream_tumbling_agg": _STREAM_TUMBLE_ORACLE,
         "s_stream_interval_join": _STREAM_IJOIN_ORACLE,
         "s_stream_interval_join_outer": _STREAM_IJOIN_OUTER_ORACLE,
+        "s_stream_interval_join_full": _STREAM_IJOIN_FULL_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "time_rollup": _ROLLUP_ORACLE,
         "stratified_sample": _SAMPLE_ORACLE,

@@ -38,14 +38,14 @@ def interval_join(
     watermarks from it. Column names (other than ``key``) must already
     be disjoint.
 
-    ``how='left_outer'``: unmatched left rows ALSO emit (right columns
-    NULL) — but only once the watermark passes ``left_ts + upper_s``,
-    because until then a matching right row could still arrive. A
-    bounded replay therefore only flushes its unmatched tail if
-    something later advances the watermark (see the registered query's
-    sentinel batches); inner mode has no such wait.
+    ``how='left_outer'`` (or ``'full_outer'``): unmatched rows ALSO
+    emit (other side NULL) — but only once the watermark passes their
+    match horizon, because until then a matching row could still
+    arrive. A bounded replay therefore only flushes its unmatched tail
+    if something later advances the watermark (see the registered
+    query's sentinel batches); inner mode has no such wait.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported join type: {how!r}")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark).withColumnRenamed(

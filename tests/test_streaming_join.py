@@ -129,6 +129,69 @@ def test_left_outer_interval_join_flushes_unmatched_after_watermark(
     assert rows == {10: 100, 20: None}
 
 
+def test_full_outer_interval_join_emits_both_unmatched_sides(
+    spark, tmp_path
+):
+    lschema = "user_id long, a_id long, a_ts timestamp"
+    rschema = "user_id long, b_id long, b_ts timestamp"
+    sec = lambda s: T0 + dt.timedelta(seconds=s)
+    far = sec(10**7)
+
+    def _chunked(name, chunks, schema):
+        import glob
+        import os
+        import shutil
+        import time
+
+        d = tmp_path / name
+        d.mkdir()
+        now = time.time()
+        for i, rows in enumerate(chunks):
+            f = str(d / f"{i:02d}.parquet")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f + ".dir")
+            shutil.copy(glob.glob(f + ".dir/*.parquet")[0], f)
+            shutil.rmtree(f + ".dir")
+            os.utime(f, (now + i * 60, now + i * 60))
+        return (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(d))
+        )
+
+    left = _chunked(
+        "lf",
+        [[(1, 10, sec(0)), (2, 20, sec(0))], [(-1, -1, far)]],
+        lschema,
+    )
+    right = _chunked(
+        "rf",
+        [[(1, 100, sec(30)), (3, 300, sec(0))], [(-1, -100, far)]],
+        rschema,
+    )
+    out = _run(
+        spark,
+        interval_join(left, right, key="user_id", left_ts="a_ts",
+                      right_ts="b_ts", lower_s=-60, upper_s=60,
+                      how="full_outer"),
+        "ijf_out",
+        tmp_path / "ckpt_f",
+    )
+    rows = sorted(
+        (
+            (r["a_id"], r["b_id"])
+            for r in out.collect()
+            if (r["a_id"] or 0) >= 0 and (r["b_id"] or 0) >= 0
+        ),
+        key=lambda t: (t[0] if t[0] is not None else -1,
+                       t[1] if t[1] is not None else -1),
+    )
+    # right-unmatched (None, 300), matched pair, left-unmatched (20, None)
+    assert rows == [(None, 300), (10, 100), (20, None)]
+
+
 def test_interval_join_matches_batch_self_join(spark, tmp_path):
     """Stream result equals the batch interval join over the same rows."""
     lschema = "user_id long, a_id long, a_ts timestamp"
