@@ -187,6 +187,71 @@ def _q_b2_sql_agg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_B2_SQL)
 
 
+# ----------------------------------------- incremental (delta-scoped) E1
+
+def _q_inc_delta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the E1 windows: features for the
+    last DAY of events only, computed from the delta plus the
+    key-pruned, horizon-pruned (1-week) history sliver — never a full
+    recompute (operators/incremental.py). Bit-identical to the full
+    window restricted to the delta rows, which is what the oracle
+    states."""
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.incremental import (
+        delta_scoped_features,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "value",
+    )
+    # Deterministic split: delta = the trailing day, relative to the
+    # data's own max timestamp (broadcast scalar — no driver action).
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("__mx"))
+    evm = ev.crossJoin(F.broadcast(mx))
+    day_us = 86_400_000_000
+    in_delta = F.unix_micros("ts") >= F.col("__mx") - F.lit(day_us)
+    history = evm.where(~in_delta).drop("__mx")
+    delta = evm.where(in_delta).drop("__mx")
+    return delta_scoped_features(
+        history, delta, key="user_id", ts="ts", amount="value"
+    )
+
+
+_INC_DELTA_ORACLE = """
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+src AS (
+  SELECT event_id, ts, user_id, value,
+         CAST(round(value * 100) AS BIGINT) AS amt_cents
+  FROM events
+),
+feat AS (
+  SELECT event_id, ts, user_id, value,
+         COUNT(*) OVER w10 AS num_trans_last_10m,
+         (CAST(SUM(amt_cents) OVER w10 AS DOUBLE) / 100.0)
+           / COUNT(*) OVER w10 AS avg_amt_last_10m,
+         COUNT(*) OVER w1w AS num_trans_last_1w,
+         (CAST(SUM(amt_cents) OVER w1w AS DOUBLE) / 100.0)
+           / COUNT(*) OVER w1w AS avg_amt_last_1w
+  FROM src
+  WINDOW
+    w10 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW),
+    w1w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+)
+SELECT f.event_id, f.ts, f.user_id, f.value,
+       f.num_trans_last_10m, f.avg_amt_last_10m,
+       f.num_trans_last_1w, f.avg_amt_last_1w
+FROM feat f, mx
+WHERE epoch_us(f.ts) >= mx.m - 86400000000
+"""
+
+
 # --------------------------------------------------------- B11-B13 feature recs
 
 def _q_batch_feature_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,7 +364,7 @@ def _q_s4_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = read_event_stream(
             spark,
             stream_dir,
-            "event_id long, ts long, user_id long, value double",
+            "event_id long, ts timestamp_ntz, user_id long, value double",
         )
         agg = sliding_agg_exact(stream, key="user_id", ts="ts", amount="value")
         q = (
@@ -481,7 +546,7 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = read_event_stream(
             spark,
             stream_dir,
-            "event_id long, ts long, user_id long, value double",
+            "event_id long, ts timestamp_ntz, user_id long, value double",
             max_files_per_trigger=1,
         )
         deduped = dedup_stream_exact(
@@ -541,14 +606,16 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = tempfile.mkdtemp(prefix="ssess_ckpt_")
     src = os.path.join(sf_dir, "events.parquet")
     os.symlink(src, os.path.join(stream_dir, "00.parquet"))
-    max_ns = pc.max(pq.read_table(src, columns=["ts"])["ts"]).value
-    gap_ns = _SESSION_GAP_S * 1_000_000_000
+    max_us = pc.max(pq.read_table(src, columns=["ts"])["ts"]).value
+    gap_us = _SESSION_GAP_S * 1_000_000
     now = time.time()
     for i in (1, 2):
         sentinel = pa.table(
             {
                 "event_id": pa.array([-i], pa.int64()),
-                "ts": pa.array([max_ns + i * (gap_ns + 10**10)], pa.int64()),
+                "ts": pa.array(
+                    [max_us + i * (gap_us + 10**7)], pa.timestamp("us")
+                ),
                 "user_id": pa.array([-1], pa.int64()),
                 "value": pa.array([0.0], pa.float64()),
             }
@@ -563,7 +630,7 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = read_event_stream(
             spark,
             stream_dir,
-            "event_id long, ts long, user_id long, value double",
+            "event_id long, ts timestamp_ntz, user_id long, value double",
             max_files_per_trigger=1,
         )
         sessions = session_window_stats(
@@ -617,11 +684,11 @@ def _q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = tempfile.mkdtemp(prefix="stumble_ckpt_")
     src = os.path.join(sf_dir, "events.parquet")
     os.symlink(src, os.path.join(stream_dir, "00.parquet"))
-    max_ns = pc.max(pq.read_table(src, columns=["ts"])["ts"]).value
+    max_us = pc.max(pq.read_table(src, columns=["ts"])["ts"]).value
     sentinel = pa.table(
         {
             "event_id": pa.array([-1], pa.int64()),
-            "ts": pa.array([max_ns + 10**13], pa.int64()),
+            "ts": pa.array([max_us + 10**10], pa.timestamp("us")),
             "user_id": pa.array([-1], pa.int64()),
             "value": pa.array([0.0], pa.float64()),
         }
@@ -635,7 +702,7 @@ def _q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = read_event_stream(
             spark,
             stream_dir,
-            "event_id long, ts long, user_id long, value double",
+            "event_id long, ts timestamp_ntz, user_id long, value double",
             max_files_per_trigger=1,
         )
         agg = (
@@ -723,7 +790,7 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_parts = _set_stream_partitions(spark)
     try:
-        schema = "event_id long, ts long, user_id long, value double"
+        schema = "event_id long, ts timestamp_ntz, user_id long, value double"
         left = (
             read_event_stream(spark, stream_dir, schema)
             .where("event_id % 2 = 0")
@@ -788,14 +855,14 @@ def _run_interval_join_replay(
     ckpt_dir = tempfile.mkdtemp(prefix="sijo_ckpt_")
     src = os.path.join(sf_dir, "events.parquet")
     os.symlink(src, os.path.join(stream_dir, "00.parquet"))
-    max_ns = pc.max(pq.read_table(src, columns=["ts"])["ts"]).value
+    max_us = pc.max(pq.read_table(src, columns=["ts"])["ts"]).value
     now = time.time()
     # one sentinel per parity: the multiple-watermark policy is min()
     # across inputs, so BOTH sides must see a far-future event
     sentinel = pa.table(
         {
             "event_id": pa.array([10**12, 10**12 + 1], pa.int64()),
-            "ts": pa.array([max_ns + 10**12] * 2, pa.int64()),
+            "ts": pa.array([max_us + 10**9] * 2, pa.timestamp("us")),
             "user_id": pa.array([-1, -1], pa.int64()),
             "value": pa.array([0.0, 0.0], pa.float64()),
         }
@@ -805,7 +872,7 @@ def _run_interval_join_replay(
     os.utime(p, (now + 10, now + 10))
     old_parts = _set_stream_partitions(spark)
     try:
-        schema = "event_id long, ts long, user_id long, value double"
+        schema = "event_id long, ts timestamp_ntz, user_id long, value double"
         left = (
             read_event_stream(spark, stream_dir, schema,
                               max_files_per_trigger=1)
@@ -1193,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_agg_features": _q_e1_agg_features,
         "e1_skew_window": _q_e1_skew_window,
         "b2_sql_agg_features": _q_b2_sql_agg_features,
+        "inc_delta_features": _q_inc_delta_features,
         "b13_feature_records": _q_batch_feature_records,
         "t_train_prep": _q_train_prep,
         "s4_sliding_agg": _q_s4_sliding_agg,
@@ -1218,6 +1286,7 @@ def oracle_sql() -> dict[str, str]:
         "e1_agg_features": _E1_ORACLE,
         "e1_skew_window": _E1_SKEW_ORACLE,
         "b2_sql_agg_features": _E1_ORACLE,
+        "inc_delta_features": _INC_DELTA_ORACLE,
         "b13_feature_records": _B13_ORACLE,
         "t_train_prep": _TRAIN_ORACLE,
         "s4_sliding_agg": _S4_ORACLE,

@@ -147,14 +147,20 @@ def read_event_stream(
 ) -> DataFrame:
     """Parquet-file stream with a declared schema (replay of a table).
 
-    Handles the driver testdata's TIMESTAMP(NANOS) ``ts`` the same way
-    the batch loader does (nanos-as-long + truncate to micros).
+    Normalizes the event-time column like the batch loader does, so
+    downstream operators always see a session-zoned ``timestamp``:
+    TIMESTAMP(MICROS) files declare ``ts timestamp_ntz`` (cast to the
+    UTC session zone); legacy TIMESTAMP(NANOS) files surface as long
+    nanos under ``nanosAsLong`` and are truncated to micros.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # nanosAsLong: raw nanos -> micros
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
