@@ -106,4 +106,12 @@ def delta_scoped_features(
         short_label=short_label,
         long_label=long_label,
     )
-    return feats.where(F.col("__is_delta") == 1).drop("__is_delta")
+    feature_cols = [
+        c
+        for c in feats.columns
+        if c not in set(delta.columns) | {"__is_delta"}
+    ]
+    # Keep the caller's column order (the semi-join moved the key first).
+    return feats.where(F.col("__is_delta") == 1).select(
+        *delta.columns, *feature_cols
+    )

@@ -1232,6 +1232,102 @@ GROUP BY n_name
 """
 
 
+# ------------------------------------------------- approximate sketches
+
+_KMV_K = 32
+_H64_SPACE = "1152921504606846976.0"  # 2^60 as a double literal
+
+
+def _q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per day over the events table
+    (operators/sketches.py). md5-derived hashes make the estimate a
+    deterministic function of the data, so the oracle recomputes it
+    bit-for-bit — the check a native HLL sketch can never pass."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "user_id",
+    )
+    return kmv_distinct(ev, group="day", value="user_id", k=_KMV_K)
+
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+         {_H64.format(x="CAST(user_id AS VARCHAR)")} AS hh
+  FROM events
+), r AS (
+  SELECT day, hh,
+         row_number() OVER (PARTITION BY day ORDER BY hh) AS rn
+  FROM h
+)
+SELECT day, max(rn) AS n_kept,
+       CASE WHEN max(rn) < {_KMV_K} THEN CAST(max(rn) AS DOUBLE)
+            ELSE {float(_KMV_K - 1)} /
+                 (CAST(max(CASE WHEN rn = {_KMV_K} THEN hh END) AS DOUBLE)
+                  / {_H64_SPACE})
+       END AS est_distinct
+FROM r
+WHERE rn <= {_KMV_K}
+GROUP BY day
+"""
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPN = 4, 1024, 20
+
+
+def _q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the documents corpus: exact top-20
+    words annotated with their sketch estimate (always >= exact; the
+    gap is the collision bias). The counter grid is depth x width
+    cells regardless of corpus size — the shuffle carries the sketch
+    domain, never the tokens."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    return cms_heavy_hitters(
+        load_table(spark, sf_dir, "documents"),
+        text="text",
+        top_n=_CMS_TOPN,
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+    )
+
+
+def _cms_oracle() -> str:
+    seeded = _H64.format(x="concat('cms', CAST(i AS VARCHAR), ':', w)")
+    seeded_e = _H64.format(x="concat('cms', CAST(i AS VARCHAR), ':', e.w)")
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), tok2 AS (
+  SELECT w FROM tok WHERE w <> ''
+), ii AS (
+  SELECT unnest(range({_CMS_DEPTH})) AS i
+), exact AS (
+  SELECT w, count(*) AS exact_cnt FROM tok2 GROUP BY w
+  ORDER BY exact_cnt DESC, w LIMIT {_CMS_TOPN}
+), cells AS (
+  SELECT i, {seeded} % {_CMS_WIDTH} AS bucket
+  FROM tok2 CROSS JOIN ii
+), grid AS (
+  SELECT i, bucket, count(*) AS c FROM cells GROUP BY i, bucket
+), probes AS (
+  SELECT e.w, e.exact_cnt, i,
+         {seeded_e} % {_CMS_WIDTH} AS bucket
+  FROM exact e CROSS JOIN ii
+)
+SELECT p.w, p.exact_cnt, min(g.c) AS cms_est
+FROM probes p JOIN grid g USING (i, bucket)
+GROUP BY p.w, p.exact_cnt
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -1268,6 +1364,8 @@ def ext_queries():
         "rel_pivot": _q_rel_pivot,
         "rel_window_distinct": _q_rel_window_distinct,
         "rel_unpivot": _q_rel_unpivot,
+        "sketch_kmv_distinct": _q_sketch_kmv,
+        "sketch_cms_heavy_hitters": _q_sketch_cms,
     }
 
 
@@ -1307,4 +1405,6 @@ def ext_oracles():
         "rel_pivot": _rel_pivot_oracle(),
         "rel_window_distinct": _REL_WDISTINCT_ORACLE,
         "rel_unpivot": _REL_UNPIVOT_ORACLE,
+        "sketch_kmv_distinct": _KMV_ORACLE,
+        "sketch_cms_heavy_hitters": _cms_oracle(),
     }
