@@ -575,6 +575,68 @@ SELECT event_id, ts, user_id, value FROM events
 """
 
 
+# ------------------------------------------------ stream-static enrich join
+
+def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the
+    static customer dimension with an explicit ``broadcast()`` — the
+    dimension is shipped to every task once per micro-batch, the
+    stream side never shuffles, and no state store is involved (the
+    static side is re-planned, not buffered). This is the streaming
+    twin of the I3/I5 point-lookup joins in plans/inference.py, here
+    proven through the actual writeStream execution path. LEFT join:
+    events without a dimension row keep NULL attributes. Oracle: the
+    identical batch join."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import (
+        load_table,
+    )
+
+    name = f"stream_enrich_out_{next(_S4_SEQ)}"
+    stream_dir = tempfile.mkdtemp(prefix="senrich_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="senrich_ckpt_")
+    src = os.path.join(sf_dir, "events.parquet")
+    os.symlink(src, os.path.join(stream_dir, "00.parquet"))
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = read_event_stream(
+            spark,
+            stream_dir,
+            "event_id long, ts timestamp_ntz, user_id long, value double",
+        )
+        dim = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+        )
+        enriched = stream.join(F.broadcast(dim), on="user_id", how="left")
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_enrich availableNow run exceeded 300s")
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+_STREAM_ENRICH_ORACLE = """
+SELECT e.user_id, e.event_id, e.ts, e.value, c.c_name, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization: ``session_window`` + zero-delay
     watermark over a replay of the events table. Two far-future
@@ -1269,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "pit_training_set": _q_pit_training_set,
         "s_stream_dedup": _q_stream_dedup,
+        "s_stream_enrich": _q_stream_enrich,
         "s_stream_sessions": _q_stream_sessions,
         "s_stream_tumbling_agg": _q_stream_tumbling_agg,
         "s_stream_interval_join": _q_stream_interval_join,
@@ -1295,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _RANGE_JOIN_ORACLE,
         "pit_training_set": _PIT_ORACLE,
         "s_stream_dedup": _STREAM_DEDUP_ORACLE,
+        "s_stream_enrich": _STREAM_ENRICH_ORACLE,
         "s_stream_sessions": _STREAM_SESSIONS_ORACLE,
         "s_stream_tumbling_agg": _STREAM_TUMBLE_ORACLE,
         "s_stream_interval_join": _STREAM_IJOIN_ORACLE,

@@ -17,6 +17,7 @@ from .relational import (  # noqa: F401
     approx_value_percentiles,
     churned_buyers,
     customers_with_urgent_orders,
+    doc_word_profile,
     dormant_customers,
     monthly_orders_by_id_parity,
     nation_order_profile,

@@ -420,3 +420,47 @@ def approx_value_percentiles(
             for p in ps
         ]
     )
+
+
+def doc_word_profile(documents: DataFrame, min_count: int = 3) -> DataFrame:
+    """Map-function family over a real map column (§2.7 "map functions").
+
+    Builds a per-document word→count map with ``map_from_entries`` (the
+    entry list is ``array_sort``-ed first so map iteration order — and
+    hence the serialized output — is deterministic), then exercises the
+    map operators: ``map_filter`` keeps words with count ≥
+    ``min_count``, ``map_entries`` + ``transform`` serialize the
+    surviving entries to ``word:count`` strings, ``size`` reports the
+    map cardinality.
+
+    Output: ``(doc_id, n_distinct_words, frequent)`` where ``frequent``
+    is the sorted surviving entries joined to one ``w:c,w:c`` string —
+    maps (and raw arrays) don't compare canonically across engines, so
+    the fully serialized form is what the oracle checks.
+
+    Scale: one shuffle (the per-(doc, word) count's groupBy); the map
+    construction is a second per-doc aggregation on the same key, which
+    Catalyst plans without a second exchange (already hash-partitioned
+    by doc_id). Per-document maps are bounded by document vocabulary,
+    not corpus size.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    wc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    m = wc.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("w", "c")))
+        ).alias("m")
+    )
+    frequent = F.transform(
+        F.map_entries(
+            F.map_filter("m", lambda k, v: v >= F.lit(min_count))
+        ),
+        lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+    )
+    return m.select(
+        "doc_id",
+        F.size("m").alias("n_distinct_words"),
+        F.concat_ws(",", F.array_sort(frequent)).alias("frequent"),
+    )

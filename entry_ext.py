@@ -1232,6 +1232,38 @@ GROUP BY n_name
 """
 
 
+# ---------------------------------------------------------- map functions
+
+
+def _q_rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function family (map_from_entries / map_filter / map_entries
+    / transform / size) over per-document word-count maps; serialized
+    deterministically because raw maps have no cross-engine order."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import doc_word_profile
+
+    return doc_word_profile(load_table(spark, sf_dir, "documents"))
+
+
+_REL_MAP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_distinct_words,
+       coalesce(
+         array_to_string(
+           list_sort(list(w || ':' || CAST(c AS VARCHAR))
+                     FILTER (WHERE c >= 3)),
+           ','),
+         ''
+       ) AS frequent
+FROM wc
+GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------- approximate sketches
 
 _KMV_K = 32
@@ -1364,6 +1396,7 @@ def ext_queries():
         "rel_pivot": _q_rel_pivot,
         "rel_window_distinct": _q_rel_window_distinct,
         "rel_unpivot": _q_rel_unpivot,
+        "rel_map_funcs": _q_rel_map_funcs,
         "sketch_kmv_distinct": _q_sketch_kmv,
         "sketch_cms_heavy_hitters": _q_sketch_cms,
     }
@@ -1405,6 +1438,7 @@ def ext_oracles():
         "rel_pivot": _rel_pivot_oracle(),
         "rel_window_distinct": _REL_WDISTINCT_ORACLE,
         "rel_unpivot": _REL_UNPIVOT_ORACLE,
+        "rel_map_funcs": _REL_MAP_ORACLE,
         "sketch_kmv_distinct": _KMV_ORACLE,
         "sketch_cms_heavy_hitters": _cms_oracle(),
     }
