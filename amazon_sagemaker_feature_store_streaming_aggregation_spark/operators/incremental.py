@@ -15,10 +15,11 @@ driver loop:
    output rows; the pruned-history read is a broadcast LEFT SEMI join
    on the (small) delta key set, so no shuffle of the big side.
 2. **Horizon pruning** — history older than ``delta_start −
-   long_frame`` cannot enter any output row's frame; the predicate is
-   a plain comparison on the timestamp column, so it reaches the
-   parquet scan as a PushedFilter (and prunes partitions outright on a
-   date-partitioned layout — see SCALE.md).
+   long_frame`` cannot enter any output row's frame; with a known
+   frontier the predicate is a literal comparison on the timestamp
+   column — it prunes partitions outright on a date-partitioned
+   layout, and reaches the parquet scan as a PushedFilter when the
+   scan column needs no cast (see SCALE.md).
 3. The surviving sliver (delta ∪ pruned history) runs through the
    SAME single-exchange window plan as the full recompute
    (``window_agg.trailing_window_features_exact``), and only delta

@@ -193,3 +193,46 @@ def test_unpivot_is_scan_side_expand(spark):
     plan = _plan(unpivot_lineitem_measures(load_table(spark, SF001, "lineitem")))
     assert plan.count("Expand") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_incremental_plan_prunes_history(spark):
+    """delta_scoped_features with a literal frontier must (a) push the
+    horizon predicate into the history scan and (b) broadcast the
+    delta-key semi join — the history side never shuffles before the
+    window exchange."""
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.incremental import (
+        delta_scoped_features,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF001}/events.parquet")
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "value",
+        )
+    )
+    cutoff_us = 1_706_000_000_000_000  # fixed literal frontier
+    ts_us = F.unix_micros("ts")
+    history = ev.where(ts_us < cutoff_us)
+    delta = ev.where(ts_us >= cutoff_us)
+    df = delta_scoped_features(
+        history, delta, key="user_id", ts="ts", amount="value",
+        delta_start_us=cutoff_us,
+    )
+    df.collect()  # finalize AQE so join strategy choices are real
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # the literal horizon bound filters the history branch directly
+    # (with a raw scan column it would also be a PushedFilter; here the
+    # ntz->timestamp cast keeps it a post-scan Filter, still pruned
+    # before any shuffle)
+    assert str(cutoff_us - 604800000000) in plan, plan
+    # two hash exchanges and no more: the window's over the sliver,
+    # plus the delta-key distinct (keys only — 8 bytes/row) that feeds
+    # the broadcast build side. The history fact rows themselves never
+    # shuffle outside the window exchange.
+    assert plan.count("Exchange hashpartitioning") == 2, plan
