@@ -1,0 +1,138 @@
+"""User-defined function surfaces: vectorized UDF, grouped UDAF, UDTF.
+
+SURVEY §2.7 lists UDF/UDAF/UDTF as absent from the reference (its
+only Python is driver-side glue), and this engine's own hot paths
+deliberately avoid them — every shipped operator is built-in
+expressions or Arrow-vectorized ``applyInPandas``/``mapInPandas``.
+But an engine a reference user switches onto must *offer* the UD*
+extension points, so each is demonstrated here with deterministic,
+integer-only semantics that a DuckDB oracle reproduces bit-for-bit:
+
+* :func:`luhn_check` — **scalar Pandas UDF** (Arrow-batched, numpy
+  digit arithmetic — no per-row Python). Luhn mod-10 checksum over
+  the 16-digit card domain of the reference
+  (``0_prepare_transactions_dataset.ipynb`` generates ``cc_num`` as
+  16-digit numbers).
+* :func:`median_cents_udaf` — **grouped-aggregate Pandas UDF**
+  (UDAF): exact lower-median over integer cents (order-statistic
+  pick, no interpolation → no float divergence).
+* :class:`WordPositions` — **UDTF** (Spark 4 ``@udtf``): one row per
+  (position, word) of a text column. Row-at-a-time Python by
+  construction — the API-surface demo; the engine's own tokenization
+  uses ``explode(split(...))`` (codegen) for exactly this reason, and
+  the equivalence is tested.
+
+100 TB note: scalar Pandas UDFs ride whole-stage codegen boundaries
+as ArrowEvalPython stages — vectorized, but still a JVM↔Python
+round-trip per batch; prefer built-ins where expressible. UDTFs are
+the slow path and should stay out of hot plans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+
+def make_luhn_check():
+    """Scalar Pandas UDF factory (UDF types parse DDL at creation, so
+    construction needs an active session — hence the factory)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def luhn_check(cc_num: pd.Series) -> pd.Series:
+        """Luhn mod-10 checksum of a 16-digit card number (1 = valid).
+
+        Fully vectorized: the fixed 16-digit width lets every digit
+        come out of integer ``//``/``%`` on the whole numpy array at
+        once — one Arrow batch in, one out, zero per-row Python.
+        """
+        n = cc_num.to_numpy(dtype=np.int64)
+        total = np.zeros_like(n)
+        for pos in range(16):  # 16 fixed positions, each whole-array
+            d = (n // np.int64(10**pos)) % 10
+            if pos % 2 == 1:  # every 2nd digit from the right doubles
+                d = d * 2
+                d = np.where(d > 9, d - 9, d)
+            total = total + d
+        return pd.Series((total % 10 == 0).astype(np.int32))
+
+    return luhn_check
+
+
+def make_median_cents_udaf():
+    """Grouped-aggregate Pandas UDF (UDAF) factory."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def median_cents_udaf(cents: pd.Series) -> int:
+        """Exact lower median of integer cents.
+
+        Order-statistic pick at index ``(n-1)//2`` of the sorted
+        values — stays in int64 (no interpolation), so the result is
+        engine- and partitioning-independent. Equivalent SQL:
+        ``quantile_disc(0.5)`` over BIGINT (DuckDB).
+        """
+        v = np.sort(cents.to_numpy(dtype=np.int64))
+        return int(v[(len(v) - 1) // 2])
+
+    return median_cents_udaf
+
+
+def with_luhn_flag(df, cc_col: str = "cc_num", out: str = "luhn_ok"):
+    """Apply the scalar UDF: one ArrowEvalPython stage."""
+    return df.withColumn(out, make_luhn_check()(F.col(cc_col)))
+
+
+def median_value_by_user(events, key: str = "user_id", value: str = "value"):
+    """UDAF over groups: exact lower-median cents per key.
+
+    The groupBy shuffles (key, cents) pairs; each group's values meet
+    the Python worker as ONE Arrow batch.
+    """
+    cents = F.expr(f"cast(round({value} * 100) as bigint)").alias("__cents")
+    return (
+        events.select(F.col(key), cents)
+        .groupBy(key)
+        .agg(make_median_cents_udaf()(F.col("__cents")).alias("median_cents"))
+    )
+
+
+def word_positions(documents, id_col: str = "doc_id", text_col: str = "text"):
+    """UDTF surface: one output row per (pos, word) of each document.
+
+    Declared lazily so importing this module never requires the UDTF
+    runtime. The engine-native equivalent (tested equal) is
+    ``select(id, posexplode(split(text, ' ')))`` — always prefer it in
+    real plans; this exists to prove the table-function extension
+    point works end-to-end.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, word: string")
+    class WordPositions:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            pos = 0
+            for w in text.split(" "):
+                if w:
+                    pos += 1
+                    yield (pos, w)
+
+    # lateral-join the UDTF against the table via SQL (the stable
+    # Spark 4 surface for table arguments)
+    spark = documents.sparkSession
+    spark.udtf.register("word_positions", WordPositions)
+    documents.select(id_col, text_col).createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        f"""
+        SELECT d.{id_col}, t.pos, t.word
+        FROM __udtf_docs d,
+             LATERAL word_positions(d.{id_col}, d.{text_col}) t
+        """
+    )

@@ -1264,6 +1264,89 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------------ UDF / UDAF / UDTF surfaces
+
+
+def _q_udx_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF surface (functions/udx.py): Luhn mod-10 check
+    over a synthetic 16-digit card number (md5-derived so the oracle
+    regenerates the identical inputs). One ArrowEvalPython stage;
+    numpy fixed-width digit arithmetic, no per-row Python."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions.hashing import h64
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions.udx import with_luhn_flag
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (h64(F.col("event_id").cast("string")) % F.lit(10**16)).alias(
+            "cc_num"
+        ),
+    )
+    return with_luhn_flag(ev)
+
+
+def _luhn_oracle() -> str:
+    # unrolled 16-position Luhn sum, integer-only
+    terms = []
+    for pos in range(16):
+        digit = f"((cc_num // {10**pos}) % 10)"
+        if pos % 2 == 1:
+            terms.append(
+                f"(CASE WHEN {digit} * 2 > 9 THEN {digit} * 2 - 9"
+                f" ELSE {digit} * 2 END)"
+            )
+        else:
+            terms.append(digit)
+    total = " + ".join(terms)
+    cc = _H64.format(x="CAST(event_id AS VARCHAR)") + " % 10000000000000000"
+    return f"""
+WITH src AS (SELECT event_id, {cc} AS cc_num FROM events)
+SELECT event_id, cc_num,
+       CAST(CASE WHEN ({total}) % 10 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS luhn_ok
+FROM src
+"""
+
+
+def _q_udx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (UDAF) surface: exact lower-median
+    cents per user — order-statistic pick, int64 end-to-end, so the
+    result is partitioning-independent and oracle-exact."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions.udx import (
+        median_value_by_user,
+    )
+
+    return median_value_by_user(load_table(spark, sf_dir, "events"))
+
+
+_UDX_MEDIAN_ORACLE = """
+SELECT user_id,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
+         AS median_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+def _q_udx_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface (Spark 4 ``@udtf`` + LATERAL): (pos, word) per
+    document. Row-at-a-time Python by construction — registered to
+    prove the table-function extension point end-to-end; the codegen
+    equivalent (posexplode) is what real plans should use, and
+    tests/test_udx.py asserts they produce identical rows."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions.udx import word_positions
+
+    return word_positions(load_table(spark, sf_dir, "documents"))
+
+
+_UDX_WORDPOS_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+z AS (SELECT doc_id, unnest(list_zip(range(1, len(ws) + 1), ws)) AS z FROM d)
+SELECT doc_id, CAST(z[1] AS INTEGER) AS pos, CAST(z[2] AS VARCHAR) AS word
+FROM z
+WHERE CAST(z[2] AS VARCHAR) <> ''
+"""
+
+
 # ------------------------------------------------- approximate sketches
 
 _KMV_K = 32
@@ -1399,6 +1482,9 @@ def ext_queries():
         "rel_map_funcs": _q_rel_map_funcs,
         "sketch_kmv_distinct": _q_sketch_kmv,
         "sketch_cms_heavy_hitters": _q_sketch_cms,
+        "udx_luhn": _q_udx_luhn,
+        "udx_median_by_user": _q_udx_median,
+        "udx_word_positions": _q_udx_word_positions,
     }
 
 
@@ -1441,4 +1527,7 @@ def ext_oracles():
         "rel_map_funcs": _REL_MAP_ORACLE,
         "sketch_kmv_distinct": _KMV_ORACLE,
         "sketch_cms_heavy_hitters": _cms_oracle(),
+        "udx_luhn": _luhn_oracle(),
+        "udx_median_by_user": _UDX_MEDIAN_ORACLE,
+        "udx_word_positions": _UDX_WORDPOS_ORACLE,
     }

@@ -1,0 +1,59 @@
+"""UDF/UDAF/UDTF surface tests (functions/udx.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions.udx import (
+    median_value_by_user,
+    with_luhn_flag,
+    word_positions,
+)
+from .conftest import SF0001
+
+
+def test_luhn_known_values(spark):
+    # 4532015112830366 is a textbook-valid Luhn number; flipping the
+    # check digit must invalidate it.
+    df = spark.createDataFrame(
+        [(4532015112830366,), (4532015112830367,), (79927398713,)],
+        "cc_num long",
+    )
+    got = [r["luhn_ok"] for r in with_luhn_flag(df).collect()]
+    assert got == [1, 0, 1]
+
+
+def test_udaf_median_matches_sql_percentile(spark):
+    ev = spark.read.parquet(f"{SF0001}/events.parquet")
+    got = {
+        r["user_id"]: r["median_cents"]
+        for r in median_value_by_user(ev).collect()
+    }
+    # lower median == percentile_disc-style pick at (n-1)//2
+    want = {
+        r["user_id"]: r["m"]
+        for r in ev.selectExpr(
+            "user_id", "cast(round(value * 100) as bigint) as c"
+        )
+        .groupBy("user_id")
+        .agg(F.expr("sort_array(collect_list(c))").alias("vs"))
+        .selectExpr(
+            "user_id", "vs[cast((size(vs) - 1) / 2 as int)] as m"
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_udtf_equals_posexplode(spark):
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(50)
+    via_udtf = word_positions(docs)
+    via_builtin = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p0", "word"),
+    ).where(F.col("word") != "").selectExpr(
+        "doc_id", "cast(p0 + 1 as int) as pos", "word"
+    )
+    a = sorted(map(tuple, via_udtf.collect()))
+    b = sorted(map(tuple, via_builtin.collect()))
+    assert a == b
