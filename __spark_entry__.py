@@ -575,6 +575,93 @@ SELECT event_id, ts, user_id, value FROM events
 """
 
 
+# ----------------------------------------- cross-batch running totals
+
+def _q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming with CROSS-BATCH state: per-user
+    running (count, cent-sum) emitted per event. The events table is
+    replayed as TWO micro-batches split at the time midpoint, so the
+    second batch's totals are only correct if state survived the batch
+    boundary — which is the property under test. State per key is one
+    (long, long) pair (constant; no eviction). Oracle: the batch
+    cumulative window (ROWS UNBOUNDED PRECEDING). See
+    streaming/running_totals.py for the transformWithState note."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_event_stream,
+        running_totals,
+    )
+
+    name = f"stream_runtot_out_{next(_S4_SEQ)}"
+    stream_dir = tempfile.mkdtemp(prefix="sruntot_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="sruntot_ckpt_")
+    src = os.path.join(sf_dir, "events.parquet")
+    tbl = pq.read_table(src, columns=["event_id", "ts", "user_id", "value"])
+    lo = pc.min(tbl["ts"]).value
+    hi = pc.max(tbl["ts"]).value
+    mid = pa.scalar(lo + (hi - lo) // 2, pa.timestamp("us"))
+    pq.write_table(
+        tbl.filter(pc.less_equal(tbl["ts"], mid)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        tbl.filter(pc.greater(tbl["ts"], mid)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    now = time.time()
+    os.utime(os.path.join(stream_dir, "01.parquet"), (now + 10, now + 10))
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = read_event_stream(
+            spark,
+            stream_dir,
+            "event_id long, ts timestamp_ntz, user_id long, value double",
+            max_files_per_trigger=1,
+        )
+        out = running_totals(stream, key="user_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_running_totals availableNow run exceeded 300s"
+            )
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+_STREAM_RUNTOT_ORACLE = """
+WITH src AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS running_n,
+       CAST(SUM(cents) OVER w AS BIGINT) AS running_cents
+FROM src
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
 # ------------------------------------------------ stream-static enrich join
 
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_training_set": _q_pit_training_set,
         "s_stream_dedup": _q_stream_dedup,
         "s_stream_enrich": _q_stream_enrich,
+        "s_stream_running_totals": _q_stream_running_totals,
         "s_stream_sessions": _q_stream_sessions,
         "s_stream_tumbling_agg": _q_stream_tumbling_agg,
         "s_stream_interval_join": _q_stream_interval_join,
@@ -1359,6 +1447,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_training_set": _PIT_ORACLE,
         "s_stream_dedup": _STREAM_DEDUP_ORACLE,
         "s_stream_enrich": _STREAM_ENRICH_ORACLE,
+        "s_stream_running_totals": _STREAM_RUNTOT_ORACLE,
         "s_stream_sessions": _STREAM_SESSIONS_ORACLE,
         "s_stream_tumbling_agg": _STREAM_TUMBLE_ORACLE,
         "s_stream_interval_join": _STREAM_IJOIN_ORACLE,

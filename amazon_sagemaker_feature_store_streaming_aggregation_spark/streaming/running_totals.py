@@ -1,0 +1,82 @@
+"""Per-key cross-batch running totals (arbitrary stateful streaming).
+
+The simplest operator that genuinely needs state to SURVIVE across
+micro-batches: per-key running (count, cent-sum), one output row per
+event. The S4 sliding aggregation (sliding_agg.py) keeps a bounded
+ring per key; here state is a single (long, long) pair — constant per
+key, no eviction needed — which makes it the clean demonstration of
+cumulative state semantics.
+
+Semantics: events are processed in (ts, event_id) order *within*
+each micro-batch and the totals carry across batches, so with
+batches delivered in event-time order (the replay harness splits the
+table at a time midpoint) the output equals the batch cumulative
+window::
+
+    COUNT(*)   OVER (PARTITION BY key ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    SUM(cents) OVER (...)
+
+— exactly what the DuckDB oracle states. Integer cents keep every
+value engine-exact; the checkpoint-recovery property is inherited
+from the state store (same machinery as sliding_agg, recovery tested
+in tests/test_streaming_recovery.py).
+
+API note: built on ``applyInPandasWithState`` (Arrow-batched, the
+Spark 3.x-stable arbitrary-state API, same as sliding_agg.py).
+Spark 4's ``transformWithStateInPandas`` (typed ValueState handles +
+RocksDB) is the designated successor, but its Python↔JVM state
+protocol requires ``protobuf``, which this container does not ship —
+a documented integration point, not a semantic gap: state here is
+the same (n, cents) pair a ValueState would hold.
+
+100 TB notes: state per key is 16 bytes — hot keys cost nothing
+extra; the one shuffle is the groupBy key partitioning shared by all
+stateful ops; at high key cardinality the state store scales with
+partitions (see _set_stream_partitions sizing note in SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, event_id bigint, running_n bigint, "
+    "running_cents bigint"
+)
+STATE_SCHEMA = "n bigint, cents bigint"
+
+
+def _running_totals_fn(key, pdf_iter, state):
+    import pandas as pd
+
+    (n0, c0) = state.get if state.exists else (0, 0)
+    batch = pd.concat(list(pdf_iter), ignore_index=True)
+    # deterministic intra-batch order: event time, id tiebreak
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    cents = (batch["value"] * 100).round().astype("int64")
+    run_n = n0 + pd.RangeIndex(1, len(batch) + 1)
+    run_c = c0 + cents.cumsum()
+    state.update((int(run_n[-1]), int(run_c.iloc[-1])))
+    yield pd.DataFrame(
+        {
+            "user_id": batch["user_id"].astype("int64"),
+            "event_id": batch["event_id"].astype("int64"),
+            "running_n": pd.array(run_n, dtype="int64"),
+            "running_cents": run_c.astype("int64"),
+        }
+    )
+
+
+def running_totals(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """Apply the stateful function: one shuffle on ``key``, state is a
+    single (count, cents) pair per key, never evicted (``NoTimeout`` —
+    cumulative totals are the contract)."""
+    return stream.groupBy(key).applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
