@@ -1,4 +1,5 @@
 from .analytics import (  # noqa: F401
+    market_share,
     pricing_summary,
     revenue_by_nation,
     revenue_cube,

@@ -274,3 +274,58 @@ def revenue_cube(
             "n_orders",
         )
     )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    target_nation: str = "NATION_9",
+) -> DataFrame:
+    """TPC-H Q8 shape: per order-year, the revenue share supplied by
+    one nation — a conditional aggregate over a star join.
+
+    Plan: the two fact tables join shuffled on ``l_orderkey`` (both
+    huge at scale); supplier and nation broadcast; the share is
+    ``sum(rev) FILTER (supplier nation = target) / sum(rev)`` computed
+    in ONE aggregation pass (two conditional sums, no second scan and
+    no self-join — the naive Q8 formulation as two joined subqueries
+    costs the star join twice). Revenue stays exact integer
+    1e-4-dollar units until the final double division, so the share is
+    a fixed IEEE op sequence over identical integers in both engines.
+    """
+    ep = _CENTS.format(c="l_extendedprice")
+    d = _CENTS.format(c="l_discount")
+    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    is_tgt = F.col("n_name") == target_nation
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount")
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.expr(f"sum({rev})").alias("__total"),
+            F.sum(F.when(is_tgt, F.expr(rev)).otherwise(F.lit(0))).alias(
+                "__tgt"
+            ),
+        )
+        .select(
+            "o_year",
+            F.expr("CAST(__total AS DOUBLE) / 10000.0").alias("revenue"),
+            F.expr(
+                "CAST(__tgt AS DOUBLE) / CAST(__total AS DOUBLE)"
+            ).alias("mkt_share"),
+        )
+    )

@@ -1232,6 +1232,41 @@ GROUP BY n_name
 """
 
 
+# ------------------------------------------------- Q8-shape market share
+
+
+def _q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per-year revenue share of one supplier nation —
+    conditional FILTER-style aggregation over the star join, computed
+    in a single pass (see plans/analytics.py::market_share)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import market_share
+
+    return market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _market_share_oracle() -> str:
+    ep = _OLAP_CENTS.format(c="l_extendedprice")
+    d = _OLAP_CENTS.format(c="l_discount")
+    rev = f"CAST({ep} * (100 - {d}) AS HUGEINT)"
+    return f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum({rev}) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(sum(CASE WHEN n_name = 'NATION_9' THEN {rev} ELSE 0 END)
+            AS DOUBLE)
+         / CAST(sum({rev}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY o_year
+"""
+
+
 # ---------------------------------------------------------- map functions
 
 
@@ -1451,6 +1486,7 @@ def ext_queries():
         "olap_revenue_cube": _q_revenue_cube,
         "olap_small_qty_revenue": _q_small_qty_revenue,
         "olap_grouping_sets": _q_grouping_sets,
+        "olap_market_share": _q_market_share,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_minhash_signatures,
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
@@ -1496,6 +1532,7 @@ def ext_oracles():
         "olap_revenue_cube": _cube_oracle(),
         "olap_small_qty_revenue": _small_qty_oracle(),
         "olap_grouping_sets": _grouping_sets_oracle(),
+        "olap_market_share": _market_share_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_sigs": _MINHASH_ORACLE,
         "dedup_minhash_lsh_pairs": _LSH_ORACLE,
