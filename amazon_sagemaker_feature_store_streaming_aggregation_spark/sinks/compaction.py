@@ -1,0 +1,77 @@
+"""Small-file compaction for streaming sink output.
+
+Structured Streaming file sinks write at least one file per
+(micro-batch × partition); a day of 1-minute triggers over 200
+shuffle partitions is ~300k files — and at 100 TB the resulting
+metadata pressure and per-file open cost dominate read time long
+before the bytes do. The standard fix is periodic compaction:
+rewrite a directory's many small files into few target-sized ones,
+atomically, without changing the rows.
+
+``compact_parquet_dir`` is that tool, deliberately simple:
+
+1. measure the directory (file count, total bytes) driver-side;
+2. read + ``repartition(ceil(bytes / target))`` — one round-robin
+   shuffle whose only purpose is output sizing;
+3. write to a staging dir, then swap atomically (rename the old dir
+   away, the staging dir in, delete the old) so concurrent readers
+   see either the old or the new file set, never a mix.
+
+The row payload is untouched — compaction is a physical-layout
+operation, which the test asserts by full-row equality (and is why
+there is no oracle entry: there is no query here).
+
+At catalog scale the same job runs per partition directory (the
+date=/bucket= leaves of ``layout.write_hash_layout``) so compaction
+parallelizes across partitions and never rewrites the whole table;
+table formats (Delta OPTIMIZE, Iceberg rewrite_data_files) are the
+managed equivalent and the documented deployment swap.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dir_stats(path: str) -> tuple[int, int]:
+    """(parquet file count, total bytes) under ``path``."""
+    n, size = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                size += os.path.getsize(os.path.join(root, f))
+    return n, size
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int:
+    """Compact ``path`` in place to ~``target_bytes`` parquet files.
+
+    Returns the resulting file count. No-op (returns current count)
+    when the directory already has fewer than ``min_files`` files or
+    is already at/below one target-size file per existing file.
+    """
+    n_files, total = dir_stats(path)
+    n_out = max(1, math.ceil(total / target_bytes))
+    if n_files < min_files or n_out >= n_files:
+        return n_files
+
+    df: DataFrame = spark.read.parquet(path)
+    staging = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
+    retired = f"{path.rstrip('/')}.__retired_{uuid.uuid4().hex[:8]}"
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    # atomic swap: readers see the old or the new listing, not a mix
+    os.rename(path, retired)
+    os.rename(staging, path)
+    shutil.rmtree(retired, ignore_errors=True)
+    return dir_stats(path)[0]

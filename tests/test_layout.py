@@ -100,3 +100,26 @@ def test_cobucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_left")
         spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    """Streaming-sink small-file compaction: fewer files, identical
+    rows, atomic in-place swap."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sinks import (
+        compact_parquet_dir,
+        dir_stats,
+    )
+
+    src = spark.read.parquet(f"{SF0001}/events.parquet")
+    out = str(tmp_path / "many")
+    # simulate many tiny micro-batch outputs
+    src.repartition(40).write.parquet(out)
+    n_before, _ = dir_stats(out)
+    assert n_before >= 40
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    n_after = compact_parquet_dir(spark, out, target_bytes=1 << 30)
+    assert n_after < n_before and n_after >= 1
+    after = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert before == after
+    # idempotent: second run is a no-op at this target size
+    assert compact_parquet_dir(spark, out, target_bytes=1 << 30) == n_after
