@@ -130,3 +130,82 @@ def test_asof_join_matches_bruteforce(spark, probes, builds):
         ]
         want = float(max(eligible)[1]) if eligible else None
         assert got[i] == want, (i, probes, builds)
+
+
+def test_sketches_partitioning_stable(spark):
+    """KMV estimates and CMS grids are pure functions of the DATA —
+    identical under any physical partitioning (the property that makes
+    them oracle-checkable and cluster-reproducible)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.sketches import (
+        cms_heavy_hitters,
+        kmv_distinct,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "user_id"
+    )
+    a = sorted(
+        map(
+            tuple,
+            kmv_distinct(
+                ev.repartition(3), "event_type", "user_id", k=16
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            kmv_distinct(
+                ev.repartition(13), "event_type", "user_id", k=16
+            ).collect(),
+        )
+    )
+    assert a == b
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    c = sorted(
+        map(tuple, cms_heavy_hitters(docs.repartition(3), top_n=8).collect())
+    )
+    d = sorted(
+        map(tuple, cms_heavy_hitters(docs.repartition(11), top_n=8).collect())
+    )
+    assert c == d
+
+
+def test_incremental_any_cutoff_matches_full(spark):
+    """delta_scoped_features equals the delta-restricted full recompute
+    at EVERY cutoff, not just the registered trailing-day split."""
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        trailing_window_features_exact,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.incremental import (
+        delta_scoped_features,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "value",
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    ts_us = F.unix_micros("ts")
+    for frac in (0.25, 0.5, 0.9):
+        cutoff = int(lo + (hi - lo) * frac)
+        got = delta_scoped_features(
+            ev.where(ts_us < cutoff),
+            ev.where(ts_us >= cutoff),
+            key="user_id",
+            ts="ts",
+            amount="value",
+        )
+        want = trailing_window_features_exact(
+            ev, key="user_id", ts="ts", amount="value"
+        ).where(ts_us >= cutoff)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"cutoff fraction {frac}"
