@@ -31,4 +31,5 @@ from .relational import (  # noqa: F401
     user_value_arrays,
     value_percentiles,
 )
+from .pipeline import clean_corpus  # noqa: F401
 from .train_prep import train_prep, train_test_split  # noqa: F401

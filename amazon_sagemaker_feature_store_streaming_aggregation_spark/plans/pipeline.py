@@ -1,0 +1,65 @@
+"""The composed corpus-cleaning pipeline (dedup ∘ quality ∘ lang ∘ sample).
+
+Individual operators are verified one by one elsewhere; THIS plan is
+the shape a 100 TB pretraining-data curation job actually runs — the
+standard cleaning recipe (C4/Gopher lineage) as ONE composed
+DataFrame job:
+
+1. **quality filter** — token/punctuation/stopword heuristics
+   (functions/text.py), scan-side codegen expressions;
+2. **language filter** — stopword-overlap argmax, also scan-side;
+3. **exact dedup** — keep the lowest ``doc_id`` per text hash
+   (one window over the 8-byte ``h64(text)``);
+4. **deterministic sample** — md5-threshold on the doc id
+   (partitioning/engine-stable, same convention as
+   ``operators/sampling.py``).
+
+Composition order IS the optimization: the text-derived filters (1)
+and (2) commute with the text-keyed dedup — every member of a
+duplicate group shares the text, so the group passes or fails as one
+— and are therefore applied BEFORE the dedup exchange, so the only
+shuffle in the whole pipeline sees just the quality-surviving,
+in-language slice of the corpus. The sample keys on ``doc_id`` (not
+text) so it must stay after dedup. Net plan: scan-side everything,
+ONE exchange, then a residual scan-side filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64
+from ..functions.text import with_lang_id, with_text_stats
+
+
+def clean_corpus(
+    documents: DataFrame,
+    min_quality: float = 0.5,
+    lang: str = "en",
+    keep_bp: int = 9000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cleaned corpus: ``(doc_id, n_tokens, quality_score, lang_pred)``
+    for documents that pass quality ≥ ``min_quality``, predicted
+    language ``lang``, exact dedup (lowest id wins), and a
+    ``keep_bp``/10000 deterministic sample.
+    """
+    scored = with_lang_id(with_text_stats(documents, text_col), text_col)
+    filtered = scored.where(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("lang_pred") == lang)
+    )
+    w = Window.partitionBy(h64(F.col(text_col))).orderBy(id_col)
+    kept = (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    sampled = kept.where(
+        h64(F.concat(F.lit("clean:"), F.col(id_col).cast("string")))
+        % 10000
+        < keep_bp
+    )
+    return sampled.select(id_col, "n_tokens", "quality_score", "lang_pred")

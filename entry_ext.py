@@ -1299,6 +1299,88 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------------- composed cleaning pipeline
+
+
+def _q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (plans/pipeline.py): quality +
+    language filters scan-side BEFORE the one dedup exchange (they
+    commute with text-keyed dedup), deterministic id-sample after."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import clean_corpus
+
+    return clean_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def _pipeline_oracle() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = ", ".join(
+        "CAST(len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        + f"], lower(t)))) AS BIGINT) AS score_{lang}"
+        for lang in langs
+    )
+    case = "CASE "
+    for lang in langs:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}"
+            for other in langs
+            if other != lang
+        )
+        case += f"WHEN {conds} THEN '{lang}' "
+    case += "END"
+    en_stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')
+           AS toks,
+         length(text) AS n_chars_m,
+         length(text) - length(regexp_replace(text, '[\\.\\,\\;\\:\\!\\?]', '', 'g'))
+           AS n_punct
+  FROM documents
+), counted AS (
+  SELECT doc_id, text, toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(n_chars_m AS BIGINT) AS n_chars_m,
+         CAST(n_punct AS BIGINT) AS n_punct,
+         CAST(len(list_filter(toks, t -> list_contains([{en_stop}],
+              lower(t)))) AS BIGINT) AS n_stopwords
+  FROM base
+), ratios AS (
+  SELECT *,
+         CASE WHEN n_chars_m > 0
+              THEN CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0
+              THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              ELSE 0.0 END AS stopword_ratio
+  FROM counted
+), scored AS (
+  SELECT doc_id, text, n_tokens,
+         CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END
+           + 0.3 * (1.0 - punct_ratio) + 0.3 * stopword_ratio
+           AS quality_score,
+         {score_cols}
+  FROM ratios
+), lang_pred AS (
+  SELECT doc_id, text, n_tokens, quality_score, {case} AS lang_pred
+  FROM scored
+), filtered AS (
+  SELECT * FROM lang_pred
+  WHERE quality_score >= 0.5 AND lang_pred = 'en'
+), dedup AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY {_H64.format(x="text")} ORDER BY doc_id) AS rn
+  FROM filtered
+)
+SELECT doc_id, n_tokens, quality_score, lang_pred
+FROM dedup
+WHERE rn = 1
+  AND {_H64.format(x="concat('clean:', CAST(doc_id AS VARCHAR))")} % 10000
+      < 9000
+"""
+
+
 # ------------------------------------------ UDF / UDAF / UDTF surfaces
 
 
@@ -1518,6 +1600,7 @@ def ext_queries():
         "rel_map_funcs": _q_rel_map_funcs,
         "sketch_kmv_distinct": _q_sketch_kmv,
         "sketch_cms_heavy_hitters": _q_sketch_cms,
+        "pipeline_clean_corpus": _q_pipeline_clean,
         "udx_luhn": _q_udx_luhn,
         "udx_median_by_user": _q_udx_median,
         "udx_word_positions": _q_udx_word_positions,
@@ -1564,6 +1647,7 @@ def ext_oracles():
         "rel_map_funcs": _REL_MAP_ORACLE,
         "sketch_kmv_distinct": _KMV_ORACLE,
         "sketch_cms_heavy_hitters": _cms_oracle(),
+        "pipeline_clean_corpus": _pipeline_oracle(),
         "udx_luhn": _luhn_oracle(),
         "udx_median_by_user": _UDX_MEDIAN_ORACLE,
         "udx_word_positions": _UDX_WORDPOS_ORACLE,

@@ -236,3 +236,26 @@ def test_incremental_plan_prunes_history(spark):
     # the broadcast build side. The history fact rows themselves never
     # shuffle outside the window exchange.
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_clean_corpus_filters_below_single_exchange(spark):
+    """The composed cleaning pipeline: quality+lang filters must sit
+    ON THE SCAN (they commute with text-keyed dedup), one exchange
+    total (the dedup window), and WindowGroupLimit must pre-trim
+    duplicate groups map-side before the shuffle."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import clean_corpus
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    df = clean_corpus(load_table(spark, SF001, "documents"))
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    lines = plan.splitlines()
+    ex = next(i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l)
+    scan_filter = next(
+        i for i, l in enumerate(lines) if "Filter" in l and "quality" not in l
+        and "size(filter(split(trim(" in l
+    )
+    assert scan_filter > ex, plan  # deeper line = earlier in dataflow
+    assert "WindowGroupLimit" in plan, plan
+    assert "DataFilters" in plan.splitlines()[-1] or "FileScan" in plan, plan
