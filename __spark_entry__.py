@@ -1280,7 +1280,9 @@ FROM probe p ASOF LEFT JOIN build b
 # ---------------------------------------------- I3-I6 inference enrichment
 
 
-def _q_inference_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_inference_enrich(
+    spark: SparkSession, sf_dir: str, join_strategy: str = "broadcast"
+) -> DataFrame:
     """Batch replay of the inference pipeline: every event enriched
     against the feature tables as of dataset end; 'now' = max event
     time (deterministic clock). Exercises both broadcast left joins,
@@ -1328,7 +1330,22 @@ def _q_inference_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cutoff; a deployment would pass wall-clock 'now' and scan once.
     now = tx_all.agg(F.max("ts")).first()[0]
     tx = tx_all.select("tid", "cc_num", F.col("ts").alias("trans_ts"), "amount")
-    return enrich_transactions(tx, f10, f1w, now=F.lit(now))
+    return enrich_transactions(
+        tx, f10, f1w, now=F.lit(now), join_strategy=join_strategy
+    )
+
+
+def _q_inference_enrich_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100×-dimension regime of i_enrich: identical semantics, but
+    the feature tables join via SHUFFLE_HASH instead of broadcast —
+    the physical plan a deployment flips to once the dimension
+    outgrows executor memory (each partition builds a hash map of only
+    its slice; no cluster-wide replication, no probe-side sort).
+    Shares the i_enrich oracle verbatim: only the join strategy moves,
+    never the answer."""
+    return _q_inference_enrich(spark, sf_dir, join_strategy="shuffle_hash")
 
 
 _I_ENRICH_ORACLE = """
@@ -1414,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_train_prep": _q_train_prep,
         "s4_sliding_agg": _q_s4_sliding_agg,
         "i_enrich": _q_inference_enrich,
+        "i_enrich_shuffle": _q_inference_enrich_shuffle,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "pit_training_set": _q_pit_training_set,
@@ -1442,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
         "t_train_prep": _TRAIN_ORACLE,
         "s4_sliding_agg": _S4_ORACLE,
         "i_enrich": _I_ENRICH_ORACLE,
+        "i_enrich_shuffle": _I_ENRICH_ORACLE,
         "asof_join": _ASOF_ORACLE,
         "range_join": _RANGE_JOIN_ORACLE,
         "pit_training_set": _PIT_ORACLE,

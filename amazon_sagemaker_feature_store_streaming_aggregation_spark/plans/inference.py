@@ -38,8 +38,9 @@ def enrich_transactions(
     now: Column,
     staleness_s: int = TEN_MINUTES_IN_SEC,
     key: str = "cc_num",
+    join_strategy: str = "broadcast",
 ) -> DataFrame:
-    """I3-I7: two broadcast left joins + staleness + guarded ratios.
+    """I3-I7: two keyed left joins + staleness + guarded ratios.
 
     ``tx`` columns: ``(cc_num, amount, trans_ts, ...)``.
     ``features_10m``: ``(cc_num, num_trans_last_10m, avg_amt_last_10m,
@@ -52,15 +53,27 @@ def enrich_transactions(
     Missing 10-min key -> zero-filled defaults (``lambda_function.py:
     113-118``); record staler than ``staleness_s`` -> 10-min aggregates
     zeroed AND ratios forced to 0.0 (``:137-146,215-227``).
+
+    ``join_strategy``: ``'broadcast'`` (the reference regime — 10 K
+    cards ship to every task, the event side never shuffles) or
+    ``'shuffle_hash'`` — the 100×-dim regime where the feature table
+    outgrows broadcast: both sides hash-partition on the key and each
+    partition builds a hash map of ONLY its dimension slice (no
+    cluster-wide replication, no per-partition sort — a sort-merge
+    join would sort the giant probe side for nothing). Results are
+    identical; only the physical strategy moves (both pinned in
+    tests/test_plans.py).
     """
-    f10 = F.broadcast(
-        features_10m.select(
-            key, "num_trans_last_10m", "avg_amt_last_10m", "trans_time"
-        )
+    f10 = features_10m.select(
+        key, "num_trans_last_10m", "avg_amt_last_10m", "trans_time"
     )
-    f1w = F.broadcast(
-        features_1w.select(key, "num_trans_last_1w", "avg_amt_last_1w")
-    )
+    f1w = features_1w.select(key, "num_trans_last_1w", "avg_amt_last_1w")
+    if join_strategy == "broadcast":
+        f10, f1w = F.broadcast(f10), F.broadcast(f1w)
+    elif join_strategy == "shuffle_hash":
+        f10, f1w = f10.hint("SHUFFLE_HASH"), f1w.hint("SHUFFLE_HASH")
+    else:
+        raise ValueError(f"unknown join_strategy: {join_strategy!r}")
 
     joined = tx.join(f10, on=key, how="left").join(f1w, on=key, how="left")
 

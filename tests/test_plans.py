@@ -259,3 +259,22 @@ def test_clean_corpus_filters_below_single_exchange(spark):
     assert scan_filter > ex, plan  # deeper line = earlier in dataflow
     assert "WindowGroupLimit" in plan, plan
     assert "DataFilters" in plan.splitlines()[-1] or "FileScan" in plan, plan
+
+
+def test_enrich_join_strategy_toggle(spark):
+    """i_enrich: broadcast by default; the shuffle_hash variant must
+    plan ShuffledHashJoin with NO BroadcastExchange for the feature
+    dims — the strategy a deployment flips to when the dimension
+    outgrows broadcast."""
+    import __spark_entry__ as e
+
+    from .conftest import SF0001
+
+    b = _plan(e._q_inference_enrich(spark, SF0001))
+    assert "BroadcastHashJoin" in b, b
+
+    s_df = e._q_inference_enrich(spark, SF0001, join_strategy="shuffle_hash")
+    s_df.collect()  # finalize AQE — hints must survive re-planning
+    s = _plan(s_df).split("+- == Initial Plan ==")[0]
+    assert "ShuffledHashJoin" in s, s
+    assert "BroadcastHashJoin" not in s, s
