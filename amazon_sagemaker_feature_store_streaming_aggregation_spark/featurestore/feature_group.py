@@ -42,10 +42,15 @@ snapshot versioning::
   (``2_batch_ingestion.ipynb:311-343``). On a real deployment the same
   logic is a Delta/Iceberg ``MERGE INTO``; per-bucket snapshots keep
   this engine dependency-free.
-* Single-writer assumption: concurrent ``upsert`` calls on the same
-  store are NOT serialized (last ``_VERSION`` writer wins per bucket).
-  Serialize upserts per store — trivially true for the intended caller,
-  a streaming query's ``foreachBatch``.
+* MULTI-WRITER: concurrent ``upsert`` calls are safe. Each bucket
+  commit is optimistic — the merge records the snapshot version it
+  read, claims the next version exclusively (atomic ``mkdir`` marker),
+  re-checks under the claim, and flips the pointer; a losing writer
+  re-merges just the conflicted buckets against the new snapshot and
+  retries (the Delta/Iceberg optimistic-commit loop, applied per
+  bucket so disjoint-bucket writers never conflict at all). Lost
+  updates are designed out; see ``tests/test_featurestore.py``'s
+  concurrent-writer test.
 
 Incoming batches are type-reconciled against the stored schema before
 the merge (numeric/timestamp upcasts are applied; anything else raises
@@ -65,6 +70,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -179,7 +185,7 @@ class FeatureGroup:
         return df
 
     # ---------------------------------------------------------------- write
-    def upsert(self, df: DataFrame) -> None:
+    def upsert(self, df: DataFrame, max_retries: int = 5) -> None:
         """Merge ``df`` into the store, keeping the latest record per key.
 
         Bucket-local: only the hash buckets present in ``df`` are read,
@@ -187,6 +193,17 @@ class FeatureGroup:
         event-time column are stamped with the current timestamp (the
         reference stamps ``trans_time = now()`` at ingest,
         ``StreamingIngestAggFeatures/lambda_function.py:29``).
+
+        MULTI-WRITER SAFE via per-bucket optimistic concurrency: each
+        bucket merge records the snapshot version it READ, and the
+        commit claims the next version exclusively (``os.mkdir`` of a
+        claim marker is atomic) and re-checks the version under the
+        claim before flipping the pointer. A bucket whose version moved
+        underneath the merge is NOT committed (no lost update); the
+        conflicted buckets are re-merged against the new snapshot and
+        retried — the same optimistic loop Delta/Iceberg run at the
+        table level, here per bucket so disjoint-bucket writers never
+        conflict at all.
         """
         if self.event_time not in df.columns:
             df = df.withColumn(self.event_time, F.current_timestamp())
@@ -205,20 +222,44 @@ class FeatureGroup:
         if not touched:
             return
 
-        existing_paths = []
-        for b in touched:
-            v = self._bucket_version(b)
-            if v > 0:
-                existing_paths.append(self._bucket_snapshot(b, v))
-        merged = df
+        remaining = touched
+        last_schema: T.StructType | None = None
+        for _attempt in range(max_retries + 1):
+            if not remaining:
+                break
+            remaining, last_schema = self._merge_commit_round(df, remaining)
+        if remaining:
+            raise RuntimeError(
+                f"feature group {self.name!r}: buckets {remaining} still "
+                f"conflicted after {max_retries} retries — a writer is "
+                "persistently racing this one"
+            )
+        if last_schema is not None:
+            self._write_schema(last_schema)
+
+    def _merge_commit_round(
+        self, df: DataFrame, buckets: list[int]
+    ) -> tuple[list[int], T.StructType]:
+        """One optimistic round: merge ``buckets`` against their current
+        snapshots, stage, try to commit each; return (conflicted
+        buckets, merged schema)."""
+        part = df.where(F.col(_BUCKET).isin([int(b) for b in buckets]))
+        read_vers = {b: self._bucket_version(b) for b in buckets}
+        existing_paths = [
+            self._bucket_snapshot(b, v) for b, v in read_vers.items() if v > 0
+        ]
+        merged = part
         if existing_paths:
             existing = self.spark.read.parquet(*existing_paths).withColumn(
-                _BUCKET, F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
+                _BUCKET,
+                F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)),
             )
-            merged = existing.unionByName(df, allowMissingColumns=True)
+            merged = existing.unionByName(part, allowMissingColumns=True)
 
         value_cols = [
-            c for c in merged.columns if c not in (self.key, self.event_time, _BUCKET)
+            c
+            for c in merged.columns
+            if c not in (self.key, self.event_time, _BUCKET)
         ]
         w = Window.partitionBy(self.key).orderBy(
             F.col(self.event_time).desc(),
@@ -231,39 +272,70 @@ class FeatureGroup:
         )
 
         # One distributed job over the touched buckets; outputs land per
-        # bucket and are moved into place, then each pointer flips.
-        staging = os.path.join(self.path, "_staging")
+        # bucket, then each bucket commits (or conflicts) independently.
+        staging = os.path.join(
+            self.path, f"_staging_{uuid.uuid4().hex[:12]}"
+        )
         shutil.rmtree(staging, ignore_errors=True)
         latest.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
 
-        new_schema = T.StructType(
+        conflicted = []
+        for b in buckets:
+            src = os.path.join(staging, f"{_BUCKET}={b}")
+            if not self._commit_bucket(b, read_vers[b], src):
+                conflicted.append(b)
+        shutil.rmtree(staging, ignore_errors=True)
+        schema = T.StructType(
             [f for f in latest.schema.fields if f.name != _BUCKET]
         )
-        flips = []
-        for b in touched:
-            src = os.path.join(staging, f"{_BUCKET}={b}")
-            cur = self._bucket_version(b)
-            nxt_dir = self._bucket_snapshot(b, cur + 1)
-            os.makedirs(self._bucket_dir(b), exist_ok=True)
-            shutil.rmtree(nxt_dir, ignore_errors=True)
+        return conflicted, schema
+
+    def _commit_bucket(self, bucket: int, read_version: int, src: str) -> bool:
+        """Atomically publish ``src`` as this bucket's next snapshot IF
+        the bucket is still at ``read_version``. Returns False on
+        conflict (another writer advanced the bucket first).
+
+        Exclusivity: ``os.mkdir`` of the claim marker either succeeds
+        for exactly one writer or raises — the claimant re-checks the
+        version UNDER the claim (a competitor may have committed
+        between the first check and the claim), then renames the
+        snapshot in and flips ``_VERSION``. The marker is removed on
+        exit either way; a crash inside the claim window leaves a
+        marker that must be swept by a janitor (documented operational
+        caveat — table formats solve this with commit-log timestamps).
+        """
+        os.makedirs(self._bucket_dir(bucket), exist_ok=True)
+        if self._bucket_version(bucket) != read_version:
+            return False
+        claim = os.path.join(
+            self._bucket_dir(bucket), f"_commit_v{read_version + 1}"
+        )
+        try:
+            os.mkdir(claim)
+        except FileExistsError:
+            return False
+        try:
+            if self._bucket_version(bucket) != read_version:
+                return False
+            nxt = self._bucket_snapshot(bucket, read_version + 1)
+            shutil.rmtree(nxt, ignore_errors=True)  # we own the claim
             if os.path.isdir(src):
-                os.rename(src, nxt_dir)
+                os.rename(src, nxt)
             else:  # every key of this bucket vanished (can't happen via
-                os.makedirs(nxt_dir)  # upsert, but keep the flip total)
-            flips.append((b, cur))
-        for b, cur in flips:
-            vf = os.path.join(self._bucket_dir(b), "_VERSION")
+                os.makedirs(nxt)  # upsert, but keep the flip total)
+            vf = os.path.join(self._bucket_dir(bucket), "_VERSION")
             with open(vf + ".tmp", "w") as f:
-                f.write(str(cur + 1))
+                f.write(str(read_version + 1))
             os.replace(vf + ".tmp", vf)
             # Retire snapshots older than the previous one (kept for
             # in-flight readers).
-            for v in range(1, cur):
-                old = self._bucket_snapshot(b, v)
+            for v in range(1, read_version):
+                old = self._bucket_snapshot(bucket, v)
                 if os.path.isdir(old):
                     shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
-        self._write_schema(new_schema)
+            return True
+        finally:
+            shutil.rmtree(claim, ignore_errors=True)
 
     def put_record(self, record: dict) -> None:
         """Single-record upsert (reference ``put_record`` parity).

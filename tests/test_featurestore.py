@@ -161,3 +161,48 @@ def test_cli_driver_main(spark, tmp_path):
         spark, "cli-fg", "cc_num", "trans_time", str(tmp_path / "store"), n_buckets=4
     )
     assert fg.get_latest().count() > 0
+
+
+def test_concurrent_upserts_no_lost_update(spark, tmp_path):
+    """Two writers racing on the SAME bucket must both land (optimistic
+    per-bucket commit; the loser re-merges and retries) — the lost
+    update the old last-writer-wins _VERSION flip allowed."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    fg = FeatureGroup(
+        spark,
+        "race",
+        record_identifier_feature_name="cc_num",
+        event_time_feature_name="trans_time",
+        base_path=str(tmp_path),
+        n_buckets=2,
+    )
+    # 40 distinct keys across both buckets from each writer, disjoint
+    # key ranges -> every row must survive if no update is lost.
+    def writer(base):
+        rows = [
+            (base + i, float(base + i), "2024-01-01 00:00:00")
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "cc_num long, amount double, trans_time string"
+        ).withColumn("trans_time", F.col("trans_time").cast("timestamp"))
+        fg.upsert(df)
+
+    errs = []
+
+    def run(base):
+        try:
+            writer(base)
+        except Exception as ex:  # surface thread failures in the assert
+            errs.append(ex)
+
+    t1 = threading.Thread(target=run, args=(1000,))
+    t2 = threading.Thread(target=run, args=(2000,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    got = sorted(r["cc_num"] for r in fg.get_latest().collect())
+    want = sorted(list(range(1000, 1040)) + list(range(2000, 2040)))
+    assert got == want
