@@ -323,17 +323,18 @@ def _set_stream_partitions(spark: SparkSession) -> str:
     Stateful streaming provisions one state-store instance per shuffle
     partition per stateful operator, re-opened every micro-batch — so
     the partition count should track the query's sustained throughput,
-    not the session default sized for batch scans (measured here:
-    the stream-stream join replay drops 12.7s -> 3.5s at sf0.1 going
-    32 -> 16). On a real cluster, size this to input rate BEFORE the
-    first start: the value is baked into the checkpoint.
+    not the session default sized for batch scans (measured at sf0.1
+    on the stream-stream join replay: 12.7s @32 -> ~4.3s @16 ->
+    ~2.5s @8; 8 won or tied on every stateful replay). On a real
+    cluster, size this to input rate BEFORE the first start: the
+    value is baked into the checkpoint.
     """
     import os
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "16"),
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
     )
     return old
 

@@ -69,6 +69,12 @@ def main() -> None:
         best = min(times)
         timings[name] = round(best, 3)
         total += best
+        # Memory-sink replays register temp views holding their full
+        # result in JVM heap; dropped here so earlier queries' results
+        # don't tax later queries' GC.
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
         print(
             f"# {name}: {best:.3f}s rows={n} "
             f"(reps={len(times)}: {[round(t, 2) for t in times]})",
