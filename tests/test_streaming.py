@@ -326,3 +326,47 @@ def test_kafka_value_projection_plan(spark):
     # no Python evaluation anywhere in the projection
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_progress_summary_accounts_for_all_input(spark, tmp_path):
+    """progress_summary: input_rows equals the replayed table size,
+    batches counted, state rows reported for a stateful query."""
+    import os
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        dedup_stream_exact,
+        progress_summary,
+        read_event_stream,
+    )
+
+    stream_dir = tmp_path / "src"
+    stream_dir.mkdir()
+    os.symlink(
+        f"{SF0001}/events.parquet", stream_dir / "00.parquet"
+    )
+    stream = read_event_stream(
+        spark,
+        str(stream_dir),
+        "event_id long, ts timestamp_ntz, user_id long, value double",
+    )
+    deduped = dedup_stream_exact(
+        stream, ["event_id"], ts_col="ts", watermark="10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("metrics_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    m = progress_summary(q)
+    assert m["num_batches"] >= 1
+    assert m["input_rows"] == 1000  # sf0.001 events
+    # watermark-bounded dedup EVICTS state once the watermark passes:
+    # the final snapshot holds far fewer rows than the input — exactly
+    # the bounded-state property the summary exists to monitor
+    assert 0 <= m["state_rows"] < 1000
+    assert m["rows_per_sec"] > 0
+    assert m["max_batch_ms"] >= 1
