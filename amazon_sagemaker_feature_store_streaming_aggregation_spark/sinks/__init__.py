@@ -4,4 +4,6 @@ from .layout import (  # noqa: F401
     read_pruned,
     write_bucketed_table,
     write_hash_layout,
+    write_zorder_layout,
+    zorder_value,
 )
