@@ -7,6 +7,7 @@ from .window_agg import (  # noqa: F401
 from .asof_join import asof_join  # noqa: F401
 from .incremental import delta_scoped_features  # noqa: F401
 from .range_join import range_join  # noqa: F401
+from .salted_join import salted_join  # noqa: F401
 from .rollup import time_rollup  # noqa: F401
 from .sampling import deterministic_sample, stratified_sample  # noqa: F401
 from .sessionize import session_stats, sessionize  # noqa: F401

@@ -1299,6 +1299,34 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------------------------- salted join
+
+
+def _q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated shuffled join (operators/salted_join.py): the
+    probe side scatters each key across 8 salts (derived from the
+    event id — deterministic, never rand()), the build side replicates
+    8x, the join keys on (key, salt). The oracle is the UNsalted join:
+    identical rows is the contract."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return salted_join(
+        ev, cust, on="user_id", salt_source="event_id", salt=8
+    )
+
+
+_REL_SALTED_ORACLE = """
+SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 # ------------------------------------------- composed cleaning pipeline
 
 
@@ -1600,6 +1628,7 @@ def ext_queries():
         "rel_map_funcs": _q_rel_map_funcs,
         "sketch_kmv_distinct": _q_sketch_kmv,
         "sketch_cms_heavy_hitters": _q_sketch_cms,
+        "rel_salted_join": _q_rel_salted_join,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "udx_luhn": _q_udx_luhn,
         "udx_median_by_user": _q_udx_median,
@@ -1647,6 +1676,7 @@ def ext_oracles():
         "rel_map_funcs": _REL_MAP_ORACLE,
         "sketch_kmv_distinct": _KMV_ORACLE,
         "sketch_cms_heavy_hitters": _cms_oracle(),
+        "rel_salted_join": _REL_SALTED_ORACLE,
         "pipeline_clean_corpus": _pipeline_oracle(),
         "udx_luhn": _luhn_oracle(),
         "udx_median_by_user": _UDX_MEDIAN_ORACLE,

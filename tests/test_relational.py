@@ -125,3 +125,36 @@ def test_approx_count_distinct_tracks_exact_within_rsd(spark):
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= max(2, 0.05 * r["exact"]), (
             r["event_type"], r["approx"], r["exact"])
+
+
+def test_salted_join_equals_plain_and_scatters_keys(spark, tmp_path):
+    """Salted join == plain join row-for-row, and under a forced
+    shuffled join the physical keys include the salt (the hot key is
+    scattered across salt partitions)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import salted_join
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    from .conftest import SF0001, plan_str
+
+    ev = load_table(spark, SF0001, "events").select(
+        "event_id", "user_id", "value"
+    )
+    cust = load_table(spark, SF0001, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    got = salted_join(ev, cust, on="user_id", salt_source="event_id")
+    want = ev.join(cust, on="user_id")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_str(
+            salted_join(ev, cust, on="user_id", salt_source="event_id")
+        )
+        assert "__salt" in plan.split("Join")[0] or "__salt" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
