@@ -15,6 +15,7 @@ from .ratios import with_ratio_features, with_guarded_inference_ratios  # noqa: 
 from .latest_per_key import latest_per_key  # noqa: F401
 from .dedup import (  # noqa: F401
     connected_components,
+    contamination_overlap,
     dedup_exact,
     lsh_candidate_pairs,
     minhash_signatures,

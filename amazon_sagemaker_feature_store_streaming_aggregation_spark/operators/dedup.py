@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h64
+from ..functions.hashing import h64, shingle_hashes
 
 DEFAULT_SHINGLE_K = 9
 SIMHASH_BITS = 60
@@ -445,4 +445,43 @@ def near_dup_clusters(
         .otherwise(0)
         .cast("int")
         .alias("is_canonical"),
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing character
+    ``k``-gram shingles with a benchmark set (the n-gram-overlap test
+    every pretraining pipeline runs so eval data doesn't leak into
+    training data — e.g. GPT-3's 13-gram and Gopher's overlap checks;
+    here over the repo's standard ``k``-gram md5 shingles so the
+    oracle reproduces it exactly).
+
+    Output: ``(doc_id, n_overlap)`` — corpus docs with >= 1 shared
+    shingle and their DISTINCT shared-shingle count (the ranking
+    signal for quarantine-vs-drop decisions).
+
+    Scale shape: shingles explode scan-side on BOTH sides; the join
+    ships 8-byte hashes only. The benchmark side is tiny by nature
+    (eval suites), so its exploded shingle set broadcasts — the corpus
+    never shuffles. The distinct-overlap count groups on
+    (doc, shingle) pairs AFTER the broadcast join has filtered to
+    matches, i.e. the aggregate sees only contaminated rows.
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.explode(shingle_hashes(text_col, k)).alias("__sh"),
+    )
+    b = benchmark.select(
+        F.explode(shingle_hashes(text_col, k)).alias("__sh")
+    ).distinct()
+    return (
+        c.join(F.broadcast(b), on="__sh", how="inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("__sh")).alias("n_overlap"))
     )

@@ -1299,6 +1299,37 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------- decontamination
+
+
+def _q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py): corpus docs
+    (doc_id >= 10) sharing 9-gram shingles with the 'benchmark' set
+    (doc_id < 10); distinct shared-shingle count per contaminated
+    doc. The benchmark's exploded shingles broadcast; the corpus
+    never shuffles before the contamination filter."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        contamination_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs.where("doc_id >= 10"), docs.where("doc_id < 10")
+    )
+
+
+_CONTAMINATION_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents WHERE doc_id >= 10
+), bench AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS sh FROM documents WHERE doc_id < 10
+)
+SELECT c.doc_id, count(DISTINCT c.sh) AS n_overlap
+FROM corpus c JOIN bench b ON c.sh = b.sh
+GROUP BY c.doc_id
+"""
+
+
 # ------------------------------------------------------- salted join
 
 
@@ -1628,6 +1659,7 @@ def ext_queries():
         "rel_map_funcs": _q_rel_map_funcs,
         "sketch_kmv_distinct": _q_sketch_kmv,
         "sketch_cms_heavy_hitters": _q_sketch_cms,
+        "dedup_contamination": _q_dedup_contamination,
         "rel_salted_join": _q_rel_salted_join,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "udx_luhn": _q_udx_luhn,
@@ -1676,6 +1708,7 @@ def ext_oracles():
         "rel_map_funcs": _REL_MAP_ORACLE,
         "sketch_kmv_distinct": _KMV_ORACLE,
         "sketch_cms_heavy_hitters": _cms_oracle(),
+        "dedup_contamination": _CONTAMINATION_ORACLE,
         "rel_salted_join": _REL_SALTED_ORACLE,
         "pipeline_clean_corpus": _pipeline_oracle(),
         "udx_luhn": _luhn_oracle(),
