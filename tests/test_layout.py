@@ -191,3 +191,42 @@ def test_zorder_clusters_both_columns(spark, tmp_path):
     assert (
         spark.read.parquet(zpath).count() == ev.count()
     )
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_days(
+    spark, tmp_path
+):
+    """Incremental re-ingest write contract: with dynamic partition
+    overwrite, rewriting one day's data replaces ONLY that day's
+    directory — static mode would wipe every other partition. This is
+    the write-side half of the delta-scoped incremental story
+    (operators/incremental.py computes the delta; this is how it
+    lands)."""
+    ev = load_table(spark, SF0001, "events").select(
+        "event_id", "user_id", "value", F.to_date("ts").alias("d")
+    )
+    path = str(tmp_path / "dated")
+    ev.write.partitionBy("d").parquet(path)
+    days = [r["d"] for r in ev.select("d").distinct().collect()]
+    target = sorted(days)[0]
+    n_total = ev.count()
+    n_target = ev.where(F.col("d") == target).count()
+
+    redo = (
+        ev.where(F.col("d") == target)
+        .withColumn("value", F.col("value") * 2)
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        redo.write.mode("overwrite").partitionBy("d").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    back = spark.read.parquet(path)
+    assert back.count() == n_total  # nothing outside the day was lost
+    assert back.where(F.col("d") == target).count() == n_target
+    # the touched day really was replaced (values doubled)
+    a = back.where(F.col("d") == target).agg(F.sum("value")).first()[0]
+    b = ev.where(F.col("d") == target).agg(F.sum("value") * 2).first()[0]
+    assert abs(a - b) < 1e-6
