@@ -1299,6 +1299,39 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------------------ multimodal metadata
+
+
+def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata op through the driver gate: video frame
+    sampling (every 5th frame index from the metadata struct,
+    JVM-side sequence+explode — no payload decode). The media table
+    is the deterministic synthetic fixture over documents, so the
+    oracle regenerates it exactly; payload-decoding ops stay
+    pytest-verified (binary outputs don't value-hash across engines).
+    """
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(
+        spark, load_table(spark, sf_dir, "documents"), kind="video"
+    )
+    return sample_frames(media, every_n=5)
+
+
+_MM_FRAME_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id, (doc_id % 30) + 1 AS n_frames FROM documents
+)
+SELECT media_id,
+       CAST(unnest(range(0, greatest(n_frames - 1, 0) + 1, 5)) AS INTEGER)
+         AS frame_idx
+FROM media
+"""
+
+
 # ---------------------------------------------------- decontamination
 
 
@@ -1659,6 +1692,7 @@ def ext_queries():
         "rel_map_funcs": _q_rel_map_funcs,
         "sketch_kmv_distinct": _q_sketch_kmv,
         "sketch_cms_heavy_hitters": _q_sketch_cms,
+        "mm_frame_sample": _q_mm_frame_sample,
         "dedup_contamination": _q_dedup_contamination,
         "rel_salted_join": _q_rel_salted_join,
         "pipeline_clean_corpus": _q_pipeline_clean,
@@ -1708,6 +1742,7 @@ def ext_oracles():
         "rel_map_funcs": _REL_MAP_ORACLE,
         "sketch_kmv_distinct": _KMV_ORACLE,
         "sketch_cms_heavy_hitters": _cms_oracle(),
+        "mm_frame_sample": _MM_FRAME_ORACLE,
         "dedup_contamination": _CONTAMINATION_ORACLE,
         "rel_salted_join": _REL_SALTED_ORACLE,
         "pipeline_clean_corpus": _pipeline_oracle(),
