@@ -32,4 +32,5 @@ from .relational import (  # noqa: F401
     value_percentiles,
 )
 from .pipeline import clean_corpus  # noqa: F401
+from .quality import check_quality, ingest_quality_gate  # noqa: F401
 from .train_prep import train_prep, train_test_split  # noqa: F401
