@@ -1422,7 +1422,46 @@ FROM zeroed
 """
 
 
+# Driver-gate rotation: the per-round CORRECTNESS gate covers the first 50
+# entries of queries() in registration order.  Round 2 left the last 18
+# registered queries without a gate row (green in tests/test_entry_oracles.py
+# but never driver-verified).  Put exactly those 18 first this round so every
+# query has had a driver-verified row within two rounds; rotate again if new
+# queries push the tail past 50.
+_GATE_PRIORITY = [
+    "rel_regex_month",
+    "rel_json_props",
+    "rel_array_agg",
+    "rel_percentiles",
+    "rel_window_funcs",
+    "rel_pivot",
+    "rel_window_distinct",
+    "rel_unpivot",
+    "rel_map_funcs",
+    "sketch_kmv_distinct",
+    "sketch_cms_heavy_hitters",
+    "mm_frame_sample",
+    "dedup_contamination",
+    "rel_salted_join",
+    "pipeline_clean_corpus",
+    "udx_luhn",
+    "udx_median_by_user",
+    "udx_word_positions",
+]
+
+
+def _rotate_for_gate(entries: dict) -> dict:
+    """Return `entries` with _GATE_PRIORITY keys first, then original order."""
+    front = {k: entries[k] for k in _GATE_PRIORITY if k in entries}
+    rest = {k: v for k, v in entries.items() if k not in front}
+    return {**front, **rest}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _rotate_for_gate(_all_queries())
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "e1_agg_features": _q_e1_agg_features,
         "e1_skew_window": _q_e1_skew_window,
@@ -1452,6 +1491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    return _rotate_for_gate(_all_oracles())
+
+
+def _all_oracles() -> dict[str, str]:
     return {
         "e1_agg_features": _E1_ORACLE,
         "e1_skew_window": _E1_SKEW_ORACLE,

@@ -116,10 +116,12 @@ def word_positions(documents, id_col: str = "doc_id", text_col: str = "text"):
         def eval(self, doc_id: int, text: str):  # noqa: ANN001
             if text is None:
                 return
-            pos = 0
-            for w in text.split(" "):
+            # Keep the ORIGINAL split index (1-based) and skip empty
+            # tokens without compacting — matching the posexplode twin
+            # (p0 + 1, then filter '') and the DuckDB oracle, so texts
+            # with leading/consecutive spaces agree across all three.
+            for pos, w in enumerate(text.split(" "), start=1):
                 if w:
-                    pos += 1
                     yield (pos, w)
 
     # lateral-join the UDTF against the table via SQL (the stable

@@ -55,7 +55,10 @@ def _running_totals_fn(key, pdf_iter, state):
     batch = pd.concat(list(pdf_iter), ignore_index=True)
     # deterministic intra-batch order: event time, id tiebreak
     batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-    cents = (batch["value"] * 100).round().astype("int64")
+    # __amt_cents is computed JVM-side (F.round half-away-from-zero)
+    # before the shuffle — numpy's .round() is half-EVEN and diverges
+    # from the oracle on exact .5 products (e.g. 0.125 -> 12.5).
+    cents = batch["__amt_cents"].astype("int64")
     run_n = n0 + pd.RangeIndex(1, len(batch) + 1)
     run_c = c0 + cents.cumsum()
     state.update((int(run_n[-1]), int(run_c.iloc[-1])))
@@ -72,7 +75,17 @@ def _running_totals_fn(key, pdf_iter, state):
 def running_totals(stream: DataFrame, key: str = "user_id") -> DataFrame:
     """Apply the stateful function: one shuffle on ``key``, state is a
     single (count, cents) pair per key, never evicted (``NoTimeout`` —
-    cumulative totals are the contract)."""
+    cumulative totals are the contract).
+
+    Cents are fixed JVM-side with ``F.round`` (half-away-from-zero,
+    matching the DuckDB oracle and sliding_agg.py) so the Python
+    worker never re-rounds doubles.
+    """
+    from pyspark.sql import functions as F
+
+    stream = stream.withColumn(
+        "__amt_cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
     return stream.groupBy(key).applyInPandasWithState(
         _running_totals_fn,
         outputStructType=OUTPUT_SCHEMA,

@@ -27,6 +27,17 @@ def test_every_query_has_callable():
         assert callable(fn), name
 
 
+def test_gate_rotation_puts_priority_first():
+    # The driver's CORRECTNESS gate covers the first 50 registration-order
+    # entries; the rotation must put the previously-ungated queries up front
+    # and keep queries()/oracle_sql() key order aligned.
+    keys = list(_QUERIES)
+    assert keys[: len(entrymod._GATE_PRIORITY)] == entrymod._GATE_PRIORITY
+    assert set(entrymod._GATE_PRIORITY) <= set(keys[:50])
+    oracle_keys = [k for k in _ORACLES if k in _QUERIES]
+    assert [k for k in keys if k in _ORACLES] == oracle_keys
+
+
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_query_matches_oracle(spark, name):
     assert name in _QUERIES, f"oracle {name} has no queries() twin"

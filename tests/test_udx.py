@@ -57,3 +57,15 @@ def test_udtf_equals_posexplode(spark):
     a = sorted(map(tuple, via_udtf.collect()))
     b = sorted(map(tuple, via_builtin.collect()))
     assert a == b
+
+
+def test_udtf_irregular_spacing_keeps_original_index(spark):
+    # Leading/trailing/consecutive spaces produce empty split tokens;
+    # positions must keep the ORIGINAL split index (not compact), to
+    # match the posexplode twin and the DuckDB oracle.
+    docs = spark.createDataFrame(
+        [(1, " a  b "), (2, "x y"), (3, "  "), (4, None)],
+        "doc_id long, text string",
+    )
+    got = sorted(map(tuple, word_positions(docs).collect()))
+    assert got == [(1, 2, "a"), (1, 4, "b"), (2, 1, "x"), (2, 2, "y")]
