@@ -130,6 +130,93 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
+def _png_defilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (types 0-4) -> (h, w*ch) bytes.
+
+    Up/None rows are whole-row numpy ops; Sub/Average/Paeth carry a
+    left-neighbor dependency, so those run a per-byte loop along x —
+    fine for a correctness-first decoder (rows are short relative to
+    the Arrow batch, and the hot path stays per-asset parallel via
+    mapInPandas partitions).
+    """
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    raw = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ftype, line = int(raw[y, 0]), raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub
+            cur = out[y]
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (line[x] + left) & 0xFF
+        elif ftype == 3:  # Average
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB, pure stdlib (``zlib`` inflate +
+    defilter) — no codec library. Supports the deterministic subset a
+    synthetic pipeline emits: 8-bit depth, grayscale (0), RGB (2) and
+    RGBA (6) color types, non-interlaced. Grayscale broadcasts to 3
+    channels; alpha is dropped (features are computed over RGB)."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG subset: 8-bit non-interlaced only (depth={depth}, "
+            f"interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}.get(color)
+    if ch is None:
+        raise NotImplementedError(f"PNG color type {color} unsupported")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (w * ch + 1):
+        raise ValueError("PNG scanline payload has unexpected size")
+    px = _png_defilter(raw, h, w, ch).reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]
+
+
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV/PCM -> (samples as float64 in [-1, 1] mono-mixed, rate).
     Stdlib ``wave`` module — a real container/codec, no external libs."""
@@ -196,12 +283,14 @@ def _real_features(payload: bytes, kind: str, fmt: str, dim: int) -> list:
         return _image_features(_decode_ppm(payload), dim).tolist()
     if fmt == "bmp":
         return _image_features(_decode_bmp(payload), dim).tolist()
+    if fmt == "png":
+        return _image_features(_decode_png(payload), dim).tolist()
     if fmt == "wav":
         x, rate = _decode_wav(payload)
         return _audio_features(x, rate, dim).tolist()
     raise NotImplementedError(
         f"no in-container decoder for format {fmt!r} (kind {kind!r}); "
-        "ppm/bmp/wav decode natively — other codecs plug in here"
+        "ppm/bmp/png/wav decode natively — other codecs plug in here"
     )
 
 
@@ -210,8 +299,9 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract each asset via Arrow-batched mapInPandas.
 
-    ``decoder='real'`` decodes natively-supported containers — PPM/BMP
-    images and WAV/PCM audio (stdlib ``wave``) — into per-asset stat
+    ``decoder='real'`` decodes natively-supported containers — PPM/BMP/
+    PNG images (PNG via stdlib ``zlib`` inflate + defilter) and WAV/PCM
+    audio (stdlib ``wave``) — into per-asset stat
     vectors; unsupported formats raise ``NotImplementedError`` naming
     the plug-in point. ``'stub'`` marks that integration point
     unconditionally; ``'fake'`` produces deterministic md5-seeded

@@ -314,6 +314,110 @@ def test_real_decoder_wav_ppm_bmp_end_to_end(spark):
         extract_features(raw, decoder="real").collect()
 
 
+def _png_encode(px, color_type, filters):
+    """Minimal PNG writer for test fixtures: 8-bit, non-interlaced,
+    one explicit filter type per row (exercises the decoder's
+    defiltering, not just the zlib path)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    flat = px.reshape(h, w * ch).astype(np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = b""
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, np.int32)
+        line = bytearray([f])
+        for x in range(w * ch):
+            left = int(cur[x - ch]) if x >= ch else 0
+            up = int(prev[x])
+            upleft = int(prev[x - ch]) if x >= ch else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: up,
+                3: (left + up) >> 1,
+                4: paeth(left, up, upleft),
+            }[f]
+            line.append((int(cur[x]) - pred) & 0xFF)
+        raw += bytes(line)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_exact_pixels_all_filters():
+    """Exact pixel recovery through zlib inflate + defilter for every
+    PNG filter type (0-4) and color types 0/2/6."""
+    import numpy as np
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    rgb = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    # one row per filter type 0..4
+    got = _decode_png(_png_encode(rgb, 2, [0, 1, 2, 3, 4]))
+    assert np.array_equal(got, rgb)
+    # RGBA: alpha dropped, RGB recovered exactly
+    rgba = np.dstack([rgb, np.full((5, 7), 77, np.uint8)])
+    got = _decode_png(_png_encode(rgba, 6, [4, 3, 2, 1, 0]))
+    assert np.array_equal(got, rgb)
+    # grayscale broadcasts to 3 identical channels
+    gray = rng.integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    got = _decode_png(_png_encode(gray, 0, [1, 2, 3, 4]))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+
+
+def test_real_decoder_png_matches_ppm_features(spark):
+    """The SAME pixels as PNG and PPM must produce identical feature
+    vectors through the full Arrow mapInPandas 'real' decode path."""
+    import numpy as np
+
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    for x in range(4):
+        px[:, x, :] = x * 40
+    ppm_bytes = b"P6\n4 2\n255\n" + px.tobytes()
+    png_bytes = _png_encode(px, 2, [0, 4])
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(ppm_bytes), (4, 2, None, None, "ppm")),
+            (2, "image", bytearray(png_bytes), (4, 2, None, None, "png")),
+        ],
+        "media_id long, kind string, content binary,"
+        " meta struct<width:int,height:int,sample_rate:int,"
+        "n_frames:int,format:string>",
+    )
+    out = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, decoder="real").collect()
+    }
+    assert out[1] == out[2]
+    assert out[2][2] == pytest.approx(60.0)
+
+
 def test_ivf_recall_and_probe_monotonicity(spark, emb):
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
         ivf_topk,
