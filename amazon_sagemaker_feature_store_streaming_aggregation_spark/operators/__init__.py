@@ -31,6 +31,7 @@ from .similarity import (  # noqa: F401
     ivf_centroids,
     ivf_topk,
     srp_signatures,
+    train_ivf_centroids,
 )
 from .multimodal import (  # noqa: F401
     extract_features,

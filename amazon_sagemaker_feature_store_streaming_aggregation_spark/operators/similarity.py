@@ -443,6 +443,56 @@ def ivf_centroids(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """REAL trained centroids via public ``pyspark.ml.clustering.KMeans``
+    (seeded k-means||), returned in the same ``(cell, cq, cn2)`` shape
+    :func:`ivf_centroids` produces — :func:`ivf_topk` consumes either
+    through its ``centroids=`` parameter.
+
+    Vectors are L2-normalized before training so Euclidean k-means
+    approximates spherical (cosine) clustering; the centroid's own norm
+    is irrelevant downstream because assignment is by cosine. Training
+    is an offline job (production runs it periodically and feeds the
+    centroid table in); the seeded variant stays the oracle-checked
+    path because k-means iteration order is engine-dependent.
+
+    Scale: k-means|| is O(iters * N * cells * d) distributed work with
+    only the (cells x d) centers on the driver; for 100 TB one trains
+    on a sample (``.sample(fraction)``) — centroid quality degrades
+    gracefully with sampling, candidate generation does not change.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = embeddings.select(
+        array_to_vector(
+            F.expr(
+                f"transform({vec_col}, x -> cast(x as double) / "
+                f"sqrt(aggregate({vec_col}, 0.0d, "
+                f"(acc, v) -> acc + cast(v as double) * cast(v as double))))"
+            )
+        ).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(unit)
+    spark = embeddings.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    )
+    return centers.select(
+        "cell",
+        F.expr(
+            f"transform(center, x -> cast(round(x * {QUANT}.0) as bigint))"
+        ).alias("cq"),
+    ).withColumn("cn2", F.expr(_dot("cq", "cq")))
+
+
 def _ivf_assign(
     vecs: DataFrame,
     centroids: DataFrame,
@@ -478,11 +528,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_count: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF(-flat) ANN top-k: corpus vectors are partitioned into
     ``n_cells`` Voronoi cells around seeded centroids; each query scans
     only its ``nprobe`` nearest cells. The second of the brief's two
     scale paths next to SRP-LSH (:func:`ann_srp_topk`).
+
+    ``centroids=`` accepts an externally-built ``(cell, cq, cn2)``
+    table (e.g. :func:`train_ivf_centroids`); by default the seeded
+    deterministic layout is derived here. When neither ``n_cells`` nor
+    ``corpus_count`` is supplied AND centroids must be derived, ONE
+    ``embeddings.count()`` action runs — library callers on a large
+    corpus should pass ``corpus_count`` (or ``centroids``) to keep the
+    plan action-free until the final job.
 
     Plan shape: assignment is N x cells dot products with the (tiny)
     centroid table broadcast — linear in N, scan-side; the candidate
@@ -493,11 +552,14 @@ def ivf_topk(
     as the corpus grows. Same output shape and determinism contract as
     :func:`cosine_topk`.
     """
-    if n_cells is None:
-        n = corpus_count if corpus_count is not None else embeddings.count()
-        n_cells = auto_cells(n)
-        corpus_count = n
-    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col, corpus_count)
+    if centroids is not None:
+        cents = centroids
+    else:
+        if n_cells is None:
+            n = corpus_count if corpus_count is not None else embeddings.count()
+            n_cells = auto_cells(n)
+            corpus_count = n
+        cents = ivf_centroids(embeddings, n_cells, id_col, vec_col, corpus_count)
     corpus_assign = _ivf_assign(embeddings, cents, 1, id_col, vec_col, "c_id")
     q_assign = _ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
     cand = (

@@ -449,6 +449,36 @@ def test_ivf_recall_and_probe_monotonicity(spark, emb):
     assert rall == exact
 
 
+def test_trained_ivf_centroids_recall_at_least_seeded(spark, emb):
+    """KMeans-trained centroids (offline job) feed ivf_topk via
+    centroids= and must match or beat the seeded deterministic layout's
+    recall vs the exact baseline (VERDICT r2 #3 / SURVEY §7 M4)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(**kw):
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(emb, queries, k=5, nprobe=2, **kw).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    trained = train_ivf_centroids(emb, n_cells=16, seed=7)
+    assert [f.name for f in trained.schema] == ["cell", "cq", "cn2"]
+    r_seeded = recall(n_cells=16)
+    r_trained = recall(centroids=trained)
+    assert r_trained >= r_seeded, (r_seeded, r_trained)
+    assert r_trained > 0.3
+
+
 def test_auto_cells_policy(spark):
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
         auto_cells,
