@@ -114,6 +114,7 @@ class FeatureGroup:
         event_time_feature_name: str,
         base_path: str,
         n_buckets: int = 16,
+        snapshot_retention: int = 3,
     ) -> None:
         self.spark = spark
         self.name = name
@@ -121,6 +122,11 @@ class FeatureGroup:
         self.event_time = event_time_feature_name
         self.path = os.path.join(base_path, name)
         self.n_buckets = n_buckets
+        # snapshots kept per bucket (current + N-1 priors). More than
+        # one prior matters with 3+ racing writers: a commit of v=N+2
+        # must not delete v=N while a slower writer's merge job is
+        # still lazily reading it.
+        self.snapshot_retention = max(1, snapshot_retention)
         os.makedirs(self.path, exist_ok=True)
 
     # ---------------------------------------------------------------- state
@@ -160,7 +166,22 @@ class FeatureGroup:
             return None
 
     def _write_schema(self, schema: T.StructType) -> None:
-        tmp = self._schema_file() + ".tmp"
+        """Persist the store schema, MERGED with whatever is already on
+        disk (union of fields, on-disk type wins for common names).
+
+        Two racing writers with different column sets (allowMissingColumns
+        merges) must not leave _SCHEMA.json missing a column that exists
+        in committed data — last-writer-wins on the whole file would
+        break later ``_reconcile`` upcasts for the dropped column.
+        """
+        stored = self._stored_schema()
+        if stored is not None:
+            have = {f.name for f in stored.fields}
+            fields = list(stored.fields) + [
+                f for f in schema.fields if f.name not in have
+            ]
+            schema = T.StructType(fields)
+        tmp = self._schema_file() + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(schema.jsonValue(), f)
         os.replace(tmp, self._schema_file())
@@ -227,7 +248,9 @@ class FeatureGroup:
         for _attempt in range(max_retries + 1):
             if not remaining:
                 break
-            remaining, last_schema = self._merge_commit_round(df, remaining)
+            remaining, round_schema = self._merge_commit_round(df, remaining)
+            if round_schema is not None:
+                last_schema = round_schema
         if remaining:
             raise RuntimeError(
                 f"feature group {self.name!r}: buckets {remaining} still "
@@ -239,10 +262,17 @@ class FeatureGroup:
 
     def _merge_commit_round(
         self, df: DataFrame, buckets: list[int]
-    ) -> tuple[list[int], T.StructType]:
+    ) -> tuple[list[int], T.StructType | None]:
         """One optimistic round: merge ``buckets`` against their current
         snapshots, stage, try to commit each; return (conflicted
-        buckets, merged schema)."""
+        buckets, merged schema).
+
+        The merge job reads the captured snapshot paths LAZILY — if a
+        racing writer retires one mid-job (possible when it is more
+        than ``snapshot_retention - 1`` commits ahead), the read fails;
+        that failure is treated like a commit conflict (all buckets of
+        this round retry against re-resolved versions, schema=None)
+        rather than aborting the upsert."""
         part = df.where(F.col(_BUCKET).isin([int(b) for b in buckets]))
         read_vers = {b: self._bucket_version(b) for b in buckets}
         existing_paths = [
@@ -250,7 +280,12 @@ class FeatureGroup:
         ]
         merged = part
         if existing_paths:
-            existing = self.spark.read.parquet(*existing_paths).withColumn(
+            # mergeSchema: racing writers can leave buckets with
+            # different column sets; a column present in one touched
+            # bucket must not be dropped from the merge (and rewrite).
+            existing = self.spark.read.option(
+                "mergeSchema", "true"
+            ).parquet(*existing_paths).withColumn(
                 _BUCKET,
                 F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)),
             )
@@ -277,7 +312,27 @@ class FeatureGroup:
             self.path, f"_staging_{uuid.uuid4().hex[:12]}"
         )
         shutil.rmtree(staging, ignore_errors=True)
-        latest.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
+        try:
+            latest.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
+        except Exception as exc:
+            # A captured snapshot was retired while the job ran — retry
+            # the whole round against freshly-resolved versions. Other
+            # failures (bad data, disk) propagate: retrying can't fix
+            # them and the conflict loop must not mask them.
+            shutil.rmtree(staging, ignore_errors=True)
+            msg = str(exc)
+            if not any(
+                s in msg
+                for s in (
+                    "FileNotFound",
+                    "FILE_NOT_FOUND",
+                    "Path does not exist",
+                    "PATH_NOT_FOUND",
+                    "does not exist",
+                )
+            ):
+                raise
+            return list(buckets), None
 
         conflicted = []
         for b in buckets:
@@ -301,8 +356,8 @@ class FeatureGroup:
         between the first check and the claim), then renames the
         snapshot in and flips ``_VERSION``. The marker is removed on
         exit either way; a crash inside the claim window leaves a
-        marker that must be swept by a janitor (documented operational
-        caveat — table formats solve this with commit-log timestamps).
+        marker that :meth:`sweep_stale_claims` removes by age (table
+        formats solve the same problem with commit-log timestamps).
         """
         os.makedirs(self._bucket_dir(bucket), exist_ok=True)
         if self._bucket_version(bucket) != read_version:
@@ -327,15 +382,50 @@ class FeatureGroup:
             with open(vf + ".tmp", "w") as f:
                 f.write(str(read_version + 1))
             os.replace(vf + ".tmp", vf)
-            # Retire snapshots older than the previous one (kept for
-            # in-flight readers).
-            for v in range(1, read_version):
+            # Retire snapshots beyond the retention window (kept for
+            # in-flight readers and racing writers' lazy merge reads).
+            for v in range(1, read_version + 2 - self.snapshot_retention):
                 old = self._bucket_snapshot(bucket, v)
                 if os.path.isdir(old):
                     shutil.rmtree(old, ignore_errors=True)
             return True
         finally:
             shutil.rmtree(claim, ignore_errors=True)
+
+    def sweep_stale_claims(self, max_age_s: float = 3600.0) -> int:
+        """Janitor for claim markers orphaned by a writer that CRASHED
+        inside the commit window (between ``os.mkdir(claim)`` and its
+        ``finally`` cleanup). An orphaned ``_commit_v{N+1}`` marker
+        blocks every future commit of that bucket at version N — the
+        optimistic loop reads it as a live competitor and retries until
+        ``max_retries``, then raises.
+
+        Removes claim markers older than ``max_age_s`` (mtime-based; a
+        LIVE writer's claim exists only for the subsecond rename+flip
+        window, so any sufficiently old marker is a crash remnant —
+        same reasoning table formats apply via commit-log timestamps).
+        Run it like any table janitor: periodically, or on the
+        "persistently racing" RuntimeError. Returns markers removed.
+        """
+        import time
+
+        removed = 0
+        cutoff = time.time() - max_age_s
+        for b in range(self.n_buckets):
+            bdir = self._bucket_dir(b)
+            if not os.path.isdir(bdir):
+                continue
+            for entry in os.listdir(bdir):
+                if not entry.startswith("_commit_v"):
+                    continue
+                marker = os.path.join(bdir, entry)
+                try:
+                    if os.path.getmtime(marker) <= cutoff:
+                        shutil.rmtree(marker, ignore_errors=True)
+                        removed += 1
+                except FileNotFoundError:
+                    continue  # owner cleaned it up mid-scan
+        return removed
 
     def put_record(self, record: dict) -> None:
         """Single-record upsert (reference ``put_record`` parity).
@@ -348,11 +438,15 @@ class FeatureGroup:
 
     # ----------------------------------------------------------------- read
     def get_latest(self) -> DataFrame:
-        """The full latest-record-per-key table (one row per key)."""
+        """The full latest-record-per-key table (one row per key).
+
+        ``mergeSchema`` because bucket snapshots can carry different
+        column sets when writers with different batches raced (a column
+        missing from one bucket must read as null, not vanish)."""
         snaps = self._live_snapshots()
         if not snaps:
             raise ValueError(f"feature group {self.name!r} has no data")
-        return self.spark.read.parquet(*snaps)
+        return self.spark.read.option("mergeSchema", "true").parquet(*snaps)
 
     def get_record(self, identifier) -> dict | None:
         """Point lookup by record identifier (reference ``get_record``).

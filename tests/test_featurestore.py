@@ -206,3 +206,84 @@ def test_concurrent_upserts_no_lost_update(spark, tmp_path):
     got = sorted(r["cc_num"] for r in fg.get_latest().collect())
     want = sorted(list(range(1000, 1040)) + list(range(2000, 2040)))
     assert got == want
+
+
+def test_stale_claim_janitor_unblocks_crashed_commit(spark, fg):
+    """A writer crashing between claiming the next version and flipping
+    the pointer leaves an orphaned _commit_v* marker that blocks every
+    later commit of that bucket; sweep_stale_claims removes it and the
+    next upsert succeeds with no lost update."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1)
+    fg.upsert(_df(spark, [(1, 10.0, t0), (2, 5.0, t0)]))
+
+    # Simulate the crash: orphan a claim for the NEXT version of every
+    # live bucket (mkdir is exactly what the dying writer did).
+    orphaned = 0
+    for b in range(fg.n_buckets):
+        v = fg._bucket_version(b)
+        if v > 0:
+            os.mkdir(os.path.join(fg._bucket_dir(b), f"_commit_v{v + 1}"))
+            orphaned += 1
+    assert orphaned > 0
+
+    newer = _df(spark, [(1, 99.0, t0 + dt.timedelta(days=1))])
+    with pytest.raises(RuntimeError, match="persistently racing"):
+        fg.upsert(newer, max_retries=1)
+
+    # A young claim is NOT swept (could be a live writer)...
+    assert fg.sweep_stale_claims(max_age_s=3600) == 0
+    # ...but with age 0 every orphan goes, and the upsert lands.
+    assert fg.sweep_stale_claims(max_age_s=0) == orphaned
+    fg.upsert(newer)
+    latest = {r["cc_num"]: r["avg_amt"] for r in fg.get_latest().collect()}
+    assert latest == {1: 99.0, 2: 5.0}
+
+
+def test_snapshot_retention_keeps_prior_versions(spark, fg):
+    """With snapshot_retention=3 (default), versions N-1 and N-2 must
+    survive a commit of N: a racing writer (or a reader two commits
+    behind) may still be lazily reading them."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(4):  # same single key -> same bucket, versions 1..4
+        fg.upsert(_df(spark, [(7, float(i), t0 + dt.timedelta(hours=i))]))
+    (bucket,) = [b for b in range(fg.n_buckets) if fg._bucket_version(b) > 0]
+    assert fg._bucket_version(bucket) == 4
+    live = sorted(
+        int(d[2:]) for d in os.listdir(fg._bucket_dir(bucket))
+        if d.startswith("v=")
+    )
+    assert live == [2, 3, 4]  # current + 2 priors; v=1 retired
+
+
+def test_schema_file_merges_concurrent_column_sets(spark, fg):
+    """_SCHEMA.json is a field-union merge, not last-writer-wins: a
+    writer that never saw column 'extra' must not erase it from the
+    stored schema (later _reconcile would stop type-checking it)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    fg.upsert(
+        spark.createDataFrame(
+            [(1, 10.0, 5, t0)],
+            "cc_num long, avg_amt double, extra int, trans_time timestamp",
+        )
+    )
+    # Second writer's batch lacks 'extra' — the merged schema keeps it.
+    fg.upsert(_df(spark, [(2, 20.0, t0)]))
+    stored = fg._stored_schema()
+    assert "extra" in [f.name for f in stored.fields]
+    # and an int-typed 'extra' still upcasts against the stored long/int
+    fg.upsert(
+        spark.createDataFrame(
+            [(3, 30.0, 9, t0)],
+            "cc_num long, avg_amt double, extra int, trans_time timestamp",
+        )
+    )
+    rows = {r["cc_num"]: r.asDict() for r in fg.get_latest().collect()}
+    assert rows[3]["extra"] == 9 and rows[2]["extra"] is None
