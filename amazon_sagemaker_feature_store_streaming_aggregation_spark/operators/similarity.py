@@ -73,6 +73,11 @@ def auto_planes(
 def _resolve_planes(
     embeddings: DataFrame, n_planes: int | None, corpus_count: int | None
 ) -> int:
+    """Resolve the SRP plane count. Called exactly once per operator
+    entry point, so an ANN call runs AT MOST one ``count()`` action —
+    and zero when the caller passes ``n_planes`` or ``corpus_count``
+    (what library users on a large corpus should do; the registered
+    queries always pass ``corpus_count``)."""
     if n_planes is not None:
         return n_planes
     n = corpus_count if corpus_count is not None else embeddings.count()

@@ -60,6 +60,17 @@ def compact_parquet_dir(
     Returns the resulting file count. No-op (returns current count)
     when the directory already has fewer than ``min_files`` files or
     is already at/below one target-size file per existing file.
+
+    Consistency: the two-step swap (rename old away, rename staging
+    in) guarantees a reader never sees a MIXED listing of old and new
+    files — but it is NOT safe against concurrent readers: between the
+    renames ``path`` briefly does not exist (ENOENT), and a reader
+    that listed old files before the swap can fail once the retired
+    directory is deleted. Run it like any table-maintenance job — on a
+    quiesced path or from the single writer that owns it. (The feature
+    store avoids this window entirely with versioned ``v=K`` snapshot
+    dirs and a ``_VERSION`` pointer flip; this helper deliberately
+    stays layout-preserving for plain parquet sinks.)
     """
     n_files, total = dir_stats(path)
     n_out = max(1, math.ceil(total / target_bytes))

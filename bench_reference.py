@@ -6,7 +6,14 @@ Generates the workload with the G1-G5 generator (sources/generator.py),
 runs the full flagship query (two time-RANGE windows + ratios) plus the
 latest-per-key feature-record reduction, and prints one JSON line.
 
-Usage: python bench_reference.py [n_rows]
+Also measures the second BASELINE envelope: E2E fraud-burst FRESHNESS —
+per-event ingest->prediction latency through the LIVE streaming loop
+(JSON stream -> S4 sliding agg -> store upsert -> two point lookups ->
+ratios -> GBT score -> threshold), reported as p50/p95 against the
+"a few seconds" budget.
+
+Usage: python bench_reference.py [n_rows] [--out FILE.json]
+       (--out also appends the JSON line to a per-round artifact)
 """
 
 from __future__ import annotations
@@ -18,6 +25,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 from bench import force
+
+from pyspark.sql import functions as F
 
 from amazon_sagemaker_feature_store_streaming_aggregation_spark import get_spark
 from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
@@ -32,8 +41,160 @@ from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources.generato
 )
 
 
+def freshness_probe(spark, n_bursts: int = 8, burst_len: int = 5) -> dict:
+    """E2E fraud-burst freshness (BASELINE envelope #2): wall-clock
+    latency from "burst file lands in the stream directory" to "fraud
+    prediction materialized", through the full reference loop — JSON
+    stream source, S4 per-event sliding agg, feature-store upsert, the
+    two point lookups (10m stream store + prefilled 1w batch store,
+    reference I3+I5), guarded ratios, GBT score (I8), threshold (I9).
+
+    Latency is per BURST FILE (every event in a file shares its ingest
+    instant — the honest granularity for a file source); p50/p95 are
+    over files. The GBT model is fitted BEFORE the clock starts, as the
+    reference's endpoint is deployed before traffic."""
+    import os
+    import shutil
+    import tempfile
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.featurestore import (
+        FeatureGroup,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.scoring import (
+        score,
+        train_fraud_model,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_json_event_stream,
+        sliding_agg_exact,
+        start_stream_upsert,
+    )
+
+    base_card = 4_444_333_300_000_000
+    stream_dir = tempfile.mkdtemp(prefix="benchref_fresh_src_")
+    store_dir = tempfile.mkdtemp(prefix="benchref_fresh_store_")
+    ckpt_dir = tempfile.mkdtemp(prefix="benchref_fresh_ckpt_")
+
+    # pre-deployed model (20-row synthetic train set; clock excluded)
+    train = spark.createDataFrame(
+        [
+            (float(5 + i), 1.0 + i / 10.0, 1.0 + i / 5.0, 0.1 * i, i % 2)
+            for i in range(20)
+        ],
+        "amount double, amt_ratio1 double, amt_ratio2 double, "
+        "count_ratio double, fraud_label int",
+    )
+    model = train_fraud_model(train, max_iter=5)
+
+    fg_10m = FeatureGroup(
+        spark, "fresh-agg-10m", "cc_num", "trans_time", store_dir
+    )
+    fg_1w = FeatureGroup(
+        spark, "fresh-agg-1w", "cc_num", "trans_time", store_dir
+    )
+    # the 1w batch store is nightly-prefilled in the reference
+    fg_1w.upsert(
+        spark.createDataFrame(
+            [
+                (base_card + i, 20, 50.0, "2024-01-01 00:00:00")
+                for i in range(-1, n_bursts)  # -1 = warmup card
+            ],
+            "cc_num long, num_trans_last_1w int, avg_amt_last_1w double,"
+            " trans_time string",
+        ).withColumn(
+            "trans_time", F.col("trans_time").cast("timestamp")
+        )
+    )
+
+    lat_per_file: list[float] = []
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # Latency leg: a trigger's cost includes opening/committing every
+    # state-store partition, so a handful of partitions (not the batch
+    # job's 32) is the right sizing for a per-burst key cardinality of
+    # 1 — same knob, opposite direction, as the throughput replay.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = read_json_event_stream(spark, stream_dir)
+        agg = sliding_agg_exact(stream, key="cc_num", ts="ts", amount="amount")
+        q = start_stream_upsert(agg, fg_10m, ckpt_dir, ts="ts")
+        # burst -1 is an UNTIMED warmup: it pays query start, state-store
+        # init and first-trigger code paths that steady-state traffic
+        # never sees (the reference's endpoint is similarly warm).
+        for i in range(-1, n_bursts):
+            card = base_card + i  # i=-1 -> dedicated warmup card
+            now = time.time()
+            events = [
+                {
+                    "cc_num": card,
+                    "merchant": "fraudster",
+                    "amount": 1.0 + j,
+                    "zip_code": 99999,
+                    "trans_ts": float(now + j - burst_len),
+                }
+                for j in range(burst_len)
+            ]
+            tmp = os.path.join(stream_dir, f".{i:02d}.jsonl.tmp")
+            with open(tmp, "w") as f:
+                f.write("\n".join(json.dumps(e) for e in events))
+            os.rename(tmp, os.path.join(stream_dir, f"{i:02d}.jsonl"))
+            t0 = time.perf_counter()
+            rec = None
+            while time.perf_counter() - t0 < 60.0:
+                rec = fg_10m.get_record(card)
+                if rec and rec.get("num_trans_last_10m") == burst_len:
+                    break
+                time.sleep(0.05)
+            else:
+                raise TimeoutError(
+                    f"burst {i} never reached the store within 60s"
+                )
+            wk = fg_1w.get_record(card)
+            row = spark.createDataFrame(
+                [
+                    (
+                        card,
+                        float(events[-1]["amount"]),
+                        rec["avg_amt_last_10m"] / wk["avg_amt_last_1w"],
+                        events[-1]["amount"] / wk["avg_amt_last_1w"],
+                        rec["num_trans_last_10m"] / wk["num_trans_last_1w"],
+                    )
+                ],
+                "cc_num long, amount double, amt_ratio1 double,"
+                " amt_ratio2 double, count_ratio double",
+            )
+            pred = score(row, model).withColumn(
+                "fraud", (F.col("probability") > F.lit(0.5)).cast("int")
+            )
+            pred.collect()  # prediction materialized -> stop the clock
+            if i >= 0:
+                lat_per_file.append(time.perf_counter() - t0)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    lat = sorted(lat_per_file)
+    p50 = lat[len(lat) // 2]
+    p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+    return {
+        "freshness_bursts": n_bursts,
+        "freshness_events": n_bursts * burst_len,
+        "freshness_p50_sec": round(p50, 2),
+        "freshness_p95_sec": round(p95, 2),
+        "freshness_budget_sec": 5,
+    }
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_400_000
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    n = int(argv[0]) if argv else 5_400_000
     spark = get_spark("bench-reference")
 
     t0 = time.perf_counter()
@@ -121,28 +282,33 @@ def main() -> None:
         recs.unpersist()
         shutil.rmtree(store_dir, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "e1_reference_scale",
-                "unit": "sec",
-                "rows": n_rows,
-                "agg_rows": n_agg,
-                "feature_keys": n_keys,
-                "gen_sec": round(t_gen, 2),
-                "query_sec": round(t_query, 2),
-                "records_sec": round(t_records, 2),
-                "value": round(t_query + t_records, 2),
-                "reference_budget_sec": 1200,
-                "stream_rows": n_stream,
-                "stream_sec": round(t_stream, 2),
-                "stream_events_per_sec": round(n_stream / t_stream),
-                "reference_stream_ceiling_eps": 1000,
-                "upsert_keys_covered": covered,
-                "upsert_sec": round(t_upsert, 2),
-            }
-        )
-    )
+    # ---- E2E freshness through the live streaming loop
+    fresh = freshness_probe(spark)
+
+    payload = {
+        "metric": "e1_reference_scale",
+        "unit": "sec",
+        "rows": n_rows,
+        "agg_rows": n_agg,
+        "feature_keys": n_keys,
+        "gen_sec": round(t_gen, 2),
+        "query_sec": round(t_query, 2),
+        "records_sec": round(t_records, 2),
+        "value": round(t_query + t_records, 2),
+        "reference_budget_sec": 1200,
+        "stream_rows": n_stream,
+        "stream_sec": round(t_stream, 2),
+        "stream_events_per_sec": round(n_stream / t_stream),
+        "reference_stream_ceiling_eps": 1000,
+        "upsert_keys_covered": covered,
+        "upsert_sec": round(t_upsert, 2),
+        **fresh,
+    }
+    line = json.dumps(payload)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
     spark.stop()
 
 
