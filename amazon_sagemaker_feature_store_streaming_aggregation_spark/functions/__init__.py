@@ -4,6 +4,7 @@ from .text import (  # noqa: F401
     LANG_STOPWORDS,
     with_fingerprint,
     with_lang_id,
+    with_lang_id_ngram,
     with_repetition,
     with_text_stats,
 )

@@ -131,6 +131,203 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- C-T lang-ID
+
+#: Per-language training samples for the Cavnar–Trenkle profile (plain
+#: composed sentences; profiles derive deterministically at import).
+LANG_SAMPLES: dict[str, str] = {
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und die "
+        "leute der stadt sagten dass es kein guter tag war um im regen "
+        "draußen zu sein weil das wasser kalt war und der wind stark war "
+        "aber sie gingen morgens zur arbeit und kamen abends mit ihren "
+        "freunden und ihrer familie nach hause wo das essen schon auf dem "
+        "tisch stand und alle zusammen aßen die regierung hat gestern neue "
+        "gesetze angekündigt und viele menschen haben darüber gesprochen "
+        "was das für die zukunft bedeuten könnte"
+    ),
+    "en": (
+        "the quick brown fox jumps over the lazy dog and the people of "
+        "the town said that it was not a good day to be out in the rain "
+        "because the water was cold and the wind was strong but they went "
+        "to work in the morning and came home at night with their friends "
+        "and family where the food was already on the table and everyone "
+        "ate together the government announced new laws yesterday and "
+        "many people have been talking about what that could mean for "
+        "the future"
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y la gente "
+        "del pueblo dijo que no era un buen día para estar bajo la lluvia "
+        "porque el agua estaba fría y el viento era fuerte pero fueron al "
+        "trabajo por la mañana y volvieron a casa por la noche con sus "
+        "amigos y su familia donde la comida ya estaba en la mesa y todos "
+        "comieron juntos el gobierno anunció ayer nuevas leyes y mucha "
+        "gente ha estado hablando sobre lo que eso podría significar "
+        "para el futuro"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et les "
+        "gens de la ville ont dit que ce n était pas un bon jour pour "
+        "être sous la pluie parce que l eau était froide et le vent était "
+        "fort mais ils sont allés au travail le matin et sont rentrés "
+        "chez eux le soir avec leurs amis et leur famille où le repas "
+        "était déjà sur la table et tout le monde a mangé ensemble le "
+        "gouvernement a annoncé hier de nouvelles lois et beaucoup de "
+        "gens ont parlé de ce que cela pourrait signifier pour l avenir"
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过了懒惰的狗 镇上的人们说这不是一个适合在雨中"
+        "外出的好日子 因为水很冷风很大 但他们早上去上班 晚上和朋友家人"
+        "一起回家 那时饭菜已经摆在桌子上 大家一起吃饭 我们在一起的时候"
+        "总是很开心 他有一个大家庭 今天天气很好 他们昨天宣布了新的计划 "
+        "很多人都在谈论这对未来意味着什么 我们明天去公园玩"
+    ),
+}
+
+#: C-T knobs: doc sample cap (chars), profile length, out-of-place
+#: penalty for a missing n-gram. Grams of length 2 AND 3 (C-T uses a
+#: mix of lengths; bigrams carry the signal on very short inputs).
+NGRAM_SAMPLE_CHARS = 400
+PROFILE_K = 64
+_OOP_PENALTY = PROFILE_K
+_GRAM_LENS = (2, 3)
+
+
+def _ct_grams(s: str) -> list[str]:
+    """Python twin of the engine-side normalization + n-gram walk,
+    used ONLY to derive the embedded profiles (constants shared by the
+    Spark expression and the DuckDB oracle — cross-engine consistency
+    depends on the doc side, not on how these constants were made)."""
+    s = "".join(c if (c.isalpha() or c == " ") else " " for c in s.lower())
+    s = " ".join(s.split())
+    s = f" {s} "
+    out: list[str] = []
+    for n in _GRAM_LENS:
+        if len(s) >= n:
+            out.extend(
+                g
+                for i in range(len(s) - n + 1)
+                if (g := s[i : i + n]).strip()  # no pure-padding grams
+            )
+    return out
+
+
+def _ct_profile(sample: str, k: int = PROFILE_K) -> list[tuple[str, int]]:
+    """Top-k n-grams of ``sample`` ranked by (count desc, gram asc) —
+    the Cavnar–Trenkle ranked profile."""
+    from collections import Counter
+
+    counts = Counter(_ct_grams(sample))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(g, r) for r, (g, _c) in enumerate(ranked, start=1)]
+
+
+#: lang -> [(gram, rank)] — derived once, deterministic.
+LANG_PROFILES: dict[str, list[tuple[str, int]]] = {
+    lang: _ct_profile(sample) for lang, sample in sorted(LANG_SAMPLES.items())
+}
+
+
+def _ct_norm_col(text_col: str):
+    """Engine-side normalization: cap, lower, keep unicode letters and
+    spaces, collapse runs, pad — every step has the same semantics in
+    Spark (Java regex) and DuckDB (RE2)."""
+    s = F.lower(F.substring(F.col(text_col), 1, NGRAM_SAMPLE_CHARS))
+    s = F.regexp_replace(s, r"[^\p{L} ]", " ")
+    s = F.regexp_replace(s, r" +", " ")
+    return F.concat(F.lit(" "), F.trim(s), F.lit(" "))
+
+
+def with_lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cavnar–Trenkle character-n-gram language ID (pure column
+    expressions, scan-side, zero shuffles).
+
+    Per document: normalize, take ranked top-``PROFILE_K`` 2-/3-grams
+    (count desc, gram asc — deterministic), then score each language by
+    out-of-place distance against its embedded ranked profile (missing
+    gram costs ``_OOP_PENALTY``); prediction = argmin distance, ties to
+    the lexicographically smaller code; null when the text yields no
+    trigrams. Upgrades the stopword heuristic (:func:`with_lang_id`):
+    morphology-bearing trigrams fire on text that contains no stopword
+    at all, and the accuracy test shows it strictly beating the
+    stopword baseline on such inputs.
+
+    100 TB note: the dominant cost is the per-doc distinct+filter count
+    (O(sample² ) worst case) — bounded by ``NGRAM_SAMPLE_CHARS``, so
+    per-row work is a constant independent of document length, exactly
+    like the reference n-gram models that classify on a short prefix.
+    """
+    norm = _ct_norm_col(text_col)
+    out = df.withColumn("__ct_s", norm)
+    walks = [
+        f"case when length(__ct_s) >= {n} then "
+        f"transform(sequence(1, length(__ct_s) - {n - 1}),"
+        f" i -> substring(__ct_s, i, {n})) "
+        f"else array() end"
+        for n in _GRAM_LENS
+    ]
+    # pure-space grams only arise from the padding of empty/degenerate
+    # texts (runs are collapsed) — drop them so such docs predict null
+    tg = "filter(concat(" + ", ".join(walks) + "), g -> trim(g) != '')"
+    prof = (
+        f"slice(array_sort(transform(array_distinct(__ct_tg),"
+        f" t -> struct(-size(filter(__ct_tg, y -> y = t)) as negc,"
+        f" t as g))), 1, {PROFILE_K})"
+    )
+    out = out.withColumn("__ct_tg", F.expr(tg)).withColumn(
+        "__ct_prof", F.expr(prof)
+    )
+    for lang in sorted(LANG_PROFILES):
+        entries = ", ".join(
+            f"'{g}', {r}L" for g, r in LANG_PROFILES[lang]
+        )
+        out = out.withColumn(
+            f"dist_{lang}",
+            F.expr(
+                f"aggregate(transform(__ct_prof, (x, i) ->"
+                f" coalesce(abs(try_element_at(map({entries}), x.g)"
+                f" - (cast(i as long) + 1)), {_OOP_PENALTY}L)),"
+                f" 0L, (acc, v) -> acc + v)"
+            ),
+        )
+    pick = (
+        "aggregate(array("
+        + ", ".join(
+            f"struct(dist_{lang} as d, '{lang}' as lang)"
+            for lang in sorted(LANG_PROFILES)
+        )
+        + "), cast(null as struct<d:bigint, lang:string>),"
+        " (acc, x) -> case when acc is null then x"
+        " when x.d < acc.d then x else acc end).lang"
+    )
+    # Script detection precedes the n-gram model (as in real lang-ID
+    # stacks): a majority-Han text is zh regardless of n-gram distance
+    # — n-gram profiles from a small sample can't cover an ideographic
+    # vocabulary. Java regex spells the class \p{IsHan}; RE2 (DuckDB)
+    # spells it \p{Han}; semantics match.
+    out = out.withColumn(
+        "__ct_han",
+        (
+            F.length("__ct_s")
+            - F.length(F.regexp_replace(F.col("__ct_s"), r"\p{IsHan}", ""))
+        ).cast("long"),
+    ).withColumn(
+        "__ct_letters",
+        F.length(F.regexp_replace(F.col("__ct_s"), r" ", "")).cast("long"),
+    )
+    return out.withColumn(
+        "lang_pred_ngram",
+        F.when(
+            (F.col("__ct_han") > 0)
+            & (F.col("__ct_han") * 2 > F.col("__ct_letters")),
+            F.lit("zh"),
+        )
+        .when(F.size("__ct_prof") > 0, F.expr(pick))
+        .otherwise(F.lit(None).cast("string")),
+    ).drop("__ct_s", "__ct_tg", "__ct_prof", "__ct_han", "__ct_letters")
+
+
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", k: int = 9, window: int = 4
 ) -> DataFrame:

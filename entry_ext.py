@@ -290,6 +290,87 @@ FROM scored
 """
 
 
+def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar–Trenkle 2-/3-gram profile language ID (upgrades the
+    stopword heuristic; functions/text.py::with_lang_id_ngram)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions.text import (
+        with_lang_id_ngram,
+    )
+
+    out = with_lang_id_ngram(load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang_pred_ngram")
+
+
+def _lang_ngram_oracle() -> str:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions.text import (
+        LANG_PROFILES,
+        NGRAM_SAMPLE_CHARS,
+        PROFILE_K,
+    )
+
+    values = ", ".join(
+        f"('{lang}', '{g}', {r})"
+        for lang in sorted(LANG_PROFILES)
+        for g, r in LANG_PROFILES[lang]
+    )
+    # Same pipeline as the Spark expression: normalize, 2-/3-gram walk,
+    # rank top-K by (count desc, gram asc), out-of-place distance with
+    # penalty K, Han-script override, argmin with lang-asc ties.
+    # RE2 spells the Han class \p{Han} (Java: \p{IsHan}).
+    return rf"""
+WITH doc AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(regexp_replace(
+             lower(left(text, {NGRAM_SAMPLE_CHARS})),
+             '[^\p{{L}} ]', ' ', 'g'), ' +', ' ', 'g')) || ' ' AS s
+  FROM documents
+), han AS (
+  SELECT doc_id,
+         length(s) - length(regexp_replace(s, '\p{{Han}}', '', 'g'))
+           AS han_cnt,
+         length(replace(s, ' ', '')) AS letters
+  FROM doc
+), tg AS (
+  SELECT doc_id, substring(s, CAST(i AS INTEGER), 2) AS g
+  FROM doc, LATERAL unnest(range(1, length(s))) AS t(i)
+  WHERE length(s) >= 2
+  UNION ALL
+  SELECT doc_id, substring(s, CAST(i AS INTEGER), 3) AS g
+  FROM doc, LATERAL unnest(range(1, length(s) - 1)) AS t(i)
+  WHERE length(s) >= 3
+), cnt AS (
+  SELECT doc_id, g, count(*) AS c FROM tg
+  WHERE trim(g) <> ''
+  GROUP BY doc_id, g
+), ranked AS (
+  SELECT doc_id, g,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS r
+  FROM cnt
+), prof AS (
+  SELECT * FROM ranked WHERE r <= {PROFILE_K}
+), lprof AS (
+  SELECT * FROM (VALUES {values}) v(lang, g, lr)
+), dist AS (
+  SELECT p.doc_id, l.lang,
+         sum(coalesce(abs(lp.lr - p.r), {PROFILE_K})) AS d
+  FROM prof p
+  CROSS JOIN (SELECT DISTINCT lang FROM lprof) l
+  LEFT JOIN lprof lp ON lp.lang = l.lang AND lp.g = p.g
+  GROUP BY p.doc_id, l.lang
+), best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY d, lang) AS rn
+  FROM dist
+)
+SELECT d.doc_id,
+       CASE WHEN h.han_cnt > 0 AND h.han_cnt * 2 > h.letters THEN 'zh'
+            ELSE b.lang END AS lang_pred_ngram
+FROM doc d
+LEFT JOIN han h USING (doc_id)
+LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+
 # ------------------------------------------------------------ fingerprint
 
 
@@ -1670,6 +1751,7 @@ def ext_queries():
         "text_stats": _q_text_stats,
         "text_repetition": _q_text_repetition,
         "text_lang_id": _q_lang_id,
+        "text_lang_id_ngram": _q_lang_id_ngram,
         "text_fingerprint": _q_fingerprint,
         "sim_cosine_topk": _q_cosine_topk,
         "s4_sliding_windowed": _q_sliding_windowed,
@@ -1720,6 +1802,7 @@ def ext_oracles():
         "text_stats": _TEXT_STATS_ORACLE,
         "text_repetition": _REPETITION_ORACLE,
         "text_lang_id": _lang_oracle(),
+        "text_lang_id_ngram": _lang_ngram_oracle(),
         "text_fingerprint": _FP_ORACLE,
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
         "s4_sliding_windowed": _SLIDING_WINDOWED_ORACLE,
