@@ -8,3 +8,8 @@ from .text import (  # noqa: F401
     with_repetition,
     with_text_stats,
 )
+from .pii import (  # noqa: F401
+    luhn_valid_candidates,
+    redact_pii,
+    with_pii_flags,
+)

@@ -1,1 +1,7 @@
-from .batch import load_table, load_transactions  # noqa: F401
+from .batch import (  # noqa: F401
+    load_table,
+    load_transactions,
+    read_transactions_csv,
+    read_transactions_jsonl,
+    read_transactions_orc,
+)

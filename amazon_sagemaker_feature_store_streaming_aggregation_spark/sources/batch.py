@@ -91,3 +91,32 @@ def load_transactions(
 def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
     """Schema-declared CSV scan (format parity with the reference B1)."""
     return spark.read.schema(TRANSACTION_SCHEMA).csv(path, header=False)
+
+
+def read_transactions_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-declared JSON-lines scan — the reference's streaming wire
+    format (one JSON record per line, ``put_record`` payload shape) as
+    a BATCH source, for replaying captured streams through batch plans.
+
+    Schema is declared, never inferred: inference costs an extra full
+    pass over the data and can drift between runs — at 100 TB both are
+    unacceptable. The timestamp format carries MICROSECONDS — Spark's
+    default JSON format truncates to millis, which would silently
+    shift event-time window boundaries vs the parquet source. (On
+    write, TIMESTAMP_NTZ columns honor ``timestampNTZFormat``, not
+    ``timestampFormat`` — set the same pattern for both.)
+    """
+    return (
+        spark.read.schema(TRANSACTION_SCHEMA)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(path)
+    )
+
+
+def read_transactions_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. ORC is the other push-down columnar format a
+    reference user may hold historical exports in; Spark's native
+    reader gives the same predicate-pushdown/column-pruning contract
+    as Parquet (check ``PushedFilters``/``ReadSchema`` in
+    ``.explain``)."""
+    return spark.read.schema(TRANSACTION_SCHEMA).orc(path)

@@ -248,6 +248,54 @@ SELECT doc_id, n_tokens, n_tokens_bpe, n_chars_m, n_punct, n_stopwords,
 FROM counted
 """
 
+# -------------------------------------------------------------------- PII
+
+
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII candidate scan + redaction over documents (functions/pii.py):
+    per-doc email/phone/16-digit-card counts, composite flag, and the
+    token-redacted text — all scan-side regex in codegen."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions import (
+        redact_pii,
+        with_pii_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return redact_pii(with_pii_flags(docs)).select(
+        "doc_id", "n_emails", "n_phones", "n_cc16", "has_pii", "text_redacted"
+    )
+
+
+def _pii_oracle() -> str:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions.pii import (
+        CC16_RE,
+        CC_TOKEN,
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    # identical pattern strings reach both engines verbatim (DuckDB
+    # string literals do not process backslash escapes); RE2 and Java
+    # agree on these classes
+    email = EMAIL_RE
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{CC16_RE}')) AS BIGINT) AS n_cc16,
+       (len(regexp_extract_all(text, '{email}'))
+        + len(regexp_extract_all(text, '{PHONE_RE}'))
+        + len(regexp_extract_all(text, '{CC16_RE}'))) > 0 AS has_pii,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{CC16_RE}', '{CC_TOKEN}', 'g'),
+           '{PHONE_RE}', '{PHONE_TOKEN}', 'g'),
+           '{email}', '{EMAIL_TOKEN}', 'g') AS text_redacted
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------- lang id
 
 
@@ -1752,6 +1800,7 @@ def ext_queries():
         "text_repetition": _q_text_repetition,
         "text_lang_id": _q_lang_id,
         "text_lang_id_ngram": _q_lang_id_ngram,
+        "text_pii_scan": _q_pii_scan,
         "text_fingerprint": _q_fingerprint,
         "sim_cosine_topk": _q_cosine_topk,
         "s4_sliding_windowed": _q_sliding_windowed,
@@ -1803,6 +1852,7 @@ def ext_oracles():
         "text_repetition": _REPETITION_ORACLE,
         "text_lang_id": _lang_oracle(),
         "text_lang_id_ngram": _lang_ngram_oracle(),
+        "text_pii_scan": _pii_oracle(),
         "text_fingerprint": _FP_ORACLE,
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
         "s4_sliding_windowed": _SLIDING_WINDOWED_ORACLE,
