@@ -1,4 +1,6 @@
 from .analytics import (  # noqa: F401
+    gap_filled_daily_counts,
+    late_shipment_priority,
     market_share,
     pricing_summary,
     revenue_by_nation,

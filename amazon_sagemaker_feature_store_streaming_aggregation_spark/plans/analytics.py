@@ -329,3 +329,75 @@ def market_share(
             ).alias("mkt_share"),
         )
     )
+
+
+def late_shipment_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    late_days: int = 30,
+) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS query: orders placed in a quarter that
+    have AT LEAST ONE line item shipped more than ``late_days`` after
+    the order date, counted per priority.
+
+    The EXISTS is a ``left_semi`` join — the natural Spark plan: one
+    shuffle on the order key, no row duplication (so no DISTINCT
+    repair step), with the non-equi lateness predicate evaluated
+    inside the semi join. The date filter sits in the orders scan
+    (PushedFilters); lineitem is pruned to two columns.
+    """
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority", "o_orderdate")
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    has_late = o.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"interval {late_days} days")
+        ),
+        "left_semi",
+    )
+    return has_late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("late_orders")
+    )
+
+
+def gap_filled_daily_counts(events: DataFrame) -> DataFrame:
+    """Time-series gap fill / resample: daily event counts per
+    event_type over the full observed span, with MISSING DAYS PRESENT
+    as zero rows — the shape every downstream rate/anomaly computation
+    wants (a missing bucket is not the same as an empty bucket).
+
+    Plan: one aggregation of the fact table to (day, type) counts;
+    the dense calendar x type grid comes from ``sequence()`` over the
+    global min/max (a 1-row aggregate crossed with the tiny distinct
+    type set) and LEFT-joins the counts. Post-aggregation both sides
+    are ~days x types rows — grid construction costs nothing at any
+    fact-table scale, and the fact table is touched exactly once.
+    """
+    day = F.date_trunc("day", F.col("ts"))
+    counts = (
+        events.select(day.alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    bounds = events.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    calendar = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 day)")
+        ).alias("day")
+    )
+    types = events.select("event_type").distinct()
+    grid = calendar.crossJoin(F.broadcast(types))
+    return grid.join(counts, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )

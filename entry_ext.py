@@ -1028,6 +1028,60 @@ GROUP BY CUBE (n_name, o_orderpriority)
 """
 
 
+def _q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS via left_semi join
+    (plans/analytics.py::late_shipment_priority)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
+        late_shipment_priority,
+    )
+
+    return late_shipment_priority(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_LATE_SHIP_ORACLE = """
+SELECT o_orderpriority, count(*) AS late_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample with zero-filled gaps
+    (plans/analytics.py::gap_filled_daily_counts)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
+        gap_filled_daily_counts,
+    )
+
+    return gap_filled_daily_counts(load_table(spark, sf_dir, "events"))
+
+
+_GAP_FILL_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+  FROM events
+), calendar AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), cnt AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT c.day, t.event_type,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_events
+FROM calendar c CROSS JOIN types t
+LEFT JOIN cnt ON cnt.day = c.day AND cnt.event_type = t.event_type
+"""
+
+
 def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
         status_priority_grouping_sets,
@@ -1790,6 +1844,8 @@ def ext_queries():
         "olap_small_qty_revenue": _q_small_qty_revenue,
         "olap_grouping_sets": _q_grouping_sets,
         "olap_market_share": _q_market_share,
+        "olap_late_shipment_priority": _q_late_shipment_priority,
+        "ts_gap_fill_daily": _q_gap_fill,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_minhash_signatures,
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
@@ -1842,6 +1898,8 @@ def ext_oracles():
         "olap_small_qty_revenue": _small_qty_oracle(),
         "olap_grouping_sets": _grouping_sets_oracle(),
         "olap_market_share": _market_share_oracle(),
+        "olap_late_shipment_priority": _LATE_SHIP_ORACLE,
+        "ts_gap_fill_daily": _GAP_FILL_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_sigs": _MINHASH_ORACLE,
         "dedup_minhash_lsh_pairs": _LSH_ORACLE,
