@@ -1447,6 +1447,11 @@ _GATE_PRIORITY = [
     "udx_luhn",
     "udx_median_by_user",
     "udx_word_positions",
+    # round-3 additions (never driver-gated):
+    "text_lang_id_ngram",
+    "text_pii_scan",
+    "olap_late_shipment_priority",
+    "ts_gap_fill_daily",
 ]
 
 
