@@ -1452,6 +1452,19 @@ _GATE_PRIORITY = [
     "text_pii_scan",
     "olap_late_shipment_priority",
     "ts_gap_fill_daily",
+    "olap_order_count_dist",
+    "olap_big_ticket_orders",
+    "olap_top_supplier",
+    "olap_returned_top_customers",
+    "olap_volume_shipping",
+    "olap_promo_share",
+    "olap_brand_brackets",
+    "olap_rich_inactive",
+    "ts_ohlc_daily",
+    "ts_interpolate_hourly",
+    "t_hash_split",
+    "text_tfidf_top_terms",
+    "text_vocab_topk",
 ]
 
 

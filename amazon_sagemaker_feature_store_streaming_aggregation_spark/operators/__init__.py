@@ -39,3 +39,4 @@ from .multimodal import (  # noqa: F401
     sample_frames,
     synth_media,
 )
+from .tfidf import build_vocabulary, tfidf_top_terms  # noqa: F401

@@ -1,0 +1,120 @@
+"""TF-IDF scoring and vocabulary building over a document corpus.
+
+Two classic corpus-statistics operators every text-training pipeline
+needs before tokenizer/model work (extension scope — the reference has
+no text surface; the builder's brief names token counting and text
+analysis as first-class):
+
+* ``tfidf_top_terms`` — per-document top-k terms by a tf-idf score.
+* ``build_vocabulary`` — frequency-ranked token vocabulary with stable
+  integer ids (the token→id map a tokenizer trains from).
+
+Cross-engine determinism: the idf factor is ``N/df`` (a single double
+division of exact integers) rather than ``log(N/df)`` — ``log`` is not
+bit-specified across engines' libm builds, while +,-,*,/ are exact
+IEEE-754 ops, so the score ``tf * (N/df)`` is bit-equal in Spark and
+DuckDB when spelled with the same op order. Monotonicity in tf/df is
+identical to the log form, so rankings match the textbook definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Same whitespace tokenizer as functions/text.py (oracle:
+# list_filter(regexp_split_to_array(trim(c), '\s+'), t -> t != ''))
+_TOKENS = "filter(split(trim({c}), '\\\\s+'), t -> t != '')"
+
+
+def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Explode to one (doc, lower-cased term) row per token occurrence."""
+    toks = _TOKENS.format(c=text_col)
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"transform({toks}, t -> lower(t))")).alias("term"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` terms by ``tf * (N / df)``.
+
+    Plan shape (and why it scales):
+
+    * explode → groupBy (doc, term) for tf: map-side partial combine
+      collapses within-partition repeats before the one shuffle keyed
+      on (doc, term);
+    * df re-aggregates the (doc, term) table by term — input is one
+      row per distinct doc-term, NOT per occurrence;
+    * N is a 1-row aggregate cross-joined (broadcast) — never a
+      driver-side ``.count()`` baked into the plan;
+    * the df table joins back on term (shuffle join — at corpus scale
+      the vocabulary is huge; nothing here assumes it broadcasts);
+    * top-k is ``row_number`` over (score desc, term asc) per doc —
+      Spark's WindowGroupLimit keeps a k-row heap per doc instead of
+      sorting each document's full term list.
+
+    The tie order (score desc, term asc) is total, so results are
+    deterministic across engines.
+    """
+    terms = _doc_terms(docs, id_col, text_col)
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.expr(
+                "CAST(tf AS DOUBLE)"
+                " * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
+
+
+def build_vocabulary(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-ranked vocabulary: the top ``vocab_size`` tokens with
+    at least ``min_count`` total occurrences, assigned dense ids
+    ``1..vocab_size`` in (count desc, term asc) order.
+
+    Plan: one explode + one aggregation (map-side combined) produce
+    per-term totals; the global ranking is computed ONLY on the top-k
+    survivors — ``orderBy().limit(k)`` plans as TakeOrdered
+    (per-partition k-row heaps, no global sort shuffle), and the
+    single-partition ``row_number`` that assigns ids runs over k rows,
+    not the vocabulary. Ranking the full term table with a global
+    window would serialize a billion-term vocabulary through one
+    partition; ranking after the heap-limit is O(k).
+    """
+    counts = (
+        _doc_terms(docs, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("term")
+    ).limit(vocab_size)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+    return top.select(
+        F.row_number().over(w).alias("term_id"), "term", "n_occurrences"
+    )

@@ -1,13 +1,23 @@
 from .analytics import (  # noqa: F401
+    big_ticket_orders,
+    brand_bracket_revenue,
     gap_filled_daily_counts,
+    interpolated_hourly_series,
     late_shipment_priority,
     market_share,
+    ohlc_bars,
+    order_count_distribution,
     pricing_summary,
+    promo_revenue_share,
+    returned_item_top_customers,
     revenue_by_nation,
     revenue_cube,
+    rich_inactive_customers,
     small_quantity_revenue,
     status_priority_grouping_sets,
+    top_supplier,
     topk_orders_per_customer,
+    volume_shipping,
 )
 from .batch_ingest import batch_feature_records, run_batch_ingest  # noqa: F401
 from .inference import (  # noqa: F401

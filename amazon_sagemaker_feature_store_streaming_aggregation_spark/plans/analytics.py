@@ -401,3 +401,477 @@ def gap_filled_daily_counts(events: DataFrame) -> DataFrame:
         "event_type",
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
     )
+
+
+def order_count_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    including zero-order customers — the classic left-outer-join +
+    double aggregation.
+
+    Plan: orders are aggregated to (custkey, count) FIRST (map-side
+    partial combine shrinks the shuffle to one row per customer), then
+    customer LEFT-joins that small aggregate and the second aggregate
+    groups by the count. The naive customer-LEFT-JOIN-orders-then-group
+    spelling shuffles every order row keyed by custkey; this one
+    shuffles pre-counted rows — at 100 TB that is the difference
+    between moving the fact table and moving the customer dimension.
+    """
+    per_cust = (
+        orders.where(F.col("o_orderpriority") != exclude_priority)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("__n"))
+    )
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def big_ticket_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: int = 300,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line-item quantity exceeds a
+    threshold (the IN-subquery-with-HAVING), joined back to order and
+    customer detail.
+
+    Plan: lineitem aggregates to per-order quantity with map-side
+    combine; the HAVING filter drops ~99.7% of orders BEFORE any join,
+    so the surviving key set is small enough to broadcast into the
+    orders join at any scale. Quantity is summed as exact integers
+    (``round(qty)`` — the generator emits integral quantities).
+    """
+    qty = "CAST(round(l_quantity) AS BIGINT)"
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.expr(f"sum({qty})").alias("sum_qty"))
+        .where(F.col("sum_qty") > qty_threshold)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter — revenue view + scalar MAX subquery, with ties kept.
+
+    Plan: one fact aggregation to (suppkey, revenue-cents); the global
+    max is a 1-row aggregate cross-joined back (broadcast, no second
+    fact scan), and the equality compare happens on EXACT integer
+    1e-4-dollar units so "equals the max" is well-defined across
+    engines — the reason the revenue view keeps integers until the
+    final projection.
+    """
+    ep = _CENTS.format(c="l_extendedprice")
+    d = _CENTS.format(c="l_discount")
+    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    per_supp = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.expr(f"sum({rev})").alias("__rev"))
+    )
+    mx = per_supp.agg(F.max("__rev").alias("__mx"))
+    return (
+        per_supp.join(F.broadcast(mx), F.col("__rev") == F.col("__mx"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr("CAST(__rev AS DOUBLE) / 10000.0").alias("total_revenue"),
+        )
+    )
+
+
+def returned_item_top_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned
+    items in a quarter.
+
+    Plan: returnflag filter lands in the lineitem scan and the date
+    filter in the orders scan (both PushedFilters); facts join shuffled
+    on the order key; customer/nation broadcast. The global top-k is a
+    ``TakeOrdered`` (per-partition k-row heaps merged on the driver —
+    no global sort shuffle) over a DETERMINISTIC order: exact
+    integer-cent revenue desc, custkey asc tiebreak.
+    """
+    ep = _CENTS.format(c="l_extendedprice")
+    d = _CENTS.format(c="l_discount")
+    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.expr(f"sum({rev})").alias("__rev"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(
+                customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .orderBy(F.col("__rev").desc(), F.col("c_custkey"))
+        .limit(k)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.expr("CAST(__rev AS DOUBLE) / 10000.0").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    year_from: int = 1996,
+    year_to: int = 1997,
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations per
+    (supplier-nation, customer-nation, ship-year).
+
+    Plan: supplier and customer each join their broadcast nation row
+    FIRST and filter to the two target nations — the fact join then
+    only sees the two nations' keys (a semi-join-like reduction Spark
+    applies via the broadcast hash join's build side). The
+    lineitem × orders join shuffles on the order key; everything else
+    broadcasts. The asymmetric-pair predicate (a→b or b→a) is applied
+    post-join on two tiny dictionary columns.
+    """
+    ep = _CENTS.format(c="l_extendedprice")
+    d = _CENTS.format(c="l_discount")
+    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    n = nation.select("n_nationkey", "n_name").where(
+        F.col("n_name").isin(nation_a, nation_b)
+    )
+    supp = supplier.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = lineitem.where(
+        F.year("l_shipdate").between(year_from, year_to)
+    ).select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        "l_extendedprice", "l_discount",
+    )
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.expr(f"CAST(sum({rev}) AS DOUBLE) / 10000.0").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-09-01",
+    date_to: str = "1996-10-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: the percentage of a month's revenue that came
+    from promotional parts — conditional aggregation over a
+    fact × broadcast(dimension) join, ONE pass (the textbook
+    CASE-inside-SUM rewrite of the two-subquery formulation).
+
+    Both sums stay exact 1e-4-dollar integers; the percentage is a
+    single double division at the end, bit-equal across engines.
+    """
+    ep = _CENTS.format(c="l_extendedprice")
+    d = _CENTS.format(c="l_discount")
+    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.expr(rev)).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias("__promo"),
+            F.expr(f"sum({rev})").alias("__total"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.expr(
+                "100.0 * CAST(__promo AS DOUBLE) / CAST(__total AS DOUBLE)"
+            ).alias("promo_pct"),
+            F.expr("CAST(__promo AS DOUBLE) / 10000.0").alias("promo_revenue"),
+            F.expr("CAST(__total AS DOUBLE) / 10000.0").alias("total_revenue"),
+            "n_items",
+        )
+    )
+
+
+def brand_bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR of three
+    (brand, quantity-range, size-range) conjunction brackets.
+
+    Plan: the part-side bracket predicates (brand, size) filter the
+    broadcast build side down to the union of candidate parts BEFORE
+    the join — Catalyst extracts ``p_brand IN (...)`` and the size
+    bounds as a standalone dimension filter from the OR (common-factor
+    extraction), so the join build side is small even though the full
+    predicate references both tables. The residual OR runs post-join
+    on already-matched rows.
+    """
+    ep = _CENTS.format(c="l_extendedprice")
+    d = _CENTS.format(c="l_discount")
+    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    brackets = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        lineitem.select(
+            "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(brackets)
+        .agg(
+            F.expr(f"CAST(sum({rev}) AS DOUBLE) / 10000.0").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def rich_inactive_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    inactive_since: str = "1999-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive account
+    balance and NO recent orders, counted per nation — the scalar AVG
+    subquery plus NOT EXISTS anti join.
+
+    Plan: the global average is a 1-row aggregate broadcast into the
+    filter (one extra pass over the 2-column customer projection, not
+    the fact table); the NOT EXISTS is a ``left_anti`` join against
+    the date-pruned orders scan. Balance aggregates use integer cents
+    so the per-nation sums are order-independent.
+    """
+    cents = _CENTS.format(c="c_acctbal")
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST({cents} AS DECIMAL(38,0))) AS DOUBLE)"
+                " / count(*) / 100.0"
+            ).alias("__avg")
+        )
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(inactive_since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.select("c_custkey", "c_acctbal", "c_nationkey")
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.expr(
+                f"CAST(sum(CAST({cents} AS DECIMAL(38,0))) AS DOUBLE) / 100.0"
+            ).alias("totacctbal"),
+        )
+    )
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """OHLC downsampling: per (event_type, day) open/high/low/close/
+    volume bars — the standard financial/metrics resample.
+
+    Plan: ONE hash aggregate over the fact scan. Open/close use
+    ``min_by``/``max_by`` with a (ts, event_id) struct key — struct
+    comparison is lexicographic, and event_id is unique, so first/last
+    are total-order deterministic without a window sort (the
+    row_number formulation costs a per-key sort; min_by is a constant-
+    state streaming aggregate — the difference between O(n log n) and
+    O(n) per key at 100 TB). High/low are plain min/max (selection,
+    not accumulation — no float-order concern); the daily total uses
+    integer cents.
+    """
+    day = F.date_trunc("day", F.col("ts"))
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.select(
+            day.alias("day"), "event_type", "ts", "event_id", "value"
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count("*").alias("volume"),
+            F.expr(
+                f"CAST(sum(CAST({cents} AS DECIMAL(38,0))) AS DOUBLE) / 100.0"
+            ).alias("total_value"),
+        )
+    )
+
+
+def interpolated_hourly_series(events: DataFrame) -> DataFrame:
+    """Linear interpolation over a gap-filled hourly series: per
+    (event_type, hour) total value, with MISSING HOURS linearly
+    interpolated between the nearest observed neighbours (edges clamp
+    to the nearest observation) — the resample-then-interpolate step
+    every forecasting/anomaly pipeline runs before modelling.
+
+    Plan: one fact aggregation to (hour, type) integer-cent totals; the
+    dense grid comes from ``sequence()`` over the global bounds crossed
+    with the tiny type dictionary; the neighbour search is two
+    IGNORE-NULLS window passes (prev/next observation as (hour, value)
+    structs) PER TYPE — state is one struct per partition, and the
+    window partitions by series key so it parallelizes across types.
+    The interpolation weight is an exact integer hour-difference ratio;
+    value arithmetic is a fixed IEEE sequence over integer-cent-derived
+    doubles, so results are bit-equal across engines.
+    """
+    from pyspark.sql import Window
+
+    hour = F.date_trunc("hour", F.col("ts"))
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    totals = (
+        events.select(hour.alias("hour"), "event_type", "value")
+        .groupBy("hour", "event_type")
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST({cents} AS DECIMAL(38,0))) AS DOUBLE) / 100.0"
+            ).alias("__v")
+        )
+    )
+    bounds = events.agg(F.min(hour).alias("lo"), F.max(hour).alias("hi"))
+    grid = (
+        bounds.select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+        )
+        .crossJoin(F.broadcast(events.select("event_type").distinct()))
+        .join(totals, ["hour", "event_type"], "left")
+    )
+    obs = F.when(
+        F.col("__v").isNotNull(), F.struct(F.col("hour").alias("h"), F.col("__v").alias("v"))
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.first(obs, ignorenulls=True).over(w_next)
+    # exact integer hour offsets -> double ratio; identical op order in
+    # the oracle makes the interpolated double bit-equal
+    num = "CAST((unix_timestamp(hour) - unix_timestamp(__p.h)) / 3600 AS DOUBLE)"
+    den = "CAST((unix_timestamp(__n.h) - unix_timestamp(__p.h)) / 3600 AS DOUBLE)"
+    interp = (
+        f"__p.v + (__n.v - __p.v) * ({num} / {den})"
+    )
+    return (
+        grid.withColumn("__p", prev)
+        .withColumn("__n", nxt)
+        .select(
+            "hour",
+            "event_type",
+            F.col("__v").isNotNull().alias("observed"),
+            F.expr(
+                f"""CASE WHEN __v IS NOT NULL THEN __v
+                         WHEN __p IS NOT NULL AND __n IS NOT NULL THEN {interp}
+                         WHEN __p IS NOT NULL THEN __p.v
+                         ELSE __n.v END"""
+            ).alias("value"),
+        )
+    )

@@ -1835,6 +1835,407 @@ GROUP BY p.w, p.exact_cnt
 """
 
 
+# ------------------------------------------------- round-3 OLAP shapes
+# (TPC-H Q13/Q18/Q15/Q10/Q7/Q14/Q19/Q22 adapted to the testdata columns)
+
+
+def _q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (plans/analytics.py::order_count_distribution)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import order_count_distribution
+
+    return order_count_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+_ORDER_COUNT_DIST_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n FROM orders
+  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
+)
+SELECT CAST(coalesce(n, 0) AS BIGINT) AS c_count, count(*) AS custdist
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+def _q_big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (plans/analytics.py::big_ticket_orders)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import big_ticket_orders
+
+    return big_ticket_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_BIG_TICKET_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def _q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (plans/analytics.py::top_supplier)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import top_supplier
+
+    return top_supplier(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+def _top_supplier_oracle() -> str:
+    ep = _OLAP_CENTS.format(c="l_extendedprice")
+    d = _OLAP_CENTS.format(c="l_discount")
+    return f"""
+WITH pr AS (
+  SELECT l_suppkey, sum(CAST({ep} * (100 - {d}) AS HUGEINT)) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) / 10000.0 AS total_revenue
+FROM pr JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM pr)
+"""
+
+
+def _q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (plans/analytics.py::returned_item_top_customers)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
+        returned_item_top_customers,
+    )
+
+    return returned_item_top_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _returned_top_oracle() -> str:
+    ep = _OLAP_CENTS.format(c="l_extendedprice")
+    d = _OLAP_CENTS.format(c="l_discount")
+    return f"""
+WITH per AS (
+  SELECT o_custkey, sum(CAST({ep} * (100 - {d}) AS HUGEINT)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, CAST(rev AS DOUBLE) / 10000.0 AS revenue,
+       c_acctbal, n_name
+FROM per JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev DESC, c_custkey LIMIT 20
+"""
+
+
+def _q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (plans/analytics.py::volume_shipping)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import volume_shipping
+
+    return volume_shipping(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _volume_shipping_oracle() -> str:
+    ep = _OLAP_CENTS.format(c="l_extendedprice")
+    d = _OLAP_CENTS.format(c="l_discount")
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST({ep} * (100 - {d}) AS HUGEINT)) AS DOUBLE) / 10000.0
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND year(l_shipdate) BETWEEN 1996 AND 1997
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (plans/analytics.py::promo_revenue_share)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import promo_revenue_share
+
+    return promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def _promo_share_oracle() -> str:
+    ep = _OLAP_CENTS.format(c="l_extendedprice")
+    d = _OLAP_CENTS.format(c="l_discount")
+    rev = f"CAST({ep} * (100 - {d}) AS HUGEINT)"
+    return f"""
+SELECT 100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_pct,
+       CAST(promo AS DOUBLE) / 10000.0 AS promo_revenue,
+       CAST(total AS DOUBLE) / 10000.0 AS total_revenue,
+       n_items
+FROM (
+  SELECT sum(CASE WHEN p_type = 'PROMO' THEN {rev} ELSE 0 END) AS promo,
+         sum({rev}) AS total, count(*) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l_shipdate < TIMESTAMP '1996-10-01'
+)
+"""
+
+
+def _q_brand_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (plans/analytics.py::brand_bracket_revenue)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import brand_bracket_revenue
+
+    return brand_bracket_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def _brand_brackets_oracle() -> str:
+    ep = _OLAP_CENTS.format(c="l_extendedprice")
+    d = _OLAP_CENTS.format(c="l_discount")
+    return f"""
+SELECT CAST(sum(CAST({ep} * (100 - {d}) AS HUGEINT)) AS DOUBLE) / 10000.0
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+"""
+
+
+def _q_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (plans/analytics.py::rich_inactive_customers)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
+        rich_inactive_customers,
+    )
+
+    return rich_inactive_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _rich_inactive_oracle() -> str:
+    cents = _OLAP_CENTS.format(c="c_acctbal")
+    return f"""
+SELECT n_name, count(*) AS numcust,
+       CAST(sum(CAST({cents} AS HUGEINT)) AS DOUBLE) / 100.0 AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+        SELECT CAST(sum(CAST({cents} AS HUGEINT)) AS DOUBLE)
+               / count(*) / 100.0
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------- round-3 time-series shapes
+
+
+def _q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resample (plans/analytics.py::ohlc_bars)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import ohlc_bars
+
+    return ohlc_bars(load_table(spark, sf_dir, "events"))
+
+
+_OHLC_ORACLE = """
+WITH ranked AS (
+  SELECT date_trunc('day', ts) AS day, event_type, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, day,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS volume,
+       CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+            AS DOUBLE) / 100.0 AS total_value
+FROM ranked GROUP BY 1, 2
+"""
+
+
+def _q_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled linear interpolation
+    (plans/analytics.py::interpolated_hourly_series)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import (
+        interpolated_hourly_series,
+    )
+
+    return interpolated_hourly_series(load_table(spark, sf_dir, "events"))
+
+
+_INTERPOLATE_ORACLE = """
+WITH totals AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+              AS DOUBLE) / 100.0 AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), grid AS (
+  SELECT g.hour, t.event_type
+  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM bounds) g
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+), j AS (
+  SELECT grid.hour, grid.event_type, totals.v
+  FROM grid LEFT JOIN totals
+    ON totals.hour = grid.hour AND totals.event_type = grid.event_type
+), w AS (
+  SELECT hour, event_type, v,
+    last_value(CASE WHEN v IS NOT NULL THEN {'h': hour, 'v': v} END
+               IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+    first_value(CASE WHEN v IS NOT NULL THEN {'h': hour, 'v': v} END
+                IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n
+  FROM j
+)
+SELECT hour, event_type, (v IS NOT NULL) AS observed,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN p IS NOT NULL AND n IS NOT NULL THEN
+         p.v + (n.v - p.v) * (CAST((epoch(hour) - epoch(p.h)) / 3600
+                                   AS DOUBLE)
+                              / CAST((epoch(n.h) - epoch(p.h)) / 3600
+                                     AS DOUBLE))
+       WHEN p IS NOT NULL THEN p.v
+       ELSE n.v END AS value
+FROM w
+"""
+
+
+# ---------------------------------------------- round-3 pipeline shapes
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic entity-consistent split
+    (plans/train_prep.py::hash_split), summarized per split."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.train_prep import hash_split
+
+    labeled = hash_split(load_table(spark, sf_dir, "events"), "user_id")
+    return labeled.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_HASH_SPLIT_ORACLE = """
+WITH labeled AS (
+  SELECT user_id,
+         CASE WHEN CAST(concat('0x',
+                  substring(md5(concat('split-v1:', CAST(user_id AS VARCHAR))),
+                            1, 15)) AS BIGINT) % 100 < 30
+              THEN 'test' ELSE 'train' END AS split
+  FROM events
+)
+SELECT split, count(DISTINCT user_id) AS n_users, count(*) AS n_rows
+FROM labeled GROUP BY split
+"""
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TF-IDF top terms (operators/tfidf.py::tfidf_top_terms)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3).withColumnRenamed(
+        "rank", "term_rank"
+    )
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t != '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, lower(tok) AS term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+           AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term_rank, term, tf, df, score FROM r WHERE term_rank <= 3
+"""
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (operators/tfidf.py::build_vocabulary)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import build_vocabulary
+
+    return build_vocabulary(load_table(spark, sf_dir, "documents"))
+
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t != '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT lower(tok) AS term, count(*) AS n_occurrences
+  FROM toks GROUP BY 1 HAVING count(*) >= 2
+), top AS (
+  SELECT * FROM counts ORDER BY n_occurrences DESC, term LIMIT 1000
+)
+SELECT row_number() OVER (ORDER BY n_occurrences DESC, term) AS term_id,
+       term, n_occurrences
+FROM top
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -1886,6 +2287,19 @@ def ext_queries():
         "udx_luhn": _q_udx_luhn,
         "udx_median_by_user": _q_udx_median,
         "udx_word_positions": _q_udx_word_positions,
+        "olap_order_count_dist": _q_order_count_dist,
+        "olap_big_ticket_orders": _q_big_ticket_orders,
+        "olap_top_supplier": _q_top_supplier,
+        "olap_returned_top_customers": _q_returned_top_customers,
+        "olap_volume_shipping": _q_volume_shipping,
+        "olap_promo_share": _q_promo_share,
+        "olap_brand_brackets": _q_brand_brackets,
+        "olap_rich_inactive": _q_rich_inactive,
+        "ts_ohlc_daily": _q_ohlc_daily,
+        "ts_interpolate_hourly": _q_interpolate_hourly,
+        "t_hash_split": _q_hash_split,
+        "text_tfidf_top_terms": _q_tfidf_top_terms,
+        "text_vocab_topk": _q_vocab_topk,
     }
 
 
@@ -1940,4 +2354,17 @@ def ext_oracles():
         "udx_luhn": _luhn_oracle(),
         "udx_median_by_user": _UDX_MEDIAN_ORACLE,
         "udx_word_positions": _UDX_WORDPOS_ORACLE,
+        "olap_order_count_dist": _ORDER_COUNT_DIST_ORACLE,
+        "olap_big_ticket_orders": _BIG_TICKET_ORACLE,
+        "olap_top_supplier": _top_supplier_oracle(),
+        "olap_returned_top_customers": _returned_top_oracle(),
+        "olap_volume_shipping": _volume_shipping_oracle(),
+        "olap_promo_share": _promo_share_oracle(),
+        "olap_brand_brackets": _brand_brackets_oracle(),
+        "olap_rich_inactive": _rich_inactive_oracle(),
+        "ts_ohlc_daily": _OHLC_ORACLE,
+        "ts_interpolate_hourly": _INTERPOLATE_ORACLE,
+        "t_hash_split": _HASH_SPLIT_ORACLE,
+        "text_tfidf_top_terms": _TFIDF_ORACLE,
+        "text_vocab_topk": _VOCAB_ORACLE,
     }

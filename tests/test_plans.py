@@ -278,3 +278,85 @@ def test_enrich_join_strategy_toggle(spark):
     s = _plan(s_df).split("+- == Initial Plan ==")[0]
     assert "ShuffledHashJoin" in s, s
     assert "BroadcastHashJoin" not in s, s
+
+
+def test_q13_preaggregates_orders_before_customer_join(spark):
+    """order_count_distribution must aggregate orders to one row per
+    customer BEFORE the customer join — the Exchange under the join
+    carries the aggregate, so exactly one HashAggregate pair sits
+    below the SortMergeJoin/BroadcastHashJoin, not above it."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import order_count_distribution
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(
+        order_count_distribution(
+            load_table(spark, SF001, "customer"), load_table(spark, SF001, "orders")
+        )
+    )
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+    assert join_pos >= 0, plan
+    # an aggregate of orders appears BELOW (after, in tree print) the join
+    assert "HashAggregate" in plan[join_pos:], plan
+
+
+def test_q10_topk_is_take_ordered(spark):
+    """returned_item_top_customers' global top-k must plan as
+    TakeOrderedAndProject (per-partition heaps), not a global Sort."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import returned_item_top_customers
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(
+        returned_item_top_customers(
+            load_table(spark, SF001, "customer"),
+            load_table(spark, SF001, "orders"),
+            load_table(spark, SF001, "lineitem"),
+            load_table(spark, SF001, "nation"),
+        )
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_vocab_ranks_only_after_heap_limit(spark):
+    """build_vocabulary must TakeOrdered-limit BEFORE the id-assigning
+    window — the single-partition window input is k rows, not the
+    term table."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import build_vocabulary
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(build_vocabulary(load_table(spark, SF001, "documents")))
+    w = plan.find("Window")
+    t = plan.find("TakeOrderedAndProject")
+    assert w >= 0 and t >= 0, plan
+    # tree prints top-down: Window consumes TakeOrdered's output
+    assert w < t, plan
+
+
+def test_tfidf_topk_uses_window_group_limit(spark):
+    """tfidf_top_terms' per-doc rank<=k must trigger the
+    WindowGroupLimit rewrite (k-row heap per doc, no full sort of each
+    doc's term list)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import tfidf_top_terms
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(tfidf_top_terms(load_table(spark, SF001, "documents"), k=3))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_hash_split_adds_no_exchange(spark):
+    """hash_split is scan-side only — zero shuffles."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.train_prep import hash_split
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(hash_split(load_table(spark, SF001, "events"), "user_id"))
+    assert "Exchange" not in plan, plan
+
+
+def test_ohlc_is_single_aggregate_no_window(spark):
+    """ohlc_bars must be ONE hash-aggregate pair (partial+final) with
+    no Window/Sort — min_by/max_by, not row_number."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import ohlc_bars
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(ohlc_bars(load_table(spark, SF001, "events")))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
