@@ -914,6 +914,131 @@ GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def _q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP, proven end-to-end: the replay delivers
+    (1) all on-time events (everything but event_type='error'), (2) a
+    far-future sentinel that advances the watermark past every real
+    timestamp, then (3) the 'error' rows as late arrivals. Because the
+    watermark used by micro-batch N is computed from data seen through
+    N-1, batch (3)'s rows arrive with every tumbling window already
+    closed and emitted — append-mode aggregation discards them, which
+    is exactly the at-most-once-per-window contract that bounds state
+    at 100 TB event rates. The result therefore equals the batch
+    aggregate over the ON-TIME subset only; the oracle encodes the
+    drop as an explicit ``event_type <> 'error'`` predicate.
+
+    (Same replay scaffolding as ``s_stream_tumbling_agg``; file order
+    is forced via mtimes + maxFilesPerTrigger=1.)
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_event_stream,
+    )
+
+    name = f"stream_late_drop_out_{next(_S4_SEQ)}"
+    stream_dir = tempfile.mkdtemp(prefix="slate_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="slate_ckpt_")
+    src = os.path.join(sf_dir, "events.parquet")
+    tbl = pq.read_table(
+        src, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    is_late = pc.equal(tbl["event_type"], "error")
+    pq.write_table(
+        tbl.filter(pc.invert(is_late)), os.path.join(stream_dir, "00.parquet")
+    )
+    max_us = pc.max(tbl["ts"]).value
+
+    # TWO sentinel batches before the late file: the row filter of
+    # micro-batch N uses the watermark computed from batches <= N-2
+    # (one batch more lag than the progress line reports — verified
+    # empirically), so a single sentinel would leave the late batch
+    # filtering against the pre-sentinel watermark and the final open
+    # window would accept "late" rows. The spacer guarantees the late
+    # batch sees the first sentinel's far-future watermark.
+    def _sentinel(i: int) -> "pa.Table":
+        return pa.table(
+            {
+                "event_id": pa.array([-i], pa.int64()),
+                "ts": pa.array([max_us + i * 10**10], pa.timestamp("us")),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["__sentinel__"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+            }
+        )
+
+    now = time.time()
+    for i, t in ((1, _sentinel(1)), (2, _sentinel(2))):
+        p = os.path.join(stream_dir, f"0{i}.parquet")
+        pq.write_table(t, p)
+        os.utime(p, (now + 10 * i, now + 10 * i))
+    p3 = os.path.join(stream_dir, "03.parquet")
+    pq.write_table(tbl.filter(is_late), p3)
+    os.utime(p3, (now + 30, now + 30))
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = read_event_stream(
+            spark,
+            stream_dir,
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double",
+            max_files_per_trigger=1,
+        )
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+                    "__cents"
+                ),
+            )
+            .select(
+                "event_type",
+                F.col("window.end").alias("window_end"),
+                "n_events",
+                F.expr("CAST(__cents AS DOUBLE) / 100.0").alias("total_value"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_late_drop exceeded 300s")
+        return spark.table(name).where("event_type <> '__sentinel__'")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+_STREAM_LATE_DROP_ORACLE = """
+SELECT event_type,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM events
+WHERE event_type <> 'error'
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
 def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: the replayed event stream split by
     event-id parity into two live sides, inner-joined per user where
@@ -1465,6 +1590,10 @@ _GATE_PRIORITY = [
     "t_hash_split",
     "text_tfidf_top_terms",
     "text_vocab_topk",
+    "s_stream_late_drop",
+    "funnel_conversion",
+    "cohort_retention",
+    "rel_scd2_intervals",
 ]
 
 
@@ -1501,6 +1630,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_interval_join": _q_stream_interval_join,
         "s_stream_interval_join_outer": _q_stream_interval_join_outer,
         "s_stream_interval_join_full": _q_stream_interval_join_full,
+        "s_stream_late_drop": _q_stream_late_drop,
         "sessionize": _q_sessionize,
         "time_rollup": _q_time_rollup,
         "stratified_sample": _q_stratified_sample,
@@ -1534,6 +1664,7 @@ def _all_oracles() -> dict[str, str]:
         "s_stream_interval_join": _STREAM_IJOIN_ORACLE,
         "s_stream_interval_join_outer": _STREAM_IJOIN_OUTER_ORACLE,
         "s_stream_interval_join_full": _STREAM_IJOIN_FULL_ORACLE,
+        "s_stream_late_drop": _STREAM_LATE_DROP_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "time_rollup": _ROLLUP_ORACLE,
         "stratified_sample": _SAMPLE_ORACLE,

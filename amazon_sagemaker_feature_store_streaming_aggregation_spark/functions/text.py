@@ -270,13 +270,34 @@ def with_lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
     # pure-space grams only arise from the padding of empty/degenerate
     # texts (runs are collapsed) — drop them so such docs predict null
     tg = "filter(concat(" + ", ".join(walks) + "), g -> trim(g) != '')"
-    prof = (
-        f"slice(array_sort(transform(array_distinct(__ct_tg),"
-        f" t -> struct(-size(filter(__ct_tg, y -> y = t)) as negc,"
-        f" t as g))), 1, {PROFILE_K})"
+    # Ranked profile via sort + run boundaries: one O(G log G) sort,
+    # then counts fall out of consecutive run-start indices. (The
+    # naive distinct×filter spelling recounts the whole gram array for
+    # every distinct gram — O(G·D) ≈ 5·10^5 interpreted comparisons
+    # per row, measured 51 s for the sf0.1 documents table vs ~1 s for
+    # this formulation. Higher-order functions are interpreted, never
+    # codegen'd — keeping their complexity linear is what matters.)
+    starts = (
+        "IF(size(__ct_srt) = 0, array(), "
+        "filter(sequence(1, size(__ct_srt)), i -> i = 1 OR "
+        "element_at(__ct_srt, i) != element_at(__ct_srt, i - 1)))"
     )
-    out = out.withColumn("__ct_tg", F.expr(tg)).withColumn(
-        "__ct_prof", F.expr(prof)
+    prof = (
+        f"IF(size(__ct_st) = 0,"
+        f" cast(array() as array<struct<negc:int,g:string>>),"
+        f" slice(array_sort(transform(sequence(1, size(__ct_st)),"
+        f" j -> struct("
+        f"element_at(__ct_st, j)"
+        f" - coalesce(try_element_at(__ct_st, j + 1),"
+        f" size(__ct_srt) + 1) as negc,"
+        f" element_at(__ct_srt, element_at(__ct_st, j)) as g"
+        f"))), 1, {PROFILE_K}))"
+    )
+    out = (
+        out.withColumn("__ct_tg", F.expr(tg))
+        .withColumn("__ct_srt", F.expr("array_sort(__ct_tg)"))
+        .withColumn("__ct_st", F.expr(starts))
+        .withColumn("__ct_prof", F.expr(prof))
     )
     for lang in sorted(LANG_PROFILES):
         entries = ", ".join(
@@ -325,7 +346,10 @@ def with_lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .when(F.size("__ct_prof") > 0, F.expr(pick))
         .otherwise(F.lit(None).cast("string")),
-    ).drop("__ct_s", "__ct_tg", "__ct_prof", "__ct_han", "__ct_letters")
+    ).drop(
+        "__ct_s", "__ct_tg", "__ct_srt", "__ct_st", "__ct_prof",
+        "__ct_han", "__ct_letters",
+    )
 
 
 def with_fingerprint(

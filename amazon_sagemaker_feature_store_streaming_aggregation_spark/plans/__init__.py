@@ -1,6 +1,8 @@
 from .analytics import (  # noqa: F401
     big_ticket_orders,
     brand_bracket_revenue,
+    cohort_retention,
+    funnel_conversion,
     gap_filled_daily_counts,
     interpolated_hourly_series,
     late_shipment_priority,
@@ -38,6 +40,7 @@ from .relational import (  # noqa: F401
     props_profile,
     revenue_pivot_by_priority,
     repeat_buyers,
+    scd2_intervals,
     trailing_distinct_types,
     unpivot_lineitem_measures,
     user_value_arrays,

@@ -875,3 +875,71 @@ def interpolated_hourly_series(events: DataFrame) -> DataFrame:
             ).alias("value"),
         )
     )
+
+
+def funnel_conversion(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered funnel analysis: how many users completed each prefix of
+    ``steps`` IN ORDER (each step strictly after the previous one's
+    first occurrence) — the classic product-analytics conversion query.
+
+    Plan: ONE shuffle on user_id — the per-user first-occurrence times
+    of every step are conditional ``min`` aggregates in a single pass
+    (no per-step self-joins: the naive k-way join formulation costs
+    k-1 shuffled joins of the full fact table). The ordered-chain
+    flags and the final counts are a second 1-row aggregate. Output is
+    one row per funnel step with the surviving user count.
+    """
+    mins = [
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"__t{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = events.groupBy("user_id").agg(*mins)
+    # reached step i  <=>  reached i-1 and t_i strictly after t_{i-1}
+    flags = []
+    for i in range(len(steps)):
+        cond = F.col("__t0").isNotNull()
+        for j in range(1, i + 1):
+            cond = cond & F.col(f"__t{j}").isNotNull() & (
+                F.col(f"__t{j}") > F.col(f"__t{j-1}")
+            )
+        flags.append(F.sum(cond.cast("long")).alias(f"__n{i}"))
+    counts = per_user.agg(*flags)
+    # one row per step: (step_index, step, n_users)
+    pairs = ", ".join(
+        f"{i + 1}, '{s}', __n{i}" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {pairs})"
+        ).alias("step_index", "step", "n_users")
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    day (the cohort), counted per day-offset of later activity — the
+    standard retention triangle.
+
+    Plan: (1) distinct (user, activity-day) pairs — one shuffle, map-
+    side combined; (2) per-user cohort day = min over that table —
+    re-aggregates the SAME key so Spark reuses the partitioning
+    without a second exchange; (3) join activity days back to cohort
+    days on user (co-partitioned from the same shuffle) and count per
+    (cohort, offset). Offsets are exact integer day differences.
+    """
+    day = F.date_trunc("day", F.col("ts"))
+    user_days = (
+        events.select("user_id", day.alias("day")).distinct()
+    )
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -464,3 +464,27 @@ def doc_word_profile(documents: DataFrame, min_count: int = 3) -> DataFrame:
         F.size("m").alias("n_distinct_words"),
         F.concat_ws(",", F.array_sort(frequent)).alias("frequent"),
     )
+
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """Build SCD-type-2 validity intervals from a change log: each
+    (user, event) sets a new current value whose validity runs from
+    its timestamp until the user's next change (NULL for the open
+    current row) — the standard dimension-history construction.
+
+    Plan: one window pass per user ordered by (ts, event_id) — the
+    unique event_id tiebreak makes ``lead`` deterministic under
+    simultaneous changes. One exchange on the entity key; state is a
+    single row of lookahead. At warehouse scale the change log is
+    range-partitioned by entity so the sort is per-partition local.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        (F.lead("ts").over(w).isNull()).alias("is_current"),
+    )

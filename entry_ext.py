@@ -2236,6 +2236,76 @@ FROM top
 """
 
 
+def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (plans/analytics.py::funnel_conversion)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import funnel_conversion
+
+    return funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+_FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events GROUP BY user_id
+), counts AS (
+  SELECT
+    sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n0,
+    sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+             THEN 1 ELSE 0 END) AS n1,
+    sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+              AND t2 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS n2
+  FROM per_user
+)
+SELECT CAST(s.step_index AS INTEGER) AS step_index, s.step,
+       CAST(CASE s.step_index WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END
+            AS BIGINT) AS n_users
+FROM counts,
+     (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+       AS s(step_index, step)
+"""
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle (plans/analytics.py::cohort_retention)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+_COHORT_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM user_days GROUP BY user_id
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+       count(*) AS n_users
+FROM user_days JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension-history build (plans/relational.py::scd2_intervals)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import scd2_intervals
+
+    return scd2_intervals(load_table(spark, sf_dir, "events"))
+
+
+_SCD2_ORACLE = """
+SELECT user_id, value AS attr_value, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+         AS is_current
+FROM events
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -2300,6 +2370,9 @@ def ext_queries():
         "t_hash_split": _q_hash_split,
         "text_tfidf_top_terms": _q_tfidf_top_terms,
         "text_vocab_topk": _q_vocab_topk,
+        "funnel_conversion": _q_funnel_conversion,
+        "cohort_retention": _q_cohort_retention,
+        "rel_scd2_intervals": _q_scd2_intervals,
     }
 
 
@@ -2367,4 +2440,7 @@ def ext_oracles():
         "t_hash_split": _HASH_SPLIT_ORACLE,
         "text_tfidf_top_terms": _TFIDF_ORACLE,
         "text_vocab_topk": _VOCAB_ORACLE,
+        "funnel_conversion": _FUNNEL_ORACLE,
+        "cohort_retention": _COHORT_ORACLE,
+        "rel_scd2_intervals": _SCD2_ORACLE,
     }

@@ -133,3 +133,66 @@ def test_vocabulary_ids_are_dense_frequency_ranked(spark):
     by_id = sorted((r["term_id"], r["term"], r["n_occurrences"]) for r in out)
     # b:4, a:3 survive min_count=2; c and x (1 occurrence) are dropped
     assert by_id == [(1, "b", 4), (2, "a", 3)]
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, _ts("2024-01-01T00:00:00"), 1, "view", 1.0, None),
+        (2, _ts("2024-01-01T00:01:00"), 1, "click", 1.0, None),
+        (3, _ts("2024-01-01T00:02:00"), 1, "purchase", 1.0, None),
+        # u2 clicked BEFORE viewing -> stops at step 1
+        (4, _ts("2024-01-01T00:00:30"), 2, "click", 1.0, None),
+        (5, _ts("2024-01-01T00:01:30"), 2, "view", 1.0, None),
+        # u3 never viewed -> no step at all
+        (6, _ts("2024-01-01T00:03:00"), 3, "purchase", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import funnel_conversion
+
+    out = {r["step"]: r["n_users"] for r in funnel_conversion(df).collect()}
+    assert out == {"view": 2, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), 1, "view", 1.0, None),
+        (2, _ts("2024-01-03T10:00:00"), 1, "view", 1.0, None),
+        (3, _ts("2024-01-02T09:00:00"), 2, "view", 1.0, None),
+        (4, _ts("2024-01-02T23:00:00"), 2, "view", 1.0, None),  # same day
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import cohort_retention
+
+    out = {(r["cohort_day"].day, r["day_offset"]): r["n_users"]
+           for r in cohort_retention(df).collect()}
+    assert out == {(1, 0): 1, (1, 2): 1, (2, 0): 1}
+
+
+def test_scd2_intervals_chain(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "a", 10.0, None),
+        (2, _ts("2024-01-01T01:00:00"), 1, "a", 20.0, None),
+        (3, _ts("2024-01-01T00:30:00"), 2, "a", 5.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import scd2_intervals
+
+    out = sorted(
+        ((r["user_id"], r["attr_value"], r["valid_to"] is None, r["is_current"])
+         for r in scd2_intervals(df).collect())
+    )
+    assert out == [
+        (1, 10.0, False, False),
+        (1, 20.0, True, True),
+        (2, 5.0, True, True),
+    ]
