@@ -1594,6 +1594,7 @@ _GATE_PRIORITY = [
     "funnel_conversion",
     "cohort_retention",
     "rel_scd2_intervals",
+    "ts_zscore_anomalies",
 ]
 
 

@@ -115,6 +115,7 @@ class FeatureGroup:
         base_path: str,
         n_buckets: int = 16,
         snapshot_retention: int = 3,
+        change_feed: bool = False,
     ) -> None:
         self.spark = spark
         self.name = name
@@ -122,6 +123,13 @@ class FeatureGroup:
         self.event_time = event_time_feature_name
         self.path = os.path.join(base_path, name)
         self.n_buckets = n_buckets
+        # Opt-in CDC: each commit also writes the rows it changed (the
+        # after-images, tagged insert/update) under the new snapshot as
+        # ``v=K/_changes/`` — the underscore prefix hides it from
+        # snapshot reads, and living INSIDE the snapshot dir makes the
+        # change log exactly as atomic and as retained as the commit
+        # it describes. Read with :meth:`change_feed_df`.
+        self.change_feed = change_feed
         # snapshots kept per bucket (current + N-1 priors). More than
         # one prior matters with 3+ racing writers: a commit of v=N+2
         # must not delete v=N while a slower writer's merge job is
@@ -334,6 +342,27 @@ class FeatureGroup:
                 raise
             return list(buckets), None
 
+        if self.change_feed:
+            try:
+                self._stage_changes(
+                    latest, existing if existing_paths else None, staging
+                )
+            except Exception as exc:
+                shutil.rmtree(staging, ignore_errors=True)
+                msg = str(exc)
+                if not any(
+                    s in msg
+                    for s in (
+                        "FileNotFound",
+                        "FILE_NOT_FOUND",
+                        "Path does not exist",
+                        "PATH_NOT_FOUND",
+                        "does not exist",
+                    )
+                ):
+                    raise
+                return list(buckets), None
+
         conflicted = []
         for b in buckets:
             src = os.path.join(staging, f"{_BUCKET}={b}")
@@ -344,6 +373,115 @@ class FeatureGroup:
             [f for f in latest.schema.fields if f.name != _BUCKET]
         )
         return conflicted, schema
+
+    def _stage_changes(
+        self, latest: DataFrame, existing: DataFrame | None, staging: str
+    ) -> None:
+        """Compute this round's change rows (after-images that differ
+        from the prior snapshot, tagged ``_op`` insert/update) and move
+        them INTO each staged bucket dir as ``_changes/`` so the commit
+        rename publishes snapshot and change log together.
+
+        Cost: one ``exceptAll`` (a shuffle over the touched buckets'
+        rows only — bucket-local like the merge itself) plus a key-set
+        join for the op tag. Upsert-only stores have no deletes.
+        """
+        cols = latest.columns
+        if existing is None:
+            changes = latest.withColumn("_op", F.lit("insert"))
+        else:
+            prior = existing
+            for f in latest.schema.fields:
+                if f.name not in prior.columns:
+                    prior = prior.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+            prior = prior.select(cols)
+            after = latest.exceptAll(prior)
+            prior_keys = prior.select(
+                F.col(self.key).alias("__pk")
+            ).distinct()
+            changes = (
+                after.join(
+                    prior_keys,
+                    after[self.key] == prior_keys["__pk"],
+                    "left",
+                )
+                .withColumn(
+                    "_op",
+                    F.when(F.col("__pk").isNull(), F.lit("insert")).otherwise(
+                        F.lit("update")
+                    ),
+                )
+                .drop("__pk")
+            )
+        ch_staging = staging + "_changes"
+        shutil.rmtree(ch_staging, ignore_errors=True)
+        try:
+            changes.write.mode("overwrite").partitionBy(_BUCKET).parquet(
+                ch_staging
+            )
+            for entry in os.listdir(ch_staging):
+                if not entry.startswith(f"{_BUCKET}="):
+                    continue
+                dst_bucket = os.path.join(staging, entry)
+                if os.path.isdir(dst_bucket):
+                    os.rename(
+                        os.path.join(ch_staging, entry),
+                        os.path.join(dst_bucket, "_changes"),
+                    )
+        finally:
+            shutil.rmtree(ch_staging, ignore_errors=True)
+
+    def change_feed_df(self, since: dict[int, int] | None = None) -> DataFrame:
+        """Read the change log: one row per inserted/updated record per
+        commit, with ``_op`` and ``_commit_version`` columns, across
+        every RETAINED snapshot (the feed shares the snapshot retention
+        window — checkpoint consumers must poll within it, exactly like
+        table-format CDC readers). ``since`` maps bucket -> last
+        consumed version; only strictly newer commits are returned.
+
+        Raises ``RuntimeError`` if the store was not created with
+        ``change_feed=True``.
+        """
+        if not self.change_feed:
+            raise RuntimeError(
+                f"feature group '{self.name}' has no change feed enabled"
+            )
+        since = since or {}
+        parts: list[DataFrame] = []
+        for entry in sorted(os.listdir(self.path)):
+            if not entry.startswith("bucket="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            bdir = os.path.join(self.path, entry)
+            for sub in sorted(os.listdir(bdir)):
+                if not sub.startswith("v="):
+                    continue
+                v = int(sub.split("=", 1)[1])
+                if v <= since.get(b, 0):
+                    continue
+                ch = os.path.join(bdir, sub, "_changes")
+                if os.path.isdir(ch) and any(
+                    f.endswith(".parquet") for f in os.listdir(ch)
+                ):
+                    parts.append(
+                        self.spark.read.parquet(ch)
+                        .withColumn("_bucket", F.lit(b))
+                        .withColumn("_commit_version", F.lit(v))
+                    )
+        if not parts:
+            stored = self._stored_schema() or T.StructType([])
+            fields = list(stored.fields) + [
+                T.StructField("_op", T.StringType()),
+                T.StructField("_bucket", T.IntegerType()),
+                T.StructField("_commit_version", T.IntegerType()),
+            ]
+            return self.spark.createDataFrame([], T.StructType(fields))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def _commit_bucket(self, bucket: int, read_version: int, src: str) -> bool:
         """Atomically publish ``src`` as this bucket's next snapshot IF

@@ -20,6 +20,7 @@ from .analytics import (  # noqa: F401
     top_supplier,
     topk_orders_per_customer,
     volume_shipping,
+    zscore_anomalies,
 )
 from .batch_ingest import batch_feature_records, run_batch_ingest  # noqa: F401
 from .inference import (  # noqa: F401

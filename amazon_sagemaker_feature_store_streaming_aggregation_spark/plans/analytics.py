@@ -943,3 +943,52 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def zscore_anomalies(events: DataFrame, threshold: float = 3.0) -> DataFrame:
+    """Per-series z-score anomaly detection: events whose value sits
+    more than ``threshold`` standard deviations from their event_type's
+    mean — the baseline outlier screen every metrics pipeline runs.
+
+    Plan: one aggregation pass computes per-type (n, Σcents, Σcents²)
+    with EXACT integer arithmetic (cents² sums in decimal(38,0) —
+    sum-of-squares hits ~1e8 per row in cent units, int64-overflowing
+    around 1e10 rows); the tiny stats table broadcasts back onto the
+    fact scan, so the fact is read twice but shuffled never. Mean,
+    variance and z are a FIXED IEEE op sequence over those exact
+    integers, and ``sqrt`` is correctly rounded by IEEE-754 — so the z
+    scores (not just the flags) are bit-equal across engines.
+
+    Variance uses the one-pass E[x²]−E[x]² form — the cancellation it
+    risks numerically is irrelevant here because both engines cancel
+    identically (determinism, not precision, is the contract; the
+    clamp guards the tiny-negative case).
+    """
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    dec = f"CAST({cents} AS DECIMAL(38,0))"
+    stats = (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("__n"),
+            F.expr(f"sum({dec})").alias("__s"),
+            F.expr(f"sum({dec} * {dec})").alias("__ss"),
+        )
+        .select(
+            "event_type",
+            F.expr("CAST(__s AS DOUBLE) / CAST(__n AS DOUBLE)").alias("__mean"),
+            F.expr(
+                "sqrt(greatest(CAST(__ss AS DOUBLE) / CAST(__n AS DOUBLE)"
+                " - (CAST(__s AS DOUBLE) / CAST(__n AS DOUBLE))"
+                " * (CAST(__s AS DOUBLE) / CAST(__n AS DOUBLE)), 0.0))"
+            ).alias("__std"),
+        )
+    )
+    z = f"(CAST({cents} AS DOUBLE) - __mean) / __std"
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .where(F.col("__std") > 0)
+        .where(F.expr(f"abs({z})") > threshold)
+        .select(
+            "event_id", "event_type", "ts", "value", F.expr(z).alias("zscore")
+        )
+    )

@@ -2306,6 +2306,39 @@ FROM events
 """
 
 
+def _q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-score outliers (plans/analytics.py::zscore_anomalies)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import zscore_anomalies
+
+    return zscore_anomalies(load_table(spark, sf_dir, "events"))
+
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_c,
+         sqrt(greatest(
+           CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+                AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           - (CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+                   AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             * (CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE)),
+           0.0)) AS std_c
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, ts, value,
+       (CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) - mean_c) / std_c
+         AS zscore
+FROM events JOIN stats USING (event_type)
+WHERE std_c > 0
+  AND abs((CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) - mean_c)
+          / std_c) > 3.0
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -2373,6 +2406,7 @@ def ext_queries():
         "funnel_conversion": _q_funnel_conversion,
         "cohort_retention": _q_cohort_retention,
         "rel_scd2_intervals": _q_scd2_intervals,
+        "ts_zscore_anomalies": _q_zscore_anomalies,
     }
 
 
@@ -2443,4 +2477,5 @@ def ext_oracles():
         "funnel_conversion": _FUNNEL_ORACLE,
         "cohort_retention": _COHORT_ORACLE,
         "rel_scd2_intervals": _SCD2_ORACLE,
+        "ts_zscore_anomalies": _ZSCORE_ORACLE,
     }

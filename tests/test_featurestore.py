@@ -287,3 +287,69 @@ def test_schema_file_merges_concurrent_column_sets(spark, fg):
     )
     rows = {r["cc_num"]: r.asDict() for r in fg.get_latest().collect()}
     assert rows[3]["extra"] == 9 and rows[2]["extra"] is None
+
+
+class TestChangeFeed:
+    @pytest.fixture()
+    def cdc_fg(self, spark, tmp_path):
+        return FeatureGroup(
+            spark,
+            "cc-agg-cdc-fg",
+            record_identifier_feature_name="cc_num",
+            event_time_feature_name="trans_time",
+            base_path=str(tmp_path),
+            n_buckets=4,
+            change_feed=True,
+        )
+
+    def test_insert_update_unchanged(self, spark, cdc_fg):
+        t0 = dt.datetime(2024, 1, 1)
+        t1 = t0 + dt.timedelta(days=1)
+        cdc_fg.upsert(_df(spark, [(1, 10.0, t0), (2, 5.0, t0)]))
+        # key 1 updated, key 3 new, key 2 re-sent IDENTICALLY (no change)
+        cdc_fg.upsert(
+            _df(spark, [(1, 99.0, t1), (3, 7.0, t1), (2, 5.0, t0)])
+        )
+        feed = cdc_fg.change_feed_df().collect()
+        by_key: dict = {}
+        for r in feed:
+            by_key.setdefault(r["cc_num"], []).append(r)
+        # versions are PER BUCKET: key 3's first commit is v=1 of ITS
+        # bucket even though it arrived in the second upsert — assert
+        # the op history per key, not a global batch number.
+        assert sorted(r["_op"] for r in by_key[1]) == ["insert", "update"]
+        assert [r["_op"] for r in by_key[2]] == ["insert"]  # unchanged
+        assert [r["_op"] for r in by_key[3]] == ["insert"]  # resend: no row
+        upd = [r for r in by_key[1] if r["_op"] == "update"]
+        assert [r["avg_amt"] for r in upd] == [99.0]
+        # the update commit is strictly newer than key 1's insert commit
+        ins = [r for r in by_key[1] if r["_op"] == "insert"]
+        assert upd[0]["_commit_version"] > ins[0]["_commit_version"]
+
+    def test_since_filters_consumed_commits(self, spark, cdc_fg):
+        t0 = dt.datetime(2024, 1, 1)
+        cdc_fg.upsert(_df(spark, [(1, 10.0, t0)]))
+        cdc_fg.upsert(_df(spark, [(1, 20.0, t0 + dt.timedelta(days=1))]))
+        # consume everything up to each bucket's current version
+        cur = {
+            b: cdc_fg._bucket_version(b) for b in range(cdc_fg.n_buckets)
+        }
+        assert cdc_fg.change_feed_df(since=cur).count() == 0
+        # a later commit reappears
+        cdc_fg.upsert(_df(spark, [(1, 30.0, t0 + dt.timedelta(days=2))]))
+        fresh = cdc_fg.change_feed_df(since=cur).collect()
+        assert [(r["cc_num"], r["_op"], r["avg_amt"]) for r in fresh] == [
+            (1, "update", 30.0)
+        ]
+
+    def test_snapshot_reads_ignore_change_log(self, spark, cdc_fg):
+        t0 = dt.datetime(2024, 1, 1)
+        cdc_fg.upsert(_df(spark, [(1, 10.0, t0), (2, 5.0, t0)]))
+        cdc_fg.upsert(_df(spark, [(1, 99.0, t0 + dt.timedelta(days=1))]))
+        latest = {r["cc_num"]: r["avg_amt"] for r in cdc_fg.get_latest().collect()}
+        assert latest == {1: 99.0, 2: 5.0}
+        assert "_op" not in cdc_fg.get_latest().columns
+
+    def test_disabled_store_raises(self, spark, fg):
+        with pytest.raises(RuntimeError):
+            fg.change_feed_df()
