@@ -1595,6 +1595,8 @@ _GATE_PRIORITY = [
     "cohort_retention",
     "rel_scd2_intervals",
     "ts_zscore_anomalies",
+    "ts_rolling_corr",
+    "t_quantile_bins",
 ]
 
 

@@ -11,7 +11,9 @@ from .analytics import (  # noqa: F401
     order_count_distribution,
     pricing_summary,
     promo_revenue_share,
+    quantile_bins,
     returned_item_top_customers,
+    rolling_correlation,
     revenue_by_nation,
     revenue_cube,
     rich_inactive_customers,

@@ -992,3 +992,113 @@ def zscore_anomalies(events: DataFrame, threshold: float = 3.0) -> DataFrame:
             "event_id", "event_type", "ts", "value", F.expr(z).alias("zscore")
         )
     )
+
+
+def rolling_correlation(
+    events: DataFrame,
+    type_a: str = "purchase",
+    type_b: str = "view",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling Pearson correlation between two series' daily totals
+    over a trailing ``window_days`` frame — the co-movement signal
+    behind pair monitoring and leading-indicator checks.
+
+    Determinism design: every windowed accumulation (n, Σa, Σb, Σab,
+    Σa², Σb²) stays in EXACT decimal integers — float sums inside a
+    window frame are order-dependent (DuckDB evaluates frames with
+    segment trees, Spark by frame iteration, so their float rounding
+    differs), integer sums are not. The correlation is then ONE fixed
+    IEEE op chain over those integers, bit-equal across engines.
+
+    Plan: one conditional aggregation collapses the fact table to a
+    row per day (both series in one pass — no self-join); the rolling
+    frame is a single-partition window over the POST-AGGREGATION daily
+    table, whose row count is the calendar (a century is ~36.5 k
+    rows), not the fact table — the one place a partition-less window
+    is the right plan. Missing days for a series count as 0.
+    """
+    from pyspark.sql import Window
+
+    day = F.date_trunc("day", F.col("ts"))
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    dec = "CAST({x} AS DECIMAL(38,0))"
+    daily = (
+        events.where(F.col("event_type").isin(type_a, type_b))
+        .select(day.alias("day"), "event_type", "value")
+        .groupBy("day")
+        .agg(
+            F.coalesce(
+                F.expr(
+                    f"sum(CASE WHEN event_type = '{type_a}'"
+                    f" THEN {dec.format(x=cents)} END)"
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__a"),
+            F.coalesce(
+                F.expr(
+                    f"sum(CASE WHEN event_type = '{type_b}'"
+                    f" THEN {dec.format(x=cents)} END)"
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__b"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    rolled = daily.select(
+        "day",
+        F.count("*").over(w).alias("__n"),
+        F.sum("__a").over(w).alias("__sa"),
+        F.sum("__b").over(w).alias("__sb"),
+        F.sum(F.expr("__a * __b")).over(w).alias("__sab"),
+        F.sum(F.expr("__a * __a")).over(w).alias("__saa"),
+        F.sum(F.expr("__b * __b")).over(w).alias("__sbb"),
+    )
+    num = (
+        "CAST(__n AS DOUBLE) * CAST(__sab AS DOUBLE)"
+        " - CAST(__sa AS DOUBLE) * CAST(__sb AS DOUBLE)"
+    )
+    va = (
+        "CAST(__n AS DOUBLE) * CAST(__saa AS DOUBLE)"
+        " - CAST(__sa AS DOUBLE) * CAST(__sa AS DOUBLE)"
+    )
+    vb = (
+        "CAST(__n AS DOUBLE) * CAST(__sbb AS DOUBLE)"
+        " - CAST(__sb AS DOUBLE) * CAST(__sb AS DOUBLE)"
+    )
+    return rolled.select(
+        "day",
+        F.col("__n").cast("long").alias("n_days"),
+        F.expr(
+            f"CASE WHEN ({va}) > 0 AND ({vb}) > 0"
+            f" THEN ({num}) / sqrt(({va}) * ({vb}))"
+            f" ELSE NULL END"
+        ).alias("corr"),
+    )
+
+
+def quantile_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Equal-frequency (quantile) binning per series: every event is
+    assigned its ``ntile`` bin over a DETERMINISTIC total order
+    (value, event_id), then bins are summarized to boundaries — the
+    discretization step feature pipelines run before bucketized
+    models, with the bin edges becoming the serving-time lookup table.
+
+    Plan: one shuffle on the series key; ``ntile`` is a streaming
+    window function (no per-row state beyond the running count) and
+    the boundary summary re-aggregates on (series, bin) — map-side
+    combined. Per-series sorts parallelize across series.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.select("event_type", "event_id", "value")
+        .withColumn("bin", F.ntile(n_bins).over(w))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

@@ -2339,6 +2339,70 @@ WHERE std_c > 0
 """
 
 
+def _q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling correlation (plans/analytics.py::rolling_correlation)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import rolling_correlation
+
+    return rolling_correlation(load_table(spark, sf_dir, "events"))
+
+
+_ROLLING_CORR_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         coalesce(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(round(value * 100) AS BIGINT)
+                                AS HUGEINT) END), 0) AS a,
+         coalesce(sum(CASE WHEN event_type = 'view'
+                      THEN CAST(CAST(round(value * 100) AS BIGINT)
+                                AS HUGEINT) END), 0) AS b
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+  GROUP BY 1
+), rolled AS (
+  SELECT day,
+    count(*) OVER w AS n,
+    sum(a) OVER w AS sa, sum(b) OVER w AS sb,
+    sum(a * b) OVER w AS sab,
+    sum(a * a) OVER w AS saa, sum(b * b) OVER w AS sbb
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(n AS BIGINT) AS n_days,
+  CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+             - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0
+        AND (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+             - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+       THEN (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+             - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+       ELSE NULL END AS corr
+FROM rolled
+"""
+
+
+def _q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (plans/analytics.py::quantile_bins)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import quantile_bins
+
+    return quantile_bins(load_table(spark, sf_dir, "events"))
+
+
+_QUANTILE_BINS_ORACLE = """
+WITH binned AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS bin
+  FROM events
+)
+SELECT event_type, bin, count(*) AS n_events,
+       min(value) AS lo, max(value) AS hi
+FROM binned GROUP BY 1, 2
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -2407,6 +2471,8 @@ def ext_queries():
         "cohort_retention": _q_cohort_retention,
         "rel_scd2_intervals": _q_scd2_intervals,
         "ts_zscore_anomalies": _q_zscore_anomalies,
+        "ts_rolling_corr": _q_rolling_corr,
+        "t_quantile_bins": _q_quantile_bins,
     }
 
 
@@ -2478,4 +2544,6 @@ def ext_oracles():
         "cohort_retention": _COHORT_ORACLE,
         "rel_scd2_intervals": _SCD2_ORACLE,
         "ts_zscore_anomalies": _ZSCORE_ORACLE,
+        "ts_rolling_corr": _ROLLING_CORR_ORACLE,
+        "t_quantile_bins": _QUANTILE_BINS_ORACLE,
     }

@@ -360,3 +360,25 @@ def test_ohlc_is_single_aggregate_no_window(spark):
     plan = _plan(ohlc_bars(load_table(spark, SF001, "events")))
     assert "Window" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_zscore_stats_broadcast_back(spark):
+    """zscore_anomalies: the per-series stats join must be a broadcast
+    hash join, and the only Exchange is the stats aggregation — the
+    fact scan itself never shuffles."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import zscore_anomalies
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(zscore_anomalies(load_table(spark, SF001, "events")))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_quantile_bins_single_exchange(spark):
+    """quantile_bins: one shuffle on the series key, reused by the
+    ntile window and the boundary aggregation."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import quantile_bins
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    plan = _plan(quantile_bins(load_table(spark, SF001, "events")))
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -196,3 +196,41 @@ def test_scd2_intervals_chain(spark):
         (1, 20.0, True, True),
         (2, 5.0, True, True),
     ]
+
+
+def test_rolling_correlation_perfect_and_inverse(spark):
+    # a = [1,2,3,4], b = 2a  -> corr 1; c = -a trend (5,4,3,2) -> corr -1
+    rows = []
+    eid = 0
+    for i, (a, b) in enumerate([(1, 2), (2, 4), (3, 6), (4, 8)]):
+        day = _ts("2024-01-01T00:00:00") + dt.timedelta(days=i)
+        eid += 1
+        rows.append((eid, day, 1, "purchase", float(a), None))
+        eid += 1
+        rows.append((eid, day, 1, "view", float(b), None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import rolling_correlation
+
+    out = {r["day"].day: r["corr"] for r in rolling_correlation(df).collect()}
+    # day 1: single point -> zero variance -> null
+    assert out[1] is None
+    assert abs(out[4] - 1.0) < 1e-12
+
+
+def test_quantile_bins_split_evenly(spark):
+    rows = [
+        (i, _ts("2024-01-01T00:00:00"), 1, "a", float(i), None)
+        for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import quantile_bins
+
+    out = {r["bin"]: r for r in quantile_bins(df, n_bins=2).collect()}
+    assert (out[1]["lo"], out[1]["hi"], out[1]["n_events"]) == (1.0, 5.0, 5)
+    assert (out[2]["lo"], out[2]["hi"], out[2]["n_events"]) == (6.0, 10.0, 5)
