@@ -1597,6 +1597,7 @@ _GATE_PRIORITY = [
     "ts_zscore_anomalies",
     "ts_rolling_corr",
     "t_quantile_bins",
+    "olap_local_supplier_revenue",
 ]
 
 

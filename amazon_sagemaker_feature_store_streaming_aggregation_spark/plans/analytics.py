@@ -1102,3 +1102,69 @@ def quantile_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+def local_supplier_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation within one region, counting
+    only orders a LOCAL supplier shipped (customer and supplier in the
+    same nation) — the full six-table star join with the equality
+    constraint that distinguishes Q5 from a plain rollup.
+
+    Plan: region ⋈ nation collapses to the ~5 target nation keys
+    FIRST (two tiny broadcasts), so both the customer and supplier
+    dimension joins carry only region-local rows into the fact join;
+    lineitem ⋈ orders shuffles on the order key; the local-supplier
+    constraint is an equality filter on two small dictionary columns
+    post-join. Date filter sits in the orders scan (PushedFilters).
+    """
+    ep = _CENTS.format(c="l_extendedprice")
+    d = _CENTS.format(c="l_discount")
+    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    nk = (
+        nation.join(
+            F.broadcast(
+                region.where(F.col("r_name") == region_name).select(
+                    "r_regionkey"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nk), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("c_nationkey").alias("__c_nat"))
+    supp = supplier.join(
+        F.broadcast(nk), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("s_nationkey").alias("__s_nat"))
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        lineitem.select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("__c_nat") == F.col("__s_nat"))
+        .join(
+            F.broadcast(nk), F.col("__s_nat") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.expr(f"CAST(sum({rev}) AS DOUBLE) / 10000.0").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

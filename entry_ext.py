@@ -2403,6 +2403,42 @@ FROM binned GROUP BY 1, 2
 """
 
 
+def _q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (plans/analytics.py::local_supplier_revenue)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import local_supplier_revenue
+
+    return local_supplier_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def _local_supplier_oracle() -> str:
+    ep = _OLAP_CENTS.format(c="l_extendedprice")
+    d = _OLAP_CENTS.format(c="l_discount")
+    return f"""
+SELECT n_name,
+       CAST(sum(CAST({ep} * (100 - {d}) AS HUGEINT)) AS DOUBLE) / 10000.0
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -2473,6 +2509,7 @@ def ext_queries():
         "ts_zscore_anomalies": _q_zscore_anomalies,
         "ts_rolling_corr": _q_rolling_corr,
         "t_quantile_bins": _q_quantile_bins,
+        "olap_local_supplier_revenue": _q_local_supplier_revenue,
     }
 
 
@@ -2546,4 +2583,5 @@ def ext_oracles():
         "ts_zscore_anomalies": _ZSCORE_ORACLE,
         "ts_rolling_corr": _ROLLING_CORR_ORACLE,
         "t_quantile_bins": _QUANTILE_BINS_ORACLE,
+        "olap_local_supplier_revenue": _local_supplier_oracle(),
     }
