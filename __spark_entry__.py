@@ -1598,6 +1598,7 @@ _GATE_PRIORITY = [
     "ts_rolling_corr",
     "t_quantile_bins",
     "olap_local_supplier_revenue",
+    "q_profile_table",
 ]
 
 

@@ -71,3 +71,51 @@ def check_quality(
     if problems:
         raise ValueError("ingest quality gate failed: " + "; ".join(problems))
     return dict(m)
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column-level data profile: per column, row/null/distinct counts
+    and (for numeric columns) an exact integer-cent min/max — the
+    first thing a data-quality pass or schema-drift monitor computes
+    over a new partition drop.
+
+    Plan: ONE aggregation pass computes every column's counters
+    side-by-side (Spark evaluates all aggregate expressions in the
+    same partial/final pair — profiling N columns costs one scan, not
+    N); the per-column rows come from unpivoting the 1-row result with
+    ``stack``, which is a scan-side Expand over one row. distinct
+    counts are exact (each adds a distinct-aggregate Expand over the
+    single pass — the profile is a maintenance query, where exactness
+    beats the HLL++ shortcut; swap `approx_count_distinct` in if the
+    profile runs per micro-batch).
+    """
+    from pyspark.sql import types as T
+
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs.append(F.count("*").alias(f"__n_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+            num = f"CAST(round({c} * 100) AS BIGINT)"
+        elif isinstance(
+            df.schema[c].dataType, (T.LongType, T.IntegerType, T.ShortType)
+        ):
+            num = f"CAST({c} AS BIGINT) * 100"
+        else:
+            num = "CAST(NULL AS BIGINT)"
+        aggs.append(F.expr(f"min({num})").alias(f"__lo_{c}"))
+        aggs.append(F.expr(f"max({num})").alias(f"__hi_{c}"))
+    one = df.agg(*aggs)
+    triples = ", ".join(
+        f"'{c}', __n_{c}, __nn_{c}, __nd_{c}, "
+        f"CAST(__lo_{c} AS DOUBLE) / 100.0, CAST(__hi_{c} AS DOUBLE) / 100.0"
+        for c in cols
+    )
+    return one.select(
+        F.expr(f"stack({len(cols)}, {triples})").alias(
+            "column", "n_rows", "n_nulls", "n_distinct", "min_value",
+            "max_value",
+        )
+    )

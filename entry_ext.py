@@ -2439,6 +2439,36 @@ GROUP BY n_name
 """
 
 
+def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile (plans/quality.py::profile_table)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "events"))
+
+
+def _profile_oracle() -> str:
+    # mirror of profile_table's numeric handling per events column
+    num = {
+        "event_id": "CAST(event_id AS BIGINT) * 100",
+        "ts": "CAST(NULL AS BIGINT)",
+        "user_id": "CAST(user_id AS BIGINT) * 100",
+        "event_type": "CAST(NULL AS BIGINT)",
+        "value": "CAST(round(value * 100) AS BIGINT)",
+        "props": "CAST(NULL AS BIGINT)",
+    }
+    parts = [
+        f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       coalesce(sum(CAST({c} IS NULL AS BIGINT)), 0) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({e}) AS DOUBLE) / 100.0 AS min_value,
+       CAST(max({e}) AS DOUBLE) / 100.0 AS max_value
+FROM events"""
+        for c, e in num.items()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -2510,6 +2540,7 @@ def ext_queries():
         "ts_rolling_corr": _q_rolling_corr,
         "t_quantile_bins": _q_quantile_bins,
         "olap_local_supplier_revenue": _q_local_supplier_revenue,
+        "q_profile_table": _q_profile_table,
     }
 
 
@@ -2584,4 +2615,5 @@ def ext_oracles():
         "ts_rolling_corr": _ROLLING_CORR_ORACLE,
         "t_quantile_bins": _QUANTILE_BINS_ORACLE,
         "olap_local_supplier_revenue": _local_supplier_oracle(),
+        "q_profile_table": _profile_oracle(),
     }
