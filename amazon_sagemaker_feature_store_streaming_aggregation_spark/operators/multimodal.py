@@ -260,6 +260,20 @@ def _image_features(px: np.ndarray, dim: int) -> np.ndarray:
 def _audio_features(x: np.ndarray, rate: int, dim: int) -> np.ndarray:
     n = len(x)
     zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if n > 1 else 0.0
+    # Spectral features from one rfft over the clip (numpy is baked in;
+    # per-clip cost is O(n log n) inside the same Arrow batch). The
+    # magnitude spectrum excludes the DC bin so a constant offset
+    # doesn't masquerade as a dominant tone.
+    dom_hz = centroid_hz = 0.0
+    if n > 1 and rate:
+        mag = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+        if len(mag) > 1:
+            m1, f1 = mag[1:], freqs[1:]
+            tot = float(m1.sum())
+            if tot > 0:  # silence has no dominant tone
+                dom_hz = float(f1[int(np.argmax(m1))])
+                centroid_hz = float((f1 * m1).sum() / tot)
     v = np.array(
         [
             float(n),
@@ -270,6 +284,8 @@ def _audio_features(x: np.ndarray, rate: int, dim: int) -> np.ndarray:
             float(x.min()) if n else 0.0,
             float(x.max()) if n else 0.0,
             zc,  # zero-crossing rate
+            dom_hz,  # dominant-frequency (argmax |rfft|, DC excluded)
+            centroid_hz,  # spectral centroid
         ]
     )
     return np.pad(v, (0, max(0, dim - len(v))))[:dim]

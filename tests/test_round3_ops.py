@@ -234,3 +234,25 @@ def test_quantile_bins_split_evenly(spark):
     out = {r["bin"]: r for r in quantile_bins(df, n_bins=2).collect()}
     assert (out[1]["lo"], out[1]["hi"], out[1]["n_events"]) == (1.0, 5.0, 5)
     assert (out[2]["lo"], out[2]["hi"], out[2]["n_events"]) == (6.0, 10.0, 5)
+
+
+def test_audio_spectral_features_recover_tone():
+    """A pure 440 Hz tone's dominant frequency (argmax of the rfft
+    magnitude, DC excluded) must come back as the nearest rfft bin,
+    and the spectral centroid must sit close to the tone."""
+    import numpy as np
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.multimodal import (
+        _audio_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    x = np.sin(2 * np.pi * 440.0 * t)
+    v = _audio_features(x, rate, dim=16)
+    dom, centroid = v[8], v[9]
+    assert abs(dom - 440.0) <= rate / len(x)  # within one bin
+    assert abs(centroid - 440.0) < 30.0  # leakage spreads it slightly
+    # silence stays all-zero in the spectral slots
+    z = _audio_features(np.zeros(rate), rate, dim=16)
+    assert z[8] == 0.0 and z[9] == 0.0
