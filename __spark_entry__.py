@@ -1599,6 +1599,7 @@ _GATE_PRIORITY = [
     "t_quantile_bins",
     "olap_local_supplier_revenue",
     "q_profile_table",
+    "dedup_edit_distance",
 ]
 
 

@@ -485,3 +485,66 @@ def contamination_overlap(
         .groupBy(id_col)
         .agg(F.count_distinct(F.col("__sh")).alias("n_overlap"))
     )
+
+
+def dedup_edit_distance(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_chars: int = 32,
+    cap_chars: int = 400,
+    max_dist: int = 80,
+    block_max: int = 64,
+) -> DataFrame:
+    """Edit-distance near-dup verification with prefix blocking: pair
+    up documents sharing a normalized ``block_chars`` prefix, then keep
+    pairs whose Levenshtein distance over the first ``cap_chars`` is at
+    most ``max_dist`` — the classic blocking+verify pipeline where the
+    quadratic DP only ever runs inside a block.
+
+    Cost bounds (the two knobs that keep this scale-safe):
+
+    * ``cap_chars`` caps the DP at cap² cells per pair, and Spark's
+      thresholded ``levenshtein(l, r, k)`` abandons a pair as soon as
+      the distance provably exceeds ``max_dist`` (banded DP, O(k·cap));
+    * ``block_max`` drops blocks with more members — boilerplate
+      prefixes (licence headers, templates) otherwise go quadratic;
+      real dedup pipelines cap or sub-split hot blocks, and the cap
+      makes worst-case work per block a constant.
+
+    Text is ASCII-sanitized first (non-ASCII → '?') because engines
+    disagree on Levenshtein's unit for multi-byte text (byte vs
+    codepoint); after sanitization byte and codepoint distances
+    coincide, so the DuckDB oracle matches exactly.
+    """
+    t = F.regexp_replace(F.col(text_col), "[^ -~]", "?")
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.substring(t, 1, cap_chars).alias("__t"),
+        F.substring(t, 1, block_chars).alias("__blk"),
+    )
+    counts = base.groupBy("__blk").agg(F.count("*").alias("__bn"))
+    small = base.join(
+        F.broadcast(counts.where(F.col("__bn") <= block_max)), "__blk"
+    )
+    a = small.select(
+        F.col("__blk"), F.col("__id").alias("id_a"), F.col("__t").alias("ta")
+    )
+    b = small.select(
+        F.col("__blk"), F.col("__id").alias("id_b"), F.col("__t").alias("tb")
+    )
+    pairs = a.join(b, "__blk").where(F.col("id_a") < F.col("id_b"))
+    lev = F.expr(f"levenshtein(ta, tb, {max_dist})")
+    return (
+        pairs.withColumn("edit_distance", lev)
+        .where(F.col("edit_distance") >= 0)  # -1 = threshold exceeded
+        .select(
+            "id_a",
+            "id_b",
+            F.col("edit_distance").cast("long").alias("edit_distance"),
+            F.expr(
+                "1.0 - CAST(edit_distance AS DOUBLE)"
+                " / CAST(greatest(length(ta), length(tb)) AS DOUBLE)"
+            ).alias("similarity"),
+        )
+    )

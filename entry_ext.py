@@ -2469,6 +2469,35 @@ FROM events"""
     return "\nUNION ALL\n".join(parts)
 
 
+def _q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup verify
+    (operators/dedup.py::dedup_edit_distance)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import dedup_edit_distance
+
+    return dedup_edit_distance(load_table(spark, sf_dir, "documents"))
+
+
+_EDIT_DISTANCE_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS id,
+         substring(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 400) AS t,
+         substring(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 32) AS blk
+  FROM documents
+), counts AS (
+  SELECT blk FROM base GROUP BY blk HAVING count(*) <= 64
+), small AS (
+  SELECT base.* FROM base JOIN counts USING (blk)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_distance,
+       1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+             / CAST(greatest(length(a.t), length(b.t)) AS DOUBLE)
+         AS similarity
+FROM small a JOIN small b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.t, b.t) <= 80
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -2541,6 +2570,7 @@ def ext_queries():
         "t_quantile_bins": _q_quantile_bins,
         "olap_local_supplier_revenue": _q_local_supplier_revenue,
         "q_profile_table": _q_profile_table,
+        "dedup_edit_distance": _q_dedup_edit_distance,
     }
 
 
@@ -2616,4 +2646,5 @@ def ext_oracles():
         "t_quantile_bins": _QUANTILE_BINS_ORACLE,
         "olap_local_supplier_revenue": _local_supplier_oracle(),
         "q_profile_table": _profile_oracle(),
+        "dedup_edit_distance": _EDIT_DISTANCE_ORACLE,
     }
