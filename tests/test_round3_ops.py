@@ -256,3 +256,25 @@ def test_audio_spectral_features_recover_tone():
     # silence stays all-zero in the spectral slots
     z = _audio_features(np.zeros(rate), rate, dim=16)
     assert z[8] == 0.0 and z[9] == 0.0
+
+
+def test_edit_distance_blocks_and_caps(spark):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        dedup_edit_distance,
+    )
+
+    prefix = "the quick brown fox jumps over the lazy dog "
+    docs = [
+        (1, prefix + "tail one"),
+        (2, prefix + "tail two"),       # near-dup of 1 (same block)
+        (3, "completely different text that shares no prefix at all"),
+    ]
+    # a hot block: 5 copies of identical boilerplate -> dropped by block_max
+    docs += [(10 + i, "BOILERPLATE " * 10) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup_edit_distance(df, block_max=4).collect()
+    pairs = sorted((r["id_a"], r["id_b"]) for r in out)
+    assert pairs == [(1, 2)]
+    r = out[0]
+    assert r["edit_distance"] == 3  # one->two
+    assert 0.9 < r["similarity"] < 1.0
