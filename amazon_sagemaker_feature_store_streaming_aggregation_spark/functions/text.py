@@ -188,7 +188,10 @@ LANG_SAMPLES: dict[str, str] = {
 #: C-T knobs: doc sample cap (chars), profile length, out-of-place
 #: penalty for a missing n-gram. Grams of length 2 AND 3 (C-T uses a
 #: mix of lengths; bigrams carry the signal on very short inputs).
-NGRAM_SAMPLE_CHARS = 400
+#: 300 chars is Cavnar–Trenkle's own classification sample size; the
+#: per-row gram count (and so the dominant interpreted-HOF cost) is
+#: linear in this constant.
+NGRAM_SAMPLE_CHARS = 300
 PROFILE_K = 64
 _OOP_PENALTY = PROFILE_K
 _GRAM_LENS = (2, 3)
@@ -253,10 +256,11 @@ def with_lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
     at all, and the accuracy test shows it strictly beating the
     stopword baseline on such inputs.
 
-    100 TB note: the dominant cost is the per-doc distinct+filter count
-    (O(sample² ) worst case) — bounded by ``NGRAM_SAMPLE_CHARS``, so
-    per-row work is a constant independent of document length, exactly
-    like the reference n-gram models that classify on a short prefix.
+    100 TB note: per-row cost is O(G log G) in the sampled gram count
+    (sort + run-boundary counting; see the profile construction below)
+    — bounded by ``NGRAM_SAMPLE_CHARS``, so per-row work is a constant
+    independent of document length, exactly like the reference n-gram
+    models that classify on a short prefix.
     """
     norm = _ct_norm_col(text_col)
     out = df.withColumn("__ct_s", norm)
