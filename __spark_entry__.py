@@ -1600,6 +1600,9 @@ _GATE_PRIORITY = [
     "olap_local_supplier_revenue",
     "q_profile_table",
     "dedup_edit_distance",
+    "t_global_shuffle",
+    "pipeline_source_cap",
+    "t_pack_windows",
 ]
 
 

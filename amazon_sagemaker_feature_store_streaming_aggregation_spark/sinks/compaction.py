@@ -13,9 +13,10 @@ atomically, without changing the rows.
 1. measure the directory (file count, total bytes) driver-side;
 2. read + ``repartition(ceil(bytes / target))`` — one round-robin
    shuffle whose only purpose is output sizing;
-3. write to a staging dir, then swap atomically (rename the old dir
-   away, the staging dir in, delete the old) so concurrent readers
-   see either the old or the new file set, never a mix.
+3. write to a staging dir, then swap (rename the old dir away, the
+   staging dir in, delete the old) so a reader's listing is always
+   entirely-old or entirely-new — see ``compact_parquet_dir`` for
+   the concurrent-reader caveat (run quiesced or writer-owned).
 
 The row payload is untouched — compaction is a physical-layout
 operation, which the test asserts by full-row equality (and is why

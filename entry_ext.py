@@ -2498,6 +2498,122 @@ WHERE levenshtein(a.t, b.t) <= 80
 """
 
 
+# ------------------------------------- training-data sharding (round 3)
+
+# DuckDB spelling of the deterministic shuffle hash h64('seed:' || key)
+_SHUF_H = _H64.format(
+    x="concat('{seed}:', CAST(doc_id AS VARCHAR))"
+)
+
+# DuckDB spelling of the whitespace token count shared with text_stats
+_DUCK_NTOK = (
+    "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+    " t -> t != '')) AS BIGINT)"
+)
+
+
+def _q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into ordered shards
+    (operators/training_data.py::global_shuffle), summarized per
+    shard with a position-weighted checksum so the oracle verifies
+    the exact within-shard ordering, not just membership."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.training_data import global_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shuffled = global_shuffle(docs, key_col="doc_id", n_shards=8)
+    return shuffled.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("pos_checksum"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+_GLOBAL_SHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_SHUF_H.format(seed='shuffle-v1')} AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, h % 8 AS shard,
+         row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+  FROM h
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(pos * doc_id) AS BIGINT) AS pos_checksum,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM s GROUP BY shard
+"""
+
+
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap via deterministic hash rank
+    (operators/training_data.py::cap_per_source). Runs the TWO-PHASE
+    skew-guarded path (presort_cap) while the oracle is the naive
+    one-phase windowed rank — the gate proves the optimization is
+    semantics-preserving."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.training_data import cap_per_source
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = cap_per_source(docs, cap=10, presort_cap=20)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("kept_sum"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+_SOURCE_CAP_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, source, {_SHUF_H.format(seed='cap-v1')} AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM h
+)
+SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_sum,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM r WHERE rk <= 10 GROUP BY source
+"""
+
+
+def _q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing of the shuffled corpus
+    (operators/training_data.py::pack_context_windows): documents
+    concatenated in shard order, cut every 512 tokens, each doc
+    assigned to the window its first token lands in."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.training_data import (
+        pack_context_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_context_windows(docs, n_shards=8, budget=512)
+    return packed.withColumn("shard", F.col("shard").cast("long"))
+
+
+_PACK_WINDOWS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_NTOK} AS n_tokens,
+         {_SHUF_H.format(seed='shuffle-v1')} AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens, h % 8 AS shard,
+         row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+  FROM toks
+), c AS (
+  SELECT shard, pos, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos)
+              AS BIGINT) AS cum
+  FROM s
+)
+SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS win,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS win_tokens,
+       min(pos) AS first_pos, max(pos) AS last_pos
+FROM c GROUP BY 1, 2
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -2571,6 +2687,9 @@ def ext_queries():
         "olap_local_supplier_revenue": _q_local_supplier_revenue,
         "q_profile_table": _q_profile_table,
         "dedup_edit_distance": _q_dedup_edit_distance,
+        "t_global_shuffle": _q_global_shuffle,
+        "pipeline_source_cap": _q_source_cap,
+        "t_pack_windows": _q_pack_windows,
     }
 
 
@@ -2647,4 +2766,7 @@ def ext_oracles():
         "olap_local_supplier_revenue": _local_supplier_oracle(),
         "q_profile_table": _profile_oracle(),
         "dedup_edit_distance": _EDIT_DISTANCE_ORACLE,
+        "t_global_shuffle": _GLOBAL_SHUFFLE_ORACLE,
+        "pipeline_source_cap": _SOURCE_CAP_ORACLE,
+        "t_pack_windows": _PACK_WINDOWS_ORACLE,
     }
