@@ -101,3 +101,33 @@ def test_pack_windows_partition_token_stream(spark):
         for r in rows:
             assert r.win == cum // budget
             cum += r.win_tokens
+
+
+# ---- physical-plan pins (same discipline as tests/test_plans.py) ----
+
+from .conftest import plan_str as _plan  # noqa: E402
+
+
+def test_global_shuffle_single_exchange(spark):
+    df = global_shuffle(_docs(spark), n_shards=4)
+    plan = _plan(df)
+    # one hash exchange on shard; per-shard sort, never a global one
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_pack_windows_adds_no_exchange_beyond_shuffle(spark):
+    packed = pack_context_windows(_docs(spark), n_shards=4, budget=16)
+    plan = _plan(packed)
+    # ONE exchange total: both windows sort on the shard partitioning,
+    # and the final groupBy(shard, win) reuses it too — equal
+    # (shard, win) implies equal shard, so hashpartitioning(shard)
+    # already satisfies the aggregate's clustering requirement
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cap_two_phase_broadcasts_thresholds(spark):
+    kept = cap_per_source(_docs(spark, n=80), cap=5, presort_cap=10)
+    plan = _plan(kept)
+    # the per-source threshold table rides a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
