@@ -242,7 +242,9 @@ def _ct_norm_col(text_col: str):
     return F.concat(F.lit(" "), F.trim(s), F.lit(" "))
 
 
-def with_lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_lang_id_ngram(
+    df: DataFrame, text_col: str = "text", min_parallelism: int | None = None
+) -> DataFrame:
     """Cavnar–Trenkle character-n-gram language ID (pure column
     expressions, scan-side, zero shuffles).
 
@@ -262,6 +264,16 @@ def with_lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
     independent of document length, exactly like the reference n-gram
     models that classify on a short prefix.
     """
+    if min_parallelism is not None and df.rdd.getNumPartitions() < min_parallelism:
+        # Compute-bound scan escape hatch: this operator does real
+        # per-row work, so its wall-clock is bounded by SCAN
+        # parallelism. A small/under-split input (e.g. one parquet
+        # row group) serializes the whole job onto one task; a
+        # round-robin spread of the raw (id, text) rows costs one
+        # tiny exchange and buys back every core. At 100 TB the
+        # file splits provide the parallelism and this stays None —
+        # the row-wise result is identical either way.
+        df = df.repartition(min_parallelism)
     norm = _ct_norm_col(text_col)
     out = df.withColumn("__ct_s", norm)
     walks = [

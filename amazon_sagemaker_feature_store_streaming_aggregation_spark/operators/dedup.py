@@ -454,6 +454,7 @@ def contamination_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = DEFAULT_SHINGLE_K,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing character
     ``k``-gram shingles with a benchmark set (the n-gram-overlap test
@@ -473,6 +474,17 @@ def contamination_overlap(
     (doc, shingle) pairs AFTER the broadcast join has filtered to
     matches, i.e. the aggregate sees only contaminated rows.
     """
+    if (
+        min_parallelism is not None
+        and corpus.rdd.getNumPartitions() < min_parallelism
+    ):
+        # the md5 shingle walk is the dominant cost and runs AT THE
+        # SCAN — an under-split input (one parquet row group)
+        # serializes it onto one task. Round-robin-spread the raw
+        # rows first; at 100 TB the file splits already provide the
+        # parallelism and this stays None. Row-wise → result
+        # identical either way.
+        corpus = corpus.repartition(min_parallelism)
     c = corpus.select(
         F.col(id_col),
         F.explode(shingle_hashes(text_col, k)).alias("__sh"),

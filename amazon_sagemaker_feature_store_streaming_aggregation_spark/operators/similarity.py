@@ -343,6 +343,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 4,
     bucket_cap: int | None = None,
     corpus_count: int | None = None,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP buckets: pairs
     colliding in any table with cosine >= threshold. Output ``(id_a,
@@ -360,6 +361,16 @@ def embedding_near_dup_pairs(
     (qvec, squared-norm) computed ONCE per vector — one dot product per
     pair instead of three (measured 42 s -> ~14 s at sf0.1)."""
     n_planes = _resolve_planes(embeddings, n_planes, corpus_count)
+    if (
+        min_parallelism is not None
+        and embeddings.rdd.getNumPartitions() < min_parallelism
+    ):
+        # the SRP plane dot products and quantized norms run AT THE
+        # SCAN; an under-split embeddings table (one parquet row
+        # group) serializes them onto one task. Spread the raw rows
+        # once — at 100 TB the file splits provide the parallelism
+        # and this stays None. Row-wise → identical results.
+        embeddings = embeddings.repartition(min_parallelism)
     sigs = _cap_buckets(
         srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
         .select(F.col(id_col), "table", "bucket"),

@@ -345,7 +345,10 @@ def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_lang_id_ngram,
     )
 
-    out = with_lang_id_ngram(load_table(spark, sf_dir, "documents"))
+    out = with_lang_id_ngram(
+        load_table(spark, sf_dir, "documents"),
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
     return out.select("doc_id", "lang_pred_ngram")
 
 
@@ -718,6 +721,7 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=_ANN_TABLES,
         bucket_cap=_ANN_BUCKET_CAP,
         corpus_count=_emb_count(sf_dir),
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -1530,7 +1534,9 @@ def _q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return contamination_overlap(
-        docs.where("doc_id >= 10"), docs.where("doc_id < 10")
+        docs.where("doc_id >= 10"),
+        docs.where("doc_id < 10"),
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
