@@ -241,6 +241,7 @@ def jaccard_verify_pairs(
     id_col: str = "doc_id",
     k: int = DEFAULT_SHINGLE_K,
     threshold: float = 0.5,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard for a given candidate-pair list (the verification
     stage after LSH discovery).
@@ -268,7 +269,21 @@ def jaccard_verify_pairs(
         .union(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = docs.join(pair_ids, on=id_col, how="left_semi").select(
+    filtered = docs.join(pair_ids, on=id_col, how="left_semi").select(
+        id_col, text_col
+    )
+    if (
+        min_parallelism is not None
+        and docs.rdd.getNumPartitions() < min_parallelism
+    ):
+        # the md5 shingle walk fuses into the semi-join probe stage,
+        # which runs at SCAN parallelism — and after a selective
+        # filter (or on a one-row-group input) that can be a single
+        # task. Spread the surviving (id, text) rows first: only
+        # candidate docs ride the exchange. Same escape hatch as
+        # contamination_overlap; None at production scale.
+        filtered = filtered.repartition(min_parallelism)
+    sh = filtered.select(
         F.col(id_col), F.expr(_shingle_expr(text_col, k)).alias("__sh")
     )
     out = (

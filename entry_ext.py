@@ -133,7 +133,10 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
     cands = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND)
-    return jaccard_verify_pairs(docs, cands, threshold=_JACCARD_THRESHOLD)
+    return jaccard_verify_pairs(
+        docs, cands, threshold=_JACCARD_THRESHOLD,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 _JACCARD_ORACLE = f"""
@@ -823,7 +826,10 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
     cands = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND)
-    pairs = jaccard_verify_pairs(docs, cands, threshold=_JACCARD_THRESHOLD)
+    pairs = jaccard_verify_pairs(
+        docs, cands, threshold=_JACCARD_THRESHOLD,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
     return near_dup_clusters(docs, pairs)
 
 
