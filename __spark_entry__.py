@@ -1603,6 +1603,8 @@ _GATE_PRIORITY = [
     "t_global_shuffle",
     "pipeline_source_cap",
     "t_pack_windows",
+    "text_pmi_collocations",
+    "text_vocab_coverage",
 ]
 
 

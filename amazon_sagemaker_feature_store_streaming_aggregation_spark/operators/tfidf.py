@@ -118,3 +118,112 @@ def build_vocabulary(
     return top.select(
         F.row_number().over(w).alias("term_id"), "term", "n_occurrences"
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-bigram collocations ranked by pointwise
+    mutual information.
+
+    Score is the PMI *ratio* ``(n_ab · W) / (n_a · n_b)`` (W = total
+    token count) rather than its log: ``log`` is not bit-specified
+    across libm builds, while the four-ops double chain here is exact
+    IEEE and engine-bit-equal; the ranking is identical because log is
+    monotone. Counts below ``min_count`` are dropped first (PMI's
+    classic low-frequency pathology — hapax pairs score arbitrarily
+    high).
+
+    Plan shape: bigrams explode scan-side (adjacent struct pairs, no
+    self-join); one map-side-combined aggregation each for bigram and
+    unigram counts; unigram totals join back on the word columns as
+    plain shuffle joins (the vocabulary is huge at corpus scale —
+    nothing assumes it broadcasts); W is a 1-row broadcast; top-k
+    plans as TakeOrdered (per-partition heaps, no global sort).
+    """
+    toks = _TOKENS.format(c=text_col)
+    lowered = f"transform({toks}, t -> lower(t))"
+    bigrams = (
+        f"transform(sequence(1, size(__t) - 1),"
+        f" i -> struct(element_at(__t, i) as w1,"
+        f" element_at(__t, i + 1) as w2))"
+    )
+    pairs = (
+        docs.select(F.expr(lowered).alias("__t"))
+        .where(F.expr("size(__t) >= 2"))
+        .select(F.explode(F.expr(bigrams)).alias("__bg"))
+        .select("__bg.w1", "__bg.w2")
+    )
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(F.expr(lowered)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    total = uni.agg(F.sum("n").alias("n_tokens_total"))
+    scored = (
+        pair_counts.join(
+            uni.select(F.col("term").alias("w1"), F.col("n").alias("n_a")), on="w1"
+        )
+        .join(uni.select(F.col("term").alias("w2"), F.col("n").alias("n_b")), on="w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "pmi_ratio",
+            (F.col("n_ab").cast("double") * F.col("n_tokens_total").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
+        .limit(k)
+        .select("w1", "w2", "n_ab", "n_a", "n_b", "pmi_ratio")
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    min_count: int = 2,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate per ``group_col`` against the
+    :func:`build_vocabulary` top-``vocab_size`` vocabulary — the
+    coverage check a tokenizer/vocab choice is validated with before
+    committing a corpus to training (high OOV in one source means the
+    vocab under-represents it).
+
+    The vocabulary is ≤ ``vocab_size`` rows by construction, so it
+    broadcasts to the exploded token stream (left join marks OOV);
+    per-group totals are one map-side-combined aggregation. The OOV
+    rate is one exact-integer division per group.
+    """
+    vocab = build_vocabulary(
+        docs, vocab_size=vocab_size, min_count=min_count,
+        id_col=id_col, text_col=text_col,
+    ).select("term", F.lit(True).alias("__in_vocab"))
+    toks = _TOKENS.format(c=text_col)
+    tokens = docs.select(
+        F.col(group_col),
+        F.explode(F.expr(f"transform({toks}, t -> lower(t))")).alias("term"),
+    )
+    marked = tokens.join(F.broadcast(vocab), on="term", how="left")
+    return (
+        marked.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(F.col("__in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )

@@ -2510,6 +2510,82 @@ WHERE levenshtein(a.t, b.t) <= 80
 """
 
 
+# ------------------------------------- corpus statistics (round 3)
+
+
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-bigram collocations by PMI ratio
+    (operators/tfidf.py::pmi_collocations)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import pmi_collocations
+
+    return pmi_collocations(
+        load_table(spark, sf_dir, "documents"), k=20, min_count=5
+    )
+
+
+_PMI_ORACLE = """
+WITH t AS (
+  SELECT list_transform(
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x != ''), x -> lower(x)) AS toks
+  FROM documents
+), bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE len(toks) >= 2
+), pair_counts AS (
+  SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2
+  HAVING count(*) >= 5
+), uni AS (
+  SELECT unnest(toks) AS term FROM t
+), uni_counts AS (
+  SELECT term, count(*) AS n FROM uni GROUP BY 1
+), total AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tokens_total FROM uni_counts
+)
+SELECT w1, w2, n_ab, a.n AS n_a, b.n AS n_b,
+       (CAST(n_ab AS DOUBLE) * CAST(n_tokens_total AS DOUBLE))
+       / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS pmi_ratio
+FROM pair_counts
+JOIN uni_counts a ON a.term = w1
+JOIN uni_counts b ON b.term = w2
+CROSS JOIN total
+ORDER BY pmi_ratio DESC, w1, w2
+LIMIT 20
+"""
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rate against the top-1000 vocabulary
+    (operators/tfidf.py::vocab_coverage)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import vocab_coverage
+
+    return vocab_coverage(
+        load_table(spark, sf_dir, "documents"), vocab_size=1000, min_count=2
+    )
+
+
+_VOCAB_COVERAGE_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         lower(unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> t != ''))) AS term
+  FROM documents
+), counts AS (
+  SELECT term, count(*) AS n_occurrences
+  FROM toks GROUP BY 1 HAVING count(*) >= 2
+), vocab AS (
+  SELECT term FROM counts ORDER BY n_occurrences DESC, term LIMIT 1000
+)
+SELECT source, count(*) AS n_tokens,
+       count(*) FILTER (vocab.term IS NULL) AS n_oov,
+       CAST(count(*) FILTER (vocab.term IS NULL) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS oov_rate
+FROM toks LEFT JOIN vocab ON toks.term = vocab.term
+GROUP BY source
+"""
+
+
 # ------------------------------------- training-data sharding (round 3)
 
 # DuckDB spelling of the deterministic shuffle hash h64('seed:' || key)
@@ -2702,6 +2778,8 @@ def ext_queries():
         "t_global_shuffle": _q_global_shuffle,
         "pipeline_source_cap": _q_source_cap,
         "t_pack_windows": _q_pack_windows,
+        "text_pmi_collocations": _q_pmi_collocations,
+        "text_vocab_coverage": _q_vocab_coverage,
     }
 
 
@@ -2781,4 +2859,6 @@ def ext_oracles():
         "t_global_shuffle": _GLOBAL_SHUFFLE_ORACLE,
         "pipeline_source_cap": _SOURCE_CAP_ORACLE,
         "t_pack_windows": _PACK_WINDOWS_ORACLE,
+        "text_pmi_collocations": _PMI_ORACLE,
+        "text_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
     }
