@@ -119,3 +119,111 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             "max_value",
         )
     )
+
+
+def validate_table(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    accepted: dict[str, list[str]] | None = None,
+    unique: list[list[str]] | None = None,
+    foreign_keys: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Declarative constraint validation (the dbt-test / Deequ shape):
+    run a rule suite against a table, return one row per rule with its
+    violation count — ``(rule: string, n_violations: long)``.
+
+    Rule families and their plan cost:
+
+    * ``not_null`` / ``ranges`` / ``accepted`` — row-local predicates;
+      ALL of them evaluate as conditional sums in ONE aggregation over
+      ONE scan, regardless of how many rules there are (the Deequ
+      "scan-share" trick; never one job per rule).
+    * ``unique`` — excess-row count ``n_rows - n_distinct_keys`` per
+      key set: one map-side-combined distinct aggregate per key set.
+    * ``foreign_keys`` — ``(col, ref_df, ref_col)``: orphan rows via
+      left-anti join against the referenced key set (null FKs are not
+      violations, per SQL FK semantics). The reference side is
+      projected to its bare key column before the join; broadcast when
+      small, shuffled otherwise — Catalyst/AQE's choice.
+
+    Results union into one DataFrame; each non-row-local rule adds its
+    own (cheap, key-only) job, the row-local block always costs one.
+    """
+    parts: list[DataFrame] = []
+
+    exprs = []
+    for c in not_null or []:
+        exprs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+            .alias(f"not_null:{c}")
+        )
+    for c, (lo, hi) in (ranges or {}).items():
+        exprs.append(
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col(c).isNull()
+                        | (F.col(c) < F.lit(lo))
+                        | (F.col(c) > F.lit(hi))
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias(f"range:{c}")
+        )
+    for c, vals in (accepted or {}).items():
+        exprs.append(
+            F.coalesce(
+                F.sum(
+                    (F.col(c).isNull() | ~F.col(c).isin(vals)).cast("long")
+                ),
+                F.lit(0),
+            ).alias(f"accepted:{c}")
+        )
+    if exprs:
+        one = df.agg(*exprs)
+        names = [f.name for f in one.schema.fields]
+        parts.append(
+            one.select(
+                F.explode(
+                    F.map_from_arrays(
+                        F.array(*[F.lit(n) for n in names]),
+                        F.array(*[F.col(f"`{n}`") for n in names]),
+                    )
+                ).alias("rule", "n_violations")
+            )
+        )
+
+    for cols in unique or []:
+        label = f"unique:{','.join(cols)}"
+        parts.append(
+            df.agg(
+                (F.count("*") - F.count_distinct(*[F.col(c) for c in cols]))
+                .cast("long")
+                .alias("n_violations")
+            ).select(F.lit(label).alias("rule"), "n_violations")
+        )
+
+    for col, ref_df, ref_col in foreign_keys or []:
+        label = f"foreign_key:{col}"
+        orphans = (
+            df.select(col)
+            .where(F.col(col).isNotNull())
+            .join(
+                ref_df.select(F.col(ref_col).alias(col)).distinct(),
+                on=col,
+                how="left_anti",
+            )
+        )
+        parts.append(
+            orphans.agg(F.count("*").alias("n_violations")).select(
+                F.lit(label).alias("rule"), "n_violations"
+            )
+        )
+
+    if not parts:
+        raise ValueError("validate_table: no rules given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2586,6 +2586,55 @@ GROUP BY source
 """
 
 
+def _q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over orders
+    (plans/quality.py::validate_table): not-null, range, accepted-set
+    and PK rules share ONE scan; the FK rule is a key-only anti join
+    against customer."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.quality import validate_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return validate_table(
+        orders,
+        not_null=["o_orderkey", "o_orderdate"],
+        ranges={"o_totalprice": (0.01, 600000.0)},
+        accepted={"o_orderstatus": ["O", "F", "P"]},
+        unique=[["o_orderkey"]],
+        foreign_keys=[("o_custkey", customer, "c_custkey")],
+    )
+
+
+_VALIDATE_ORACLE = """
+SELECT 'not_null:o_orderkey' AS rule,
+       CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 END), 0)
+            AS BIGINT) AS n_violations FROM orders
+UNION ALL
+SELECT 'not_null:o_orderdate',
+       CAST(coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 END), 0)
+            AS BIGINT) FROM orders
+UNION ALL
+SELECT 'range:o_totalprice',
+       CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL
+                          OR o_totalprice < 0.01
+                          OR o_totalprice > 600000.0 THEN 1 END), 0)
+            AS BIGINT) FROM orders
+UNION ALL
+SELECT 'accepted:o_orderstatus',
+       CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL
+                          OR o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END),
+                     0) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'foreign_key:o_custkey',
+       CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
 # ------------------------------------- training-data sharding (round 3)
 
 # DuckDB spelling of the deterministic shuffle hash h64('seed:' || key)
@@ -2780,6 +2829,7 @@ def ext_queries():
         "t_pack_windows": _q_pack_windows,
         "text_pmi_collocations": _q_pmi_collocations,
         "text_vocab_coverage": _q_vocab_coverage,
+        "q_validate_orders": _q_validate_orders,
     }
 
 
@@ -2861,4 +2911,5 @@ def ext_oracles():
         "t_pack_windows": _PACK_WINDOWS_ORACLE,
         "text_pmi_collocations": _PMI_ORACLE,
         "text_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
+        "q_validate_orders": _VALIDATE_ORACLE,
     }

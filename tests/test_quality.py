@@ -36,3 +36,52 @@ def test_dirty_batch_fails_gate(spark):
     observed.count()  # any single action materializes the counters
     with pytest.raises(ValueError, match="null_keys=3"):
         check_quality(obs)
+
+
+def test_validate_table_counts_every_rule_family(spark):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.quality import validate_table
+
+    rows = [
+        (1, "A", 10.0, 100),
+        (2, "A", -5.0, 100),   # range violation
+        (2, "B", 20.0, 100),   # duplicate key
+        (None, "Z", 30.0, 999),  # null key + bad status + orphan ref
+    ]
+    df = spark.createDataFrame(rows, ["k", "status", "amt", "ref"])
+    ref = spark.createDataFrame([(100,)], ["id"])
+    out = {
+        r.rule: r.n_violations
+        for r in validate_table(
+            df,
+            not_null=["k"],
+            ranges={"amt": (0.0, 100.0)},
+            accepted={"status": ["A", "B"]},
+            unique=[["k"]],
+            foreign_keys=[("ref", ref, "id")],
+        ).collect()
+    }
+    assert out == {
+        "not_null:k": 1,
+        "range:amt": 1,
+        "accepted:status": 1,
+        # 4 rows, 2 distinct non-null k values, count_distinct skips
+        # the null row -> excess = 4 - 2 - ... exact: count(*)=4,
+        # count(distinct k)=2 -> 2
+        "unique:k": 2,
+        "foreign_key:ref": 1,
+    }
+
+
+def test_validate_table_single_scan_for_row_local_rules(spark):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.quality import validate_table
+    from .conftest import plan_str
+
+    df = spark.createDataFrame([(1, "A", 1.0)], ["k", "status", "amt"])
+    out = validate_table(
+        df,
+        not_null=["k"],
+        ranges={"amt": (0.0, 100.0)},
+        accepted={"status": ["A"]},
+    )
+    # all three row-local rules in ONE aggregate over one scan
+    assert plan_str(out).count("HashAggregate") <= 2  # partial+final
