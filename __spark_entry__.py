@@ -1550,9 +1550,11 @@ FROM zeroed
 # Driver-gate rotation: the per-round CORRECTNESS gate covers the first 50
 # entries of queries() in registration order.  Round 2 left the last 18
 # registered queries without a gate row (green in tests/test_entry_oracles.py
-# but never driver-verified).  Put exactly those 18 first this round so every
-# query has had a driver-verified row within two rounds; rotate again if new
-# queries push the tail past 50.
+# but never driver-verified).  Round 3 puts those 18 plus every round-3
+# addition first (exactly 50).  Round-4 rotation: promote q_validate_orders
+# (registered after the list filled) plus any new additions, then backfill
+# with the r2-gated block so each query re-verifies at most every other
+# round.
 _GATE_PRIORITY = [
     "rel_regex_month",
     "rel_json_props",

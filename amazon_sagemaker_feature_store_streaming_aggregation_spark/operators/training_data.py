@@ -193,3 +193,39 @@ def pack_context_windows(
         F.min("pos").alias("first_pos"),
         F.max("pos").alias("last_pos"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "shuffle-v1",
+) -> None:
+    """Materialize :func:`global_shuffle` as on-disk training shards:
+    ``path/shard=K/*.parquet`` with rows stored in shard order
+    (``pos`` ascending), ready for a sequential training reader.
+
+    Write discipline: ``repartition(shard)`` routes each shard to one
+    task, and ``sortWithinPartitions(shard, pos)`` hands the file
+    writer pre-sorted rows — with rows already clustered and sorted
+    by the partition column, the dynamic-partition writer streams
+    each shard file in iterator order (one open file at a time, no
+    writer-side re-sort buffer), so the on-disk row order IS the
+    shuffle order. That property is what makes the shards directly
+    consumable: a reader that scans ``shard=K`` start-to-finish sees
+    the deterministic global-shuffle sequence without any sort of its
+    own.
+
+    At 100 TB, ``n_shards`` is sized so one shard ≈ one target file
+    (a few GB); shards are uniform by md5 construction, so tasks are
+    balanced and the job is one exchange + one sorted write.
+    """
+    shuffled = global_shuffle(df, key_col=key_col, n_shards=n_shards, seed=seed)
+    (
+        shuffled.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -16,6 +16,7 @@ from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.traini
     cap_per_source,
     global_shuffle,
     pack_context_windows,
+    write_training_shards,
 )
 
 
@@ -131,3 +132,31 @@ def test_cap_two_phase_broadcasts_thresholds(spark):
     plan = _plan(kept)
     # the per-source threshold table rides a broadcast, not a shuffle
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_write_training_shards_preserves_shuffle_order(spark, tmp_path):
+    df = _docs(spark)
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=4)
+    expected = {
+        (r.shard, r.pos): r.doc_id
+        for r in global_shuffle(df, n_shards=4).collect()
+    }
+    import glob
+    import pyarrow.parquet as pq
+
+    seen = 0
+    for shard_dir in glob.glob(f"{out}/shard=*"):
+        shard = int(shard_dir.rsplit("=", 1)[1])
+        files = sorted(glob.glob(f"{shard_dir}/*.parquet"))
+        ids = []
+        for f in files:
+            ids.extend(pq.read_table(f, columns=["doc_id", "pos"]).to_pydict()["doc_id"])
+            # on-disk row order must equal pos order within the file
+            pos = pq.read_table(f, columns=["pos"]).to_pydict()["pos"]
+            assert pos == sorted(pos)
+        # file rows in shard follow the deterministic shuffle sequence
+        want = [expected[(shard, p)] for p in range(1, len(ids) + 1)]
+        assert ids == want
+        seen += len(ids)
+    assert seen == 40
