@@ -106,15 +106,25 @@ def cap_per_source(
     and across engines (the DuckDB oracle reproduces it exactly).
 
     Skew guard: the windowed rank puts one source's rows in one
-    partition. With ``presort_cap`` (>= cap, e.g. ``4 * cap``), a
-    scan-side predicate first keeps only rows whose hash falls in the
-    smallest ``presort_cap / est_max_source_rows`` fraction — here
-    implemented exactly and cheaply as a per-source ``count`` +
-    broadcast threshold join, discarding the bulk of a huge source
-    BEFORE the sort, so the hot partition holds ~presort_cap rows,
-    not the source's full population. The final exact rank then trims
-    to precisely ``cap``. The two-phase result equals the one-phase
-    result because hash rank is preserved under hash filtering.
+    partition (Spark's map-side WindowGroupLimit already bounds what
+    reaches it to cap × input-partitions rows per source; the
+    prefilter tightens that to ~presort_cap). With ``presort_cap``,
+    a per-source ``count`` + broadcast threshold join keeps only rows
+    whose hash falls in the smallest ``~presort_cap / n`` fraction,
+    discarding the bulk of a huge source BEFORE the sort.
+
+    Equivalence guarantee: the two-phase result equals the one-phase
+    result WHENEVER at least ``cap`` rows of each filtered source
+    survive the prefilter (hash rank is preserved under hash
+    filtering; the exact rank then trims to precisely ``cap`` —
+    over-capping is impossible). Survival is probabilistic: survivors
+    of a source with n rows are ~Binomial(n, presort_cap/n), so by
+    Chernoff P(survivors < cap) <= exp(-presort_cap·(1-cap/presort_cap)²/2)
+    — choose ``presort_cap >= 4*cap`` in production (~1e-8 per
+    source); a shortfall under-caps that source (a smaller uniform
+    sample), it never corrupts rank order. NULL sources form their
+    own group, same as the one-phase window (null-safe threshold
+    join).
     """
     h = _shuffle_hash(key_col, seed)
     work = df.withColumn("h_cap", h)
@@ -124,20 +134,32 @@ def cap_per_source(
         # phase 1: per-source row counts (one partial-agg exchange on
         # small (source, count) pairs), broadcast back as thresholds
         counts = work.groupBy(source_col).agg(F.count("*").alias("__n"))
-        # keep a hash fraction ~ presort_cap/n per source; 60-bit hash
-        # space, ceiling +1 slack guarantees >= cap survivors w.h.p.,
-        # and the exact rank below restores exactness regardless
+        # keep a hash fraction ~ presort_cap/n per source (ceiling:
+        # never round the keep-threshold down); the exact rank below
+        # restores the precise cap on the survivors
         frac_cut = (
             F.when(
                 F.col("__n") > presort_cap,
-                (F.lit(float(1 << 60)) * F.lit(presort_cap) / F.col("__n")).cast("long"),
+                F.ceil(
+                    F.lit(float(1 << 60)) * F.lit(presort_cap) / F.col("__n")
+                ).cast("long"),
             )
             .otherwise(F.lit((1 << 60) - 1))
             .alias("__cut")
         )
-        thresholds = counts.select(source_col, frac_cut)
-        work = work.join(F.broadcast(thresholds), on=source_col, how="inner").where(
-            F.col("h_cap") <= F.col("__cut")
+        thresholds = counts.select(
+            F.col(source_col).alias("__src_t"), frac_cut
+        )
+        # null-safe equality: a NULL source is a real group for the
+        # one-phase window, so the threshold join must match it too
+        work = (
+            work.join(
+                F.broadcast(thresholds),
+                F.col(source_col).eqNullSafe(F.col("__src_t")),
+                "inner",
+            )
+            .where(F.col("h_cap") <= F.col("__cut"))
+            .drop("__src_t")
         )
     w = Window.partitionBy(source_col).orderBy("h_cap", key_col)
     kept = work.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") <= cap)
@@ -206,24 +228,28 @@ def write_training_shards(
     ``path/shard=K/*.parquet`` with rows stored in shard order
     (``pos`` ascending), ready for a sequential training reader.
 
-    Write discipline: ``repartition(shard)`` routes each shard to one
-    task, and ``sortWithinPartitions(shard, pos)`` hands the file
-    writer pre-sorted rows — with rows already clustered and sorted
-    by the partition column, the dynamic-partition writer streams
-    each shard file in iterator order (one open file at a time, no
-    writer-side re-sort buffer), so the on-disk row order IS the
-    shuffle order. That property is what makes the shards directly
-    consumable: a reader that scans ``shard=K`` start-to-finish sees
-    the deterministic global-shuffle sequence without any sort of its
-    own.
+    Write discipline: ``repartitionByRange(shard, pos)`` gives every
+    task a contiguous slice of the (shard, pos) order — NOT
+    ``repartition(hash(shard))``, whose murmur3 collisions leave some
+    tasks empty and stack several shards on another — and
+    ``sortWithinPartitions(shard, pos)`` hands the file writer
+    pre-sorted rows, so the dynamic-partition writer streams each
+    slice in iterator order (one open file at a time, no writer-side
+    re-sort buffer). On-disk row order IS the shuffle order: within a
+    part file rows are ``pos``-ascending, and when a shard spans
+    consecutive range slices the lexicographic part-file order
+    continues the sequence. A reader that scans ``shard=K``'s files
+    in name order sees the deterministic global-shuffle sequence
+    without any sort of its own.
 
     At 100 TB, ``n_shards`` is sized so one shard ≈ one target file
-    (a few GB); shards are uniform by md5 construction, so tasks are
-    balanced and the job is one exchange + one sorted write.
+    (a few GB); range slices are balanced by construction (the
+    partitioner splits the sampled (shard, pos) distribution evenly),
+    so the job is one exchange + one sorted write with no idle tasks.
     """
     shuffled = global_shuffle(df, key_col=key_col, n_shards=n_shards, seed=seed)
     (
-        shuffled.repartition(n_shards, F.col("shard"))
+        shuffled.repartitionByRange(n_shards, F.col("shard"), F.col("pos"))
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")

@@ -150,6 +150,20 @@ def validate_table(
     Results union into one DataFrame; each non-row-local rule adds its
     own (cheap, key-only) job, the row-local block always costs one.
     """
+    labels = (
+        [f"not_null:{c}" for c in not_null or []]
+        + [f"range:{c}" for c in ranges or {}]
+        + [f"accepted:{c}" for c in accepted or {}]
+        + [f"unique:{','.join(cols)}" for cols in unique or []]
+        + [f"foreign_key:{col}" for col, _r, _rc in foreign_keys or []]
+    )
+    dupes = sorted({l for l in labels if labels.count(l) > 1})
+    if dupes:
+        # fail fast with the offending rules — a duplicated column in
+        # a generated rule list would otherwise surface as an
+        # ambiguous-alias/map-key AnalysisException mid-job
+        raise ValueError(f"validate_table: duplicate rules {dupes}")
+
     parts: list[DataFrame] = []
 
     exprs = []

@@ -2630,9 +2630,13 @@ SELECT 'unique:o_orderkey',
 UNION ALL
 SELECT 'foreign_key:o_custkey',
        CAST(count(*) AS BIGINT)
-FROM orders WHERE o_custkey IS NOT NULL
-  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+FROM orders o WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)
 """
+# (FK oracle uses NOT EXISTS, not NOT IN: a NULL ref key would make
+# NOT IN return zero rows while the Spark anti join still counts
+# orphans — same semantics both sides even on dirty reference data.)
 
 
 # ------------------------------------- training-data sharding (round 3)

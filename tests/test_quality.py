@@ -85,3 +85,13 @@ def test_validate_table_single_scan_for_row_local_rules(spark):
     )
     # all three row-local rules in ONE aggregate over one scan
     assert plan_str(out).count("HashAggregate") <= 2  # partial+final
+
+
+def test_validate_table_rejects_duplicate_rules(spark):
+    import pytest as _pytest
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.quality import validate_table
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with _pytest.raises(ValueError, match="duplicate rules"):
+        validate_table(df, not_null=["k", "k"])

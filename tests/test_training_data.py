@@ -160,3 +160,32 @@ def test_write_training_shards_preserves_shuffle_order(spark, tmp_path):
         assert ids == want
         seen += len(ids)
     assert seen == 40
+
+
+def test_cap_two_phase_keeps_null_source_group(spark):
+    # NULL sources are a real group for the one-phase window; the
+    # two-phase threshold join must match them too (null-safe join)
+    rows = [(i, "srcA") for i in range(30)] + [(i + 100, None) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    one = {(r.doc_id, r.source) for r in cap_per_source(df, cap=5).collect()}
+    two = {
+        (r.doc_id, r.source)
+        for r in cap_per_source(df, cap=5, presort_cap=20).collect()
+    }
+    assert one == two
+    assert sum(1 for _id, s in two if s is None) == 5
+
+
+def test_write_training_shards_no_idle_tasks(spark):
+    # range partitioning (not hash-of-shard) must spread the write:
+    # with 4 shards over 4 tasks every task holds rows
+    df = _docs(spark)
+    parts = (
+        global_shuffle(df, n_shards=4)
+        .repartitionByRange(4, F.col("shard"), F.col("pos"))
+        .withColumn("pid", F.spark_partition_id())
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert parts == 4
