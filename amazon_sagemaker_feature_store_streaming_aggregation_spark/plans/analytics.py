@@ -1168,3 +1168,69 @@ def local_supplier_revenue(
             F.count("*").alias("n_items"),
         )
     )
+
+
+def time_decay_features(
+    events: DataFrame,
+    half_life_days: int = 7,
+    max_units: int = 20,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key exponentially time-decayed value sum and event count —
+    the classic recency-weighted extension of the reference's windowed
+    COUNT/AVG features (`2_batch_ingestion.ipynb:271-287` computes the
+    un-decayed versions): a 2-week-old event counts half as much as a
+    1-week-old one at ``half_life_days=7``.
+
+    Exact-arithmetic design (the repo's bit-stable-doubles
+    discipline): the decay factor is ``0.5^age_units`` with INTEGER
+    ``age_units = floor(age_days / half_life_days)``, so every weight
+    is a power of two. Each event contributes
+    ``cents << (max_units - age_units)`` — an exact integer — and the
+    per-key sums run in ``decimal(38,0)`` (order-independent, map-side
+    combinable, overflow-safe at any row count). ONE final cast to
+    double and ONE division by the constant ``2^max_units * 100``
+    (both correctly rounded, both engines) produce the decayed value —
+    no floating-point summation anywhere, so results are engine-bit-
+    equal. Events older than ``max_units`` half-lives (weight <
+    1e-6) are excluded by predicate rather than rounded in.
+
+    The decay anchor is the corpus max event DATE (a 1-row broadcast
+    aggregate, deterministic; production would pass "now"). Plan: one
+    scan + one broadcast + one map-side-combined aggregation on the
+    key — the same single-exchange shape as every other feature
+    aggregate here.
+    """
+    anchor = events.agg(F.max(F.to_date(ts_col)).alias("__anchor"))
+    units = F.floor(
+        F.datediff(F.col("__anchor"), F.to_date(ts_col)) / F.lit(half_life_days)
+    ).cast("int")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    shift = (F.lit(max_units) - F.col("__u")).cast("int")
+    # SQL shiftleft accepts a column shift amount (the python wrapper
+    # F.shiftleft only takes a literal)
+    scaled_value = F.expr("CAST(shiftleft(__cents, __shift) AS DECIMAL(38,0))")
+    scaled_one = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), __shift) AS DECIMAL(38,0))")
+    denom_value = float((1 << max_units) * 100)
+    denom_count = float(1 << max_units)
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .withColumn("__u", units)
+        .where((F.col("__u") >= 0) & (F.col("__u") <= max_units))
+        .withColumn("__cents", cents)
+        .withColumn("__shift", shift)
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(scaled_value).alias("__sv"),
+            F.sum(scaled_one).alias("__sc"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            (F.col("__sv").cast("double") / F.lit(denom_value)).alias("decayed_value"),
+            (F.col("__sc").cast("double") / F.lit(denom_count)).alias("decayed_count"),
+        )
+    )

@@ -2586,6 +2586,37 @@ GROUP BY source
 """
 
 
+def _q_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user features with exact dyadic decay
+    (plans/analytics.py::time_decay_features)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.analytics import time_decay_features
+
+    return time_decay_features(load_table(spark, sf_dir, "events"))
+
+
+# weights are powers of two and sums run in HUGEINT, so the single
+# final cast+divide is the only floating-point op — bit-equal across
+# engines (same discipline as the interpolation oracle).
+_DECAY_ORACLE = """
+WITH anchor AS (
+  SELECT max(CAST(ts AS DATE)) AS a FROM events
+), w AS (
+  SELECT user_id,
+         CAST(floor(date_diff('day', CAST(ts AS DATE), a) / 7.0) AS INTEGER)
+           AS u,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events CROSS JOIN anchor
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(cents * (CAST(1 AS BIGINT) << (20 - u)) AS HUGEINT))
+            AS DOUBLE) / 104857600.0 AS decayed_value,
+       CAST(sum(CAST((CAST(1 AS BIGINT) << (20 - u)) AS HUGEINT))
+            AS DOUBLE) / 1048576.0 AS decayed_count
+FROM w WHERE u BETWEEN 0 AND 20
+GROUP BY user_id
+"""
+
+
 def _q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint suite over orders
     (plans/quality.py::validate_table): not-null, range, accepted-set
@@ -2834,6 +2865,7 @@ def ext_queries():
         "text_pmi_collocations": _q_pmi_collocations,
         "text_vocab_coverage": _q_vocab_coverage,
         "q_validate_orders": _q_validate_orders,
+        "ts_decay_features": _q_decay_features,
     }
 
 
@@ -2916,4 +2948,5 @@ def ext_oracles():
         "text_pmi_collocations": _PMI_ORACLE,
         "text_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
         "q_validate_orders": _VALIDATE_ORACLE,
+        "ts_decay_features": _DECAY_ORACLE,
     }

@@ -183,3 +183,26 @@ def test_q17_correlated_sql_equals_decorrelated_dataframe(spark):
     finally:
         spark.catalog.dropTempView("v_lineitem")
         spark.catalog.dropTempView("v_part")
+
+
+def test_time_decay_features_dyadic_weights(spark):
+    import datetime as _dt
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.analytics import time_decay_features
+
+    anchor = _dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, anchor, 10.0),                                  # u=0, w=1
+        (1, anchor - _dt.timedelta(days=14), 8.0),          # u=2, w=1/4
+        (2, anchor - _dt.timedelta(days=7), 4.0),           # u=1, w=1/2
+        (2, anchor - _dt.timedelta(days=500), 1000.0),      # beyond horizon
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r.user_id: r for r in time_decay_features(df).collect()}
+    assert out[1].n_events == 2
+    assert out[1].decayed_value == 10.0 + 8.0 / 4
+    assert out[1].decayed_count == 1 + 0.25
+    # the 500-day-old event is excluded, not rounded in
+    assert out[2].n_events == 1
+    assert out[2].decayed_value == 4.0 / 2
+    assert out[2].decayed_count == 0.5
