@@ -39,4 +39,15 @@ from .multimodal import (  # noqa: F401
     sample_frames,
     synth_media,
 )
-from .tfidf import build_vocabulary, tfidf_top_terms  # noqa: F401
+from .tfidf import (  # noqa: F401
+    build_vocabulary,
+    pmi_collocations,
+    tfidf_top_terms,
+    vocab_coverage,
+)
+from .training_data import (  # noqa: F401
+    cap_per_source,
+    global_shuffle,
+    pack_context_windows,
+    write_training_shards,
+)
