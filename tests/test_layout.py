@@ -230,3 +230,80 @@ def test_dynamic_partition_overwrite_replaces_only_touched_days(
     a = back.where(F.col("d") == target).agg(F.sum("value")).first()[0]
     b = ev.where(F.col("d") == target).agg(F.sum("value") * 2).first()[0]
     assert abs(a - b) < 1e-6
+
+
+def test_dim_join_triggers_dynamic_partition_pruning(spark, tmp_path):
+    """Star-join scale machinery: joining the date-partitioned layout
+    with a FILTERED dimension prunes fact partitions AT RUNTIME
+    (DynamicPruningExpression in the fact scan's PartitionFilters) —
+    the fact side reads only the days the dim filter selects, without
+    the query author naming them. At 100 TB this is the difference
+    between scanning one day and scanning the table."""
+    ev = load_table(spark, SF0001, "events").select("user_id", "ts", "value")
+    path = str(tmp_path / "events_dpp")
+    write_hash_layout(ev, path, key_col="user_id", num_buckets=4,
+                      date_col="ts")
+    fact = spark.read.parquet(path)
+    # dimension: one row per __date, filtered to a single day
+    some_day = str(ev.select(F.to_date("ts").alias("d")).first()["d"])
+    dim = (
+        ev.select(F.to_date("ts").cast("string").alias("__date"))
+        .distinct()
+        .withColumn("keep", F.col("__date") == F.lit(some_day))
+    ).where("keep")
+    j = fact.join(dim, on="__date").groupBy("keep").count()
+    plan = _plan(j)
+    fact_scan = [
+        l for l in plan.splitlines()
+        # the scan's path is truncated in the plan string; identify the
+        # fact side by its partition columns instead
+        if "PartitionFilters" in l and "__date" in l and "__bucket" in l
+    ]
+    assert fact_scan and "dynamicpruning" in fact_scan[0].lower(), plan
+    # and the answer is right: only that day's rows are counted
+    want = ev.where(F.to_date("ts") == F.lit(some_day)).count()
+    assert j.collect()[0]["count"] == want and want > 0
+
+
+def test_shuffle_join_gets_runtime_bloom_filter(spark, tmp_path):
+    """Runtime semi-join reduction: when the dim side of a SHUFFLE
+    join is selectively filtered, Spark injects a bloom filter
+    (might_contain) into the fact scan so non-joining rows die before
+    the exchange. Local thresholds are production-sized (application
+    side >= 10 GB), so the test lowers them to prove the machinery is
+    live — at 100 TB the defaults trigger on their own."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1b",
+        )
+        # force the shuffle-join regime (broadcast joins don't need a
+        # runtime filter — the build side IS the filter)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        d = str(tmp_path)
+        fact = spark.range(20000).select(
+            F.col("id"), (F.col("id") % 500).alias("k"), F.rand(1).alias("v")
+        )
+        fact.write.mode("overwrite").parquet(d + "/fact")
+        dim = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("cat")
+        )
+        dim.write.mode("overwrite").parquet(d + "/dim")
+        f = spark.read.parquet(d + "/fact")
+        dm = spark.read.parquet(d + "/dim").where("cat = 3")
+        j = f.join(dm, on="k").agg(F.sum("v").alias("s"))
+        plan = _plan(j)
+        assert "might_contain" in plan, plan
+        # and the filtered join is still exact
+        rows = j.collect()
+        assert rows and rows[0]["s"] is not None
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
