@@ -1234,3 +1234,109 @@ def time_decay_features(
             (F.col("__sc").cast("double") / F.lit(denom_count)).alias("decayed_count"),
         )
     )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    year: int = 1994,
+    discount_center: float = 0.06,
+    max_quantity: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: the would-be revenue increase from eliminating
+    a band of small discounts on low-quantity items in one year — the
+    canonical pure-scan aggregate: every predicate is a pushed-down
+    parquet filter (year range on `l_shipdate`, discount band,
+    quantity cap), there is no join and no grouping; the whole query
+    is one codegen'd scan + a 1-row aggregate.
+
+    The discount band is evaluated on EXACT integer basis points
+    (``round(l_discount * 10000)``) — the spec's ``between 0.05 and
+    0.07`` on binary doubles would make 0.05/0.07 boundary rows
+    engine-dependent. Revenue sums `price_cents * discount_bp` in
+    decimal(38,0); the single final division is the only double op.
+    """
+    dbp = "CAST(round(l_discount * 10000) AS BIGINT)"
+    ep = _CENTS.format(c="l_extendedprice")
+    lo = int(round((discount_center - 0.01) * 10000))
+    hi = int(round((discount_center + 0.01) * 10000))
+    return (
+        lineitem.where(
+            (F.year("l_shipdate") == year)
+            & F.expr(f"{dbp} BETWEEN {lo} AND {hi}")
+            & (F.col("l_quantity") < max_quantity)
+        )
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST({ep} * {dbp} AS DECIMAL(38,0))) AS DOUBLE)"
+                " / 1000000.0"
+            ).alias("revenue_increase"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def sole_late_supplier(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    late_after_days: int = 90,
+    k: int = 25,
+) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) on the
+    columns this schema carries: count, per supplier, the finalized
+    multi-supplier orders where that supplier was the ONLY one to
+    ship late (here late = shipped more than ``late_after_days`` after
+    the order date — the testdata has no commit/receipt dates, so the
+    lateness predicate is derived; the plan shape is the point).
+
+    The spec's correlated ``EXISTS (another supplier)`` / ``NOT
+    EXISTS (another late supplier)`` pair is decorrelated into ONE
+    per-order aggregate — ``count(distinct supplier)`` and
+    ``count(distinct late supplier)`` — joined back to the late
+    lines: "sole late supplier in a multi-supplier order" is exactly
+    ``n_supp >= 2 AND n_late_supp == 1`` on a line that is itself
+    late. One aggregation + one join on the order key replaces two
+    correlated self-joins of the fact table (what a naive translation
+    would shuffle three times). Supplier/nation names ride broadcast.
+    """
+    li = lineitem.join(
+        orders.select("o_orderkey", "o_orderstatus", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).where(F.col("o_orderstatus") == "F")
+    lines = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            > late_after_days
+        ).alias("is_late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    culprits = (
+        lines.where(F.col("is_late"))
+        .join(per_order, on="l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    named = culprits.join(
+        F.broadcast(
+            supplier.join(
+                F.broadcast(nation.select("n_nationkey", "n_name")),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            ).select("s_suppkey", "s_name", "n_name")
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    return (
+        named.groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )

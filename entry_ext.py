@@ -2586,6 +2586,71 @@ GROUP BY source
 """
 
 
+def _q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure-scan revenue-change aggregate with exact
+    basis-point discount banding
+    (plans/analytics.py::forecast_revenue_change)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.analytics import (
+        forecast_revenue_change,
+    )
+
+    return forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
+
+
+_FORECAST_REVENUE_ORACLE = """
+SELECT CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 10000) AS BIGINT)
+                     AS HUGEINT)) AS DOUBLE) / 1000000.0
+         AS revenue_increase,
+       count(*) AS n_items
+FROM lineitem
+WHERE year(l_shipdate) = 1994
+  AND CAST(round(l_discount * 10000) AS BIGINT) BETWEEN 500 AND 700
+  AND l_quantity < 24
+"""
+
+
+def _q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape decorrelated: sole-late-supplier counts per
+    supplier (plans/analytics.py::sole_late_supplier)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.analytics import sole_late_supplier
+
+    return sole_late_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+_SOLE_LATE_ORACLE = """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) > 90 AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+           AS n_late_supp
+  FROM lines GROUP BY 1
+), culprits AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lines l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+  WHERE l.is_late AND p.n_supp >= 2 AND p.n_late_supp = 1
+)
+SELECT s_name, n_name, count(*) AS numwait
+FROM culprits
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
 def _q_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted per-user features with exact dyadic decay
     (plans/analytics.py::time_decay_features)."""
@@ -2866,6 +2931,8 @@ def ext_queries():
         "text_vocab_coverage": _q_vocab_coverage,
         "q_validate_orders": _q_validate_orders,
         "ts_decay_features": _q_decay_features,
+        "olap_forecast_revenue": _q_forecast_revenue,
+        "olap_sole_late_supplier": _q_sole_late_supplier,
     }
 
 
@@ -2949,4 +3016,6 @@ def ext_oracles():
         "text_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
         "q_validate_orders": _VALIDATE_ORACLE,
         "ts_decay_features": _DECAY_ORACLE,
+        "olap_forecast_revenue": _FORECAST_REVENUE_ORACLE,
+        "olap_sole_late_supplier": _SOLE_LATE_ORACLE,
     }
