@@ -1340,3 +1340,44 @@ def sole_late_supplier(
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(k)
     )
+
+
+def shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-30",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: the k highest-revenue orders not yet shipped
+    at the cutoff, for one market segment (this schema carries
+    ``o_orderpriority`` in place of the spec's shippriority).
+
+    Plan: the segment-filtered customer key set broadcasts;
+    orders (placed before the cutoff) join lineitem (shipped after
+    it) with ONE shuffle on the order key, and the per-order revenue
+    aggregate REUSES that join partitioning — grouping on the join
+    key adds no second exchange. Top-k is TakeOrdered over the total
+    (revenue desc, orderkey) order, tie-broken deterministically.
+    Revenue is the exact integer 1e-4-dollar sum divided once.
+    """
+    ep = _CENTS.format(c="l_extendedprice")
+    d = _CENTS.format(c="l_discount")
+    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = (
+        orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = lineitem.where(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(f"CAST(sum({rev}) AS DOUBLE) / 10000.0").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(k)
+    )

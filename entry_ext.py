@@ -2651,6 +2651,35 @@ LIMIT 25
 """
 
 
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top unshipped orders by revenue for one market
+    segment (plans/analytics.py::shipping_priority)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.analytics import shipping_priority
+
+    return shipping_priority(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS HUGEINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 def _q_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted per-user features with exact dyadic decay
     (plans/analytics.py::time_decay_features)."""
@@ -2933,6 +2962,7 @@ def ext_queries():
         "ts_decay_features": _q_decay_features,
         "olap_forecast_revenue": _q_forecast_revenue,
         "olap_sole_late_supplier": _q_sole_late_supplier,
+        "olap_shipping_priority": _q_shipping_priority,
     }
 
 
@@ -3018,4 +3048,5 @@ def ext_oracles():
         "ts_decay_features": _DECAY_ORACLE,
         "olap_forecast_revenue": _FORECAST_REVENUE_ORACLE,
         "olap_sole_late_supplier": _SOLE_LATE_ORACLE,
+        "olap_shipping_priority": _SHIPPING_PRIORITY_ORACLE,
     }
