@@ -1550,11 +1550,13 @@ FROM zeroed
 # Driver-gate rotation: the per-round CORRECTNESS gate covers the first 50
 # entries of queries() in registration order.  Round 2 left the last 18
 # registered queries without a gate row (green in tests/test_entry_oracles.py
-# but never driver-verified).  Round 3 puts those 18 plus every round-3
-# addition first (exactly 50).  Round-4 rotation: promote q_validate_orders
-# (registered after the list filled) plus any new additions, then backfill
-# with the r2-gated block so each query re-verifies at most every other
-# round.
+# but never driver-verified).  Round 3 puts those 18 plus the earliest
+# round-3 additions first (exactly 50 — the cap forces 5 of the 55
+# never-gated entries to wait: q_validate_orders, ts_decay_features,
+# olap_forecast_revenue, olap_sole_late_supplier, olap_shipping_priority,
+# each green in the pytest oracle mirror meanwhile).  Round-4 rotation:
+# put those 5 plus any new additions FIRST, then backfill with the
+# longest-stale r2-gated entries.
 _GATE_PRIORITY = [
     "rel_regex_month",
     "rel_json_props",

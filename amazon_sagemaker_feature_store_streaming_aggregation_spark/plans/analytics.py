@@ -1188,14 +1188,17 @@ def time_decay_features(
     discipline): the decay factor is ``0.5^age_units`` with INTEGER
     ``age_units = floor(age_days / half_life_days)``, so every weight
     is a power of two. Each event contributes
-    ``cents << (max_units - age_units)`` — an exact integer — and the
-    per-key sums run in ``decimal(38,0)`` (order-independent, map-side
-    combinable, overflow-safe at any row count). ONE final cast to
+    ``cents * 2^(max_units - age_units)`` — computed IN decimal, so
+    even an absurd single value cannot wrap 64-bit the way a raw
+    ``shiftleft`` on BIGINT would — and the per-key sums run in
+    ``decimal(38,0)`` (order-independent, map-side combinable,
+    overflow-safe at any row count). ONE final cast to
     double and ONE division by the constant ``2^max_units * 100``
     (both correctly rounded, both engines) produce the decayed value —
     no floating-point summation anywhere, so results are engine-bit-
-    equal. Events older than ``max_units`` half-lives (weight <
-    1e-6) are excluded by predicate rather than rounded in.
+    equal. Events aged ``0..max_units`` half-life units are included
+    (weights ``2^0 .. 2^-max_units``); anything older is excluded by
+    predicate rather than rounded in.
 
     The decay anchor is the corpus max event DATE (a 1-row broadcast
     aggregate, deterministic; production would pass "now"). Plan: one
@@ -1209,9 +1212,14 @@ def time_decay_features(
     ).cast("int")
     cents = F.round(F.col(value_col) * 100).cast("long")
     shift = (F.lit(max_units) - F.col("__u")).cast("int")
-    # SQL shiftleft accepts a column shift amount (the python wrapper
-    # F.shiftleft only takes a literal)
-    scaled_value = F.expr("CAST(shiftleft(__cents, __shift) AS DECIMAL(38,0))")
+    # the 2^shift factor itself fits BIGINT trivially (shift <=
+    # max_units), but cents * factor must run in DECIMAL: a raw
+    # shiftleft(cents, shift) wraps silently past 2^63 while the
+    # DuckDB oracle's multiply errors — decimal keeps both exact
+    scaled_value = F.expr(
+        "CAST(__cents AS DECIMAL(38,0))"
+        " * CAST(shiftleft(CAST(1 AS BIGINT), __shift) AS DECIMAL(38,0))"
+    )
     scaled_one = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), __shift) AS DECIMAL(38,0))")
     denom_value = float((1 << max_units) * 100)
     denom_count = float(1 << max_units)
@@ -1244,16 +1252,20 @@ def forecast_revenue_change(
 ) -> DataFrame:
     """TPC-H Q6 shape: the would-be revenue increase from eliminating
     a band of small discounts on low-quantity items in one year — the
-    canonical pure-scan aggregate: every predicate is a pushed-down
-    parquet filter (year range on `l_shipdate`, discount band,
-    quantity cap), there is no join and no grouping; the whole query
-    is one codegen'd scan + a 1-row aggregate.
+    canonical pure-scan aggregate: no join, no grouping, one
+    codegen'd scan + a 1-row aggregate. The ship-date year is spelled
+    as a RANGE (``>= jan1 AND < jan1+1y``), not ``year(col) ==`` —
+    the range is a plain column comparison that reaches the parquet
+    scan's PushedFilters and prunes row groups by shipdate min/max
+    stats; ``year()`` is an expression Spark cannot push. The
+    quantity cap pushes down too. The discount band stays a post-scan
+    residual BY DESIGN: it is evaluated on EXACT integer basis points
+    (``round(l_discount * 10000)``) because the spec's ``between 0.05
+    and 0.07`` on binary doubles makes boundary rows
+    engine-dependent — exactness is worth one residual predicate.
 
-    The discount band is evaluated on EXACT integer basis points
-    (``round(l_discount * 10000)``) — the spec's ``between 0.05 and
-    0.07`` on binary doubles would make 0.05/0.07 boundary rows
-    engine-dependent. Revenue sums `price_cents * discount_bp` in
-    decimal(38,0); the single final division is the only double op.
+    Revenue sums `price_cents * discount_bp` in decimal(38,0); the
+    single final division is the only double op.
     """
     dbp = "CAST(round(l_discount * 10000) AS BIGINT)"
     ep = _CENTS.format(c="l_extendedprice")
@@ -1261,7 +1273,8 @@ def forecast_revenue_change(
     hi = int(round((discount_center + 0.01) * 10000))
     return (
         lineitem.where(
-            (F.year("l_shipdate") == year)
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
             & F.expr(f"{dbp} BETWEEN {lo} AND {hi}")
             & (F.col("l_quantity") < max_quantity)
         )

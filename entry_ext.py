@@ -2702,7 +2702,7 @@ WITH anchor AS (
   FROM events CROSS JOIN anchor
 )
 SELECT user_id, count(*) AS n_events,
-       CAST(sum(CAST(cents * (CAST(1 AS BIGINT) << (20 - u)) AS HUGEINT))
+       CAST(sum(CAST(cents AS HUGEINT) * (CAST(1 AS BIGINT) << (20 - u)))
             AS DOUBLE) / 104857600.0 AS decayed_value,
        CAST(sum(CAST((CAST(1 AS BIGINT) << (20 - u)) AS HUGEINT))
             AS DOUBLE) / 1048576.0 AS decayed_count

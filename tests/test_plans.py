@@ -382,3 +382,45 @@ def test_quantile_bins_single_exchange(spark):
 
     plan = _plan(quantile_bins(load_table(spark, SF001, "events")))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_shipping_priority_agg_reuses_join_exchange(spark):
+    """Q3 shape: in the shuffle-join regime the per-order revenue
+    aggregate must REUSE the order-key join partitioning (no third
+    exchange beyond the two join sides), and top-k must plan as
+    TakeOrdered, not a global sort."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.analytics import shipping_priority
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    from .conftest import SF001
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = shipping_priority(
+            load_table(spark, SF001, "lineitem"),
+            load_table(spark, SF001, "orders"),
+            load_table(spark, SF001, "customer"),
+        )
+        plan = _plan(q)
+        # two exchanges = the SMJ's two sides; the groupBy adds none
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "TakeOrdered" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_forecast_revenue_pushes_date_range_to_scan(spark):
+    """Q6 shape: the ship-date RANGE must land in PushedFilters
+    (row-group pruning); the basis-point discount band is the
+    designed residual."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.analytics import (
+        forecast_revenue_change,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    from .conftest import SF001
+
+    plan = _plan(forecast_revenue_change(load_table(spark, SF001, "lineitem")))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, plan
