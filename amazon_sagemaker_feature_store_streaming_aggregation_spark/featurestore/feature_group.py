@@ -268,6 +268,154 @@ class FeatureGroup:
         if last_schema is not None:
             self._write_schema(last_schema)
 
+    def delete(self, keys, max_retries: int = 5) -> int:
+        """Remove every record for the given keys (right-to-be-forgotten
+        / test-data cleanup) — the deletion counterpart of
+        :meth:`upsert`, under the SAME per-bucket optimistic commit
+        protocol, so deletes interleave safely with concurrent
+        upserts of other keys. ``keys`` is a list of identifiers or a
+        1-column DataFrame. Returns the number of records removed.
+
+        Bucket-local like upsert: only the buckets the keys hash into
+        are read, anti-joined and rewritten. A bucket whose every
+        record is deleted publishes a ZERO-ROW parquet snapshot (an
+        empty directory would break the live-set parquet reads). With
+        ``change_feed=True`` each commit's removed rows land in the
+        snapshot's ``_changes/`` tagged ``_op='delete'`` — consumers
+        see deletions through the same feed as inserts/updates (GDPR
+        erasure must propagate to downstream caches, which is exactly
+        what the feed is for).
+        """
+        stored = self._stored_schema()
+        if stored is None:
+            return 0
+        key_type = stored[self.key].dataType
+        if isinstance(keys, DataFrame):
+            keys_df = keys.select(F.col(keys.columns[0]).cast(key_type).alias(self.key))
+        else:
+            keys_df = self.spark.createDataFrame(
+                [(k,) for k in keys],
+                T.StructType([T.StructField(self.key, key_type)]),
+            )
+        keys_df = (
+            keys_df.where(F.col(self.key).isNotNull())
+            .distinct()
+            .withColumn(
+                _BUCKET,
+                F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)),
+            )
+        )
+        touched = sorted(
+            r[0]
+            for r in keys_df.select(_BUCKET).distinct().collect()
+            if self._bucket_version(r[0]) > 0
+        )
+        if not touched:
+            return 0
+        deleted = 0
+        remaining = touched
+        for _attempt in range(max_retries + 1):
+            if not remaining:
+                break
+            remaining, n = self._delete_commit_round(keys_df, remaining)
+            deleted += n
+        if remaining:
+            raise RuntimeError(
+                f"feature group {self.name!r}: buckets {remaining} still "
+                f"conflicted after {max_retries} delete retries"
+            )
+        return deleted
+
+    def _delete_commit_round(
+        self, keys_df: DataFrame, buckets: list[int]
+    ) -> tuple[list[int], int]:
+        """One optimistic delete round over ``buckets``; returns
+        (conflicted buckets, records removed by the COMMITTED buckets
+        — conflicted buckets re-count on retry, so nothing double-
+        counts)."""
+        read_vers = {b: self._bucket_version(b) for b in buckets}
+        live = [b for b in buckets if read_vers[b] > 0]
+        if not live:
+            return [], 0
+        paths = [self._bucket_snapshot(b, read_vers[b]) for b in live]
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:12]}")
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            existing = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*paths)
+                .withColumn(
+                    _BUCKET,
+                    F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)),
+                )
+            )
+            part_keys = keys_df.where(
+                F.col(_BUCKET).isin([int(b) for b in live])
+            ).select(self.key)
+            doomed = existing.join(
+                F.broadcast(part_keys), on=self.key, how="left_semi"
+            )
+            kept = existing.join(
+                F.broadcast(part_keys), on=self.key, how="left_anti"
+            )
+            doomed_per_bucket = {
+                r[0]: r[1]
+                for r in doomed.groupBy(_BUCKET).count().collect()
+            }
+            kept.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
+            empty_schema = T.StructType(
+                [f for f in existing.schema.fields if f.name != _BUCKET]
+            )
+            for b in live:
+                src = os.path.join(staging, f"{_BUCKET}={b}")
+                if not os.path.isdir(src):
+                    # all records of this bucket deleted: zero-row file
+                    self.spark.createDataFrame([], empty_schema).coalesce(
+                        1
+                    ).write.mode("overwrite").parquet(src)
+            if self.change_feed:
+                ch_staging = staging + "_changes"
+                shutil.rmtree(ch_staging, ignore_errors=True)
+                try:
+                    doomed.withColumn("_op", F.lit("delete")).write.mode(
+                        "overwrite"
+                    ).partitionBy(_BUCKET).parquet(ch_staging)
+                    for entry in os.listdir(ch_staging):
+                        if not entry.startswith(f"{_BUCKET}="):
+                            continue
+                        dst = os.path.join(staging, entry)
+                        if os.path.isdir(dst):
+                            os.rename(
+                                os.path.join(ch_staging, entry),
+                                os.path.join(dst, "_changes"),
+                            )
+                finally:
+                    shutil.rmtree(ch_staging, ignore_errors=True)
+        except Exception as exc:
+            shutil.rmtree(staging, ignore_errors=True)
+            msg = str(exc)
+            if not any(
+                s in msg
+                for s in (
+                    "FileNotFound",
+                    "FILE_NOT_FOUND",
+                    "Path does not exist",
+                    "PATH_NOT_FOUND",
+                    "does not exist",
+                )
+            ):
+                raise
+            return list(buckets), 0
+        conflicted, removed = [], 0
+        for b in live:
+            src = os.path.join(staging, f"{_BUCKET}={b}")
+            if self._commit_bucket(b, read_vers[b], src):
+                removed += int(doomed_per_bucket.get(b, 0))
+            else:
+                conflicted.append(b)
+        shutil.rmtree(staging, ignore_errors=True)
+        return conflicted, removed
+
     def _merge_commit_round(
         self, df: DataFrame, buckets: list[int]
     ) -> tuple[list[int], T.StructType | None]:

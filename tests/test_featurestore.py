@@ -3,6 +3,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from amazon_sagemaker_feature_store_streaming_aggregation_spark.featurestore import FeatureGroup
 from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import run_batch_ingest
@@ -353,3 +354,58 @@ class TestChangeFeed:
     def test_disabled_store_raises(self, spark, fg):
         with pytest.raises(RuntimeError):
             fg.change_feed_df()
+
+
+def test_delete_removes_keys_and_point_lookups(spark, tmp_path):
+    fg = FeatureGroup(
+        spark, "fg_del", "cc_num", "trans_time",
+        base_path=str(tmp_path), n_buckets=4,
+    )
+    rows = [(i, float(i), f"2024-01-01 00:00:{i:02d}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["cc_num", "amt", "trans_time"]).withColumn(
+        "trans_time", F.col("trans_time").cast("timestamp")
+    )
+    fg.upsert(df)
+    n = fg.delete([1, 3, 5, 99])  # 99 never existed
+    assert n == 3
+    left = {r.cc_num for r in fg.get_latest().collect()}
+    assert left == {0, 2, 4, 6, 7, 8, 9}
+    assert fg.get_record(3) is None
+    assert fg.get_record(4) is not None
+
+
+def test_delete_whole_bucket_then_reuse(spark, tmp_path):
+    fg = FeatureGroup(
+        spark, "fg_del_all", "cc_num", "trans_time",
+        base_path=str(tmp_path), n_buckets=1,  # everything in one bucket
+    )
+    df = spark.createDataFrame(
+        [(1, 1.0, "2024-01-01 00:00:00"), (2, 2.0, "2024-01-01 00:00:01")],
+        ["cc_num", "amt", "trans_time"],
+    ).withColumn("trans_time", F.col("trans_time").cast("timestamp"))
+    fg.upsert(df)
+    assert fg.delete([1, 2]) == 2
+    # the zero-row snapshot still reads cleanly
+    assert fg.get_latest().count() == 0
+    # and the store stays writable after full erasure
+    fg.upsert(df.where("cc_num = 1"))
+    assert {r.cc_num for r in fg.get_latest().collect()} == {1}
+
+
+def test_delete_emits_change_feed_deletes(spark, tmp_path):
+    fg = FeatureGroup(
+        spark, "fg_del_cdc", "cc_num", "trans_time",
+        base_path=str(tmp_path), n_buckets=2, change_feed=True,
+    )
+    df = spark.createDataFrame(
+        [(i, float(i), "2024-01-01 00:00:00") for i in range(4)],
+        ["cc_num", "amt", "trans_time"],
+    ).withColumn("trans_time", F.col("trans_time").cast("timestamp"))
+    fg.upsert(df)
+    assert fg.delete([0, 2]) == 2
+    feed = fg.change_feed_df().collect()
+    dels = {r.cc_num for r in feed if r._op == "delete"}
+    assert dels == {0, 2}
+    # deletes and the original inserts coexist in the feed history
+    ins = {r.cc_num for r in feed if r._op == "insert"}
+    assert ins == {0, 1, 2, 3}
