@@ -63,3 +63,64 @@ def clean_corpus(
         < keep_bp
     )
     return sampled.select(id_col, "n_tokens", "quality_score", "lang_pred")
+
+
+def curate_and_shard(
+    documents: DataFrame,
+    min_quality: float = 0.5,
+    lang: str = "en",
+    keep_bp: int = 9000,
+    cap: int = 10,
+    n_shards: int = 8,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The WHOLE curation story as one job: raw corpus → quality
+    filter → language filter → exact dedup → deterministic sample →
+    per-source cap → global shuffle → context-window packing. Returns
+    the per-(shard, window) manifest — what a training job reads to
+    plan its epoch — and every stage is the already-verified operator
+    (clean_corpus stages, operators/training_data.py), so the
+    composed DuckDB oracle checks the END-TO-END pipeline, not just
+    its parts.
+
+    Shuffle census for the whole pipeline: quality/lang filters are
+    scan-side and commute with the text-keyed dedup (its ONE exchange
+    sees only survivors); the source cap windows on `source` with the
+    two-phase skew guard; the shuffle+pack stages share ONE exchange
+    on `shard` (plan-pinned for the standalone operators). Four
+    exchanges end-to-end for a six-stage pipeline, each over an
+    already-reduced slice.
+    """
+    from ..operators.training_data import cap_per_source, pack_context_windows
+
+    scored = with_lang_id(with_text_stats(documents, text_col), text_col)
+    filtered = scored.where(
+        (F.col("quality_score") >= min_quality) & (F.col("lang_pred") == lang)
+    )
+    w = Window.partitionBy(h64(F.col(text_col))).orderBy(id_col)
+    kept = (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, text_col, source_col)
+    )
+    sampled = kept.where(
+        h64(F.concat(F.lit("clean:"), F.col(id_col).cast("string"))) % 10000
+        < keep_bp
+    )
+    capped = cap_per_source(
+        sampled,
+        source_col=source_col,
+        key_col=id_col,
+        cap=cap,
+        presort_cap=4 * cap,
+    )
+    return pack_context_windows(
+        capped,
+        text_col=text_col,
+        key_col=id_col,
+        n_shards=n_shards,
+        budget=budget,
+    ).withColumn("shard", F.col("shard").cast("long"))

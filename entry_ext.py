@@ -1668,6 +1668,108 @@ WHERE rn = 1
 """
 
 
+def _q_curate_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation showcase: quality → lang → dedup → sample
+    → per-source cap → shuffle → pack, one composed job
+    (plans/pipeline.py::curate_and_shard); the oracle replays the
+    ENTIRE chain in DuckDB."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.pipeline import curate_and_shard
+
+    return curate_and_shard(load_table(spark, sf_dir, "documents"))
+
+
+def _curate_shards_oracle() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = ", ".join(
+        "CAST(len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        + f"], lower(t)))) AS BIGINT) AS score_{lang}"
+        for lang in langs
+    )
+    case = "CASE "
+    for lang in langs:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}"
+            for other in langs
+            if other != lang
+        )
+        case += f"WHEN {conds} THEN '{lang}' "
+    case += "END"
+    en_stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    cap_h = _H64.format(x="concat('cap-v1:', CAST(doc_id AS VARCHAR))")
+    shuf_h = _H64.format(x="concat('shuffle-v1:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, source,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')
+           AS toks,
+         length(text) AS n_chars_m,
+         length(text) - length(regexp_replace(text, '[\\.\\,\\;\\:\\!\\?]', '', 'g'))
+           AS n_punct
+  FROM documents
+), counted AS (
+  SELECT doc_id, text, source, toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(n_chars_m AS BIGINT) AS n_chars_m,
+         CAST(n_punct AS BIGINT) AS n_punct,
+         CAST(len(list_filter(toks, t -> list_contains([{en_stop}],
+              lower(t)))) AS BIGINT) AS n_stopwords
+  FROM base
+), ratios AS (
+  SELECT *,
+         CASE WHEN n_chars_m > 0
+              THEN CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0
+              THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              ELSE 0.0 END AS stopword_ratio
+  FROM counted
+), scored AS (
+  SELECT doc_id, text, source, n_tokens,
+         CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END
+           + 0.3 * (1.0 - punct_ratio) + 0.3 * stopword_ratio
+           AS quality_score,
+         {score_cols}
+  FROM ratios
+), lang_pred AS (
+  SELECT doc_id, text, source, n_tokens, quality_score,
+         {case} AS lang_pred
+  FROM scored
+), filtered AS (
+  SELECT * FROM lang_pred
+  WHERE quality_score >= 0.5 AND lang_pred = 'en'
+), dedup AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY {_H64.format(x="text")} ORDER BY doc_id) AS rn
+  FROM filtered
+), sampled AS (
+  SELECT doc_id, source, n_tokens FROM dedup
+  WHERE rn = 1
+    AND {_H64.format(x="concat('clean:', CAST(doc_id AS VARCHAR))")} % 10000
+        < 9000
+), capped AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {cap_h}, doc_id) AS cap_rk
+  FROM sampled
+), shuffled AS (
+  SELECT doc_id, n_tokens, {shuf_h} % 8 AS shard,
+         row_number() OVER (PARTITION BY {shuf_h} % 8
+                            ORDER BY {shuf_h}, doc_id) AS pos
+  FROM capped WHERE cap_rk <= 10
+), cum AS (
+  SELECT shard, pos, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos)
+              AS BIGINT) AS c
+  FROM shuffled
+)
+SELECT shard, CAST(floor((c - n_tokens) / 512.0) AS BIGINT) AS win,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS win_tokens,
+       min(pos) AS first_pos, max(pos) AS last_pos
+FROM cum GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------ UDF / UDAF / UDTF surfaces
 
 
@@ -2963,6 +3065,7 @@ def ext_queries():
         "olap_forecast_revenue": _q_forecast_revenue,
         "olap_sole_late_supplier": _q_sole_late_supplier,
         "olap_shipping_priority": _q_shipping_priority,
+        "pipeline_curate_shards": _q_curate_shards,
     }
 
 
@@ -3049,4 +3152,5 @@ def ext_oracles():
         "olap_forecast_revenue": _FORECAST_REVENUE_ORACLE,
         "olap_sole_late_supplier": _SOLE_LATE_ORACLE,
         "olap_shipping_priority": _SHIPPING_PRIORITY_ORACLE,
+        "pipeline_curate_shards": _curate_shards_oracle(),
     }
