@@ -1551,12 +1551,12 @@ FROM zeroed
 # entries of queries() in registration order.  Round 2 left the last 18
 # registered queries without a gate row (green in tests/test_entry_oracles.py
 # but never driver-verified).  Round 3 puts those 18 plus the earliest
-# round-3 additions first (exactly 50 — the cap forces 5 of the 55
+# round-3 additions first (exactly 50 — the cap forces 6 of the 56
 # never-gated entries to wait: q_validate_orders, ts_decay_features,
 # olap_forecast_revenue, olap_sole_late_supplier, olap_shipping_priority,
-# each green in the pytest oracle mirror meanwhile).  Round-4 rotation:
-# put those 5 plus any new additions FIRST, then backfill with the
-# longest-stale r2-gated entries.
+# pipeline_curate_shards — each green in the pytest oracle mirror
+# meanwhile).  Round-4 rotation: put those 6 plus any new additions
+# FIRST, then backfill with the longest-stale r2-gated entries.
 _GATE_PRIORITY = [
     "rel_regex_month",
     "rel_json_props",
