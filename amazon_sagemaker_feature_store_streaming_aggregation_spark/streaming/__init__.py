@@ -15,6 +15,7 @@ from .running_totals import (  # noqa: F401
     running_totals_tws,
     tws_available,
 )
+from .enrich import start_refreshed_dim_enrich  # noqa: F401
 from .sessions import session_window_stats  # noqa: F401
 from .sliding_agg import sliding_agg_exact, sliding_agg_windowed  # noqa: F401
 from .upsert_sink import start_stream_upsert  # noqa: F401

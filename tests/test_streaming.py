@@ -370,3 +370,64 @@ def test_progress_summary_accounts_for_all_input(spark, tmp_path):
     assert 0 <= m["state_rows"] < 1000
     assert m["rows_per_sec"] > 0
     assert m["max_batch_ms"] >= 1
+
+
+def test_refreshed_dim_enrich_sees_mid_stream_dimension_update(spark, tmp_path):
+    """The foreachBatch re-read must pick up a dimension row updated
+    BETWEEN micro-batches — the exact case the plan-frozen
+    stream-static join silently serves stale."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.enrich import (
+        start_refreshed_dim_enrich,
+    )
+
+    # two single-file event chunks -> two micro-batches (1 file/trigger)
+    sdir = tmp_path / "events_in"
+    sdir.mkdir()
+    now = _time.time()
+    for i in range(2):
+        f = str(sdir / f"{i:02d}.parquet")
+        spark.createDataFrame([(1, i)], "user_id long, seq long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f + ".dir")
+        _shutil.copy(_glob.glob(f + ".dir/*.parquet")[0], f)
+        _shutil.rmtree(f + ".dir")
+        _os.utime(f, (now + i * 60, now + i * 60))
+
+    dim_path = str(tmp_path / "dim")
+
+    def write_dim(tag):
+        spark.createDataFrame([(1, tag)], "user_id long, tag string").write.mode(
+            "overwrite"
+        ).parquet(dim_path)
+
+    write_dim("v1")
+
+    def on_batch_done(batch_id):
+        if batch_id == 0:
+            write_dim("v2")  # update BETWEEN batch 0 and batch 1
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("user_id long, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(sdir))
+    )
+    out = str(tmp_path / "enriched")
+    q = start_refreshed_dim_enrich(
+        stream, dim_path, "user_id", out, str(tmp_path / "ckpt"),
+        on_batch_done=on_batch_done,
+    )
+    assert q.awaitTermination(120)
+
+    got = {
+        r.seq: r.tag for r in spark.read.parquet(out).collect()
+    }
+    # batch 0 (seq=0) enriched against v1; batch 1 (seq=1) sees v2
+    assert got == {0: "v1", 1: "v2"}
