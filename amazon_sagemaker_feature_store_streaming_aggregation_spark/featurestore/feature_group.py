@@ -734,6 +734,49 @@ class FeatureGroup:
             raise ValueError(f"feature group {self.name!r} has no data")
         return self.spark.read.option("mergeSchema", "true").parquet(*snaps)
 
+    def version_map(self) -> dict[int, int]:
+        """Current committed version per bucket — the cursor shape
+        shared with :meth:`change_feed_df`'s ``since`` and
+        :meth:`snapshot_at`. Capture it before a write to be able to
+        read the pre-write state afterwards (within retention)."""
+        return {
+            b: v
+            for b in range(self.n_buckets)
+            if (v := self._bucket_version(b)) > 0
+        }
+
+    def snapshot_at(self, versions: dict[int, int]) -> DataFrame:
+        """Time travel: read the store AS OF a captured
+        :meth:`version_map` — each bucket at the version the cursor
+        recorded (buckets absent from the cursor had no data then and
+        are omitted). Works for any version still inside the
+        ``snapshot_retention`` window; older versions raise, naming
+        the bucket — the same contract as table-format
+        ``VERSION AS OF`` reads, which retire history on VACUUM.
+
+        Together with :meth:`change_feed_df` this closes the
+        reproducibility loop: capture the cursor when a training set
+        is built, and the exact feature state that produced it stays
+        readable while retention holds.
+        """
+        snaps = []
+        for b, v in sorted(versions.items()):
+            if v <= 0:
+                continue
+            p = self._bucket_snapshot(b, v)
+            if not os.path.isdir(p):
+                raise ValueError(
+                    f"feature group {self.name!r}: bucket {b} version {v} "
+                    f"is outside the retention window "
+                    f"(retention={self.snapshot_retention})"
+                )
+            snaps.append(p)
+        if not snaps:
+            raise ValueError(
+                f"feature group {self.name!r}: empty version cursor"
+            )
+        return self.spark.read.option("mergeSchema", "true").parquet(*snaps)
+
     def get_record(self, identifier) -> dict | None:
         """Point lookup by record identifier (reference ``get_record``).
 

@@ -409,3 +409,47 @@ def test_delete_emits_change_feed_deletes(spark, tmp_path):
     # deletes and the original inserts coexist in the feed history
     ins = {r.cc_num for r in feed if r._op == "insert"}
     assert ins == {0, 1, 2, 3}
+
+
+def test_snapshot_at_time_travel(spark, tmp_path):
+    fg = FeatureGroup(
+        spark, "fg_tt", "cc_num", "trans_time",
+        base_path=str(tmp_path), n_buckets=2,
+    )
+
+    def batch(amt):
+        return spark.createDataFrame(
+            [(i, amt, "2024-01-01 00:00:00") for i in range(4)],
+            ["cc_num", "amt", "trans_time"],
+        ).withColumn("trans_time", F.col("trans_time").cast("timestamp"))
+
+    fg.upsert(batch(1.0))
+    cursor = fg.version_map()
+    fg.upsert(batch(2.0).withColumn(
+        "trans_time", F.col("trans_time") + F.expr("INTERVAL 1 HOUR")
+    ))
+    # latest sees the update; the captured cursor still reads v1
+    assert {r.amt for r in fg.get_latest().collect()} == {2.0}
+    old = fg.snapshot_at(cursor)
+    assert {r.amt for r in old.collect()} == {1.0}
+    assert old.count() == 4
+
+
+def test_snapshot_at_outside_retention_raises(spark, tmp_path):
+    fg = FeatureGroup(
+        spark, "fg_tt_ret", "cc_num", "trans_time",
+        base_path=str(tmp_path), n_buckets=1, snapshot_retention=2,
+    )
+
+    def batch(amt, s):
+        return spark.createDataFrame(
+            [(1, amt, f"2024-01-01 00:00:{s:02d}")],
+            ["cc_num", "amt", "trans_time"],
+        ).withColumn("trans_time", F.col("trans_time").cast("timestamp"))
+
+    fg.upsert(batch(1.0, 0))
+    cursor = fg.version_map()  # v1
+    fg.upsert(batch(2.0, 1))   # v2
+    fg.upsert(batch(3.0, 2))   # v3 -> v1 retired (retention=2)
+    with pytest.raises(ValueError, match="retention"):
+        fg.snapshot_at(cursor)
