@@ -78,6 +78,24 @@ from pyspark.sql import types as T
 
 _BUCKET = "__fg_bucket"
 
+#: substrings identifying "a captured snapshot was retired mid-job"
+#: failures (retryable against re-resolved versions) — shared by the
+#: upsert and delete commit rounds so both classify the race the
+#: same way.
+_RETIRED_SNAPSHOT_MARKERS = (
+    "FileNotFound",
+    "FILE_NOT_FOUND",
+    "Path does not exist",
+    "PATH_NOT_FOUND",
+    "does not exist",
+)
+
+
+def _is_retired_snapshot_error(exc: Exception) -> bool:
+    msg = str(exc)
+    return any(s in msg for s in _RETIRED_SNAPSHOT_MARKERS)
+
+
 _NUMERIC = (
     T.ByteType,
     T.ShortType,
@@ -276,15 +294,21 @@ class FeatureGroup:
         upserts of other keys. ``keys`` is a list of identifiers or a
         1-column DataFrame. Returns the number of records removed.
 
-        Bucket-local like upsert: only the buckets the keys hash into
-        are read, anti-joined and rewritten. A bucket whose every
-        record is deleted publishes a ZERO-ROW parquet snapshot (an
-        empty directory would break the live-set parquet reads). With
-        ``change_feed=True`` each commit's removed rows land in the
-        snapshot's ``_changes/`` tagged ``_op='delete'`` — consumers
-        see deletions through the same feed as inserts/updates (GDPR
-        erasure must propagate to downstream caches, which is exactly
-        what the feed is for).
+        Bucket-local like upsert: only the buckets that actually LOSE
+        records are read, anti-joined and rewritten (deleting absent
+        keys is a true no-op — no version burned). A bucket whose
+        every record is deleted publishes a ZERO-ROW parquet snapshot
+        (an empty directory would break the live-set parquet reads).
+        With ``change_feed=True`` each commit emits key-only
+        ``_op='delete'`` tombstones (never the erased payload) so
+        consumers propagate the erasure downstream.
+
+        Erasure scope: this removes the record from the CURRENT
+        snapshot and all future reads; PRIOR retained snapshots (and
+        the change-feed insert rows inside them) still hold the
+        record until version churn retires them. For complete
+        physical erasure (GDPR), follow with :meth:`vacuum` — the
+        same two-step contract as Delta ``DELETE`` + ``VACUUM``.
         """
         stored = self._stored_schema()
         if stored is None:
@@ -355,18 +379,28 @@ class FeatureGroup:
             doomed = existing.join(
                 F.broadcast(part_keys), on=self.key, how="left_semi"
             )
-            kept = existing.join(
-                F.broadcast(part_keys), on=self.key, how="left_anti"
-            )
             doomed_per_bucket = {
                 r[0]: r[1]
                 for r in doomed.groupBy(_BUCKET).count().collect()
             }
+            # only buckets that actually LOSE rows are rewritten — a
+            # delete of absent keys must not burn a version (each
+            # no-op commit would retire a retained snapshot and age
+            # version_map/change-feed cursors for no change)
+            hit = [b for b in live if doomed_per_bucket.get(b, 0) > 0]
+            if not hit:
+                return [], 0
+            existing_hit = existing.where(
+                F.col(_BUCKET).isin([int(b) for b in hit])
+            )
+            kept = existing_hit.join(
+                F.broadcast(part_keys), on=self.key, how="left_anti"
+            )
             kept.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
             empty_schema = T.StructType(
                 [f for f in existing.schema.fields if f.name != _BUCKET]
             )
-            for b in live:
+            for b in hit:
                 src = os.path.join(staging, f"{_BUCKET}={b}")
                 if not os.path.isdir(src):
                     # all records of this bucket deleted: zero-row file
@@ -374,40 +408,30 @@ class FeatureGroup:
                         1
                     ).write.mode("overwrite").parquet(src)
             if self.change_feed:
+                # tombstones carry ONLY key + event time — a deletion
+                # change row must not re-publish the record payload it
+                # exists to erase
+                tombstones = (
+                    doomed.where(F.col(_BUCKET).isin([int(b) for b in hit]))
+                    .select(self.key, self.event_time, _BUCKET)
+                    .withColumn("_op", F.lit("delete"))
+                )
                 ch_staging = staging + "_changes"
                 shutil.rmtree(ch_staging, ignore_errors=True)
                 try:
-                    doomed.withColumn("_op", F.lit("delete")).write.mode(
-                        "overwrite"
-                    ).partitionBy(_BUCKET).parquet(ch_staging)
-                    for entry in os.listdir(ch_staging):
-                        if not entry.startswith(f"{_BUCKET}="):
-                            continue
-                        dst = os.path.join(staging, entry)
-                        if os.path.isdir(dst):
-                            os.rename(
-                                os.path.join(ch_staging, entry),
-                                os.path.join(dst, "_changes"),
-                            )
+                    tombstones.write.mode("overwrite").partitionBy(
+                        _BUCKET
+                    ).parquet(ch_staging)
+                    self._move_changes(staging, ch_staging)
                 finally:
                     shutil.rmtree(ch_staging, ignore_errors=True)
         except Exception as exc:
             shutil.rmtree(staging, ignore_errors=True)
-            msg = str(exc)
-            if not any(
-                s in msg
-                for s in (
-                    "FileNotFound",
-                    "FILE_NOT_FOUND",
-                    "Path does not exist",
-                    "PATH_NOT_FOUND",
-                    "does not exist",
-                )
-            ):
+            if not _is_retired_snapshot_error(exc):
                 raise
             return list(buckets), 0
         conflicted, removed = [], 0
-        for b in live:
+        for b in hit:
             src = os.path.join(staging, f"{_BUCKET}={b}")
             if self._commit_bucket(b, read_vers[b], src):
                 removed += int(doomed_per_bucket.get(b, 0))
@@ -415,6 +439,20 @@ class FeatureGroup:
                 conflicted.append(b)
         shutil.rmtree(staging, ignore_errors=True)
         return conflicted, removed
+
+    def _move_changes(self, staging: str, ch_staging: str) -> None:
+        """Move each ``__fg_bucket=B`` dir of a staged change-row write
+        into the matching staged snapshot dir as ``_changes/`` (shared
+        by the upsert and delete rounds)."""
+        for entry in os.listdir(ch_staging):
+            if not entry.startswith(f"{_BUCKET}="):
+                continue
+            dst = os.path.join(staging, entry)
+            if os.path.isdir(dst):
+                os.rename(
+                    os.path.join(ch_staging, entry),
+                    os.path.join(dst, "_changes"),
+                )
 
     def _merge_commit_round(
         self, df: DataFrame, buckets: list[int]
@@ -476,17 +514,7 @@ class FeatureGroup:
             # failures (bad data, disk) propagate: retrying can't fix
             # them and the conflict loop must not mask them.
             shutil.rmtree(staging, ignore_errors=True)
-            msg = str(exc)
-            if not any(
-                s in msg
-                for s in (
-                    "FileNotFound",
-                    "FILE_NOT_FOUND",
-                    "Path does not exist",
-                    "PATH_NOT_FOUND",
-                    "does not exist",
-                )
-            ):
+            if not _is_retired_snapshot_error(exc):
                 raise
             return list(buckets), None
 
@@ -497,17 +525,7 @@ class FeatureGroup:
                 )
             except Exception as exc:
                 shutil.rmtree(staging, ignore_errors=True)
-                msg = str(exc)
-                if not any(
-                    s in msg
-                    for s in (
-                        "FileNotFound",
-                        "FILE_NOT_FOUND",
-                        "Path does not exist",
-                        "PATH_NOT_FOUND",
-                        "does not exist",
-                    )
-                ):
+                if not _is_retired_snapshot_error(exc):
                     raise
                 return list(buckets), None
 
@@ -569,15 +587,7 @@ class FeatureGroup:
             changes.write.mode("overwrite").partitionBy(_BUCKET).parquet(
                 ch_staging
             )
-            for entry in os.listdir(ch_staging):
-                if not entry.startswith(f"{_BUCKET}="):
-                    continue
-                dst_bucket = os.path.join(staging, entry)
-                if os.path.isdir(dst_bucket):
-                    os.rename(
-                        os.path.join(ch_staging, entry),
-                        os.path.join(dst_bucket, "_changes"),
-                    )
+            self._move_changes(staging, ch_staging)
         finally:
             shutil.rmtree(ch_staging, ignore_errors=True)
 
@@ -678,6 +688,42 @@ class FeatureGroup:
         finally:
             shutil.rmtree(claim, ignore_errors=True)
 
+    def vacuum(self) -> int:
+        """Retire every non-current snapshot immediately (including its
+        embedded ``_changes/`` history). Returns the number of
+        snapshot directories removed.
+
+        This is the erasure COMPLETION step for :meth:`delete`: the
+        delete commit removes a record from the CURRENT snapshot, but
+        prior retained snapshots — and the change-feed insert rows
+        inside them — still hold it until version churn retires them,
+        which never happens on a cold bucket. ``vacuum`` forces that
+        retirement, exactly like Delta's ``VACUUM`` after a GDPR
+        delete. Run it quiesced or from the single writer that owns
+        the store: it collapses the history concurrent readers'
+        lazy merge reads and :meth:`snapshot_at` cursors depend on
+        (their reads fail retryably, same as normal retention
+        retirement — but vacuum makes that window immediate).
+        """
+        removed = 0
+        for b in range(self.n_buckets):
+            cur = self._bucket_version(b)
+            if cur <= 0:
+                continue
+            bdir = self._bucket_dir(b)
+            for entry in os.listdir(bdir):
+                if not entry.startswith("v="):
+                    continue
+                try:
+                    v = int(entry.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if v < cur:
+                    shutil.rmtree(os.path.join(bdir, entry),
+                                  ignore_errors=True)
+                    removed += 1
+        return removed
+
     def sweep_stale_claims(self, max_age_s: float = 3600.0) -> int:
         """Janitor for claim markers orphaned by a writer that CRASHED
         inside the commit window (between ``os.mkdir(claim)`` and its
@@ -753,6 +799,12 @@ class FeatureGroup:
         ``snapshot_retention`` window; older versions raise, naming
         the bucket — the same contract as table-format
         ``VERSION AS OF`` reads, which retire history on VACUUM.
+        The check runs at CALL time against the directory listing;
+        the returned DataFrame reads lazily, so a version retired
+        between this call and the action (a concurrent writer
+        committing past retention, or :meth:`vacuum`) surfaces as the
+        engine's FileNotFound on the action, not this ValueError —
+        re-resolve and retry, as the merge path does.
 
         Together with :meth:`change_feed_df` this closes the
         reproducibility loop: capture the cursor when a training set

@@ -33,6 +33,39 @@ from ..functions.hashing import h64
 from ..functions.text import with_lang_id, with_text_stats
 
 
+def _cleaned(
+    documents: DataFrame,
+    min_quality: float,
+    lang: str,
+    keep_bp: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The shared cleaning chain (quality filter → language filter →
+    exact dedup → deterministic sample) used by BOTH
+    :func:`clean_corpus` and :func:`curate_and_shard` — one source of
+    truth so a semantics change (sample hash, dedup tie-break, quality
+    formula inputs) cannot silently diverge between the two. Returns
+    the survivors with every scored column still attached; callers
+    project what they need."""
+    scored = with_lang_id(with_text_stats(documents, text_col), text_col)
+    filtered = scored.where(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("lang_pred") == lang)
+    )
+    w = Window.partitionBy(h64(F.col(text_col))).orderBy(id_col)
+    kept = (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return kept.where(
+        h64(F.concat(F.lit("clean:"), F.col(id_col).cast("string")))
+        % 10000
+        < keep_bp
+    )
+
+
 def clean_corpus(
     documents: DataFrame,
     min_quality: float = 0.5,
@@ -46,23 +79,9 @@ def clean_corpus(
     language ``lang``, exact dedup (lowest id wins), and a
     ``keep_bp``/10000 deterministic sample.
     """
-    scored = with_lang_id(with_text_stats(documents, text_col), text_col)
-    filtered = scored.where(
-        (F.col("quality_score") >= min_quality)
-        & (F.col("lang_pred") == lang)
-    )
-    w = Window.partitionBy(h64(F.col(text_col))).orderBy(id_col)
-    kept = (
-        filtered.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    sampled = kept.where(
-        h64(F.concat(F.lit("clean:"), F.col(id_col).cast("string")))
-        % 10000
-        < keep_bp
-    )
-    return sampled.select(id_col, "n_tokens", "quality_score", "lang_pred")
+    return _cleaned(
+        documents, min_quality, lang, keep_bp, text_col, id_col
+    ).select(id_col, "n_tokens", "quality_score", "lang_pred")
 
 
 def curate_and_shard(
@@ -96,20 +115,9 @@ def curate_and_shard(
     """
     from ..operators.training_data import cap_per_source, pack_context_windows
 
-    scored = with_lang_id(with_text_stats(documents, text_col), text_col)
-    filtered = scored.where(
-        (F.col("quality_score") >= min_quality) & (F.col("lang_pred") == lang)
-    )
-    w = Window.partitionBy(h64(F.col(text_col))).orderBy(id_col)
-    kept = (
-        filtered.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(id_col, text_col, source_col)
-    )
-    sampled = kept.where(
-        h64(F.concat(F.lit("clean:"), F.col(id_col).cast("string"))) % 10000
-        < keep_bp
-    )
+    sampled = _cleaned(
+        documents, min_quality, lang, keep_bp, text_col, id_col
+    ).select(id_col, text_col, source_col)
     capped = cap_per_source(
         sampled,
         source_col=source_col,

@@ -42,16 +42,26 @@ def start_refreshed_dim_enrich(
     on_batch_done: Callable[[int], None] | None = None,
 ) -> StreamingQuery:
     """Start a foreachBatch enrichment that re-reads ``dim_path``
-    every micro-batch (left join on ``key``, appended to
-    ``out_path``). ``on_batch_done`` is a test/ops hook invoked after
-    each batch commits."""
+    every micro-batch (left join on ``key``), writing each batch to
+    ``out_path/batch=<id>/``.
+
+    Idempotence: foreachBatch is AT-LEAST-ONCE — a crash between the
+    sink write and the checkpoint commit replays the batch — so each
+    batch OVERWRITES its own ``batch=<id>`` directory instead of
+    appending to a shared one; a replay clobbers its previous partial
+    output and downstream readers of ``out_path`` (partition
+    discovery picks up the ``batch`` column) never see duplicates.
+    This is the standard foreachBatch exactly-once recipe for
+    file sinks. ``on_batch_done`` is a test/ops hook invoked after
+    each batch's write — it shares the at-least-once contract (it may
+    re-fire on replay), so keep it idempotent too."""
 
     def _do_batch(bdf: DataFrame, batch_id: int) -> None:
         dim = bdf.sparkSession.read.parquet(dim_path)
         (
             bdf.join(F.broadcast(dim), on=key, how="left")
-            .write.mode("append")
-            .parquet(out_path)
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch={batch_id}")
         )
         if on_batch_done is not None:
             on_batch_done(batch_id)

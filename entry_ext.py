@@ -1598,7 +1598,11 @@ def _q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(load_table(spark, sf_dir, "documents"))
 
 
-def _pipeline_oracle() -> str:
+def _clean_cte_prefix(with_source: bool) -> str:
+    """WITH-clause prefix replaying the shared cleaning chain
+    (plans/pipeline.py::_cleaned) up to the ``dedup`` CTE — one
+    source of truth for BOTH _pipeline_oracle and
+    _curate_shards_oracle, mirroring the Spark-side helper."""
     langs = sorted(LANG_STOPWORDS)
     score_cols = ", ".join(
         "CAST(len(list_filter(toks, t -> list_contains(["
@@ -1616,9 +1620,10 @@ def _pipeline_oracle() -> str:
         case += f"WHEN {conds} THEN '{lang}' "
     case += "END"
     en_stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    src = ", source" if with_source else ""
     return f"""
 WITH base AS (
-  SELECT doc_id, text,
+  SELECT doc_id, text{src},
          list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')
            AS toks,
          length(text) AS n_chars_m,
@@ -1626,7 +1631,7 @@ WITH base AS (
            AS n_punct
   FROM documents
 ), counted AS (
-  SELECT doc_id, text, toks,
+  SELECT doc_id, text{src}, toks,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST(n_chars_m AS BIGINT) AS n_chars_m,
          CAST(n_punct AS BIGINT) AS n_punct,
@@ -1643,14 +1648,14 @@ WITH base AS (
               ELSE 0.0 END AS stopword_ratio
   FROM counted
 ), scored AS (
-  SELECT doc_id, text, n_tokens,
+  SELECT doc_id, text{src}, n_tokens,
          CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END
            + 0.3 * (1.0 - punct_ratio) + 0.3 * stopword_ratio
            AS quality_score,
          {score_cols}
   FROM ratios
 ), lang_pred AS (
-  SELECT doc_id, text, n_tokens, quality_score, {case} AS lang_pred
+  SELECT doc_id, text{src}, n_tokens, quality_score, {case} AS lang_pred
   FROM scored
 ), filtered AS (
   SELECT * FROM lang_pred
@@ -1659,7 +1664,11 @@ WITH base AS (
   SELECT *, row_number() OVER (
            PARTITION BY {_H64.format(x="text")} ORDER BY doc_id) AS rn
   FROM filtered
-)
+)"""
+
+
+def _pipeline_oracle() -> str:
+    return _clean_cte_prefix(with_source=False) + f"""
 SELECT doc_id, n_tokens, quality_score, lang_pred
 FROM dedup
 WHERE rn = 1
@@ -1679,70 +1688,9 @@ def _q_curate_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curate_shards_oracle() -> str:
-    langs = sorted(LANG_STOPWORDS)
-    score_cols = ", ".join(
-        "CAST(len(list_filter(toks, t -> list_contains(["
-        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
-        + f"], lower(t)))) AS BIGINT) AS score_{lang}"
-        for lang in langs
-    )
-    case = "CASE "
-    for lang in langs:
-        conds = " AND ".join(
-            f"score_{lang} >= score_{other}"
-            for other in langs
-            if other != lang
-        )
-        case += f"WHEN {conds} THEN '{lang}' "
-    case += "END"
-    en_stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
     cap_h = _H64.format(x="concat('cap-v1:', CAST(doc_id AS VARCHAR))")
     shuf_h = _H64.format(x="concat('shuffle-v1:', CAST(doc_id AS VARCHAR))")
-    return f"""
-WITH base AS (
-  SELECT doc_id, text, source,
-         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')
-           AS toks,
-         length(text) AS n_chars_m,
-         length(text) - length(regexp_replace(text, '[\\.\\,\\;\\:\\!\\?]', '', 'g'))
-           AS n_punct
-  FROM documents
-), counted AS (
-  SELECT doc_id, text, source, toks,
-         CAST(len(toks) AS BIGINT) AS n_tokens,
-         CAST(n_chars_m AS BIGINT) AS n_chars_m,
-         CAST(n_punct AS BIGINT) AS n_punct,
-         CAST(len(list_filter(toks, t -> list_contains([{en_stop}],
-              lower(t)))) AS BIGINT) AS n_stopwords
-  FROM base
-), ratios AS (
-  SELECT *,
-         CASE WHEN n_chars_m > 0
-              THEN CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
-              ELSE 0.0 END AS punct_ratio,
-         CASE WHEN n_tokens > 0
-              THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-              ELSE 0.0 END AS stopword_ratio
-  FROM counted
-), scored AS (
-  SELECT doc_id, text, source, n_tokens,
-         CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END
-           + 0.3 * (1.0 - punct_ratio) + 0.3 * stopword_ratio
-           AS quality_score,
-         {score_cols}
-  FROM ratios
-), lang_pred AS (
-  SELECT doc_id, text, source, n_tokens, quality_score,
-         {case} AS lang_pred
-  FROM scored
-), filtered AS (
-  SELECT * FROM lang_pred
-  WHERE quality_score >= 0.5 AND lang_pred = 'en'
-), dedup AS (
-  SELECT *, row_number() OVER (
-           PARTITION BY {_H64.format(x="text")} ORDER BY doc_id) AS rn
-  FROM filtered
-), sampled AS (
+    return _clean_cte_prefix(with_source=True) + f""", sampled AS (
   SELECT doc_id, source, n_tokens FROM dedup
   WHERE rn = 1
     AND {_H64.format(x="concat('clean:', CAST(doc_id AS VARCHAR))")} % 10000

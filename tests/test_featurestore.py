@@ -453,3 +453,52 @@ def test_snapshot_at_outside_retention_raises(spark, tmp_path):
     fg.upsert(batch(3.0, 2))   # v3 -> v1 retired (retention=2)
     with pytest.raises(ValueError, match="retention"):
         fg.snapshot_at(cursor)
+
+
+def test_delete_of_absent_keys_burns_no_version(spark, tmp_path):
+    fg = FeatureGroup(
+        spark, "fg_del_noop", "cc_num", "trans_time",
+        base_path=str(tmp_path), n_buckets=2,
+    )
+    df = spark.createDataFrame(
+        [(i, float(i), "2024-01-01 00:00:00") for i in range(4)],
+        ["cc_num", "amt", "trans_time"],
+    ).withColumn("trans_time", F.col("trans_time").cast("timestamp"))
+    fg.upsert(df)
+    before = fg.version_map()
+    assert fg.delete([1000, 2000]) == 0  # keys never stored
+    # a no-op delete must not advance any bucket version
+    assert fg.version_map() == before
+
+
+def test_vacuum_completes_erasure(spark, tmp_path):
+    import glob as _glob
+
+    fg = FeatureGroup(
+        spark, "fg_vac", "cc_num", "trans_time",
+        base_path=str(tmp_path), n_buckets=1, change_feed=True,
+    )
+    df = spark.createDataFrame(
+        [(1, 1.0, "2024-01-01 00:00:00"), (2, 2.0, "2024-01-01 00:00:00")],
+        ["cc_num", "amt", "trans_time"],
+    ).withColumn("trans_time", F.col("trans_time").cast("timestamp"))
+    fg.upsert(df)
+    fg.delete([1])
+    # pre-vacuum: the erased record still lives in the prior snapshot
+    pre = [
+        r.cc_num
+        for f in _glob.glob(str(tmp_path / "fg_vac/bucket=0/v=*/part-*.parquet"))
+        for r in spark.read.parquet(f).collect()
+    ]
+    assert 1 in pre
+    removed = fg.vacuum()
+    assert removed >= 1
+    # post-vacuum: no retained file anywhere holds key 1
+    post = [
+        r.cc_num
+        for f in _glob.glob(str(tmp_path / "fg_vac/bucket=0/v=*/part-*.parquet"))
+        for r in spark.read.parquet(f).collect()
+    ]
+    assert 1 not in post and 2 in post
+    # the store still reads fine
+    assert {r.cc_num for r in fg.get_latest().collect()} == {2}
