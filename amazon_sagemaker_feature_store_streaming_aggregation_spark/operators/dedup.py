@@ -97,6 +97,48 @@ def dedup_exact(
     )
 
 
+def dedup_append(
+    corpus_index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup for CONTINUOUS ingestion: given the
+    existing corpus's hash index (``text_hash`` rows, the running
+    artifact a curation pipeline persists between batches) and a new
+    batch of documents, return the batch's genuinely-new survivors —
+    dedup'd within the batch (smallest id per text) AND against
+    everything already ingested.
+
+    This is the O(batch) formulation of "re-run dedup over the whole
+    corpus": within-batch dedup is one aggregation over the batch's
+    8-byte text hashes, and the against-corpus check is an anti-join
+    of batch hashes against the index — the corpus never rescans, and
+    the index rides the shuffle as bare hashes (at 100 TB the index
+    is ~0.1% of corpus bytes; bucketed storage makes the anti-join
+    co-partitioned). The survivors' ``(text_hash)`` rows are exactly
+    what the caller appends to the index for the next batch —
+    ``build_text_hash_index`` bootstraps it.
+    """
+    batch_best = (
+        new_docs.withColumn("text_hash", h64(text_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    fresh = batch_best.join(
+        corpus_index.select("text_hash"), on="text_hash", how="left_anti"
+    )
+    return fresh.select(id_col, "text_hash")
+
+
+def build_text_hash_index(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The persistent dedup index for :func:`dedup_append`: one
+    ``text_hash`` row per distinct text already in the corpus."""
+    return docs.select(h64(text_col).alias("text_hash")).distinct()
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

@@ -1677,6 +1677,34 @@ WHERE rn = 1
 """
 
 
+def _q_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py::dedup_append):
+    the batch of docs with id >= 250 deduped within itself AND
+    against the hash index of the already-ingested corpus
+    (id < 250) — O(batch), the corpus never rescans."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        build_text_hash_index,
+        dedup_append,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = build_text_hash_index(docs.where("doc_id < 250"))
+    return dedup_append(index, docs.where("doc_id >= 250"))
+
+
+_DEDUP_APPEND_ORACLE = f"""
+WITH idx AS (
+  SELECT DISTINCT {_H64.format(x="text")} AS th
+  FROM documents WHERE doc_id < 250
+), batch AS (
+  SELECT {_H64.format(x="text")} AS text_hash, min(doc_id) AS doc_id
+  FROM documents WHERE doc_id >= 250 GROUP BY 1
+)
+SELECT doc_id, text_hash FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.th = b.text_hash)
+"""
+
+
 def _q_curate_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation showcase: quality → lang → dedup → sample
     → per-source cap → shuffle → pack, one composed job
@@ -3014,6 +3042,7 @@ def ext_queries():
         "olap_sole_late_supplier": _q_sole_late_supplier,
         "olap_shipping_priority": _q_shipping_priority,
         "pipeline_curate_shards": _q_curate_shards,
+        "dedup_inc_append": _q_dedup_append,
     }
 
 
@@ -3101,4 +3130,5 @@ def ext_oracles():
         "olap_sole_late_supplier": _SOLE_LATE_ORACLE,
         "olap_shipping_priority": _SHIPPING_PRIORITY_ORACLE,
         "pipeline_curate_shards": _curate_shards_oracle(),
+        "dedup_inc_append": _DEDUP_APPEND_ORACLE,
     }

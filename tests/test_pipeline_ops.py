@@ -133,3 +133,40 @@ def test_stratified_sample_rates(spark):
     assert "fr" not in counts  # default fraction 0
     assert 800 < counts["en"] < 1200  # ~1000 of 2000
     assert 120 < counts["de"] < 280  # ~200 of 2000
+
+
+def test_dedup_append_incremental_equals_full_rerun(spark):
+    """The O(batch) incremental formulation must equal re-running
+    exact dedup over the whole corpus, restricted to the new batch's
+    winners."""
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        build_text_hash_index,
+        dedup_append,
+        dedup_exact,
+    )
+
+    rows = [
+        (0, "alpha"), (1, "beta"), (2, "alpha"),      # existing corpus
+        (10, "beta"),   # batch dup of existing
+        (11, "gamma"), (12, "gamma"),  # batch-internal dup
+        (13, "delta"),  # genuinely new
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    existing = docs.where("doc_id < 10")
+    batch = docs.where("doc_id >= 10")
+
+    inc = {
+        (r.doc_id,) for r in dedup_append(
+            build_text_hash_index(existing), batch
+        ).collect()
+    }
+    # full re-run over everything: batch winners = survivors with a
+    # batch id (an existing text always wins by smaller id)
+    full = {
+        (r.doc_id,)
+        for r in dedup_exact(docs).collect()
+        if r.doc_id >= 10
+    }
+    assert inc == full == {(11,), (13,)}
