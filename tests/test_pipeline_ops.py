@@ -170,3 +170,28 @@ def test_dedup_append_incremental_equals_full_rerun(spark):
         if r.doc_id >= 10
     }
     assert inc == full == {(11,), (13,)}
+
+
+def test_curate_cli_end_to_end(spark, tmp_path, capsys):
+    """The curation CLI produces consumable shards and an accurate
+    manifest line from a raw documents parquet."""
+    import glob
+    import json
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.curate_cli import main
+
+    out = str(tmp_path / "shards")
+    rc = main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--shards", "4", "--cap", "100",
+    ])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["input_docs"] > 0
+    assert 0 < manifest["survivors"] <= manifest["input_docs"]
+    # on-disk shards match the manifest
+    rows = sum(
+        spark.read.parquet(f).count()
+        for f in glob.glob(f"{out}/shard=*/*.parquet")
+    )
+    assert rows == manifest["survivors"]
