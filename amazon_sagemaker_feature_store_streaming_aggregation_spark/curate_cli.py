@@ -40,7 +40,14 @@ def parse_args(argv: Sequence[str] | None = None) -> argparse.Namespace:
                    help="deterministic sample rate in basis points")
     p.add_argument("--cap", type=int, default=100, help="per-source cap")
     p.add_argument("--shards", type=int, default=8)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.shards < 1:
+        p.error("--shards must be >= 1")
+    if args.cap < 1:
+        p.error("--cap must be >= 1")
+    if not 0 <= args.keep_bp <= 10000:
+        p.error("--keep-bp must be in [0, 10000]")
+    return args
 
 
 def main(argv: Sequence[str] | None = None) -> int:
@@ -48,26 +55,33 @@ def main(argv: Sequence[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
-    from .operators.training_data import cap_per_source, write_training_shards
-    from .plans.pipeline import _cleaned
+    from .operators.training_data import write_training_shards
+    from .plans.pipeline import curate_survivors
     from .session import get_spark
 
     spark = get_spark()
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
-    survivors = cap_per_source(
-        _cleaned(
-            docs, args.min_quality, args.lang, args.keep_bp, "text", "doc_id"
-        ).select("doc_id", "text", "source"),
+    survivors = curate_survivors(
+        docs,
+        min_quality=args.min_quality,
+        lang=args.lang,
+        keep_bp=args.keep_bp,
         cap=args.cap,
-        presort_cap=4 * args.cap,
     )
     write_training_shards(survivors, args.out, n_shards=args.shards)
-    manifest = spark.read.parquet(args.out)
-    counts = {
-        int(r["shard"]): r["n"]
-        for r in manifest.groupBy("shard").agg(F.count("*").alias("n")).collect()
-    }
+    # zero survivors writes only _SUCCESS — an orchestrator still gets
+    # its manifest line (survivors=0), never a schema-inference crash
+    try:
+        manifest = spark.read.parquet(args.out)
+        counts = {
+            int(r["shard"]): r["n"]
+            for r in manifest.groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    except Exception:
+        counts = {}
     print(
         json.dumps(
             {

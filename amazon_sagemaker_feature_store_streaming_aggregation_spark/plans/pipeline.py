@@ -84,6 +84,34 @@ def clean_corpus(
     ).select(id_col, "n_tokens", "quality_score", "lang_pred")
 
 
+def curate_survivors(
+    documents: DataFrame,
+    min_quality: float = 0.5,
+    lang: str = "en",
+    keep_bp: int = 9000,
+    cap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The curation chain UP TO the surviving documents (quality →
+    lang → exact dedup → sample → two-phase per-source cap), returned
+    as ``(doc_id, text, source)`` — the public single source of truth
+    shared by :func:`curate_and_shard` and the curation CLI."""
+    from ..operators.training_data import cap_per_source
+
+    sampled = _cleaned(
+        documents, min_quality, lang, keep_bp, text_col, id_col
+    ).select(id_col, text_col, source_col)
+    return cap_per_source(
+        sampled,
+        source_col=source_col,
+        key_col=id_col,
+        cap=cap,
+        presort_cap=4 * cap,
+    )
+
+
 def curate_and_shard(
     documents: DataFrame,
     min_quality: float = 0.5,
@@ -113,17 +141,11 @@ def curate_and_shard(
     exchanges end-to-end for a six-stage pipeline, each over an
     already-reduced slice.
     """
-    from ..operators.training_data import cap_per_source, pack_context_windows
+    from ..operators.training_data import pack_context_windows
 
-    sampled = _cleaned(
-        documents, min_quality, lang, keep_bp, text_col, id_col
-    ).select(id_col, text_col, source_col)
-    capped = cap_per_source(
-        sampled,
-        source_col=source_col,
-        key_col=id_col,
-        cap=cap,
-        presort_cap=4 * cap,
+    capped = curate_survivors(
+        documents, min_quality, lang, keep_bp, cap,
+        text_col, id_col, source_col,
     )
     return pack_context_windows(
         capped,

@@ -176,12 +176,13 @@ def freshness_probe(spark, n_bursts: int = 20, burst_len: int = 5) -> dict:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
     lat = sorted(lat_per_file)
-    p50 = lat[len(lat) // 2]
-    # nearest-rank p95: with n=20 this is the 19th value, not the max
+    # nearest-rank percentiles for BOTH (lat[n//2] upper-biases even n);
+    # with n=20 the p95 is the 19th value, not the max
     # (max-of-n is a pause detector, not a percentile, on a host with
     # multi-second VM stalls)
     import math as _math
 
+    p50 = lat[max(0, _math.ceil(0.50 * len(lat)) - 1)]
     p95 = lat[max(0, _math.ceil(0.95 * len(lat)) - 1)]
     return {
         "freshness_bursts": n_bursts,

@@ -1678,27 +1678,38 @@ WHERE rn = 1
 
 
 def _q_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-ingest dedup (operators/dedup.py::dedup_append):
-    the batch of docs with id >= 250 deduped within itself AND
-    against the hash index of the already-ingested corpus
-    (id < 250) — O(batch), the corpus never rescans."""
+    """Incremental-ingest dedup (operators/dedup.py::dedup_append).
+    The testdata's texts are all-distinct, so the batch is the id>=250
+    slice UNION ALL every document re-keyed (+1M) — giving the batch
+    real corpus-duplicates (anti-joined away) AND real internal
+    duplicates (min id wins); both removal paths are live in the
+    gate, not just the hash plumbing."""
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
         build_text_hash_index,
         dedup_append,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     index = build_text_hash_index(docs.where("doc_id < 250"))
-    return dedup_append(index, docs.where("doc_id >= 250"))
+    batch = docs.where("doc_id >= 250").unionAll(
+        docs.select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+        )
+    )
+    return dedup_append(index, batch)
 
 
 _DEDUP_APPEND_ORACLE = f"""
 WITH idx AS (
   SELECT DISTINCT {_H64.format(x="text")} AS th
   FROM documents WHERE doc_id < 250
+), raw_batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
 ), batch AS (
   SELECT {_H64.format(x="text")} AS text_hash, min(doc_id) AS doc_id
-  FROM documents WHERE doc_id >= 250 GROUP BY 1
+  FROM raw_batch GROUP BY 1
 )
 SELECT doc_id, text_hash FROM batch b
 WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.th = b.text_hash)

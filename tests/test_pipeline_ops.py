@@ -195,3 +195,29 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
         for f in glob.glob(f"{out}/shard=*/*.parquet")
     )
     assert rows == manifest["survivors"]
+
+
+def test_curate_cli_zero_survivors_emits_manifest(tmp_path, capsys):
+    """Filters that keep nothing must still yield the one-line JSON
+    manifest (survivors=0), not a schema-inference crash."""
+    import json
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.curate_cli import main
+
+    rc = main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(tmp_path / "none"), "--lang", "zz",
+    ])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["survivors"] == 0 and m["n_shards"] == 0
+
+
+def test_curate_cli_rejects_bad_args(capsys):
+    import pytest as _pytest
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.curate_cli import parse_args
+
+    for bad in (["--shards", "0"], ["--cap", "0"], ["--keep-bp", "10001"]):
+        with _pytest.raises(SystemExit):
+            parse_args(["--input", "x", "--out", "y", *bad])
