@@ -591,6 +591,43 @@ class FeatureGroup:
         finally:
             shutil.rmtree(ch_staging, ignore_errors=True)
 
+    def change_feed_stream(self) -> DataFrame:
+        """The change feed as a STREAMING DataFrame (the Delta-CDF
+        ``readChangeFeed`` shape): a ``readStream`` over the
+        ``bucket=*/v=*/_changes`` directories, so every commit's
+        change rows arrive as a new micro-batch while upserts/deletes
+        keep running — the live consumer twin of the batch
+        :meth:`change_feed_df`.
+
+        Schema: the stored record schema plus ``_op`` (insert/update
+        carry full after-images; delete tombstones carry key + event
+        time with the value columns null). Requires
+        ``change_feed=True`` and at least one committed write (the
+        stored schema defines the stream schema).
+
+        Retention contract (same as the batch feed): the file source
+        must process a commit's ``_changes`` files before snapshot
+        retirement (or :meth:`vacuum`) removes them — run the
+        consumer continuously or size ``snapshot_retention`` to the
+        consumer's maximum lag, exactly like table-format CDC readers
+        bounded by VACUUM.
+        """
+        if not self.change_feed:
+            raise ValueError(
+                f"feature group {self.name!r} has change_feed=False"
+            )
+        stored = self._stored_schema()
+        if stored is None:
+            raise ValueError(
+                f"feature group {self.name!r} has no committed schema yet"
+            )
+        schema = T.StructType(
+            list(stored.fields) + [T.StructField("_op", T.StringType())]
+        )
+        return self.spark.readStream.schema(schema).parquet(
+            os.path.join(self.path, "bucket=*", "v=*", "_changes")
+        )
+
     def change_feed_df(self, since: dict[int, int] | None = None) -> DataFrame:
         """Read the change log: one row per inserted/updated record per
         commit, with ``_op`` and ``_commit_version`` columns, across

@@ -502,3 +502,56 @@ def test_vacuum_completes_erasure(spark, tmp_path):
     assert 1 not in post and 2 in post
     # the store still reads fine
     assert {r.cc_num for r in fg.get_latest().collect()} == {2}
+
+
+def test_change_feed_stream_live_cdc(spark, tmp_path):
+    """The streaming change-feed consumer sees commits that happen
+    WHILE it runs — inserts from before the stream started and
+    updates committed mid-stream both arrive as micro-batches."""
+    import tempfile
+    import time
+
+    fg = FeatureGroup(
+        spark, "fg_cdc_stream", "cc_num", "trans_time",
+        base_path=str(tmp_path), n_buckets=2, change_feed=True,
+    )
+
+    def batch(amt):
+        return spark.createDataFrame(
+            [(i, amt, "2024-01-01 00:00:00") for i in range(4)],
+            ["cc_num", "amt", "trans_time"],
+        ).withColumn("trans_time", F.col("trans_time").cast("timestamp"))
+
+    fg.upsert(batch(1.0))
+    q = (
+        fg.change_feed_stream()
+        .writeStream.format("memory")
+        .queryName("cdc_live")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql(
+                "SELECT count(*) FROM cdc_live WHERE _op = 'insert'"
+            ).first()[0] == 4:
+                break
+            time.sleep(0.25)
+        fg.upsert(batch(2.0))  # committed while the stream runs
+        while time.time() < deadline:
+            if spark.sql(
+                "SELECT count(*) FROM cdc_live WHERE _op = 'update'"
+            ).first()[0] == 4:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    ops = {
+        r._op: r.n
+        for r in spark.sql(
+            "SELECT _op, count(*) n FROM cdc_live GROUP BY 1"
+        ).collect()
+    }
+    assert ops == {"insert": 4, "update": 4}
