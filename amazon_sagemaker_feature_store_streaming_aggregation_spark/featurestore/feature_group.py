@@ -70,6 +70,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -199,18 +200,36 @@ class FeatureGroup:
         merges) must not leave _SCHEMA.json missing a column that exists
         in committed data — last-writer-wins on the whole file would
         break later ``_reconcile`` upcasts for the dropped column.
+        The read-merge-write runs UNDER an exclusive lock (the same
+        atomic-mkdir claim primitive as bucket commits): without it two
+        writers could both read the pre-race schema and the second
+        write would erase the first's new column even though merging.
         """
-        stored = self._stored_schema()
-        if stored is not None:
-            have = {f.name for f in stored.fields}
-            fields = list(stored.fields) + [
-                f for f in schema.fields if f.name not in have
-            ]
-            schema = T.StructType(fields)
-        tmp = self._schema_file() + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(schema.jsonValue(), f)
-        os.replace(tmp, self._schema_file())
+        lock = os.path.join(self.path, "_SCHEMA.lock")
+        deadline = time.monotonic() + 30.0
+        while True:
+            try:
+                os.mkdir(lock)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    # a crashed holder: claim by age, like bucket claims
+                    shutil.rmtree(lock, ignore_errors=True)
+                time.sleep(0.02)
+        try:
+            stored = self._stored_schema()
+            if stored is not None:
+                have = {f.name for f in stored.fields}
+                fields = list(stored.fields) + [
+                    f for f in schema.fields if f.name not in have
+                ]
+                schema = T.StructType(fields)
+            tmp = self._schema_file() + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(schema.jsonValue(), f)
+            os.replace(tmp, self._schema_file())
+        finally:
+            shutil.rmtree(lock, ignore_errors=True)
 
     def _reconcile(self, df: DataFrame, stored: T.StructType) -> DataFrame:
         """Cast incoming columns to the stored column types (upcasts

@@ -587,7 +587,10 @@ def dedup_edit_distance(
     coincide, so the DuckDB oracle matches exactly.
     """
     t = F.regexp_replace(F.col(text_col), "[^ -~]", "?")
-    base = docs.select(
+    # empty texts are excluded: a pair of them would divide by
+    # greatest(length)=0 in the similarity (engine-divergent 0/0), and
+    # "identical empties" is exact-dedup's job, not near-dup's
+    base = docs.where(F.length(t) > 0).select(
         F.col(id_col).alias("__id"),
         F.substring(t, 1, cap_chars).alias("__t"),
         F.substring(t, 1, block_chars).alias("__blk"),

@@ -486,14 +486,27 @@ def train_ivf_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    unit = embeddings.select(
-        array_to_vector(
+    # norm computed ONCE per row (a norm inside the transform lambda
+    # re-reduces the whole vector per element — interpreted HOFs hoist
+    # nothing, so that spelling is O(d^2) per row); zero vectors are
+    # dropped rather than fed to KMeans as 0/0 NaNs
+    unit = (
+        embeddings.withColumn(
+            "__n2",
             F.expr(
-                f"transform({vec_col}, x -> cast(x as double) / "
-                f"sqrt(aggregate({vec_col}, 0.0d, "
-                f"(acc, v) -> acc + cast(v as double) * cast(v as double))))"
-            )
-        ).alias("features")
+                f"aggregate({vec_col}, 0.0d, "
+                f"(acc, v) -> acc + cast(v as double) * cast(v as double))"
+            ),
+        )
+        .where(F.col("__n2") > 0)
+        .select(
+            array_to_vector(
+                F.expr(
+                    f"transform({vec_col},"
+                    f" x -> cast(x as double) / sqrt(__n2))"
+                )
+            ).alias("features")
+        )
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(unit)
     spark = embeddings.sparkSession

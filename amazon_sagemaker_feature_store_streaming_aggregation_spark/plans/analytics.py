@@ -781,7 +781,6 @@ def ohlc_bars(events: DataFrame) -> DataFrame:
     """
     day = F.date_trunc("day", F.col("ts"))
     cents = "CAST(round(value * 100) AS BIGINT)"
-    key = F.struct(F.col("ts"), F.col("event_id"))
     return (
         events.select(
             day.alias("day"), "event_type", "ts", "event_id", "value"
@@ -1044,8 +1043,22 @@ def rolling_correlation(
             ).alias("__b"),
         )
     )
+    # densify to the FULL calendar between the observed bounds — a day
+    # with no event in either series must enter the frame as (0, 0),
+    # else the ROWS frame slides over observed days only and "7 days"
+    # silently spans arbitrary calendar gaps
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    dense = grid.join(daily, on="day", how="left").select(
+        "day",
+        F.coalesce("__a", zero).alias("__a"),
+        F.coalesce("__b", zero).alias("__b"),
+    )
     w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
-    rolled = daily.select(
+    rolled = dense.select(
         "day",
         F.count("*").over(w).alias("__n"),
         F.sum("__a").over(w).alias("__sa"),

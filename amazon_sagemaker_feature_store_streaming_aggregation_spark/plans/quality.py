@@ -93,25 +93,34 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
     cols = columns or df.columns
     aggs = []
-    for c in cols:
-        aggs.append(F.count("*").alias(f"__n_{c}"))
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+    # positional aliases + backticked source references: column names
+    # are arbitrary (spaces, reserved words) and must never be spliced
+    # bare into generated SQL; coalesce keeps the null counter 0 (not
+    # NULL) on an empty table, matching the documented semantics
+    for i, c in enumerate(cols):
+        bq = f"`{c}`"
+        aggs.append(F.count("*").alias(f"__n_{i}"))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"__nn_{i}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{i}"))
         if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
-            num = f"CAST(round({c} * 100) AS BIGINT)"
+            num = f"CAST(round({bq} * 100) AS BIGINT)"
         elif isinstance(
             df.schema[c].dataType, (T.LongType, T.IntegerType, T.ShortType)
         ):
-            num = f"CAST({c} AS BIGINT) * 100"
+            num = f"CAST({bq} AS BIGINT) * 100"
         else:
             num = "CAST(NULL AS BIGINT)"
-        aggs.append(F.expr(f"min({num})").alias(f"__lo_{c}"))
-        aggs.append(F.expr(f"max({num})").alias(f"__hi_{c}"))
+        aggs.append(F.expr(f"min({num})").alias(f"__lo_{i}"))
+        aggs.append(F.expr(f"max({num})").alias(f"__hi_{i}"))
     one = df.agg(*aggs)
     triples = ", ".join(
-        f"'{c}', __n_{c}, __nn_{c}, __nd_{c}, "
-        f"CAST(__lo_{c} AS DOUBLE) / 100.0, CAST(__hi_{c} AS DOUBLE) / 100.0"
-        for c in cols
+        f"'{c.replace(chr(39), chr(39) * 2)}', __n_{i}, __nn_{i}, __nd_{i}, "
+        f"CAST(__lo_{i} AS DOUBLE) / 100.0, CAST(__hi_{i} AS DOUBLE) / 100.0"
+        for i, c in enumerate(cols)
     )
     return one.select(
         F.expr(f"stack({len(cols)}, {triples})").alias(

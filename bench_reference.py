@@ -168,8 +168,15 @@ def freshness_probe(spark, n_bursts: int = 20, burst_len: int = 5) -> dict:
             pred.collect()  # prediction materialized -> stop the clock
             if i >= 0:
                 lat_per_file.append(time.perf_counter() - t0)
-        q.stop()
     finally:
+        # stop the stream on EVERY exit path — the finally below
+        # deletes its source and checkpoint dirs, which must not
+        # happen under a still-running query (a timed-out burst would
+        # otherwise leave it polling deleted directories)
+        try:
+            q.stop()
+        except Exception:
+            pass
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(store_dir, ignore_errors=True)
@@ -318,7 +325,8 @@ def main() -> None:
     line = json.dumps(payload)
     print(line)
     if out_path:
-        with open(out_path, "w") as f:
+        # append: the artifact accumulates one line per run/round
+        with open(out_path, "a") as f:
             f.write(line + "\n")
     spark.stop()
 

@@ -2459,13 +2459,19 @@ WITH daily AS (
   FROM events
   WHERE event_type IN ('purchase', 'view')
   GROUP BY 1
+), grid AS (
+  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+  FROM daily
+), dense AS (
+  SELECT grid.day, coalesce(daily.a, 0) AS a, coalesce(daily.b, 0) AS b
+  FROM grid LEFT JOIN daily ON daily.day = grid.day
 ), rolled AS (
   SELECT day,
     count(*) OVER w AS n,
     sum(a) OVER w AS sa, sum(b) OVER w AS sb,
     sum(a * b) OVER w AS sab,
     sum(a * a) OVER w AS saa, sum(b * b) OVER w AS sbb
-  FROM daily
+  FROM dense
   WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 SELECT day, CAST(n AS BIGINT) AS n_days,
@@ -2584,6 +2590,7 @@ WITH base AS (
          substring(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 400) AS t,
          substring(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 32) AS blk
   FROM documents
+  WHERE length(regexp_replace(text, '[^ -~]', '?', 'g')) > 0
 ), counts AS (
   SELECT blk FROM base GROUP BY blk HAVING count(*) <= 64
 ), small AS (

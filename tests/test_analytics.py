@@ -206,3 +206,27 @@ def test_time_decay_features_dyadic_weights(spark):
     assert out[2].n_events == 1
     assert out[2].decayed_value == 4.0 / 2
     assert out[2].decayed_count == 0.5
+
+
+def test_rolling_corr_counts_gap_days_as_zero(spark):
+    """A calendar day with no event in EITHER series must enter the
+    trailing frame as (0, 0): n_days counts calendar days, not
+    observed days."""
+    import datetime as _dt
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.analytics import rolling_correlation
+
+    def ev(day, typ, v):
+        return (_dt.datetime(2024, 1, day, 12, 0, 0), typ, v)
+
+    # events on Jan 1 and Jan 10 only — Jan 2-9 are empty calendar days
+    rows = [ev(1, "purchase", 1.0), ev(1, "view", 2.0),
+            ev(10, "purchase", 3.0), ev(10, "view", 4.0)]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    out = {r.day.day: r for r in rolling_correlation(df).collect()}
+    # the dense grid materializes all 10 days
+    assert sorted(out) == list(range(1, 11))
+    # Jan 7's trailing week is Jan 1-7: 7 calendar days in frame
+    assert out[7].n_days == 7
+    # Jan 10's frame (Jan 4-10) holds one real day + six zero days
+    assert out[10].n_days == 7
