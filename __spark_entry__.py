@@ -893,7 +893,8 @@ def _q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_IJOIN_FULL_ORACLE = """
-SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       a.event_id AS a_id, b.event_id AS b_id,
        a.ts AS a_ts, b.ts AS b_ts
 FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
 FULL JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b

@@ -40,6 +40,7 @@ def start_refreshed_dim_enrich(
     out_path: str,
     checkpoint: str,
     on_batch_done: Callable[[int], None] | None = None,
+    trigger_interval: str | None = None,
 ) -> StreamingQuery:
     """Start a foreachBatch enrichment that re-reads ``dim_path``
     every micro-batch (left join on ``key``), writing each batch to
@@ -54,7 +55,13 @@ def start_refreshed_dim_enrich(
     This is the standard foreachBatch exactly-once recipe for
     file sinks. ``on_batch_done`` is a test/ops hook invoked after
     each batch's write — it shares the at-least-once contract (it may
-    re-fire on replay), so keep it idempotent too."""
+    re-fire on replay), so keep it idempotent too.
+
+    ``trigger_interval``: ``None`` drains the input present at start
+    and stops (availableNow — replay/test mode); a live enricher —
+    the long-running deployment this module exists for — passes e.g.
+    ``"10 seconds"`` for a continuous processing-time trigger that
+    keeps consuming new files and re-reading the dimension."""
 
     def _do_batch(bdf: DataFrame, batch_id: int) -> None:
         dim = bdf.sparkSession.read.parquet(dim_path)
@@ -66,9 +73,11 @@ def start_refreshed_dim_enrich(
         if on_batch_done is not None:
             on_batch_done(batch_id)
 
-    return (
-        stream.writeStream.foreachBatch(_do_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(_do_batch).option(
+        "checkpointLocation", checkpoint
     )
+    if trigger_interval is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

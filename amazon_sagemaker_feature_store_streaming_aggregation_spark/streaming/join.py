@@ -62,4 +62,10 @@ def interval_join(
             <= F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECONDS")
         )
     )
-    return lw.join(rw, cond, how).drop("__rkey")
+    joined = lw.join(rw, cond, how)
+    if how == "full_outer":
+        # a right-side-unmatched row emits with every LEFT column null
+        # — including `key`; its real key lives only in __rkey, so
+        # coalesce before dropping or the row's key is unrecoverable
+        joined = joined.withColumn(key, F.coalesce(F.col(key), F.col("__rkey")))
+    return joined.drop("__rkey")

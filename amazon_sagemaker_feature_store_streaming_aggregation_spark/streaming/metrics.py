@@ -33,8 +33,20 @@ from pyspark.sql.streaming import StreamingQuery
 
 def progress_summary(query: StreamingQuery) -> dict:
     """Aggregate a query's ``recentProgress`` into operator-level
-    totals. Returns zeros for a query that never processed a batch."""
+    totals. Returns zeros for a query that never processed a batch.
+
+    Retention caveat: ``recentProgress`` keeps only the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` batches (default
+    100). ``num_batches`` stays exact regardless (batch ids are
+    cumulative, so it derives from the LAST id); the row/duration
+    sums cover the retained window only — ``window_batches`` says how
+    many that is, and a caller asserting totals over a longer replay
+    must raise the retention conf or accumulate via a listener.
+    """
     progs = [p for p in query.recentProgress if p is not None]
+    last_id = max(
+        (int(p.get("batchId") or 0) for p in progs), default=-1
+    )
     input_rows = sum(int(p.get("numInputRows") or 0) for p in progs)
     batch_ms = [
         int(p.get("batchDuration") or 0)
@@ -49,7 +61,8 @@ def progress_summary(query: StreamingQuery) -> dict:
             break
     total_ms = sum(batch_ms)
     return {
-        "num_batches": len(progs),
+        "num_batches": last_id + 1,
+        "window_batches": len(progs),
         "input_rows": input_rows,
         "total_batch_ms": total_ms,
         "max_batch_ms": max(batch_ms, default=0),

@@ -50,6 +50,24 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n bigint, cents bigint"
 
 
+def _canonicalize(stream: DataFrame, key: str, id_col: str,
+                  ts_col: str, value_col: str) -> DataFrame:
+    """Map arbitrary column names onto the canonical
+    (user_id, event_id, ts, value) shape the state fn operates on —
+    the ``key=`` parameter would otherwise be a silent lie (the fn
+    hardcodes its column names, so a non-default key either KeyErrors
+    in the Python worker or groups by one column while labeling
+    another)."""
+    from pyspark.sql import functions as F
+
+    return stream.select(
+        F.col(key).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
+
+
 def _running_totals_fn(key, pdf_iter, state):
     import pandas as pd
 
@@ -74,7 +92,13 @@ def _running_totals_fn(key, pdf_iter, state):
     )
 
 
-def running_totals(stream: DataFrame, key: str = "user_id") -> DataFrame:
+def running_totals(
+    stream: DataFrame,
+    key: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
     """Apply the stateful function: one shuffle on ``key``, state is a
     single (count, cents) pair per key, never evicted (``NoTimeout`` —
     cumulative totals are the contract).
@@ -85,15 +109,19 @@ def running_totals(stream: DataFrame, key: str = "user_id") -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    stream = _canonicalize(stream, key, id_col, ts_col, value_col)
     stream = stream.withColumn(
         "__amt_cents", F.round(F.col("value") * 100, 0).cast("long")
     )
-    return stream.groupBy(key).applyInPandasWithState(
+    out = stream.groupBy("user_id").applyInPandasWithState(
         _running_totals_fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.withColumnRenamed("user_id", key).withColumnRenamed(
+        "event_id", id_col
     )
 
 
@@ -113,7 +141,13 @@ def tws_available() -> bool:
         return False
 
 
-def running_totals_tws(stream: DataFrame, key: str = "user_id") -> DataFrame:
+def running_totals_tws(
+    stream: DataFrame,
+    key: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
     """The SAME running-totals operator on the Spark 4
     ``transformWithStateInPandas`` API (typed ``ValueState`` handle,
     RocksDB-backed state store) — the designated successor to
@@ -159,12 +193,18 @@ def running_totals_tws(stream: DataFrame, key: str = "user_id") -> DataFrame:
         def close(self) -> None:
             pass
 
+    stream = _canonicalize(stream, key, id_col, ts_col, value_col)
     stream = stream.withColumn(
         "__amt_cents", F.round(F.col("value") * 100, 0).cast("long")
     )
-    return stream.groupBy(key).transformWithStateInPandas(
-        _RunningTotals(),
-        outputStructType=OUTPUT_SCHEMA,
-        outputMode="Append",
-        timeMode="None",
+    return (
+        stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            _RunningTotals(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+        .withColumnRenamed("user_id", key)
+        .withColumnRenamed("event_id", id_col)
     )

@@ -74,6 +74,16 @@ def _raw_chunk(ts_buf, cents_buf, new_ts, new_cents, window_us):
     buffer already evicted to the trailing window."""
     all_ts = np.concatenate([ts_buf, new_ts])
     all_cents = np.concatenate([cents_buf, new_cents])
+    # the buffer is sorted and the chunk is sorted, but chunk rows may
+    # PRECEDE the buffer tail — late data, or the 2nd+ Arrow chunk of a
+    # large group's micro-batch — and searchsorted on an unsorted array
+    # returns garbage bounds (count=0 → division by zero, and eviction
+    # keyed on the last element instead of the max). Merge-sort the
+    # union first; mergesort on two sorted runs is O(n).
+    if len(ts_buf) and len(new_ts) and new_ts[0] < ts_buf[-1]:
+        order = np.argsort(all_ts, kind="mergesort")
+        all_ts = all_ts[order]
+        all_cents = all_cents[order]
     csum = np.concatenate([[0], np.cumsum(all_cents)])
     # RANGE frame [t - window, t]: side='right' on the upper bound pulls
     # in ALL rows tied at t — including same-timestamp events later in
@@ -229,6 +239,14 @@ def sliding_agg_exact(
         F.col(key).alias("cc_num"),
         F.unix_micros(F.col(ts).cast("timestamp")).alias("__ts_us"),
         F.round(F.col(amount) * 100, 0).cast("long").alias("__amt_cents"),
+    ).where(
+        # per-record failure isolation (the reference Lambda skips a
+        # bad record and acks the rest): a malformed stream line
+        # yields a null key/timestamp, which would otherwise raise
+        # inside the Python state worker and kill the whole query
+        F.col("cc_num").isNotNull()
+        & F.col("__ts_us").isNotNull()
+        & F.col("__amt_cents").isNotNull()
     )
     out = prepared.groupBy("cc_num").applyInPandasWithState(
         _make_state_fn(window_s, state_mode, spill_points),

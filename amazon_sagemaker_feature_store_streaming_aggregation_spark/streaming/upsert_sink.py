@@ -36,6 +36,12 @@ def start_stream_upsert(
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # empty triggers must not touch the store
             return
+        # deliberately NOT operators/latest_per_key (dense_rank,
+        # reference tie-keeping semantics): this is only a batch-size
+        # pre-reduction — FeatureGroup.upsert applies the store's own
+        # deterministic all-columns tie policy right after, so ties
+        # here resolve there, and keeping ties would just upsert more
+        # rows for the merge to collapse
         w = Window.partitionBy(key).orderBy(F.col(ts).desc())
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))

@@ -431,3 +431,41 @@ def test_refreshed_dim_enrich_sees_mid_stream_dimension_update(spark, tmp_path):
     }
     # batch 0 (seq=0) enriched against v1; batch 1 (seq=1) sees v2
     assert got == {0: "v1", 1: "v2"}
+
+
+def test_raw_chunk_handles_late_arrivals():
+    """A chunk whose events precede the state buffer's tail (late
+    data, or the 2nd Arrow chunk of a big group) must merge-sort
+    before the searchsorted frame math — the pre-fix concat produced
+    count=0 (division by zero) and evicted live state."""
+    import numpy as np
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.sliding_agg import _raw_chunk
+
+    w = 600 * 1_000_000  # 10 min in us
+    s = 1_000_000
+    # buffer holds an event at t=1000s; the new chunk arrives LATE at
+    # t=500s (inside the same window)
+    buf_ts = np.array([1000 * s], dtype=np.int64)
+    buf_cents = np.array([100], dtype=np.int64)
+    new_ts = np.array([500 * s], dtype=np.int64)
+    new_cents = np.array([200], dtype=np.int64)
+    count, avg, kept_ts, kept_cents = _raw_chunk(
+        buf_ts, buf_cents, new_ts, new_cents, w
+    )
+    # the late event's window [500s-10m, 500s] holds only itself
+    assert count.tolist() == [1]
+    assert avg.tolist() == [2.0]
+    # eviction keys on the true max (1000s), so BOTH events stay live
+    assert sorted(kept_ts.tolist()) == [500 * s, 1000 * s]
+    assert sorted(kept_cents.tolist()) == [100, 200]
+
+    # and an in-order chunk still sees the buffered event as a peer
+    count2, avg2, _, _ = _raw_chunk(
+        buf_ts, buf_cents,
+        np.array([1100 * s], dtype=np.int64),
+        np.array([300], dtype=np.int64),
+        w,
+    )
+    assert count2.tolist() == [2]
+    assert avg2.tolist() == [2.0]
