@@ -14,12 +14,14 @@ Python UDF. (The reference itself derives IDs the same way:
 
 Derived per-permutation hashes for MinHash use the standard universal
 family ``h_i(x) = (a_i * x + b_i) mod p`` over the base 60-bit hash,
-with p = 2^61 - 1 (Mersenne prime). All arithmetic stays in int64...
-careful: a_i * x overflows int64, so the engines compute it in
-DOUBLE-free integer space via two 30-bit halves; see ``minhash_expr``
-in operators/dedup.py which instead uses xor-mixing with per-seed salts:
-``h_i(x) = h64(concat(seed_i, s))`` — one md5 per (seed, shingle),
-trivially reproducible in SQL and collision-grade for LSH.
+with p = 2^61 - 1 (Mersenne prime) — this IS what
+``operators/dedup.py::minhash_signatures`` uses, via
+:func:`minhash_perm_constants`/:func:`minhash_perm_sql`. ``a_i * x``
+would overflow int64, so both engines compute it in overflow-free
+integer space via two 30-bit halves (see ``minhash_perm_sql``). The
+md5-per-seed alternative ``h_i(x) = h64(concat(seed_i, s))`` was
+REJECTED: one MessageDigest set-up per (seed, shingle) costs ~100 µs
+in interpreted eval — 75 s at sf0.1 vs ~10 integer ops here.
 """
 
 from __future__ import annotations
@@ -89,15 +91,13 @@ def h64_seeded(col: Column | str, seed: int) -> Column:
     return h64(F.concat(F.lit(f"{seed}:"), c))
 
 
-def shingle_hashes(text_col: str, k: int = 5) -> Column:
-    """Character k-gram shingle hash set of a text column, array<bigint>.
-
-    Built entirely from JVM expressions (no Python UDF):
-    ``transform(sequence(1, greatest(length(t)-k+1, 1)),
-    i -> substring(t, i, k))`` → distinct → md5-based h64 per gram.
-    Texts shorter than ``k`` yield one shingle (the whole text).
-    """
-    expr = f"""
+def shingle_expr(text_col: str, k: int = 5) -> str:
+    """SQL expression string for the character k-gram shingle hash set
+    (array<bigint>) — THE single source of shingle semantics; both
+    :func:`shingle_hashes` and operators/dedup.py derive from it so
+    the LSH discovery and pair-verification stages can never drift.
+    Texts shorter than ``k`` yield one shingle (the whole text)."""
+    return f"""
       transform(
         array_distinct(
           transform(
@@ -108,4 +108,8 @@ def shingle_hashes(text_col: str, k: int = 5) -> Column:
         g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)
       )
     """
-    return F.expr(expr)
+
+
+def shingle_hashes(text_col: str, k: int = 5) -> Column:
+    """Column form of :func:`shingle_expr` (JVM expressions only)."""
+    return F.expr(shingle_expr(text_col, k))

@@ -49,7 +49,11 @@ def make_luhn_check():
         come out of integer ``//``/``%`` on the whole numpy array at
         once — one Arrow batch in, one out, zero per-row Python.
         """
-        n = cc_num.to_numpy(dtype=np.int64)
+        # nullable long arrives as float64 with NaN for nulls — a
+        # straight to_numpy(int64) raises on the first malformed row
+        # (PERMISSIVE sources yield null cc_num); mask and emit null
+        ok = cc_num.notna()
+        n = cc_num[ok].to_numpy(dtype=np.int64)
         total = np.zeros_like(n)
         for pos in range(16):  # 16 fixed positions, each whole-array
             d = (n // np.int64(10**pos)) % 10
@@ -57,7 +61,9 @@ def make_luhn_check():
                 d = d * 2
                 d = np.where(d > 9, d - 9, d)
             total = total + d
-        return pd.Series((total % 10 == 0).astype(np.int32))
+        out = pd.Series(pd.NA, index=cc_num.index, dtype="Int32")
+        out[ok] = (total % 10 == 0).astype(np.int32)
+        return out
 
     return luhn_check
 
@@ -75,7 +81,10 @@ def make_median_cents_udaf():
         engine- and partitioning-independent. Equivalent SQL:
         ``quantile_disc(0.5)`` over BIGINT (DuckDB).
         """
-        v = np.sort(cents.to_numpy(dtype=np.int64))
+        # skip nulls (a null value row must not abort the group)
+        v = np.sort(cents.dropna().to_numpy(dtype=np.int64))
+        if len(v) == 0:
+            return None
         return int(v[(len(v) - 1) // 2])
 
     return median_cents_udaf
@@ -126,15 +135,20 @@ def word_positions(documents, id_col: str = "doc_id", text_col: str = "text"):
 
     # lateral-join the UDTF against the table via SQL (the stable
     # Spark 4 surface for table arguments)
+    import uuid as _uuid
+
     spark = documents.sparkSession
-    spark.udtf.register("word_positions", WordPositions)
-    documents.select(id_col, text_col).createOrReplaceTempView(
-        "__udtf_docs"
-    )
+    # per-call unique names: a FIXED view/function name makes two
+    # concurrent callers in one session clobber each other's input
+    tag = _uuid.uuid4().hex[:12]
+    fn = f"word_positions_{tag}"
+    view = f"__udtf_docs_{tag}"
+    spark.udtf.register(fn, WordPositions)
+    documents.select(id_col, text_col).createOrReplaceTempView(view)
     return spark.sql(
         f"""
         SELECT d.{id_col}, t.pos, t.word
-        FROM __udtf_docs d,
-             LATERAL word_positions(d.{id_col}, d.{text_col}) t
+        FROM {view} d,
+             LATERAL {fn}(d.{id_col}, d.{text_col}) t
         """
     )

@@ -66,18 +66,12 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
 
 
 def _shingle_expr(text_col: str, k: int) -> str:
-    """Distinct character-k-gram 60-bit hashes, as a SQL array expr."""
-    return f"""
-      transform(
-        array_distinct(
-          transform(
-            sequence(1, greatest(length({text_col}) - {k - 1}, 1)),
-            i -> substring({text_col}, i, {k})
-          )
-        ),
-        g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)
-      )
-    """
+    """Distinct character-k-gram 60-bit hashes, as a SQL array expr —
+    delegates to functions/hashing.py::shingle_expr, the single source
+    of shingle semantics for discovery AND verification stages."""
+    from ..functions.hashing import shingle_expr
+
+    return shingle_expr(text_col, k)
 
 
 def dedup_exact(

@@ -53,6 +53,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncation DuckDB applies, so event-time semantics agree with the
     oracle exactly.
     """
+    # Deliberately SESSION-WIDE (not restored): the nanos-as-long conf
+    # is consulted at scan planning AND execution, so a restore after
+    # .parquet() could break this very read's later actions. Sessions
+    # here are engine-owned (get_spark), and bigint is strictly more
+    # conservative than a hard failure for any other ns-parquet read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

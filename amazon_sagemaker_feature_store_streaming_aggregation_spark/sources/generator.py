@@ -120,7 +120,10 @@ def inject_fraud_chains(
         # keeps the burst monotonic (step i lands at i * gap)
         .withColumn(
             "__gap",
-            F.lit(min_gap_s) + (F.rand(seed + 12) * (max_gap_s - min_gap_s)).cast("int"),
+            # +1 so the documented max gap is actually drawable
+            # (rand() < 1.0, so without it the range was [min, max-1])
+            F.lit(min_gap_s)
+            + (F.rand(seed + 12) * (max_gap_s - min_gap_s + 1)).cast("int"),
         )
         .withColumn("__i", F.explode(F.sequence(F.lit(0), F.col("__len") - 1)))
         .withColumn(
