@@ -1549,75 +1549,70 @@ FROM zeroed
 
 
 # Driver-gate rotation: the per-round CORRECTNESS gate covers the first 50
-# entries of queries() in registration order.  Round 2 left the last 18
-# registered queries without a gate row (green in tests/test_entry_oracles.py
-# but never driver-verified).  Round 3 puts those 18 plus the earliest
-# round-3 additions first (exactly 50 — the cap forces 6 of the 56
-# never-gated entries to wait: q_validate_orders, ts_decay_features,
-# olap_forecast_revenue, olap_sole_late_supplier, olap_shipping_priority,
-# pipeline_curate_shards — each green in the pytest oracle mirror
-# meanwhile).  Round-4 rotation: put those 6 plus any new additions
-# FIRST, then backfill with the longest-stale r2-gated entries.
-_GATE_PRIORITY = [
-    "rel_regex_month",
-    "rel_json_props",
-    "rel_array_agg",
-    "rel_percentiles",
-    "rel_window_funcs",
-    "rel_pivot",
-    "rel_window_distinct",
-    "rel_unpivot",
-    "rel_map_funcs",
-    "sketch_kmv_distinct",
-    "sketch_cms_heavy_hitters",
-    "mm_frame_sample",
-    "dedup_contamination",
-    "rel_salted_join",
-    "pipeline_clean_corpus",
-    "udx_luhn",
-    "udx_median_by_user",
-    "udx_word_positions",
-    # round-3 additions (never driver-gated):
-    "text_lang_id_ngram",
-    "text_pii_scan",
-    "olap_late_shipment_priority",
-    "ts_gap_fill_daily",
-    "olap_order_count_dist",
-    "olap_big_ticket_orders",
-    "olap_top_supplier",
-    "olap_returned_top_customers",
-    "olap_volume_shipping",
-    "olap_promo_share",
-    "olap_brand_brackets",
-    "olap_rich_inactive",
-    "ts_ohlc_daily",
-    "ts_interpolate_hourly",
-    "t_hash_split",
-    "text_tfidf_top_terms",
-    "text_vocab_topk",
-    "s_stream_late_drop",
-    "funnel_conversion",
-    "cohort_retention",
-    "rel_scd2_intervals",
-    "ts_zscore_anomalies",
-    "ts_rolling_corr",
-    "t_quantile_bins",
-    "olap_local_supplier_revenue",
-    "q_profile_table",
-    "dedup_edit_distance",
-    "t_global_shuffle",
-    "pipeline_source_cap",
-    "t_pack_windows",
-    "text_pmi_collocations",
-    "text_vocab_coverage",
-]
+# entries of queries() in registration order, so which 50 get a driver row
+# each round is decided by the ordering below.  Rounds 2-3 used a
+# hand-edited priority list; round 4 makes the rotation MECHANICAL: the
+# ordering is derived from the prior CORRECTNESS_r*.json artifacts —
+# queries with no fully-green driver row ever (new additions, or rows that
+# came back red like q_profile_table in r3) go first, then everything else
+# oldest-green-first, ties broken by registration order.  Net effect: no
+# query's latest green row is ever more than ceil(n_queries/50) rounds
+# stale, with zero per-round hand edits.
+
+
+def _gate_history() -> dict[str, int]:
+    """Map query name -> latest round with a fully-green driver row.
+
+    Reads the driver-written ``CORRECTNESS_r*.json`` artifacts next to this
+    file.  A row counts as green only when it has no error and rows,
+    schema, and value-hash all matched (a missing hash_match — the
+    rows-only channel for non-SQL-expressible ops — counts as green, since
+    re-gating it can never upgrade the signal).
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is not False
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _rotate_for_gate(entries: dict) -> dict:
-    """Return `entries` with _GATE_PRIORITY keys first, then original order."""
-    front = {k: entries[k] for k in _GATE_PRIORITY if k in entries}
-    rest = {k: v for k, v in entries.items() if k not in front}
-    return {**front, **rest}
+    """Order `entries` never-green first, then oldest-green-first."""
+    latest = _gate_history()
+    order = sorted(
+        entries,
+        key=lambda name, _idx={k: i for i, k in enumerate(entries)}: (
+            latest.get(name, 0),
+            _idx[name],
+        ),
+    )
+    return {k: entries[k] for k in order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from collections.abc import Sequence
 
@@ -71,8 +72,16 @@ def main(argv: Sequence[str] | None = None) -> int:
     )
     write_training_shards(survivors, args.out, n_shards=args.shards)
     # zero survivors writes only _SUCCESS — an orchestrator still gets
-    # its manifest line (survivors=0), never a schema-inference crash
-    try:
+    # its manifest line (survivors=0), never a schema-inference crash.
+    # Pre-CHECK for data files instead of swallowing read errors: a
+    # transient read failure after a successful shard write must raise,
+    # not masquerade as "nothing survived" (orchestrators gate on this).
+    has_data = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(args.out)
+        for f in files
+    )
+    if has_data:
         manifest = spark.read.parquet(args.out)
         counts = {
             int(r["shard"]): r["n"]
@@ -80,7 +89,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             .agg(F.count("*").alias("n"))
             .collect()
         }
-    except Exception:
+    else:
         counts = {}
     print(
         json.dumps(

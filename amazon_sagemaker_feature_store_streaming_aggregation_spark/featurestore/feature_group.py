@@ -88,7 +88,12 @@ _RETIRED_SNAPSHOT_MARKERS = (
     "FILE_NOT_FOUND",
     "Path does not exist",
     "PATH_NOT_FOUND",
-    "does not exist",
+    # NOT the bare "does not exist": that substring also matches
+    # deterministic failures (e.g. AnalysisException "Column ... does
+    # not exist" from a schema mismatch), which would burn every retry
+    # and surface as a misleading "buckets still conflicted" error
+    # instead of the real cause. Only path/file-shaped forms qualify.
+    "No such file or directory",
 )
 
 
@@ -206,14 +211,23 @@ class FeatureGroup:
         write would erase the first's new column even though merging.
         """
         lock = os.path.join(self.path, "_SCHEMA.lock")
-        deadline = time.monotonic() + 30.0
+        stale_after = 30.0
         while True:
             try:
                 os.mkdir(lock)
                 break
             except FileExistsError:
-                if time.monotonic() > deadline:
-                    # a crashed holder: claim by age, like bucket claims
+                # Break only a lock whose OWN mtime age says the holder
+                # crashed (same rule as sweep_stale_claims) — keying on
+                # this waiter's elapsed time would, once past the
+                # deadline, rmtree whatever lock exists, including one a
+                # competing writer just acquired, reopening the exact
+                # lost-column race the lock prevents.
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    age = 0.0  # holder released between mkdir and stat
+                if age > stale_after:
                     shutil.rmtree(lock, ignore_errors=True)
                 time.sleep(0.02)
         try:

@@ -45,15 +45,19 @@ def make_luhn_check():
     def luhn_check(cc_num: pd.Series) -> pd.Series:
         """Luhn mod-10 checksum of a 16-digit card number (1 = valid).
 
-        Fully vectorized: the fixed 16-digit width lets every digit
-        come out of integer ``//``/``%`` on the whole numpy array at
-        once — one Arrow batch in, one out, zero per-row Python.
+        Takes the card number as a STRING: a nullable int64 Arrow
+        batch surfaces in pandas as float64, which silently rounds
+        values above 2^53 (~9.0e15 — a real slice of the 16-digit
+        domain) before any digit math could run, and the same cc_num
+        could then validate differently depending on whether its
+        batch happened to carry a null.  The string path keeps the
+        exact decimal representation end-to-end; the digits are still
+        whole-array integer ``//``/``%`` after one exact str→int64
+        parse (16 digits < 2^63), zero per-row Python.
         """
-        # nullable long arrives as float64 with NaN for nulls — a
-        # straight to_numpy(int64) raises on the first malformed row
-        # (PERMISSIVE sources yield null cc_num); mask and emit null
         ok = cc_num.notna()
-        n = cc_num[ok].to_numpy(dtype=np.int64)
+        n = cc_num[ok].astype(np.int64)
+        n = n.to_numpy(dtype=np.int64)
         total = np.zeros_like(n)
         for pos in range(16):  # 16 fixed positions, each whole-array
             d = (n // np.int64(10**pos)) % 10
@@ -91,8 +95,13 @@ def make_median_cents_udaf():
 
 
 def with_luhn_flag(df, cc_col: str = "cc_num", out: str = "luhn_ok"):
-    """Apply the scalar UDF: one ArrowEvalPython stage."""
-    return df.withColumn(out, make_luhn_check()(F.col(cc_col)))
+    """Apply the scalar UDF: one ArrowEvalPython stage.
+
+    The cast to string happens JVM-side (exact decimal formatting of
+    the long), so the Python worker never sees a lossy float64 — see
+    :func:`make_luhn_check`.
+    """
+    return df.withColumn(out, make_luhn_check()(F.col(cc_col).cast("string")))
 
 
 def median_value_by_user(events, key: str = "user_id", value: str = "value"):

@@ -109,10 +109,16 @@ def dedup_append(
     8-byte text hashes, and the against-corpus check is an anti-join
     of batch hashes against the index — the corpus never rescans, and
     the index rides the shuffle as bare hashes (at 100 TB the index
-    is ~0.1% of corpus bytes; bucketed storage makes the anti-join
-    co-partitioned). The survivors' ``(text_hash)`` rows are exactly
-    what the caller appends to the index for the next batch —
+    is ~0.1% of corpus bytes). The survivors' ``(text_hash)`` rows are
+    exactly what the caller appends to the index for the next batch —
     ``build_text_hash_index`` bootstraps it.
+
+    This formulation still shuffles the INDEX once per batch. For the
+    standing-pipeline case persist the index bucketed on ``text_hash``
+    (:func:`build_text_hash_index_bucketed`) and use
+    :func:`dedup_append_bucketed`: the index scan then already
+    satisfies the anti-join's partitioning, so only the O(batch) side
+    moves — the plan-pin test asserts zero exchange above the index.
     """
     batch_best = (
         new_docs.withColumn("text_hash", h64(text_col))
@@ -131,6 +137,66 @@ def build_text_hash_index(
     """The persistent dedup index for :func:`dedup_append`: one
     ``text_hash`` row per distinct text already in the corpus."""
     return docs.select(h64(text_col).alias("text_hash")).distinct()
+
+
+def build_text_hash_index_bucketed(
+    docs: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist the dedup index as a Spark-native table BUCKETED on
+    ``text_hash`` (``bucketBy`` + ``sortBy`` via ``saveAsTable``).
+
+    A bucketed index scan reports ``HashPartitioning(text_hash,
+    num_buckets)`` to the planner, so every subsequent
+    :func:`dedup_append_bucketed` anti-join is satisfied by storage —
+    the 100 TB corpus's index is pre-shuffled ONCE here and never
+    again, instead of once per ingest batch. Appending each batch's
+    survivors stays bucketed via ``insertInto`` (Spark routes rows to
+    the right bucket files on write).
+    """
+    from ..sinks.layout import write_bucketed_table
+
+    write_bucketed_table(
+        build_text_hash_index(docs, text_col),
+        table_name,
+        "text_hash",
+        num_buckets,
+        sort_col="text_hash",
+        path=path,
+    )
+
+
+def dedup_append_bucketed(
+    spark,
+    new_docs: DataFrame,
+    index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`dedup_append` against a BUCKETED on-disk index table
+    (written by :func:`build_text_hash_index_bucketed`).
+
+    Identical semantics, strictly better plan for continuous ingest:
+    the index side of the anti-join is co-partitioned by its storage
+    bucketing, so the only exchange in the whole plan is the O(batch)
+    within-batch aggregation — at 100 TB the multi-TB index never
+    moves. The ``merge`` hint pins sort-merge (broadcasting the
+    corpus index would replicate it to every executor — exactly the
+    failure mode bucketing exists to avoid).
+    """
+    corpus_index = spark.table(index_table).select("text_hash")
+    batch_best = (
+        new_docs.withColumn("text_hash", h64(text_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    fresh = batch_best.join(
+        corpus_index.hint("merge"), on="text_hash", how="left_anti"
+    )
+    return fresh.select(id_col, "text_hash")
 
 
 def minhash_signatures(

@@ -60,9 +60,15 @@ def kmv_distinct(
     approximates for low-cardinality groups.
     """
     v = F.col(value) if isinstance(value, str) else value
-    hashes = df.select(
-        F.col(group), h64(v.cast("string")).alias("__h")
-    ).distinct()
+    # null values are excluded (COUNT DISTINCT semantics): a null
+    # hashes to null, which Spark's ascending sort ranks FIRST — it
+    # would occupy rank 1 and shift every real hash's rank, corrupting
+    # both n_kept and the u_k pick.
+    hashes = (
+        df.select(F.col(group), h64(v.cast("string")).alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .distinct()
+    )
     rn = F.row_number().over(Window.partitionBy(group).orderBy("__h"))
     ranked = hashes.select(group, "__h", rn.alias("__rn")).where(
         F.col("__rn") <= k
@@ -153,10 +159,16 @@ def cms_estimate(
         ).alias("__p"),
     ).select("*", "__p.i", "__p.bucket")
     keep = [c for c in candidates.columns]
+    # LEFT join + coalesce-to-0: a grid cell absent from the sketch IS
+    # a zero counter. An inner join would drop absent cells, so an
+    # item the corpus never contained would take min() over only its
+    # colliding cells (an overestimate) — or vanish from the output
+    # entirely when all d cells are empty — instead of the correct
+    # CMS answer est=0.
     return (
-        probes.join(F.broadcast(sketch), on=["i", "bucket"], how="inner")
+        probes.join(F.broadcast(sketch), on=["i", "bucket"], how="left")
         .groupBy(*keep)
-        .agg(F.min("c").alias(est_col))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias(est_col))
     )
 
 

@@ -20,9 +20,24 @@ Scale design:
 * ``revenue_by_nation`` — fact-to-fact join (lineitem x orders) on the
   natural key stays a shuffle join (both sides are huge at scale; AQE
   may legitimately flip it to broadcast at toy scale), while the
-  ``customer`` and ``nation`` dimensions are EXPLICIT broadcasts. The
-  date filter lands in the orders scan (PushedFilters), so the join
-  only shuffles the surviving year.
+  ``nation`` dimension is an EXPLICIT broadcast. The date filter lands
+  in the orders scan (PushedFilters), so the join only shuffles the
+  surviving year.
+
+Broadcast doctrine (every join in this module follows it):
+
+* EXPLICIT ``F.broadcast`` only on sides whose size is O(1) in the
+  corpus — ``nation``/``region`` (25/5 rows), 1-row scalar aggregates,
+  distinct type dictionaries, HAVING-decimated key sets. These are
+  broadcastable at ANY scale, so pinning them documents intent and
+  removes a planner degree of freedom.
+* SF-SCALED dimensions (``customer``, ``supplier``, ``part``) get NO
+  hint: they grow linearly with the corpus (~1 TB of customers under a
+  100 TB lineitem), so a forced broadcast that is convenient at sf0.1
+  is an executor-OOM at target scale. The cost-based planner + AQE
+  broadcast them while they fit ``autoBroadcastJoinThreshold`` and
+  fall back to a shuffled join when they stop fitting — which is
+  exactly the desired behavior at both ends, with no code change.
 """
 
 from __future__ import annotations
@@ -89,7 +104,9 @@ def revenue_by_nation(
     date_to: str = "1997-01-01",
 ) -> DataFrame:
     """Revenue per customer nation for orders placed in a date range:
-    ``lineitem |x| orders |x| broadcast(customer) |x| broadcast(nation)``.
+    ``lineitem |x| orders |x| customer |x| broadcast(nation)`` (customer
+    is SF-scaled — planner/AQE decides its join strategy, per the
+    module's broadcast doctrine).
 
     Revenue is the exact integer sum of ``cents * (100 - discount_pct)``
     (1e-4-dollar units, decimal-widened), divided back once.
@@ -105,7 +122,7 @@ def revenue_by_nation(
         lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -143,7 +160,7 @@ def topk_orders_per_customer(
         orders.select("o_orderkey", "o_custkey", "o_totalprice")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
-        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+        .join(customer.select("c_custkey", "c_name"),
               F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey", "c_name",
@@ -198,7 +215,9 @@ def small_quantity_revenue(
     subquery, expressed here as its decorrelated form (per-part
     aggregate + equi-join), which is exactly what Catalyst rewrites
     the subquery into. The per-part threshold table is tiny relative
-    to lineitem, so it broadcasts; lineitem is scanned twice (once for
+    to lineitem (planner/AQE picks its join side per the module
+    doctrine — the threshold table is SF-scaled); lineitem is scanned
+    twice (once for
     thresholds, once for probing) — at 100 TB prefer persisting the
     filtered projection or relying on parquet column pruning (2 and 3
     columns respectively).
@@ -209,9 +228,9 @@ def small_quantity_revenue(
     correlated original, which DuckDB also decorrelates).
     """
     cents = _CENTS.format(c="l_extendedprice")
-    keys = F.broadcast(
-        part.where(F.col("p_brand") == brand).select("p_partkey")
-    )
+    # brand-filtered part keys are ~1/|brands| of an SF-scaled table —
+    # no forced broadcast (module doctrine); planner/AQE decides
+    keys = part.where(F.col("p_brand") == brand).select("p_partkey")
     qty = (
         lineitem.join(keys, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey")
@@ -226,7 +245,7 @@ def small_quantity_revenue(
     )
     probe = lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
     return (
-        probe.join(F.broadcast(qty), "l_partkey")
+        probe.join(qty, "l_partkey")
         .where(F.col("l_quantity") < F.col("__qty_thresh"))
         .agg(
             F.expr(
@@ -250,7 +269,7 @@ def revenue_cube(
     cents = _CENTS.format(c="o_totalprice")
     base = (
         orders.select("o_custkey", "o_orderpriority", "o_totalprice")
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        .join(customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -287,7 +306,8 @@ def market_share(
     one nation — a conditional aggregate over a star join.
 
     Plan: the two fact tables join shuffled on ``l_orderkey`` (both
-    huge at scale); supplier and nation broadcast; the share is
+    huge at scale); nation broadcasts, supplier is SF-scaled so the
+    planner decides (module doctrine); the share is
     ``sum(rev) FILTER (supplier nation = target) / sum(rev)`` computed
     in ONE aggregation pass (two conditional sums, no second scan and
     no self-join — the naive Q8 formulation as two joined subqueries
@@ -307,7 +327,7 @@ def market_share(
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            supplier.select("s_suppkey", "s_nationkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(
@@ -444,7 +464,7 @@ def big_ticket_orders(
 
     Plan: lineitem aggregates to per-order quantity with map-side
     combine; the HAVING filter drops ~99.7% of orders BEFORE any join,
-    so the surviving key set is small enough to broadcast into the
+    so the surviving key set is decimated enough to broadcast into the
     orders join at any scale. Quantity is summed as exact integers
     (``round(qty)`` — the generator emits integral quantities).
     """
@@ -457,7 +477,7 @@ def big_ticket_orders(
     return (
         orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
-            F.broadcast(customer.select("c_custkey", "c_name")),
+            customer.select("c_custkey", "c_name"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(
@@ -498,7 +518,7 @@ def top_supplier(
     return (
         per_supp.join(F.broadcast(mx), F.col("__rev") == F.col("__mx"))
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            supplier.select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select(
@@ -523,7 +543,8 @@ def returned_item_top_customers(
 
     Plan: returnflag filter lands in the lineitem scan and the date
     filter in the orders scan (both PushedFilters); facts join shuffled
-    on the order key; customer/nation broadcast. The global top-k is a
+    on the order key; nation broadcasts, customer per planner choice
+    (SF-scaled, module doctrine). The global top-k is a
     ``TakeOrdered`` (per-partition k-row heaps merged on the driver —
     no global sort shuffle) over a DETERMINISTIC order: exact
     integer-cent revenue desc, custkey asc tiebreak.
@@ -544,9 +565,7 @@ def returned_item_top_customers(
     )
     return (
         per_cust.join(
-            F.broadcast(
-                customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
-            ),
+            customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -579,7 +598,7 @@ def volume_shipping(
     """TPC-H Q7 shape: shipping volume between two nations per
     (supplier-nation, customer-nation, ship-year).
 
-    Plan: supplier and customer each join their broadcast nation row
+    Plan: supplier and customer each join their broadcast NATION row
     FIRST and filter to the two target nations — the fact join then
     only sees the two nations' keys (a semi-join-like reduction Spark
     applies via the broadcast hash join's build side). The
@@ -611,8 +630,8 @@ def volume_shipping(
             orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
@@ -630,7 +649,8 @@ def promo_revenue_share(
 ) -> DataFrame:
     """TPC-H Q14 shape: the percentage of a month's revenue that came
     from promotional parts — conditional aggregation over a
-    fact × broadcast(dimension) join, ONE pass (the textbook
+    fact × part-dimension join (planner-chosen side — part is
+    SF-scaled, module doctrine), ONE pass (the textbook
     CASE-inside-SUM rewrite of the two-subquery formulation).
 
     Both sums stay exact 1e-4-dollar integers; the percentage is a
@@ -646,7 +666,7 @@ def promo_revenue_share(
         )
         .select("l_partkey", "l_extendedprice", "l_discount")
         .join(
-            F.broadcast(part.select("p_partkey", "p_type")),
+            part.select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .agg(
@@ -674,7 +694,7 @@ def brand_bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     (brand, quantity-range, size-range) conjunction brackets.
 
     Plan: the part-side bracket predicates (brand, size) filter the
-    broadcast build side down to the union of candidate parts BEFORE
+    part-side build down to the union of candidate parts BEFORE
     the join — Catalyst extracts ``p_brand IN (...)`` and the size
     bounds as a standalone dimension filter from the OR (common-factor
     extraction), so the join build side is small even though the full
@@ -706,7 +726,7 @@ def brand_bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
         )
         .join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            part.select("p_partkey", "p_brand", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .where(brackets)
@@ -1169,8 +1189,8 @@ def local_supplier_revenue(
             "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
         )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("__c_nat") == F.col("__s_nat"))
         .join(
             F.broadcast(nk), F.col("__s_nat") == F.col("n_nationkey")
@@ -1324,7 +1344,9 @@ def sole_late_supplier(
     ``n_supp >= 2 AND n_late_supp == 1`` on a line that is itself
     late. One aggregation + one join on the order key replaces two
     correlated self-joins of the fact table (what a naive translation
-    would shuffle three times). Supplier/nation names ride broadcast.
+    would shuffle three times). Nation names ride broadcast inside the
+    supplier lookup; the supplier join side is planner-chosen
+    (SF-scaled, module doctrine).
     """
     li = lineitem.join(
         orders.select("o_orderkey", "o_orderstatus", "o_orderdate"),
@@ -1352,12 +1374,10 @@ def sole_late_supplier(
         .distinct()
     )
     named = culprits.join(
-        F.broadcast(
-            supplier.join(
-                F.broadcast(nation.select("n_nationkey", "n_name")),
-                F.col("s_nationkey") == F.col("n_nationkey"),
-            ).select("s_suppkey", "s_name", "n_name")
-        ),
+        supplier.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "n_name"),
         F.col("l_suppkey") == F.col("s_suppkey"),
     )
     return (
@@ -1380,7 +1400,8 @@ def shipping_priority(
     at the cutoff, for one market segment (this schema carries
     ``o_orderpriority`` in place of the spec's shippriority).
 
-    Plan: the segment-filtered customer key set broadcasts;
+    Plan: the segment-filtered customer key set joins per planner
+    choice (SF-scaled, module doctrine — broadcast while it fits);
     orders (placed before the cutoff) join lineitem (shipped after
     it) with ONE shuffle on the order key, and the per-order revenue
     aggregate REUSES that join partitioning — grouping on the join
@@ -1394,7 +1415,7 @@ def shipping_priority(
     cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
     o = (
         orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     li = lineitem.where(

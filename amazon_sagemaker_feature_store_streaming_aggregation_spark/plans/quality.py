@@ -73,7 +73,11 @@ def check_quality(
     return dict(m)
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
     """Column-level data profile: per column, row/null/distinct counts
     and (for numeric columns) an exact integer-cent min/max — the
     first thing a data-quality pass or schema-drift monitor computes
@@ -83,11 +87,15 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     side-by-side (Spark evaluates all aggregate expressions in the
     same partial/final pair — profiling N columns costs one scan, not
     N); the per-column rows come from unpivoting the 1-row result with
-    ``stack``, which is a scan-side Expand over one row. distinct
-    counts are exact (each adds a distinct-aggregate Expand over the
-    single pass — the profile is a maintenance query, where exactness
-    beats the HLL++ shortcut; swap `approx_count_distinct` in if the
-    profile runs per micro-batch).
+    ``stack``, which is a scan-side Expand over one row.
+
+    ``approx=False`` (the oracle path) keeps distinct counts EXACT —
+    each adds a distinct-aggregate Expand over the single pass, the
+    right trade for a maintenance query. ``approx=True`` swaps in
+    ``approx_count_distinct`` (HLL++, default rsd 5 %): constant
+    sketch state, NO Expand multiplication of the scan — the shape to
+    use when the profile runs per micro-batch or over 100 TB where N
+    exact distincts would N-plicate shuffle bytes.
     """
     from pyspark.sql import types as T
 
@@ -105,7 +113,12 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
                 F.sum(F.col(c).isNull().cast("long")), F.lit(0)
             ).alias(f"__nn_{i}")
         )
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{i}"))
+        if approx:
+            aggs.append(
+                F.approx_count_distinct(F.col(c)).alias(f"__nd_{i}")
+            )
+        else:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{i}"))
         if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
             num = f"CAST(round({bq} * 100) AS BIGINT)"
         elif isinstance(

@@ -81,9 +81,16 @@ def compact_parquet_dir(
     df: DataFrame = spark.read.parquet(path)
     staging = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
     retired = f"{path.rstrip('/')}.__retired_{uuid.uuid4().hex[:8]}"
-    df.repartition(n_out).write.mode("overwrite").parquet(staging)
-    # atomic swap: readers see the old or the new listing, not a mix
-    os.rename(path, retired)
+    try:
+        df.repartition(n_out).write.mode("overwrite").parquet(staging)
+        # atomic swap: readers see the old or the new listing, not a mix
+        os.rename(path, retired)
+    except BaseException:
+        # failed write (or failed swap) must not leak the staging copy:
+        # a sibling .__compact_* dir the size of the table is a silent
+        # 2x-disk cost on every failed maintenance run
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     os.rename(staging, path)
     shutil.rmtree(retired, ignore_errors=True)
     return dir_stats(path)[0]

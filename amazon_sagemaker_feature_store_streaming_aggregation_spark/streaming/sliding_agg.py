@@ -42,11 +42,14 @@ Two Spark-native implementations:
     downstream only needs the store's latest value per key.
 
 Ordering note: the reference aggregates over *arrival* order (KDA
-ROWTIME). This operator orders by *event time* within each micro-batch
-and assumes per-key event-time-ordered arrival across batches (true for
-replay; enforce upstream with a watermark + sort in production). Late
-rows (ts older than the key's max seen) are aggregated against the
-current buffer — same policy as KDA, which cannot retro-correct either.
+ROWTIME). This operator defaults to ordering by *event time* within
+each micro-batch and assumes per-key event-time-ordered arrival across
+batches (true for replay; enforce upstream with a watermark + sort in
+production). Late rows (ts older than the key's max seen) are
+aggregated against the current buffer — same policy as KDA, which
+cannot retro-correct either. Pass ``order='arrival'`` to replay the
+reference's exact ROWTIME behavior on out-of-order input (delivered
+order, monotonized time axis — see :func:`sliding_agg_exact`).
 """
 
 from __future__ import annotations
@@ -143,13 +146,25 @@ def _to_buckets(ts_buf, cents_buf):
     return sec_u, cnt, cents
 
 
-def _make_state_fn(window_s: int, mode: str, spill_points: int):
+def _make_state_fn(window_s: int, mode: str, spill_points: int, order: str):
     """Unified stateful fn. State is three long arrays ``(a, b, c)``:
     raw mode stores ``(ts_us, [], cents)`` (empty ``b`` tags the mode),
     bucket mode stores ``(sec, count, cents)``. ``mode`` is one of
     'raw' (never spill), 'bucket' (bucketed from the start), 'auto'
     (raw until a key's evicted ring exceeds ``spill_points``, then
-    permanently bucketed — the bounded-state default)."""
+    permanently bucketed — the bounded-state default).
+
+    ``order='event'`` sorts each chunk by event time and windows on it.
+    ``order='arrival'`` replays KDA ROWTIME semantics: rows keep their
+    DELIVERED order and each one's window axis is the running MAX of
+    event time at its arrival (the deterministic stand-in for KDA's
+    monotonic processing-time ROWTIME) — a late row is therefore
+    aggregated at "now", against the whole current buffer, exactly the
+    observable KDA behavior the reference exhibits on out-of-order
+    input. The monotonized axis is non-decreasing by construction, so
+    both chunk kernels' sortedness preconditions hold without a sort
+    or merge.
+    """
     window_us = window_s * 1_000_000
 
     def fn(
@@ -170,16 +185,27 @@ def _make_state_fn(window_s: int, mode: str, spill_points: int):
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values("__ts_us", kind="mergesort")
+            if order == "event":
+                pdf = pdf.sort_values("__ts_us", kind="mergesort")
             ev_us = pdf["__ts_us"].to_numpy(np.int64)
             ev_cents = pdf["__amt_cents"].to_numpy(np.int64)
+            if order == "arrival":
+                # ROWTIME: running max over arrival, continued from the
+                # key's state max (the ring's last element — both rings
+                # are kept sorted, so [-1] IS the max).
+                axis = np.maximum.accumulate(ev_us)
+                if len(a):
+                    prev = a[-1] if not bucketed else a[-1] * 1_000_000
+                    axis = np.maximum(axis, prev)
+            else:
+                axis = ev_us
 
             if bucketed:
                 count, avg, a, b, c = _bucket_chunk(
-                    a, b, c, ev_us // 1_000_000, ev_cents, window_s
+                    a, b, c, axis // 1_000_000, ev_cents, window_s
                 )
             else:
-                count, avg, a, c = _raw_chunk(a, c, ev_us, ev_cents, window_us)
+                count, avg, a, c = _raw_chunk(a, c, axis, ev_cents, window_us)
                 if mode == "auto" and len(a) > spill_points:
                     a, b, c = _to_buckets(a, c)
                     bucketed = True
@@ -207,6 +233,7 @@ def sliding_agg_exact(
     state_mode: str = "auto",
     spill_points: int | None = None,
     bounded_state: bool | None = None,
+    order: str = "event",
 ) -> DataFrame:
     """Exact per-event trailing 10-min COUNT/AVG per key (S4 option a).
 
@@ -228,11 +255,23 @@ def sliding_agg_exact(
 
     ``bounded_state`` is the deprecated boolean alias (True→"bucket",
     False→"raw") kept for callers of the round-1 API.
+
+    ``order`` (fidelity knob): ``"event"`` (default) windows on event
+    time — the deliberate upgrade over the reference documented in the
+    module header. ``"arrival"`` replays the reference's KDA ROWTIME
+    observable behavior for out-of-order input: rows aggregate in
+    delivered order on a monotonized (running-max) time axis, so a
+    late row is windowed against the key's whole current buffer
+    instead of only its event-time past. On in-order input the two
+    modes are identical (the running max IS the event time); they
+    diverge exactly on late rows, which the mode test asserts.
     """
     if bounded_state is not None:
         state_mode = "bucket" if bounded_state else "raw"
     if state_mode not in ("auto", "raw", "bucket"):
         raise ValueError(f"state_mode must be auto|raw|bucket, got {state_mode!r}")
+    if order not in ("event", "arrival"):
+        raise ValueError(f"order must be event|arrival, got {order!r}")
     if spill_points is None:
         spill_points = DEFAULT_SPILL_FACTOR * window_s
     prepared = events.select(
@@ -249,7 +288,7 @@ def sliding_agg_exact(
         & F.col("__amt_cents").isNotNull()
     )
     out = prepared.groupBy("cc_num").applyInPandasWithState(
-        _make_state_fn(window_s, state_mode, spill_points),
+        _make_state_fn(window_s, state_mode, spill_points, order),
         outputStructType=(
             "cc_num long, __ts_us long, num_trans_last_10m long, "
             "avg_amt_last_10m double"

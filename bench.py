@@ -38,6 +38,10 @@ def main() -> None:
 
     spark = get_spark("bench")
     qmap = entrymod.queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:  # local-iteration filter; driver runs unset → full suite
+        keep = {k.strip() for k in only.split(",") if k.strip()}
+        qmap = {k: v for k, v in qmap.items() if k in keep}
 
     # Best-of-N per query with ADAPTIVE N: this host shows occasional
     # multi-second whole-VM pauses (CPU idle, load rising) that land
@@ -82,14 +86,38 @@ def main() -> None:
         )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf_val = float(sf) if sf else sf_dir
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # The driver captures a BOUNDED tail of stdout; with 100+ per-query
+    # entries the full JSON overflows it (BENCH_r03 came back
+    # parsed:null).  So: full detail goes to a file + an EARLY stdout
+    # line, and the FINAL stdout line is a compact summary that always
+    # fits the tail buffer.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(full, fh)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: detail still on stdout
+        print(f"# bench detail not written: {exc}", file=sys.stderr)
+    print(json.dumps(full))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

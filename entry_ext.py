@@ -2177,7 +2177,10 @@ def _q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OHLC_ORACLE = """
 WITH ranked AS (
-  SELECT date_trunc('day', ts) AS day, event_type, value,
+  -- CAST to TIMESTAMP: DuckDB's date_trunc('day') yields DATE while
+  -- Spark's yields TIMESTAMP; values are equal but the repr/type
+  -- differs, which a strict harness hashes as a mismatch.
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, value,
          row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
                             ORDER BY ts, event_id) AS rn_a,
          row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
@@ -2378,7 +2381,11 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COHORT_ORACLE = """
 WITH user_days AS (
-  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+  -- TIMESTAMP cast: align DuckDB's DATE-typed date_trunc with Spark's
+  -- TIMESTAMP-typed one (equal values, different repr/type).
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
 ), cohorts AS (
   SELECT user_id, min(day) AS cohort_day FROM user_days GROUP BY user_id
 )
@@ -2566,7 +2573,7 @@ def _profile_oracle() -> str:
     parts = [
         f"""
 SELECT '{c}' AS "column", count(*) AS n_rows,
-       coalesce(sum(CAST({c} IS NULL AS BIGINT)), 0) AS n_nulls,
+       CAST(coalesce(sum(CAST({c} IS NULL AS BIGINT)), 0) AS BIGINT) AS n_nulls,
        count(DISTINCT {c}) AS n_distinct,
        CAST(min({e}) AS DOUBLE) / 100.0 AS min_value,
        CAST(max({e}) AS DOUBLE) / 100.0 AS max_value
@@ -2916,7 +2923,11 @@ def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.training_data import cap_per_source
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    kept = cap_per_source(docs, cap=10, presort_cap=20)
+    # presort_cap = 4*cap per cap_per_source's equivalence analysis; at
+    # 2*cap the prefilter-survivor shortfall probability is non-negligible
+    # and the gate's equality with the one-phase oracle would depend on
+    # the particular testdata hashes.
+    kept = cap_per_source(docs, cap=10, presort_cap=40)
     return kept.groupBy("source").agg(
         F.count("*").alias("n_kept"),
         F.sum("doc_id").alias("kept_sum"),

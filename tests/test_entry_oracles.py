@@ -27,13 +27,17 @@ def test_every_query_has_callable():
         assert callable(fn), name
 
 
-def test_gate_rotation_puts_priority_first():
-    # The driver's CORRECTNESS gate covers the first 50 registration-order
-    # entries; the rotation must put the previously-ungated queries up front
-    # and keep queries()/oracle_sql() key order aligned.
+def test_gate_rotation_is_stalest_first():
+    # The driver's CORRECTNESS gate covers the first 50 entries of
+    # queries(); the rotation is MECHANICAL (round 4+): derived from the
+    # CORRECTNESS_r*.json artifacts — never-green queries first, then
+    # oldest-green-first, ties by registration order.  So the sequence of
+    # latest-green rounds along queries() must be non-decreasing, and
+    # every never-green query must come before every green one.
+    latest = entrymod._gate_history()
     keys = list(_QUERIES)
-    assert keys[: len(entrymod._GATE_PRIORITY)] == entrymod._GATE_PRIORITY
-    assert set(entrymod._GATE_PRIORITY) <= set(keys[:50])
+    rounds = [latest.get(k, 0) for k in keys]
+    assert rounds == sorted(rounds), "rotation must be stalest-first"
     oracle_keys = [k for k in _ORACLES if k in _QUERIES]
     assert [k for k in keys if k in _ORACLES] == oracle_keys
 

@@ -385,10 +385,13 @@ def test_quantile_bins_single_exchange(spark):
 
 
 def test_shipping_priority_agg_reuses_join_exchange(spark):
-    """Q3 shape: in the shuffle-join regime the per-order revenue
-    aggregate must REUSE the order-key join partitioning (no third
-    exchange beyond the two join sides), and top-k must plan as
-    TakeOrdered, not a global sort."""
+    """Q3 shape: in the all-shuffle regime (broadcast disabled — the
+    100 TB stand-in, where the SF-scaled customer side correctly joins
+    shuffled under the module's broadcast doctrine) the per-order
+    revenue aggregate must REUSE the order-key join partitioning: the
+    only exchanges are the two joins' four sides (customer⋈orders on
+    custkey, then ⋈lineitem on orderkey), none added by the groupBy —
+    and top-k must plan as TakeOrdered, not a global sort."""
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.analytics import shipping_priority
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
 
@@ -403,8 +406,8 @@ def test_shipping_priority_agg_reuses_join_exchange(spark):
             load_table(spark, SF001, "customer"),
         )
         plan = _plan(q)
-        # two exchanges = the SMJ's two sides; the groupBy adds none
-        assert plan.count("Exchange hashpartitioning") == 2, plan
+        # 4 exchanges = the two shuffle joins' sides; the groupBy adds none
+        assert plan.count("Exchange hashpartitioning") == 4, plan
         assert "TakeOrdered" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
@@ -424,3 +427,42 @@ def test_forecast_revenue_pushes_date_range_to_scan(spark):
     plan = _plan(forecast_revenue_change(load_table(spark, SF001, "lineitem")))
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "l_shipdate" in pushed and "l_quantity" in pushed, plan
+
+
+def test_dedup_append_bucketed_never_shuffles_the_index(spark, tmp_path):
+    """The standing-pipeline dedup contract: with the corpus index
+    persisted bucketed on text_hash, the per-batch anti-join must add
+    ZERO exchange above the index scan — only the O(batch) aggregation
+    shuffles. (At 100 TB the index is multi-TB; re-shuffling it every
+    ingest batch is the exact cost bucketing removes.)"""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        build_text_hash_index,
+        build_text_hash_index_bucketed,
+        dedup_append,
+        dedup_append_bucketed,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    docs = load_table(spark, SF001, "documents").select("doc_id", "text")
+    corpus = docs.where("doc_id % 3 != 0")
+    batch = docs.where("doc_id % 2 = 0")  # overlaps corpus on %6 != 0
+    try:
+        build_text_hash_index_bucketed(
+            corpus, "t_dedup_idx", num_buckets=8,
+            path=str(tmp_path / "idx"),
+        )
+        out = dedup_append_bucketed(spark, batch, "t_dedup_idx")
+        plan = _plan(out)
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+        # one exchange total: the batch groupBy (which, at the bucket
+        # count, also satisfies the join's requirement)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "BroadcastExchange" not in plan, plan
+
+        want = dedup_append(build_text_hash_index(corpus), batch)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert out.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_dedup_idx")

@@ -95,3 +95,41 @@ def test_validate_table_rejects_duplicate_rules(spark):
     df = spark.createDataFrame([(1,)], ["k"])
     with _pytest.raises(ValueError, match="duplicate rules"):
         validate_table(df, not_null=["k", "k"])
+
+
+def test_profile_table_approx_within_hll_tolerance(spark):
+    """approx=True must (a) agree with the exact profile on every
+    counter except n_distinct, (b) keep n_distinct within the HLL++
+    default-rsd envelope (5 % rsd -> assert a generous 15 % relative
+    error bound), and (c) remove the distinct-aggregate Expand from
+    the plan (the whole point at 100 TB / per-micro-batch use)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.quality import profile_table
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+    from .conftest import SF0001, plan_str
+
+    ev = load_table(spark, SF0001, "events")
+    exact = {r["column"]: r.asDict() for r in profile_table(ev).collect()}
+    approx = {
+        r["column"]: r.asDict()
+        for r in profile_table(ev, approx=True).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for col, e in exact.items():
+        a = approx[col]
+        for field in ("n_rows", "n_nulls", "min_value", "max_value"):
+            assert a[field] == e[field], (col, field)
+        if e["n_distinct"]:
+            rel = abs(a["n_distinct"] - e["n_distinct"]) / e["n_distinct"]
+            assert rel <= 0.15, (col, a["n_distinct"], e["n_distinct"])
+
+    # plan shape: exact multiplies the scan through an Expand per
+    # distinct aggregate; approx must have NO Expand from distincts
+    # (the only Expand left is the 1-row stack unpivot, which never
+    # touches scan rows -> assert the aggregate side is Expand-free
+    # by counting: approx plan has strictly fewer Expands)
+    p_exact = plan_str(profile_table(ev))
+    p_approx = plan_str(profile_table(ev, approx=True))
+    assert p_approx.count("Expand") < p_exact.count("Expand"), (
+        p_approx.count("Expand"),
+        p_exact.count("Expand"),
+    )

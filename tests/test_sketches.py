@@ -63,3 +63,43 @@ def test_cms_overestimates_never_under(spark):
         # one-sided error: estimate >= exact, bounded by the stream size
         assert r["cms_est"] >= r["exact_cnt"], r
         assert r["cms_est"] <= total_tokens, r
+
+
+def test_cms_estimate_unseen_item_is_zero(spark):
+    """A point query for an item the corpus never contained must
+    return est=0 (some grid cell is empty -> min over cells is 0),
+    not an overestimate from only its colliding cells — and the item
+    must not vanish from the output."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    toks = spark.createDataFrame(
+        [("apple",), ("apple",), ("banana",)], ["w"]
+    )
+    sketch = cms_sketch(toks, item="w", depth=4, width=1024)
+    cand = spark.createDataFrame(
+        [("apple",), ("never-in-corpus-xyzzy",)], ["w"]
+    )
+    got = {
+        r["w"]: r["cms_est"]
+        for r in cms_estimate(cand, sketch, item="w").collect()
+    }
+    assert got["apple"] >= 2  # CMS is always >= exact
+    assert got["never-in-corpus-xyzzy"] == 0
+
+
+def test_kmv_null_values_do_not_corrupt_ranks(spark):
+    """Null values must be ignored (COUNT DISTINCT semantics): a null
+    hash would sort first and shift every real hash's KMV rank."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.sketches import kmv_distinct
+
+    base = [("g", f"v{i}") for i in range(10)]
+    clean = spark.createDataFrame(base, ["g", "v"])
+    dirty = spark.createDataFrame(
+        base + [("g", None), ("g", None)], ["g", "v"]
+    )
+    a = kmv_distinct(clean, "g", "v", k=4).collect()[0]
+    b = kmv_distinct(dirty, "g", "v", k=4).collect()[0]
+    assert (a["n_kept"], a["est_distinct"]) == (b["n_kept"], b["est_distinct"])

@@ -469,3 +469,54 @@ def test_raw_chunk_handles_late_arrivals():
     )
     assert count2.tolist() == [2]
     assert avg2.tolist() == [2.0]
+
+
+def test_arrival_order_mode_replays_kda_rowtime_on_late_rows(spark, tmp_path):
+    """order='arrival' vs order='event' must diverge EXACTLY as the
+    module header documents: a late row (ts older than the key's max
+    seen) windows on its own event time in event mode, but on the
+    monotonized arrival axis ("now") in arrival mode — i.e. against the
+    key's whole current buffer, the observable KDA ROWTIME behavior.
+    In-order rows must be identical between the modes."""
+    import json
+    import os
+    import time
+
+    T0 = 1_700_000_000
+    src = tmp_path / "late_mode"
+    src.mkdir()
+    f0 = [
+        {"cc_num": 1, "merchant": "m", "amount": 10.0, "zip_code": 1,
+         "trans_ts": float(T0)},
+        {"cc_num": 1, "merchant": "m", "amount": 40.0, "zip_code": 1,
+         "trans_ts": float(T0 + 30)},
+    ]
+    f1 = [  # LATE: event time between the two buffered rows
+        {"cc_num": 1, "merchant": "m", "amount": 20.0, "zip_code": 1,
+         "trans_ts": float(T0 + 10)},
+    ]
+    (src / "00.jsonl").write_text("\n".join(json.dumps(e) for e in f0))
+    (src / "01.jsonl").write_text("\n".join(json.dumps(e) for e in f1))
+    now = time.time()
+    os.utime(src / "00.jsonl", (now, now))
+    os.utime(src / "01.jsonl", (now + 60, now + 60))
+
+    by_event = _run_stream_jsonl(
+        spark, str(src), tmp_path, "s4_mode_event", order="event"
+    )
+    by_arrival = _run_stream_jsonl(
+        spark, str(src), tmp_path, "s4_mode_arrival", order="arrival"
+    )
+
+    ts0 = dt.datetime.fromtimestamp(T0, dt.timezone.utc).replace(tzinfo=None)
+    ts10 = dt.datetime.fromtimestamp(T0 + 10, dt.timezone.utc).replace(tzinfo=None)
+    ts30 = dt.datetime.fromtimestamp(T0 + 30, dt.timezone.utc).replace(tzinfo=None)
+
+    # event mode: the late row sees only its event-time past (T0 + itself)
+    assert by_event == sorted(
+        [(1, ts0, 1, 10.0), (1, ts30, 2, 25.0), (1, ts10, 2, 15.0)]
+    )
+    # arrival mode: the late row aggregates at ROWTIME=now -> all 3 rows
+    assert by_arrival == sorted(
+        [(1, ts0, 1, 10.0), (1, ts30, 2, 25.0), (1, ts10, 3, 70.0 / 3)]
+    )

@@ -23,6 +23,31 @@ def test_luhn_known_values(spark):
     assert got == [1, 0, 1]
 
 
+def test_luhn_above_2_53_unaffected_by_nulls_in_batch(spark):
+    # 9_999_999_999_999_999 > 2^53: a nullable-int64 Arrow batch
+    # surfaces as float64 in pandas and rounds it to 1e16 — digits
+    # would be computed on a corrupted number.  The string input path
+    # must give the same verdict with and without a null in the batch.
+    big = 9_999_999_999_999_995  # Luhn-valid 16-digit number
+    assert (
+        sum(
+            (d * 2 - 9 if d * 2 > 9 else d * 2) if i % 2 else d
+            for i, d in enumerate(map(int, reversed(str(big))))
+        )
+        % 10
+        == 0
+    )
+    clean = spark.createDataFrame([(big,)], "cc_num long")
+    dirty = spark.createDataFrame(
+        [(big,), (None,), (big + 1,)], "cc_num long"
+    )
+    assert [r["luhn_ok"] for r in with_luhn_flag(clean).collect()] == [1]
+    got = {
+        r["cc_num"]: r["luhn_ok"] for r in with_luhn_flag(dirty).collect()
+    }
+    assert got == {big: 1, None: None, big + 1: 0}
+
+
 def test_udaf_median_matches_sql_percentile(spark):
     ev = spark.read.parquet(f"{SF0001}/events.parquet")
     got = {
