@@ -14,11 +14,13 @@ from .sessionize import session_stats, sessionize  # noqa: F401
 from .ratios import with_ratio_features, with_guarded_inference_ratios  # noqa: F401
 from .latest_per_key import latest_per_key  # noqa: F401
 from .dedup import (  # noqa: F401
+    build_dedup_bloom,
     build_text_hash_index,
     build_text_hash_index_bucketed,
     connected_components,
     contamination_overlap,
     dedup_append,
+    dedup_append_bloom,
     dedup_append_bucketed,
     dedup_exact,
     lsh_candidate_pairs,

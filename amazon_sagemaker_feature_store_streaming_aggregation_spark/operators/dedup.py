@@ -199,6 +199,108 @@ def dedup_append_bucketed(
     return fresh.select(id_col, "text_hash")
 
 
+def _bloom_positions(var: str, num_bits: int, num_hashes: int) -> list:
+    """``num_hashes`` bit positions of a 60-bit hash ``var`` in an
+    m-bit Bloom filter, via the repo's overflow-free affine
+    permutation family (pure codegen integer ops — no md5 per probe,
+    no Python)."""
+    from ..functions.hashing import minhash_perm_constants, minhash_perm_sql
+
+    return [
+        F.expr(f"({minhash_perm_sql(var, a, b)}) % {num_bits}")
+        for a, b in minhash_perm_constants(num_hashes)
+    ]
+
+
+def build_dedup_bloom(
+    corpus_index: DataFrame, num_bits: int = 1 << 23, num_hashes: int = 5
+) -> DataFrame:
+    """Compact Bloom bitmap over the dedup index's ``text_hash``es:
+    ``(word, bits)`` rows, word = 64-bit chunk index — at the default
+    m=2^23 that is ≤131k rows / ~2 MB regardless of corpus size.
+
+    Spark's own ``bloom_filter_agg`` is not in the public function
+    registry, so the bitmap is built from codegen expressions: each
+    hash explodes to its ``num_hashes`` bit positions, and one
+    map-side-combinable ``bit_or`` per 64-bit word folds them. The
+    caller persists this next to the index and rebuilds it only on
+    compaction — probing it never touches the index itself.
+    """
+    probes = corpus_index.select(
+        F.explode(
+            F.array(*_bloom_positions("text_hash", num_bits, num_hashes))
+        ).alias("__pos")
+    )
+    return (
+        probes.groupBy((F.col("__pos") / 64).cast("long").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(__pos % 64 AS INT)))"
+            ).alias("bits")
+        )
+    )
+
+
+def dedup_append_bloom(
+    corpus_index: DataFrame,
+    new_docs: DataFrame,
+    bloom: DataFrame,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`dedup_append` with a Bloom prefilter — EXACT semantics
+    (the oracle is identical): a batch row whose ``num_hashes`` bits
+    are not all set is *definitely* new and skips the index anti-join
+    entirely; only Bloom-positive rows (true duplicates + the ~p
+    false-positive sliver) reach the exact anti-join.
+
+    Why it matters at 100 TB: for the common mostly-new batch, the
+    anti-join's probe side shrinks from |batch| to |dups| + p·|batch|,
+    and the only thing broadcast is the ~2 MB bitmap — the index is
+    scanned by the anti-join alone, for a fraction of the batch.
+    ``num_bits``/``num_hashes`` must match the :func:`build_dedup_bloom`
+    call that produced ``bloom``.
+    """
+    batch_best = (
+        new_docs.withColumn("text_hash", h64(text_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    probes = batch_best.select(
+        id_col,
+        "text_hash",
+        F.explode(
+            F.array(*_bloom_positions("text_hash", num_bits, num_hashes))
+        ).alias("__pos"),
+    ).select(
+        id_col,
+        "text_hash",
+        (F.col("__pos") / 64).cast("long").alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+        ).alias("__mask"),
+    )
+    flagged = (
+        probes.join(F.broadcast(bloom), on="word", how="left")
+        .withColumn(
+            "__hit",
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__mask"))
+            != 0,
+        )
+        .groupBy("text_hash", id_col)
+        .agg(F.min("__hit").alias("__maybe"))  # all k bits set
+    )
+    definite_new = flagged.where(~F.col("__maybe")).select(id_col, "text_hash")
+    maybe = flagged.where(F.col("__maybe")).select(id_col, "text_hash")
+    checked = maybe.join(
+        corpus_index.select("text_hash"), on="text_hash", how="left_anti"
+    ).select(id_col, "text_hash")
+    return definite_new.unionByName(checked)
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -679,4 +781,38 @@ def dedup_edit_distance(
                 " / CAST(greatest(length(ta), length(tb)) AS DOUBLE)"
             ).alias("similarity"),
         )
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise duplicate overlap between sources: for every source
+    pair (a < b), how many distinct texts appear in BOTH — the
+    provenance analysis a curation pipeline runs before choosing
+    per-source mixing weights (two mirrors of the same crawl should
+    not both contribute at full weight).
+
+    Plan: one distinct over (text-hash, source) — 8-byte hash plus a
+    dictionary-coded source, map-side combined; the pair join is a
+    SELF-join on the hash that reuses the distinct's partitioning
+    (co-partitioned, no second exchange for the probe side), and the
+    per-hash blowup is bounded by |sources|^2, not corpus size. The
+    raw text never shuffles.
+    """
+    hs = (
+        docs.select(
+            h64(text_col).alias("__th"), F.col(source_col).alias("__src")
+        )
+        .distinct()
+    )
+    a = hs.select("__th", F.col("__src").alias("source_a"))
+    b = hs.select("__th", F.col("__src").alias("source_b"))
+    return (
+        a.join(b, on="__th")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
     )

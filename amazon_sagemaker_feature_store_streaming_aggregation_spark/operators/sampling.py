@@ -65,3 +65,29 @@ def stratified_sample(
             .otherwise(expr)
         )
     return df.filter(_bucket(id_col, salt) < expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    id_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-row Bernoulli keep with probability = that row's WEIGHT
+    (clamped to [0, 1]) — importance downsampling: keep high-quality
+    documents with high probability and low-quality ones rarely,
+    instead of the all-or-nothing threshold cut.
+
+    Same determinism contract as the other samplers: the coin is the
+    md5-derived id bucket (stable under partitioning/engine/scale),
+    and the per-row threshold is the weight quantized to integer
+    1/10000ths — membership is integer-exact, so a SQL oracle
+    reproduces it bit-for-bit. Scan-side predicate: one md5 + a few
+    arithmetic ops per row, no shuffle, pushes into the scan stage.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    threshold = F.least(
+        F.greatest(F.round(w * RATE_DENOM).cast("long"), F.lit(0)),
+        F.lit(RATE_DENOM),
+    )
+    return df.filter(_bucket(id_col, salt) < threshold)

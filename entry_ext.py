@@ -1699,6 +1699,30 @@ def _q_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_append(index, batch)
 
 
+def _q_dedup_append_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup
+    (operators/dedup.py::dedup_append_bloom). Same scenario and the
+    SAME oracle as dedup_inc_append — the Bloom stage is a pure
+    prefilter (false positives fall through to the exact anti-join),
+    so any output difference is a bug in the bitmap math."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        build_dedup_bloom,
+        build_text_hash_index,
+        dedup_append_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = build_text_hash_index(docs.where("doc_id < 250"))
+    batch = docs.where("doc_id >= 250").unionAll(
+        docs.select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+        )
+    )
+    # small m stresses the false-positive path at gate scale
+    bloom = build_dedup_bloom(index, num_bits=1 << 12)
+    return dedup_append_bloom(index, batch, bloom, num_bits=1 << 12)
+
+
 _DEDUP_APPEND_ORACLE = f"""
 WITH idx AS (
   SELECT DISTINCT {_H64.format(x="text")} AS th
@@ -2987,6 +3011,76 @@ FROM c GROUP BY 1, 2
 """
 
 
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate overlap matrix
+    (operators/dedup.py::source_overlap_matrix). The testdata's texts
+    are source-unique, so the query mirrors every 3rd document under a
+    synthetic 'mirror' source — giving every real source a known
+    overlap with the mirror and zero with each other."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text", "source")
+    mirrored = load_table(spark, sf_dir, "documents").where(
+        "doc_id % 3 = 0"
+    ).select("text", F.lit("mirror").alias("source"))
+    return source_overlap_matrix(docs.unionByName(mirrored))
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH aug AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 3 = 0
+), hs AS (
+  SELECT DISTINCT {_H64.format(x="text")} AS th, source FROM aug
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared
+FROM hs a JOIN hs b ON a.th = b.th AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row Bernoulli importance sampling by document length
+    (operators/sampling.py::weighted_sample): keep probability
+    ``min(n_chars/500, 1)`` — longer documents kept more often.
+    Summarized per source so the gate hashes counts and id-sums, not
+    60k membership rows."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    kept = weighted_sample(docs, w, id_col="doc_id")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("kept_sum"),
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         {_H64.format(x="concat('wsample:', CAST(doc_id AS VARCHAR))")}
+           % 10000 AS bucket,
+         CAST(least(greatest(
+           round(least(n_chars / 500.0, 1.0) * 10000), 0), 10000) AS BIGINT)
+           AS threshold
+  FROM documents
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS kept_sum
+FROM scored WHERE bucket < threshold
+GROUP BY source
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -3072,6 +3166,9 @@ def ext_queries():
         "olap_shipping_priority": _q_shipping_priority,
         "pipeline_curate_shards": _q_curate_shards,
         "dedup_inc_append": _q_dedup_append,
+        "dedup_inc_append_bloom": _q_dedup_append_bloom,
+        "dedup_source_overlap": _q_source_overlap,
+        "t_weighted_sample": _q_weighted_sample,
     }
 
 
@@ -3160,4 +3257,7 @@ def ext_oracles():
         "olap_shipping_priority": _SHIPPING_PRIORITY_ORACLE,
         "pipeline_curate_shards": _curate_shards_oracle(),
         "dedup_inc_append": _DEDUP_APPEND_ORACLE,
+        "dedup_inc_append_bloom": _DEDUP_APPEND_ORACLE,
+        "dedup_source_overlap": _SOURCE_OVERLAP_ORACLE,
+        "t_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
     }

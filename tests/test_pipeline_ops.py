@@ -221,3 +221,82 @@ def test_curate_cli_rejects_bad_args(capsys):
     for bad in (["--shards", "0"], ["--cap", "0"], ["--keep-bp", "10001"]):
         with _pytest.raises(SystemExit):
             parse_args(["--input", "x", "--out", "y", *bad])
+
+
+def test_dedup_append_bloom_exact_even_at_saturation(spark):
+    """The Bloom prefilter must be a pure optimization: with a
+    ridiculously small bitmap (64 bits for 200 corpus texts — heavily
+    saturated, so most batch rows are false positives and take the
+    exact anti-join path) AND with a roomy bitmap (mostly
+    definite-new path), the output must equal plain dedup_append."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        build_dedup_bloom,
+        build_text_hash_index,
+        dedup_append,
+        dedup_append_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        # 50 dups of the corpus + 50 new + an internal dup pair
+        [(1000 + i, f"text number {i}") for i in range(50)]
+        + [(2000 + i, f"fresh {i}") for i in range(50)]
+        + [(3000, "fresh 0")],
+        ["doc_id", "text"],
+    )
+    index = build_text_hash_index(corpus)
+    want = sorted(
+        map(tuple, dedup_append(index, batch).collect())
+    )
+    for m in (64, 1 << 16):
+        bloom = build_dedup_bloom(index, num_bits=m)
+        got = sorted(
+            map(
+                tuple,
+                dedup_append_bloom(index, batch, bloom, num_bits=m).collect(),
+            )
+        )
+        assert got == want, f"num_bits={m}"
+    # and the roomy bitmap actually prunes: most fresh rows skip the
+    # anti-join (no false-positive saturation)
+    assert len(want) == 50  # fresh 0..49, internal dup collapsed
+
+
+def test_weighted_sample_rates_follow_weights(spark):
+    """Keep rate per weight tier must track the weight (0 keeps
+    nothing, 1 keeps everything, 0.5 keeps about half), and membership
+    must be a pure function of the id (stable under repartition)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.sampling import weighted_sample
+
+    rows = [(i, [0.0, 0.5, 1.0][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    kept = weighted_sample(df, "w", id_col="id")
+    by_w = {
+        r["w"]: r["n"]
+        for r in kept.groupBy("w").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_w.get(0.0, 0) == 0
+    assert by_w[1.0] == 1000
+    assert 400 <= by_w[0.5] <= 600
+    a = {r["id"] for r in kept.collect()}
+    b = {r["id"] for r in weighted_sample(df.repartition(7), "w", id_col="id").collect()}
+    assert a == b
+
+
+def test_source_overlap_matrix_counts_shared_texts(spark):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import source_overlap_matrix
+
+    rows = [
+        ("a", "s1"), ("b", "s1"), ("c", "s1"),
+        ("a", "s2"), ("b", "s2"),          # s1 ∩ s2 = {a, b}
+        ("a", "s3"),                        # s1 ∩ s3 = s2 ∩ s3 = {a}
+        ("a", "s1"),                        # duplicate within s1: no double count
+    ]
+    docs = spark.createDataFrame(rows, ["text", "source"])
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_overlap_matrix(docs).collect()
+    }
+    assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
