@@ -618,8 +618,14 @@ def volume_shipping(
     cust = customer.join(
         F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    # the year bound is spelled as a shipdate RANGE, not
+    # year(l_shipdate) BETWEEN: a plain column comparison reaches the
+    # parquet scan's PushedFilters and prunes row groups by shipdate
+    # min/max stats, while year() is an expression Spark cannot push —
+    # the projection below may still use year() freely
     li = lineitem.where(
-        F.year("l_shipdate").between(year_from, year_to)
+        (F.col("l_shipdate") >= F.lit(f"{year_from}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{year_to + 1}-01-01").cast("timestamp"))
     ).select(
         "l_orderkey", "l_suppkey",
         F.year("l_shipdate").alias("l_year"),

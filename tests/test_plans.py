@@ -466,3 +466,29 @@ def test_dedup_append_bucketed_never_shuffles_the_index(spark, tmp_path):
         assert out.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_dedup_idx")
+
+
+def test_volume_shipping_pushes_shipdate_range_to_scan(spark):
+    """Q7 shape: the ship-year bound must land in the lineitem scan's
+    PushedFilters as a shipdate RANGE (year() is unpushable)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.analytics import volume_shipping
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    from .conftest import SF001
+
+    plan = _plan(
+        volume_shipping(
+            load_table(spark, SF001, "lineitem"),
+            load_table(spark, SF001, "orders"),
+            load_table(spark, SF001, "customer"),
+            load_table(spark, SF001, "supplier"),
+            load_table(spark, SF001, "nation"),
+        )
+    )
+    pushed = [
+        seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any(
+        "l_shipdate" in p and "GreaterThanOrEqual" in p for p in pushed
+    ), plan
