@@ -125,7 +125,7 @@ def nation_order_profile(
             F.expr(cents).alias("__cents"),
         )
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -161,7 +161,7 @@ def monthly_orders_by_id_parity(
     return (
         orders.select("o_custkey", "o_totalprice", "o_orderdate")
         .join(
-            F.broadcast(customer.select("c_custkey", "c_name")),
+            customer.select("c_custkey", "c_name"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(
@@ -279,7 +279,7 @@ def revenue_pivot_by_priority(
         orders.select("o_custkey", "o_orderpriority",
                       F.expr(cents).alias("__cents"))
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
