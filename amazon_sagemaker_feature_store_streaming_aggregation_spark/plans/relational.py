@@ -488,3 +488,32 @@ def scd2_intervals(events: DataFrame) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         (F.lead("ts").over(w).isNull()).alias("is_current"),
     )
+
+
+def variant_props_histogram(events: DataFrame) -> DataFrame:
+    """Semi-structured VARIANT coverage (Spark 4): parse the ``props``
+    JSON wire column ONCE into a ``variant`` value, then extract typed
+    fields with ``variant_get`` — the open-schema ingestion pattern
+    where the payload shape is not known at write time.
+
+    Why VARIANT instead of ``get_json_object`` per field: the parse
+    happens once per row into a binary-encoded value; every subsequent
+    extraction is a path walk over that encoding, not a re-parse of the
+    JSON text — with k extracted fields that is 1 parse + k walks
+    versus k full parses. At 100 TB of event payloads the parse IS the
+    scan cost. All scan-side; one map-side-combined aggregate on the
+    derived bucket.
+    """
+    return (
+        events.select(F.parse_json(F.col("props")).alias("__v"))
+        .select(
+            F.expr("variant_get(__v, '$.k', 'bigint')").alias("k")
+        )
+        .groupBy(F.pmod(F.col("k"), F.lit(10)).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -3081,6 +3081,28 @@ GROUP BY source
 """
 
 
+def _q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT semi-structured path
+    (plans/relational.py::variant_props_histogram): parse_json once,
+    typed variant_get extraction, histogram on the derived bucket."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.relational import (
+        variant_props_histogram,
+    )
+
+    return variant_props_histogram(load_table(spark, sf_dir, "events"))
+
+
+_VARIANT_PROPS_ORACLE = """
+WITH x AS (
+  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT k % 10 AS k_mod, count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM x GROUP BY 1
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -3169,6 +3191,7 @@ def ext_queries():
         "dedup_inc_append_bloom": _q_dedup_append_bloom,
         "dedup_source_overlap": _q_source_overlap,
         "t_weighted_sample": _q_weighted_sample,
+        "rel_variant_props": _q_variant_props,
     }
 
 
@@ -3260,4 +3283,5 @@ def ext_oracles():
         "dedup_inc_append_bloom": _DEDUP_APPEND_ORACLE,
         "dedup_source_overlap": _SOURCE_OVERLAP_ORACLE,
         "t_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
+        "rel_variant_props": _VARIANT_PROPS_ORACLE,
     }

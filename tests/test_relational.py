@@ -158,3 +158,33 @@ def test_salted_join_equals_plain_and_scatters_keys(spark, tmp_path):
         assert "BroadcastHashJoin" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_variant_histogram_equals_json_path_twin(spark):
+    """VARIANT extraction must agree with the get_json_object twin,
+    including null payloads (null variant -> null k -> null bucket)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.relational import (
+        variant_props_histogram,
+    )
+
+    rows = [('{"k": 7}',), ('{"k": 17}',), ('{"k": 20}',), (None,)]
+    ev = spark.createDataFrame(rows, ["props"])
+    nullsafe = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    got = sorted(map(tuple, variant_props_histogram(ev).collect()), key=nullsafe)
+    twin = sorted(
+        map(
+            tuple,
+            ev.selectExpr("cast(get_json_object(props, '$.k') as bigint) as k")
+            .groupBy(F.pmod(F.col("k"), F.lit(10)).alias("k_mod"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("k").alias("sum_k"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+            )
+            .collect(),
+        ),
+        key=nullsafe,
+    )
+    assert got == twin
+    assert (7 % 10, 2, 24, 7, 17) in got  # 7 and 17 share bucket 7
