@@ -209,3 +209,54 @@ def test_incremental_any_cutoff_matches_full(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), f"cutoff fraction {frac}"
+
+
+_corpus_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("abcde "), min_size=0, max_size=12
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus_texts, batch=_corpus_texts, m_exp=st.integers(6, 14))
+def test_bloom_dedup_equals_plain_on_random_corpora(
+    spark, corpus, batch, m_exp
+):
+    """dedup_append_bloom must equal dedup_append for ANY corpus/batch
+    (duplicate-heavy, empty-string texts, tiny saturated bitmaps) —
+    the Bloom stage is a pure prefilter by construction."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        build_dedup_bloom,
+        build_text_hash_index,
+        dedup_append,
+        dedup_append_bloom,
+    )
+
+    corpus_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)] or [(0, "x")],
+        "doc_id long, text string",
+    )
+    batch_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch)] or [(100, "y")],
+        "doc_id long, text string",
+    )
+    index = build_text_hash_index(corpus_df)
+    m = 1 << m_exp
+    bloom = build_dedup_bloom(index, num_bits=m)
+    want = sorted(map(tuple, dedup_append(index, batch_df).collect()))
+    got = sorted(
+        map(
+            tuple,
+            dedup_append_bloom(
+                index, batch_df, bloom, num_bits=m
+            ).collect(),
+        )
+    )
+    assert got == want
