@@ -227,3 +227,26 @@ def vocab_coverage(
             F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
         )
     )
+
+
+def token_frequency_spectrum(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Count-of-counts (Zipf) spectrum: how many distinct terms occur
+    exactly ``freq`` times in the corpus — the frequency histogram
+    behind Good-Turing smoothing, vocabulary-size planning and
+    heavy-tail health checks on a training corpus.
+
+    Plan: one (term, count) aggregation over the exploded token
+    stream (map-side combined, 8-byte-ish keys), then a second tiny
+    aggregation over the term-count table keyed by the count value —
+    output cardinality is the number of DISTINCT frequencies
+    (O(sqrt(total tokens)) by Zipf), microscopic at any corpus size.
+    """
+    toks = docs.select(
+        F.explode(F.expr(_TOKENS.format(c=text_col))).alias("term")
+    )
+    term_counts = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    return term_counts.groupBy("freq").agg(
+        F.count("*").alias("n_terms")
+    )

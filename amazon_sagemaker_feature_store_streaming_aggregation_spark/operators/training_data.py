@@ -255,3 +255,48 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 256,
+    overlap: int = 64,
+) -> DataFrame:
+    """Overlapping fixed-size character chunks — the RAG-ingestion
+    shape (embed each chunk, retrieve by chunk, attribute by doc).
+
+    Chunk ``i`` covers ``[1 + i*step, 1 + i*step + chunk_chars)`` with
+    ``step = chunk_chars - overlap``; starts run while they lie inside
+    the text, so the final chunk may be shorter and a text shorter
+    than one chunk yields exactly one chunk (an empty text yields one
+    empty chunk — the caller filters if it wants). Output one row per
+    (doc, chunk): ``(id, chunk_idx, chunk_start, chunk_len,
+    chunk_hash)`` — the hash (``h64`` of the chunk text) is what
+    downstream dedup/embedding stages key on, so the full text never
+    needs to leave the scan projection.
+
+    Plan: ``sequence()`` + ``explode`` + ``substring`` — all scan-side
+    codegen, ZERO shuffles; at 100 TB chunking adds no data motion,
+    only an output-row multiplier of ~len/step per doc.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    step = chunk_chars - overlap
+    t = F.col(text_col)
+    starts = F.expr(
+        f"sequence(1, greatest(length({text_col}), 1), {step})"
+    )
+    chunk = F.expr(f"substring({text_col}, __start, {chunk_chars})")
+    return (
+        df.select(F.col(id_col), t)
+        .withColumn("__start", F.explode(starts))
+        .select(
+            id_col,
+            ((F.col("__start") - 1) / step).cast("long").alias("chunk_idx"),
+            F.col("__start").cast("long").alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            h64(chunk).alias("chunk_hash"),
+        )
+    )

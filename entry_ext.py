@@ -3103,6 +3103,62 @@ FROM x GROUP BY 1
 """
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunker
+    (operators/training_data.py::chunk_documents), summarized per doc
+    (count + order-independent XOR of chunk hashes + total chunk
+    chars) so the gate hashes one row per document."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.training_data import (
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_chars=256, overlap=64
+    )
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.expr("bit_xor(chunk_hash)").alias("chunks_xor"),
+        F.sum("chunk_len").alias("total_chunk_chars"),
+    )
+
+
+_CHUNK_DOCS_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id,
+         length(substring(text, t.s, 256)) AS chunk_len,
+         {_H64.format(x="substring(text, t.s, 256)")} AS chunk_hash
+  FROM documents,
+       LATERAL unnest(range(1, greatest(length(text), 1) + 1, 192)) AS t(s)
+)
+SELECT doc_id, count(*) AS n_chunks,
+       bit_xor(chunk_hash) AS chunks_xor,
+       CAST(sum(chunk_len) AS BIGINT) AS total_chunk_chars
+FROM c GROUP BY doc_id
+"""
+
+
+def _q_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts Zipf spectrum
+    (operators/tfidf.py::token_frequency_spectrum)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import (
+        token_frequency_spectrum,
+    )
+
+    return token_frequency_spectrum(load_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_SPECTRUM_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            t -> t != '')) AS term
+  FROM documents
+), tc AS (
+  SELECT term, count(*) AS freq FROM toks GROUP BY term
+)
+SELECT freq, count(*) AS n_terms FROM tc GROUP BY freq
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -3192,6 +3248,8 @@ def ext_queries():
         "dedup_source_overlap": _q_source_overlap,
         "t_weighted_sample": _q_weighted_sample,
         "rel_variant_props": _q_variant_props,
+        "t_chunk_documents": _q_chunk_documents,
+        "text_token_spectrum": _q_token_spectrum,
     }
 
 
@@ -3284,4 +3342,6 @@ def ext_oracles():
         "dedup_source_overlap": _SOURCE_OVERLAP_ORACLE,
         "t_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "rel_variant_props": _VARIANT_PROPS_ORACLE,
+        "t_chunk_documents": _CHUNK_DOCS_ORACLE,
+        "text_token_spectrum": _TOKEN_SPECTRUM_ORACLE,
     }

@@ -189,3 +189,61 @@ def test_write_training_shards_no_idle_tasks(spark):
         .count()
     )
     assert parts == 4
+
+
+def test_chunk_documents_covers_text_with_overlap(spark):
+    """Chunk boundary semantics: step = chunk - overlap, final chunk
+    may be short, short/empty texts yield exactly one chunk, and
+    consecutive chunks overlap by exactly `overlap` chars."""
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.training_data import (
+        chunk_documents,
+    )
+
+    text = "abcdefghij" * 5  # 50 chars
+    docs = spark.createDataFrame(
+        [(1, text), (2, "tiny"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, chunk_chars=20, overlap=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 1, 16, 31, 46 (step 15); lens 20,20,20,5
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_start"] for r in c1] == [1, 16, 31, 46]
+    assert [r["chunk_len"] for r in c1] == [20, 20, 20, 5]
+    # overlap check: chunk i's window [s, s+20) overlaps next by 5
+    for a, b in zip(c1, c1[1:]):
+        assert (a["chunk_start"] + 20) - b["chunk_start"] == 5
+    # short and empty docs: one chunk each
+    assert [r["chunk_len"] for r in by_doc[2]] == [4]
+    assert [r["chunk_len"] for r in by_doc[3]] == [0]
+    # hashes match h64 of the actual substrings
+    want_h = [
+        r["h"]
+        for r in spark.createDataFrame(
+            [(text[i - 1 : i - 1 + 20],) for i in (1, 16, 31, 46)], ["c"]
+        )
+        .select(F.expr(
+            "cast(conv(substring(md5(c), 1, 15), 16, 10) as bigint)"
+        ).alias("h"))
+        .collect()
+    ]
+    assert [r["chunk_hash"] for r in c1] == want_h
+
+
+def test_token_spectrum_counts_of_counts(spark):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import (
+        token_frequency_spectrum,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b  c   d")], ["doc_id", "text"]
+    )
+    # a:3, b:3, c:2, d:1  ->  freq 3: 2 terms, freq 2: 1, freq 1: 1
+    got = {
+        r["freq"]: r["n_terms"]
+        for r in token_frequency_spectrum(docs).collect()
+    }
+    assert got == {3: 2, 2: 1, 1: 1}
