@@ -598,3 +598,48 @@ def ivf_topk(
         .distinct()
     )
     return _exact_topk_on_candidates(cand, embeddings, queries, k, id_col, vec_col)
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid of an embedding column, one output row per
+    (label, dimension) — the class-prototype computation behind
+    nearest-centroid classification, cluster drift monitoring and
+    label-quality audits over embedded corpora.
+
+    Determinism design (the repo's bit-stable-doubles discipline):
+    each component is fixed-pointed to integer micro-units
+    (``round(v * 1e6)`` — float32→double is exact, the scale/round is
+    the shared cross-engine convention, away-from-zero on both
+    engines), summed in ``decimal(38,0)`` (order-independent,
+    overflow-safe at any corpus size), and the centroid is ONE final
+    cast+divide chain — so even the emitted doubles hash identically.
+
+    Plan: ``posexplode`` multiplies the scan by dim (scan-side, no
+    data motion), then ONE map-side-combined aggregation on
+    (label, pos) — shuffle rows are |labels|·dim · partials, never
+    corpus-sized. Output cardinality |labels|·dim.
+    """
+    micro = "CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"
+    return (
+        embeddings.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.expr(f"sum(CAST({micro} AS DECIMAL(38,0)))").alias("__s"),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            "n_vecs",
+            F.expr(
+                "CAST(__s AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0"
+            ).alias("centroid"),
+        )
+    )

@@ -3159,6 +3159,30 @@ SELECT freq, count(*) AS n_terms FROM tc GROUP BY freq
 """
 
 
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids
+    (operators/similarity.py::label_centroids)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+_LABEL_CENTROIDS_ORACLE = """
+WITH e AS (
+  SELECT label, t.i AS pos,
+         embedding[t.i + 1] AS v
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) AS t(i)
+)
+SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n_vecs,
+       CAST(sum(CAST(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+                     AS HUGEINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 1000000.0 AS centroid
+FROM e GROUP BY label, pos
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -3250,6 +3274,7 @@ def ext_queries():
         "rel_variant_props": _q_variant_props,
         "t_chunk_documents": _q_chunk_documents,
         "text_token_spectrum": _q_token_spectrum,
+        "sim_label_centroids": _q_label_centroids,
     }
 
 
@@ -3344,4 +3369,5 @@ def ext_oracles():
         "rel_variant_props": _VARIANT_PROPS_ORACLE,
         "t_chunk_documents": _CHUNK_DOCS_ORACLE,
         "text_token_spectrum": _TOKEN_SPECTRUM_ORACLE,
+        "sim_label_centroids": _LABEL_CENTROIDS_ORACLE,
     }

@@ -492,3 +492,34 @@ def test_auto_cells_policy(spark):
     for n, n2 in ((10_000, 40_000), (1_000_000, 4_000_000)):
         c, c2 = auto_cells(n), auto_cells(n2)
         assert 1 < c2 / c <= 4  # 4x corpus -> ~2x cells
+
+
+def test_label_centroids_match_numpy(spark):
+    """Centroid values must match a float64 numpy mean within
+    fixed-point quantization (5e-7 per component)."""
+    import numpy as np
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        label_centroids,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    from .conftest import SF0001
+
+    emb = load_table(spark, SF0001, "embeddings")
+    got = {
+        (r["label"], r["pos"]): (r["n_vecs"], r["centroid"])
+        for r in label_centroids(emb).collect()
+    }
+    rows = emb.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+    for label, vecs in by_label.items():
+        mean = np.mean(np.stack(vecs), axis=0)
+        for pos in range(len(mean)):
+            n, c = got[(label, pos)]
+            assert n == len(vecs)
+            assert abs(c - mean[pos]) <= 5e-7 + 1e-12, (label, pos)
