@@ -7,7 +7,11 @@ from .sources import (  # noqa: F401
     read_event_stream,
     read_json_event_stream,
 )
-from .dedup import dedup_stream_content, dedup_stream_exact  # noqa: F401
+from .dedup import (  # noqa: F401
+    dedup_stream_content,
+    dedup_stream_exact,
+    run_index_dedup_stream,
+)
 from .join import interval_join  # noqa: F401
 from .metrics import progress_summary  # noqa: F401
 from .running_totals import (  # noqa: F401

@@ -96,3 +96,49 @@ def test_stream_content_dedup_keeps_first_arrival(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 2, 4]
     assert "__th" not in out.columns
+
+
+def test_index_dedup_stream_unbounded_horizon(spark, tmp_path):
+    """foreachBatch + persistent index: a payload first seen in batch 0
+    is still dropped in batch 2 (far outside any watermark horizon),
+    within-batch dups collapse to the min id, and the index ends up
+    with exactly the distinct-payload hashes."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_dedup_stream,
+    )
+
+    schema = "doc_id long, ts timestamp, text string"
+
+    def mk(i, s, text):
+        return (i, T0 + dt.timedelta(seconds=s), text)
+
+    chunk0 = [mk(1, 0, "alpha"), mk(2, 1, "beta")]
+    chunk1 = [mk(3, 3600, "gamma"), mk(4, 3601, "gamma")]  # internal dup
+    chunk2 = [mk(5, 90000, "alpha"), mk(6, 90001, "delta")]  # old dup
+    path = _write_chunks(spark, tmp_path, [chunk0, chunk1, chunk2], schema)
+
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = run_index_dedup_stream(
+        stream,
+        out_dir,
+        index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(180)
+
+    survivors = {
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    }
+    # doc 4 (within-batch dup of 3) and doc 5 (cross-horizon dup of 1)
+    # are dropped; everything else survives
+    assert survivors == {1, 2, 3, 6}
+    index = spark.read.parquet(index_dir)
+    assert index.count() == 4  # alpha, beta, gamma, delta — once each
+    assert index.distinct().count() == 4
