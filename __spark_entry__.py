@@ -1190,6 +1190,80 @@ def _run_interval_join_replay(
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
+def _q_stream_interval_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream interval join — the streaming EXISTS:
+    each even-parity event emits ONCE if any odd-parity event of the
+    same user lands within ±60 s. Matches emit as soon as the match
+    arrives (no unmatched emission), so like inner mode the bounded
+    replay needs no flush sentinels. Oracle: batch EXISTS."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        interval_join,
+        read_event_stream,
+    )
+
+    name = f"stream_ijoin_semi_out_{next(_S4_SEQ)}"
+    stream_dir = tempfile.mkdtemp(prefix="sijs_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="sijs_ckpt_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    old_parts = _set_stream_partitions(spark)
+    try:
+        schema = "event_id long, ts timestamp_ntz, user_id long, value double"
+        left = (
+            read_event_stream(spark, stream_dir, schema)
+            .where("event_id % 2 = 0")
+            .select("user_id", F.col("event_id").alias("a_id"),
+                    F.col("ts").alias("a_ts"))
+        )
+        right = (
+            read_event_stream(spark, stream_dir, schema)
+            .where("event_id % 2 = 1")
+            .select("user_id", F.col("event_id").alias("b_id"),
+                    F.col("ts").alias("b_ts"))
+        )
+        joined = interval_join(
+            left, right, key="user_id", left_ts="a_ts", right_ts="b_ts",
+            lower_s=-60, upper_s=60, how="left_semi",
+        ).select("user_id", "a_id", "a_ts")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_interval_join semi replay exceeded 300s")
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+_STREAM_IJOIN_SEMI_ORACLE = """
+SELECT a.user_id, a.event_id AS a_id, a.ts AS a_ts
+FROM events a
+WHERE a.event_id % 2 = 0
+  AND EXISTS (
+    SELECT 1 FROM events b
+    WHERE b.user_id = a.user_id AND b.event_id % 2 = 1
+      AND epoch_us(b.ts) >= epoch_us(a.ts) - 60000000
+      AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+  )
+"""
+
+
 def _q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream interval join (see
     _run_interval_join_replay). Oracle: batch LEFT JOIN."""
@@ -1641,6 +1715,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_interval_join": _q_stream_interval_join,
         "s_stream_interval_join_outer": _q_stream_interval_join_outer,
         "s_stream_interval_join_full": _q_stream_interval_join_full,
+        "s_stream_interval_join_semi": _q_stream_interval_join_semi,
         "s_stream_late_drop": _q_stream_late_drop,
         "sessionize": _q_sessionize,
         "time_rollup": _q_time_rollup,
@@ -1675,6 +1750,7 @@ def _all_oracles() -> dict[str, str]:
         "s_stream_interval_join": _STREAM_IJOIN_ORACLE,
         "s_stream_interval_join_outer": _STREAM_IJOIN_OUTER_ORACLE,
         "s_stream_interval_join_full": _STREAM_IJOIN_FULL_ORACLE,
+        "s_stream_interval_join_semi": _STREAM_IJOIN_SEMI_ORACLE,
         "s_stream_late_drop": _STREAM_LATE_DROP_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "time_rollup": _ROLLUP_ORACLE,

@@ -44,8 +44,13 @@ def interval_join(
     arrive. A bounded replay therefore only flushes its unmatched tail
     if something later advances the watermark (see the registered
     query's sentinel batches); inner mode has no such wait.
+
+    ``how='left_semi'``: emit each left row ONCE as soon as any match
+    arrives (left columns only — the streaming EXISTS). Like inner, no
+    watermark wait for the emitted rows; unmatched left state is
+    silently dropped at the watermark.
     """
-    if how not in ("inner", "left_outer", "full_outer"):
+    if how not in ("inner", "left_outer", "full_outer", "left_semi"):
         raise ValueError(f"unsupported join type: {how!r}")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark).withColumnRenamed(
