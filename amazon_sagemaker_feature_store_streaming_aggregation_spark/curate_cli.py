@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 from collections.abc import Sequence
 
@@ -76,12 +75,9 @@ def main(argv: Sequence[str] | None = None) -> int:
     # Pre-CHECK for data files instead of swallowing read errors: a
     # transient read failure after a successful shard write must raise,
     # not masquerade as "nothing survived" (orchestrators gate on this).
-    has_data = any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(args.out)
-        for f in files
-    )
-    if has_data:
+    from .sinks.compaction import dir_stats
+
+    if dir_stats(args.out)[0] > 0:
         manifest = spark.read.parquet(args.out)
         counts = {
             int(r["shard"]): r["n"]

@@ -287,8 +287,19 @@ def dedup_append_bloom(
         probes.join(F.broadcast(bloom), on="word", how="left")
         .withColumn(
             "__hit",
-            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__mask"))
-            != 0,
+            # outer coalesce: a NULL text hashes to NULL -> NULL
+            # positions/masks -> NULL __hit; without it min(__hit) is
+            # NULL and the row falls out of BOTH branches below, while
+            # plain dedup_append KEEPS null-text rows (a NULL hash
+            # never matches the anti-join) — forcing False routes the
+            # row to definite_new, matching the exact path.
+            F.coalesce(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                    F.col("__mask")
+                )
+                != 0,
+                F.lit(False),
+            ),
         )
         .groupBy("text_hash", id_col)
         .agg(F.min("__hit").alias("__maybe"))  # all k bits set

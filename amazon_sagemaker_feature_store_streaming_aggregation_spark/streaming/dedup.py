@@ -103,17 +103,14 @@ def run_index_dedup_stream(
     import os
 
     from ..operators.dedup import dedup_append
+    from ..sinks.compaction import dir_stats
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_out = os.path.join(out_dir, f"batch={batch_id}")
         if os.path.exists(os.path.join(batch_out, "_SUCCESS")):
             return  # retried batch: output already committed
-        index_files = os.path.isdir(index_dir) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(index_dir)
-            for f in fs
-        )
+        index_files = os.path.isdir(index_dir) and dir_stats(index_dir)[0] > 0
         if index_files:
             index = spark.read.parquet(index_dir).select("text_hash")
         else:

@@ -157,13 +157,23 @@ def _make_state_fn(window_s: int, mode: str, spill_points: int, order: str):
     ``order='event'`` sorts each chunk by event time and windows on it.
     ``order='arrival'`` replays KDA ROWTIME semantics: rows keep their
     DELIVERED order and each one's window axis is the running MAX of
-    event time at its arrival (the deterministic stand-in for KDA's
-    monotonic processing-time ROWTIME) — a late row is therefore
-    aggregated at "now", against the whole current buffer, exactly the
-    observable KDA behavior the reference exhibits on out-of-order
-    input. The monotonized axis is non-decreasing by construction, so
-    both chunk kernels' sortedness preconditions hold without a sort
-    or merge.
+    event time at its arrival (the stand-in for KDA's monotonic
+    processing-time ROWTIME) — a late row is therefore aggregated at
+    "now", against the whole current buffer, exactly the observable
+    KDA behavior the reference exhibits on out-of-order input. The
+    monotonized axis is non-decreasing by construction, so both chunk
+    kernels' sortedness preconditions hold without a sort or merge.
+
+    Determinism caveat (inherent to the SEMANTICS, not this
+    implementation): arrival order within a micro-batch follows
+    shuffle-delivery order, which Spark does not guarantee across
+    reruns when a key has >1 row per batch from multiple input
+    splits — two runs that deliver differently are two different
+    arrival histories, and KDA ROWTIME itself would score them
+    differently too. That is exactly why ``order='event'`` is the
+    DEFAULT and the oracle-checked mode; use 'arrival' only to
+    reproduce the reference's observable behavior on a controlled
+    (single-split or per-key-ordered) replay.
     """
     window_us = window_s * 1_000_000
 

@@ -1677,17 +1677,16 @@ WHERE rn = 1
 """
 
 
-def _q_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-ingest dedup (operators/dedup.py::dedup_append).
-    The testdata's texts are all-distinct, so the batch is the id>=250
-    slice UNION ALL every document re-keyed (+1M) — giving the batch
-    real corpus-duplicates (anti-joined away) AND real internal
-    duplicates (min id wins); both removal paths are live in the
-    gate, not just the hash plumbing."""
-    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
-        build_text_hash_index,
-        dedup_append,
-    )
+def _dedup_append_scenario(spark: SparkSession, sf_dir: str):
+    """Shared (index, batch) scenario for BOTH incremental-dedup gate
+    queries — one source of truth so the plain and Bloom variants can
+    never drift against their shared oracle. The testdata's texts are
+    all-distinct, so the batch is the id>=250 slice UNION ALL every
+    document re-keyed (+1M) — giving the batch real corpus-duplicates
+    (anti-joined away) AND real internal duplicates (min id wins);
+    both removal paths are live in the gate, not just the hash
+    plumbing."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import build_text_hash_index
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     index = build_text_hash_index(docs.where("doc_id < 250"))
@@ -1696,28 +1695,31 @@ def _q_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
         )
     )
+    return index, batch
+
+
+def _q_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py::dedup_append)
+    over the shared scenario (see _dedup_append_scenario)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import dedup_append
+
+    index, batch = _dedup_append_scenario(spark, sf_dir)
     return dedup_append(index, batch)
 
 
 def _q_dedup_append_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered incremental dedup
-    (operators/dedup.py::dedup_append_bloom). Same scenario and the
-    SAME oracle as dedup_inc_append — the Bloom stage is a pure
-    prefilter (false positives fall through to the exact anti-join),
-    so any output difference is a bug in the bitmap math."""
+    (operators/dedup.py::dedup_append_bloom) over the SAME shared
+    scenario and oracle as dedup_inc_append — the Bloom stage is a
+    pure prefilter (false positives fall through to the exact
+    anti-join), so any output difference is a bug in the bitmap
+    math."""
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
         build_dedup_bloom,
-        build_text_hash_index,
         dedup_append_bloom,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    index = build_text_hash_index(docs.where("doc_id < 250"))
-    batch = docs.where("doc_id >= 250").unionAll(
-        docs.select(
-            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
-        )
-    )
+    index, batch = _dedup_append_scenario(spark, sf_dir)
     # small m stresses the false-positive path at gate scale
     bloom = build_dedup_bloom(index, num_bits=1 << 12)
     return dedup_append_bloom(index, batch, bloom, num_bits=1 << 12)
@@ -1890,9 +1892,13 @@ def _q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMV_ORACLE = f"""
 WITH h AS (
+  -- NULL values are excluded (COUNT DISTINCT semantics), mirroring
+  -- kmv_distinct's null filter: DuckDB would otherwise rank the NULL
+  -- hash (NULLS LAST here, FIRST in Spark) and skew n_kept/u_k.
   SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
          {_H64.format(x="CAST(user_id AS VARCHAR)")} AS hh
   FROM events
+  WHERE user_id IS NOT NULL
 ), r AS (
   SELECT day, hh,
          row_number() OVER (PARTITION BY day ORDER BY hh) AS rn
@@ -3096,7 +3102,10 @@ _VARIANT_PROPS_ORACLE = """
 WITH x AS (
   SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
 )
-SELECT k % 10 AS k_mod, count(*) AS n_events,
+-- ((k % 10) + 10) % 10: DuckDB's % keeps the sign of k while Spark's
+-- pmod is always non-negative; the double-mod makes the twin exact on
+-- negative payloads too
+SELECT ((k % 10) + 10) % 10 AS k_mod, count(*) AS n_events,
        CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k, max(k) AS max_k
 FROM x GROUP BY 1

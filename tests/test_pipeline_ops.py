@@ -300,3 +300,33 @@ def test_source_overlap_matrix_counts_shared_texts(spark):
         for r in source_overlap_matrix(docs).collect()
     }
     assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_dedup_append_bloom_keeps_null_text_rows_like_plain(spark):
+    """A NULL text hashes to NULL: the Bloom path must keep such rows
+    exactly as the plain path does (NULL hash never matches the
+    anti-join), not silently drop them into neither branch."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        build_dedup_bloom,
+        build_text_hash_index,
+        dedup_append,
+        dedup_append_bloom,
+    )
+
+    corpus = spark.createDataFrame([(1, "seen")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "seen"), (11, None), (12, "new")], ["doc_id", "text"]
+    )
+    index = build_text_hash_index(corpus)
+    bloom = build_dedup_bloom(index, num_bits=1 << 10)
+    want = sorted(map(tuple, dedup_append(index, batch).collect()))
+    got = sorted(
+        map(
+            tuple,
+            dedup_append_bloom(
+                index, batch, bloom, num_bits=1 << 10
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert {r[0] for r in got} == {11, 12}  # null-text row survives
