@@ -87,14 +87,23 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     build_ts_val = F.when(F.col(side) == 0, F.col(ts))
-    matched = u.select(
-        "*",
-        F.last(build_ts_val, ignorenulls=True).over(w).alias("__m_ts"),
-        *[
-            F.last(F.col(vprefix + c), ignorenulls=True).over(w).alias("__m_" + c)
-            for c in value_cols
-        ],
-    ).filter(F.col(side) == 1)
+    # The value sweep carries ONE STRUCT of all value columns, not a
+    # per-column last(): the struct is non-null for every build row
+    # even when its fields are null, so the sweep atomically picks the
+    # LATEST build row. Independent per-column ignorenulls sweeps
+    # would resurrect an OLDER row's non-null value wherever the
+    # matched row legitimately holds NULL — values from two different
+    # build rows stitched into one match.
+    sweeps = [F.last(build_ts_val, ignorenulls=True).over(w).alias("__m_ts")]
+    if value_cols:
+        build_row = F.when(
+            F.col(side) == 0,
+            F.struct(*[F.col(vprefix + c).alias(c) for c in value_cols]),
+        )
+        sweeps.append(
+            F.last(build_row, ignorenulls=True).over(w).alias("__m_row")
+        )
+    matched = u.select("*", *sweeps).filter(F.col(side) == 1)
 
     fresh = F.col("__m_ts").isNotNull()
     if tolerance_us is not None:
@@ -106,6 +115,7 @@ def asof_join(
         .alias(matched_ts_col)
     )
     out_cols += [
-        F.when(fresh, F.col("__m_" + c)).alias(c) for c in value_cols
+        F.when(fresh, F.col("__m_row").getField(c)).alias(c)
+        for c in value_cols
     ]
     return matched.select(*out_cols)

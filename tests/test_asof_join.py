@@ -146,3 +146,33 @@ def test_asof_oracle_sf001(spark):
         e.queries()["asof_join"](spark, SF001),
         run_oracle(e.oracle_sql()["asof_join"], SF001),
     )
+
+
+def test_asof_match_is_one_row_not_a_column_mixture(spark):
+    """When the latest build row holds a NULL in one value column, the
+    match must carry THAT row's null — not an older row's non-null
+    stitched in per-column."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.asof_join import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    build = spark.createDataFrame(
+        [(1, at(0), 10.0, 100.0), (1, at(10), 20.0, None)],
+        "k long, ts timestamp, a double, b double",
+    )
+    probe = spark.createDataFrame(
+        [(1, at(5)), (1, at(15))], "k long, ts timestamp"
+    )
+    got = {
+        r["ts"]: (r["a"], r["b"])
+        for r in asof_join(probe, build, key="k").collect()
+    }
+    assert got[at(5)] == (10.0, 100.0)   # first build row
+    assert got[at(15)] == (20.0, None)   # latest row's own NULL kept
