@@ -64,7 +64,13 @@ def range_join(
     hi_us = F.unix_micros(F.col(hi).cast("timestamp"))
 
     p = points.withColumn(_PB, F.floor(p_us / w_us))
-    iv = intervals.withColumn(
+    # degenerate intervals (lo > hi) can never match, but without the
+    # filter sequence(start, stop) runs DESCENDING and explodes
+    # |lo-hi|/w garbage bucket rows per bad interval before the
+    # residual predicate discards them — a silent cost blowup on dirty
+    # interval data; dropping them is also correct for left_outer
+    # (points keep NULLs either way)
+    iv = intervals.where(F.col(lo) <= F.col(hi)).withColumn(
         _IB,
         F.explode(
             F.sequence(F.floor(lo_us / w_us), F.floor(hi_us / w_us))

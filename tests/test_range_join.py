@@ -93,3 +93,30 @@ def test_range_join_empty_interval_side(spark):
     rows = outer.collect()
     assert len(rows) == points.count()
     assert all(r["iid"] is None for r in rows)
+
+
+def test_degenerate_intervals_cannot_match_or_explode(spark):
+    """lo > hi can never contain a point; the guard also prevents the
+    DESCENDING sequence() explode such rows would otherwise pay."""
+    import datetime as dt
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.range_join import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([(1, t0)], "pid long, ts timestamp")
+    iv = spark.createDataFrame(
+        [
+            # valid covering interval
+            (10, t0 - dt.timedelta(hours=1), t0 + dt.timedelta(hours=1)),
+            # degenerate: lo far AFTER hi (would explode ~9000 hourly
+            # buckets descending without the guard)
+            (11, t0 + dt.timedelta(days=365), t0 - dt.timedelta(days=10)),
+        ],
+        "iid long, lo timestamp, hi timestamp",
+    )
+    inner = range_join(pts, iv, point_ts="ts", lo="lo", hi="hi").collect()
+    assert [r["iid"] for r in inner] == [10]
+    outer = range_join(
+        pts, iv, point_ts="ts", lo="lo", hi="hi", how="left_outer"
+    ).collect()
+    assert len(outer) == 1 and outer[0]["iid"] == 10
