@@ -1040,85 +1040,33 @@ GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
-def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join: the replayed event stream split by
-    event-id parity into two live sides, inner-joined per user where
-    the odd-side event lands within +-60 s of the even-side event.
-    Inner matches emit immediately, so the bounded replay needs no
-    flush sentinels. Oracle: the equivalent batch self-join."""
-    import os
-    import shutil
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
-        interval_join,
-        read_event_stream,
-    )
-
-    name = f"stream_ijoin_out_{next(_S4_SEQ)}"
-    stream_dir = tempfile.mkdtemp(prefix="sij_src_")
-    ckpt_dir = tempfile.mkdtemp(prefix="sij_ckpt_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stream_dir, "00.parquet"),
-    )
-    old_parts = _set_stream_partitions(spark)
-    try:
-        schema = "event_id long, ts timestamp_ntz, user_id long, value double"
-        left = (
-            read_event_stream(spark, stream_dir, schema)
-            .where("event_id % 2 = 0")
-            .select("user_id", F.col("event_id").alias("a_id"),
-                    F.col("ts").alias("a_ts"))
-        )
-        right = (
-            read_event_stream(spark, stream_dir, schema)
-            .where("event_id % 2 = 1")
-            .select("user_id", F.col("event_id").alias("b_id"),
-                    F.col("ts").alias("b_ts"))
-        )
-        joined = interval_join(
-            left, right, key="user_id", left_ts="a_ts", right_ts="b_ts",
-            lower_s=-60, upper_s=60,
-        ).select("user_id", "a_id", "b_id", "a_ts", "b_ts")
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("stream_interval_join run exceeded 300s")
-        return spark.table(name)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        shutil.rmtree(stream_dir, ignore_errors=True)
-        shutil.rmtree(ckpt_dir, ignore_errors=True)
-
-
 def _run_interval_join_replay(
     spark: SparkSession, sf_dir: str, how: str
 ) -> DataFrame:
-    """Outer stream-stream interval join replay: parity-split event
-    stream, unmatched rows emit (other side NULL) once the watermark
-    passes their match horizon. Two far-future sentinel events (one
-    per parity so BOTH sides' watermarks advance — min-watermark
-    policy) ride in as later micro-batches to flush the unmatched
-    tail; sentinels carry user_id = -1 and are filtered out."""
+    """Shared replay harness for ALL stream-stream interval-join modes:
+    the event stream split by event-id parity into two live sides,
+    joined per user where the odd-side event lands within ±60 s of the
+    even-side event.
+
+    Mode differences (everything else — symlink source, checkpoint,
+    partition sizing, memory sink, cleanup — is identical and lives
+    ONCE here):
+
+    * ``inner`` / ``left_semi`` — matches emit immediately; no flush
+      sentinels needed. Semi emits left columns only (streaming
+      EXISTS).
+    * ``left_outer`` / ``full_outer`` — unmatched rows emit (other
+      side NULL) only once the watermark passes their match horizon,
+      so two far-future sentinel events (one per parity — the
+      multiple-watermark policy is min() across inputs) ride in as a
+      later micro-batch to flush the unmatched tail; sentinels carry
+      user_id = -1 and are filtered out of the result.
+    """
     import os
     import shutil
     import tempfile
     import time
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    from pyarrow import compute as pc
-
     from pyspark.sql import functions as F
 
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
@@ -1126,47 +1074,55 @@ def _run_interval_join_replay(
         read_event_stream,
     )
 
+    with_sentinels = how in ("left_outer", "full_outer")
     name = f"stream_ijoin_{how}_out_{next(_S4_SEQ)}"
-    stream_dir = tempfile.mkdtemp(prefix="sijo_src_")
-    ckpt_dir = tempfile.mkdtemp(prefix="sijo_ckpt_")
+    stream_dir = tempfile.mkdtemp(prefix="sij_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="sij_ckpt_")
     src = os.path.join(sf_dir, "events.parquet")
     os.symlink(src, os.path.join(stream_dir, "00.parquet"))
-    max_us = pc.max(pq.read_table(src, columns=["ts"])["ts"]).value
-    now = time.time()
-    # one sentinel per parity: the multiple-watermark policy is min()
-    # across inputs, so BOTH sides must see a far-future event
-    sentinel = pa.table(
-        {
-            "event_id": pa.array([10**12, 10**12 + 1], pa.int64()),
-            "ts": pa.array([max_us + 10**9] * 2, pa.timestamp("us")),
-            "user_id": pa.array([-1, -1], pa.int64()),
-            "value": pa.array([0.0, 0.0], pa.float64()),
-        }
-    )
-    p = os.path.join(stream_dir, "01.parquet")
-    pq.write_table(sentinel, p)
-    os.utime(p, (now + 10, now + 10))
+    if with_sentinels:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyarrow import compute as pc
+
+        max_us = pc.max(pq.read_table(src, columns=["ts"])["ts"]).value
+        now = time.time()
+        sentinel = pa.table(
+            {
+                "event_id": pa.array([10**12, 10**12 + 1], pa.int64()),
+                "ts": pa.array([max_us + 10**9] * 2, pa.timestamp("us")),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+            }
+        )
+        p = os.path.join(stream_dir, "01.parquet")
+        pq.write_table(sentinel, p)
+        os.utime(p, (now + 10, now + 10))
     old_parts = _set_stream_partitions(spark)
     try:
         schema = "event_id long, ts timestamp_ntz, user_id long, value double"
+        kwargs = {"max_files_per_trigger": 1} if with_sentinels else {}
         left = (
-            read_event_stream(spark, stream_dir, schema,
-                              max_files_per_trigger=1)
+            read_event_stream(spark, stream_dir, schema, **kwargs)
             .where("event_id % 2 = 0")
             .select("user_id", F.col("event_id").alias("a_id"),
                     F.col("ts").alias("a_ts"))
         )
         right = (
-            read_event_stream(spark, stream_dir, schema,
-                              max_files_per_trigger=1)
+            read_event_stream(spark, stream_dir, schema, **kwargs)
             .where("event_id % 2 = 1")
             .select("user_id", F.col("event_id").alias("b_id"),
                     F.col("ts").alias("b_ts"))
         )
+        out_cols = (
+            ["user_id", "a_id", "a_ts"]
+            if how == "left_semi"
+            else ["user_id", "a_id", "b_id", "a_ts", "b_ts"]
+        )
         joined = interval_join(
             left, right, key="user_id", left_ts="a_ts", right_ts="b_ts",
             lower_s=-60, upper_s=60, how=how,
-        ).select("user_id", "a_id", "b_id", "a_ts", "b_ts")
+        ).select(*out_cols)
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -1177,78 +1133,38 @@ def _run_interval_join_replay(
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise TimeoutError("stream_interval_join outer replay exceeded 300s")
-        # Drop sentinel artifacts: the two sentinels match EACH OTHER
-        # (same user -1, same far-future ts), emitting one inner row
-        # with user_id = -1; unmatched sentinels never emit (their own
-        # horizon never passes). full_outer right-unmatched rows have
-        # NULL user_id (the left key) and must be kept.
-        return spark.table(name).where("user_id IS NULL OR user_id >= 0")
+            raise TimeoutError(
+                f"stream_interval_join {how} replay exceeded 300s"
+            )
+        result = spark.table(name)
+        if with_sentinels:
+            # Drop sentinel artifacts: the two sentinels match EACH
+            # OTHER (same user -1, same far-future ts), emitting one
+            # row with user_id = -1; unmatched sentinels never emit
+            # (their own horizon never passes). full_outer
+            # right-unmatched rows have NULL user_id (the left key)
+            # and must be kept.
+            result = result.where("user_id IS NULL OR user_id >= 0")
+        return result
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INNER stream-stream interval join (see
+    _run_interval_join_replay). Oracle: the equivalent batch
+    self-join."""
+    return _run_interval_join_replay(spark, sf_dir, "inner")
 
 
 def _q_stream_interval_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI stream-stream interval join — the streaming EXISTS:
     each even-parity event emits ONCE if any odd-parity event of the
-    same user lands within ±60 s. Matches emit as soon as the match
-    arrives (no unmatched emission), so like inner mode the bounded
-    replay needs no flush sentinels. Oracle: batch EXISTS."""
-    import os
-    import shutil
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
-        interval_join,
-        read_event_stream,
-    )
-
-    name = f"stream_ijoin_semi_out_{next(_S4_SEQ)}"
-    stream_dir = tempfile.mkdtemp(prefix="sijs_src_")
-    ckpt_dir = tempfile.mkdtemp(prefix="sijs_ckpt_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stream_dir, "00.parquet"),
-    )
-    old_parts = _set_stream_partitions(spark)
-    try:
-        schema = "event_id long, ts timestamp_ntz, user_id long, value double"
-        left = (
-            read_event_stream(spark, stream_dir, schema)
-            .where("event_id % 2 = 0")
-            .select("user_id", F.col("event_id").alias("a_id"),
-                    F.col("ts").alias("a_ts"))
-        )
-        right = (
-            read_event_stream(spark, stream_dir, schema)
-            .where("event_id % 2 = 1")
-            .select("user_id", F.col("event_id").alias("b_id"),
-                    F.col("ts").alias("b_ts"))
-        )
-        joined = interval_join(
-            left, right, key="user_id", left_ts="a_ts", right_ts="b_ts",
-            lower_s=-60, upper_s=60, how="left_semi",
-        ).select("user_id", "a_id", "a_ts")
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("stream_interval_join semi replay exceeded 300s")
-        return spark.table(name)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        shutil.rmtree(stream_dir, ignore_errors=True)
-        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    same user lands within ±60 s (see _run_interval_join_replay).
+    Oracle: batch EXISTS."""
+    return _run_interval_join_replay(spark, sf_dir, "left_semi")
 
 
 _STREAM_IJOIN_SEMI_ORACLE = """

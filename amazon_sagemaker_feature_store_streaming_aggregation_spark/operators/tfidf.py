@@ -242,9 +242,15 @@ def token_frequency_spectrum(
     aggregation over the term-count table keyed by the count value —
     output cardinality is the number of DISTINCT frequencies
     (O(sqrt(total tokens)) by Zipf), microscopic at any corpus size.
+
+    Terms are lower-cased like every other operator in this module —
+    the spectrum must describe the SAME term distribution the sibling
+    vocab/tf-idf builders actually aggregate over.
     """
     toks = docs.select(
-        F.explode(F.expr(_TOKENS.format(c=text_col))).alias("term")
+        F.explode(
+            F.expr(f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))")
+        ).alias("term")
     )
     term_counts = toks.groupBy("term").agg(F.count("*").alias("freq"))
     return term_counts.groupBy("freq").agg(

@@ -67,13 +67,38 @@ def dedup_stream_content(
     return out.drop("__th")
 
 
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path) for ``path_str`` via the session's Hadoop
+    conf — works for any scheme (file://, hdfs://, s3a://), unlike
+    ``os.path``, which silently answers False for non-local URIs."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _fs_exists(spark, path_str: str) -> bool:
+    fs, path = _hadoop_fs(spark, path_str)
+    return bool(fs.exists(path))
+
+
+def _fs_has_parquet(spark, dir_str: str) -> bool:
+    fs, path = _hadoop_fs(spark, dir_str)
+    if not fs.exists(path):
+        return False
+    for status in fs.listStatus(path):
+        if status.getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def run_index_dedup_stream(
     stream: DataFrame,
     out_dir: str,
     index_dir: str,
+    checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    checkpoint_dir: str | None = None,
     available_now: bool = True,
 ):
     """UNBOUNDED-horizon streaming dedup: every micro-batch is deduped
@@ -82,6 +107,13 @@ def run_index_dedup_stream(
     document seen months ago is still dropped today — the case the
     watermark-bounded variants above cannot express, because state-
     store state must stay bounded while an index on storage need not.
+
+    ``checkpoint_dir`` is REQUIRED, not optional: the retry-idempotency
+    skip below keys on the micro-batch id, and batch ids are durable
+    only through the streaming checkpoint. Without one, Spark restarts
+    numbering at 0 on every invocation and a second run's batch 0
+    would be silently skipped as "already committed" — data loss, not
+    a tuning knob.
 
     Per micro-batch: survivors (new within the batch AND vs the index)
     land in ``out_dir/batch=<id>/`` and their hashes append to the
@@ -94,24 +126,32 @@ def run_index_dedup_stream(
     reference's Kinesis consumer (SURVEY U3). Exactly-once needs a
     transactional table format for the (output, index) pair.
 
+    All existence checks go through the Hadoop FileSystem API, so the
+    contract holds on object storage (s3a://, hdfs://) exactly as on
+    local paths — ``os.path`` would answer False for every non-local
+    URI and silently disable cross-batch dedup.
+
     100 TB: each micro-batch pays O(batch) work — the index rides the
     anti-join as bare 8-byte hashes and never rescans the corpus; for
     the standing deployment, persist the index bucketed
     (``build_text_hash_index_bucketed``) or front it with the Bloom
     bitmap (``dedup_append_bloom``) and swap the call below.
     """
-    import os
+    if not checkpoint_dir:
+        raise ValueError(
+            "run_index_dedup_stream requires a durable checkpoint_dir: "
+            "batch-id-based retry idempotency is only safe when batch "
+            "ids survive restarts"
+        )
 
     from ..operators.dedup import dedup_append
-    from ..sinks.compaction import dir_stats
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_out = os.path.join(out_dir, f"batch={batch_id}")
-        if os.path.exists(os.path.join(batch_out, "_SUCCESS")):
+        batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
+        if _fs_exists(spark, batch_out + "/_SUCCESS"):
             return  # retried batch: output already committed
-        index_files = os.path.isdir(index_dir) and dir_stats(index_dir)[0] > 0
-        if index_files:
+        if _fs_has_parquet(spark, index_dir):
             index = spark.read.parquet(index_dir).select("text_hash")
         else:
             index = spark.createDataFrame([], "text_hash long")
@@ -126,9 +166,11 @@ def run_index_dedup_stream(
         finally:
             fresh.unpersist()
 
-    writer = stream.writeStream.foreachBatch(_process).outputMode("append")
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -67,6 +67,13 @@ def main() -> None:
             except Exception as exc:  # warmup must never kill the bench
                 print(f"# warmup skipped: {exc}", file=sys.stderr)
                 break
+        # the warmup query may be a memory-sink replay whose temp views
+        # hold full results in JVM heap — drop them NOW so they don't
+        # tax GC during the first timed query (the cleanup loop below
+        # only runs after each timed query completes)
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -3158,8 +3158,8 @@ def _q_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_SPECTRUM_ORACLE = r"""
 WITH toks AS (
-  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                            t -> t != '')) AS term
+  SELECT lower(unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  t -> t != ''))) AS term
   FROM documents
 ), tc AS (
   SELECT term, count(*) AS freq FROM toks GROUP BY term

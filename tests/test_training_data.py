@@ -239,9 +239,10 @@ def test_token_spectrum_counts_of_counts(spark):
     )
 
     docs = spark.createDataFrame(
-        [(1, "a a a b b c"), (2, "b  c   d")], ["doc_id", "text"]
+        [(1, "a A a b B c"), (2, "b  c   d")], ["doc_id", "text"]
     )
-    # a:3, b:3, c:2, d:1  ->  freq 3: 2 terms, freq 2: 1, freq 1: 1
+    # lower-cased like the sibling vocab builders: a:3, b:3, c:2, d:1
+    # -> freq 3: 2 terms, freq 2: 1, freq 1: 1
     got = {
         r["freq"]: r["n_terms"]
         for r in token_frequency_spectrum(docs).collect()
