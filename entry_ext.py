@@ -174,10 +174,14 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
+# coalesce(.., 0): DuckDB list_sum([]) is NULL while Spark's aggregate
+# over an empty token array returns the 0 seed — without it an empty/
+# whitespace-only document would hash to 0 here but 2^60-1 in Spark
+# (0 >= 0 sets every bit under the tie rule).
 _SIMHASH_BIT_TERMS = " + ".join(
-    f"""(CASE WHEN list_sum([
+    f"""(CASE WHEN coalesce(list_sum([
            CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END for h in __th
-         ]) >= 0 THEN 1::BIGINT << {b} ELSE 0 END)"""
+         ]), 0) >= 0 THEN 1::BIGINT << {b} ELSE 0 END)"""
     for b in range(60)
 )
 
@@ -765,10 +769,6 @@ def _q_sliding_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     b) in batch mode over events: per (key, 1-min-grain 10-min window)
     COUNT + exact-cents AVG. Watermark applies only in streaming; the
     batch plan is the same aggregation."""
-    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import (
-        load_table,
-    )
-
     events = load_table(spark, sf_dir, "events")
     prepared = events.select(
         F.col("user_id").alias("cc_num"),
@@ -803,8 +803,11 @@ WITH src AS (
          CAST(floor(epoch(ts) / 60) AS BIGINT) AS slide_idx
   FROM events
 ), assigned AS (
+  -- make_timestamp(us) is TZ-independent; to_timestamp(...)::TIMESTAMP
+  -- localizes to the DuckDB session TimeZone and would shift every
+  -- window end by the UTC offset on a non-UTC oracle host
   SELECT cc_num, amt_cents,
-         CAST(to_timestamp((slide_idx + 1 + i) * 60) AS TIMESTAMP) AS w_end
+         make_timestamp((slide_idx + 1 + i) * 60 * 1000000) AS w_end
   FROM src, range(0, 10) AS t(i)
 )
 SELECT cc_num, w_end AS ts,
@@ -1331,13 +1334,15 @@ def _q_rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REL_UNPIVOT_ORACLE = """
+-- SQL-standard UNPIVOT form with INCLUDE NULLS: Spark's
+-- DataFrame.unpivot keeps NULL measure values; DuckDB's default
+-- (and its simplified UNPIVOT syntax, which cannot say INCLUDE
+-- NULLS) drops them
 SELECT l_orderkey, l_linenumber, measure, value
-FROM (
-  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
-                  l_extendedprice, l_discount FROM lineitem)
-  ON l_quantity, l_extendedprice, l_discount
-  INTO NAME measure VALUE value
-)
+FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+             l_extendedprice, l_discount FROM lineitem)
+  UNPIVOT INCLUDE NULLS
+  (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
 """
 
 
