@@ -193,7 +193,12 @@ WITH toks AS (
                                t -> t != '')] AS __th
   FROM documents
 )
-SELECT doc_id, CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS simhash
+SELECT doc_id,
+       -- NULL text: Spark's aggregate over a NULL array is NULL ->
+       -- every bit's CASE takes the else-0 branch -> simhash 0; the
+       -- per-bit coalesce alone would instead set all bits
+       CAST(CASE WHEN __th IS NULL THEN 0
+                 ELSE {_SIMHASH_BIT_TERMS} END AS BIGINT) AS simhash
 FROM toks
 """
 

@@ -21,6 +21,10 @@ TABLES = (
 
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
+    # UTC pin: DuckDB's default TimeZone tracks the OS zone; oracles
+    # that reconstruct timestamps (make_timestamp) must not shift by
+    # the host's UTC offset vs the UTC-pinned Spark session.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

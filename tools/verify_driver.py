@@ -12,6 +12,15 @@ import os
 import sys
 import time
 
+# Pin the PROCESS timezone before Spark starts: PySpark's classic
+# .collect() localizes timestamps via the OS zone (datetime.
+# fromtimestamp), NOT spark.sql.session.timeZone — on a non-UTC host
+# every timestamp-emitting query would shift relative to the
+# UTC-pinned DuckDB oracle session even though both engines agree.
+os.environ["TZ"] = "UTC"
+if hasattr(time, "tzset"):
+    time.tzset()
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
@@ -24,6 +33,12 @@ TABLES = (
 
 def _duck(sf_dir: str):
     con = duckdb.connect()
+    # Pin the oracle session to UTC: DuckDB's default TimeZone tracks
+    # the OS zone, and any oracle that RECONSTRUCTS a timestamp (e.g.
+    # make_timestamp) would otherwise shift by the host's UTC offset
+    # relative to the Spark side (session timeZone=UTC). One pin here
+    # covers every timestamp-emitting oracle.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
