@@ -79,6 +79,11 @@ from pyspark.sql import types as T
 
 _BUCKET = "__fg_bucket"
 
+#: column names the store itself writes/overwrites during a merge,
+#: delete, or change-feed commit — user features may not use them
+#: (they would be silently clobbered or dropped).
+_RESERVED_COLUMNS = {_BUCKET, "__rn", "_op", "__pk"}
+
 #: substrings identifying "a captured snapshot was retired mid-job"
 #: failures (retryable against re-resolved versions) — shared by the
 #: upsert and delete commit rounds so both classify the race the
@@ -113,16 +118,32 @@ _NUMERIC = (
 )
 
 
+#: widening rank within the integer and float families; a cast is an
+#: UPCAST only when it cannot lose magnitude (int->int of wider rank,
+#: int->float family, float->double, numeric->decimal, any->string,
+#: date->timestamp). The symmetric "any numeric to any numeric" rule
+#: this replaces silently DOWNCAST long->int (non-ANSI Spark wraps:
+#: 4294967301 -> 5) and timestamp->date (truncates to midnight).
+_INT_RANK = {T.ByteType: 1, T.ShortType: 2, T.IntegerType: 3, T.LongType: 4}
+_FLOAT_RANK = {T.FloatType: 1, T.DoubleType: 2}
+
+
 def _upcastable(src: T.DataType, dst: T.DataType) -> bool:
     if src == dst:
         return True
-    if isinstance(src, _NUMERIC) and isinstance(dst, _NUMERIC):
-        return True
-    if isinstance(src, (T.DateType, T.TimestampType)) and isinstance(
-        dst, (T.DateType, T.TimestampType)
-    ):
-        return True
     if isinstance(dst, T.StringType):
+        return True
+    if isinstance(dst, T.DecimalType):
+        return isinstance(src, _NUMERIC)
+    si, di = _INT_RANK.get(type(src)), _INT_RANK.get(type(dst))
+    if si is not None and di is not None:
+        return si <= di
+    sf, df_ = _FLOAT_RANK.get(type(src)), _FLOAT_RANK.get(type(dst))
+    if sf is not None and df_ is not None:
+        return sf <= df_
+    if si is not None and df_ is not None:
+        return True  # integer family -> float family (standard widening)
+    if isinstance(src, T.DateType) and isinstance(dst, T.TimestampType):
         return True
     return False
 
@@ -162,6 +183,12 @@ class FeatureGroup:
         os.makedirs(self.path, exist_ok=True)
 
     # ---------------------------------------------------------------- state
+    def _bucket_expr(self):
+        """THE bucket-routing expression — single definition: every
+        write/read/delete path must hash identically or lookups and
+        deletes route to the wrong bucket with no error."""
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
+
     def _bucket_dir(self, bucket: int) -> str:
         return os.path.join(self.path, f"bucket={bucket}")
 
@@ -228,7 +255,20 @@ class FeatureGroup:
                 except OSError:
                     age = 0.0  # holder released between mkdir and stat
                 if age > stale_after:
-                    shutil.rmtree(lock, ignore_errors=True)
+                    # Atomic rename-aside before removal: with a bare
+                    # rmtree two waiters could both see the stale lock,
+                    # the first break it and re-acquire, and the
+                    # second's rmtree then delete the FIRST's fresh
+                    # lock — two writers in the critical section. The
+                    # rename either succeeds for exactly one breaker or
+                    # raises (the lock is already gone / already moved).
+                    broken = f"{lock}.broken.{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lock, broken)
+                    except OSError:
+                        pass  # another waiter won the break race
+                    else:
+                        shutil.rmtree(broken, ignore_errors=True)
                 time.sleep(0.02)
         try:
             stored = self._stored_schema()
@@ -285,6 +325,14 @@ class FeatureGroup:
         table level, here per bucket so disjoint-bucket writers never
         conflict at all.
         """
+        reserved = _RESERVED_COLUMNS & set(df.columns)
+        if reserved:
+            raise ValueError(
+                f"feature group {self.name!r}: column names "
+                f"{sorted(reserved)} are reserved for store internals — "
+                "rename them before upserting (they would be silently "
+                "overwritten or dropped)"
+            )
         if self.event_time not in df.columns:
             df = df.withColumn(self.event_time, F.current_timestamp())
         df = df.filter(F.col(self.key).isNotNull())
@@ -294,13 +342,23 @@ class FeatureGroup:
             df = self._reconcile(df, stored)
 
         df = df.withColumn(
-            _BUCKET, F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
+            _BUCKET, self._bucket_expr()
         )
         touched = sorted(
             r[0] for r in df.select(_BUCKET).distinct().collect()
         )  # <= n_buckets small ints — driver-size by construction
         if not touched:
             return
+
+        # Persist the (merged) schema BEFORE any bucket commits: a
+        # crash after commits but before a trailing schema write would
+        # leave live data that delete() silently no-ops on (stored is
+        # None -> 0) and get_record() can't route — a superset schema
+        # written early is harmless, and the post-round write below
+        # still unions in columns discovered from existing buckets.
+        self._write_schema(
+            T.StructType([f for f in df.schema.fields if f.name != _BUCKET])
+        )
 
         remaining = touched
         last_schema: T.StructType | None = None
@@ -359,7 +417,7 @@ class FeatureGroup:
             .distinct()
             .withColumn(
                 _BUCKET,
-                F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)),
+                self._bucket_expr(),
             )
         )
         touched = sorted(
@@ -397,15 +455,20 @@ class FeatureGroup:
         paths = [self._bucket_snapshot(b, read_vers[b]) for b in live]
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:12]}")
         shutil.rmtree(staging, ignore_errors=True)
+        existing = None
         try:
             existing = (
                 self.spark.read.option("mergeSchema", "true")
                 .parquet(*paths)
                 .withColumn(
                     _BUCKET,
-                    F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)),
+                    self._bucket_expr(),
                 )
             )
+            # three separate actions read this round's snapshot slice
+            # (doomed count, kept write, tombstone write) — cache it
+            # once instead of re-scanning per action
+            existing.persist()
             part_keys = keys_df.where(
                 F.col(_BUCKET).isin([int(b) for b in live])
             ).select(self.key)
@@ -463,6 +526,9 @@ class FeatureGroup:
             if not _is_retired_snapshot_error(exc):
                 raise
             return list(buckets), 0
+        finally:
+            if existing is not None:
+                existing.unpersist()
         conflicted, removed = [], 0
         for b in hit:
             src = os.path.join(staging, f"{_BUCKET}={b}")
@@ -514,7 +580,7 @@ class FeatureGroup:
                 "mergeSchema", "true"
             ).parquet(*existing_paths).withColumn(
                 _BUCKET,
-                F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)),
+                self._bucket_expr(),
             )
             merged = existing.unionByName(part, allowMissingColumns=True)
 
@@ -553,8 +619,21 @@ class FeatureGroup:
 
         if self.change_feed:
             try:
+                # Re-read the just-written staging parquet as the
+                # after-image side: reusing the `latest` lineage would
+                # re-execute the whole merge shuffle a second time for
+                # the change computation (measured: change_feed doubled
+                # every commit round's cost). The partition column
+                # comes back int — cast it to match the computed
+                # bigint bucket on the prior side.
+                latest_read = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(staging)
+                    .withColumn(_BUCKET, F.col(_BUCKET).cast("long"))
+                    .select(*latest.columns)
+                )
                 self._stage_changes(
-                    latest, existing if existing_paths else None, staging
+                    latest_read, existing if existing_paths else None, staging
                 )
             except Exception as exc:
                 shutil.rmtree(staging, ignore_errors=True)
@@ -562,16 +641,25 @@ class FeatureGroup:
                     raise
                 return list(buckets), None
 
+        empty_schema = T.StructType(
+            [f for f in latest.schema.fields if f.name != _BUCKET]
+        )
         conflicted = []
         for b in buckets:
             src = os.path.join(staging, f"{_BUCKET}={b}")
+            if not os.path.isdir(src):
+                # every row of this bucket routed elsewhere when the
+                # write job re-ran a nondeterministic lineage: publish
+                # a ZERO-ROW parquet, never a bare directory — a bare
+                # dir breaks every later read of the bucket (same rule
+                # as the delete path)
+                self.spark.createDataFrame([], empty_schema).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(src)
             if not self._commit_bucket(b, read_vers[b], src):
                 conflicted.append(b)
         shutil.rmtree(staging, ignore_errors=True)
-        schema = T.StructType(
-            [f for f in latest.schema.fields if f.name != _BUCKET]
-        )
-        return conflicted, schema
+        return conflicted, empty_schema
 
     def _stage_changes(
         self, latest: DataFrame, existing: DataFrame | None, staging: str
@@ -683,6 +771,24 @@ class FeatureGroup:
                 continue
             b = int(entry.split("=", 1)[1])
             bdir = os.path.join(self.path, entry)
+            retained = sorted(
+                int(s.split("=", 1)[1])
+                for s in os.listdir(bdir)
+                if s.startswith("v=")
+            )
+            # A cursor older than the oldest retained commit means
+            # change rows were RETIRED unread — returning the surviving
+            # tail would silently gap the feed and permanently diverge
+            # any replica built from it. Fail loudly, like snapshot_at
+            # does for the same out-of-retention condition.
+            if b in since and retained and since[b] + 1 < retained[0]:
+                raise ValueError(
+                    f"feature group {self.name!r}: bucket {b} cursor "
+                    f"{since[b]} is outside the retention window "
+                    f"(oldest retained commit is v={retained[0]}) — "
+                    "change rows were retired unread; rebuild the "
+                    "consumer from a full snapshot"
+                )
             for sub in sorted(os.listdir(bdir)):
                 if not sub.startswith("v="):
                     continue
@@ -750,10 +856,23 @@ class FeatureGroup:
             os.replace(vf + ".tmp", vf)
             # Retire snapshots beyond the retention window (kept for
             # in-flight readers and racing writers' lazy merge reads).
-            for v in range(1, read_version + 2 - self.snapshot_retention):
-                old = self._bucket_snapshot(bucket, v)
-                if os.path.isdir(old):
-                    shutil.rmtree(old, ignore_errors=True)
+            # Enumerate the LIVE v= dirs (like vacuum) rather than
+            # probing every version number since v=1 — the probe loop
+            # costs O(total historical versions) stat calls per commit,
+            # growing forever on a long-lived streaming store.
+            cutoff = read_version + 2 - self.snapshot_retention
+            for entry in os.listdir(self._bucket_dir(bucket)):
+                if not entry.startswith("v="):
+                    continue
+                try:
+                    v = int(entry.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if v < cutoff:
+                    shutil.rmtree(
+                        os.path.join(self._bucket_dir(bucket), entry),
+                        ignore_errors=True,
+                    )
             return True
         finally:
             shutil.rmtree(claim, ignore_errors=True)
@@ -809,8 +928,6 @@ class FeatureGroup:
         Run it like any table janitor: periodically, or on the
         "persistently racing" RuntimeError. Returns markers removed.
         """
-        import time
-
         removed = 0
         cutoff = time.time() - max_age_s
         for b in range(self.n_buckets):

@@ -555,3 +555,69 @@ def test_change_feed_stream_live_cdc(spark, tmp_path):
         ).collect()
     }
     assert ops == {"insert": 4, "update": 4}
+
+
+def test_reconcile_rejects_lossy_downcasts(spark, tmp_path):
+    """The stored-schema reconcile must raise on a narrowing cast
+    (long value into an int column wraps silently in non-ANSI Spark)
+    instead of corrupting feature values."""
+    fg = FeatureGroup(
+        spark, "narrow-fg", record_identifier_feature_name="k",
+        event_time_feature_name="ts", base_path=str(tmp_path), n_buckets=2,
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    first = spark.createDataFrame(
+        [(1, t0, 7)], "k long, ts timestamp, v int"
+    )
+    fg.upsert(first)
+    widening = spark.createDataFrame(
+        [(2, t0, 4294967301)], "k long, ts timestamp, v long"
+    )
+    with pytest.raises(TypeError, match="incompatible type"):
+        fg.upsert(widening)
+    # the widening DIRECTION (int value into a stored long column) is
+    # still accepted
+    fg2 = FeatureGroup(
+        spark, "widen-fg", record_identifier_feature_name="k",
+        event_time_feature_name="ts", base_path=str(tmp_path), n_buckets=2,
+    )
+    fg2.upsert(spark.createDataFrame([(1, t0, 7)], "k long, ts timestamp, v long"))
+    fg2.upsert(spark.createDataFrame([(2, t0, 8)], "k long, ts timestamp, v int"))
+    assert fg2.get_latest().count() == 2
+
+
+def test_reserved_column_names_rejected(spark, tmp_path):
+    fg = FeatureGroup(
+        spark, "reserved-fg", record_identifier_feature_name="k",
+        event_time_feature_name="ts", base_path=str(tmp_path), n_buckets=2,
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    bad = spark.createDataFrame(
+        [(1, t0, 5)], "k long, ts timestamp, __fg_bucket long"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        fg.upsert(bad)
+
+
+def test_change_feed_cursor_outside_retention_raises(spark, tmp_path):
+    """A consumer cursor older than the oldest retained commit means
+    change rows were retired unread — the feed must fail loudly, not
+    return a silently gapped result."""
+    fg = FeatureGroup(
+        spark, "gap-fg", record_identifier_feature_name="k",
+        event_time_feature_name="ts", base_path=str(tmp_path),
+        n_buckets=1, snapshot_retention=1, change_feed=True,
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(3):  # v=1..3 on the single bucket; retention keeps v=3
+        fg.upsert(
+            spark.createDataFrame(
+                [(1, t0 + dt.timedelta(seconds=i), float(i))],
+                "k long, ts timestamp, v double",
+            )
+        )
+    with pytest.raises(ValueError, match="outside the retention window"):
+        fg.change_feed_df(since={0: 1})  # v=2 already retired
+    # a cursor still inside retention works
+    rows = fg.change_feed_df(since={0: 2}).collect()
+    assert {r["_commit_version"] for r in rows} == {3}
