@@ -61,10 +61,25 @@ def dedup_stream_content(
     """Content dedup: duplicate = identical ``text_col`` payload. The
     state key is the 8-byte ``h64(text)`` (cross-engine md5-derived
     hash, functions/hashing.py) — the state store and the dedup shuffle
-    carry the hash, never the payload."""
+    carry the hash, never the payload.
+
+    NULL-payload rows PASS THROUGH undeduped: ``h64(NULL)`` is NULL and
+    ``dropDuplicates`` treats NULL keys as equal, so routing them into
+    the dedup would silently collapse every malformed/null-payload
+    record within the horizon into one — records that duplicate
+    nothing, lost with no signal. They are not duplicates of each
+    other by any content definition; a pipeline that wants them gone
+    filters them explicitly.
+    """
     hashed = stream.withColumn("__th", h64(text_col))
-    out = dedup_stream_exact(hashed, ["__th"], ts_col=ts_col, watermark=watermark)
-    return out.drop("__th")
+    with_text = dedup_stream_exact(
+        hashed.where(F.col("__th").isNotNull()),
+        ["__th"],
+        ts_col=ts_col,
+        watermark=watermark,
+    )
+    null_text = hashed.where(F.col("__th").isNull())
+    return with_text.unionByName(null_text).drop("__th")
 
 
 def _hadoop_fs(spark, path_str: str):
@@ -150,7 +165,24 @@ def run_index_dedup_stream(
         spark = batch_df.sparkSession
         batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
         if _fs_exists(spark, batch_out + "/_SUCCESS"):
-            return  # retried batch: output already committed
+            # Retried batch whose output already committed. The INDEX
+            # append may still be missing (crash between output commit
+            # and index append) — returning outright would make that
+            # hole PERMANENT, re-admitting this batch's documents'
+            # duplicates forever. Repair: re-append exactly the
+            # committed survivors' hashes that the index lacks
+            # (O(batch) anti-join; a no-op when the append did land).
+            committed = spark.read.parquet(batch_out).select("text_hash")
+            if _fs_has_parquet(spark, index_dir):
+                missing = committed.join(
+                    spark.read.parquet(index_dir).select("text_hash"),
+                    on="text_hash",
+                    how="left_anti",
+                )
+            else:
+                missing = committed
+            missing.write.mode("append").parquet(index_dir)
+            return
         if _fs_has_parquet(spark, index_dir):
             index = spark.read.parquet(index_dir).select("text_hash")
         else:

@@ -68,21 +68,46 @@ def _canonicalize(stream: DataFrame, key: str, id_col: str,
     )
 
 
-def _running_totals_fn(key, pdf_iter, state):
+def _prepare(stream: DataFrame, key: str, id_col: str,
+             ts_col: str, value_col: str) -> DataFrame:
+    """Canonicalize + JVM-side cents + per-record failure isolation:
+    a malformed stream line (PERMISSIVE parse) yields null key/id/ts/
+    value, which would reach the Python worker as NaN and abort the
+    whole query at astype('int64') — the reference Lambda skips the
+    bad record and acks the rest, so these operators do too (same
+    guard as sliding_agg_exact)."""
+    from pyspark.sql import functions as F
+
+    prepared = _canonicalize(
+        stream, key, id_col, ts_col, value_col
+    ).withColumn(
+        "__amt_cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    return prepared.where(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("__amt_cents").isNotNull()
+    )
+
+
+def _accumulate(batch, n0: int, c0: int):
+    """SHARED state-accumulation body for both stateful APIs — one
+    source of truth so the applyInPandasWithState fn and the
+    transformWithState processor can never silently diverge.
+
+    Deterministic intra-batch order: event time, id tiebreak.
+    __amt_cents is computed JVM-side (F.round half-away-from-zero)
+    before the shuffle — numpy's .round() is half-EVEN and diverges
+    from the oracle on exact .5 products (e.g. 0.125 -> 12.5).
+    Returns (out_pdf, n1, c1)."""
     import pandas as pd
 
-    (n0, c0) = state.get if state.exists else (0, 0)
-    batch = pd.concat(list(pdf_iter), ignore_index=True)
-    # deterministic intra-batch order: event time, id tiebreak
     batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-    # __amt_cents is computed JVM-side (F.round half-away-from-zero)
-    # before the shuffle — numpy's .round() is half-EVEN and diverges
-    # from the oracle on exact .5 products (e.g. 0.125 -> 12.5).
     cents = batch["__amt_cents"].astype("int64")
     run_n = n0 + pd.RangeIndex(1, len(batch) + 1)
     run_c = c0 + cents.cumsum()
-    state.update((int(run_n[-1]), int(run_c.iloc[-1])))
-    yield pd.DataFrame(
+    out = pd.DataFrame(
         {
             "user_id": batch["user_id"].astype("int64"),
             "event_id": batch["event_id"].astype("int64"),
@@ -90,6 +115,17 @@ def _running_totals_fn(key, pdf_iter, state):
             "running_cents": run_c.astype("int64"),
         }
     )
+    return out, int(run_n[-1]), int(run_c.iloc[-1])
+
+
+def _running_totals_fn(key, pdf_iter, state):
+    import pandas as pd
+
+    (n0, c0) = state.get if state.exists else (0, 0)
+    batch = pd.concat(list(pdf_iter), ignore_index=True)
+    out, n1, c1 = _accumulate(batch, n0, c0)
+    state.update((n1, c1))
+    yield out
 
 
 def running_totals(
@@ -109,10 +145,7 @@ def running_totals(
     """
     from pyspark.sql import functions as F
 
-    stream = _canonicalize(stream, key, id_col, ts_col, value_col)
-    stream = stream.withColumn(
-        "__amt_cents", F.round(F.col("value") * 100, 0).cast("long")
-    )
+    stream = _prepare(stream, key, id_col, ts_col, value_col)
     out = stream.groupBy("user_id").applyInPandasWithState(
         _running_totals_fn,
         outputStructType=OUTPUT_SCHEMA,
@@ -176,27 +209,14 @@ def running_totals_tws(
                 tuple(self._totals.get()) if self._totals.exists() else (0, 0)
             )
             batch = pd.concat(list(rows), ignore_index=True)
-            batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-            cents = batch["__amt_cents"].astype("int64")
-            run_n = n0 + pd.RangeIndex(1, len(batch) + 1)
-            run_c = c0 + cents.cumsum()
-            self._totals.update((int(run_n[-1]), int(run_c.iloc[-1])))
-            yield pd.DataFrame(
-                {
-                    "user_id": batch["user_id"].astype("int64"),
-                    "event_id": batch["event_id"].astype("int64"),
-                    "running_n": pd.array(run_n, dtype="int64"),
-                    "running_cents": run_c.astype("int64"),
-                }
-            )
+            out, n1, c1 = _accumulate(batch, n0, c0)
+            self._totals.update((n1, c1))
+            yield out
 
         def close(self) -> None:
             pass
 
-    stream = _canonicalize(stream, key, id_col, ts_col, value_col)
-    stream = stream.withColumn(
-        "__amt_cents", F.round(F.col("value") * 100, 0).cast("long")
-    )
+    stream = _prepare(stream, key, id_col, ts_col, value_col)
     return (
         stream.groupBy("user_id")
         .transformWithStateInPandas(

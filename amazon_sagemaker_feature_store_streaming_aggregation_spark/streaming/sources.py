@@ -38,12 +38,24 @@ def _project_event_json(raw: DataFrame) -> DataFrame:
     )
 
 
+def _throttle(reader, max_files_per_trigger: int | None):
+    """Apply the per-trigger file cap. ``is not None`` (not truthiness):
+    a caller-computed 0 must be rejected loudly, not silently ignored —
+    an unthrottled stream is the OPPOSITE of what that caller asked
+    for."""
+    if max_files_per_trigger is None:
+        return reader
+    if max_files_per_trigger <= 0:
+        raise ValueError(
+            f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
+        )
+    return reader.option("maxFilesPerTrigger", max_files_per_trigger)
+
+
 def _text_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None
 ) -> DataFrame:
-    reader = spark.readStream.format("text")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = _throttle(spark.readStream.format("text"), max_files_per_trigger)
     return reader.load(path)
 
 
@@ -65,9 +77,20 @@ def read_base64_json_event_stream(
     scan-side column expression (``unbase64`` is JVM codegen, no UDF).
     """
     raw = _text_stream(spark, path, max_files_per_trigger)
-    return _project_event_json(
-        raw.select(F.unbase64(F.col("value")).cast("string").alias("value"))
-    )
+    # try_to_binary, NOT unbase64: unbase64 THROWS on a malformed line
+    # (verified on this Spark build), and one corrupt record — exactly
+    # the noise an at-least-once transport produces — would poison its
+    # micro-batch forever (every retry replays the same batch).
+    # Undecodable lines are DROPPED at the source (the reference
+    # Lambda's skip-bad-record policy); decodable-but-invalid JSON
+    # still surfaces as a null-struct row, same as the plain JSON
+    # source, for downstream filters to handle.
+    decoded = raw.select(
+        F.try_to_binary(F.col("value"), F.lit("base64"))
+        .cast("string")
+        .alias("value")
+    ).where(F.col("value").isNotNull())
+    return _project_event_json(decoded)
 
 
 def kafka_value_projection(raw: DataFrame) -> DataFrame:
@@ -154,9 +177,7 @@ def read_event_stream(
     nanos under ``nanosAsLong`` and are truncated to micros.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = _throttle(spark.readStream.schema(schema), max_files_per_trigger)
     df = reader.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":  # nanosAsLong: raw nanos -> micros

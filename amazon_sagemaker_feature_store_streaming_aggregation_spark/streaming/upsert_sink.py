@@ -34,22 +34,31 @@ def start_stream_upsert(
     key = fg.key
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():  # empty triggers must not touch the store
-            return
-        # deliberately NOT operators/latest_per_key (dense_rank,
-        # reference tie-keeping semantics): this is only a batch-size
-        # pre-reduction — FeatureGroup.upsert applies the store's own
-        # deterministic all-columns tie policy right after, so ties
-        # here resolve there, and keeping ties would just upsert more
-        # rows for the merge to collapse
-        w = Window.partitionBy(key).orderBy(F.col(ts).desc())
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-            .withColumnRenamed(ts, fg.event_time)
-        )
-        fg.upsert(latest)
+        # persist: foreachBatch re-executes the batch plan PER ACTION,
+        # and this function runs two (the emptiness probe and the
+        # upsert's write) — without the cache an upstream stateful
+        # aggregate would pay its shuffle + Python state work twice
+        # every trigger.
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():  # empty triggers must not touch the store
+                return
+            # deliberately NOT operators/latest_per_key (dense_rank,
+            # reference tie-keeping semantics): this is only a batch-size
+            # pre-reduction — FeatureGroup.upsert applies the store's own
+            # deterministic all-columns tie policy right after, so ties
+            # here resolve there, and keeping ties would just upsert more
+            # rows for the merge to collapse
+            w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+            latest = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+                .withColumnRenamed(ts, fg.event_time)
+            )
+            fg.upsert(latest)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         agg_stream.writeStream.outputMode("append")

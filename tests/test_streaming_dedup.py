@@ -142,3 +142,34 @@ def test_index_dedup_stream_unbounded_horizon(spark, tmp_path):
     index = spark.read.parquet(index_dir)
     assert index.count() == 4  # alpha, beta, gamma, delta — once each
     assert index.distinct().count() == 4
+
+
+def test_content_dedup_null_payloads_pass_through(spark, tmp_path):
+    """Null-text rows must NOT collapse into one 'duplicate' group —
+    h64(NULL) is NULL and dropDuplicates treats NULL keys as equal, so
+    they bypass the dedup entirely."""
+    schema = "doc_id long, ts timestamp, text string"
+    rows = [
+        (1, T0, "alpha"),
+        (2, T0 + dt.timedelta(seconds=1), "alpha"),   # real duplicate
+        (3, T0 + dt.timedelta(seconds=2), None),
+        (4, T0 + dt.timedelta(seconds=3), None),      # NOT a duplicate
+    ]
+    path = _write_chunks(spark, tmp_path, [rows], schema)
+    stream = (
+        spark.readStream.format("parquet").schema(schema).load(path)
+    )
+    out = dedup_stream_content(stream, text_col="text", ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("null_passthrough")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_np"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in spark.table("null_passthrough").collect()
+    )
+    assert got == [1, 3, 4]  # dup dropped; BOTH null rows kept

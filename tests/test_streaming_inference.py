@@ -116,9 +116,13 @@ def test_base64_json_stream_decodes_wire_format(spark, tmp_path):
     ]
     p = tmp_path / "b64"
     p.mkdir()
+    # one malformed line rides along: an at-least-once transport's
+    # noise must become a skipped null row, never a query-killing
+    # exception (unbase64 THROWS; the source uses try_to_binary)
     (p / "00.b64").write_text(
         "\n".join(
-            base64.b64encode(json.dumps(e).encode()).decode() for e in events
+            [base64.b64encode(json.dumps(e).encode()).decode() for e in events]
+            + ["!!!not*base64***"]
         )
     )
     stream = read_base64_json_event_stream(spark, str(p))
