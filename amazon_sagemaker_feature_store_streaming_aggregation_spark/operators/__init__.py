@@ -9,7 +9,11 @@ from .incremental import delta_scoped_features  # noqa: F401
 from .range_join import range_join  # noqa: F401
 from .salted_join import salted_join  # noqa: F401
 from .rollup import time_rollup  # noqa: F401
-from .sampling import deterministic_sample, stratified_sample  # noqa: F401
+from .sampling import (  # noqa: F401
+    deterministic_sample,
+    stratified_sample,
+    weighted_sample,
+)
 from .sessionize import session_stats, sessionize  # noqa: F401
 from .ratios import with_ratio_features, with_guarded_inference_ratios  # noqa: F401
 from .latest_per_key import latest_per_key  # noqa: F401
@@ -22,6 +26,7 @@ from .dedup import (  # noqa: F401
     dedup_append,
     dedup_append_bloom,
     dedup_append_bucketed,
+    dedup_edit_distance,
     dedup_exact,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -29,6 +34,7 @@ from .dedup import (  # noqa: F401
     near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
+    source_overlap_matrix,
 )
 from .similarity import (  # noqa: F401
     ann_srp_topk,
@@ -36,6 +42,7 @@ from .similarity import (  # noqa: F401
     embedding_near_dup_pairs,
     ivf_centroids,
     ivf_topk,
+    label_centroids,
     srp_signatures,
     train_ivf_centroids,
 )
@@ -49,10 +56,12 @@ from .tfidf import (  # noqa: F401
     build_vocabulary,
     pmi_collocations,
     tfidf_top_terms,
+    token_frequency_spectrum,
     vocab_coverage,
 )
 from .training_data import (  # noqa: F401
     cap_per_source,
+    chunk_documents,
     global_shuffle,
     pack_context_windows,
     write_training_shards,

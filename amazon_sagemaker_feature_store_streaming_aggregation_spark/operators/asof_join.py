@@ -63,6 +63,16 @@ def asof_join(
     """
     if value_cols is None:
         value_cols = [c for c in build.columns if c not in (key, build_ts)]
+    clash = set(value_cols) & set(probe.columns)
+    if clash:
+        # the output would otherwise carry DUPLICATE column names (the
+        # select succeeds; every downstream reference then throws
+        # AMBIGUOUS_REFERENCE) — the canonical same-schema time-series
+        # case hits this with default arguments, so fail fast
+        raise ValueError(
+            f"as-of value columns {sorted(clash)} collide with probe "
+            "columns — rename them on one side or pass value_cols"
+        )
 
     side = "__side"  # 0 = build, 1 = probe: build first at equal ts
     ts = "__asof_ts"

@@ -342,8 +342,16 @@ def minhash_signatures(
         for a, b in minhash_perm_constants(num_hashes)
     )
     minhash = _let_bound(_shingle_expr(text_col, k), "__sh", f"array({sigs})")
-    return _parallelize_scan(docs).select(
-        F.col(id_col), F.expr(minhash).alias("minhash")
+    # NULL text is EXCLUDED from the near-dup pipeline: its signature
+    # slots would all be NULL, concat_ws in the banding stage then
+    # skips them, and EVERY null-text doc would share every (band,
+    # bhash) bucket — a quadratic candidate blowup (~N^2/2 pairs) the
+    # bucket math cannot cap. A null document duplicates nothing, the
+    # same routing rule as dedup_append/dedup_stream_content.
+    return (
+        _parallelize_scan(docs)
+        .where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.expr(minhash).alias("minhash"))
     )
 
 
@@ -664,14 +672,20 @@ def near_dup_clusters(
             F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
         )
     )
+    # canonical = the minimum id PRESENT in docs, not the component
+    # label: pairs computed over a superset (pre-filter corpus) can
+    # label a cluster with an id that was filtered out of docs — a
+    # label-equality canonical would then mark NOBODY, and a "keep
+    # canonical" job would delete the entire surviving cluster.
     sizes = assigned.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size")
+        F.count("*").alias("cluster_size"),
+        F.min(id_col).alias("__canon"),
     )
     return assigned.join(sizes, "cluster_id").select(
         id_col,
         "cluster_id",
         "cluster_size",
-        F.when(F.col(id_col) == F.col("cluster_id"), 1)
+        F.when(F.col(id_col) == F.col("__canon"), 1)
         .otherwise(0)
         .cast("int")
         .alias("is_canonical"),

@@ -361,12 +361,18 @@ def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame-sampling plan for videos: explode frame indices 0, n, 2n…
     from metadata JVM-side (no payload decode; the per-frame payload
     slice happens in the decode stage)."""
-    return media.filter(F.col("kind") == "video").select(
+    # n_frames >= 1 required: greatest(n_frames-1, 0) would emit a
+    # phantom frame_idx=0 row for an empty/corrupt video (n_frames=0
+    # or NULL), and the downstream decode stage would index a frame
+    # that does not exist
+    return media.filter(
+        (F.col("kind") == "video") & (F.col("meta.n_frames") >= 1)
+    ).select(
         "media_id",
         F.explode(
             F.sequence(
                 F.lit(0),
-                F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                F.col("meta.n_frames") - 1,
                 F.lit(every_n),
             )
         ).alias("frame_idx"),

@@ -59,11 +59,17 @@ def range_join(
         raise ValueError(f"unsupported join type: {how!r}")
     w_us = bucket_s * 1_000_000
 
-    p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
-    lo_us = F.unix_micros(F.col(lo).cast("timestamp"))
-    hi_us = F.unix_micros(F.col(hi).cast("timestamp"))
+    # Integer `div`, not floor(double /): point and interval MUST
+    # bucket with the identical function, and a double quotient near
+    # an integer boundary can floor differently from exact integer
+    # division at large epochs (window_agg.py documents the same
+    # doctrine for its bucketing).
+    def _bucket_of(col_name: str) -> F.Column:
+        return F.expr(
+            f"unix_micros(cast(`{col_name}` as timestamp)) div {w_us}"
+        )
 
-    p = points.withColumn(_PB, F.floor(p_us / w_us))
+    p = points.withColumn(_PB, _bucket_of(point_ts))
     # degenerate intervals (lo > hi) can never match, but without the
     # filter sequence(start, stop) runs DESCENDING and explodes
     # |lo-hi|/w garbage bucket rows per bad interval before the
@@ -72,9 +78,7 @@ def range_join(
     # (points keep NULLs either way)
     iv = intervals.where(F.col(lo) <= F.col(hi)).withColumn(
         _IB,
-        F.explode(
-            F.sequence(F.floor(lo_us / w_us), F.floor(hi_us / w_us))
-        ),
+        F.explode(F.sequence(_bucket_of(lo), _bucket_of(hi))),
     )
     if key is not None:
         iv = iv.withColumnRenamed(key, _IK)

@@ -113,12 +113,25 @@ def cosine_topk(
     Output: ``(query_id, vec_id, cosine, rank)``. The query side is
     broadcast (small by construction); the corpus scan stays narrow.
     """
-    corpus = embeddings.select(
-        F.col(id_col).alias("c_id"), quantize(vec_col, "c_q")
-    ).withColumn("c_n2", F.expr(_dot("c_q", "c_q")))
-    qs = queries.select(
-        F.col(id_col).alias("query_id"), quantize(vec_col, "q_q")
-    ).withColumn("q_n2", F.expr(_dot("q_q", "q_q")))
+    # zero-norm vectors (all components rounding to 0 at the 1e-6
+    # quantization) are EXCLUDED from both sides: cosine is undefined
+    # for them (dot/0 -> NULL), and NULL-cosine rows would still
+    # occupy top-k rank slots — train_ivf_centroids drops them for the
+    # same reason
+    corpus = (
+        embeddings.select(
+            F.col(id_col).alias("c_id"), quantize(vec_col, "c_q")
+        )
+        .withColumn("c_n2", F.expr(_dot("c_q", "c_q")))
+        .where(F.col("c_n2") > 0)
+    )
+    qs = (
+        queries.select(
+            F.col(id_col).alias("query_id"), quantize(vec_col, "q_q")
+        )
+        .withColumn("q_n2", F.expr(_dot("q_q", "q_q")))
+        .where(F.col("q_n2") > 0)
+    )
 
     joined = corpus.join(F.broadcast(qs), F.col("c_id") != F.col("query_id"))
     scored = joined.withColumn(
@@ -182,8 +195,14 @@ def srp_signatures(
             for t in range(n_tables)
         ]
     )
+    # zero vectors are dropped BEFORE bucketing: every plane dot is
+    # 0 >= 0, so all of them would share the all-ones bucket in every
+    # table — N zero vectors generate ~N^2/2 candidate pairs there
+    # before any threshold can discard them (and their cosine is
+    # undefined anyway; the exact stages exclude them too)
     return (
         embeddings.select(F.col(id_col), F.col(vec_col), q)
+        .where(F.expr("exists(qvec, x -> x != 0)"))
         .withColumn("__tb", F.explode(tables))
         .select(
             F.col(id_col),
@@ -237,11 +256,16 @@ def _exact_topk_on_candidates(
     candidate ``(c_id, query_id)`` ids. Vectors and squared norms are
     computed ONCE per vector and joined to the id pairs — no embedding
     arrays ride through the candidate dedup."""
-    feats = embeddings.select(F.col(id_col), quantize(vec_col, "qv")).withColumn(
-        "n2", F.expr(_dot("qv", "qv"))
+    # zero-norm vectors excluded (cosine undefined; see cosine_topk)
+    feats = (
+        embeddings.select(F.col(id_col), quantize(vec_col, "qv"))
+        .withColumn("n2", F.expr(_dot("qv", "qv")))
+        .where(F.col("n2") > 0)
     )
-    qfeats = queries.select(F.col(id_col), quantize(vec_col, "qv")).withColumn(
-        "n2", F.expr(_dot("qv", "qv"))
+    qfeats = (
+        queries.select(F.col(id_col), quantize(vec_col, "qv"))
+        .withColumn("n2", F.expr(_dot("qv", "qv")))
+        .where(F.col("n2") > 0)
     )
     scored = (
         cand.join(

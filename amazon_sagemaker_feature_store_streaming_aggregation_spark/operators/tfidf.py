@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 # Same whitespace tokenizer as functions/text.py (oracle:
 # list_filter(regexp_split_to_array(trim(c), '\s+'), t -> t != ''))
-_TOKENS = "filter(split(trim({c}), '\\\\s+'), t -> t != '')"
+from ..functions.text import _TOKENS  # noqa: E402  (single tokenizer source)
 
 
 def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -285,8 +285,13 @@ def chunk_documents(
         raise ValueError("overlap must be < chunk_chars")
     step = chunk_chars - overlap
     t = F.col(text_col)
+    # starts stop at length - overlap: a start inside the final
+    # overlap region would emit a chunk FULLY CONTAINED in its
+    # predecessor (zero new characters) — for RAG ingestion that
+    # duplicate would be embedded, indexed, and retrieved as a
+    # spurious near-duplicate of its neighbor.
     starts = F.expr(
-        f"sequence(1, greatest(length({text_col}), 1), {step})"
+        f"sequence(1, greatest(length({text_col}) - {overlap}, 1), {step})"
     )
     chunk = F.expr(f"substring({text_col}, __start, {chunk_chars})")
     return (

@@ -179,7 +179,7 @@ def trailing_window_features_bucketed(
     b = "__bucket"
     # Integer `div`, not floor(double /): exact for any epoch range (a
     # double quotient near an integer boundary could floor wrong).
-    rows = df.withColumn(
+    all_rows = df.withColumn(
         AMT_CENTS, F.round(F.col(amount) * 100, 0).cast("long")
     ).withColumn(
         b,
@@ -187,6 +187,13 @@ def trailing_window_features_bucketed(
             f"unix_micros(cast({ts} as timestamp)) div {1_000_000 * bucket_s}"
         ),
     )
+    # NULL-timestamp rows are handled as their own per-key PEER GROUP
+    # (matching the exact variant's RANGE-window null semantics) — the
+    # bucketed equi-join below would otherwise silently DROP them
+    # (NULL bucket never equi-joins), making the two variants disagree
+    # on row count for dirty timestamps.
+    null_rows = all_rows.where(F.col(b).isNull())
+    rows = all_rows.where(F.col(b).isNotNull())
 
     buckets = rows.groupBy(key, b).agg(
         F.count("*").alias("__bn"), F.sum(AMT_CENTS).alias("__bs")
@@ -249,7 +256,7 @@ def trailing_window_features_bucketed(
             F.col(f"sum_amt_cents_{label}") / F.lit(100.0)
         ) / F.col(f"num_trans_last_{label}")
 
-    return (
+    main = (
         rows.join(totals, on=[key, b], how="inner")
         .withColumn(f"avg_amt_last_{short_label}", avg_of(short_label))
         .withColumn(f"avg_amt_last_{long_label}", avg_of(long_label))
@@ -260,6 +267,20 @@ def trailing_window_features_bucketed(
             f"sum_amt_cents_{long_label}",
         )
     )
+    # null-ts peer group: every null row of a key sees all of the
+    # key's null rows in BOTH frames (RANGE peers), same as the exact
+    # variant's window over a null ordering value
+    wn = Window.partitionBy(key)
+    n_cnt = F.count("*").over(wn)
+    n_avg = (F.sum(AMT_CENTS).over(wn) / F.lit(100.0)) / n_cnt
+    null_out = (
+        null_rows.withColumn(f"num_trans_last_{short_label}", n_cnt)
+        .withColumn(f"avg_amt_last_{short_label}", n_avg)
+        .withColumn(f"num_trans_last_{long_label}", n_cnt)
+        .withColumn(f"avg_amt_last_{long_label}", n_avg)
+        .drop(b, AMT_CENTS)
+    )
+    return main.unionByName(null_out.select(*main.columns))
 
 
 def agg_features_query(

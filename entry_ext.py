@@ -3147,7 +3147,10 @@ WITH c AS (
          length(substring(text, t.s, 256)) AS chunk_len,
          {_H64.format(x="substring(text, t.s, 256)")} AS chunk_hash
   FROM documents,
-       LATERAL unnest(range(1, greatest(length(text), 1) + 1, 192)) AS t(s)
+       -- starts stop at length - overlap (64): a start inside the
+       -- final overlap region would chunk zero new characters
+       LATERAL unnest(range(1, greatest(length(text) - 64, 1) + 1, 192))
+         AS t(s)
 )
 SELECT doc_id, count(*) AS n_chunks,
        bit_xor(chunk_hash) AS chunks_xor,

@@ -176,3 +176,21 @@ def test_asof_match_is_one_row_not_a_column_mixture(spark):
     }
     assert got[at(5)] == (10.0, 100.0)   # first build row
     assert got[at(15)] == (20.0, None)   # latest row's own NULL kept
+
+
+def test_asof_rejects_colliding_value_columns(spark):
+    import datetime as dt
+
+    import pytest
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.asof_join import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    probe = spark.createDataFrame(
+        [(1, t0, 5.0)], "k long, ts timestamp, price double"
+    )
+    build = spark.createDataFrame(
+        [(1, t0, 6.0)], "k long, ts timestamp, price double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(probe, build, key="k")

@@ -151,3 +151,23 @@ def test_repetition_aggregate_evaluated_once(spark):
         .toString()
     )
     assert plan.count("aggregate(") == 2, plan
+
+
+def test_canonical_falls_back_to_present_member(spark):
+    """A cluster whose component label is absent from docs (pairs
+    computed pre-filter) must still mark exactly one PRESENT member
+    canonical — a keep-canonical job would otherwise delete the whole
+    surviving cluster."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([(7,), (9,), (20,)], ["doc_id"])
+    # pairs reference doc 5, which was filtered out of docs
+    pairs = spark.createDataFrame(
+        [(5, 7), (5, 9)], ["doc_a", "doc_b"]
+    )
+    out = {r["doc_id"]: r for r in near_dup_clusters(docs, pairs).collect()}
+    cluster = {out[7]["cluster_id"], out[9]["cluster_id"]}
+    assert cluster == {5}  # label survives as the cluster id
+    canon = [d for d in (7, 9) if out[d]["is_canonical"] == 1]
+    assert canon == [7]  # min PRESENT member, not the absent label
+    assert out[20]["is_canonical"] == 1  # singleton unaffected

@@ -209,10 +209,14 @@ def test_chunk_documents_covers_text_with_overlap(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    # doc 1: starts 1, 16, 31, 46 (step 15); lens 20,20,20,5
+    # doc 1 (50 chars): starts 1, 16, 31 (step 15; starts stop at
+    # length - overlap = 45, so the would-be start 46 — whose chunk is
+    # fully contained in chunk 31..50 — is NOT emitted)
     c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
-    assert [r["chunk_start"] for r in c1] == [1, 16, 31, 46]
-    assert [r["chunk_len"] for r in c1] == [20, 20, 20, 5]
+    assert [r["chunk_start"] for r in c1] == [1, 16, 31]
+    assert [r["chunk_len"] for r in c1] == [20, 20, 20]
+    # coverage: the last chunk reaches the end of the text
+    assert c1[-1]["chunk_start"] + c1[-1]["chunk_len"] - 1 == 50
     # overlap check: chunk i's window [s, s+20) overlaps next by 5
     for a, b in zip(c1, c1[1:]):
         assert (a["chunk_start"] + 20) - b["chunk_start"] == 5
@@ -223,7 +227,7 @@ def test_chunk_documents_covers_text_with_overlap(spark):
     want_h = [
         r["h"]
         for r in spark.createDataFrame(
-            [(text[i - 1 : i - 1 + 20],) for i in (1, 16, 31, 46)], ["c"]
+            [(text[i - 1 : i - 1 + 20],) for i in (1, 16, 31)], ["c"]
         )
         .select(F.expr(
             "cast(conv(substring(md5(c), 1, 15), 16, 10) as bigint)"

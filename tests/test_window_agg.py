@@ -165,3 +165,30 @@ def test_bucketed_rewrite_plan_has_no_sliding_frame(spark):
     )
     assert "unboundedpreceding$(), currentrow$()" in plan, plan
     assert "preceding$(" not in plan.replace("unboundedpreceding$(", ""), plan
+
+
+def test_bucketed_variant_keeps_null_timestamp_rows(spark):
+    """NULL-ts rows must survive the bucketed rewrite as their own
+    per-key peer group (RANGE-window null semantics), matching the
+    exact variant's row count."""
+    import datetime as dt
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.window_agg import (
+        trailing_window_features_bucketed,
+        trailing_window_features_exact,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 10.0), (1, None, 20.0), (1, None, 40.0)],
+        "cc_num long, datetime timestamp, amount double",
+    )
+    exact = trailing_window_features_exact(df)
+    bucketed = trailing_window_features_bucketed(df)
+    assert bucketed.count() == exact.count() == 3
+    nulls = [
+        (r["num_trans_last_10m"], r["avg_amt_last_10m"])
+        for r in bucketed.where("datetime IS NULL").collect()
+    ]
+    # both null rows see the 2-row null peer group: count 2, avg 30
+    assert nulls == [(2, 30.0), (2, 30.0)]
