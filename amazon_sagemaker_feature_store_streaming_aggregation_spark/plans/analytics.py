@@ -45,9 +45,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Exact integer money: 2-decimal doubles -> cents (the round(x*100)
-# pattern is bit-stable across Spark and DuckDB for 2-decimal data).
-_CENTS = "CAST(round({c} * 100) AS BIGINT)"
+# Exact integer money: single shared definition (functions/money.py) —
+# the determinism invariant must not be restatable per file.
+from ..functions.money import CENTS as _CENTS, revenue_cents
 
 
 def pricing_summary(
@@ -111,9 +111,7 @@ def revenue_by_nation(
     Revenue is the exact integer sum of ``cents * (100 - discount_pct)``
     (1e-4-dollar units, decimal-widened), divided back once.
     """
-    ep = _CENTS.format(c="l_extendedprice")
-    d = _CENTS.format(c="l_discount")
-    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    rev = revenue_cents()
     o = orders.where(
         (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
@@ -315,9 +313,7 @@ def market_share(
     1e-4-dollar units until the final double division, so the share is
     a fixed IEEE op sequence over identical integers in both engines.
     """
-    ep = _CENTS.format(c="l_extendedprice")
-    d = _CENTS.format(c="l_discount")
-    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    rev = revenue_cents()
     is_tgt = F.col("n_name") == target_nation
     return (
         lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice",
@@ -406,15 +402,19 @@ def gap_filled_daily_counts(events: DataFrame) -> DataFrame:
         .groupBy("day", "event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    bounds = events.agg(
-        F.min(day).alias("lo"), F.max(day).alias("hi")
+    # bounds and the type dictionary derive from the ALREADY-AGGREGATED
+    # counts table (days x types rows), not from raw events — separate
+    # aggregations over `events` would scan the fact table three times
+    # per run (the dominant cost at the 100 TB design point).
+    bounds = counts.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
     )
     calendar = bounds.select(
         F.explode(
             F.expr("sequence(lo, hi, interval 1 day)")
         ).alias("day")
     )
-    types = events.select("event_type").distinct()
+    types = counts.select("event_type").distinct()
     grid = calendar.crossJoin(F.broadcast(types))
     return grid.join(counts, ["day", "event_type"], "left").select(
         "day",
@@ -503,9 +503,7 @@ def top_supplier(
     engines — the reason the revenue view keeps integers until the
     final projection.
     """
-    ep = _CENTS.format(c="l_extendedprice")
-    d = _CENTS.format(c="l_discount")
-    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    rev = revenue_cents()
     per_supp = (
         lineitem.where(
             (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
@@ -549,9 +547,7 @@ def returned_item_top_customers(
     no global sort shuffle) over a DETERMINISTIC order: exact
     integer-cent revenue desc, custkey asc tiebreak.
     """
-    ep = _CENTS.format(c="l_extendedprice")
-    d = _CENTS.format(c="l_discount")
-    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    rev = revenue_cents()
     o = orders.where(
         (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
@@ -606,9 +602,7 @@ def volume_shipping(
     broadcasts. The asymmetric-pair predicate (a→b or b→a) is applied
     post-join on two tiny dictionary columns.
     """
-    ep = _CENTS.format(c="l_extendedprice")
-    d = _CENTS.format(c="l_discount")
-    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    rev = revenue_cents()
     n = nation.select("n_nationkey", "n_name").where(
         F.col("n_name").isin(nation_a, nation_b)
     )
@@ -662,9 +656,7 @@ def promo_revenue_share(
     Both sums stay exact 1e-4-dollar integers; the percentage is a
     single double division at the end, bit-equal across engines.
     """
-    ep = _CENTS.format(c="l_extendedprice")
-    d = _CENTS.format(c="l_discount")
-    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    rev = revenue_cents()
     return (
         lineitem.where(
             (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
@@ -707,9 +699,7 @@ def brand_bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     predicate references both tables. The residual OR runs post-join
     on already-matched rows.
     """
-    ep = _CENTS.format(c="l_extendedprice")
-    d = _CENTS.format(c="l_discount")
-    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    rev = revenue_cents()
     brackets = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -806,7 +796,7 @@ def ohlc_bars(events: DataFrame) -> DataFrame:
     integer cents.
     """
     day = F.date_trunc("day", F.col("ts"))
-    cents = "CAST(round(value * 100) AS BIGINT)"
+    cents = _CENTS.format(c="value")
     return (
         events.select(
             day.alias("day"), "event_type", "ts", "event_id", "value"
@@ -845,7 +835,7 @@ def interpolated_hourly_series(events: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     hour = F.date_trunc("hour", F.col("ts"))
-    cents = "CAST(round(value * 100) AS BIGINT)"
+    cents = _CENTS.format(c="value")
     totals = (
         events.select(hour.alias("hour"), "event_type", "value")
         .groupBy("hour", "event_type")
@@ -855,12 +845,14 @@ def interpolated_hourly_series(events: DataFrame) -> DataFrame:
             ).alias("__v")
         )
     )
-    bounds = events.agg(F.min(hour).alias("lo"), F.max(hour).alias("hi"))
+    # bounds/types from the aggregated totals, not raw events (one
+    # fact scan, not three — same rationale as gap_filled_daily_counts)
+    bounds = totals.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
     grid = (
         bounds.select(
             F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
         )
-        .crossJoin(F.broadcast(events.select("event_type").distinct()))
+        .crossJoin(F.broadcast(totals.select("event_type").distinct()))
         .join(totals, ["hour", "event_type"], "left")
     )
     obs = F.when(
@@ -929,7 +921,11 @@ def funnel_conversion(
             cond = cond & F.col(f"__t{j}").isNotNull() & (
                 F.col(f"__t{j}") > F.col(f"__t{j-1}")
             )
-        flags.append(F.sum(cond.cast("long")).alias(f"__n{i}"))
+        # coalesce: sum over an EMPTY per_user table is NULL, and the
+        # funnel must report 0 completions, not NULL counts
+        flags.append(
+            F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(f"__n{i}")
+        )
     counts = per_user.agg(*flags)
     # one row per step: (step_index, step, n_users)
     pairs = ", ".join(
@@ -989,7 +985,7 @@ def zscore_anomalies(events: DataFrame, threshold: float = 3.0) -> DataFrame:
     identically (determinism, not precision, is the contract; the
     clamp guards the tiny-negative case).
     """
-    cents = "CAST(round(value * 100) AS BIGINT)"
+    cents = _CENTS.format(c="value")
     dec = f"CAST({cents} AS DECIMAL(38,0))"
     stats = (
         events.groupBy("event_type")
@@ -1046,7 +1042,7 @@ def rolling_correlation(
     from pyspark.sql import Window
 
     day = F.date_trunc("day", F.col("ts"))
-    cents = "CAST(round(value * 100) AS BIGINT)"
+    cents = _CENTS.format(c="value")
     dec = "CAST({x} AS DECIMAL(38,0))"
     daily = (
         events.where(F.col("event_type").isin(type_a, type_b))
@@ -1166,9 +1162,7 @@ def local_supplier_revenue(
     constraint is an equality filter on two small dictionary columns
     post-join. Date filter sits in the orders scan (PushedFilters).
     """
-    ep = _CENTS.format(c="l_extendedprice")
-    d = _CENTS.format(c="l_discount")
-    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    rev = revenue_cents()
     nk = (
         nation.join(
             F.broadcast(
@@ -1415,9 +1409,7 @@ def shipping_priority(
     (revenue desc, orderkey) order, tie-broken deterministically.
     Revenue is the exact integer 1e-4-dollar sum divided once.
     """
-    ep = _CENTS.format(c="l_extendedprice")
-    d = _CENTS.format(c="l_discount")
-    rev = f"CAST({ep} * (100 - {d}) AS DECIMAL(38,0))"
+    rev = revenue_cents()
     cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
     o = (
         orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))

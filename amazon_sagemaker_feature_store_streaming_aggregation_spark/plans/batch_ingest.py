@@ -59,7 +59,14 @@ def run_batch_ingest(
     """Full E1 job (B1-B14). Returns the aggregated feature DataFrame."""
     from ..operators.window_agg import agg_features_query
 
-    agg = agg_features_query(transactions).persist(StorageLevel.MEMORY_AND_DISK)
+    # keep_cent_sums: batch_feature_records' deterministic integer
+    # half-up rounding path requires the exact window cent sums — the
+    # F.round fallback is engine-specific at representable 2-dp
+    # midpoints, and the composed job must upsert the same values the
+    # oracle-gated b13 plan produces.
+    agg = agg_features_query(
+        transactions, keep_cent_sums=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         write_csv_single(agg, csv_out)
         feature_group.upsert(batch_feature_records(agg))

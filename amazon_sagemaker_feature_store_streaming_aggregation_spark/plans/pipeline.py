@@ -48,7 +48,17 @@ def _cleaned(
     formula inputs) cannot silently diverge between the two. Returns
     the survivors with every scored column still attached; callers
     project what they need."""
-    scored = with_lang_id(with_text_stats(documents, text_col), text_col)
+    # NULL ids are dropped UP FRONT by an explicit rule: left in, a
+    # null id would WIN its text's dedup group (NULLS FIRST in the
+    # rank order) and then be silently discarded by the id-hash sample
+    # (h64(NULL) is NULL), deleting the whole duplicate group from the
+    # corpus with no stated reason.
+    scored = with_lang_id(
+        with_text_stats(
+            documents.where(F.col(id_col).isNotNull()), text_col
+        ),
+        text_col,
+    )
     filtered = scored.where(
         (F.col("quality_score") >= min_quality)
         & (F.col("lang_pred") == lang)

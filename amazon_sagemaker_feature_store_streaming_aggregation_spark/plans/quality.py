@@ -34,14 +34,28 @@ def ingest_quality_gate(
     ``nonpositive_amounts``, ``null_ts``. No second scan.
     """
     obs = Observation("ingest_quality")
+    # coalesce(.., 0): sum over ZERO rows is NULL, and check_quality's
+    # comparisons would TypeError on None — an empty batch must read
+    # as all-zero counters (same convention as profile_table).
+    # The amount predicate is null-tolerant explicitly: (NULL <= 0) is
+    # NULL and a bare conditional sum would silently SKIP null amounts
+    # — a batch of all-NULL amounts must not pass as "0 nonpositive",
+    # so nulls get their own counter.
     observed = df.observe(
         obs,
         F.count(F.lit(1)).alias("rows"),
-        F.sum(F.col(key).isNull().cast("long")).alias("null_keys"),
-        F.sum((F.col(amount) <= 0).cast("long")).alias(
-            "nonpositive_amounts"
-        ),
-        F.sum(F.col(ts).isNull().cast("long")).alias("null_ts"),
+        F.coalesce(
+            F.sum(F.col(key).isNull().cast("long")), F.lit(0)
+        ).alias("null_keys"),
+        F.coalesce(
+            F.sum((F.col(amount) <= 0).cast("long")), F.lit(0)
+        ).alias("nonpositive_amounts"),
+        F.coalesce(
+            F.sum(F.col(amount).isNull().cast("long")), F.lit(0)
+        ).alias("null_amounts"),
+        F.coalesce(
+            F.sum(F.col(ts).isNull().cast("long")), F.lit(0)
+        ).alias("null_ts"),
     )
     return observed, obs
 
@@ -50,12 +64,20 @@ def check_quality(
     observation: Observation,
     max_null_keys: int = 0,
     max_nonpositive_amounts: int | None = None,
+    max_null_amounts: int | None = None,
 ) -> dict:
     """Gate on the observed counters (call AFTER the action); raises
     ``ValueError`` naming every violated bound, else returns the
     metrics dict."""
     m = observation.get
     problems = []
+    if (
+        max_null_amounts is not None
+        and m["null_amounts"] > max_null_amounts
+    ):
+        problems.append(
+            f"null_amounts={m['null_amounts']} > {max_null_amounts}"
+        )
     if m["null_keys"] > max_null_keys:
         problems.append(
             f"null_keys={m['null_keys']} > {max_null_keys}"
@@ -106,7 +128,7 @@ def profile_table(
     # bare into generated SQL; coalesce keeps the null counter 0 (not
     # NULL) on an empty table, matching the documented semantics
     for i, c in enumerate(cols):
-        bq = f"`{c}`"
+        bq = "`" + c.replace("`", "``") + "`"  # embedded backticks double
         aggs.append(F.count("*").alias(f"__n_{i}"))
         aggs.append(
             F.coalesce(
@@ -232,9 +254,23 @@ def validate_table(
 
     for cols in unique or []:
         label = f"unique:{','.join(cols)}"
+        # SQL-unique semantics: NULL key components never conflict
+        # (each null-keyed row is its own key). count_distinct DROPS
+        # tuples with any NULL component, so the naive
+        # count(*) - count_distinct would report every null-keyed row
+        # as a phantom violation; compare against the fully-non-null
+        # row count instead.
+        non_null = F.coalesce(
+            F.sum(
+                F.expr(
+                    " AND ".join(f"`{c}` IS NOT NULL" for c in cols)
+                ).cast("long")
+            ),
+            F.lit(0),
+        )
         parts.append(
             df.agg(
-                (F.count("*") - F.count_distinct(*[F.col(c) for c in cols]))
+                (non_null - F.count_distinct(*[F.col(c) for c in cols]))
                 .cast("long")
                 .alias("n_violations")
             ).select(F.lit(label).alias("rule"), "n_violations")

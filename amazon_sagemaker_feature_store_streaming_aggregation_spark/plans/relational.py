@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_CENTS = "CAST(round({c} * 100) AS BIGINT)"
+from ..functions.money import CENTS as _CENTS  # single shared definition
 
 
 # ------------------------------------------------------ semi / anti join

@@ -2404,7 +2404,8 @@ WITH per_user AS (
   FROM per_user
 )
 SELECT CAST(s.step_index AS INTEGER) AS step_index, s.step,
-       CAST(CASE s.step_index WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END
+       CAST(coalesce(
+         CASE s.step_index WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END, 0)
             AS BIGINT) AS n_users
 FROM counts,
      (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))

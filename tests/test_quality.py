@@ -64,10 +64,10 @@ def test_validate_table_counts_every_rule_family(spark):
         "not_null:k": 1,
         "range:amt": 1,
         "accepted:status": 1,
-        # 4 rows, 2 distinct non-null k values, count_distinct skips
-        # the null row -> excess = 4 - 2 - ... exact: count(*)=4,
-        # count(distinct k)=2 -> 2
-        "unique:k": 2,
+        # SQL-unique semantics: the NULL-k row is its own key (never a
+        # violation); among the 3 non-null rows, 2 distinct k values ->
+        # exactly 1 genuine duplicate
+        "unique:k": 1,
         "foreign_key:ref": 1,
     }
 
