@@ -75,9 +75,12 @@ def main(argv: Sequence[str] | None = None) -> int:
     # Pre-CHECK for data files instead of swallowing read errors: a
     # transient read failure after a successful shard write must raise,
     # not masquerade as "nothing survived" (orchestrators gate on this).
-    from .sinks.compaction import dir_stats
+    # Hadoop-FS variant, not os.walk: --out may be any URI scheme
+    # (hdfs://, s3a://) and a local walk would answer zero for a remote
+    # directory Spark just wrote — counts={} despite real shards.
+    from .sinks.compaction import fs_dir_stats
 
-    if dir_stats(args.out)[0] > 0:
+    if fs_dir_stats(spark, args.out)[0] > 0:
         manifest = spark.read.parquet(args.out)
         counts = {
             int(r["shard"]): r["n"]

@@ -134,7 +134,23 @@ def _upcastable(src: T.DataType, dst: T.DataType) -> bool:
     if isinstance(dst, T.StringType):
         return True
     if isinstance(dst, T.DecimalType):
-        return isinstance(src, _NUMERIC)
+        # Capacity-checked: a decimal dst is an upcast only when it can
+        # hold every value of src exactly. Integer sources need enough
+        # integral digits (byte 3, short 5, int 10, long 19); a decimal
+        # source needs both integral digits and scale covered. Float
+        # sources are rejected outright — double->decimal(p,s) rounds
+        # fractional values and an overflowing cast yields NULL in
+        # non-ANSI Spark, both of which lose information silently.
+        _INT_DIGITS = {T.ByteType: 3, T.ShortType: 5, T.IntegerType: 10, T.LongType: 19}
+        need = _INT_DIGITS.get(type(src))
+        if need is not None:
+            return dst.precision - dst.scale >= need
+        if isinstance(src, T.DecimalType):
+            return (
+                dst.scale >= src.scale
+                and dst.precision - dst.scale >= src.precision - src.scale
+            )
+        return False
     si, di = _INT_RANK.get(type(src)), _INT_RANK.get(type(dst))
     if si is not None and di is not None:
         return si <= di

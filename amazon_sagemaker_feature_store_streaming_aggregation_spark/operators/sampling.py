@@ -84,8 +84,14 @@ def weighted_sample(
     1/10000ths — membership is integer-exact, so a SQL oracle
     reproduces it bit-for-bit. Scan-side predicate: one md5 + a few
     arithmetic ops per row, no shuffle, pushes into the scan stage.
+
+    NULL weights count as 0 (row excluded) — made EXPLICIT via
+    ``coalesce`` rather than relying on NULL failing the filter, so a
+    dirty weight column shrinks the sample by documented rule, not by
+    accident; pre-clean or ``coalesce`` upstream to keep such rows.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.coalesce(w, F.lit(0.0))
     threshold = F.least(
         F.greatest(F.round(w * RATE_DENOM).cast("long"), F.lit(0)),
         F.lit(RATE_DENOM),

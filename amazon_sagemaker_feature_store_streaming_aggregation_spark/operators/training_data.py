@@ -280,10 +280,17 @@ def chunk_documents(
     Plan: ``sequence()`` + ``explode`` + ``substring`` — all scan-side
     codegen, ZERO shuffles; at 100 TB chunking adds no data motion,
     only an output-row multiplier of ~len/step per doc.
+
+    NULL-text docs are EXCLUDED (same null routing as
+    ``dedup.minhash_signatures``): ``greatest(NULL, 1)`` is 1 in
+    Spark, so without the filter a NULL doc would emit one row with
+    NULL chunk_len/chunk_hash — a NULL hash key leaking into every
+    downstream chunk-hash dedup/embedding stage.
     """
     if overlap >= chunk_chars:
         raise ValueError("overlap must be < chunk_chars")
     step = chunk_chars - overlap
+    df = df.filter(F.col(text_col).isNotNull())
     t = F.col(text_col)
     # starts stop at length - overlap: a start inside the final
     # overlap region would emit a chunk FULLY CONTAINED in its

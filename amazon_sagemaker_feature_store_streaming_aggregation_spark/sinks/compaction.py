@@ -39,6 +39,28 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def fs_dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(parquet file count, total bytes) under ``path``, recursively,
+    via the Hadoop FileSystem API — correct for any URI scheme
+    (file://, hdfs://, s3a://). ``dir_stats`` below walks the LOCAL
+    filesystem only and silently reports zero for a remote URI Spark
+    happily wrote to; callers that accept arbitrary output URIs (the
+    curation CLI) must use this variant."""
+    from ..streaming.dedup import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return 0, 0
+    n, size = 0, 0
+    it = fs.listFiles(p, True)  # recursive RemoteIterator
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            n += 1
+            size += status.getLen()
+    return n, size
+
+
 def dir_stats(path: str) -> tuple[int, int]:
     """(parquet file count, total bytes) under ``path``."""
     n, size = 0, 0

@@ -3152,6 +3152,8 @@ WITH c AS (
        -- final overlap region would chunk zero new characters
        LATERAL unnest(range(1, greatest(length(text) - 64, 1) + 1, 192))
          AS t(s)
+  -- NULL-text docs excluded, matching chunk_documents' null routing
+  WHERE text IS NOT NULL
 )
 SELECT doc_id, count(*) AS n_chunks,
        bit_xor(chunk_hash) AS chunks_xor,

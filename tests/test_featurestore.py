@@ -586,6 +586,31 @@ def test_reconcile_rejects_lossy_downcasts(spark, tmp_path):
     assert fg2.get_latest().count() == 2
 
 
+def test_upcastable_decimal_capacity_rules():
+    """Decimal destinations are upcast targets only with capacity:
+    float->decimal always loses (rounding / NULL-on-overflow in
+    non-ANSI Spark), long needs 19 integral digits, and a decimal
+    source needs both its integral digits and its scale covered."""
+    from pyspark.sql import types as T
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.featurestore.feature_group import (
+        _upcastable,
+    )
+
+    assert not _upcastable(T.DoubleType(), T.DecimalType(38, 0))
+    assert not _upcastable(T.FloatType(), T.DecimalType(38, 18))
+    assert _upcastable(T.LongType(), T.DecimalType(19, 0))
+    assert _upcastable(T.LongType(), T.DecimalType(38, 10))
+    assert not _upcastable(T.LongType(), T.DecimalType(18, 0))
+    assert not _upcastable(T.LongType(), T.DecimalType(20, 2))
+    assert _upcastable(T.IntegerType(), T.DecimalType(10, 0))
+    assert not _upcastable(T.IntegerType(), T.DecimalType(9, 0))
+    assert _upcastable(T.DecimalType(10, 2), T.DecimalType(12, 2))
+    assert _upcastable(T.DecimalType(10, 2), T.DecimalType(14, 4))
+    assert not _upcastable(T.DecimalType(38, 10), T.DecimalType(5, 0))
+    assert not _upcastable(T.DecimalType(10, 2), T.DecimalType(10, 4))
+
+
 def test_reserved_column_names_rejected(spark, tmp_path):
     fg = FeatureGroup(
         spark, "reserved-fg", record_identifier_feature_name="k",

@@ -125,6 +125,26 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert compact_parquet_dir(spark, out, target_bytes=1 << 30) == n_after
 
 
+def test_fs_dir_stats_recursive_and_scheme_aware(spark, tmp_path):
+    """fs_dir_stats (Hadoop FS variant) must agree with the local walk
+    on a local path, see NESTED partition dirs (shard=K/), and answer
+    (0, 0) for a missing path instead of raising — it's the pre-check
+    the curation CLI runs on arbitrary --out URIs."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sinks.compaction import (
+        dir_stats,
+        fs_dir_stats,
+    )
+
+    out = str(tmp_path / "sharded")
+    src = spark.range(100).withColumn("shard", (F.col("id") % 4).cast("int"))
+    src.write.partitionBy("shard").parquet(out)
+    n_local, size_local = dir_stats(out)
+    n_fs, size_fs = fs_dir_stats(spark, out)
+    assert (n_fs, size_fs) == (n_local, size_local)
+    assert n_fs >= 4  # one file per shard= subdir at minimum
+    assert fs_dir_stats(spark, str(tmp_path / "absent")) == (0, 0)
+
+
 def test_zorder_clusters_both_columns(spark, tmp_path):
     """Z-order vs linear sort, measured from the parquet footers the
     pruning actually uses: per-file min/max ranges must shrink on BOTH

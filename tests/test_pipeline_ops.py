@@ -283,6 +283,10 @@ def test_weighted_sample_rates_follow_weights(spark):
     a = {r["id"] for r in kept.collect()}
     b = {r["id"] for r in weighted_sample(df.repartition(7), "w", id_col="id").collect()}
     assert a == b
+    # NULL weight counts as 0 by documented rule (explicit coalesce,
+    # not an accidental NULL-fails-the-filter): row excluded
+    dirty = spark.createDataFrame([(1, None), (2, 1.0)], "id long, w double")
+    assert [r["id"] for r in weighted_sample(dirty, "w", id_col="id").collect()] == [2]
 
 
 def test_source_overlap_matrix_counts_shared_texts(spark):

@@ -237,6 +237,23 @@ def test_chunk_documents_covers_text_with_overlap(spark):
     assert [r["chunk_hash"] for r in c1] == want_h
 
 
+def test_chunk_documents_excludes_null_text(spark):
+    """NULL-text docs emit NO chunk rows (same null routing as
+    minhash_signatures) — without the filter, greatest(NULL,1)=1
+    would emit one row with a NULL chunk_hash that poisons every
+    downstream chunk-hash dedup/embedding stage."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.training_data import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text"), (2, None)], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, chunk_chars=20, overlap=5).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert all(r["chunk_hash"] is not None for r in out)
+
+
 def test_token_spectrum_counts_of_counts(spark):
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import (
         token_frequency_spectrum,
