@@ -38,6 +38,7 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     ann_srp_topk,
+    ann_topk_batched,
     cosine_topk,
     embedding_near_dup_pairs,
     ivf_centroids,

@@ -251,11 +251,17 @@ def _exact_topk_on_candidates(
     k: int,
     id_col: str,
     vec_col: str,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Shared ANN tail: exact cosine + per-query top-k over deduped
     candidate ``(c_id, query_id)`` ids. Vectors and squared norms are
     computed ONCE per vector and joined to the id pairs — no embedding
-    arrays ride through the candidate dedup."""
+    arrays ride through the candidate dedup.
+
+    ``broadcast_queries=False`` is the batched-query regime
+    (:func:`ann_topk_batched`): the query side is NOT hinted, so the
+    planner shuffles both sides on ``query_id`` — correct when the
+    query batch is itself corpus-sized."""
     # zero-norm vectors excluded (cosine undefined; see cosine_topk)
     feats = (
         embeddings.select(F.col(id_col), quantize(vec_col, "qv"))
@@ -267,6 +273,13 @@ def _exact_topk_on_candidates(
         .withColumn("n2", F.expr(_dot("qv", "qv")))
         .where(F.col("n2") > 0)
     )
+    q_side = qfeats.select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("q_q"),
+        F.col("n2").alias("q_n2"),
+    )
+    if broadcast_queries:
+        q_side = F.broadcast(q_side)
     scored = (
         cand.join(
             feats.select(
@@ -277,13 +290,7 @@ def _exact_topk_on_candidates(
             on="c_id",
         )
         .join(
-            F.broadcast(
-                qfeats.select(
-                    F.col(id_col).alias("query_id"),
-                    F.col("qv").alias("q_q"),
-                    F.col("n2").alias("q_n2"),
-                )
-            ),
+            q_side,
             on="query_id",
         )
         .withColumn(
@@ -355,6 +362,63 @@ def ann_srp_topk(
         .distinct()
     )
     return _exact_topk_on_candidates(cand, embeddings, queries, k, id_col, vec_col)
+
+
+def ann_topk_batched(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    n_tables: int = 4,
+    multi_probe: int = 0,
+    bucket_cap: int | None = None,
+    corpus_count: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched-query ANN: SRP-bucket BOTH sides and join on
+    ``(table, bucket)`` with NO broadcast of either side.
+
+    :func:`ann_srp_topk` broadcasts the query side — right for a
+    handful of interactive queries, an executor OOM when the "query"
+    side is itself corpus-sized (the production RAG shape: millions of
+    chunk embeddings from ``chunk_documents`` probing a document
+    index). Here both signature sets shuffle ONCE on the join key, the
+    candidate id pairs shuffle on ``c_id``/``query_id`` for the exact
+    re-rank, and nothing is ever collected or broadcast — every stage
+    is ~linear in corpus + queries. Same output shape, bucket policy
+    (``auto_planes``/``bucket_cap``/``multi_probe``), and determinism
+    contract as :func:`ann_srp_topk`, so the two are drop-in
+    interchangeable and an identical oracle checks both.
+
+    ``exclude_self=True`` drops candidate pairs whose ids are equal —
+    correct when queries are a subset of the corpus (the self-match is
+    noise). Pass ``False`` when query ids live in a DIFFERENT id space
+    (chunk ids vs doc ids): an accidental id collision across spaces
+    must not drop a real neighbor.
+    """
+    n_planes = _resolve_planes(embeddings, n_planes, corpus_count)
+    corpus = _cap_buckets(
+        srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
+        .select(F.col(id_col).alias("c_id"), "table", "bucket"),
+        "c_id",
+        bucket_cap,
+    )
+    qs = _multi_probe(
+        srp_signatures(queries, n_planes, id_col, vec_col, dims, n_tables)
+        .select(F.col(id_col).alias("query_id"), "table", "bucket"),
+        n_planes,
+        multi_probe,
+    )
+    cand = corpus.join(qs, on=["table", "bucket"], how="inner")
+    if exclude_self:
+        cand = cand.filter(F.col("c_id") != F.col("query_id"))
+    cand = cand.select("c_id", "query_id").distinct()
+    return _exact_topk_on_candidates(
+        cand, embeddings, queries, k, id_col, vec_col, broadcast_queries=False
+    )
 
 
 def embedding_near_dup_pairs(

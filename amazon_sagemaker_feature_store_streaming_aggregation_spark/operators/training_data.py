@@ -173,6 +173,7 @@ def pack_context_windows(
     n_shards: int = 8,
     budget: int = 2048,
     seed: str = "shuffle-v1",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Pack shuffled documents into fixed-token-budget context
     windows per shard; returns one row per (shard, win) with doc and
@@ -188,13 +189,26 @@ def pack_context_windows(
     start (the downstream loader slices the overflow; assignment
     stays single-valued and oracle-checkable).
 
-    Token count is the whitespace tokenizer shared with
-    ``with_text_stats`` so "tokens" means the same thing across the
-    text operators. Everything is scan expressions plus one per-shard
-    cumulative-sum window over the shuffle's exchange — packing adds
-    no extra shuffle beyond the shuffle itself.
+    By default the token count is the whitespace tokenizer shared
+    with ``with_text_stats`` so "tokens" means the same thing across
+    the text operators. Real pipelines pack on SUBWORD counts:
+    pass ``token_count_col`` naming a precomputed per-doc count
+    column (from an offline BPE/SentencePiece pass — typically
+    written alongside the text at ingest) and the cut points follow
+    it instead; nothing else changes — no UDF, same one-window plan,
+    same oracle shape. A NULL count is treated as 0 (explicit
+    ``coalesce``, the empty-document case) — left NULL it would
+    silently corrupt the window assignment of every LATER doc in the
+    shard (``sum`` skips NULLs but ``cum - n`` goes NULL).
+
+    Everything is scan expressions plus one per-shard cumulative-sum
+    window over the shuffle's exchange — packing adds no extra
+    shuffle beyond the shuffle itself.
     """
-    n_tokens = F.expr(f"size({_TOKENS.format(c=text_col)})").cast("long")
+    if token_count_col is not None:
+        n_tokens = F.coalesce(F.col(token_count_col).cast("long"), F.lit(0))
+    else:
+        n_tokens = F.expr(f"size({_TOKENS.format(c=text_col)})").cast("long")
     shuffled = global_shuffle(df, key_col=key_col, n_shards=n_shards, seed=seed)
     w = (
         Window.partitionBy("shard")

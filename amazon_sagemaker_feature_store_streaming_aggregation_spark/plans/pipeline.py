@@ -122,6 +122,104 @@ def curate_survivors(
     )
 
 
+def stub_chunk_embedding(hash_col: str, dims: int) -> F.Column:
+    """Deterministic stand-in embedding derived from the chunk hash:
+    component ``d`` = ``(h64('{hash}:{d}') mod 2001 - 1000) / 1000``
+    as ``float`` — the same md5-derived-integer convention as the SRP
+    planes, so a SQL oracle reproduces every component bit-for-bit.
+
+    This is the pipeline's ONE swap point for a real encoder: a
+    production deployment replaces this column with a Pandas-UDF
+    (``mapInPandas``, Arrow-batched) model call over the chunk text —
+    the schema (``array<float>``), partitioning, and every downstream
+    stage (SRP bucketing, dedup keying) are already the real thing
+    and stay unchanged. The container has no embedding model, so the
+    stub keeps the composed plan end-to-end verifiable instead of
+    stubbing the whole pipeline."""
+    return F.expr(
+        f"transform(sequence(0, {dims - 1}), d -> cast("
+        f"((cast(conv(substring(md5(concat(cast({hash_col} as string),"
+        f" ':', cast(d as string))), 1, 15), 16, 10) as bigint)"
+        f" % 2001) - 1000) / 1000.0 as float))"
+    )
+
+
+def rag_index(
+    documents: DataFrame,
+    chunk_chars: int = 256,
+    overlap: int = 64,
+    dims: int = 16,
+    n_planes: int | None = 6,
+    n_tables: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The RAG-ingestion pipeline as ONE composed job: overlapping
+    chunking → exact chunk-hash dedup → (stub) embedding → SRP bucket
+    index. The retrieval-side twin of :func:`curate_and_shard` — what
+    a production corpus runs to build the ANN index that
+    ``ann_topk_batched`` then probes.
+
+    Stages (each the already-verified operator):
+
+    1. ``chunk_documents`` — scan-side ``sequence``/``explode``/
+       ``substring``; NULL-text docs excluded at the source.
+    2. exact dedup on ``chunk_hash`` — overlapping chunks repeat
+       across near-identical docs; first ``(doc_id, chunk_idx)`` wins
+       (deterministic tie-break). ONE exchange on the 8-byte hash.
+    3. :func:`stub_chunk_embedding` — scan-side; the real-encoder
+       swap point (see its docstring).
+    4. ``srp_signatures`` — per-(chunk, table) SRP bucket; the index
+       a batched query side joins on ``(table, bucket)``.
+
+    Output: one row per (surviving chunk, table) —
+    ``(chunk_hash, doc_id, chunk_idx, chunk_start, table, bucket)``.
+
+    Shuffle census: the dedup exchange on ``chunk_hash`` is the ONLY
+    data motion; chunking, embedding, and bucketing are all scan-side
+    — at 100 TB the index build moves each surviving chunk's 8-byte
+    hash + pointer exactly once, never the text or the vectors.
+    """
+    from ..operators.similarity import srp_signatures
+    from ..operators.training_data import chunk_documents
+
+    chunks = chunk_documents(
+        documents, text_col, id_col, chunk_chars, overlap
+    )
+    w = Window.partitionBy("chunk_hash").orderBy(id_col, "chunk_idx")
+    deduped = (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    embedded = deduped.select(
+        F.struct(
+            "chunk_hash", F.col(id_col), "chunk_idx", "chunk_start"
+        ).alias("__ref"),
+        stub_chunk_embedding("chunk_hash", dims).alias("embedding"),
+    )
+    if n_planes is None:
+        from ..operators.similarity import auto_planes
+
+        n_planes = auto_planes(embedded.count())
+    sigs = srp_signatures(
+        embedded,
+        n_planes=n_planes,
+        id_col="__ref",
+        vec_col="embedding",
+        dims=dims,
+        n_tables=n_tables,
+    )
+    return sigs.select(
+        F.col("__ref.chunk_hash").alias("chunk_hash"),
+        F.col(f"__ref.{id_col}").alias(id_col),
+        F.col("__ref.chunk_idx").alias("chunk_idx"),
+        F.col("__ref.chunk_start").alias("chunk_start"),
+        "table",
+        "bucket",
+    )
+
+
 def curate_and_shard(
     documents: DataFrame,
     min_quality: float = 0.5,

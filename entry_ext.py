@@ -556,7 +556,7 @@ def _q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _srp_bucket_sql(table: int, n_planes: int) -> str:
+def _srp_bucket_sql(table: int, n_planes: int, dims: int = _ANN_DIMS) -> str:
     """DuckDB bucket expression for one SRP table (same md5-derived
     integer weights as operators/similarity.py::srp_signatures)."""
     terms = []
@@ -564,7 +564,7 @@ def _srp_bucket_sql(table: int, n_planes: int) -> str:
         seed = table * n_planes + p
         weights = ", ".join(
             "(" + _H64.format(x=f"'{seed}:{d}'") + " % 2001) - 1000"
-            for d in range(_ANN_DIMS)
+            for d in range(dims)
         )
         terms.append(
             f"(CASE WHEN list_sum([z[1] * z[2] for z in"
@@ -595,7 +595,12 @@ def _sigs_sql(n_planes: int, capped: bool) -> str:
 )"""
 
 
-def _ann_oracle() -> str:
+def _ann_oracle(query_pred: str = f"vec_id < {_N_QUERIES}") -> str:
+    """SRP-ANN oracle; ``query_pred`` selects the query rows — the
+    interactive fixture uses a handful of ids, the batched fixture
+    (``ann_topk_batched``) a corpus-sized slice. The SQL is IDENTICAL
+    otherwise: the batched operator changes the physical plan (no
+    broadcast), never the semantics."""
     n_planes = _ann_planes_for(_ORACLE_SF_DIR)
     return f"""
 WITH q AS (
@@ -607,11 +612,11 @@ WITH q AS (
 , qprobe AS (
   -- query side: UNCAPPED signatures (the cap is corpus-side only in
   -- the operator) expanded to Hamming-distance-<=1 probe buckets
-  SELECT vec_id, tbl, bucket FROM rawsigs WHERE vec_id < {_N_QUERIES}
+  SELECT vec_id, tbl, bucket FROM rawsigs s WHERE s.{query_pred}
   UNION ALL
   SELECT s.vec_id, s.tbl, xor(s.bucket, 1::BIGINT << pp.p) AS bucket
   FROM rawsigs s CROSS JOIN (SELECT unnest(range({n_planes})) AS p) pp
-  WHERE s.vec_id < {_N_QUERIES}
+  WHERE s.{query_pred}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS c_id, b.vec_id AS query_id
   FROM sigs a JOIN qprobe b ON a.tbl = b.tbl AND a.bucket = b.bucket
@@ -636,6 +641,35 @@ WITH q AS (
 SELECT query_id, c_id AS vec_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {_ANN_K}
 """
+
+
+_BATCH_QUERY_PRED = "vec_id % 5 = 0"  # 20% of the corpus as queries —
+# the batched regime: the query side is itself corpus-sized, so
+# nothing may be broadcast (ann_topk_batched's contract)
+
+
+def _q_ann_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched-query SRP ANN (operators/similarity.py::
+    ann_topk_batched): both sides SRP-bucketed and shuffle-joined on
+    (table, bucket) — no broadcast of either side. Same semantics as
+    sim_ann_srp_topk (shared oracle generator), different physical
+    plan; the plan test pins the no-broadcast shape."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ann_topk_batched,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_BATCH_QUERY_PRED))
+    return ann_topk_batched(
+        emb,
+        queries,
+        k=_ANN_K,
+        n_planes=None,
+        n_tables=_ANN_TABLES,
+        multi_probe=1,
+        bucket_cap=_ANN_BUCKET_CAP,
+        corpus_count=_emb_count(sf_dir),
+    )
 
 
 # ------------------------------------------------------------- IVF ANN topk
@@ -1790,6 +1824,71 @@ SELECT shard, CAST(floor((c - n_tokens) / 512.0) AS BIGINT) AS win,
        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS win_tokens,
        min(pos) AS first_pos, max(pos) AS last_pos
 FROM cum GROUP BY 1, 2
+"""
+
+
+_RAG_DIMS, _RAG_PLANES, _RAG_TABLES = 16, 6, 2
+
+
+def _q_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG-ingestion pipeline end-to-end (plans/pipeline.py::
+    rag_index): overlapping chunking → exact chunk-hash dedup →
+    deterministic stub embedding → SRP bucket index, one composed job;
+    the oracle replays the ENTIRE chain in DuckDB."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.pipeline import rag_index
+
+    return rag_index(
+        load_table(spark, sf_dir, "documents"),
+        chunk_chars=256,
+        overlap=64,
+        dims=_RAG_DIMS,
+        n_planes=_RAG_PLANES,
+        n_tables=_RAG_TABLES,
+    )
+
+
+def _rag_index_oracle() -> str:
+    chunk_h = _H64.format(x="substring(text, t.s, 256)")
+    comp = lambda d: (  # noqa: E731 — local SQL fragment builder
+        "CAST(round(CAST(CAST((("
+        + _H64.format(
+            x=f"concat(CAST(chunk_hash AS VARCHAR), ':', '{d}')"
+        )
+        + " % 2001) - 1000) / 1000.0 AS REAL) AS DOUBLE)"
+        " * 1000000.0) AS BIGINT)"
+    )
+    qv = "[" + ", ".join(comp(d) for d in range(_RAG_DIMS)) + "]"
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT chunk_hash, doc_id, chunk_idx, chunk_start,"
+        f" {t} AS \"table\","
+        f" {_srp_bucket_sql(t, _RAG_PLANES, _RAG_DIMS)} AS bucket FROM q"
+        for t in range(_RAG_TABLES)
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST((t.s - 1) // 192 AS BIGINT) AS chunk_idx,
+         CAST(t.s AS BIGINT) AS chunk_start,
+         {chunk_h} AS chunk_hash
+  FROM documents,
+       LATERAL unnest(range(1, greatest(length(text) - 64, 1) + 1, 192))
+         AS t(s)
+  WHERE text IS NOT NULL
+), d AS (
+  -- exact chunk-hash dedup, first (doc_id, chunk_idx) wins
+  SELECT chunk_hash, doc_id, chunk_idx, chunk_start FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY chunk_hash
+                                   ORDER BY doc_id, chunk_idx) AS __rn
+    FROM c)
+  WHERE __rn = 1
+), q0 AS (
+  SELECT chunk_hash, doc_id, chunk_idx, chunk_start, {qv} AS qv FROM d
+), q AS (
+  -- stub embedding, quantized to SRP's integer micro-units; all-zero
+  -- vectors excluded exactly as srp_signatures does
+  SELECT * FROM q0 WHERE len(list_filter(qv, x -> x != 0)) > 0
+)
+{per_table}
 """
 
 
@@ -3234,6 +3333,7 @@ def ext_queries():
         "sim_cosine_topk": _q_cosine_topk,
         "s4_sliding_windowed": _q_sliding_windowed,
         "sim_ann_srp_topk": _q_ann_srp,
+        "sim_ann_batched_topk": _q_ann_batched,
         "sim_ivf_topk": _q_ivf_topk,
         "sim_embedding_near_dup": _q_embedding_near_dup,
         "rel_semi_join": _q_rel_semi_join,
@@ -3292,6 +3392,7 @@ def ext_queries():
         "olap_sole_late_supplier": _q_sole_late_supplier,
         "olap_shipping_priority": _q_shipping_priority,
         "pipeline_curate_shards": _q_curate_shards,
+        "pipeline_rag_index": _q_rag_index,
         "dedup_inc_append": _q_dedup_append,
         "dedup_inc_append_bloom": _q_dedup_append_bloom,
         "dedup_source_overlap": _q_source_overlap,
@@ -3329,6 +3430,7 @@ def ext_oracles():
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
         "s4_sliding_windowed": _SLIDING_WINDOWED_ORACLE,
         "sim_ann_srp_topk": _ann_oracle(),
+        "sim_ann_batched_topk": _ann_oracle(_BATCH_QUERY_PRED),
         "sim_ivf_topk": _ivf_oracle(),
         "sim_embedding_near_dup": _near_dup_oracle(),
         "rel_semi_join": _REL_SEMI_ORACLE,
@@ -3387,6 +3489,7 @@ def ext_oracles():
         "olap_sole_late_supplier": _SOLE_LATE_ORACLE,
         "olap_shipping_priority": _SHIPPING_PRIORITY_ORACLE,
         "pipeline_curate_shards": _curate_shards_oracle(),
+        "pipeline_rag_index": _rag_index_oracle(),
         "dedup_inc_append": _DEDUP_APPEND_ORACLE,
         "dedup_inc_append_bloom": _DEDUP_APPEND_ORACLE,
         "dedup_source_overlap": _SOURCE_OVERLAP_ORACLE,

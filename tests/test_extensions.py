@@ -118,6 +118,61 @@ def test_multi_probe_improves_recall(spark, emb):
     assert r1 > 0.3, (r0, r1)
 
 
+def test_ann_batched_equals_broadcast_path(spark, emb):
+    """ann_topk_batched is ann_srp_topk with a different PHYSICAL plan
+    (no broadcast of either side) — same parameters must produce the
+    identical result set, row for row."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ann_topk_batched,
+    )
+
+    queries = emb.filter(F.col("vec_id") % 5 == 0)  # corpus-sized batch
+    kw = dict(k=5, n_planes=6, n_tables=2, multi_probe=1, bucket_cap=64)
+    a = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ann_srp_topk(emb, queries, **kw).collect()
+    }
+    b = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ann_topk_batched(emb, queries, **kw).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_ann_batched_plan_no_broadcast_no_cartesian(spark, emb):
+    """The batched contract pinned at the plan level: with auto-
+    broadcast disabled (the regime a corpus-sized query batch forces at
+    scale), the whole plan runs as shuffle joins — no
+    BroadcastExchange, no CartesianProduct, no BroadcastNestedLoop —
+    and still executes."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ann_topk_batched,
+    )
+
+    from .conftest import plan_str
+
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ann_topk_batched(
+            emb, queries, k=5, n_planes=6, n_tables=2, bucket_cap=64
+        )
+        plan = plan_str(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "BroadcastExchange" not in plan
+        assert out.count() > 0
+        # the interactive path (ann_srp_topk) keeps its broadcast HINT
+        # even in this regime — that asymmetry IS the difference
+        hinted = ann_srp_topk(
+            emb, queries, k=5, n_planes=6, n_tables=2, bucket_cap=64
+        )
+        assert "BroadcastExchange" in plan_str(hinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_auto_planes_policy_and_linear_candidate_growth(spark):
     """The corpus-scaled plane policy must keep LSH candidate-pair count
     ~linear when the corpus doubles (a fixed plane count grows ~N^2)."""

@@ -261,6 +261,30 @@ def test_clean_corpus_filters_below_single_exchange(spark):
     assert "DataFilters" in plan.splitlines()[-1] or "FileScan" in plan, plan
 
 
+def test_rag_index_single_exchange_and_correct_stages(spark):
+    """The composed RAG-index pipeline (chunk → chunk-hash dedup →
+    stub embed → SRP bucket): the dedup window's exchange must be the
+    ONLY data motion — chunking, embedding, and bucketing all stay
+    scan-side — and the result must have one row per surviving chunk
+    per table with a bucket inside [0, 2^planes)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans import rag_index
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+
+    df = rag_index(
+        load_table(spark, SF001, "documents"),
+        dims=8, n_planes=4, n_tables=2,
+    )
+    rows = df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "WindowGroupLimit" in plan, plan  # dedup pre-trim map-side
+    assert rows and all(0 <= r["bucket"] < 16 for r in rows)
+    assert {r["table"] for r in rows} == {0, 1}
+    # dedup really keyed the hash: unique (chunk_hash, table)
+    keys = [(r["chunk_hash"], r["table"]) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
 def test_enrich_join_strategy_toggle(spark):
     """i_enrich: broadcast by default; the shuffle_hash variant must
     plan ShuffledHashJoin with NO BroadcastExchange for the feature

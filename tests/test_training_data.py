@@ -237,6 +237,38 @@ def test_chunk_documents_covers_text_with_overlap(spark):
     assert [r["chunk_hash"] for r in c1] == want_h
 
 
+def test_pack_windows_pluggable_token_count(spark):
+    """Tokenizer-fidelity packing: a precomputed subword-count column
+    must drive the cut points instead of the whitespace tokenizer —
+    same plan, different window boundaries — and a NULL count packs
+    as 0 by explicit rule."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.training_data import (
+        pack_context_windows,
+    )
+
+    # 6 docs, whitespace count 2 each; subword counts 4x larger for
+    # doc_id >= 3 so the two tokenizations cut differently
+    rows = [(i, "aa bb", 2 if i < 3 else 8) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_subwords long")
+    ws = pack_context_windows(df, n_shards=1, budget=6).collect()
+    sub = pack_context_windows(
+        df, n_shards=1, budget=6, token_count_col="n_subwords"
+    ).collect()
+    assert sum(r["win_tokens"] for r in ws) == 12  # 6 docs x 2 ws tokens
+    assert sum(r["win_tokens"] for r in sub) == 3 * 2 + 3 * 8  # 30 subwords
+    # subword packing needs more windows for the same corpus
+    assert len(sub) > len(ws)
+    # NULL count packs as zero tokens, not as poison for later docs
+    dirty = spark.createDataFrame(
+        [(1, "x", None), (2, "y", 5)], "doc_id long, text string, n_subwords long"
+    )
+    out = pack_context_windows(
+        dirty, n_shards=1, budget=100, token_count_col="n_subwords"
+    ).collect()
+    assert sum(r["win_tokens"] for r in out) == 5
+    assert sum(r["n_docs"] for r in out) == 2
+
+
 def test_chunk_documents_excludes_null_text(spark):
     """NULL-text docs emit NO chunk rows (same null routing as
     minhash_signatures) — without the filter, greatest(NULL,1)=1
