@@ -86,6 +86,10 @@ def luhn_valid_candidates(
             F.regexp_extract_all(F.col(text_col), F.lit(CC16_RE), F.lit(0))
         ).alias("candidate"),
     )
+    # the candidate stays a STRING into the UDF: a long-typed Arrow
+    # batch containing a null surfaces in pandas as float64, which
+    # rounds values above 2^53 before any digit math (the exact bug
+    # the string-input Luhn contract exists to prevent)
     return cand.withColumn(
-        "luhn_ok", make_luhn_check()(F.col("candidate").cast("long"))
+        "luhn_ok", make_luhn_check()(F.col("candidate"))
     ).filter(F.col("luhn_ok") == 1).drop("luhn_ok")

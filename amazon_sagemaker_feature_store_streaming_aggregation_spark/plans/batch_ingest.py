@@ -68,7 +68,13 @@ def run_batch_ingest(
         transactions, keep_cent_sums=True
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        write_csv_single(agg, csv_out)
+        # the cent sums are INTERNAL (they exist so the upsert path can
+        # round in integer space) — the golden CSV keeps the reference's
+        # exact column set (2_batch_ingestion.ipynb:271-287 emits only
+        # the window features + ratios)
+        write_csv_single(
+            agg.drop("sum_amt_cents_10m", "sum_amt_cents_1w"), csv_out
+        )
         feature_group.upsert(batch_feature_records(agg))
     finally:
         agg.unpersist()

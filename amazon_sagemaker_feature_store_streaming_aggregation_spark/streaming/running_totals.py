@@ -32,6 +32,19 @@ operator on the new API behind :func:`tws_available`, and the parity
 test runs (or skips cleanly) depending on the capability — the day
 the environment gains protobuf, the successor path is live.
 
+Capability tombstone (exhausted, not pending): the exact failing
+import is ``import google.protobuf`` →
+``ModuleNotFoundError: No module named 'google'``, raised by
+``pyspark/sql/streaming/proto/StateMessage_pb2.py`` (the generated
+state-protocol stubs ARE shipped; only their runtime is missing).
+Every in-container remedy was checked: no ``protobuf`` under any
+site-packages, pip's HTTP cache holds no protobuf artifact, no wheel
+exists anywhere on disk, and package installation is out of scope
+for this environment. Vendoring a hand-written ``google.protobuf``
+shim was rejected — the wire protocol is real protobuf encoding and
+a partial reimplementation would corrupt state silently rather than
+fail loudly. Nothing further is actionable from inside the repo.
+
 100 TB notes: state per key is 16 bytes — hot keys cost nothing
 extra; the one shuffle is the groupBy key partitioning shared by all
 stateful ops; at high key cardinality the state store scales with

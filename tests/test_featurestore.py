@@ -135,6 +135,8 @@ def test_run_batch_ingest_end_to_end(spark, tmp_path):
     with open(files[0]) as f:
         header = f.readline()
     assert header.startswith("tid,")
+    # internal cent-sum columns must NOT leak into the golden CSV
+    assert "sum_amt_cents" not in header
     assert agg.columns[-1] == "count_ratio"
 
 

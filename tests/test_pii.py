@@ -50,3 +50,17 @@ def test_luhn_audit_keeps_only_valid_cards(spark):
     ]
     # 4532015112830366 passes Luhn; 1234567890123456 does not
     assert got == [(2, "4532015112830366")]
+
+
+def test_luhn_audit_exact_above_2_53(spark):
+    """Candidates reach the Luhn UDF as STRINGS: 9999999999999995 is
+    Luhn-valid and above 2^53, where any float64 detour would round
+    the value before the digit math (the r4 string-contract bug
+    class). 9999999999999999 differs only in the last digit and must
+    still be rejected — a rounding detour would conflate the two."""
+    df = spark.createDataFrame(
+        [(1, "cards 9999999999999995 and 9999999999999999")],
+        "doc_id long, text string",
+    )
+    got = [r["candidate"] for r in luhn_valid_candidates(df).collect()]
+    assert got == ["9999999999999995"]

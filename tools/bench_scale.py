@@ -1,0 +1,79 @@
+"""Compose BENCH_SCALE.json from two bench runs at different scales.
+
+Reads the per-query detail JSONs saved from ``bench.py`` runs over
+the tools/gen_scale_data.py corpora (self-similar 10x instances) and
+records per-query scaling exponents::
+
+    exponent = log(t_hi / t_lo) / log(scale_hi / scale_lo)
+
+Exponent ~1.0 = linear (perfect), <=1.3 = the round's acceptance
+bar (near-linear; constant factors and fixed overheads allowed),
+>1.3 = investigate candidate blowup / quadratic creep. Exponents
+well BELOW 1 usually mean the lower scale was overhead-dominated
+(fixed JVM/job-submission cost), not sublinear algorithms.
+
+Usage::
+
+    python tools/bench_scale.py --lo /tmp/sfscale/detail_sf01.json \
+        --hi /tmp/sfscale/detail_sf1.json --ratio 10 \
+        --out BENCH_SCALE.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lo", required=True)
+    ap.add_argument("--hi", required=True)
+    ap.add_argument("--ratio", type=float, default=10.0)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--bar", type=float, default=1.3)
+    args = ap.parse_args()
+    with open(args.lo) as fh:
+        lo = json.load(fh)
+    with open(args.hi) as fh:
+        hi = json.load(fh)
+    qs = {}
+    worst = None
+    for name, t_lo in sorted(lo["queries"].items()):
+        t_hi = hi["queries"].get(name)
+        if t_hi is None:
+            continue
+        exp = math.log(t_hi / t_lo) / math.log(args.ratio)
+        qs[name] = {
+            "sec_lo": t_lo,
+            "sec_hi": t_hi,
+            "exponent": round(exp, 3),
+            "near_linear": exp <= args.bar,
+        }
+        if worst is None or exp > qs[worst]["exponent"]:
+            worst = name
+    out = {
+        "metric": "scaling_exponent",
+        "ratio": args.ratio,
+        "bar": args.bar,
+        "sf_lo": lo.get("sf"),
+        "sf_hi": hi.get("sf"),
+        "queries": qs,
+        "worst": worst,
+        "all_near_linear": all(q["near_linear"] for q in qs.values()),
+        "note": (
+            "self-similar corpora from tools/gen_scale_data.py "
+            "(constant dup fractions, iid embeddings); exponents "
+            "compare the SAME generator at both scales"
+        ),
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({k: v["exponent"] for k, v in qs.items()}))
+    print("all_near_linear:", out["all_near_linear"], "worst:", worst)
+
+
+if __name__ == "__main__":
+    main()

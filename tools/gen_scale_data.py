@@ -1,0 +1,161 @@
+"""Self-similar documents/embeddings tables above sf0.1, for the
+scale bench (tools/bench_scale.py → BENCH_SCALE.json).
+
+The driver's testdata stops at sf0.1 (5,000 docs / 2,000 vectors);
+the heavy extension paths (LSH, SRP near-dup, curation chain) have
+plan-shape arguments for 100× but no MEASUREMENT above sf0.1. This
+generator produces larger instances of the SAME data family so
+sf0.1→sf1 scaling exponents are meaningful:
+
+* text: words drawn from the sf0.1 corpus's own vocabulary with its
+  empirical word frequencies; doc length uniform over the corpus's
+  observed [min,max] word count; per-doc lang from the empirical
+  lang mix; ``source`` uniform over the same 20 sources.
+* duplicate structure at CONSTANT fractions (what keeps dedup output
+  ~linear in N, as a real crawl's is): ~0.16% exact copies of an
+  earlier doc, ~4.5% near-dups (an earlier doc with 1-3 words
+  mutated) — matching the rates measured in the driver's sf0.1
+  (8/5000 exact dups, 225 shared-100-char-prefix pairs).
+* embeddings: iid N(0, 0.125^2) float32 per component (the driver
+  data's measured shape: pairwise cosine ~N(0, 1/sqrt(64))), labels
+  uniform 0..9.
+
+IMPORTANT for exponents: compare runs on THIS generator's sf0.1'
+against THIS generator's sf1' (both written by the same code), never
+driver-sf0.1 against generated-sf1 — generator differences would
+pollute the exponent.
+
+Usage::
+
+    python tools/gen_scale_data.py --out /tmp/sfscale/sf0.1 --docs 5000 --vecs 2000
+    python tools/gen_scale_data.py --out /tmp/sfscale/sf1   --docs 50000 --vecs 20000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REF_DOCS = "/root/testdata/sf0.1/documents.parquet"
+
+EXACT_DUP_FRAC = 0.0016
+NEAR_DUP_FRAC = 0.045
+DIMS = 64
+N_SOURCES = 20
+COMP_STD = 0.125
+
+
+def _corpus_stats():
+    """Vocabulary + empirical word/lang frequencies from the driver's
+    sf0.1 documents — the generated corpus is the same family, just
+    bigger."""
+    t = pq.read_table(REF_DOCS, columns=["text", "lang"])
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    from collections import Counter
+
+    wc: Counter = Counter()
+    lens = []
+    for s in texts:
+        ws = s.split(" ")
+        lens.append(len(ws))
+        wc.update(ws)
+    vocab = sorted(wc)
+    freqs = np.array([wc[w] for w in vocab], dtype=float)
+    lc = Counter(langs)
+    lang_names = sorted(lc)
+    lang_p = np.array([lc[x] for x in lang_names], dtype=float)
+    return (
+        vocab,
+        freqs / freqs.sum(),
+        min(lens),
+        max(lens),
+        lang_names,
+        lang_p / lang_p.sum(),
+    )
+
+
+def gen_documents(n_docs: int, seed: int = 42):
+    vocab, word_p, min_w, max_w, langs, lang_p = _corpus_stats()
+    rng = np.random.default_rng(seed)
+    varr = np.array(vocab)
+    # pre-draw the whole word stream at once (one vectorized choice
+    # instead of n_docs small ones)
+    n_words = rng.integers(min_w, max_w + 1, size=n_docs)
+    stream = rng.choice(len(varr), size=int(n_words.sum()), p=word_p)
+    kinds = rng.random(n_docs)
+    dup_src = rng.integers(0, np.maximum(1, np.arange(n_docs)))
+    texts: list[str] = []
+    off = 0
+    for i in range(n_docs):
+        k = int(n_words[i])
+        words = varr[stream[off : off + k]]
+        off += k
+        if i > 10 and kinds[i] < EXACT_DUP_FRAC:
+            texts.append(texts[int(dup_src[i])])
+            continue
+        if i > 10 and kinds[i] < NEAR_DUP_FRAC:
+            base = texts[int(dup_src[i])].split(" ")
+            n_mut = 1 + int(kinds[i] * 1000) % 3
+            for j in range(n_mut):
+                base[(i * 7 + j * 13) % len(base)] = words[j % k]
+            texts.append(" ".join(base))
+            continue
+        texts.append(" ".join(words))
+    lang_col = np.array(langs)[rng.choice(len(langs), size=n_docs, p=lang_p)]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(lang_col, pa.string()),
+            "source": pa.array(
+                [f"src{i % N_SOURCES}" for i in range(n_docs)], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(n_vecs: int, seed: int = 43):
+    rng = np.random.default_rng(seed)
+    E = np.clip(
+        rng.normal(0.0, COMP_STD, size=(n_vecs, DIMS)), -0.58, 0.58
+    ).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(list(E), pa.list_(pa.float32())),
+            "label": pa.array(
+                rng.integers(0, 10, size=n_vecs).astype(np.int32), pa.int32()
+            ),
+        }
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--docs", type=int, required=True)
+    ap.add_argument("--vecs", type=int, required=True)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    docs = gen_documents(args.docs, args.seed)
+    pq.write_table(
+        docs, os.path.join(args.out, "documents.parquet"), row_group_size=65536
+    )
+    emb = gen_embeddings(args.vecs, args.seed + 1)
+    pq.write_table(
+        emb, os.path.join(args.out, "embeddings.parquet"), row_group_size=65536
+    )
+    print(
+        f"wrote {args.out}: documents={docs.num_rows} embeddings={emb.num_rows}"
+    )
+
+
+if __name__ == "__main__":
+    main()
