@@ -32,8 +32,11 @@ from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import
 )
 from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
 
-# 60-bit md5 hash, DuckDB spelling (bit-equal with functions/hashing.h64)
-_H64 = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+# 60-bit md5 hash, DuckDB spelling (bit-equal with functions/hashing.h64).
+# '0x' || ... (NOT concat): || propagates NULL like Spark's md5/concat
+# chain, while concat('0x', NULL) = '0x' would CRASH the cast — a NULL
+# text/id input must hash to NULL in both engines, not abort the oracle.
+_H64 = "CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT)"
 
 _SHINGLES = (
     "list_distinct([" + _H64.format(x="substring(text, i, 9)") + " "
@@ -84,6 +87,10 @@ def _minhash_list_sql() -> str:
 _MINHASH_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES} AS __sh FROM documents
+  -- NULL-text docs excluded, mirroring minhash_signatures'
+  -- WHERE text IS NOT NULL (a NULL-text doc must emit no
+  -- signature and join no LSH bucket)
+  WHERE text IS NOT NULL
 ), sig AS (
   SELECT doc_id, {_minhash_list_sql()} AS minhash FROM sh
 )
@@ -108,6 +115,10 @@ def _band_hash_sql(b: int) -> str:
 _LSH_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES} AS __sh FROM documents
+  -- NULL-text docs excluded, mirroring minhash_signatures'
+  -- WHERE text IS NOT NULL (a NULL-text doc must emit no
+  -- signature and join no LSH bucket)
+  WHERE text IS NOT NULL
 ), sig AS (
   SELECT doc_id, {_minhash_list_sql()} AS minhash FROM sh
 ), bands AS (
@@ -142,6 +153,10 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES} AS __sh FROM documents
+  -- NULL-text docs excluded, mirroring minhash_signatures'
+  -- WHERE text IS NOT NULL (a NULL-text doc must emit no
+  -- signature and join no LSH bucket)
+  WHERE text IS NOT NULL
 ), sig AS (
   SELECT doc_id, {_minhash_list_sql()} AS minhash FROM sh
 ), bands AS (
@@ -318,23 +333,37 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_oracle() -> str:
-    langs = sorted(LANG_STOPWORDS)
-    score_cols = ", ".join(
+def _lang_score_cols_sql() -> str:
+    """Per-language stopword-score columns over a ``toks`` list — THE
+    single SQL spelling of with_lang_id's scores, shared by
+    _lang_oracle and _clean_cte_prefix so the pipeline oracles can
+    never drift from the text_lang_id oracle."""
+    return ", ".join(
         "CAST(len(list_filter(toks, t -> list_contains(["
         + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
         + f"], lower(t)))) AS BIGINT) AS score_{lang}"
-        for lang in langs
+        for lang in sorted(LANG_STOPWORDS)
     )
-    # first language (in sorted order) reaching the maximum score —
-    # mirrors the Spark aggregate's strictly-greater replacement rule
+
+
+def _lang_argmax_case_sql() -> str:
+    """Argmax CASE over the score columns: first language (sorted
+    order) reaching the maximum — mirrors the Spark aggregate's
+    strictly-greater replacement rule. Shared with _clean_cte_prefix."""
+    langs = sorted(LANG_STOPWORDS)
     case = "CASE "
     for lang in langs:
         conds = " AND ".join(
             f"score_{lang} >= score_{other}" for other in langs if other != lang
         )
         case += f"WHEN {conds} THEN '{lang}' "
-    case += "END"
+    return case + "END"
+
+
+def _lang_oracle() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = _lang_score_cols_sql()
+    case = _lang_argmax_case_sql()
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -467,6 +496,19 @@ FROM (SELECT doc_id, unnest(fingerprint) AS fp_hash FROM fp)
 _TOPK_K = 5
 _N_QUERIES = 10
 
+#: THE quantized-cosine SQL template (exact int64 dot products, one
+#: fixed IEEE op sequence) — every cosine-emitting oracle must format
+#: THIS string so the op order can never drift between oracles or
+#: from the Spark-side _dot chain (operators/similarity.py).
+_COS_SQL = (
+    "CAST(CAST(list_sum([z[1] * z[2] for z in list_zip({a}, {b})])"
+    " AS BIGINT) AS DOUBLE)"
+    " / (sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip({a}, {a})])"
+    " AS BIGINT) AS DOUBLE))"
+    " * sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip({b}, {b})])"
+    " AS BIGINT) AS DOUBLE)))"
+)
+
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -475,24 +517,25 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COSINE_TOPK_ORACLE = f"""
-WITH q AS (
+WITH q0 AS (
   SELECT vec_id AS query_id,
          [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
           for x in embedding] AS qq
   FROM embeddings WHERE vec_id < {_N_QUERIES}
-), c AS (
+), q AS (
+  -- zero-norm vectors excluded on BOTH sides, mirroring cosine_topk's
+  -- n2 > 0 filters (cosine undefined; Spark never emits those rows)
+  SELECT * FROM q0 WHERE len(list_filter(qq, x -> x != 0)) > 0
+), c0 AS (
   SELECT vec_id AS c_id,
          [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
           for x in embedding] AS cq
   FROM embeddings
+), c AS (
+  SELECT * FROM c0 WHERE len(list_filter(cq, x -> x != 0)) > 0
 ), scored AS (
   SELECT q.query_id, c.c_id,
-         CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(c.cq, q.qq)])
-                   AS BIGINT) AS DOUBLE)
-         / (sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(c.cq, c.cq)])
-                           AS BIGINT) AS DOUBLE))
-            * sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(q.qq, q.qq)])
-                             AS BIGINT) AS DOUBLE))) AS cosine
+         {_COS_SQL.format(a="c.cq", b="q.qq")} AS cosine
   FROM c JOIN q ON c.c_id != q.query_id
 ), ranked AS (
   SELECT query_id, c_id, cosine,
@@ -578,8 +621,12 @@ def _sigs_sql(n_planes: int, capped: bool) -> str:
     """Shared CTE body: per-(vector, table) buckets, optionally with the
     deterministic per-bucket cap (row_number by vec_id <= cap) the Spark
     operator applies."""
+    # zero vectors are excluded from bucketing exactly as
+    # srp_signatures does (they would all share the all-ones bucket
+    # and consume deterministic bucket_cap slots Spark never fills)
     buckets = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, {_srp_bucket_sql(t, n_planes)} AS bucket FROM q"
+        f"SELECT vec_id, {t} AS tbl, {_srp_bucket_sql(t, n_planes)} AS bucket"
+        f" FROM q WHERE len(list_filter(qv, x -> x != 0)) > 0"
         for t in range(_ANN_TABLES)
     )
     if not capped:
@@ -623,12 +670,7 @@ WITH q AS (
   WHERE a.vec_id != b.vec_id
 ), scored AS (
   SELECT c.query_id, c.c_id,
-         CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(ca.qv, qa.qv)])
-                   AS BIGINT) AS DOUBLE)
-         / (sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(ca.qv, ca.qv)])
-                           AS BIGINT) AS DOUBLE))
-            * sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(qa.qv, qa.qv)])
-                             AS BIGINT) AS DOUBLE))) AS cosine
+         {_COS_SQL.format(a="ca.qv", b="qa.qv")} AS cosine
   FROM cand c
   JOIN q ca ON ca.vec_id = c.c_id
   JOIN q qa ON qa.vec_id = c.query_id
@@ -675,15 +717,8 @@ def _q_ann_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- IVF ANN topk
 
 _IVF_CELLS, _IVF_NPROBE = 32, 2
-
-_COS_SQL = (
-    "CAST(CAST(list_sum([z[1] * z[2] for z in list_zip({a}, {b})])"
-    " AS BIGINT) AS DOUBLE)"
-    " / (sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip({a}, {a})])"
-    " AS BIGINT) AS DOUBLE))"
-    " * sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip({b}, {b})])"
-    " AS BIGINT) AS DOUBLE)))"
-)
+# (_COS_SQL — the shared quantized-cosine template — is defined with
+# the top-k constants above, before its first use.)
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,12 +821,7 @@ WITH q AS (
   WHERE a.vec_id < b.vec_id
 ), scored AS (
   SELECT c.id_a, c.id_b,
-         CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(va.qv, vb.qv)])
-                   AS BIGINT) AS DOUBLE)
-         / (sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(va.qv, va.qv)])
-                           AS BIGINT) AS DOUBLE))
-            * sqrt(CAST(CAST(list_sum([z[1] * z[2] for z in list_zip(vb.qv, vb.qv)])
-                             AS BIGINT) AS DOUBLE))) AS cosine
+         {_COS_SQL.format(a="va.qv", b="vb.qv")} AS cosine
   FROM cand c
   JOIN q va ON va.vec_id = c.id_a
   JOIN q vb ON vb.vec_id = c.id_b
@@ -1298,7 +1328,10 @@ def _q_rel_regex_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REL_REGEX_ORACLE = r"""
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
-       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) % 2
+       -- TRY_CAST: a non-matching c_name extracts '' — Spark's
+       -- non-ANSI cast yields a NULL parity group, DuckDB's plain
+       -- CAST('' AS BIGINT) would abort the whole oracle query
+       TRY_CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) % 2
          AS id_parity,
        count(*) AS n_orders,
        CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
@@ -1647,22 +1680,8 @@ def _clean_cte_prefix(with_source: bool) -> str:
     (plans/pipeline.py::_cleaned) up to the ``dedup`` CTE — one
     source of truth for BOTH _pipeline_oracle and
     _curate_shards_oracle, mirroring the Spark-side helper."""
-    langs = sorted(LANG_STOPWORDS)
-    score_cols = ", ".join(
-        "CAST(len(list_filter(toks, t -> list_contains(["
-        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
-        + f"], lower(t)))) AS BIGINT) AS score_{lang}"
-        for lang in langs
-    )
-    case = "CASE "
-    for lang in langs:
-        conds = " AND ".join(
-            f"score_{lang} >= score_{other}"
-            for other in langs
-            if other != lang
-        )
-        case += f"WHEN {conds} THEN '{lang}' "
-    case += "END"
+    score_cols = _lang_score_cols_sql()
+    case = _lang_argmax_case_sql()
     en_stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
     src = ", source" if with_source else ""
     return f"""
@@ -1716,7 +1735,7 @@ def _pipeline_oracle() -> str:
 SELECT doc_id, n_tokens, quality_score, lang_pred
 FROM dedup
 WHERE rn = 1
-  AND {_H64.format(x="concat('clean:', CAST(doc_id AS VARCHAR))")} % 10000
+  AND {_H64.format(x="'clean:' || CAST(doc_id AS VARCHAR)")} % 10000
       < 9000
 """
 
@@ -1797,12 +1816,12 @@ def _q_curate_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curate_shards_oracle() -> str:
-    cap_h = _H64.format(x="concat('cap-v1:', CAST(doc_id AS VARCHAR))")
-    shuf_h = _H64.format(x="concat('shuffle-v1:', CAST(doc_id AS VARCHAR))")
+    cap_h = _H64.format(x="'cap-v1:' || CAST(doc_id AS VARCHAR)")
+    shuf_h = _H64.format(x="'shuffle-v1:' || CAST(doc_id AS VARCHAR)")
     return _clean_cte_prefix(with_source=True) + f""", sampled AS (
   SELECT doc_id, source, n_tokens FROM dedup
   WHERE rn = 1
-    AND {_H64.format(x="concat('clean:', CAST(doc_id AS VARCHAR))")} % 10000
+    AND {_H64.format(x="'clean:' || CAST(doc_id AS VARCHAR)")} % 10000
         < 9000
 ), capped AS (
   SELECT doc_id, n_tokens,
@@ -1852,7 +1871,7 @@ def _rag_index_oracle() -> str:
     comp = lambda d: (  # noqa: E731 — local SQL fragment builder
         "CAST(round(CAST(CAST((("
         + _H64.format(
-            x=f"concat(CAST(chunk_hash AS VARCHAR), ':', '{d}')"
+            x=f"CAST(chunk_hash AS VARCHAR) || ':' || '{d}'"
         )
         + " % 2001) - 1000) / 1000.0 AS REAL) AS DOUBLE)"
         " * 1000000.0) AS BIGINT)"
@@ -2047,8 +2066,8 @@ def _q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_oracle() -> str:
-    seeded = _H64.format(x="concat('cms', CAST(i AS VARCHAR), ':', w)")
-    seeded_e = _H64.format(x="concat('cms', CAST(i AS VARCHAR), ':', e.w)")
+    seeded = _H64.format(x="'cms' || CAST(i AS VARCHAR) || ':' || w")
+    seeded_e = _H64.format(x="'cms' || CAST(i AS VARCHAR) || ':' || e.w")
     return f"""
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -2409,9 +2428,12 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HASH_SPLIT_ORACLE = """
 WITH labeled AS (
   SELECT user_id,
-         CASE WHEN CAST(concat('0x',
-                  substring(md5(concat('split-v1:', CAST(user_id AS VARCHAR))),
-                            1, 15)) AS BIGINT) % 100 < 30
+         -- || (NOT concat) on both layers: a NULL user_id must yield a
+         -- NULL hash -> 'train' (Spark's F.concat is NULL-propagating;
+         -- DuckDB concat would hash the bare 'split-v1:' prefix)
+         CASE WHEN CAST('0x' ||
+                  substring(md5('split-v1:' || CAST(user_id AS VARCHAR)),
+                            1, 15) AS BIGINT) % 100 < 30
               THEN 'test' ELSE 'train' END AS split
   FROM events
 )
@@ -2994,7 +3016,12 @@ SELECT 'accepted:o_orderstatus',
                      0) AS BIGINT) FROM orders
 UNION ALL
 SELECT 'unique:o_orderkey',
-       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+       -- SQL-unique semantics (mirrors validate_table): NULL keys
+       -- never conflict, so the excess is measured against the
+       -- NON-NULL row count — count(*) would report every null-keyed
+       -- row as a phantom violation
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
 UNION ALL
 SELECT 'foreign_key:o_custkey',
        CAST(count(*) AS BIGINT)
@@ -3011,7 +3038,7 @@ FROM orders o WHERE o.o_custkey IS NOT NULL
 
 # DuckDB spelling of the deterministic shuffle hash h64('seed:' || key)
 _SHUF_H = _H64.format(
-    x="concat('{seed}:', CAST(doc_id AS VARCHAR))"
+    x="'{seed}:' || CAST(doc_id AS VARCHAR)"
 )
 
 # DuckDB spelling of the whitespace token count shared with text_stats
@@ -3183,7 +3210,7 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WEIGHTED_SAMPLE_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id, source,
-         {_H64.format(x="concat('wsample:', CAST(doc_id AS VARCHAR))")}
+         {_H64.format(x="'wsample:' || CAST(doc_id AS VARCHAR)")}
            % 10000 AS bucket,
          CAST(least(greatest(
            round(least(n_chars / 500.0, 1.0) * 10000), 0), 10000) AS BIGINT)

@@ -81,6 +81,21 @@ def main() -> int:
     ap.add_argument("--only", default="")
     args = ap.parse_args()
 
+    if os.path.realpath(args.sf_dir) != os.path.realpath(
+        "/root/testdata/sf0.01"
+    ):
+        # oracle_sql() is a FIXED-string contract evaluated for the
+        # driver's sf0.01: scale-dependent constants (auto_planes from
+        # the embeddings footer, the IVF centroid step) are baked in at
+        # import. Spark queries scale with --sf-dir, those oracles do
+        # not — sim_ann_*/sim_ivf_topk WILL mismatch at other scales.
+        print(
+            f"[warn] --sf-dir {args.sf_dir}: oracle constants are baked "
+            "for sf0.01; scale-dependent queries (sim_ann_*, "
+            "sim_ivf_topk) will false-fail here",
+            flush=True,
+        )
+
     import __spark_entry__ as e
     from amazon_sagemaker_feature_store_streaming_aggregation_spark import get_spark
 
