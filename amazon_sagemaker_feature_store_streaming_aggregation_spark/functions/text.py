@@ -117,19 +117,27 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     out = out.drop("__ls")
     # pick via aggregate: keep struct with higher score; ties -> smaller lang.
+    # NULL text (all scores NULL) predicts NULL — without the guard the
+    # aggregate's first struct wins by default (NULL > NULL is NULL ->
+    # keep acc) and a NULL-text doc would "predict" the alphabetically
+    # first language.
+    first = sorted(LANG_STOPWORDS)[0]
     return out.withColumn(
         "lang_pred",
-        F.expr(
-            "aggregate("
-            + "array("
-            + ", ".join(
-                f"struct(score_{lang} as score, '{lang}' as lang)"
-                for lang in sorted(LANG_STOPWORDS)
-            )
-            + "), cast(null as struct<score:bigint, lang:string>),"
-            " (acc, x) -> case when acc is null then x"
-            " when x.score > acc.score then x else acc end"
-            ").lang"
+        F.when(
+            F.col(f"score_{first}").isNotNull(),
+            F.expr(
+                "aggregate("
+                + "array("
+                + ", ".join(
+                    f"struct(score_{lang} as score, '{lang}' as lang)"
+                    for lang in sorted(LANG_STOPWORDS)
+                )
+                + "), cast(null as struct<score:bigint, lang:string>),"
+                " (acc, x) -> case when acc is null then x"
+                " when x.score > acc.score then x else acc end"
+                ").lang"
+            ),
         ),
     )
 
@@ -407,7 +415,15 @@ def with_fingerprint(
           )
         ))""",
     )
-    return _parallelize_scan(df).withColumn("fingerprint", F.expr(fp))
+    # NULL text -> NULL fingerprint (explicit null routing): without
+    # the guard, greatest(NULL-8, 1)=1 walks one gram of the NULL text
+    # and the fingerprint becomes [NULL] — Spark's array_distinct KEEPS
+    # the NULL (one phantom posexplode row) while DuckDB's
+    # list_distinct drops it, so the two engines even disagree on it.
+    return _parallelize_scan(df).withColumn(
+        "fingerprint",
+        F.when(F.col(text_col).isNotNull(), F.expr(fp)),
+    )
 
 
 def with_repetition(

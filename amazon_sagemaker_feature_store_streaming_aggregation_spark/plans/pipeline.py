@@ -179,12 +179,19 @@ def rag_index(
     data motion; chunking, embedding, and bucketing are all scan-side
     — at 100 TB the index build moves each surviving chunk's 8-byte
     hash + pointer exactly once, never the text or the vectors.
+
+    NULL-id docs are dropped by explicit rule (same doctrine as
+    ``_cleaned``): a NULL id would win its chunk-hash dedup group
+    under Spark's NULLS FIRST ordering (DuckDB orders NULLS LAST —
+    the engines even disagree), poisoning the index with pointers
+    that cannot be followed back to a document.
     """
     from ..operators.similarity import srp_signatures
     from ..operators.training_data import chunk_documents
 
     chunks = chunk_documents(
-        documents, text_col, id_col, chunk_chars, overlap
+        documents.where(F.col(id_col).isNotNull()),
+        text_col, id_col, chunk_chars, overlap,
     )
     w = Window.partitionBy("chunk_hash").orderBy(id_col, "chunk_idx")
     deduped = (

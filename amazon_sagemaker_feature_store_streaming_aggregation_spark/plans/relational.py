@@ -156,7 +156,13 @@ def monthly_orders_by_id_parity(
     (month, id parity) so the regex result feeds an aggregate and any
     extraction drift would flip row counts, not just values.
     """
-    cid = F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint")
+    # try_cast, not cast: a name that does not match the pattern
+    # extracts '' and must land in a NULL parity group — a plain cast
+    # ABORTS the whole job under Spark's ANSI default (the DuckDB twin
+    # uses TRY_CAST for the same reason)
+    cid = F.expr(
+        r"try_cast(regexp_extract(c_name, 'Customer#(\\d+)', 1) as bigint)"
+    )
     cents = _CENTS.format(c="o_totalprice")
     return (
         orders.select("o_custkey", "o_totalprice", "o_orderdate")

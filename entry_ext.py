@@ -986,8 +986,12 @@ WITH rep_base AS (
 ), {_rep_gram_cte(2)}, {_rep_gram_cte(3)}
 SELECT d.doc_id, {_rep_cols(2)}, {_rep_cols(3)}
 FROM documents d
-LEFT JOIN a2 ON d.doc_id = a2.doc_id
-LEFT JOIN a3 ON d.doc_id = a3.doc_id
+-- IS NOT DISTINCT FROM: Spark computes the stats per ROW regardless
+-- of id, so a NULL-id doc must re-join its own stats here (a plain =
+-- drops it and zero-fills). Like every doc_id-keyed oracle, this
+-- assumes doc_id is unique apart from at most one NULL.
+LEFT JOIN a2 ON d.doc_id IS NOT DISTINCT FROM a2.doc_id
+LEFT JOIN a3 ON d.doc_id IS NOT DISTINCT FROM a3.doc_id
 """
 
 
@@ -1892,7 +1896,9 @@ WITH c AS (
   FROM documents,
        LATERAL unnest(range(1, greatest(length(text) - 64, 1) + 1, 192))
          AS t(s)
-  WHERE text IS NOT NULL
+  -- NULL ids dropped by explicit rule (rag_index doctrine): a NULL id
+  -- would win its dedup group NULLS-FIRST in Spark, NULLS-LAST here
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
 ), d AS (
   -- exact chunk-hash dedup, first (doc_id, chunk_idx) wins
   SELECT chunk_hash, doc_id, chunk_idx, chunk_start FROM (
@@ -3154,6 +3160,55 @@ FROM c GROUP BY 1, 2
 """
 
 
+def _q_pack_windows_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fidelity packing: the SAME packing operator driven by
+    a precomputed SUBWORD count column (token_count_col) instead of
+    whitespace tokens — here the BPE-ish n_tokens_bpe from
+    with_text_stats plays the offline-tokenizer column; cut points
+    follow it exactly (operators/training_data.py::
+    pack_context_windows, token_count_col=)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions import with_text_stats
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.training_data import (
+        pack_context_windows,
+    )
+
+    docs = with_text_stats(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "text", "n_tokens_bpe")
+    packed = pack_context_windows(
+        docs, n_shards=8, budget=512, token_count_col="n_tokens_bpe"
+    )
+    return packed.withColumn("shard", F.col("shard").cast("long"))
+
+
+#: DuckDB spelling of the BPE-ish subword count (with_text_stats)
+_DUCK_NBPE = (
+    "CAST(len(regexp_extract_all(text,"
+    " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)"
+)
+
+_PACK_WINDOWS_BPE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, coalesce({_DUCK_NBPE}, 0) AS n_tokens,
+         {_SHUF_H.format(seed='shuffle-v1')} AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens, h % 8 AS shard,
+         row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+  FROM toks
+), c AS (
+  SELECT shard, pos, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos)
+              AS BIGINT) AS cum
+  FROM s
+)
+SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS win,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS win_tokens,
+       min(pos) AS first_pos, max(pos) AS last_pos
+FROM c GROUP BY 1, 2
+"""
+
+
 def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplicate overlap matrix
     (operators/dedup.py::source_overlap_matrix). The testdata's texts
@@ -3411,6 +3466,7 @@ def ext_queries():
         "t_global_shuffle": _q_global_shuffle,
         "pipeline_source_cap": _q_source_cap,
         "t_pack_windows": _q_pack_windows,
+        "t_pack_windows_bpe": _q_pack_windows_bpe,
         "text_pmi_collocations": _q_pmi_collocations,
         "text_vocab_coverage": _q_vocab_coverage,
         "q_validate_orders": _q_validate_orders,
@@ -3508,6 +3564,7 @@ def ext_oracles():
         "t_global_shuffle": _GLOBAL_SHUFFLE_ORACLE,
         "pipeline_source_cap": _SOURCE_CAP_ORACLE,
         "t_pack_windows": _PACK_WINDOWS_ORACLE,
+        "t_pack_windows_bpe": _PACK_WINDOWS_BPE_ORACLE,
         "text_pmi_collocations": _PMI_ORACLE,
         "text_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
         "q_validate_orders": _VALIDATE_ORACLE,

@@ -1,0 +1,173 @@
+"""Spark-vs-DuckDB oracle agreement on DIRTY data.
+
+The driver gate runs every oracle on the CLEAN sf0.01 tables, so a
+contract divergence that only activates on dirty inputs (NULL text,
+NULL ids, zero-norm vectors, non-matching names) would stay green
+until real data hits it. This suite re-runs a slice of the registered
+(query, oracle) pairs on tables salted with exactly those inputs —
+the round-5 oracle-hardening pass (NULL-propagating ``||`` hashes,
+NULL-text exclusion in the minhash family, zero-norm exclusion in the
+SRP/cosine oracles, SQL-unique semantics, TRY_CAST) is pinned here.
+
+Scale-dependent oracles (sim_ann_*: auto_planes baked for sf0.01) are
+safe to include because both the dirty corpus and sf0.01 sit below
+the plane-count min-clamp, so both sides resolve the same constant.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from .conftest import SF0001
+from .oracle import assert_matches, run_oracle
+
+ZERO_VEC = [0.0] * 64
+TINY_VEC = [4e-7] * 64  # every component quantizes to 0 at 1e-6
+
+
+def _salt_documents(dirty_dir: str) -> None:
+    t = pq.read_table(os.path.join(SF0001, "documents.parquet"))
+    base = t.slice(0, 40)
+    dup_text = t.column("text")[0].as_py()
+    extra = pa.table(
+        {
+            "doc_id": pa.array([9001, 9002, None, 9004, 9005], pa.int64()),
+            "text": pa.array(
+                [None, "", dup_text, "x", dup_text], pa.string()
+            ),
+            "lang": pa.array(["en"] * 5, pa.string()),
+            "source": pa.array(
+                ["dirty", "dirty", "dirty", None, "dirty"], pa.string()
+            ),
+            "n_chars": pa.array([None, 0, len(dup_text), 1, None], pa.int64()),
+        }
+    ).cast(base.schema)
+    pq.write_table(
+        pa.concat_tables([base, extra]),
+        os.path.join(dirty_dir, "documents.parquet"),
+    )
+
+
+def _salt_embeddings(dirty_dir: str) -> None:
+    t = pq.read_table(os.path.join(SF0001, "embeddings.parquet"))
+    base = t.slice(0, 60)
+    extra = pa.table(
+        {
+            "vec_id": pa.array([9001, 9002, 9003], pa.int64()),
+            "embedding": pa.array(
+                [ZERO_VEC, TINY_VEC, None], pa.list_(pa.float32())
+            ),
+            "label": pa.array([1, None, 2], pa.int32()),
+        }
+    ).cast(base.schema)
+    pq.write_table(
+        pa.concat_tables([base, extra]),
+        os.path.join(dirty_dir, "embeddings.parquet"),
+    )
+
+
+def _salt_events(dirty_dir: str) -> None:
+    t = pq.read_table(os.path.join(SF0001, "events.parquet"))
+    base = t.slice(0, 200)
+    rows = base.slice(0, 2).to_pylist()
+    rows[0]["user_id"] = None  # NULL split key
+    rows[1]["event_id"] = 9002
+    extra = pa.Table.from_pylist(rows, schema=base.schema)
+    pq.write_table(
+        pa.concat_tables([base, extra]),
+        os.path.join(dirty_dir, "events.parquet"),
+    )
+
+
+def _salt_orders_customer(dirty_dir: str) -> None:
+    o = pq.read_table(os.path.join(SF0001, "orders.parquet"))
+    c = pq.read_table(os.path.join(SF0001, "customer.parquet"))
+    o_base, c_base = o.slice(0, 150), c
+    o_rows = o_base.slice(0, 3).to_pylist()
+    # two NULL order keys (never "duplicates" of each other under
+    # SQL-unique), one duplicated real key
+    o_rows[0]["o_orderkey"] = None
+    o_rows[1]["o_orderkey"] = None
+    o_rows[2]["o_orderkey"] = o_base.column("o_orderkey")[5].as_py()
+    c_rows = c_base.slice(0, 1).to_pylist()
+    # regex-hostile name + a fresh key the dirty orders reference
+    new_ck = max(x.as_py() for x in c_base.column("c_custkey")) + 1
+    c_rows[0]["c_custkey"] = new_ck
+    c_rows[0]["c_name"] = "ACME Corp"
+    for r in o_rows:
+        r["o_custkey"] = new_ck
+    pq.write_table(
+        pa.concat_tables(
+            [o_base, pa.Table.from_pylist(o_rows, schema=o_base.schema)]
+        ),
+        os.path.join(dirty_dir, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.concat_tables(
+            [c_base, pa.Table.from_pylist(c_rows, schema=c_base.schema)]
+        ),
+        os.path.join(dirty_dir, "customer.parquet"),
+    )
+
+
+@pytest.fixture(scope="module")
+def dirty_dir(tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("dirty_sf"))
+    _salt_documents(d)
+    _salt_embeddings(d)
+    _salt_events(d)
+    _salt_orders_customer(d)
+    return d
+
+
+# Queries whose inputs the salting touches. Each runs the REGISTERED
+# Spark query against the REGISTERED oracle on the dirty tables.
+DIRTY_QUERIES = [
+    # hash/dedup family: NULL text + NULL doc_id + planted dups
+    "dedup_exact",
+    "dedup_minhash_sigs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_source_overlap",
+    # text family over NULL/empty text
+    "text_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_repetition",
+    "text_token_spectrum",
+    # sampling / chunking / packing with NULL ids, weights, text
+    "t_weighted_sample",
+    "t_chunk_documents",
+    "t_global_shuffle",
+    "t_pack_windows",
+    "t_pack_windows_bpe",
+    "t_hash_split",
+    # similarity family: zero-norm / tiny / NULL embeddings
+    "sim_cosine_topk",
+    "sim_ann_srp_topk",
+    "sim_ann_batched_topk",
+    "sim_embedding_near_dup",
+    "sim_label_centroids",
+    # pipelines composing the above
+    "pipeline_clean_corpus",
+    "pipeline_curate_shards",
+    "pipeline_rag_index",
+    # relational dirty cases: NULL unique keys, regex-hostile name
+    "q_validate_orders",
+    "rel_regex_month",
+]
+
+
+@pytest.mark.parametrize("name", DIRTY_QUERIES)
+def test_oracle_agrees_on_dirty_data(spark, dirty_dir, name):
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, dirty_dir)
+    oracle = run_oracle(e.oracle_sql()[name], dirty_dir)
+    assert_matches(sdf, oracle)
