@@ -1499,9 +1499,12 @@ WITH transactions AS (
 ), joined AS (
   SELECT t.tid, t.cc_num, t.ts AS trans_ts, t.amount,
          f10.n10, f10.a10, f10.trans_time, f1w.n1w, f1w.a1w,
+         -- microsecond-exact staleness (integer epoch_us diff),
+         -- matching Spark's unix_micros comparison and the
+         -- reference's float time diff — a record 600.4 s old IS
+         -- stale; whole-second truncation would serve it as fresh
          (f10.trans_time IS NULL
-          OR (CAST(floor(epoch(nowt.now)) AS BIGINT)
-              - CAST(floor(epoch(f10.trans_time)) AS BIGINT)) > 600)
+          OR (epoch_us(nowt.now) - epoch_us(f10.trans_time)) > 600000000)
            AS is_stale_10m
   FROM transactions t
   LEFT JOIN f10 USING (cc_num)

@@ -17,6 +17,22 @@ expressions (codegen, no UDFs).
 At 100 TB: the event side stays un-shuffled (narrow plan); if a feature
 table outgrows broadcast size, drop the hint and let AQE pick a shuffled
 hash join keyed on ``cc_num`` — the code path is identical.
+
+LONG-RUNNING STREAMING CAVEAT: in a standing ``writeStream`` query a
+stream-static join's static side is PLAN-FROZEN at query start — the
+broadcast feature tables never refresh, so after ``staleness_s`` every
+row silently trips the cutoff and scores on amount alone. A continuous
+deployment must route the dimension through
+``streaming/enrich.py::start_refreshed_dim_enrich`` (per-micro-batch
+re-read, fresh broadcast each batch); the joins here are correct for
+batch replays and ``availableNow`` runs, which is how the gated queries
+and tests drive them.
+
+Key-uniqueness precondition: both feature tables must be keyed (at
+most one row per ``cc_num``) — the contract ``FeatureGroup.get_latest``
+and ``latest_per_key(keep_ties=False)`` provide. A duplicate key fans
+each transaction into multiple scored rows (the reference's point
+``get_record`` cannot return two records).
 """
 
 from __future__ import annotations
@@ -77,10 +93,20 @@ def enrich_transactions(
 
     joined = tx.join(f10, on=key, how="left").join(f1w, on=key, how="left")
 
+    # microsecond-exact staleness (integer unix_micros diff — no
+    # truncation, no IEEE concerns): the reference compares FLOAT time
+    # diffs (lambda_function.py eval_cutoff_window), so a record
+    # 600.4 s old is stale — unix_timestamp()'s whole-second
+    # truncation would serve it as fresh. DuckDB twin: epoch_us().
     stale = (
         F.col("trans_time").isNull()
-        | ((F.unix_timestamp(now) - F.unix_timestamp(F.col("trans_time")))
-           > F.lit(staleness_s))
+        | (
+            (
+                F.unix_micros(now.cast("timestamp"))
+                - F.unix_micros(F.col("trans_time").cast("timestamp"))
+            )
+            > F.lit(staleness_s) * F.lit(1_000_000)
+        )
     )
     joined = (
         joined.withColumn("is_stale_10m", stale)
@@ -112,8 +138,18 @@ def assemble_features_csv(
     out: str = "features_csv",
 ) -> DataFrame:
     """I7: comma-joined feature string (reference ``assemble_features``,
-    ``lambda_function.py:193-212``)."""
-    return df.withColumn(out, F.concat_ws(",", *[F.col(c) for c in cols]))
+    ``lambda_function.py:193-212``).
+
+    Each column is str()-joined exactly as the reference does — a NULL
+    feature renders as ``'None'`` so the CSV ALWAYS has ``len(cols)``
+    fields. ``concat_ws`` alone silently DROPS null columns, producing
+    a shorter string whose downstream parse shifts every later feature
+    into the wrong position with no error.
+    """
+    rendered = [
+        F.coalesce(F.col(c).cast("string"), F.lit("None")) for c in cols
+    ]
+    return df.withColumn(out, F.concat_ws(",", *rendered))
 
 
 def threshold_classify(
@@ -123,18 +159,34 @@ def threshold_classify(
     out: str = "prediction",
 ) -> DataFrame:
     """I9: ``probability > 0.25 -> 'FRAUD' else 'NOT FRAUD'`` (threshold
-    from ``templates/sagemaker-featurestore-template.yaml:289``)."""
+    from ``templates/sagemaker-featurestore-template.yaml:289``).
+
+    A NULL probability (an unscored row — see ``scoring.score``'s
+    null-feature routing) yields a NULL prediction, NOT 'NOT FRAUD':
+    failing open would silently clear a transaction nobody scored
+    (the reference's ``probability > float(...)`` raises on None).
+    """
+    p = F.col(probability_col)
     return df.withColumn(
         out,
-        F.when(F.col(probability_col) > F.lit(threshold), F.lit("FRAUD")).otherwise(
-            F.lit("NOT FRAUD")
-        ),
+        F.when(p > F.lit(threshold), F.lit("FRAUD"))
+        .when(p.isNotNull(), F.lit("NOT FRAUD")),
     )
 
 
 def latency_metric(df: DataFrame, event_ts: str = "trans_ts", now: Column | None = None) -> DataFrame:
-    """I11: per-event end-to-end latency column (``lambda_function.py:102-107``)."""
+    """I11: per-event end-to-end latency column (``lambda_function.py:102-107``).
+
+    Fractional seconds (timestamp->double), matching the reference's
+    float time diff — a freshness SLO measured in whole seconds would
+    hide up to 1 s of real latency.
+    """
     clock = now if now is not None else F.current_timestamp()
     return df.withColumn(
-        "latency_sec", F.unix_timestamp(clock) - F.unix_timestamp(F.col(event_ts))
+        "latency_sec",
+        (
+            F.unix_micros(clock.cast("timestamp"))
+            - F.unix_micros(F.col(event_ts).cast("timestamp"))
+        )
+        / F.lit(1_000_000.0),
     )
