@@ -18,7 +18,9 @@ from .sessionize import session_stats, sessionize  # noqa: F401
 from .ratios import with_ratio_features, with_guarded_inference_ratios  # noqa: F401
 from .latest_per_key import latest_per_key  # noqa: F401
 from .dedup import (  # noqa: F401
+    band_rows,
     build_dedup_bloom,
+    build_lsh_band_index,
     build_text_hash_index,
     build_text_hash_index_bucketed,
     connected_components,
@@ -28,6 +30,7 @@ from .dedup import (  # noqa: F401
     dedup_append_bucketed,
     dedup_edit_distance,
     dedup_exact,
+    lsh_append_candidates,
     lsh_candidate_pairs,
     minhash_signatures,
     jaccard_verify_pairs,

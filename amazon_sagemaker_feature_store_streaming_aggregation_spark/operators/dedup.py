@@ -355,6 +355,45 @@ def minhash_signatures(
     )
 
 
+def band_rows(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Explode MinHash signatures into ``(id, band, bhash)`` rows —
+    THE single banding spelling, shared by :func:`lsh_candidate_pairs`
+    (batch self-join), :func:`build_lsh_band_index` (the persisted
+    incremental index) and :func:`lsh_append_candidates` (batch
+    probe), so the band hash can never drift between the one-shot and
+    incremental paths."""
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                h64(
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col("minhash")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        signatures.withColumn("__band", F.explode(band_cols))
+        .select(
+            id_col,
+            F.col("__band.band").alias("band"),
+            F.col("__band.bhash").alias("bhash"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -376,27 +415,7 @@ def lsh_candidate_pairs(
     the exploded corpus signatures AND recomputes the md5-heavy
     signatures separately per side: wrong twice at 100 TB.
     """
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                h64(
-                    F.concat_ws(
-                        ":",
-                        *[
-                            F.col("minhash")[b * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bhash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    exploded = (
-        signatures.withColumn("__band", F.explode(band_cols))
-        .select(id_col, F.col("__band.band").alias("band"), F.col("__band.bhash").alias("bhash"))
-    )
+    exploded = band_rows(signatures, id_col, bands, rows_per_band)
     a = exploded.hint("merge").alias("a")
     b = exploded.hint("merge").alias("b")
     return (
@@ -411,6 +430,80 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def build_lsh_band_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """The persistent NEAR-dup index for :func:`lsh_append_candidates`:
+    ``(doc_id, band, bhash)`` rows for the already-ingested corpus —
+    the LSH twin of :func:`build_text_hash_index` (which only catches
+    EXACT duplicates). A curation pipeline persists this between
+    batches and appends each batch's surviving rows; at 100 TB it is
+    ~``bands`` 16-byte rows per document, ~0.1% of corpus bytes."""
+    return band_rows(
+        minhash_signatures(docs, text_col, id_col, num_hashes),
+        id_col,
+        bands,
+        rows_per_band,
+    )
+
+
+def lsh_append_candidates(
+    band_index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Incremental NEAR-dup discovery for continuous ingestion: given
+    the corpus's persisted LSH band index and a new batch, return the
+    candidate near-duplicate pairs the batch introduces — batch vs
+    corpus AND within-batch — as distinct ``(doc_a, doc_b)``,
+    ``doc_a < doc_b``. The incremental twin of
+    :func:`lsh_candidate_pairs` exactly as :func:`dedup_append` is of
+    :func:`dedup_exact`; feed the output to
+    :func:`jaccard_verify_pairs` as usual, and append
+    ``band_rows(batch survivors)`` to the index for the next batch.
+
+    O(batch) plan shape: the batch side computes signatures + bands
+    (scan work proportional to the BATCH) and, with
+    ``broadcast_batch=True`` (the standing-pipeline regime: the daily
+    increment is tiny vs the corpus), ships them to the index scan as
+    a broadcast — the multi-TB index is probed in place and NEVER
+    shuffles; re-running :func:`lsh_candidate_pairs` over
+    corpus+batch would re-hash and re-shuffle everything already
+    ingested. Within-batch pairs reuse the same batch band rows
+    through :func:`lsh_candidate_pairs`' merge-hinted self-join. Pass
+    ``broadcast_batch=False`` for a backfill-sized batch — both sides
+    then shuffle once on ``(band, bhash)``.
+    """
+    sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes)
+    batch_bands = band_rows(sigs, id_col, bands, rows_per_band)
+    probe = F.broadcast(batch_bands) if broadcast_batch else batch_bands
+    cross = (
+        band_index.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+    )
+    within = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    return cross.unionByName(within).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -132,6 +132,56 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
 """
 
+_LSH_APPEND_SPLIT = 250
+
+
+def _q_lsh_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup discovery (operators/dedup.py::
+    lsh_append_candidates): docs below the split are the already-
+    ingested corpus (persisted LSH band index,
+    ``build_lsh_band_index``), the rest arrive as a new batch; output
+    = candidate pairs the batch introduces (batch-vs-corpus +
+    within-batch). The oracle replays it as ALL LSH pairs minus the
+    pairs entirely inside the index — the set-algebra identity the
+    incremental plan must preserve."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        build_lsh_band_index,
+        lsh_append_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = build_lsh_band_index(
+        docs.filter(F.col("doc_id") < _LSH_APPEND_SPLIT),
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+    )
+    batch = docs.filter(F.col("doc_id") >= _LSH_APPEND_SPLIT)
+    return lsh_append_candidates(
+        index, batch, bands=_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+
+
+_LSH_APPEND_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS __sh FROM documents
+  WHERE text IS NOT NULL
+), sig AS (
+  SELECT doc_id, {_minhash_list_sql()} AS minhash FROM sh
+), bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS bhash FROM sig"
+      for b in range(_BANDS)
+  )}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+-- everything EXCEPT pairs already known to the index (both below the
+-- split): exactly what the incremental batch run must discover
+WHERE NOT (a.doc_id < {_LSH_APPEND_SPLIT} AND b.doc_id < {_LSH_APPEND_SPLIT})
+"""
+
+
 # ------------------------------------------------------- n-gram jaccard
 
 _JACCARD_THRESHOLD = 0.2
@@ -3477,6 +3527,7 @@ def ext_queries():
         "pipeline_curate_shards": _q_curate_shards,
         "pipeline_rag_index": _q_rag_index,
         "dedup_inc_append": _q_dedup_append,
+        "dedup_inc_lsh_append": _q_lsh_append,
         "dedup_inc_append_bloom": _q_dedup_append_bloom,
         "dedup_source_overlap": _q_source_overlap,
         "t_weighted_sample": _q_weighted_sample,
@@ -3575,6 +3626,7 @@ def ext_oracles():
         "pipeline_curate_shards": _curate_shards_oracle(),
         "pipeline_rag_index": _rag_index_oracle(),
         "dedup_inc_append": _DEDUP_APPEND_ORACLE,
+        "dedup_inc_lsh_append": _LSH_APPEND_ORACLE,
         "dedup_inc_append_bloom": _DEDUP_APPEND_ORACLE,
         "dedup_source_overlap": _SOURCE_OVERLAP_ORACLE,
         "t_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -135,6 +135,7 @@ DIRTY_QUERIES = [
     "dedup_clusters",
     "dedup_simhash",
     "dedup_source_overlap",
+    "dedup_inc_lsh_append",
     # text family over NULL/empty text
     "text_stats",
     "text_lang_id",

