@@ -206,3 +206,125 @@ def run_index_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_index_lsh_stream(
+    stream: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    available_now: bool = True,
+):
+    """Unbounded-horizon streaming NEAR-dup discovery: the LSH twin of
+    :func:`run_index_dedup_stream`. Every micro-batch runs
+    ``operators/dedup.py::lsh_append_candidates`` against the
+    PERSISTENT on-disk band index, so a near-duplicate of a document
+    ingested months ago is still surfaced today with O(batch) work —
+    the index is probed via a broadcast of the batch's band rows and
+    never shuffles.
+
+    Per micro-batch, TWO artifacts land under ``out_dir/batch=<id>/``:
+
+    * ``pairs/`` — the candidate ``(doc_a, doc_b)`` pairs this batch
+      introduces (batch-vs-corpus + within-batch). CANDIDATES, not
+      verdicts: exact Jaccard verification needs both documents'
+      texts, which the band index deliberately does not carry — a
+      downstream batch stage joins the doc store and runs
+      ``jaccard_verify_pairs`` on this (small) pair stream.
+    * ``bands/`` — the batch's own band rows, appended to
+      ``index_dir`` after the output commits.
+
+    Delivery contract: identical to :func:`run_index_dedup_stream`
+    (at-least-once; batch-id idempotent output via the REQUIRED
+    durable checkpoint; index-append-after-output with retry-time
+    repair — a committed batch whose band append was lost re-appends
+    exactly the missing ``(doc_id, band)`` rows). All existence
+    checks via the Hadoop FS API (object-storage-safe).
+    """
+    if not checkpoint_dir:
+        raise ValueError(
+            "run_index_lsh_stream requires a durable checkpoint_dir: "
+            "batch-id-based retry idempotency is only safe when batch "
+            "ids survive restarts"
+        )
+
+    from ..operators.dedup import (
+        band_rows,
+        lsh_append_candidates,
+        minhash_signatures,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
+        bands_out = batch_out + "/bands"
+        pairs_out = batch_out + "/pairs"
+        if _fs_exists(spark, batch_out + "/_SUCCESS"):
+            # Retried batch whose output committed: repair a possibly
+            # lost index append by re-appending exactly the committed
+            # band rows the index lacks (keyed (doc_id, band) — a
+            # no-op when the append landed).
+            committed = spark.read.parquet(bands_out)
+            if _fs_has_parquet(spark, index_dir):
+                missing = committed.join(
+                    spark.read.parquet(index_dir),
+                    on=[id_col, "band", "bhash"],
+                    how="left_anti",
+                )
+            else:
+                missing = committed
+            missing.write.mode("append").parquet(index_dir)
+            return
+        if _fs_has_parquet(spark, index_dir):
+            index = spark.read.parquet(index_dir)
+        else:
+            index = spark.createDataFrame(
+                [], f"{id_col} long, band int, bhash long"
+            )
+        batch_bands = band_rows(
+            minhash_signatures(batch_df, text_col, id_col, num_hashes),
+            id_col,
+            bands,
+            rows_per_band,
+        )
+        pairs = lsh_append_candidates(
+            index,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            rows_per_band=rows_per_band,
+        )
+        pairs.write.mode("overwrite").parquet(pairs_out)
+        batch_bands.write.mode("overwrite").parquet(bands_out)
+        # the batch dir's OWN _SUCCESS commits last: both sub-outputs
+        # are durably in place before a retry could skip this batch
+        _touch_success(spark, batch_out)
+        # index append after output commit (at-least-once; the retry
+        # branch repairs a crash landing between these two writes) —
+        # read back the committed bands rather than recomputing, so
+        # the index holds exactly what the batch dir holds
+        spark.read.parquet(bands_out).write.mode("append").parquet(index_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _touch_success(spark, dir_str: str) -> None:
+    """Create ``dir_str/_SUCCESS`` via the Hadoop FS API (the batch
+    dir's commit marker when its outputs are written as sub-dirs)."""
+    fs, path = _hadoop_fs(spark, dir_str.rstrip("/") + "/_SUCCESS")
+    out = fs.create(path, True)
+    out.close()

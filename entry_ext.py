@@ -132,6 +132,64 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
 """
 
+def _q_stream_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup discovery against the persistent band index
+    (streaming/dedup.py::run_index_lsh_stream): the documents table is
+    replayed as TWO micro-batches split at the id midpoint. Every
+    near-dup pair is discovered exactly once — when its later member's
+    batch probes the index — so the UNION of per-batch pair outputs
+    must equal the one-shot LSH run over the whole corpus, and the
+    oracle is the batch _LSH_ORACLE verbatim. (Temp dirs are left for
+    the OS tmp reaper: the returned DataFrame lazily reads them.)"""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_lsh_stream,
+    )
+    # local import: __spark_entry__ imports this module at load time
+    from __spark_entry__ import _set_stream_partitions
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = sorted(x.as_py() for x in t.column("doc_id"))
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="slsh_src_")
+    work = tempfile.mkdtemp(prefix="slsh_work_")
+    pq.write_table(
+        t.filter(pc.less(t.column("doc_id"), mid)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        t.filter(pc.greater_equal(t.column("doc_id"), mid)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        q = run_index_lsh_stream(
+            stream,
+            os.path.join(work, "out"),
+            os.path.join(work, "index"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_lsh availableNow replay exceeded 300s")
+        return spark.read.parquet(os.path.join(work, "out", "batch=*", "pairs"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 _LSH_APPEND_SPLIT = 250
 
 
@@ -3528,6 +3586,7 @@ def ext_queries():
         "pipeline_rag_index": _q_rag_index,
         "dedup_inc_append": _q_dedup_append,
         "dedup_inc_lsh_append": _q_lsh_append,
+        "s_stream_lsh_index": _q_stream_lsh_index,
         "dedup_inc_append_bloom": _q_dedup_append_bloom,
         "dedup_source_overlap": _q_source_overlap,
         "t_weighted_sample": _q_weighted_sample,
@@ -3627,6 +3686,7 @@ def ext_oracles():
         "pipeline_rag_index": _rag_index_oracle(),
         "dedup_inc_append": _DEDUP_APPEND_ORACLE,
         "dedup_inc_lsh_append": _LSH_APPEND_ORACLE,
+        "s_stream_lsh_index": _LSH_ORACLE,
         "dedup_inc_append_bloom": _DEDUP_APPEND_ORACLE,
         "dedup_source_overlap": _SOURCE_OVERLAP_ORACLE,
         "t_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

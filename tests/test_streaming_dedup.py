@@ -144,6 +144,68 @@ def test_index_dedup_stream_unbounded_horizon(spark, tmp_path):
     assert index.distinct().count() == 4
 
 
+def test_index_lsh_stream_cross_batch_candidates(spark, tmp_path):
+    """Streaming near-dup discovery vs the persistent band index: a
+    text first seen in batch 0 must pair with its repeat in batch 2
+    (outside any watermark horizon), within-batch pairs surface, no
+    index-internal pair is re-emitted, and the band index accumulates
+    every batch's rows."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_lsh_stream,
+    )
+
+    schema = "doc_id long, ts timestamp, text string"
+
+    def mk(i, s, text):
+        return (i, T0 + dt.timedelta(seconds=s), text)
+
+    t_a = "the quick brown fox jumps over the lazy dog again and again"
+    t_b = "completely different prose describing spark execution engines"
+    t_c = "a third unique passage that only batch one will ever contain"
+    chunk0 = [mk(1, 0, t_a), mk(2, 1, t_b)]
+    chunk1 = [mk(3, 3600, t_a), mk(4, 3601, t_c), mk(5, 3602, t_c)]
+    chunk2 = [mk(6, 90000, t_b)]
+    path = _write_chunks(spark, tmp_path, [chunk0, chunk1, chunk2], schema)
+
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = run_index_lsh_stream(
+        stream,
+        out_dir,
+        index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(180)
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(out_dir + "/batch=*/pairs").collect()
+    }
+    # identical texts collide in EVERY band -> guaranteed candidates:
+    # cross-batch (1,3) and (2,6), within-batch (4,5)
+    assert {(1, 3), (4, 5), (2, 6)} <= pairs
+    # an index-internal pair (both ingested before the probing batch)
+    # is never re-discovered
+    assert (1, 2) not in pairs
+    # band index holds every batch's rows: 6 docs x 4 bands
+    index = spark.read.parquet(index_dir)
+    assert index.count() == 24
+    assert index.select("doc_id").distinct().count() == 6
+    # per-batch pair outputs are scoped: batch 1 found (1,3), batch 2
+    # found (2,6)
+    b1 = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(out_dir + "/batch=1/pairs").collect()
+    }
+    assert (1, 3) in b1 and (2, 6) not in b1
+
+
 def test_content_dedup_null_payloads_pass_through(spark, tmp_path):
     """Null-text rows must NOT collapse into one 'duplicate' group —
     h64(NULL) is NULL and dropDuplicates treats NULL keys as equal, so
