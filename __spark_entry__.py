@@ -432,13 +432,20 @@ WITH lagged AS (
                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                   > {_SESSION_GAP_S * 1_000_000}
               THEN 1 ELSE 0 END AS st
-  FROM events
+  -- NULL event times are routed OUT of the timeline (session NULL
+  -- below), mirroring sessionize's explicit rule — left in, Spark
+  -- (NULLS FIRST) and DuckDB (NULLS LAST) would not even agree where
+  -- they land and every real session ordinal would shift
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
 ), sid AS (
   SELECT user_id, ts, value,
          SUM(st) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                        ROWS UNBOUNDED PRECEDING) AS session_id
   FROM lagged
+  UNION ALL
+  SELECT user_id, ts, value, NULL AS session_id
+  FROM events WHERE ts IS NULL
 )
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events,

@@ -35,7 +35,14 @@ def sessionize(
 ) -> DataFrame:
     """Append ``session_col``: 1-based per-key session ordinal. A row
     starts a new session iff it is the key's first event or its gap
-    from the previous event exceeds ``gap_s`` seconds (strict >)."""
+    from the previous event exceeds ``gap_s`` seconds (strict >).
+
+    NULL event times get ``session_col`` NULL by explicit rule: an
+    event with no time cannot sit on the session timeline, and left
+    in the window it would not even land deterministically (Spark
+    orders NULLS FIRST, other engines NULLS LAST — the session
+    numbering of every real event would shift engine-dependently).
+    """
     us = F.unix_micros(F.col(ts).cast("timestamp"))
     w = Window.partitionBy(key).orderBy(us)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -44,7 +51,13 @@ def sessionize(
         .otherwise(F.when(F.lag(us).over(w).isNull(), 1).otherwise(0))
         .cast("long")
     )
-    return df.select("*", F.sum(is_start).over(run).alias(session_col))
+    timed = df.where(F.col(ts).isNotNull()).select(
+        "*", F.sum(is_start).over(run).alias(session_col)
+    )
+    untimed = df.where(F.col(ts).isNull()).withColumn(
+        session_col, F.lit(None).cast("long")
+    )
+    return timed.unionByName(untimed)
 
 
 def session_stats(

@@ -256,8 +256,22 @@ def trailing_window_features_bucketed(
             F.col(f"sum_amt_cents_{label}") / F.lit(100.0)
         ) / F.col(f"num_trans_last_{label}")
 
+    # NULL-SAFE key equality: the exact variant's window puts all
+    # NULL-key rows in ONE peer partition, so the bucketed rewrite
+    # must join them back too — a plain equi-join never matches NULL
+    # keys and silently drops every null-key row (caught by the
+    # dirty-data oracle suite).
+    totals_r = totals.withColumnRenamed(key, "__tk").withColumnRenamed(
+        b, "__tb"
+    )
     main = (
-        rows.join(totals, on=[key, b], how="inner")
+        rows.join(
+            totals_r,
+            F.col(key).eqNullSafe(F.col("__tk"))
+            & (F.col(b) == F.col("__tb")),
+            how="inner",
+        )
+        .drop("__tk", "__tb")
         .withColumn(f"avg_amt_last_{short_label}", avg_of(short_label))
         .withColumn(f"avg_amt_last_{long_label}", avg_of(long_label))
         .drop(

@@ -1123,12 +1123,18 @@ def quantile_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
     window function (no per-row state beyond the running count) and
     the boundary summary re-aggregates on (series, bin) — map-side
     combined. Per-series sorts parallelize across series.
+
+    NULL measures are EXCLUDED by explicit rule: a valueless event
+    has no quantile, and left in the sort it would not even land
+    deterministically (Spark orders NULLS FIRST, other engines NULLS
+    LAST — every bin boundary would shift engine-dependently).
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return (
         events.select("event_type", "event_id", "value")
+        .where(F.col("value").isNotNull())
         .withColumn("bin", F.ntile(n_bins).over(w))
         .groupBy("event_type", "bin")
         .agg(

@@ -2785,7 +2785,9 @@ WITH binned AS (
   SELECT event_type, value,
          ntile(10) OVER (PARTITION BY event_type
                          ORDER BY value, event_id) AS bin
-  FROM events
+  -- NULL measures excluded (quantile_bins' explicit rule): left in,
+  -- Spark sorts them FIRST and DuckDB LAST — every boundary shifts
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type, bin, count(*) AS n_events,
        min(value) AS lo, max(value) AS hi

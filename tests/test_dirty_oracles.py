@@ -73,9 +73,18 @@ def _salt_embeddings(dirty_dir: str) -> None:
 def _salt_events(dirty_dir: str) -> None:
     t = pq.read_table(os.path.join(SF0001, "events.parquet"))
     base = t.slice(0, 200)
-    rows = base.slice(0, 2).to_pylist()
-    rows[0]["user_id"] = None  # NULL split key
+    rows = base.slice(0, 5).to_pylist()
+    # one dirty row per column a pipeline keys/aggregates/windows on
+    rows[0]["user_id"] = None          # NULL partition/split key
+    rows[0]["event_id"] = 9001
+    rows[1]["ts"] = None               # NULL event time (window order)
     rows[1]["event_id"] = 9002
+    rows[2]["value"] = None            # NULL measure
+    rows[2]["event_id"] = 9003
+    rows[3]["event_type"] = None       # NULL group label
+    rows[3]["event_id"] = 9004
+    rows[4]["props"] = None            # NULL semi-structured payload
+    rows[4]["event_id"] = 9005
     extra = pa.Table.from_pylist(rows, schema=base.schema)
     pq.write_table(
         pa.concat_tables([base, extra]),
@@ -162,6 +171,24 @@ DIRTY_QUERIES = [
     # relational dirty cases: NULL unique keys, regex-hostile name
     "q_validate_orders",
     "rel_regex_month",
+    # event pipelines over NULL keys / timestamps / measures / labels
+    "e1_agg_features",
+    "e1_skew_window",
+    "b2_sql_agg_features",
+    "sessionize",
+    "time_rollup",
+    "funnel_conversion",
+    "stratified_sample",
+    "ts_ohlc_daily",
+    "ts_zscore_anomalies",
+    "ts_decay_features",
+    "udx_median_by_user",
+    "rel_json_props",
+    "rel_variant_props",
+    "t_quantile_bins",
+    "inc_delta_features",
+    "asof_join",
+    "range_join",
 ]
 
 
