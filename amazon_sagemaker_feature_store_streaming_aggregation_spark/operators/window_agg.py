@@ -195,8 +195,15 @@ def trailing_window_features_bucketed(
     null_rows = all_rows.where(F.col(b).isNull())
     rows = all_rows.where(F.col(b).isNotNull())
 
+    # __bnn (non-NULL-amount count) rides the sweep so an all-NULL
+    # frame can be told apart from a cancelled-out one: the running
+    # SUM of deltas skips a NULL bucket sum but still nets earlier
+    # +x/-x pairs to 0, where the exact variant's SUM over an
+    # all-NULL frame is NULL — 0.0-vs-NULL divergence without it.
     buckets = rows.groupBy(key, b).agg(
-        F.count("*").alias("__bn"), F.sum(AMT_CENTS).alias("__bs")
+        F.count("*").alias("__bn"),
+        F.sum(AMT_CENTS).alias("__bs"),
+        F.count(AMT_CENTS).alias("__bnn"),
     )
 
     # Sweep deltas. Frame [p - W, p] inclusive <=> bucket b' is in the
@@ -206,24 +213,27 @@ def trailing_window_features_bucketed(
     # re-eval hazard).
     w_s = F.lit(short_s // bucket_s)
     w_l = F.lit(long_s // bucket_s)
-    n, s, zero = F.col("__bn"), F.col("__bs"), F.lit(0).cast("long")
+    n, s, nn = F.col("__bn"), F.col("__bs"), F.col("__bnn")
+    zero = F.lit(0).cast("long")
 
-    def delta(pos, dns, dss, dnl, dsl):
+    def delta(pos, dns, dss, dnns, dnl, dsl, dnnl):
         return F.struct(
             pos.alias("__pos"),
             dns.alias("__dns"),
             dss.alias("__dss"),
+            dnns.alias("__dnns"),
             dnl.alias("__dnl"),
             dsl.alias("__dsl"),
+            dnnl.alias("__dnnl"),
         )
 
     deltas = buckets.select(
         key,
         F.explode(
             F.array(
-                delta(F.col(b), n, s, n, s),  # enters both frames
-                delta(F.col(b) + w_s + 1, -n, -s, zero, zero),  # exits short
-                delta(F.col(b) + w_l + 1, zero, zero, -n, -s),  # exits long
+                delta(F.col(b), n, s, nn, n, s, nn),  # enters both frames
+                delta(F.col(b) + w_s + 1, -n, -s, -nn, zero, zero, zero),
+                delta(F.col(b) + w_l + 1, zero, zero, zero, -n, -s, -nn),
             )
         ).alias("__d"),
     ).select(key, "__d.*")
@@ -234,8 +244,10 @@ def trailing_window_features_bucketed(
     cum = deltas.groupBy(key, "__pos").agg(
         F.sum("__dns").alias("__dns"),
         F.sum("__dss").alias("__dss"),
+        F.sum("__dnns").alias("__dnns"),
         F.sum("__dnl").alias("__dnl"),
         F.sum("__dsl").alias("__dsl"),
+        F.sum("__dnnl").alias("__dnnl"),
     )
     w_run = (
         Window.partitionBy(key)
@@ -247,14 +259,20 @@ def trailing_window_features_bucketed(
         F.col("__pos").alias(b),
         F.sum("__dns").over(w_run).alias(f"num_trans_last_{short_label}"),
         F.sum("__dss").over(w_run).alias(f"sum_amt_cents_{short_label}"),
+        F.sum("__dnns").over(w_run).alias(f"__nn_{short_label}"),
         F.sum("__dnl").over(w_run).alias(f"num_trans_last_{long_label}"),
         F.sum("__dsl").over(w_run).alias(f"sum_amt_cents_{long_label}"),
+        F.sum("__dnnl").over(w_run).alias(f"__nn_{long_label}"),
     )
 
     def avg_of(label):
-        return (
-            F.col(f"sum_amt_cents_{label}") / F.lit(100.0)
-        ) / F.col(f"num_trans_last_{label}")
+        # NULL when the frame holds only NULL-amount rows, exactly as
+        # the exact variant's SUM over an all-NULL frame is NULL
+        return F.when(
+            F.col(f"__nn_{label}") > 0,
+            (F.col(f"sum_amt_cents_{label}") / F.lit(100.0))
+            / F.col(f"num_trans_last_{label}"),
+        )
 
     # NULL-SAFE key equality: the exact variant's window puts all
     # NULL-key rows in ONE peer partition, so the bucketed rewrite
@@ -279,6 +297,8 @@ def trailing_window_features_bucketed(
             AMT_CENTS,
             f"sum_amt_cents_{short_label}",
             f"sum_amt_cents_{long_label}",
+            f"__nn_{short_label}",
+            f"__nn_{long_label}",
         )
     )
     # null-ts peer group: every null row of a key sees all of the

@@ -85,6 +85,20 @@ def _salt_events(dirty_dir: str) -> None:
     rows[3]["event_id"] = 9004
     rows[4]["props"] = None            # NULL semi-structured payload
     rows[4]["event_id"] = 9005
+    # an ISOLATED NULL-measure event: its trailing window frames hold
+    # nothing but itself, so the all-NULL-frame case (avg must be
+    # NULL, not a cancelled-out 0.0 — the bucketed-sweep bug class)
+    # is actually exercised; a NULL-value twin of an existing row
+    # always shares its frame with the non-NULL original
+    import datetime as dt
+
+    iso = base.slice(5, 1).to_pylist()[0]
+    iso["event_id"] = 9006
+    iso["value"] = None
+    iso["ts"] = max(
+        r["ts"] for r in base.to_pylist() if r["ts"] is not None
+    ) + dt.timedelta(hours=3)
+    rows.append(iso)
     extra = pa.Table.from_pylist(rows, schema=base.schema)
     pq.write_table(
         pa.concat_tables([base, extra]),
