@@ -219,14 +219,26 @@ def run_index_lsh_stream(
     bands: int = 4,
     rows_per_band: int = 4,
     available_now: bool = True,
+    broadcast_batch: bool = True,
 ):
     """Unbounded-horizon streaming NEAR-dup discovery: the LSH twin of
     :func:`run_index_dedup_stream`. Every micro-batch runs
     ``operators/dedup.py::lsh_append_candidates`` against the
     PERSISTENT on-disk band index, so a near-duplicate of a document
-    ingested months ago is still surfaced today with O(batch) work —
-    the index is probed via a broadcast of the batch's band rows and
-    never shuffles.
+    ingested months ago is still surfaced today with O(batch) SHUFFLE
+    work — the index never shuffles (with ``broadcast_batch=True`` the
+    batch's band rows broadcast to the index scan). Per-batch I/O is
+    still O(index): each micro-batch re-reads the band index as the
+    join's probe target, which at multi-TB index sizes dominates the
+    batch cost — partition/sort the index by ``bhash`` range and rely
+    on scan pruning, or lengthen the trigger interval, when the index
+    outgrows the batch by orders of magnitude.
+
+    ``broadcast_batch`` follows :func:`lsh_append_candidates`: keep
+    the default for the standing small-batch regime; pass ``False``
+    for an ``availableNow`` backfill whose first micro-batch is
+    corpus-sized (broadcasting its band rows would OOM the driver) —
+    both sides then shuffle once on ``(band, bhash)``.
 
     Per micro-batch, TWO artifacts land under ``out_dir/batch=<id>/``:
 
@@ -280,18 +292,19 @@ def run_index_lsh_stream(
                 missing = committed
             missing.write.mode("append").parquet(index_dir)
             return
-        if _fs_has_parquet(spark, index_dir):
-            index = spark.read.parquet(index_dir)
-        else:
-            index = spark.createDataFrame(
-                [], f"{id_col} long, band int, bhash long"
-            )
         batch_bands = band_rows(
             minhash_signatures(batch_df, text_col, id_col, num_hashes),
             id_col,
             bands,
             rows_per_band,
         )
+        if _fs_has_parquet(spark, index_dir):
+            index = spark.read.parquet(index_dir)
+        else:
+            # empty-index bootstrap: derive the schema from the batch's
+            # own band rows so string/binary doc ids work unchanged (a
+            # hardcoded `long` DDL would mistype the first micro-batch)
+            index = batch_bands.limit(0)
         pairs = lsh_append_candidates(
             index,
             batch_df,
@@ -300,6 +313,7 @@ def run_index_lsh_stream(
             num_hashes=num_hashes,
             bands=bands,
             rows_per_band=rows_per_band,
+            broadcast_batch=broadcast_batch,
         )
         pairs.write.mode("overwrite").parquet(pairs_out)
         batch_bands.write.mode("overwrite").parquet(bands_out)

@@ -44,7 +44,10 @@ def main() -> None:
         t_hi = hi["queries"].get(name)
         if t_hi is None:
             continue
-        exp = math.log(t_hi / t_lo) / math.log(args.ratio)
+        # clamp sub-resolution timings: a 0.0 on either side would
+        # raise (ZeroDivisionError / math domain) and abort the whole
+        # composition on one degenerate entry
+        exp = math.log(max(t_hi, 1e-3) / max(t_lo, 1e-3)) / math.log(args.ratio)
         qs[name] = {
             "sec_lo": t_lo,
             "sec_hi": t_hi,
