@@ -263,6 +263,10 @@ def _q_batch_feature_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2-dp rounding done half-up in integer space ((2s+n) // (2n) cents):
 # rounding a *double* to decimals is engine-specific at representable
 # midpoints (observed: 74.085 -> Spark 74.09, DuckDB 74.08).
+# Sign note: Spark `div` and DuckDB `//` BOTH truncate toward zero
+# (verified: -7 // 2 = -3 in DuckDB), so the pairing is cross-engine
+# exact for any sign; "half-up" describes the non-negative case
+# (amounts here), negatives round half-toward-zero in both engines.
 _B13_ORACLE = (
     _ORACLE_WINDOWED
     + """
@@ -346,8 +350,6 @@ def _q_s4_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANGE-window twin: the reference's batch/stream duality as an exact,
     checkable invariant."""
     import os
-    import tempfile
-
     import shutil
     import tempfile
 
@@ -1148,9 +1150,10 @@ def _run_interval_join_replay(
             # Drop sentinel artifacts: the two sentinels match EACH
             # OTHER (same user -1, same far-future ts), emitting one
             # row with user_id = -1; unmatched sentinels never emit
-            # (their own horizon never passes). full_outer
-            # right-unmatched rows have NULL user_id (the left key)
-            # and must be kept.
+            # (their own horizon never passes). interval_join
+            # coalesces the key for full_outer, so right-unmatched
+            # rows carry their real (>= 0) user_id and survive this
+            # filter; the IS NULL arm is defensive only.
             result = result.where("user_id IS NULL OR user_id >= 0")
         return result
     finally:
@@ -1226,7 +1229,7 @@ WITH lagged AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                  > {1800 * 1_000_000}
+                  > {_SESSION_GAP_S * 1_000_000}
               THEN 1 ELSE 0 END AS st
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
