@@ -392,11 +392,15 @@ def _q_s4_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
+# sliding_agg_exact routes malformed records OUT wholesale (NULL
+# key/ts/value — the reference Lambda's skip-bad-record rule), so the
+# oracle states the same predicate; vacuous on the clean driver data
 _S4_ORACLE = """
 WITH src AS (
   SELECT user_id AS cc_num, ts,
          CAST(round(value * 100) AS BIGINT) AS amt_cents
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
 )
 SELECT cc_num, ts,
        COUNT(*) OVER w AS num_trans_last_10m,
@@ -657,11 +661,15 @@ def _q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
+# running_totals drops NULL key/id/ts/value rows (per-record failure
+# isolation, streaming/running_totals.py:99); same predicate here
 _STREAM_RUNTOT_ORACLE = """
 WITH src AS (
   SELECT user_id, event_id, ts,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND ts IS NOT NULL AND value IS NOT NULL
 )
 SELECT user_id, event_id,
        COUNT(*) OVER w AS running_n,
@@ -806,7 +814,9 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("stream_sessions availableNow run exceeded 300s")
-        return spark.table(name).where("user_id >= 0")
+        # keep NULL-key sessions (they group and emit like SQL);
+        # only the -1 sentinels are artifacts
+        return spark.table(name).where("user_id IS NULL OR user_id >= 0")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stream_dir, ignore_errors=True)
@@ -894,25 +904,33 @@ def _q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("stream_tumbling_agg exceeded 300s")
-        return spark.table(name).where("user_id >= 0")
+        # keep NULL-key windows; only the -1 sentinel is an artifact
+        return spark.table(name).where("user_id IS NULL OR user_id >= 0")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
+# ts IS NOT NULL on BOTH sides: a NULL event time is dropped by the
+# stream-stream join's watermark machinery before it can even emit as
+# an unmatched outer row (probed); NULL join KEYS behave like SQL
+# (no match, emit unmatched in outer modes)
 _STREAM_IJOIN_FULL_ORACLE = """
 SELECT coalesce(a.user_id, b.user_id) AS user_id,
        a.event_id AS a_id, b.event_id AS b_id,
        a.ts AS a_ts, b.ts AS b_ts
-FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
-FULL JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b
+FROM (SELECT * FROM events WHERE event_id % 2 = 0 AND ts IS NOT NULL) a
+FULL JOIN (SELECT * FROM events WHERE event_id % 2 = 1 AND ts IS NOT NULL) b
   ON a.user_id = b.user_id
  AND epoch_us(b.ts) >= epoch_us(a.ts) - 60000000
  AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
 """
 
 
+# ts IS NOT NULL: a NULL event time never enters a watermark
+# aggregation (the watermark filter's WHERE semantics drop it —
+# probed empirically); NULL user_id rows DO group and emit
 _STREAM_TUMBLE_ORACLE = """
 SELECT user_id,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -920,6 +938,7 @@ SELECT user_id,
        (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
          / CAST(count(*) AS DOUBLE) AS avg_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY user_id, date_trunc('hour', ts)
 """
 
@@ -1044,7 +1063,7 @@ SELECT event_type,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
          AS total_value
 FROM events
-WHERE event_type <> 'error'
+WHERE event_type <> 'error' AND ts IS NOT NULL
 GROUP BY event_type, date_trunc('hour', ts)
 """
 
@@ -1205,8 +1224,8 @@ def _q_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_IJOIN_OUTER_ORACLE = """
 SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
        a.ts AS a_ts, b.ts AS b_ts
-FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
-LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b
+FROM (SELECT * FROM events WHERE event_id % 2 = 0 AND ts IS NOT NULL) a
+LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1 AND ts IS NOT NULL) b
   ON a.user_id = b.user_id
  AND epoch_us(b.ts) >= epoch_us(a.ts) - 60000000
  AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
@@ -1224,6 +1243,8 @@ FROM events a JOIN events b
 """
 
 
+# ts IS NOT NULL: session_window drops NULL event times exactly like
+# the tumbling window does (probed); NULL user_id sessions DO emit
 _STREAM_SESSIONS_ORACLE = f"""
 WITH lagged AS (
   SELECT user_id, ts, value,
@@ -1232,6 +1253,7 @@ WITH lagged AS (
                   > {_SESSION_GAP_S * 1_000_000}
               THEN 1 ELSE 0 END AS st
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
 ), sid AS (
   SELECT user_id, ts, value,

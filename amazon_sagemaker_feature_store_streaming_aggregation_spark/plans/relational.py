@@ -483,16 +483,35 @@ def scd2_intervals(events: DataFrame) -> DataFrame:
     simultaneous changes. One exchange on the entity key; state is a
     single row of lookahead. At warehouse scale the change log is
     range-partitioned by entity so the sort is per-partition local.
+
+    A change row with a NULL timestamp is routed OUT of the version
+    timeline (emitted with NULL valid_to and NULL is_current): it has
+    no place in the ordering — left in, Spark (NULLS FIRST) would
+    make it the user's OLDEST version while engines with NULLS-LAST
+    conventions make it the CURRENT one, silently closing or opening
+    a different real version on each engine. Unknown effective date
+    means unknown interval, stated as NULLs, not a guessed position.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
+    dated = events.where(F.col("ts").isNotNull())
+    undated = events.where(F.col("ts").isNull())
+    versions = dated.select(
         "user_id",
         F.col("value").alias("attr_value"),
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
         (F.lead("ts").over(w).isNull()).alias("is_current"),
+    )
+    return versions.unionByName(
+        undated.select(
+            "user_id",
+            F.col("value").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            F.lit(None).cast(events.schema["ts"].dataType).alias("valid_to"),
+            F.lit(None).cast("boolean").alias("is_current"),
+        )
     )
 
 

@@ -45,11 +45,31 @@ def dedup_stream_exact(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Drop re-deliveries of the same ``id_cols`` within the watermark
-    horizon. Output rows are the FIRST arrival of each key."""
-    wm = stream.withWatermark(ts_col, watermark)
+    horizon. Output rows are the FIRST arrival of each key.
+
+    Rows with a NULL in ANY id column PASS THROUGH undeduped:
+    ``dropDuplicates`` treats NULL keys as equal, so routing them into
+    the dedup would collapse every unidentifiable record within the
+    horizon into one — distinct real events silently lost. A record
+    without an identity cannot be recognized as a redelivery of
+    anything; a pipeline that wants them gone filters them explicitly
+    (same rule as :func:`dedup_stream_content` for NULL payloads).
+
+    NULL event times are fine either way: the watermark machinery
+    only uses ``ts_col`` for state expiry, and a NULL-ts first arrival
+    is kept while its redeliveries are still dropped by key (probed).
+    """
+    id_ok = F.lit(True)
+    for c in id_cols:
+        id_ok = id_ok & F.col(c).isNotNull()
+    keyed = stream.where(id_ok)
+    keyless = stream.where(~id_ok)
+    wm = keyed.withWatermark(ts_col, watermark)
     if hasattr(wm, "dropDuplicatesWithinWatermark"):
-        return wm.dropDuplicatesWithinWatermark(list(id_cols))
-    return wm.dropDuplicates([*id_cols, ts_col])
+        deduped = wm.dropDuplicatesWithinWatermark(list(id_cols))
+    else:
+        deduped = wm.dropDuplicates([*id_cols, ts_col])
+    return deduped.unionByName(keyless)
 
 
 def dedup_stream_content(

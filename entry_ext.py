@@ -2680,6 +2680,11 @@ def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(load_table(spark, sf_dir, "events"))
 
 
+# NULL-ts change rows are routed OUT of the version timeline (NULL
+# valid_to / is_current) — left in the window, Spark's NULLS FIRST
+# would make them the oldest version while DuckDB's NULLS LAST makes
+# them current, shifting every real version's interval (the dirty
+# suite caught exactly this flip)
 _SCD2_ORACLE = """
 SELECT user_id, value AS attr_value, ts AS valid_from,
        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2687,6 +2692,13 @@ SELECT user_id, value AS attr_value, ts AS valid_from,
        (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
          AS is_current
 FROM events
+WHERE ts IS NOT NULL
+UNION ALL
+SELECT user_id, value AS attr_value, ts AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to,
+       CAST(NULL AS BOOLEAN) AS is_current
+FROM events
+WHERE ts IS NULL
 """
 
 

@@ -34,12 +34,16 @@ def run_oracle(sql: str, sf_dir: str):
     return con.sql(sql).df()
 
 
-def _norm_cell(v):
+def _norm_cell(v, is_float_col=True):
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            # in a float64 column NaN is a real value (keep it
+            # distinguishable from NULL); in an object column (e.g.
+            # boolean-with-NULL round-tripped through pandas) it is
+            # the NULL representation itself
+            return "nan" if is_float_col else None
         return round(v, 9)
     return v
 
@@ -57,8 +61,11 @@ def assert_matches(spark_df, oracle_pdf):
 
     def canon(pdf: pd.DataFrame):
         pdf = pdf[s_cols].copy()
+        is_float = [pdf[c].dtype.kind == "f" for c in s_cols]
         rows = [
-            tuple(_norm_cell(v) for v in row)
+            tuple(
+                _norm_cell(v, f) for v, f in zip(row, is_float)
+            )
             for row in pdf.itertuples(index=False, name=None)
         ]
         return sorted(rows, key=lambda r: tuple(str(x) for x in r))

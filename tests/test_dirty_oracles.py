@@ -110,19 +110,35 @@ def _salt_orders_customer(dirty_dir: str) -> None:
     o = pq.read_table(os.path.join(SF0001, "orders.parquet"))
     c = pq.read_table(os.path.join(SF0001, "customer.parquet"))
     o_base, c_base = o.slice(0, 150), c
-    o_rows = o_base.slice(0, 3).to_pylist()
+    o_rows = o_base.slice(0, 6).to_pylist()
     # two NULL order keys (never "duplicates" of each other under
     # SQL-unique), one duplicated real key
     o_rows[0]["o_orderkey"] = None
     o_rows[1]["o_orderkey"] = None
     o_rows[2]["o_orderkey"] = o_base.column("o_orderkey")[5].as_py()
-    c_rows = c_base.slice(0, 1).to_pylist()
+    # NULL FK / time bucket / measure / group label — the join-family
+    # null conventions (semi/anti/outer joins, date filters, top-k)
+    o_rows[3]["o_orderkey"] = 900001
+    o_rows[3]["o_custkey"] = None
+    o_rows[4]["o_orderkey"] = 900002
+    o_rows[4]["o_orderdate"] = None
+    o_rows[4]["o_totalprice"] = None
+    o_rows[5]["o_orderkey"] = 900003
+    o_rows[5]["o_orderpriority"] = None
+    o_rows[5]["o_orderstatus"] = None
+    c_rows = c_base.slice(0, 3).to_pylist()
     # regex-hostile name + a fresh key the dirty orders reference
     new_ck = max(x.as_py() for x in c_base.column("c_custkey")) + 1
     c_rows[0]["c_custkey"] = new_ck
     c_rows[0]["c_name"] = "ACME Corp"
-    for r in o_rows:
+    for r in o_rows[:3]:
         r["o_custkey"] = new_ck
+    # NULL nation FK (customer->nation joins) and NULL attributes
+    c_rows[1]["c_custkey"] = new_ck + 1
+    c_rows[1]["c_nationkey"] = None
+    c_rows[2]["c_custkey"] = new_ck + 2
+    c_rows[2]["c_acctbal"] = None
+    c_rows[2]["c_mktsegment"] = None
     pq.write_table(
         pa.concat_tables(
             [o_base, pa.Table.from_pylist(o_rows, schema=o_base.schema)]
@@ -137,6 +153,47 @@ def _salt_orders_customer(dirty_dir: str) -> None:
     )
 
 
+def _salt_lineitem_supplier_nation(dirty_dir: str) -> None:
+    li = pq.read_table(os.path.join(SF0001, "lineitem.parquet"))
+    li_base = li.slice(0, 400)
+    rows = li_base.slice(0, 6).to_pylist()
+    # one NULL per column class a query joins/filters/aggregates on;
+    # fresh line numbers so the salted rows aren't dup (orderkey, line)
+    rows[0]["l_orderkey"] = None            # NULL join key to orders
+    rows[1]["l_suppkey"] = None             # NULL join key to supplier
+    rows[2]["l_shipdate"] = None            # NULL time filter column
+    rows[3]["l_quantity"] = None            # NULL measures
+    rows[3]["l_extendedprice"] = None
+    rows[4]["l_returnflag"] = None          # NULL group labels
+    rows[4]["l_linestatus"] = None
+    rows[5]["l_discount"] = None            # NULL rate columns
+    rows[5]["l_tax"] = None
+    for i, r in enumerate(rows):
+        r["l_linenumber"] = 90 + i
+    pq.write_table(
+        pa.concat_tables(
+            [li_base, pa.Table.from_pylist(rows, schema=li_base.schema)]
+        ),
+        os.path.join(dirty_dir, "lineitem.parquet"),
+    )
+    s = pq.read_table(os.path.join(SF0001, "supplier.parquet"))
+    s_rows = s.slice(0, 2).to_pylist()
+    new_sk = max(x.as_py() for x in s.column("s_suppkey")) + 1
+    s_rows[0]["s_suppkey"] = new_sk
+    s_rows[0]["s_nationkey"] = None         # NULL nation FK
+    s_rows[1]["s_suppkey"] = new_sk + 1
+    s_rows[1]["s_acctbal"] = None
+    pq.write_table(
+        pa.concat_tables([s, pa.Table.from_pylist(s_rows, schema=s.schema)]),
+        os.path.join(dirty_dir, "supplier.parquet"),
+    )
+    # nation/region/part ride through unsalted (tiny dims)
+    for t in ("nation", "region", "part"):
+        src = os.path.join(SF0001, f"{t}.parquet")
+        if os.path.exists(src):
+            pq.write_table(pq.read_table(src), os.path.join(dirty_dir, f"{t}.parquet"))
+
+
 @pytest.fixture(scope="module")
 def dirty_dir(tmp_path_factory) -> str:
     d = str(tmp_path_factory.mktemp("dirty_sf"))
@@ -144,6 +201,7 @@ def dirty_dir(tmp_path_factory) -> str:
     _salt_embeddings(d)
     _salt_events(d)
     _salt_orders_customer(d)
+    _salt_lineitem_supplier_nation(d)
     return d
 
 
@@ -203,11 +261,62 @@ DIRTY_QUERIES = [
     "inc_delta_features",
     "asof_join",
     "range_join",
+    # olap/rel join family: NULL custkey/suppkey/nationkey/orderkey
+    # through semi/anti/outer joins, NULL dates through filters, NULL
+    # measures through aggregates, NULL labels through group-bys
+    "rel_semi_join",
+    "rel_anti_join",
+    "rel_salted_join",
+    "rel_intersect",
+    "rel_except",
+    "rel_scd2_intervals",
+    "olap_pricing_summary",
+    "olap_revenue_by_nation",
+    "olap_market_share",
+    "olap_topk_orders",
+    "olap_shipping_priority",
+    "olap_rich_inactive",
+    "olap_local_supplier_revenue",
+    "olap_returned_top_customers",
+    "olap_top_supplier",
+    "olap_volume_shipping",
+    "olap_sole_late_supplier",
+    "olap_late_shipment_priority",
+    "olap_promo_share",
+    "olap_big_ticket_orders",
+    "olap_order_count_dist",
+]
+
+# Streaming replay fixtures on the salted events table: NULL keys /
+# timestamps / measures through the REAL writeStream execution paths
+# (state fns, watermark drops, stream-stream range state, broadcast
+# enrich). Split out so the batch list stays cheap to run alone.
+DIRTY_STREAM_QUERIES = [
+    "s_stream_dedup",
+    "s_stream_enrich",
+    "s_stream_running_totals",
+    "s_stream_sessions",
+    "s_stream_tumbling_agg",
+    "s_stream_late_drop",
+    "s_stream_interval_join",
+    "s_stream_interval_join_semi",
+    "s_stream_interval_join_outer",
+    "s_stream_interval_join_full",
+    "s4_sliding_agg",
 ]
 
 
 @pytest.mark.parametrize("name", DIRTY_QUERIES)
 def test_oracle_agrees_on_dirty_data(spark, dirty_dir, name):
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, dirty_dir)
+    oracle = run_oracle(e.oracle_sql()[name], dirty_dir)
+    assert_matches(sdf, oracle)
+
+
+@pytest.mark.parametrize("name", DIRTY_STREAM_QUERIES)
+def test_stream_oracle_agrees_on_dirty_data(spark, dirty_dir, name):
     import __spark_entry__ as e
 
     sdf = e.queries()[name](spark, dirty_dir)
