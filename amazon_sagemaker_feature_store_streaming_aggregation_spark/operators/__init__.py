@@ -46,6 +46,7 @@ from .similarity import (  # noqa: F401
     embedding_near_dup_pairs,
     ivf_centroids,
     ivf_topk,
+    ivf_topk_batched,
     label_centroids,
     srp_signatures,
     train_ivf_centroids,

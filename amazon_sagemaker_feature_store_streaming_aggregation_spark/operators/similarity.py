@@ -688,6 +688,59 @@ def ivf_topk(
     return _exact_topk_on_candidates(cand, embeddings, queries, k, id_col, vec_col)
 
 
+def ivf_topk_batched(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int | None = None,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+    centroids: DataFrame | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched-query IVF ANN: assign BOTH sides to cells and join on
+    ``cell`` with NO broadcast of either side — the IVF twin of
+    :func:`ann_topk_batched` exactly as :func:`ivf_topk` is the IVF
+    twin of :func:`ann_srp_topk`.
+
+    :func:`ivf_topk` broadcasts the per-query probe assignments —
+    right for interactive queries, an executor OOM when the query side
+    is itself corpus-sized (millions of chunk embeddings probing a
+    document index). Here the corpus assignment (one cell per vector)
+    and the query probe assignment (``nprobe`` cells per query,
+    exploded) each shuffle ONCE on ``cell``; the candidate id pairs
+    shuffle on ``c_id``/``query_id`` for the exact re-rank; the only
+    broadcast anywhere is the O(sqrt N) centroid table inside
+    ``_ivf_assign``. Every stage is ~linear in corpus + queries. Same
+    output shape, cell policy and determinism contract as
+    :func:`ivf_topk`, so the two are drop-in interchangeable and an
+    identical oracle checks both.
+
+    ``exclude_self`` follows :func:`ann_topk_batched`: ``True`` when
+    queries are a subset of the corpus (drop the self-match), ``False``
+    when query ids live in a different id space.
+    """
+    if centroids is not None:
+        cents = centroids
+    else:
+        if n_cells is None:
+            n = corpus_count if corpus_count is not None else embeddings.count()
+            n_cells = auto_cells(n)
+            corpus_count = n
+        cents = ivf_centroids(embeddings, n_cells, id_col, vec_col, corpus_count)
+    corpus_assign = _ivf_assign(embeddings, cents, 1, id_col, vec_col, "c_id")
+    q_assign = _ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
+    cand = corpus_assign.join(q_assign, on="cell", how="inner")
+    if exclude_self:
+        cand = cand.filter(F.col("c_id") != F.col("query_id"))
+    cand = cand.select("c_id", "query_id").distinct()
+    return _exact_topk_on_candidates(
+        cand, embeddings, queries, k, id_col, vec_col, broadcast_queries=False
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     vec_col: str = "embedding",

@@ -848,9 +848,34 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle() -> str:
+def _q_ivf_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched-query IVF ANN (operators/similarity.py::
+    ivf_topk_batched): both sides assigned to cells and shuffle-joined
+    on `cell` — no broadcast of either side (only the O(sqrt N)
+    centroid table broadcasts inside assignment). Same semantics as
+    sim_ivf_topk (shared oracle generator, batched query predicate);
+    different physical plan, pinned no-broadcast in tests/test_plans."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ivf_topk_batched,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_BATCH_QUERY_PRED))
+    return ivf_topk_batched(
+        emb,
+        queries,
+        k=_ANN_K,
+        n_cells=_IVF_CELLS,
+        nprobe=_IVF_NPROBE,
+        corpus_count=_emb_count(sf_dir),
+    )
+
+
+def _ivf_oracle(query_pred: str | None = None) -> str:
     step = max(1, _emb_count(_ORACLE_SF_DIR) // _IVF_CELLS)
     cos_vc = _COS_SQL.format(a="v.qv", b="c.cq")
+    if query_pred is None:
+        query_pred = f"vec_id < {_N_QUERIES}"
     return f"""
 WITH q AS (
   SELECT vec_id,
@@ -869,7 +894,7 @@ WITH q AS (
   SELECT vec_id AS c_id, cell FROM allassign WHERE rn = 1
 ), qassign AS (
   SELECT vec_id AS query_id, cell FROM allassign
-  WHERE rn <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}
+  WHERE rn <= {_IVF_NPROBE} AND {query_pred}
 ), cand AS (
   SELECT DISTINCT a.c_id, b.query_id
   FROM assign a JOIN qassign b ON a.cell = b.cell
@@ -3539,6 +3564,7 @@ def ext_queries():
         "sim_ann_srp_topk": _q_ann_srp,
         "sim_ann_batched_topk": _q_ann_batched,
         "sim_ivf_topk": _q_ivf_topk,
+        "sim_ivf_batched_topk": _q_ivf_batched,
         "sim_embedding_near_dup": _q_embedding_near_dup,
         "rel_semi_join": _q_rel_semi_join,
         "rel_anti_join": _q_rel_anti_join,
@@ -3639,6 +3665,7 @@ def ext_oracles():
         "sim_ann_srp_topk": _ann_oracle(),
         "sim_ann_batched_topk": _ann_oracle(_BATCH_QUERY_PRED),
         "sim_ivf_topk": _ivf_oracle(),
+        "sim_ivf_batched_topk": _ivf_oracle(_BATCH_QUERY_PRED),
         "sim_embedding_near_dup": _near_dup_oracle(),
         "rel_semi_join": _REL_SEMI_ORACLE,
         "rel_anti_join": _REL_ANTI_ORACLE,

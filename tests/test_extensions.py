@@ -227,6 +227,63 @@ def test_ann_batched_plan_no_broadcast_no_cartesian(spark, emb):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_ivf_batched_equals_broadcast_path(spark, emb):
+    """ivf_topk_batched is ivf_topk with a different PHYSICAL plan (no
+    broadcast of the query-probe side) — same parameters must produce
+    the identical result set, row for row."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ivf_topk,
+        ivf_topk_batched,
+    )
+
+    queries = emb.filter(F.col("vec_id") % 5 == 0)  # corpus-sized batch
+    kw = dict(k=5, n_cells=8, nprobe=2)
+    a = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(emb, queries, **kw).collect()
+    }
+    b = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk_batched(emb, queries, **kw).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_ivf_batched_plan_no_broadcast_of_either_side(spark, emb):
+    """The batched IVF contract at the plan level: with auto-broadcast
+    disabled, the ONLY BroadcastExchanges in the plan are the two
+    explicit O(sqrt N) centroid-table broadcasts inside assignment —
+    the cell join and the exact re-rank run as shuffle joins, no
+    cartesian/nested-loop anywhere — and the plan still executes. The
+    interactive path (ivf_topk) additionally broadcasts the query
+    probe assignment; that asymmetry IS the difference."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ivf_topk,
+        ivf_topk_batched,
+    )
+
+    from .conftest import plan_str
+
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ivf_topk_batched(emb, queries, k=5, n_cells=8, nprobe=2)
+        plan = plan_str(out)
+        assert "CartesianProduct" not in plan
+        # the only broadcasts (and the only nested-loop joins) are the
+        # two deliberate centroid cross-joins inside _ivf_assign — the
+        # N x cells assignment with the O(sqrt N) side shipped; the
+        # cell join and the exact re-rank are shuffle joins
+        n_bx = plan.count("BroadcastExchange")
+        assert n_bx == plan.count("BroadcastNestedLoop"), plan
+        assert out.count() > 0
+        hinted = plan_str(ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2))
+        assert hinted.count("BroadcastExchange") > n_bx
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_auto_planes_policy_and_linear_candidate_growth(spark):
     """The corpus-scaled plane policy must keep LSH candidate-pair count
     ~linear when the corpus doubles (a fixed plane count grows ~N^2)."""
