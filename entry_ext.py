@@ -2616,6 +2616,71 @@ SELECT doc_id, term_rank, term, tf, df, score FROM r WHERE term_rank <= 3
 """
 
 
+_BPE_K = 8
+
+
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE merge table (operators/tfidf.py::
+    learn_bpe_merges): k deterministic most-frequent-pair merges over
+    the word-count table, ties (weight DESC, lhs, rhs). The oracle
+    replays the identical k stages in DuckDB over the wrapped-symbol
+    encoding, so the learned table is bit-checkable cross-engine."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import learn_bpe_merges
+
+    return learn_bpe_merges(
+        load_table(spark, sf_dir, "documents"), k=_BPE_K
+    )
+
+
+def _bpe_oracle(k: int) -> str:
+    """Generate the k-stage BPE oracle: each stage computes adjacent
+    pair weights from the previous symbolization, picks the best pair
+    (scalar subqueries keep the stage 1-row even when no pairs
+    remain), and re-symbolizes via plain replace on the SOH/STX
+    wrapped encoding — byte-for-byte the operator's procedure."""
+    parts = ["""WITH words AS MATERIALIZED (
+  SELECT word, count(*) AS n FROM (
+    SELECT lower(t.tok) AS word
+    FROM documents,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t != '')) AS t(tok)
+  )
+  WHERE NOT contains(word, chr(1)) AND NOT contains(word, chr(2))
+  GROUP BY word
+), s0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq, n
+  FROM words
+)"""]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(f""", p{i} AS MATERIALIZED (
+  SELECT syms[j] AS lhs, syms[j + 1] AS rhs, SUM(n) AS weight
+  FROM (SELECT string_split(seq[2:length(seq) - 1], chr(2) || chr(1)) AS syms, n
+        FROM s{p}) x,
+       UNNEST(range(1, len(syms))) AS u(j)
+  GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT lhs, rhs, weight FROM p{i} ORDER BY weight DESC, lhs, rhs LIMIT 1
+), m{i} AS MATERIALIZED (
+  SELECT {i} AS step,
+         (SELECT lhs FROM b{i}) AS lhs,
+         (SELECT rhs FROM b{i}) AS rhs,
+         (SELECT weight FROM b{i}) AS weight
+), s{i} AS MATERIALIZED (
+  SELECT CASE WHEN m.lhs IS NOT NULL
+              THEN replace(s.seq,
+                           chr(1) || m.lhs || chr(2) || chr(1) || m.rhs || chr(2),
+                           chr(1) || m.lhs || m.rhs || chr(2))
+              ELSE s.seq END AS seq, s.n
+  FROM s{p} s CROSS JOIN m{i} m
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, lhs, rhs, CAST(weight AS BIGINT) AS weight FROM m{i} WHERE lhs IS NOT NULL"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary (operators/tfidf.py::build_vocabulary)."""
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import build_vocabulary
@@ -3602,6 +3667,7 @@ def ext_queries():
         "t_hash_split": _q_hash_split,
         "text_tfidf_top_terms": _q_tfidf_top_terms,
         "text_vocab_topk": _q_vocab_topk,
+        "text_bpe_vocab": _q_bpe_vocab,
         "funnel_conversion": _q_funnel_conversion,
         "cohort_retention": _q_cohort_retention,
         "rel_scd2_intervals": _q_scd2_intervals,
@@ -3703,6 +3769,7 @@ def ext_oracles():
         "t_hash_split": _HASH_SPLIT_ORACLE,
         "text_tfidf_top_terms": _TFIDF_ORACLE,
         "text_vocab_topk": _VOCAB_ORACLE,
+        "text_bpe_vocab": _bpe_oracle(_BPE_K),
         "funnel_conversion": _FUNNEL_ORACLE,
         "cohort_retention": _COHORT_ORACLE,
         "rel_scd2_intervals": _SCD2_ORACLE,

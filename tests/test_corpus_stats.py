@@ -59,3 +59,104 @@ def test_vocab_coverage_oov_rate(spark):
     assert out["src1"].n_oov == 0 and out["src1"].oov_rate == 0.0
     assert out["src2"].n_tokens == 4 and out["src2"].n_oov == 2
     assert out["src2"].oov_rate == 0.5
+
+
+def _ref_bpe(texts, k):
+    """Textbook Sennrich BPE on word counts (pure-Python reference)."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.lower().split())
+    vocab = {tuple(w): n for w, n in words.items()}
+    merges = []
+    for step in range(1, k + 1):
+        pc = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (lhs, rhs), wgt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, lhs, rhs, wgt))
+        nxt = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + n
+        vocab = nxt
+    return merges
+
+
+def test_bpe_merges_match_reference(spark):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import learn_bpe_merges
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new",
+        "low new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.lhs, r.rhs, r.weight)
+        for r in learn_bpe_merges(docs, k=6).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe(texts, 6)
+
+
+def test_bpe_stops_when_merges_exhausted(spark):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import learn_bpe_merges
+
+    # 'ab' admits exactly one merge; k=5 must return 1 row, not fail
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    got = [
+        (r.step, r.lhs, r.rhs, r.weight)
+        for r in learn_bpe_merges(docs, k=5).collect()
+    ]
+    assert got == [(1, "a", "b", 2)]
+
+
+def test_bpe_token_counts_apply_merges_in_order(spark):
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import (
+        bpe_token_counts,
+        learn_bpe_merges,
+    )
+
+    texts = ["low low lower", "newest new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r.lhs, r.rhs)
+        for r in learn_bpe_merges(docs, k=4).orderBy("step").collect()
+    ]
+
+    def tok_len(w):
+        syms = list(w)
+        for lhs, rhs in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_token_counts(docs, merges).collect()}
+    exp = {i: sum(tok_len(w) for w in t.split()) for i, t in enumerate(texts)}
+    assert got == exp
+    # NULL text counts 0, not a dropped row
+    null_docs = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    out = bpe_token_counts(null_docs, merges).collect()
+    assert [(r.doc_id, r.n_bpe_tokens) for r in out] == [(9, 0)]
