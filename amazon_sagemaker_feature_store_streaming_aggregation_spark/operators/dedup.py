@@ -934,3 +934,84 @@ def source_overlap_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs under HAMMING distance over a fixed-width
+    integer fingerprint column (perceptual image hashes, SimHash
+    values, any bit-signature): band the ``n_bits`` fingerprint into
+    ``bands`` equal bit-slices, candidate = any band equal, verify =
+    exact ``bit_count(a XOR b) <= max_hamming``. Output
+    ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``.
+
+    Completeness: by pigeonhole the banding finds EVERY pair with
+    distance < ``bands`` (``max_hamming < bands`` means recall 1);
+    a larger radius than ``bands - 1`` makes the stage approximate —
+    widening bands instead raises random-collision cost (band width
+    ``n_bits/bands`` bits → collision odds 2^-width per band), which
+    is the standard hamming-LSH trade.
+
+    Plan shape: the band explode is scan-side (bands × 16-byte rows);
+    ONE shuffle keyed on (band, band value) with the self-join
+    merge-pinned so the exploded subtree evaluates once (same
+    reasoning as :func:`lsh_candidate_pairs`); candidate ids dedupe
+    BEFORE fingerprints join back for the popcount verify — no wide
+    rows ride the distinct. NULL fingerprints never band-join and are
+    excluded outright.
+    """
+    if n_bits % bands:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    fp = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col).alias("__fp")
+    )
+    exploded = fp.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(
+                        f"shiftrightunsigned(__fp, {b * width}) & {mask}"
+                    ).alias("bv"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("__b"),
+    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.bv").alias("bv"))
+    a = exploded.hint("merge").alias("a")
+    b = exploded.hint("merge").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            fp.select(F.col(id_col).alias("doc_a"), F.col("__fp").alias("__fa")),
+            on="doc_a",
+        )
+        .join(
+            fp.select(F.col(id_col).alias("doc_b"), F.col("__fp").alias("__fb")),
+            on="doc_b",
+        )
+        .withColumn("hamming", F.expr("cast(bit_count(__fa ^ __fb) as int)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

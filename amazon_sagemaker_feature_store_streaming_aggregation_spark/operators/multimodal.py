@@ -395,3 +395,133 @@ def resize_plan(
             F.round(F.col("meta.height") * scale).cast("int").alias("height"),
         ),
     )
+
+
+# ------------------------------------------------- perceptual hashes
+
+def _luma(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB -> (h, w) float64 Rec.601 luma."""
+    f = px.astype(np.float64)
+    return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+
+
+def _block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area-mean downscale to (out_h, out_w): cell (i, j)
+    averages the index-floor block [i*h//out_h, (i+1)*h//out_h) — no
+    interpolation library, identical on every platform. Images smaller
+    than the target in a dimension degrade to nearest-index sampling
+    (the clamp keeps every block non-empty)."""
+    h, w = img.shape
+    rb = [min(i * h // out_h, h - 1) for i in range(out_h + 1)]
+    cb = [min(j * w // out_w, w - 1) for j in range(out_w + 1)]
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        r0, r1 = rb[i], max(rb[i + 1], rb[i] + 1)
+        for j in range(out_w):
+            c0, c1 = cb[j], max(cb[j + 1], cb[j] + 1)
+            out[i, j] = img[r0:r1, c0:c1].mean()
+    return out
+
+
+def _pack_bits(bits: np.ndarray) -> int:
+    """Row-major MSB-first bit pack into a SIGNED 64-bit value (the
+    Spark LongType domain; bit 63 set wraps negative)."""
+    v = 0
+    for bit in bits.ravel():
+        v = (v << 1) | int(bit)
+    n = bits.size
+    if n == 64 and v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def _dhash64(px: np.ndarray, hash_size: int = 8) -> int:
+    """Difference hash: luma -> (hash_size, hash_size+1) area-mean,
+    bit = right neighbour brighter than left (the imagehash
+    convention), row-major MSB-first."""
+    g = _block_mean(_luma(px), hash_size, hash_size + 1)
+    return _pack_bits(g[:, 1:] > g[:, :-1])
+
+
+def _ahash64(px: np.ndarray, hash_size: int = 8) -> int:
+    """Average hash: luma -> (hash_size, hash_size) area-mean, bit =
+    cell above the global mean."""
+    g = _block_mean(_luma(px), hash_size, hash_size)
+    return _pack_bits(g > g.mean())
+
+
+_PHASH_SCHEMA = "media_id long, dhash long, ahash long"
+
+_IMAGE_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp, "png": _decode_png}
+
+
+def perceptual_hashes(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Per-image dHash + aHash via Arrow-batched ``mapInPandas`` over
+    the in-container decoders (PPM/BMP/PNG). NULL payloads and
+    non-image rows emit NULL hashes (pass-through, excluded from any
+    downstream banding); undecodable declared formats raise the same
+    explicit ``NotImplementedError`` boundary as
+    :func:`extract_features`.
+
+    Scale: decode cost is the scan; hashes are 16 bytes/row. The
+    downstream near-dup join never touches pixels again."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            d_out, a_out = [], []
+            for content, kind, meta in zip(
+                pdf["content"], pdf["kind"], pdf["meta"]
+            ):
+                fmt = (meta or {}).get("format")
+                if content is None or kind != "image":
+                    d_out.append(None)
+                    a_out.append(None)
+                    continue
+                dec = _IMAGE_DECODERS.get(fmt)
+                if dec is None:
+                    raise NotImplementedError(
+                        f"no in-container decoder for image format {fmt!r};"
+                        " ppm/bmp/png decode natively — other codecs plug"
+                        " in here"
+                    )
+                px = dec(bytes(content))
+                d_out.append(_dhash64(px, hash_size))
+                a_out.append(_ahash64(px, hash_size))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(d_out, dtype="Int64"),
+                    "ahash": pd.array(a_out, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=_PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pairs: dHash each image once
+    (:func:`perceptual_hashes`), then reuse the generic hamming-LSH
+    banding (``operators/dedup.py::hamming_near_dup_pairs``) — band
+    collisions propose, exact popcount verifies. Output
+    ``(doc_a, doc_b, hamming)`` over media ids.
+
+    Defaults keep the stage COMPLETE (``max_hamming < bands`` — every
+    pair within distance 3 is found) and cheap (16-bit bands collide
+    at 2^-16 per table for unrelated images). The pixel decode happens
+    exactly once per image; the pair stage is integer-only."""
+    from .dedup import hamming_near_dup_pairs
+
+    hashes = perceptual_hashes(media, hash_size)
+    return hamming_near_dup_pairs(
+        hashes,
+        id_col="media_id",
+        hash_col="dhash",
+        max_hamming=max_hamming,
+        bands=bands,
+        n_bits=hash_size * hash_size,
+    )

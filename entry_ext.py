@@ -3601,6 +3601,47 @@ FROM e GROUP BY label, pos
 """
 
 
+def _q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic hamming-distance near-dup stage (operators/dedup.py::
+    hamming_near_dup_pairs) gated over the cross-engine 60-bit SimHash
+    fingerprint: 4 x 15-bit bands, exact popcount verify at radius 3
+    (max_hamming < bands -> pigeonhole-complete). On image corpora the
+    SAME machinery runs over dHash fingerprints
+    (operators/multimodal.py::image_near_dup_pairs, pytest-verified on
+    decoded pixels — DuckDB cannot decode images, SimHash it can)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    fps = simhash(load_table(spark, sf_dir, "documents"))
+    return hamming_near_dup_pairs(
+        fps, id_col="doc_id", hash_col="simhash",
+        max_hamming=3, bands=4, n_bits=60,
+    )
+
+
+_HAMMING_PAIRS_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, simhash AS fp FROM ({_SIMHASH_ORACLE})
+  WHERE simhash IS NOT NULL
+), bands AS (
+  SELECT doc_id, t.b, (fp >> (t.b * 15)) & 32767 AS bv
+  FROM fp, unnest([0, 1, 2, 3]) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(fa.fp, fb.fp)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.doc_a
+JOIN fp fb ON fb.doc_id = c.doc_b
+WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+"""
+
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -3618,6 +3659,7 @@ def ext_queries():
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
+        "dedup_hamming_pairs": _q_hamming_pairs,
         "text_stats": _q_text_stats,
         "text_repetition": _q_text_repetition,
         "text_lang_id": _q_lang_id,
@@ -3720,6 +3762,7 @@ def ext_oracles():
         "dedup_ngram_jaccard": _JACCARD_ORACLE,
         "dedup_clusters": _CLUSTERS_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
+        "dedup_hamming_pairs": _HAMMING_PAIRS_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
         "text_repetition": _REPETITION_ORACLE,
         "text_lang_id": _lang_oracle(),

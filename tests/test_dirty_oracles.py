@@ -217,6 +217,7 @@ DIRTY_QUERIES = [
     "dedup_simhash",
     "dedup_source_overlap",
     "dedup_inc_lsh_append",
+    "dedup_hamming_pairs",
     # text family over NULL/empty text
     "text_stats",
     "text_lang_id",

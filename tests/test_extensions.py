@@ -689,3 +689,79 @@ def test_label_centroids_match_numpy(spark):
             n, c = got[(label, pos)]
             assert n == len(vecs)
             assert abs(c - mean[pos]) <= 5e-7 + 1e-12, (label, pos)
+
+
+def _ppm_bytes(px):
+    h, w = px.shape[0], px.shape[1]
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def test_image_near_dup_perceptual_hash(spark):
+    """Planted near-dup image pair (few pixels nudged) is found by the
+    dHash + hamming-LSH path; an unrelated image is not; the hashes are
+    deterministic and the reported hamming matches a direct popcount."""
+    import numpy as np
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        perceptual_hashes,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0:2, 0:2] = 255  # tiny corner blotch — same structure
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+    rows = [
+        (1, "image", bytearray(_ppm_bytes(base)), (32, 32, None, None, "ppm")),
+        (2, "image", bytearray(_ppm_bytes(near)), (32, 32, None, None, "ppm")),
+        (3, "image", bytearray(_ppm_bytes(other)), (32, 32, None, None, "ppm")),
+        (4, "image", None, (None, None, None, None, "ppm")),  # NULL payload
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary,"
+        " meta struct<width:int,height:int,sample_rate:int,"
+        "n_frames:int,format:string>",
+    )
+
+    hashes = {r.media_id: (r.dhash, r.ahash) for r in perceptual_hashes(media).collect()}
+    assert hashes[4] == (None, None)
+    assert hashes[1] == {r.media_id: (r.dhash, r.ahash) for r in perceptual_hashes(media).collect()}[1]  # deterministic
+    d1, d2, d3 = hashes[1][0], hashes[2][0], hashes[3][0]
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(d1, d2) <= 3, (d1, d2, ham(d1, d2))  # planted near-dup
+    assert ham(d1, d3) > 3  # unrelated image far away
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in image_near_dup_pairs(media).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == ham(d1, d2)
+    assert all({a, b} == {1, 2} for a, b in pairs)
+
+
+def test_hamming_near_dup_completeness_and_bounds(spark):
+    """Pigeonhole completeness: every pair within max_hamming < bands
+    is found regardless of WHICH bits differ; pairs beyond the radius
+    are rejected by the exact popcount even when a band collides."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    def s64(v):  # wrap into the signed LongType domain
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    base = 0x0123_4567_89AB_CDEF
+    rows = [
+        (1, base),
+        (2, s64(base ^ (1 << 63) ^ (1 << 0) ^ (1 << 31))),  # d=3, spread
+        (3, base ^ 0xF),       # d=4: band 0 differs, others collide
+        (4, None),             # NULL fingerprint: excluded outright
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in hamming_near_dup_pairs(df, max_hamming=3, bands=4).collect()}
+    assert got == {(1, 2): 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide"):
+        hamming_near_dup_pairs(df, bands=5).collect()
