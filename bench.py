@@ -108,7 +108,10 @@ def main() -> None:
         )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    sf_val = float(sf) if sf else sf_dir
+    try:
+        sf_val = float(sf) if sf else sf_dir
+    except ValueError:  # non-numeric dir name (scale-bench corpora)
+        sf_val = sf_dir
     full = {
         "metric": "headline_queries_total",
         "value": round(total, 3),

@@ -136,11 +136,58 @@ def gen_embeddings(n_vecs: int, seed: int = 43):
     )
 
 
+REF_EVENTS = "/root/testdata/sf0.1/events.parquet"
+
+#: sf0.1 shape: 100k events / 1.5k users / 30-day span. Scaling rows
+#: and users TOGETHER keeps per-user event density constant — the
+#: horizontal-growth regime (more entities, same per-entity activity)
+#: where per-key windows/sessions/join fan-outs stay fixed-size and a
+#: healthy operator scales ~linearly. The time span stays constant.
+EVENTS_PER_USER = 100_000 / 1_500
+
+
+def gen_events(n_events: int, seed: int = 44):
+    """Self-similar events table: empirical type mix and value
+    distribution resampled from the driver's sf0.1 events, uniform
+    timestamps over the same 30-day span, users scaled with rows."""
+    import pyarrow.compute as pc
+
+    ref = pq.read_table(REF_EVENTS, columns=["ts", "event_type", "value"])
+    rng = np.random.default_rng(seed)
+    n_users = max(1, int(round(n_events / EVENTS_PER_USER)))
+    lo = pc.min(ref["ts"]).value
+    hi = pc.max(ref["ts"]).value
+    types = ref["event_type"].to_numpy(zero_copy_only=False)
+    values = ref["value"].to_numpy()
+    ts = np.sort(rng.integers(lo, hi, size=n_events))
+    return pa.table(
+        {
+            "event_id": pa.array(range(n_events), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n_events), pa.int64()
+            ),
+            "event_type": pa.array(
+                types[rng.integers(0, len(types), size=n_events)], pa.string()
+            ),
+            "value": pa.array(
+                values[rng.integers(0, len(values), size=n_events)],
+                pa.float64(),
+            ),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=n_events)],
+                pa.string(),
+            ),
+        }
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--docs", type=int, required=True)
     ap.add_argument("--vecs", type=int, required=True)
+    ap.add_argument("--events", type=int, default=0)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -152,10 +199,19 @@ def main() -> None:
     pq.write_table(
         emb, os.path.join(args.out, "embeddings.parquet"), row_group_size=65536
     )
+    n_ev = 0
+    if args.events:
+        ev = gen_events(args.events, args.seed + 2)
+        pq.write_table(
+            ev, os.path.join(args.out, "events.parquet"), row_group_size=65536
+        )
+        n_ev = ev.num_rows
     print(
-        f"wrote {args.out}: documents={docs.num_rows} embeddings={emb.num_rows}"
+        f"wrote {args.out}: documents={docs.num_rows}"
+        f" embeddings={emb.num_rows} events={n_ev}"
     )
 
 
 if __name__ == "__main__":
     main()
+
