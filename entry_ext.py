@@ -2632,12 +2632,16 @@ def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(k: int) -> str:
-    """Generate the k-stage BPE oracle: each stage computes adjacent
+def _bpe_chain_sql(k: int) -> str:
+    """The shared k-stage BPE WITH-chain: each stage computes adjacent
     pair weights from the previous symbolization, picks the best pair
     (scalar subqueries keep the stage 1-row even when no pairs
     remain), and re-symbolizes via plain replace on the SOH/STX
-    wrapped encoding — byte-for-byte the operator's procedure."""
+    wrapped encoding — byte-for-byte the operator's procedure. Every
+    CTE is MATERIALIZED: the stage graph references each predecessor
+    twice, so default inlining re-evaluates (and re-opens the parquet)
+     2^k times. The chain carries `word` so consumers can read the
+    final per-word symbolization s{k} (the packing oracle does)."""
     parts = ["""WITH words AS MATERIALIZED (
   SELECT word, count(*) AS n FROM (
     SELECT lower(t.tok) AS word
@@ -2648,7 +2652,8 @@ def _bpe_oracle(k: int) -> str:
   WHERE NOT contains(word, chr(1)) AND NOT contains(word, chr(2))
   GROUP BY word
 ), s0 AS MATERIALIZED (
-  SELECT regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq, n
+  SELECT word,
+         regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq, n
   FROM words
 )"""]
     for i in range(1, k + 1):
@@ -2667,18 +2672,22 @@ def _bpe_oracle(k: int) -> str:
          (SELECT rhs FROM b{i}) AS rhs,
          (SELECT weight FROM b{i}) AS weight
 ), s{i} AS MATERIALIZED (
-  SELECT CASE WHEN m.lhs IS NOT NULL
+  SELECT s.word, CASE WHEN m.lhs IS NOT NULL
               THEN replace(s.seq,
                            chr(1) || m.lhs || chr(2) || chr(1) || m.rhs || chr(2),
                            chr(1) || m.lhs || m.rhs || chr(2))
               ELSE s.seq END AS seq, s.n
   FROM s{p} s CROSS JOIN m{i} m
 )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(k: int) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT step, lhs, rhs, CAST(weight AS BIGINT) AS weight FROM m{i} WHERE lhs IS NOT NULL"
         for i in range(1, k + 1)
     )
-    return "".join(parts) + "\n" + union
+    return _bpe_chain_sql(k) + "\n" + union
 
 
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3421,6 +3430,84 @@ FROM c GROUP BY 1, 2
 """
 
 
+def _q_pack_windows_real_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer-fidelity packing with a TRAINED subword
+    vocabulary: learn the k-merge BPE table from the corpus itself
+    (operators/tfidf.py::learn_bpe_merges), re-tokenize every document
+    under it scan-side (bpe_token_counts — the O(k) merge table rides
+    as a replace chain, no UDF), and pack on the REAL subword counts
+    (pack_context_windows, token_count_col=). The oracle replays the
+    identical chain: the shared k-stage merge CTEs, the per-word final
+    symbolization, per-doc occurrence sums, then the standard packing
+    SQL. NULL-id documents keep their (NULL-grouped) count and a NULL
+    shard hash, exactly as t_pack_windows_bpe's convention."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import (
+        bpe_token_counts,
+        learn_bpe_merges,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.training_data import (
+        pack_context_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in learn_bpe_merges(docs, k=_BPE_K).orderBy("step").collect()
+    ]
+    counts = bpe_token_counts(docs, merges)
+    packed = pack_context_windows(
+        counts, n_shards=8, budget=512, token_count_col="n_bpe_tokens"
+    )
+    return packed.withColumn("shard", F.col("shard").cast("long"))
+
+
+def _pack_real_bpe_oracle(k: int) -> str:
+    """The packing oracle on trained-BPE counts: the shared merge
+    chain (carrying word), per-word symbol counts from the final
+    symbolization s{k} (one STX per symbol), occurrence-level doc
+    sums with the explode_outer [NULL]-padding convention, then the
+    same packing SQL as _PACK_WINDOWS_BPE_ORACLE."""
+    shuf = _SHUF_H.format(seed="shuffle-v1")
+    return _bpe_chain_sql(k) + f"""
+, wordcnt AS MATERIALIZED (
+  SELECT word, length(seq) - length(replace(seq, chr(2), '')) AS n_syms
+  FROM s{k}
+), occ AS (
+  -- explode_outer: a NULL/empty token list still yields one [NULL]
+  -- row so every document reaches the per-doc aggregate
+  SELECT doc_id,
+         unnest(coalesce(
+           nullif(list_transform(
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t != ''), t -> lower(t)), []),
+           [NULL])) AS word
+  FROM documents
+), doccnt AS MATERIALIZED (
+  -- words outside wordcnt (NULL padding, control-char words) count 0
+  SELECT o.doc_id,
+         CAST(coalesce(SUM(coalesce(w.n_syms, 0)), 0) AS BIGINT)
+           AS n_tokens
+  FROM occ o LEFT JOIN wordcnt w ON o.word = w.word
+  GROUP BY o.doc_id
+), toksr AS (
+  SELECT doc_id, n_tokens, {shuf} AS h FROM doccnt
+), sp AS (
+  SELECT doc_id, n_tokens, h % 8 AS shard,
+         row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+  FROM toksr
+), cp AS (
+  SELECT shard, pos, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos)
+              AS BIGINT) AS cum
+  FROM sp
+)
+SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS win,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS win_tokens,
+       min(pos) AS first_pos, max(pos) AS last_pos
+FROM cp GROUP BY 1, 2
+"""
+
+
 def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplicate overlap matrix
     (operators/dedup.py::source_overlap_matrix). The testdata's texts
@@ -3710,6 +3797,7 @@ def ext_queries():
         "text_tfidf_top_terms": _q_tfidf_top_terms,
         "text_vocab_topk": _q_vocab_topk,
         "text_bpe_vocab": _q_bpe_vocab,
+        "t_pack_windows_real_bpe": _q_pack_windows_real_bpe,
         "funnel_conversion": _q_funnel_conversion,
         "cohort_retention": _q_cohort_retention,
         "rel_scd2_intervals": _q_scd2_intervals,
@@ -3813,6 +3901,7 @@ def ext_oracles():
         "text_tfidf_top_terms": _TFIDF_ORACLE,
         "text_vocab_topk": _VOCAB_ORACLE,
         "text_bpe_vocab": _bpe_oracle(_BPE_K),
+        "t_pack_windows_real_bpe": _pack_real_bpe_oracle(_BPE_K),
         "funnel_conversion": _FUNNEL_ORACLE,
         "cohort_retention": _COHORT_ORACLE,
         "rel_scd2_intervals": _SCD2_ORACLE,

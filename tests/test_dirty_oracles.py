@@ -230,6 +230,7 @@ DIRTY_QUERIES = [
     "t_global_shuffle",
     "t_pack_windows",
     "t_pack_windows_bpe",
+    "t_pack_windows_real_bpe",
     "t_hash_split",
     # similarity family: zero-norm / tiny / NULL embeddings
     "sim_cosine_topk",
