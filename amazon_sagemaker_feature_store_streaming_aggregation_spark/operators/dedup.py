@@ -58,7 +58,12 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
     (local single-file inputs -> 1-2 partitions; the md5-heavy
     projections must not run single-task). A 100 TB input already has
     thousands of splits — repartitioning it would be a pointless full
-    shuffle of the corpus text, so it is skipped."""
+    shuffle of the corpus text, so it is skipped. Streaming inputs
+    pass through untouched: partition introspection (.rdd) is illegal
+    on a streaming DataFrame, and micro-batch parallelism is the
+    source's concern (maxFilesPerTrigger / input partitions)."""
+    if df.isStreaming:
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= min(par, 8):
         return df
@@ -936,6 +941,39 @@ def source_overlap_matrix(
     )
 
 
+def _hamming_band_width(bands: int, n_bits: int) -> int:
+    if n_bits % bands:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    return n_bits // bands
+
+
+def hamming_band_rows(
+    fp: DataFrame, id_col: str, hash_col: str, bands: int, width: int
+) -> DataFrame:
+    """Explode a fingerprint table to one row per (id, band, band
+    value), the fingerprint riding along so popcount verification
+    needs no second join. Scan-side bit slicing, no shuffle."""
+    mask = (1 << width) - 1
+    return fp.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(
+                        f"shiftrightunsigned({hash_col}, {b * width}) & {mask}"
+                    ).alias("bv"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("__b"),
+    ).select(
+        id_col, hash_col, F.col("__b.band").alias("band"),
+        F.col("__b.bv").alias("bv"),
+    )
+
+
 def hamming_near_dup_pairs(
     hashes: DataFrame,
     id_col: str = "doc_id",
@@ -966,27 +1004,11 @@ def hamming_near_dup_pairs(
     rows ride the distinct. NULL fingerprints never band-join and are
     excluded outright.
     """
-    if n_bits % bands:
-        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
-    width = n_bits // bands
-    mask = (1 << width) - 1
+    width = _hamming_band_width(bands, n_bits)
     fp = hashes.where(F.col(hash_col).isNotNull()).select(
         F.col(id_col), F.col(hash_col).alias("__fp")
     )
-    exploded = fp.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.expr(
-                        f"shiftrightunsigned(__fp, {b * width}) & {mask}"
-                    ).alias("bv"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("__b"),
-    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.bv").alias("bv"))
+    exploded = hamming_band_rows(fp, id_col, "__fp", bands, width).drop("__fp")
     a = exploded.hint("merge").alias("a")
     b = exploded.hint("merge").alias("b")
     cand = (

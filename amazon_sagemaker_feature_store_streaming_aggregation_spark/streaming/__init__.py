@@ -12,6 +12,7 @@ from .dedup import (  # noqa: F401
     dedup_stream_exact,
     run_index_dedup_stream,
     run_index_lsh_stream,
+    run_index_hamming_stream,
 )
 from .join import interval_join  # noqa: F401
 from .metrics import progress_summary  # noqa: F401

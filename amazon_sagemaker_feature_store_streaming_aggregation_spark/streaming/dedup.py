@@ -362,3 +362,149 @@ def _touch_success(spark, dir_str: str) -> None:
     fs, path = _hadoop_fs(spark, dir_str.rstrip("/") + "/_SUCCESS")
     out = fs.create(path, True)
     out.close()
+
+
+def run_index_hamming_stream(
+    stream: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    hash_col: str = "fp",
+    max_hamming: int = 3,
+    bands: int = 4,
+    n_bits: int = 64,
+    available_now: bool = True,
+    broadcast_batch: bool = True,
+):
+    """Unbounded-horizon streaming FINGERPRINT near-dup discovery: the
+    hamming-distance twin of :func:`run_index_lsh_stream` for
+    fixed-width bit signatures — perceptual image hashes from
+    ``operators/multimodal.py::perceptual_hashes`` (continuous image
+    ingestion dedup), SimHash values, any
+    ``operators/dedup.py::hamming_near_dup_pairs`` input. The stream
+    carries ``(id_col, hash_col)`` rows (hash the payloads upstream —
+    ``mapInPandas`` works on streams); each micro-batch probes the
+    PERSISTENT on-disk fingerprint index, so a near-duplicate of an
+    image ingested months ago is still surfaced today.
+
+    Per micro-batch, under ``out_dir/batch=<id>/``:
+
+    * ``pairs/`` — verified ``(doc_a, doc_b, hamming)`` pairs the
+      batch introduces (batch-vs-index + within-batch), popcount
+      ``<= max_hamming``. Unlike the LSH stream's Jaccard candidates
+      these are final VERDICTS: the fingerprint itself rides the
+      index, so verification happens in-stream.
+    * ``fps/`` — the batch's ``(id, fingerprint)`` rows, appended to
+      ``index_dir`` after the output commits.
+
+    Every pair is discovered exactly once — when its later member's
+    batch arrives — so the union of per-batch pair outputs equals the
+    one-shot batch :func:`~..operators.dedup.hamming_near_dup_pairs`
+    run over the whole corpus (the registered oracle states exactly
+    that). NULL fingerprints pass through to neither output (they can
+    collide with nothing).
+
+    Plan: band values derive scan-side from the 16-byte fingerprints
+    on BOTH sides at probe time (the index stores raw fingerprints,
+    never band rows — bands are a pure function of the fingerprint,
+    so persisting them would triple index bytes for no replay
+    benefit); with ``broadcast_batch=True`` the batch's band rows
+    broadcast to the index scan and the index never shuffles. Per-
+    batch I/O is O(index) — same honest caveat as the LSH stream.
+    Delivery contract identical to :func:`run_index_dedup_stream`:
+    at-least-once, batch-id idempotent output via the REQUIRED
+    durable checkpoint, index-append-after-output with retry-time
+    repair, Hadoop-FS existence checks throughout.
+    """
+    if not checkpoint_dir:
+        raise ValueError(
+            "run_index_hamming_stream requires a durable checkpoint_dir: "
+            "batch-id-based retry idempotency is only safe when batch "
+            "ids survive restarts"
+        )
+
+    from ..operators.dedup import (
+        _hamming_band_width,
+        hamming_band_rows,
+        hamming_near_dup_pairs,
+    )
+
+    width = _hamming_band_width(bands, n_bits)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
+        fps_out = batch_out + "/fps"
+        pairs_out = batch_out + "/pairs"
+        batch_fp = batch_df.select(id_col, hash_col).where(
+            F.col(hash_col).isNotNull()
+        )
+        if _fs_exists(spark, batch_out + "/_SUCCESS"):
+            # retried batch whose output committed: repair a possibly
+            # lost index append (keyed (id, fingerprint) — a no-op
+            # when the append landed)
+            committed = spark.read.parquet(fps_out)
+            if _fs_has_parquet(spark, index_dir):
+                missing = committed.join(
+                    spark.read.parquet(index_dir),
+                    on=[id_col, hash_col],
+                    how="left_anti",
+                )
+            else:
+                missing = committed
+            missing.write.mode("append").parquet(index_dir)
+            return
+        if _fs_has_parquet(spark, index_dir):
+            index = spark.read.parquet(index_dir)
+        else:
+            index = batch_fp.limit(0)
+        batch_bands = hamming_band_rows(batch_fp, id_col, hash_col, bands, width)
+        probe = F.broadcast(batch_bands) if broadcast_batch else batch_bands
+        index_bands = hamming_band_rows(index, id_col, hash_col, bands, width)
+        cross = (
+            index_bands.alias("a")
+            .join(
+                probe.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.least(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("doc_a"),
+                F.greatest(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("doc_b"),
+                F.expr(
+                    f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+        within = hamming_near_dup_pairs(
+            batch_fp,
+            id_col=id_col,
+            hash_col=hash_col,
+            max_hamming=max_hamming,
+            bands=bands,
+            n_bits=n_bits,
+        )
+        pairs = cross.unionByName(within).distinct()
+        pairs.write.mode("overwrite").parquet(pairs_out)
+        batch_fp.write.mode("overwrite").parquet(fps_out)
+        _touch_success(spark, batch_out)
+        # index append after output commit (at-least-once; the retry
+        # branch repairs a crash between these writes)
+        spark.read.parquet(fps_out).write.mode("append").parquet(index_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

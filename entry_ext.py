@@ -190,6 +190,75 @@ def _q_stream_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+def _q_stream_hamming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fingerprint near-dup discovery against the persistent
+    index (streaming/dedup.py::run_index_hamming_stream): the
+    documents table is replayed as TWO micro-batches split at the id
+    midpoint, each batch SimHash-fingerprinted IN the stream (pure
+    array expressions work on streaming DataFrames) and probed against
+    the on-disk fingerprint index. Every pair is discovered exactly
+    once — when its later member's batch arrives — so the union of
+    per-batch pair outputs must equal the one-shot batch
+    hamming_near_dup_pairs run, and the oracle is
+    _HAMMING_PAIRS_ORACLE verbatim."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_hamming_stream,
+    )
+    from __spark_entry__ import _set_stream_partitions
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = sorted(x.as_py() for x in t.column("doc_id") if x.as_py() is not None)
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="shamm_src_")
+    work = tempfile.mkdtemp(prefix="shamm_work_")
+    # NULL ids ride in batch 0 (less-than on NULL is null -> excluded
+    # by both filters otherwise); their NULL fingerprint joins nothing
+    key = t.column("doc_id")
+    in_b0 = pc.or_kleene(pc.less(key, mid), pc.is_null(key))
+    pq.write_table(
+        t.filter(pc.fill_null(in_b0, True)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        t.filter(pc.fill_null(pc.invert(in_b0), False)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        fps = simhash(stream).withColumnRenamed("simhash", "fp")
+        q = run_index_hamming_stream(
+            fps,
+            os.path.join(work, "out"),
+            os.path.join(work, "index"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            id_col="doc_id",
+            hash_col="fp",
+            max_hamming=3,
+            bands=4,
+            n_bits=60,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_hamming availableNow replay exceeded 300s")
+        return spark.read.parquet(os.path.join(work, "out", "batch=*", "pairs"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 _LSH_APPEND_SPLIT = 250
 
 
@@ -3823,6 +3892,7 @@ def ext_queries():
         "dedup_inc_append": _q_dedup_append,
         "dedup_inc_lsh_append": _q_lsh_append,
         "s_stream_lsh_index": _q_stream_lsh_index,
+        "s_stream_hamming_index": _q_stream_hamming_index,
         "dedup_inc_append_bloom": _q_dedup_append_bloom,
         "dedup_source_overlap": _q_source_overlap,
         "t_weighted_sample": _q_weighted_sample,
@@ -3927,6 +3997,7 @@ def ext_oracles():
         "dedup_inc_append": _DEDUP_APPEND_ORACLE,
         "dedup_inc_lsh_append": _LSH_APPEND_ORACLE,
         "s_stream_lsh_index": _LSH_ORACLE,
+        "s_stream_hamming_index": _HAMMING_PAIRS_ORACLE,
         "dedup_inc_append_bloom": _DEDUP_APPEND_ORACLE,
         "dedup_source_overlap": _SOURCE_OVERLAP_ORACLE,
         "t_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -304,6 +304,7 @@ DIRTY_STREAM_QUERIES = [
     "s_stream_interval_join_semi",
     "s_stream_interval_join_outer",
     "s_stream_interval_join_full",
+    "s_stream_hamming_index",
     "s4_sliding_agg",
 ]
 

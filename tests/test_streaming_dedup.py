@@ -235,3 +235,88 @@ def test_content_dedup_null_payloads_pass_through(spark, tmp_path):
         r["doc_id"] for r in spark.table("null_passthrough").collect()
     )
     assert got == [1, 3, 4]  # dup dropped; BOTH null rows kept
+
+
+def test_index_hamming_stream_cross_batch_pairs(spark, tmp_path):
+    """Streaming fingerprint near-dup vs the persistent index: a
+    fingerprint first seen in batch 0 pairs with its near-twin in
+    batch 2, within-batch near-twins surface, index-internal pairs are
+    never re-emitted, beyond-radius fingerprints never pair, NULL
+    fingerprints reach neither pairs nor index, and a retried batch
+    repairs a lost index append instead of re-emitting."""
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_hamming_stream,
+    )
+
+    schema = "doc_id long, fp long"
+    base = 0x0123_4567_89AB_CDEF
+    chunk0 = [(1, base), (2, 0x7654_3210_0000_0000)]
+    chunk1 = [(3, base ^ 0b101), (4, 0x00FF_00FF_00FF_00FF),
+              (5, 0x00FF_00FF_00FF_00FE), (9, None)]
+    chunk2 = [(6, 0x7654_3210_0000_0003)]
+    path = _write_chunks(spark, tmp_path, [chunk0, chunk1, chunk2], schema)
+
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = run_index_hamming_stream(
+        stream,
+        out_dir,
+        index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_hamming=3,
+        bands=4,
+        n_bits=64,
+    )
+    assert q.awaitTermination(180)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in spark.read.parquet(out_dir + "/batch=*/pairs").collect()
+    }
+    # cross-batch (1,3) d=2 and (2,6) d=2; within-batch (4,5) d=1
+    assert got == {(1, 3): 2, (4, 5): 1, (2, 6): 2}
+    index = spark.read.parquet(index_dir)
+    assert index.count() == 6  # NULL fp of doc 9 never indexed
+    assert index.where(F.col("doc_id") == 9).count() == 0
+
+    # retry repair: drop doc 6's fingerprint from the index (a crash
+    # between output commit and index append), re-run the committed
+    # batch — the hole is repaired, nothing re-emitted
+    kept = index.where("doc_id <> 6")
+    kept.write.mode("overwrite").parquet(str(tmp_path / "index2"))
+    import shutil
+
+    shutil.rmtree(index_dir)
+    shutil.move(str(tmp_path / "index2"), index_dir)
+    stream2 = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q2 = run_index_hamming_stream(
+        stream2,
+        out_dir,
+        index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt2"),  # fresh numbering: all batches retry
+        max_hamming=3,
+        bands=4,
+        n_bits=64,
+    )
+    assert q2.awaitTermination(180)
+    index_after = spark.read.parquet(index_dir)
+    assert index_after.count() == 6
+    assert index_after.where("doc_id = 6").count() == 1
+    got_after = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in spark.read.parquet(out_dir + "/batch=*/pairs").collect()
+    }
+    assert got_after == got
