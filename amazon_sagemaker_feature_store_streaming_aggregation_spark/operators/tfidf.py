@@ -435,3 +435,52 @@ def bpe_token_counts(
     return per_word.groupBy(id_col).agg(
         F.sum("__n_syms").cast("long").alias("n_bpe_tokens")
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document subword OCCURRENCE table under a learned merge
+    list: each word re-tokenizes by applying ``merges`` in order
+    (identical application to :func:`bpe_token_counts` — the two can
+    never drift because both build the same replace chain), then
+    subwords explode and aggregate per document. Output
+    ``(id_col, subword, n_occurrences)`` — the bag-of-subwords a
+    tokenizer-aware dedup/search stage consumes.
+
+    All scan-side: the O(k) merge chain, the symbol split and the
+    explode happen in one projection; the only shuffle is the final
+    (doc, subword) aggregation (map-side combined). Documents with no
+    tokens (or NULL text) have no rows; words containing the
+    SOH/STX framing chars are excluded like everywhere in this module.
+    """
+    toks = _TOKENS.format(c=text_col)
+    seq = F.expr(_wrap_chars("__w"))
+    for lhs, rhs in merges:
+        for ch in (lhs, rhs):
+            if _SOH in ch or _STX in ch:
+                raise ValueError("merge symbols must not contain SOH/STX")
+        seq = F.replace(
+            seq,
+            F.lit(f"{_SOH}{lhs}{_STX}{_SOH}{rhs}{_STX}"),
+            F.lit(f"{_SOH}{lhs}{rhs}{_STX}"),
+        )
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"transform({toks}, t -> lower(t))")).alias("__w"),
+    ).where(~F.col("__w").contains(_SOH) & ~F.col("__w").contains(_STX))
+    symbols = words.select(
+        id_col,
+        F.explode(
+            F.split(
+                F.substring(seq, 2, F.length(seq) - F.lit(2)),
+                f"{_STX}{_SOH}",
+            )
+        ).alias("subword"),
+    )
+    return symbols.groupBy(id_col, "subword").agg(
+        F.count("*").alias("n_occurrences")
+    )

@@ -3499,6 +3499,46 @@ FROM c GROUP BY 1, 2
 """
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-subwords encoding under the corpus-trained BPE table
+    (operators/tfidf.py::bpe_encode): learn k merges, re-tokenize
+    scan-side, explode subwords, aggregate per (doc, subword). The
+    oracle joins each word occurrence to the merge chain's final
+    symbolization and splits it — the tokenizer and the chain can
+    never disagree because both are the same k replaces."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import (
+        bpe_encode,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in learn_bpe_merges(docs, k=_BPE_K).orderBy("step").collect()
+    ]
+    return bpe_encode(docs, merges)
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    return _bpe_chain_sql(k) + f"""
+, occ AS (
+  SELECT doc_id, lower(t.tok) AS word
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                          t -> t != '')) AS t(tok)
+), symrows AS (
+  -- inner join: words carrying the SOH/STX framing chars are outside
+  -- the chain's word table and outside the Spark tokenizer alike
+  SELECT o.doc_id,
+         unnest(string_split(s.seq[2:length(s.seq) - 1],
+                             chr(2) || chr(1))) AS subword
+  FROM occ o JOIN s{k} s ON o.word = s.word
+)
+SELECT doc_id, subword, count(*) AS n_occurrences
+FROM symrows GROUP BY 1, 2
+"""
+
+
 def _q_pack_windows_real_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end tokenizer-fidelity packing with a TRAINED subword
     vocabulary: learn the k-merge BPE table from the corpus itself
@@ -3867,6 +3907,7 @@ def ext_queries():
         "text_vocab_topk": _q_vocab_topk,
         "text_bpe_vocab": _q_bpe_vocab,
         "t_pack_windows_real_bpe": _q_pack_windows_real_bpe,
+        "text_bpe_encode": _q_bpe_encode,
         "funnel_conversion": _q_funnel_conversion,
         "cohort_retention": _q_cohort_retention,
         "rel_scd2_intervals": _q_scd2_intervals,
@@ -3972,6 +4013,7 @@ def ext_oracles():
         "text_vocab_topk": _VOCAB_ORACLE,
         "text_bpe_vocab": _bpe_oracle(_BPE_K),
         "t_pack_windows_real_bpe": _pack_real_bpe_oracle(_BPE_K),
+        "text_bpe_encode": _bpe_encode_oracle(_BPE_K),
         "funnel_conversion": _FUNNEL_ORACLE,
         "cohort_retention": _COHORT_ORACLE,
         "rel_scd2_intervals": _SCD2_ORACLE,

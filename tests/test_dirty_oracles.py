@@ -187,8 +187,22 @@ def _salt_lineitem_supplier_nation(dirty_dir: str) -> None:
         pa.concat_tables([s, pa.Table.from_pylist(s_rows, schema=s.schema)]),
         os.path.join(dirty_dir, "supplier.parquet"),
     )
-    # nation/region/part ride through unsalted (tiny dims)
-    for t in ("nation", "region", "part"):
+    p = pq.read_table(os.path.join(SF0001, "part.parquet"))
+    p_rows = p.slice(0, 3).to_pylist()
+    new_pk = max(x.as_py() for x in p.column("p_partkey")) + 1
+    p_rows[0]["p_partkey"] = new_pk
+    p_rows[0]["p_brand"] = None            # NULL group label
+    p_rows[1]["p_partkey"] = new_pk + 1
+    p_rows[1]["p_type"] = None             # NULL filter/LIKE column
+    p_rows[2]["p_partkey"] = new_pk + 2
+    p_rows[2]["p_retailprice"] = None      # NULL bracket measure
+    p_rows[2]["p_size"] = None
+    pq.write_table(
+        pa.concat_tables([p, pa.Table.from_pylist(p_rows, schema=p.schema)]),
+        os.path.join(dirty_dir, "part.parquet"),
+    )
+    # nation/region ride through unsalted (tiny dims)
+    for t in ("nation", "region"):
         src = os.path.join(SF0001, f"{t}.parquet")
         if os.path.exists(src):
             pq.write_table(pq.read_table(src), os.path.join(dirty_dir, f"{t}.parquet"))
@@ -231,6 +245,7 @@ DIRTY_QUERIES = [
     "t_pack_windows",
     "t_pack_windows_bpe",
     "t_pack_windows_real_bpe",
+    "text_bpe_encode",
     "t_hash_split",
     # similarity family: zero-norm / tiny / NULL embeddings
     "sim_cosine_topk",
@@ -286,6 +301,7 @@ DIRTY_QUERIES = [
     "olap_late_shipment_priority",
     "olap_promo_share",
     "olap_big_ticket_orders",
+    "olap_brand_brackets",
     "olap_order_count_dist",
 ]
 
