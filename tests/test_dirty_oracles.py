@@ -232,6 +232,7 @@ DIRTY_QUERIES = [
     "dedup_source_overlap",
     "dedup_inc_lsh_append",
     "dedup_hamming_pairs",
+    "dedup_hamming_clusters",
     # text family over NULL/empty text
     "text_stats",
     "text_lang_id",
