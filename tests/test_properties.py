@@ -260,3 +260,76 @@ def test_bloom_dedup_equals_plain_on_random_corpora(
         )
     )
     assert got == want
+
+
+_fps = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    min_size=2,
+    max_size=14,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_fps, st.integers(min_value=0, max_value=3))
+def test_hamming_pairs_match_bruteforce(spark, fps, radius):
+    """Banded hamming near-dup vs the all-pairs popcount model: with
+    max_hamming < bands the stage is pigeonhole-complete, so the
+    result must EQUAL brute force on any fingerprint set."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    rows = [(i, v) for i, v in enumerate(fps)]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(
+            df, max_hamming=radius, bands=4
+        ).collect()
+    }
+    exp = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j:
+                d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+                if d <= radius:
+                    exp[(i, j)] = d
+    assert got == exp
+
+
+_corpus = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=24),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_corpus, st.integers(min_value=1, max_value=5))
+def test_bpe_learning_matches_reference_on_random_corpora(spark, texts, k):
+    """learn_bpe_merges against the pure-Python Sennrich reference on
+    random tiny corpora — exercises tie-breaks, merge exhaustion and
+    single-char words the fixed fixture can't."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import (
+        learn_bpe_merges,
+    )
+
+    from .test_corpus_stats import _ref_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.lhs, r.rhs, r.weight)
+        for r in learn_bpe_merges(docs, k=k).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe(texts, k)
