@@ -326,3 +326,70 @@ def chunk_documents(
             h64(chunk).alias("chunk_hash"),
         )
     )
+
+
+def in_batch_negatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    n_batches: int = 64,
+    seed: str = "negatives-v1",
+) -> DataFrame:
+    """Deterministic IN-BATCH negative pairs for contrastive training:
+    documents are assigned to pseudo-random training batches by a pure
+    md5 hash of their id (stable under any partitioning/engine, like
+    every sampler in this package), and every ordered
+    ``(anchor, negative)`` pair WITHIN a batch is emitted — except
+    pairs from the same near-dup cluster, which would be false
+    negatives (the classic contrastive-training poisoning:
+    near-duplicates pushed apart as if unrelated).
+
+    ``clusters`` is a ``(id, cluster_id)`` assignment — typically
+    ``near_dup_clusters`` over LSH/Jaccard or hamming-fingerprint
+    pairs; documents absent from it are singleton clusters of
+    themselves (``coalesce`` to own id). Output:
+    ``(anchor_id, negative_id, batch)``, both directions per unordered
+    pair (each doc serves as anchor), NULL-id documents excluded (a
+    NULL hash has no batch).
+
+    Scale: batch membership is scan-side; ONE self-join shuffle keyed
+    on ``batch`` with cluster labels riding the rows (no second join
+    against the corpus-sized cluster map); output ~N x batch_size
+    rows, the size the training loop actually consumes. Choose
+    ``n_batches ~ N / desired_batch_size``.
+    """
+    labeled = (
+        docs.select(F.col(id_col))
+        .where(F.col(id_col).isNotNull())
+        .join(
+            clusters.select(
+                F.col(id_col), F.col(cluster_col).alias("__cl")
+            ),
+            on=id_col,
+            how="left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__cl"), F.col(id_col)).alias("__cl"),
+            (
+                h64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+                % F.lit(n_batches)
+            ).alias("batch"),
+        )
+    )
+    a = labeled.alias("a")
+    b = labeled.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.batch") == F.col("b.batch"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & (F.col("a.__cl") != F.col("b.__cl")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("anchor_id"),
+            F.col(f"b.{id_col}").alias("negative_id"),
+            F.col("a.batch").alias("batch"),
+        )
+    )

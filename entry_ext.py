@@ -3896,6 +3896,58 @@ FROM hassigned a JOIN hsizes s ON a.cluster_id = s.cluster_id
 
 
 
+def _q_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative pairs (operators/training_data.py
+    ::in_batch_negatives): md5-deterministic batch assignment, all
+    ordered within-batch pairs, same-near-dup-cluster pairs excluded
+    as false negatives. Clusters come from the fingerprint chain
+    (SimHash radius-3 components), so the whole query is the
+    composition a contrastive data loader actually runs."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+        near_dup_clusters,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.training_data import (
+        in_batch_negatives,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash(docs)
+    pairs = hamming_near_dup_pairs(
+        fps, id_col="doc_id", hash_col="simhash",
+        max_hamming=3, bands=4, n_bits=60,
+    ).select("doc_a", "doc_b")
+    clusters = near_dup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    return in_batch_negatives(docs, clusters, n_batches=16)
+
+
+_INBATCH_NEG_ORACLE = f"""
+WITH RECURSIVE nhpairs AS (
+  SELECT doc_a, doc_b FROM ({_HAMMING_PAIRS_ORACLE})
+), nhedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM nhpairs
+  UNION
+  SELECT doc_b, doc_a FROM nhpairs
+), nhreach(node, r) AS (
+  SELECT src, dst FROM nhedges
+  UNION
+  SELECT nhreach.node, e.dst FROM nhreach JOIN nhedges e ON nhreach.r = e.src
+), nhcomp AS (
+  SELECT node, LEAST(node, MIN(r)) AS cluster_id FROM nhreach GROUP BY node
+), labeled AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cl,
+         {_H64.format(x="'negatives-v1:' || CAST(d.doc_id AS VARCHAR)")} % 16
+           AS batch
+  FROM documents d LEFT JOIN nhcomp c ON d.doc_id = c.node
+  WHERE d.doc_id IS NOT NULL
+)
+SELECT a.doc_id AS anchor_id, b.doc_id AS negative_id, a.batch
+FROM labeled a JOIN labeled b
+  ON a.batch = b.batch AND a.doc_id != b.doc_id AND a.cl != b.cl
+"""
+
+
 def ext_queries():
     return {
         "olap_pricing_summary": _q_pricing_summary,
@@ -3915,6 +3967,7 @@ def ext_queries():
         "dedup_simhash": _q_simhash,
         "dedup_hamming_pairs": _q_hamming_pairs,
         "dedup_hamming_clusters": _q_hamming_clusters,
+        "t_inbatch_negatives": _q_inbatch_negatives,
         "text_stats": _q_text_stats,
         "text_repetition": _q_text_repetition,
         "text_lang_id": _q_lang_id,
@@ -4022,6 +4075,7 @@ def ext_oracles():
         "dedup_simhash": _SIMHASH_ORACLE,
         "dedup_hamming_pairs": _HAMMING_PAIRS_ORACLE,
         "dedup_hamming_clusters": _HAMMING_CLUSTERS_ORACLE,
+        "t_inbatch_negatives": _INBATCH_NEG_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
         "text_repetition": _REPETITION_ORACLE,
         "text_lang_id": _lang_oracle(),

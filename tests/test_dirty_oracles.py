@@ -233,6 +233,7 @@ DIRTY_QUERIES = [
     "dedup_inc_lsh_append",
     "dedup_hamming_pairs",
     "dedup_hamming_clusters",
+    "t_inbatch_negatives",
     # text family over NULL/empty text
     "text_stats",
     "text_lang_id",

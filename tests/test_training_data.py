@@ -301,3 +301,35 @@ def test_token_spectrum_counts_of_counts(spark):
         for r in token_frequency_spectrum(docs).collect()
     }
     assert got == {3: 2, 2: 1, 1: 1}
+
+
+def test_in_batch_negatives_excludes_cluster_mates(spark):
+    """Near-dup cluster mates must never appear as negatives even when
+    hashed into the same batch; unrelated same-batch docs appear in
+    both directions; NULL ids are excluded."""
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.training_data import (
+        in_batch_negatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)] + [(None,)], "doc_id long"
+    )
+    # docs 0..9 all one near-dup cluster
+    clusters = spark.createDataFrame(
+        [(i, 0) for i in range(10)], "doc_id long, cluster_id long"
+    )
+    out = in_batch_negatives(docs, clusters, n_batches=2)
+    pairs = {(r.anchor_id, r.negative_id) for r in out.collect()}
+    assert pairs, "same-batch unrelated docs must pair"
+    # no intra-cluster pair in either direction
+    assert not any(a < 10 and b < 10 for a, b in pairs)
+    # direction symmetry: anchor/negative both ways for unrelated docs
+    assert all((b, a) in pairs for a, b in pairs)
+    # NULL id appears nowhere
+    assert all(a is not None and b is not None for a, b in pairs)
+    # batch assignment is a pure function: two runs identical
+    again = {(r.anchor_id, r.negative_id) for r in
+             in_batch_negatives(docs, clusters, n_batches=2).collect()}
+    assert pairs == again
