@@ -45,6 +45,7 @@ from .similarity import (  # noqa: F401
     cosine_topk,
     embedding_near_dup_pairs,
     ivf_centroids,
+    hard_negatives,
     ivf_topk,
     ivf_topk_batched,
     label_centroids,

@@ -252,6 +252,7 @@ def _exact_topk_on_candidates(
     id_col: str,
     vec_col: str,
     broadcast_queries: bool = True,
+    max_cosine: float | None = None,
 ) -> DataFrame:
     """Shared ANN tail: exact cosine + per-query top-k over deduped
     candidate ``(c_id, query_id)`` ids. Vectors and squared norms are
@@ -261,7 +262,10 @@ def _exact_topk_on_candidates(
     ``broadcast_queries=False`` is the batched-query regime
     (:func:`ann_topk_batched`): the query side is NOT hinted, so the
     planner shuffles both sides on ``query_id`` — correct when the
-    query batch is itself corpus-sized."""
+    query batch is itself corpus-sized. ``max_cosine`` (exclusive)
+    drops candidates at or above the threshold BEFORE ranking — the
+    hard-negative regime, where near-duplicates are positives in
+    disguise and must not occupy top-k slots."""
     # zero-norm vectors excluded (cosine undefined; see cosine_topk)
     feats = (
         embeddings.select(F.col(id_col), quantize(vec_col, "qv"))
@@ -302,6 +306,8 @@ def _exact_topk_on_candidates(
             ),
         )
     )
+    if max_cosine is not None:
+        scored = scored.where(F.col("cosine") < F.lit(max_cosine))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -783,4 +789,56 @@ def label_centroids(
                 "CAST(__s AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0"
             ).alias("centroid"),
         )
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    n_tables: int = 4,
+    multi_probe: int = 0,
+    bucket_cap: int | None = None,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive/retrieval training: for
+    every vector, the k MOST similar corpus vectors whose cosine is
+    still below ``dup_threshold`` — similar enough to be informative
+    negatives, not so similar that they are near-duplicates (those are
+    positives in disguise; training on them as negatives poisons the
+    embedding space — the vector-space twin of
+    ``training_data.in_batch_negatives``' cluster exclusion).
+
+    Physical shape is exactly :func:`ann_topk_batched` (every vector
+    is a query, so nothing may broadcast) with the threshold filter
+    applied before ranking; candidates at or above the threshold never
+    occupy a top-k slot. Same bucket policy, determinism contract and
+    output shape as the ANN family.
+    """
+    n_planes = _resolve_planes(embeddings, n_planes, corpus_count)
+    corpus = _cap_buckets(
+        srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
+        .select(F.col(id_col).alias("c_id"), "table", "bucket"),
+        "c_id",
+        bucket_cap,
+    )
+    qs = _multi_probe(
+        srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
+        .select(F.col(id_col).alias("query_id"), "table", "bucket"),
+        n_planes,
+        multi_probe,
+    )
+    cand = (
+        corpus.join(qs, on=["table", "bucket"], how="inner")
+        .filter(F.col("c_id") != F.col("query_id"))
+        .select("c_id", "query_id")
+        .distinct()
+    )
+    return _exact_topk_on_candidates(
+        cand, embeddings, embeddings, k, id_col, vec_col,
+        broadcast_queries=False, max_cosine=dup_threshold,
     )

@@ -819,13 +819,18 @@ def _sigs_sql(n_planes: int, capped: bool) -> str:
 )"""
 
 
-def _ann_oracle(query_pred: str = f"vec_id < {_N_QUERIES}") -> str:
+def _ann_oracle(
+    query_pred: str = f"vec_id < {_N_QUERIES}",
+    max_cos: float | None = None,
+) -> str:
     """SRP-ANN oracle; ``query_pred`` selects the query rows — the
     interactive fixture uses a handful of ids, the batched fixture
     (``ann_topk_batched``) a corpus-sized slice. The SQL is IDENTICAL
     otherwise: the batched operator changes the physical plan (no
-    broadcast), never the semantics."""
+    broadcast), never the semantics. ``max_cos`` adds the
+    hard-negative exclusion (cosine < threshold BEFORE ranking)."""
     n_planes = _ann_planes_for(_ORACLE_SF_DIR)
+    cos_filter = f"WHERE cosine < {max_cos}" if max_cos is not None else ""
     return f"""
 WITH q AS (
   SELECT vec_id,
@@ -856,6 +861,7 @@ WITH q AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, c_id) AS rank
   FROM scored
+  {cos_filter}
 )
 SELECT query_id, c_id AS vec_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {_ANN_K}
@@ -913,6 +919,28 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_ANN_K,
         n_cells=_IVF_CELLS,
         nprobe=_IVF_NPROBE,
+        corpus_count=_emb_count(sf_dir),
+    )
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py::hard_negatives):
+    for every vector, the k most similar vectors below the near-dup
+    threshold — the batched-ANN plan (no broadcast anywhere) with the
+    threshold filter before ranking, so near-duplicates never occupy
+    negative slots. Shares the ANN oracle generator (query side = the
+    whole corpus, max_cos = the near-dup threshold)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb,
+        k=_ANN_K,
+        dup_threshold=_NEAR_DUP_THRESHOLD,
+        n_planes=None,
+        n_tables=_ANN_TABLES,
+        multi_probe=1,
+        bucket_cap=_ANN_BUCKET_CAP,
         corpus_count=_emb_count(sf_dir),
     )
 
@@ -3980,6 +4008,7 @@ def ext_queries():
         "sim_ann_batched_topk": _q_ann_batched,
         "sim_ivf_topk": _q_ivf_topk,
         "sim_ivf_batched_topk": _q_ivf_batched,
+        "t_hard_negatives": _q_hard_negatives,
         "sim_embedding_near_dup": _q_embedding_near_dup,
         "rel_semi_join": _q_rel_semi_join,
         "rel_anti_join": _q_rel_anti_join,
@@ -4088,6 +4117,7 @@ def ext_oracles():
         "sim_ann_batched_topk": _ann_oracle(_BATCH_QUERY_PRED),
         "sim_ivf_topk": _ivf_oracle(),
         "sim_ivf_batched_topk": _ivf_oracle(_BATCH_QUERY_PRED),
+        "t_hard_negatives": _ann_oracle("vec_id IS NOT NULL", max_cos=_NEAR_DUP_THRESHOLD),
         "sim_embedding_near_dup": _near_dup_oracle(),
         "rel_semi_join": _REL_SEMI_ORACLE,
         "rel_anti_join": _REL_ANTI_ORACLE,

@@ -253,6 +253,7 @@ DIRTY_QUERIES = [
     "sim_cosine_topk",
     "sim_ann_srp_topk",
     "sim_ann_batched_topk",
+    "t_hard_negatives",
     "sim_embedding_near_dup",
     "sim_label_centroids",
     # pipelines composing the above

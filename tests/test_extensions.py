@@ -765,3 +765,30 @@ def test_hamming_near_dup_completeness_and_bounds(spark):
 
     with _pytest.raises(ValueError, match="divide"):
         hamming_near_dup_pairs(df, bands=5).collect()
+
+
+def test_hard_negatives_excludes_near_duplicates(spark, emb):
+    """Every returned negative is strictly below the dup threshold; a
+    planted exact duplicate (cosine 1.0) never appears even though it
+    is the single most similar vector; ranks stay dense from 1."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import hard_negatives
+
+    base = emb.limit(40)
+    # plant an exact duplicate of vector 0 with a fresh id
+    dup = base.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(dup)
+    out = hard_negatives(
+        corpus, k=3, dup_threshold=0.95, n_planes=4, n_tables=2,
+        multi_probe=1, corpus_count=41,
+    ).collect()
+    rows = [(r.query_id, r.vec_id, r.cosine, r.rank) for r in out]
+    assert rows, "must produce negatives"
+    assert all(c < 0.95 for _, _, c, _ in rows)
+    near0 = [(q, v) for q, v, _, _ in rows if q == 0]
+    assert (0, 100000) not in near0  # the planted dup is excluded
+    by_q = {}
+    for q, _, _, rk in rows:
+        by_q.setdefault(q, []).append(rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
