@@ -900,6 +900,22 @@ def _q_ann_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- IVF ANN topk
 
 _IVF_CELLS, _IVF_NPROBE = 32, 2
+
+
+def _ivf_cells_for(sf_dir: str) -> int:
+    """Corpus-scaled IVF cell count (auto_cells ~ sqrt N policy) with a
+    floor keeping the driver-gate corpus (500 vectors) at the original
+    32 cells. Fixed cells make per-query candidates grow linearly
+    (measured exponent 1.55 at 10x); cells ~ sqrt(N) is optimal for
+    IVF-flat, whose centroid assignment is a LINEAR scan — total cost
+    N^1.5 for corpus-sized query batches, the structural reason the
+    SRP batched path (O(planes) assignment, measured ~1.0) is the
+    linear alternative at that shape."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        auto_cells,
+    )
+
+    return max(_IVF_CELLS, auto_cells(_emb_count(sf_dir)))
 # (_COS_SQL — the shared quantized-cosine template — is defined with
 # the top-k constants above, before its first use.)
 
@@ -962,14 +978,15 @@ def _q_ivf_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         queries,
         k=_ANN_K,
-        n_cells=_IVF_CELLS,
+        n_cells=_ivf_cells_for(sf_dir),
         nprobe=_IVF_NPROBE,
         corpus_count=_emb_count(sf_dir),
     )
 
 
-def _ivf_oracle(query_pred: str | None = None) -> str:
-    step = max(1, _emb_count(_ORACLE_SF_DIR) // _IVF_CELLS)
+def _ivf_oracle(query_pred: str | None = None, scaled_cells: bool = False) -> str:
+    n_cells = _ivf_cells_for(_ORACLE_SF_DIR) if scaled_cells else _IVF_CELLS
+    step = max(1, _emb_count(_ORACLE_SF_DIR) // n_cells)
     cos_vc = _COS_SQL.format(a="v.qv", b="c.cq")
     if query_pred is None:
         query_pred = f"vec_id < {_N_QUERIES}"
@@ -981,7 +998,7 @@ WITH q AS (
   FROM embeddings
 ), cent AS (
   SELECT CAST(vec_id // {step} AS INTEGER) AS cell, qv AS cq FROM q
-  WHERE vec_id % {step} = 0 AND vec_id < {step * _IVF_CELLS}
+  WHERE vec_id % {step} = 0 AND vec_id < {step * n_cells}
 ), allassign AS (
   SELECT v.vec_id, c.cell,
          row_number() OVER (PARTITION BY v.vec_id
@@ -3924,6 +3941,24 @@ FROM hassigned a JOIN hsizes s ON a.cluster_id = s.cluster_id
 
 
 
+def _doc_count(sf_dir: str) -> int:
+    """Documents row count from the parquet footer (no Spark job)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+
+
+def _neg_batches_for(sf_dir: str) -> int:
+    """Corpus-scaled batch count for in-batch negatives: batches grow
+    WITH the corpus so per-batch size (and per-doc negative fan-out)
+    stays ~32 — a fixed batch count would make the pair output
+    quadratic at 10x (the same policy shape as auto_planes). The
+    floor keeps the driver-gate corpus (500 docs) at 16 batches."""
+    return max(16, _doc_count(sf_dir) // 32)
+
+
 def _q_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training negative pairs (operators/training_data.py
     ::in_batch_negatives): md5-deterministic batch assignment, all
@@ -3946,7 +3981,9 @@ def _q_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3, bands=4, n_bits=60,
     ).select("doc_a", "doc_b")
     clusters = near_dup_clusters(docs, pairs).select("doc_id", "cluster_id")
-    return in_batch_negatives(docs, clusters, n_batches=16)
+    return in_batch_negatives(
+        docs, clusters, n_batches=_neg_batches_for(sf_dir)
+    )
 
 
 _INBATCH_NEG_ORACLE = f"""
@@ -3965,8 +4002,8 @@ WITH RECURSIVE nhpairs AS (
 ), labeled AS (
   SELECT d.doc_id,
          COALESCE(c.cluster_id, d.doc_id) AS cl,
-         {_H64.format(x="'negatives-v1:' || CAST(d.doc_id AS VARCHAR)")} % 16
-           AS batch
+         {_H64.format(x="'negatives-v1:' || CAST(d.doc_id AS VARCHAR)")}
+           % {_neg_batches_for(_ORACLE_SF_DIR)} AS batch
   FROM documents d LEFT JOIN nhcomp c ON d.doc_id = c.node
   WHERE d.doc_id IS NOT NULL
 )
@@ -4116,7 +4153,7 @@ def ext_oracles():
         "sim_ann_srp_topk": _ann_oracle(),
         "sim_ann_batched_topk": _ann_oracle(_BATCH_QUERY_PRED),
         "sim_ivf_topk": _ivf_oracle(),
-        "sim_ivf_batched_topk": _ivf_oracle(_BATCH_QUERY_PRED),
+        "sim_ivf_batched_topk": _ivf_oracle(_BATCH_QUERY_PRED, scaled_cells=True),
         "t_hard_negatives": _ann_oracle("vec_id IS NOT NULL", max_cos=_NEAR_DUP_THRESHOLD),
         "sim_embedding_near_dup": _near_dup_oracle(),
         "rel_semi_join": _REL_SEMI_ORACLE,
