@@ -625,10 +625,18 @@ def _ivf_assign(
     out_id: str,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by exact
-    cosine (centroids broadcast; ties broken by cell id)."""
-    v = vecs.select(F.col(id_col).alias(out_id), quantize(vec_col, "vq")).withColumn(
-        "vn2", F.expr(_dot("vq", "vq"))
+    cosine (centroids broadcast; ties broken by cell id). Zero-norm /
+    NULL vectors and degenerate (zero-norm) centroids are EXCLUDED —
+    cosine is undefined for them, and ANSI mode turns the 0-divisor
+    into a query-killing error rather than an IEEE Inf (the same rule
+    as cosine_topk / _exact_topk_on_candidates; the dirty-data suite
+    caught the unguarded path)."""
+    v = (
+        vecs.select(F.col(id_col).alias(out_id), quantize(vec_col, "vq"))
+        .withColumn("vn2", F.expr(_dot("vq", "vq")))
+        .where(F.col("vn2") > 0)
     )
+    centroids = centroids.where(F.col("cn2") > 0)
     scored = v.join(F.broadcast(centroids)).withColumn(
         "__cos",
         F.expr(_dot("vq", "cq")).cast("double")

@@ -990,12 +990,18 @@ def _ivf_oracle(query_pred: str | None = None, scaled_cells: bool = False) -> st
     cos_vc = _COS_SQL.format(a="v.qv", b="c.cq")
     if query_pred is None:
         query_pred = f"vec_id < {_N_QUERIES}"
+    # zero-norm / NULL vectors excluded from assignment AND centroid
+    # roles (cosine undefined; mirrors _ivf_assign's guard)
     return f"""
-WITH q AS (
+WITH qraw AS (
   SELECT vec_id,
          [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
           for x in embedding] AS qv
   FROM embeddings
+), q AS (
+  SELECT vec_id, qv FROM qraw
+  WHERE CAST(list_sum([z[1] * z[2] for z in list_zip(qv, qv)])
+             AS BIGINT) > 0
 ), cent AS (
   SELECT CAST(vec_id // {step} AS INTEGER) AS cell, qv AS cq FROM q
   WHERE vec_id % {step} = 0 AND vec_id < {step * n_cells}

@@ -12,6 +12,10 @@ SRP/cosine oracles, SQL-unique semantics, TRY_CAST) is pinned here.
 Scale-dependent oracles (sim_ann_*: auto_planes baked for sf0.01) are
 safe to include because both the dirty corpus and sf0.01 sit below
 the plane-count min-clamp, so both sides resolve the same constant.
+The sim_ivf_* oracles are NOT scale-invariant (the seeded-centroid
+``step`` bakes the exact sf0.01 row count), so they stay out of this
+suite; their zero-norm/NULL routing is pinned by a dedicated unit
+test (test_extensions.py::test_ivf_excludes_zero_norm_vectors).
 """
 
 from __future__ import annotations

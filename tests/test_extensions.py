@@ -792,3 +792,29 @@ def test_hard_negatives_excludes_near_duplicates(spark, emb):
     for q, _, _, rk in rows:
         by_q.setdefault(q, []).append(rk)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_ivf_excludes_zero_norm_vectors(spark, emb):
+    """Zero-norm / NULL embeddings must be excluded from IVF
+    assignment on every role (corpus, query, centroid) instead of
+    killing the query with an ANSI divide-by-zero — the dirty-data
+    suite caught the unguarded path."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ivf_topk,
+        ivf_topk_batched,
+    )
+
+    base = emb.limit(30)
+    salt = spark.createDataFrame(
+        [(9001, [0.0] * 64, 0), (9002, None, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = base.unionByName(salt)
+    # vec_id 0 is a seeded centroid (step=1 at n=32): the degenerate
+    # rows must not crash even when they land in centroid range
+    out = ivf_topk(corpus, corpus.where("vec_id < 5"), k=3, n_cells=8).collect()
+    assert out and all(r.vec_id not in (9001, 9002) for r in out)
+    outb = ivf_topk_batched(corpus, corpus, k=3, n_cells=8).collect()
+    assert outb
+    assert all(r.vec_id not in (9001, 9002) for r in outb)
+    assert all(r.query_id not in (9001, 9002) for r in outb)
