@@ -125,9 +125,16 @@ def cap_per_source(
     sample), it never corrupts rank order. NULL sources form their
     own group, same as the one-phase window (null-safe threshold
     join).
+
+    NULL-``key_col`` rows are EXCLUDED outright: they have no
+    deterministic hash rank (h64(NULL) is NULL), so the one-phase
+    window would place them by engine-specific NULL ordering while
+    the two-phase prefilter's threshold comparison silently drops
+    them — the dirty suite caught exactly that phase disagreement.
+    Stated in the oracle as ``key IS NOT NULL``.
     """
     h = _shuffle_hash(key_col, seed)
-    work = df.withColumn("h_cap", h)
+    work = df.where(F.col(key_col).isNotNull()).withColumn("h_cap", h)
     if presort_cap is not None:
         if presort_cap < cap:
             raise ValueError("presort_cap must be >= cap")

@@ -243,14 +243,20 @@ def order_deltas(orders: DataFrame) -> DataFrame:
 
     All outputs are integer cents / small ints — bit-stable. The ORDER
     BY carries ``o_orderkey`` as a tiebreak so ties at equal dates are
-    deterministic across engines.
+    deterministic across engines. NULL placement is pinned EXPLICITLY
+    (dates NULLS FIRST, prices DESC NULLS LAST, keys NULLS FIRST):
+    engine defaults disagree (Spark ASC=NULLS FIRST, DuckDB NULLS
+    LAST), and an unpinned NULL-dated order would hold a different
+    sequence position on each engine, shifting every neighbour's lag.
     """
     cents = F.expr(_CENTS.format(c="o_totalprice"))
     seq = Window.partitionBy("o_custkey").orderBy(
-        "o_orderdate", "o_orderkey"
+        F.col("o_orderdate").asc_nulls_first(),
+        F.col("o_orderkey").asc_nulls_first(),
     )
     by_price = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+        F.col("o_totalprice").desc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_first(),
     )
     prev = F.lag(cents).over(seq)
     return orders.select(
@@ -380,8 +386,12 @@ def value_percentiles(
     """
     cents = _CENTS.format(c="value")
     w = Window.partitionBy("event_type").orderBy("__cents")
+    # NULL measures are OUT of the ranking (standard PERCENTILE_DISC
+    # skips NULLs) — left in, Spark's NULLS FIRST would shift every
+    # rank while DuckDB's NULLS LAST parks them at p100
     ranked = (
         events.select("event_type", F.expr(cents).alias("__cents"))
+        .where(F.col("__cents").isNotNull())
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count("*").over(Window.partitionBy("event_type")))
     )

@@ -156,16 +156,21 @@ def _q_stream_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    ids = sorted(x.as_py() for x in t.column("doc_id"))
+    ids = sorted(x.as_py() for x in t.column("doc_id") if x.as_py() is not None)
     mid = ids[len(ids) // 2]
     stream_dir = tempfile.mkdtemp(prefix="slsh_src_")
     work = tempfile.mkdtemp(prefix="slsh_work_")
+    # NULL ids ride in batch 0: their band rows pair with nothing in
+    # either engine (every pair predicate is a NULL comparison), but
+    # the replay must still deliver the rows rather than drop them
+    key = t.column("doc_id")
+    in_b0 = pc.or_kleene(pc.less(key, mid), pc.is_null(key))
     pq.write_table(
-        t.filter(pc.less(t.column("doc_id"), mid)),
+        t.filter(pc.fill_null(in_b0, True)),
         os.path.join(stream_dir, "00.parquet"),
     )
     pq.write_table(
-        t.filter(pc.greater_equal(t.column("doc_id"), mid)),
+        t.filter(pc.fill_null(pc.invert(in_b0), False)),
         os.path.join(stream_dir, "01.parquet"),
     )
     old_parts = _set_stream_partitions(spark)
@@ -586,57 +591,66 @@ def _lang_ngram_oracle() -> str:
     # rank top-K by (count desc, gram asc), out-of-place distance with
     # penalty K, Han-script override, argmin with lang-asc ties.
     # RE2 spells the Han class \p{Han} (Java: \p{IsHan}).
+    # The prediction is a pure function of the TEXT, so the pipeline is
+    # keyed by DISTINCT text and joined back null-safely — a per-doc_id
+    # keying would lose NULL-id documents' predictions (NULL keys never
+    # equi-join; the dirty suite caught exactly that) while Spark
+    # computes the expression per row regardless of id.
     return rf"""
 WITH doc AS (
-  SELECT doc_id,
+  SELECT DISTINCT text,
          ' ' || trim(regexp_replace(regexp_replace(
              lower(left(text, {NGRAM_SAMPLE_CHARS})),
              '[^\p{{L}} ]', ' ', 'g'), ' +', ' ', 'g')) || ' ' AS s
   FROM documents
 ), han AS (
-  SELECT doc_id,
+  SELECT text,
          length(s) - length(regexp_replace(s, '\p{{Han}}', '', 'g'))
            AS han_cnt,
          length(replace(s, ' ', '')) AS letters
   FROM doc
 ), tg AS (
-  SELECT doc_id, substring(s, CAST(i AS INTEGER), 2) AS g
+  SELECT text, substring(s, CAST(i AS INTEGER), 2) AS g
   FROM doc, LATERAL unnest(range(1, length(s))) AS t(i)
   WHERE length(s) >= 2
   UNION ALL
-  SELECT doc_id, substring(s, CAST(i AS INTEGER), 3) AS g
+  SELECT text, substring(s, CAST(i AS INTEGER), 3) AS g
   FROM doc, LATERAL unnest(range(1, length(s) - 1)) AS t(i)
   WHERE length(s) >= 3
 ), cnt AS (
-  SELECT doc_id, g, count(*) AS c FROM tg
+  SELECT text, g, count(*) AS c FROM tg
   WHERE trim(g) <> ''
-  GROUP BY doc_id, g
+  GROUP BY text, g
 ), ranked AS (
-  SELECT doc_id, g,
-         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS r
+  SELECT text, g,
+         row_number() OVER (PARTITION BY text ORDER BY c DESC, g) AS r
   FROM cnt
 ), prof AS (
   SELECT * FROM ranked WHERE r <= {PROFILE_K}
 ), lprof AS (
   SELECT * FROM (VALUES {values}) v(lang, g, lr)
 ), dist AS (
-  SELECT p.doc_id, l.lang,
+  SELECT p.text, l.lang,
          sum(coalesce(abs(lp.lr - p.r), {PROFILE_K})) AS d
   FROM prof p
   CROSS JOIN (SELECT DISTINCT lang FROM lprof) l
   LEFT JOIN lprof lp ON lp.lang = l.lang AND lp.g = p.g
-  GROUP BY p.doc_id, l.lang
+  GROUP BY p.text, l.lang
 ), best AS (
-  SELECT doc_id, lang,
-         row_number() OVER (PARTITION BY doc_id ORDER BY d, lang) AS rn
+  SELECT text, lang,
+         row_number() OVER (PARTITION BY text ORDER BY d, lang) AS rn
   FROM dist
+), pred AS (
+  SELECT d.text,
+         CASE WHEN h.han_cnt > 0 AND h.han_cnt * 2 > h.letters THEN 'zh'
+              ELSE b.lang END AS lang_pred_ngram
+  FROM doc d
+  LEFT JOIN han h ON h.text IS NOT DISTINCT FROM d.text
+  LEFT JOIN best b ON b.text IS NOT DISTINCT FROM d.text AND b.rn = 1
 )
-SELECT d.doc_id,
-       CASE WHEN h.han_cnt > 0 AND h.han_cnt * 2 > h.letters THEN 'zh'
-            ELSE b.lang END AS lang_pred_ngram
-FROM doc d
-LEFT JOIN han h USING (doc_id)
-LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+SELECT dd.doc_id, p.lang_pred_ngram
+FROM documents dd
+LEFT JOIN pred p ON p.text IS NOT DISTINCT FROM dd.text
 """
 
 
@@ -1120,10 +1134,13 @@ def _q_sliding_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # windows with start <= ts < end; reproduce by exploding 10 offsets.
 _SLIDING_WINDOWED_ORACLE = """
 WITH src AS (
+  -- ts IS NOT NULL: Spark's sliding-window generator emits no window
+  -- for a NULL event time (the explode over NULL produces nothing)
   SELECT user_id AS cc_num, ts,
          CAST(round(value * 100) AS BIGINT) AS amt_cents,
          CAST(floor(epoch(ts) / 60) AS BIGINT) AS slide_idx
   FROM events
+  WHERE ts IS NOT NULL
 ), assigned AS (
   -- make_timestamp(us) is TZ-independent; to_timestamp(...)::TIMESTAMP
   -- localizes to the DuckDB session TimeZone and would shift every
@@ -1626,8 +1643,13 @@ def _q_rel_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REL_ARRAY_ORACLE = """
 WITH arrs AS (
+  -- FILTER mirrors Spark collect_list's NULL-dropping (DuckDB list()
+  -- KEEPS NULL elements); coalesce keeps an all-NULL user at an empty
+  -- array like Spark rather than a NULL array
   SELECT user_id,
-         list_sort(list(CAST(round(value * 100) AS BIGINT))) AS vals
+         list_sort(coalesce(
+           list(CAST(round(value * 100) AS BIGINT))
+             FILTER (WHERE value IS NOT NULL), [])) AS vals
   FROM events GROUP BY user_id
 )
 SELECT user_id,
@@ -1690,6 +1712,7 @@ WITH ranked AS (
            AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events
+  WHERE value IS NOT NULL
 )
 SELECT event_type,
        max(CASE WHEN rn = CAST(ceil(0.5 * n) AS INTEGER)
@@ -1722,10 +1745,12 @@ SELECT o_custkey, o_orderkey,
          - lag(CAST(round(o_totalprice * 100) AS BIGINT)) OVER seq
          AS delta_cents,
        CAST(ntile(4) OVER (PARTITION BY o_custkey
-                           ORDER BY o_totalprice DESC, o_orderkey)
+                           ORDER BY o_totalprice DESC NULLS LAST,
+                                    o_orderkey NULLS FIRST)
             AS INTEGER) AS spend_quartile
 FROM orders
-WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW seq AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST)
 """
 
 
@@ -1856,6 +1881,11 @@ SELECT media_id,
        CAST(unnest(range(0, greatest(n_frames - 1, 0) + 1, 5)) AS INTEGER)
          AS frame_idx
 FROM media
+-- n_frames >= 1 mirrors sample_frames' corrupt-video guard: a NULL/0
+-- frame count emits NO phantom frame row (greatest() ignores NULLs in
+-- both engines, so without the predicate a NULL-id video would emit
+-- frame 0)
+WHERE n_frames >= 1
 """
 
 
@@ -3472,8 +3502,9 @@ def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SOURCE_CAP_ORACLE = f"""
 WITH h AS (
+  -- NULL ids excluded: no deterministic hash rank (see cap_per_source)
   SELECT doc_id, source, {_SHUF_H.format(seed='cap-v1')} AS h
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ), r AS (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk

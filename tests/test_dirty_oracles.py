@@ -310,6 +310,46 @@ DIRTY_QUERIES = [
     "olap_big_ticket_orders",
     "olap_brand_brackets",
     "olap_order_count_dist",
+    "b13_feature_records",
+    "cohort_retention",
+    "dedup_contamination",
+    "dedup_edit_distance",
+    "dedup_inc_append",
+    "dedup_inc_append_bloom",
+    "i_enrich",
+    "i_enrich_shuffle",
+    "mm_frame_sample",
+    "olap_forecast_revenue",
+    "olap_grouping_sets",
+    "olap_revenue_cube",
+    "olap_small_qty_revenue",
+    "pipeline_source_cap",
+    "pit_training_set",
+    "q_profile_table",
+    "rel_array_agg",
+    "rel_distinct_agg",
+    "rel_map_funcs",
+    "rel_percentiles",
+    "rel_pivot",
+    "rel_unpivot",
+    "rel_window_distinct",
+    "rel_window_funcs",
+    "s4_sliding_windowed",
+    "sketch_cms_heavy_hitters",
+    "sketch_kmv_distinct",
+    "t_train_prep",
+    "text_bpe_vocab",
+    "text_lang_id_ngram",
+    "text_pii_scan",
+    "text_pmi_collocations",
+    "text_tfidf_top_terms",
+    "text_vocab_coverage",
+    "text_vocab_topk",
+    "ts_gap_fill_daily",
+    "ts_interpolate_hourly",
+    "ts_rolling_corr",
+    "udx_luhn",
+    "udx_word_positions",
 ]
 
 # Streaming replay fixtures on the salted events table: NULL keys /
@@ -328,6 +368,7 @@ DIRTY_STREAM_QUERIES = [
     "s_stream_interval_join_outer",
     "s_stream_interval_join_full",
     "s_stream_hamming_index",
+    "s_stream_lsh_index",
     "s4_sliding_agg",
 ]
 
