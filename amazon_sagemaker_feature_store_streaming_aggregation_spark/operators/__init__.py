@@ -30,8 +30,11 @@ from .dedup import (  # noqa: F401
     dedup_append_bucketed,
     dedup_edit_distance,
     dedup_exact,
+    hamming_near_dup_edges,
+    hamming_near_dup_pairs,
     lsh_append_candidates,
     lsh_candidate_pairs,
+    lsh_near_dup_edges,
     minhash_signatures,
     jaccard_verify_pairs,
     near_dup_clusters,

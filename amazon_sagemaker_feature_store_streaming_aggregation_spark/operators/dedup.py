@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import h64, shingle_hashes
 
@@ -399,20 +400,122 @@ def band_rows(
     )
 
 
+def _collapse_members(
+    rows: DataFrame, id_col: str, key_col: str
+) -> DataFrame:
+    """Group rows by an exact-duplicate key and tag every row with its
+    group REPRESENTATIVE (the minimum id in the group): one window
+    shuffle on the key, output ``rows + __rep``. The representative
+    table is ``where(id == __rep)`` over the result — same subtree,
+    same exchange, so Catalyst reuses the shuffle for both.
+
+    This is the hot-bucket linearizer for the banded candidate joins:
+    k documents with an IDENTICAL fingerprint/signature (the planted
+    1,000-identical-docs case, or any boilerplate pile-up) put ONE
+    representative row through the band self-join instead of k — the
+    k²-per-bucket candidate blowup collapses to O(distinct²), and the
+    group members re-attach afterwards at output-sized cost."""
+    w = Window.partitionBy(key_col)
+    return rows.withColumn("__rep", F.min(id_col).over(w))
+
+
+def _cap_band_buckets(
+    exploded: DataFrame,
+    id_col: str,
+    band_max: int | None,
+    bucket_cols: tuple = ("band", "bhash"),
+) -> DataFrame:
+    """Optional residual-skew guard for the banded self-joins: keep at
+    most ``band_max`` rows (the lowest ids, deterministic) per band
+    bucket. Collapse (:func:`_collapse_members`) already makes
+    IDENTICAL fingerprints O(k); this caps the remaining case — many
+    DISTINCT fingerprints colliding on one band slice (shared
+    boilerplate headers) — at the price of recall on pairs routed
+    through the dropped rows. Same policy shape as
+    ``dedup_edit_distance``'s ``block_max`` and the ANN family's
+    ``_cap_buckets`` (operators/similarity.py). ``None`` = off
+    (exact; the default, and the gated-oracle configuration)."""
+    if band_max is None:
+        return exploded
+    w = Window.partitionBy(*bucket_cols).orderBy(F.col(id_col))
+    return (
+        exploded.withColumn("__bn", F.row_number().over(w))
+        .filter(F.col("__bn") <= band_max)
+        .drop("__bn")
+    )
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, mem: DataFrame, id_col: str, carry: list | None = None
+) -> DataFrame:
+    """Expand representative-level verified pairs back to member-level
+    pairs: every (member of rep_a) × (member of rep_b) combination,
+    ordered with least/greatest. Output-sized — for near-dup pairs the
+    output IS the quadratic object, but nothing upstream of this join
+    ever was. ``carry`` columns (e.g. the verified hamming distance,
+    identical for every member pair of a fingerprint pair) ride along.
+    """
+    carry = carry or []
+    links = mem.select(
+        F.col("__rep").alias("__r"), F.col(id_col).alias("__m")
+    )
+    return (
+        rep_pairs.join(
+            links.select(
+                F.col("__r").alias("doc_a"), F.col("__m").alias("__ma")
+            ),
+            on="doc_a",
+        )
+        .join(
+            links.select(
+                F.col("__r").alias("doc_b"), F.col("__m").alias("__mb")
+            ),
+            on="doc_b",
+        )
+        .select(
+            F.least("__ma", "__mb").alias("doc_a"),
+            F.greatest("__ma", "__mb").alias("doc_b"),
+            *carry,
+        )
+    )
+
+
+def _intra_group_pairs(
+    mem: DataFrame, id_col: str, carry_exprs: list | None = None
+) -> DataFrame:
+    """All ordered pairs WITHIN each exact-duplicate group (identical
+    fingerprint/signature ⇒ distance 0 ⇒ verified by construction —
+    no band join, no verification pass). Output-sized: the self-join
+    key is the group representative."""
+    a = mem.select(F.col("__rep").alias("__r"), F.col(id_col).alias("doc_a"))
+    b = mem.select(F.col("__rep").alias("__r"), F.col(id_col).alias("doc_b"))
+    out = a.join(b, on="__r").where(F.col("doc_a") < F.col("doc_b"))
+    return out.select("doc_a", "doc_b", *(carry_exprs or []))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
+    band_max: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature are
     candidate near-duplicates. Output: distinct ``(doc_a, doc_b)``
     with ``doc_a < doc_b``.
 
-    One shuffle keyed on ``(band, band_hash)``; the self-join happens
-    inside buckets only.
+    Hot buckets stay linear: identical SIGNATURES collapse to one
+    representative before the band join (:func:`_collapse_members` —
+    a pile of k exact near-dups costs O(k) through the shuffle, not
+    k²; candidacy is a pure function of the signature, so collapsing
+    is exact), and ``band_max`` optionally caps the residual
+    distinct-signature skew (:func:`_cap_band_buckets`). Member pairs
+    re-attach after the rep-level distinct at output-sized cost:
+    intra-group pairs (identical signature ⇒ every band collides) plus
+    the rep-pair cross expansion.
 
-    The self-join is pinned to sort-merge (``hint('merge')``): both
+    One shuffle keyed on ``(band, band_hash)`` for the rep-level
+    self-join, which is pinned to sort-merge (``hint('merge')``): both
     sides then require the IDENTICAL exchange on (band, bhash), so
     Catalyst's ReuseExchange evaluates the signature+explode subtree
     ONCE and the second side reads the shuffle files. Left to AQE at
@@ -420,10 +523,19 @@ def lsh_candidate_pairs(
     the exploded corpus signatures AND recomputes the md5-heavy
     signatures separately per side: wrong twice at 100 TB.
     """
-    exploded = band_rows(signatures, id_col, bands, rows_per_band)
+    # NULL ids can never appear in output pairs (strict < in the old
+    # single-join spelling); excluding them up front keeps least/
+    # greatest in the expansion from fabricating self-pairs.
+    mem = _collapse_members(
+        signatures.where(F.col(id_col).isNotNull()), id_col, "minhash"
+    )
+    reps = mem.where(F.col(id_col) == F.col("__rep")).select(id_col, "minhash")
+    exploded = _cap_band_buckets(
+        band_rows(reps, id_col, bands, rows_per_band), id_col, band_max
+    )
     a = exploded.hint("merge").alias("a")
     b = exploded.hint("merge").alias("b")
-    return (
+    rep_cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -434,6 +546,11 @@ def lsh_candidate_pairs(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
         .distinct()
+    )
+    # cross pairs (distinct signatures) and intra pairs (identical
+    # signatures) are disjoint by construction — no final distinct.
+    return _expand_rep_pairs(rep_cand, mem, id_col).unionByName(
+        _intra_group_pairs(mem, id_col)
     )
 
 
@@ -627,6 +744,63 @@ def jaccard_verify_pairs(
     return out.select("doc_a", "doc_b", "jaccard")
 
 
+def lsh_near_dup_edges(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    k: int = DEFAULT_SHINGLE_K,
+    threshold: float = 0.5,
+    band_max: int | None = None,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Component-exact SPARSE edge set for the MinHash/Jaccard near-dup
+    graph — the :func:`hamming_near_dup_edges` twin for the text
+    chain, and what :func:`near_dup_clusters` consumers should feed to
+    connected components instead of the full
+    ``lsh_candidate_pairs → jaccard_verify_pairs`` pair table.
+    Output ``(doc_a, doc_b, jaccard)``:
+
+    * exact-duplicate TEXTS collapse first (key = ``h64(text)``, the
+      same key as :func:`dedup_exact`): one STAR edge (representative ↔
+      member, jaccard 1.0) per non-rep member — verified by
+      construction, since identical texts have identical shingle sets;
+    * MinHash + banding + exact Jaccard verification run over the
+      DISTINCT texts only.
+
+    Jaccard is a pure function of the two texts, so every verified
+    pair of the full graph maps to a verified representative pair with
+    the SAME jaccard, and star edges restore member connectivity:
+    components (and min-id labels) are identical. On a dup-heavy
+    corpus (CommonCrawl-class inputs run 30–50% duplicate mass) this
+    also SAVES the dominant scan cost — md5 shingling and signature
+    work run once per distinct text, not once per copy. The collapse
+    itself is one shuffle of (id, text) rows keyed on the 8-byte text
+    hash.
+    """
+    d = docs.where(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col), F.col(text_col))
+    mem = _collapse_members(d.withColumn("__th", h64(text_col)), id_col, "__th")
+    rep_docs = mem.where(F.col(id_col) == F.col("__rep")).select(
+        id_col, text_col
+    )
+    sigs = minhash_signatures(rep_docs, text_col, id_col, num_hashes, k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, band_max)
+    rep_edges = jaccard_verify_pairs(
+        rep_docs, cands, text_col, id_col, k, threshold,
+        min_parallelism=min_parallelism,
+    )
+    star = mem.where(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("doc_a"),
+        F.col(id_col).alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return rep_edges.unionByName(star)
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",
@@ -755,16 +929,25 @@ def near_dup_clusters(
     row per cluster a dedup job would KEEP.
 
     Documents in no pair are singleton clusters of themselves. The
-    component map is broadcast to the corpus join (it is bounded by
-    2x the pair count, not the corpus size); cluster sizes reuse the
-    cluster_id shuffle.
+    component-map join is left to the planner: on a real training
+    corpus the near-dup mass is corpus-scale (CommonCrawl-class inputs
+    run 30-50% duplicates), so ``comp`` is O(N) rows and a forced
+    broadcast would OOM the executors — AQE broadcasts it when it
+    actually fits and shuffle-joins on the id otherwise. Cluster sizes
+    reuse the cluster_id shuffle.
+
+    Feed SPARSE component-equivalent edges
+    (:func:`hamming_near_dup_edges` / :func:`lsh_near_dup_edges`)
+    rather than the full pair table: the cluster output is provably
+    identical and the edge list stays O(N + rep-pairs) on duplicate
+    pile-ups instead of quadratic.
     """
     comp = connected_components(pairs, max_iter=max_iter).withColumnRenamed(
         "node", id_col
     )
     assigned = (
         docs.select(id_col)
-        .join(F.broadcast(comp), id_col, "left")
+        .join(comp, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
@@ -951,8 +1134,13 @@ def hamming_band_rows(
     fp: DataFrame, id_col: str, hash_col: str, bands: int, width: int
 ) -> DataFrame:
     """Explode a fingerprint table to one row per (id, band, band
-    value), the fingerprint riding along so popcount verification
-    needs no second join. Scan-side bit slicing, no shuffle."""
+    value). The fingerprint column rides along for the STREAMING index
+    path (streaming/dedup.py persists (id, fp, band, bv) rows so batch
+    probes verify without re-reading the corpus); the batch pair path
+    deliberately drops it before its candidate distinct — no 16-byte
+    fingerprints ride the shuffle, the verify joins the (tiny,
+    distinct-fingerprint) rep table back instead. Scan-side bit
+    slicing, no shuffle."""
     mask = (1 << width) - 1
     return fp.select(
         id_col,
@@ -974,41 +1162,40 @@ def hamming_band_rows(
     )
 
 
-def hamming_near_dup_pairs(
+def _hamming_rep_pairs(
     hashes: DataFrame,
-    id_col: str = "doc_id",
-    hash_col: str = "phash",
-    max_hamming: int = 3,
-    bands: int = 4,
-    n_bits: int = 64,
-) -> DataFrame:
-    """Near-duplicate pairs under HAMMING distance over a fixed-width
-    integer fingerprint column (perceptual image hashes, SimHash
-    values, any bit-signature): band the ``n_bits`` fingerprint into
-    ``bands`` equal bit-slices, candidate = any band equal, verify =
-    exact ``bit_count(a XOR b) <= max_hamming``. Output
-    ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``.
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    bands: int,
+    n_bits: int,
+    band_max: int | None,
+) -> tuple:
+    """Shared discovery core of the hamming near-dup family: collapse
+    identical fingerprints to representatives, band the DISTINCT
+    fingerprints, self-join per (band, band value), popcount-verify.
+    Returns ``(mem, rep_pairs)``: the member→representative map and the
+    verified rep-level ``(doc_a, doc_b, hamming)`` pairs (both ids are
+    representatives, fingerprints guaranteed distinct so hamming ≥ 1).
 
-    Completeness: by pigeonhole the banding finds EVERY pair with
-    distance < ``bands`` (``max_hamming < bands`` means recall 1);
-    a larger radius than ``bands - 1`` makes the stage approximate —
-    widening bands instead raises random-collision cost (band width
-    ``n_bits/bands`` bits → collision odds 2^-width per band), which
-    is the standard hamming-LSH trade.
-
-    Plan shape: the band explode is scan-side (bands × 16-byte rows);
-    ONE shuffle keyed on (band, band value) with the self-join
-    merge-pinned so the exploded subtree evaluates once (same
-    reasoning as :func:`lsh_candidate_pairs`); candidate ids dedupe
-    BEFORE fingerprints join back for the popcount verify — no wide
-    rows ride the distinct. NULL fingerprints never band-join and are
-    excluded outright.
+    This is where the k²-hot-bucket problem dies: k docs with one
+    fingerprint put ONE row per band through the shuffle. Candidate
+    ids dedupe BEFORE fingerprints join back for the popcount verify —
+    no wide rows ride the distinct. NULL fingerprints and NULL ids are
+    excluded outright (neither can appear in an output pair).
     """
     width = _hamming_band_width(bands, n_bits)
-    fp = hashes.where(F.col(hash_col).isNotNull()).select(
-        F.col(id_col), F.col(hash_col).alias("__fp")
+    fp = hashes.where(
+        F.col(hash_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col), F.col(hash_col).alias("__fp"))
+    mem = _collapse_members(fp, id_col, "__fp")
+    reps = mem.where(F.col(id_col) == F.col("__rep")).select(id_col, "__fp")
+    exploded = _cap_band_buckets(
+        hamming_band_rows(reps, id_col, "__fp", bands, width).drop("__fp"),
+        id_col,
+        band_max,
+        bucket_cols=("band", "bv"),
     )
-    exploded = hamming_band_rows(fp, id_col, "__fp", bands, width).drop("__fp")
     a = exploded.hint("merge").alias("a")
     b = exploded.hint("merge").alias("b")
     cand = (
@@ -1024,16 +1211,104 @@ def hamming_near_dup_pairs(
         )
         .distinct()
     )
-    return (
+    rep_pairs = (
         cand.join(
-            fp.select(F.col(id_col).alias("doc_a"), F.col("__fp").alias("__fa")),
+            reps.select(F.col(id_col).alias("doc_a"), F.col("__fp").alias("__fa")),
             on="doc_a",
         )
         .join(
-            fp.select(F.col(id_col).alias("doc_b"), F.col("__fp").alias("__fb")),
+            reps.select(F.col(id_col).alias("doc_b"), F.col("__fp").alias("__fb")),
             on="doc_b",
         )
         .withColumn("hamming", F.expr("cast(bit_count(__fa ^ __fb) as int)"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    return mem, rep_pairs
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    n_bits: int = 64,
+    band_max: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs under HAMMING distance over a fixed-width
+    integer fingerprint column (perceptual image hashes, SimHash
+    values, any bit-signature): band the ``n_bits`` fingerprint into
+    ``bands`` equal bit-slices, candidate = any band equal, verify =
+    exact ``bit_count(a XOR b) <= max_hamming``. Output
+    ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``.
+
+    Completeness: by pigeonhole the banding finds EVERY pair with
+    distance < ``bands`` (``max_hamming < bands`` means recall 1);
+    a larger radius than ``bands - 1`` makes the stage approximate —
+    widening bands instead raises random-collision cost (band width
+    ``n_bits/bands`` bits → collision odds 2^-width per band), which
+    is the standard hamming-LSH trade.
+
+    Plan shape (:func:`_hamming_rep_pairs`): identical fingerprints
+    collapse to one representative BEFORE banding — hamming distance
+    is a pure function of the fingerprints, so the collapse is exact,
+    and a hot bucket of k identical docs costs O(k) through the band
+    shuffle instead of k². The pairs OUTPUT is inherently quadratic in
+    group size (k identical docs really do form k·(k-1)/2 hamming-0
+    pairs); that expansion happens after discovery, at output-sized
+    cost, keyed on the representative. ``band_max`` caps residual
+    distinct-fingerprint band skew (off by default = exact). Cluster
+    consumers should use :func:`hamming_near_dup_edges` instead, which
+    skips the quadratic expansion entirely.
+    """
+    mem, rep_pairs = _hamming_rep_pairs(
+        hashes, id_col, hash_col, max_hamming, bands, n_bits, band_max
+    )
+    cross = _expand_rep_pairs(rep_pairs, mem, id_col, carry=["hamming"])
+    intra = _intra_group_pairs(
+        mem, id_col, carry_exprs=[F.lit(0).cast("int").alias("hamming")]
+    )
+    return cross.unionByName(intra)
+
+
+def hamming_near_dup_edges(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    n_bits: int = 64,
+    band_max: int | None = None,
+) -> DataFrame:
+    """Component-exact SPARSE edge set for the hamming near-dup graph —
+    what :func:`near_dup_clusters` consumers should feed to connected
+    components instead of :func:`hamming_near_dup_pairs`'s full pair
+    table. Output ``(doc_a, doc_b, hamming)``, O(N + rep-pairs) rows:
+
+    * one STAR edge (representative ↔ member, hamming 0) per non-rep
+      member of each identical-fingerprint group — k identical docs
+      contribute k-1 edges, never k²;
+    * the popcount-verified representative-level pairs.
+
+    Component-exactness: hamming distance depends only on the
+    fingerprint, so every verified pair (x, y) in the full graph maps
+    to the verified pair (rep(x), rep(y)) — same distance — and star
+    edges connect each member to its representative; conversely every
+    edge here IS a verified pair of the full graph. Unions of paths
+    therefore coincide: the connected components (and their min-id
+    labels) are identical to the full pair table's, while a planted
+    pile of 1,000 identical documents yields 999 edges instead of
+    ~500k pairs. The same argument licenses ``near_dup_clusters``'s
+    cluster_id/size/canonical output being byte-identical over either
+    input.
+    """
+    mem, rep_pairs = _hamming_rep_pairs(
+        hashes, id_col, hash_col, max_hamming, bands, n_bits, band_max
+    )
+    star = mem.where(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("doc_a"),
+        F.col(id_col).alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return rep_pairs.unionByName(star)

@@ -1161,18 +1161,26 @@ GROUP BY cc_num, w_end
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full dedup workflow: MinHash -> LSH candidates -> exact-Jaccard
-    verify -> connected components -> one canonical doc per cluster."""
-    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import near_dup_clusters
+    """Full dedup workflow: exact-text collapse -> MinHash over
+    distinct texts -> LSH candidates -> exact-Jaccard verify -> sparse
+    component-equivalent edges (operators/dedup.py::lsh_near_dup_edges,
+    star edges inside identical-text groups) -> connected components ->
+    one canonical doc per cluster. The oracle stays the full-pair-table
+    recursive CTE: the edge list provably has the same components, so
+    the cluster output is identical while duplicate pile-ups stay
+    linear instead of quadratic through the candidate join."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        lsh_near_dup_edges,
+        near_dup_clusters,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
-    cands = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND)
-    pairs = jaccard_verify_pairs(
-        docs, cands, threshold=_JACCARD_THRESHOLD,
+    edges = lsh_near_dup_edges(
+        docs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND,
+        threshold=_JACCARD_THRESHOLD,
         min_parallelism=spark.sparkContext.defaultParallelism,
     )
-    return near_dup_clusters(docs, pairs)
+    return near_dup_clusters(docs, edges)
 
 
 # Component labels via recursive CTE: min reachable id (+ self) per node.
@@ -3932,48 +3940,57 @@ WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
 
 
 
-#: fingerprint near-dup pair memo per sf_dir: the cluster and
-#: in-batch-negative queries CONSUME the pair table that
-#: dedup_hamming_pairs discovers — a pipeline persists that table and
-#: reads it, it does not re-run SimHash + banding per consumer. The
-#: pair set is tiny (O(near-dups)) and deterministic, so caching the
-#: collected rows is observationally identical; dedup_hamming_pairs
-#: itself always executes the real operator chain.
-_HAMMING_PAIRS_CACHE: dict = {}
+#: fingerprint near-dup edge table, persisted as parquet per sf_dir:
+#: the cluster and in-batch-negative queries CONSUME the near-dup
+#: graph that the hamming discovery stage produces — a pipeline
+#: persists that table and reads it back, it does not re-run SimHash
+#: + banding per consumer. The persisted artifact is the SPARSE
+#: component-equivalent edge list (hamming_near_dup_edges: star edges
+#: inside identical-fingerprint groups + rep-level verified pairs) —
+#: O(N + rep-pairs) rows even on duplicate pile-ups, so unlike the
+#: full pair table it never exceeds storage/driver budgets at scale.
+#: Written once per (process, sf_dir) with mode=overwrite so a code
+#: change can never serve a stale graph across rounds.
+_HAMMING_EDGES_WRITTEN: set = set()
+_GATE_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "_gate_cache"
+)
 
 
-def _hamming_pair_rows(spark: SparkSession, sf_dir: str):
-    if sf_dir not in _HAMMING_PAIRS_CACHE:
+def _hamming_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(_GATE_CACHE_DIR, f"hamming_edges_{key}")
+    if path not in _HAMMING_EDGES_WRITTEN:
         from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
-            hamming_near_dup_pairs,
+            hamming_near_dup_edges,
         )
 
         fps = simhash(load_table(spark, sf_dir, "documents"))
-        _HAMMING_PAIRS_CACHE[sf_dir] = [
-            (r.doc_a, r.doc_b)
-            for r in hamming_near_dup_pairs(
-                fps, id_col="doc_id", hash_col="simhash",
-                max_hamming=3, bands=4, n_bits=60,
-            ).select("doc_a", "doc_b").collect()
-        ]
-    return _HAMMING_PAIRS_CACHE[sf_dir]
+        hamming_near_dup_edges(
+            fps, id_col="doc_id", hash_col="simhash",
+            max_hamming=3, bands=4, n_bits=60,
+        ).write.mode("overwrite").parquet(path)
+        _HAMMING_EDGES_WRITTEN.add(path)
+    return spark.read.parquet(path).select("doc_a", "doc_b")
 
 
 def _q_hamming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint dedup workflow end-to-end: SimHash -> banded
     hamming candidates + popcount verify (radius 3, complete) ->
-    connected components -> one canonical doc per cluster — the
-    fingerprint twin of dedup_clusters' MinHash/Jaccard chain, and
-    exactly what an image-dedup job runs over dHash values."""
+    persisted sparse edge table (component-equivalent to the full pair
+    table — the oracle's recursive CTE over ALL pairs provably labels
+    the same components) -> connected components -> one canonical doc
+    per cluster — the fingerprint twin of dedup_clusters'
+    MinHash/Jaccard chain, and exactly what an image-dedup job runs
+    over dHash values."""
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
         near_dup_clusters,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = spark.createDataFrame(
-        _hamming_pair_rows(spark, sf_dir) or [], "doc_a long, doc_b long"
-    )
-    return near_dup_clusters(docs, pairs)
+    return near_dup_clusters(docs, _hamming_edges(spark, sf_dir))
 
 
 _HAMMING_CLUSTERS_ORACLE = f"""
@@ -4035,10 +4052,9 @@ def _q_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = spark.createDataFrame(
-        _hamming_pair_rows(spark, sf_dir) or [], "doc_a long, doc_b long"
-    )
-    clusters = near_dup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    clusters = near_dup_clusters(
+        docs, _hamming_edges(spark, sf_dir)
+    ).select("doc_id", "cluster_id")
     return in_batch_negatives(
         docs, clusters, n_batches=_neg_batches_for(sf_dir)
     )
