@@ -412,8 +412,12 @@ def _block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     than the target in a dimension degrade to nearest-index sampling
     (the clamp keeps every block non-empty)."""
     h, w = img.shape
-    rb = [min(i * h // out_h, h - 1) for i in range(out_h + 1)]
-    cb = [min(j * w // out_w, w - 1) for j in range(out_w + 1)]
+    # the FINAL boundary is exactly h/w so the last pixel row/column
+    # is always averaged in; intermediate starts for h < out_h repeat
+    # and the max(...) guard below keeps every block non-empty (its
+    # end then stays <= h because i*h//out_h <= h-1 for i < out_h)
+    rb = [i * h // out_h for i in range(out_h + 1)]
+    cb = [j * w // out_w for j in range(out_w + 1)]
     out = np.empty((out_h, out_w), dtype=np.float64)
     for i in range(out_h):
         r0, r1 = rb[i], max(rb[i + 1], rb[i] + 1)
@@ -465,6 +469,12 @@ def perceptual_hashes(media: DataFrame, hash_size: int = 8) -> DataFrame:
 
     Scale: decode cost is the scan; hashes are 16 bytes/row. The
     downstream near-dup join never touches pixels again."""
+    if hash_size * hash_size > 64:
+        raise ValueError(
+            f"hash_size={hash_size} yields {hash_size * hash_size} bits;"
+            " the packed hash and the hamming banding domain are 64-bit"
+            " LongType — hash_size must satisfy hash_size**2 <= 64"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

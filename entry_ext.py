@@ -999,8 +999,24 @@ def _q_ivf_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle(query_pred: str | None = None, scaled_cells: bool = False) -> str:
-    n_cells = _ivf_cells_for(_ORACLE_SF_DIR) if scaled_cells else _IVF_CELLS
-    step = max(1, _emb_count(_ORACLE_SF_DIR) // n_cells)
+    # SCALE-INVARIANT params: n_cells / step derive from count(*) in
+    # SQL exactly as the query side derives them from the parquet
+    # footer count (auto_cells = 2^round_even(log2(sqrt(max(4, N))))
+    # clamped to [4, 65536] then floored at the original 32 —
+    # round_even matches Python round()'s banker's rounding; the only
+    # residual parity risk is a corpus of EXACTLY 2^odd rows, where
+    # log2(sqrt(N)) lands on a .5 tie whose libm rounding could differ
+    # by 1 ulp across engines). This keeps the oracle valid at any
+    # sf_dir — including the salted dirty corpus — instead of baking
+    # the sf0.01 constants at import.
+    if scaled_cells:
+        auto = (
+            "CAST(power(2, round_even(log2(sqrt(greatest(4.0,"
+            " CAST(count(*) AS DOUBLE)))), 0)) AS BIGINT)"
+        )
+        n_cells_sql = f"greatest({_IVF_CELLS}, least(65536, {auto}))"
+    else:
+        n_cells_sql = f"CAST({_IVF_CELLS} AS BIGINT)"
     cos_vc = _COS_SQL.format(a="v.qv", b="c.cq")
     if query_pred is None:
         query_pred = f"vec_id < {_N_QUERIES}"
@@ -1012,13 +1028,17 @@ WITH qraw AS (
          [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
           for x in embedding] AS qv
   FROM embeddings
+), params AS (
+  SELECT n_cells, greatest(1, n // n_cells) AS step
+  FROM (SELECT {n_cells_sql} AS n_cells, count(*) AS n FROM embeddings)
 ), q AS (
   SELECT vec_id, qv FROM qraw
   WHERE CAST(list_sum([z[1] * z[2] for z in list_zip(qv, qv)])
              AS BIGINT) > 0
 ), cent AS (
-  SELECT CAST(vec_id // {step} AS INTEGER) AS cell, qv AS cq FROM q
-  WHERE vec_id % {step} = 0 AND vec_id < {step * n_cells}
+  SELECT CAST(q.vec_id // p.step AS INTEGER) AS cell, q.qv AS cq
+  FROM q, params p
+  WHERE q.vec_id % p.step = 0 AND q.vec_id < p.step * p.n_cells
 ), allassign AS (
   SELECT v.vec_id, c.cell,
          row_number() OVER (PARTITION BY v.vec_id

@@ -182,6 +182,69 @@ def gen_events(n_events: int, seed: int = 44):
     )
 
 
+REF_SF_DIR = "/root/testdata/sf0.1"
+
+#: (table, scaling key columns) — key offsets keep the k replicas
+#: DISJOINT in every key domain, so join fan-outs and selectivities
+#: are exactly the sf0.1 ones at k x rows: self-similar "horizontal"
+#: growth, the same regime the docs/events generators use. Dimension
+#: tables (region, nation) stay constant, as TPC-H itself scales.
+_TPCH_FACTS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+}
+_TPCH_DIMS = ("region", "nation")
+
+
+def gen_tpch(out_dir: str, ratio: int) -> dict:
+    """Replicate the driver's sf0.1 TPC-H-ish tables ``ratio`` times
+    with per-replica key offsets (non-key columns copied verbatim, so
+    every value distribution — dates, prices, statuses — is exactly
+    the reference one). ratio=1 writes a byte-equal copy: compare
+    THIS generator's k=1 against THIS generator's k=10."""
+    import pyarrow.compute as pc
+
+    # one shared offset per key DOMAIN (custkey appears in customer
+    # and orders; orderkey in orders and lineitem) so references stay
+    # intact across tables within a replica
+    domains = {}
+    tabs = {}
+    for name, keys in _TPCH_FACTS.items():
+        tabs[name] = pq.read_table(os.path.join(REF_SF_DIR, f"{name}.parquet"))
+        for k in keys:
+            dom = k.split("_", 1)[1]  # custkey / orderkey / ...
+            hi = pc.max(tabs[name][k]).as_py()
+            domains[dom] = max(domains.get(dom, 0), hi + 1)
+    counts = {}
+    for name, keys in _TPCH_FACTS.items():
+        t = tabs[name]
+        reps = []
+        for i in range(ratio):
+            r = t
+            for k in keys:
+                off = i * domains[k.split("_", 1)[1]]
+                if off:
+                    r = r.set_column(
+                        r.schema.get_field_index(k),
+                        k,
+                        pc.add(r[k], off),
+                    )
+            reps.append(r)
+        out = pa.concat_tables(reps)
+        pq.write_table(
+            out, os.path.join(out_dir, f"{name}.parquet"), row_group_size=65536
+        )
+        counts[name] = out.num_rows
+    for name in _TPCH_DIMS:
+        t = pq.read_table(os.path.join(REF_SF_DIR, f"{name}.parquet"))
+        pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
+        counts[name] = t.num_rows
+    return counts
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -189,7 +252,25 @@ def main() -> None:
     ap.add_argument("--vecs", type=int, required=True)
     ap.add_argument("--events", type=int, default=0)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--tpch-ratio", type=int, default=0,
+        help="replicate the sf0.1 TPC-H tables this many times "
+        "(key-offset disjoint copies; 0 = skip)",
+    )
+    ap.add_argument(
+        "--exact-dup-frac", type=float, default=None,
+        help="override EXACT_DUP_FRAC (high-dup-mass dedup fixtures)",
+    )
+    ap.add_argument(
+        "--near-dup-frac", type=float, default=None,
+        help="override NEAR_DUP_FRAC (high-dup-mass dedup fixtures)",
+    )
     args = ap.parse_args()
+    global EXACT_DUP_FRAC, NEAR_DUP_FRAC
+    if args.exact_dup_frac is not None:
+        EXACT_DUP_FRAC = args.exact_dup_frac
+    if args.near_dup_frac is not None:
+        NEAR_DUP_FRAC = args.near_dup_frac
     os.makedirs(args.out, exist_ok=True)
     docs = gen_documents(args.docs, args.seed)
     pq.write_table(
@@ -206,9 +287,10 @@ def main() -> None:
             ev, os.path.join(args.out, "events.parquet"), row_group_size=65536
         )
         n_ev = ev.num_rows
+    tpch = gen_tpch(args.out, args.tpch_ratio) if args.tpch_ratio else {}
     print(
         f"wrote {args.out}: documents={docs.num_rows}"
-        f" embeddings={emb.num_rows} events={n_ev}"
+        f" embeddings={emb.num_rows} events={n_ev} tpch={tpch}"
     )
 
 
