@@ -217,6 +217,315 @@ def _decode_png(data: bytes) -> np.ndarray:
     return px[:, :, :3]
 
 
+# ----------------------------------------------- baseline JPEG decode
+#
+# Pure numpy/stdlib implementation of ITU-T T.81 BASELINE sequential
+# DCT decoding (the public-spec algorithm: marker parse -> canonical
+# Huffman entropy decode -> dequantize -> dezigzag -> 8x8 IDCT ->
+# chroma upsample -> JFIF YCbCr->RGB). Supported: 8-bit baseline
+# (SOF0) and extended-sequential (SOF1) Huffman JPEGs, grayscale or
+# 3-component, any sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...),
+# restart markers, 8/16-bit quant tables, multi-table DQT/DHT
+# segments. The NotImplementedError boundary retreats to progressive
+# (SOF2), lossless/hierarchical, and arithmetic-coded streams.
+#
+# Correctness-first: the entropy decode walks bits in Python, so this
+# path is for fixture-scale corpora and pipeline verification; a
+# production deployment swaps in libjpeg-turbo at the same
+# _IMAGE_DECODERS plug point without touching any Spark plumbing.
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: 8x8 DCT-II basis M[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+#: inverse transform is f = M.T @ F @ M (T.81 A.3.3).
+_IDCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _jpeg_build_huff(counts: list, symbols: bytes) -> dict:
+    """Canonical Huffman table (T.81 C.2): {(bit_length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one destuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "buf", "n")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.buf, self.n = data, 0, 0, 0
+
+    def bit(self) -> int:
+        if not self.n:
+            if self.pos >= len(self.data):
+                # past segment end: T.81 pads with 1-bits
+                return 1
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("corrupt JPEG: no Huffman code matched in 16 bits")
+
+    def receive_extend(self, s: int) -> int:
+        if not s:
+            return 0
+        v = self.bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_scan_segments(data: bytes, pos: int) -> tuple:
+    """Split the entropy-coded stream at ``pos`` into destuffed
+    (0xFF00 -> 0xFF) segments separated by RST markers; returns
+    (segments, end_pos) with end_pos at the 0xFF of the terminating
+    marker."""
+
+    def destuff(seg: bytes) -> bytes:
+        return seg.replace(b"\xff\x00", b"\xff")
+
+    segs, start = [], pos
+    i = pos
+    while True:
+        b = data.find(b"\xff", i)
+        if b < 0 or b + 1 >= len(data):
+            segs.append(destuff(data[start:]))
+            return segs, len(data)
+        nxt = data[b + 1]
+        if nxt == 0x00 or nxt == 0xFF:
+            i = b + 2 if nxt == 0x00 else b + 1
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+            segs.append(destuff(data[start:b]))
+            start = i = b + 2
+            continue
+        segs.append(destuff(data[start:b]))
+        return segs, b
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h, w, 3) uint8 RGB (see block comment above)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict = {}
+    hdc: dict = {}
+    hac: dict = {}
+    frame = None
+    restart = 0
+    planes = None
+    comps: list = []
+    pos = 2
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xFF:  # fill byte
+            pos -= 1
+            continue
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone
+            continue
+        ln = int.from_bytes(data[pos : pos + 2], "big")
+        seg = data[pos + 2 : pos + ln]
+        pos += ln
+        if m == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    t = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(
+                        np.float64
+                    )
+                    i += 128
+                else:
+                    t = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(
+                        np.float64
+                    )
+                    i += 64
+                qt[tq] = t  # zigzag order, dequant pairs with dezigzag
+        elif m == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                tab = _jpeg_build_huff(counts, seg[i + 17 : i + 17 + n])
+                (hdc if tc == 0 else hac)[th] = tab
+                i += 17 + n
+        elif m in (0xC0, 0xC1):  # SOF0/SOF1: sequential Huffman
+            prec, h_img, w_img, nc = (
+                seg[0],
+                int.from_bytes(seg[1:3], "big"),
+                int.from_bytes(seg[3:5], "big"),
+                seg[5],
+            )
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = (h_img, w_img)
+        elif m == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) unsupported — baseline sequential"
+                " only; plug libjpeg in at _IMAGE_DECODERS for full codec"
+                " coverage"
+            )
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{m:02x} (lossless/hierarchical/"
+                "arithmetic) unsupported — baseline sequential only"
+            )
+        elif m == 0xDD:  # DRI
+            restart = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG unsupported"
+                )
+            scan = []
+            for s in range(ns):
+                cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 15))
+            segs, pos = _jpeg_scan_segments(data, pos)
+            planes = _jpeg_decode_scan(
+                segs, scan, qt, hdc, hac, frame, restart
+            )
+        # APPn/COM and anything else: skipped
+    if planes is None:
+        raise ValueError("corrupt JPEG: no scan decoded")
+    h_img, w_img = frame
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0][:h_img, :w_img]), 0, 255).astype(
+            np.uint8
+        )
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise NotImplementedError("JPEG with 2 or 4+ components unsupported")
+    y, cb, cr = (p[:h_img, :w_img] for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+def _jpeg_decode_scan(
+    segs: list, scan: list, qt: dict, hdc: dict, hac: dict,
+    frame: tuple, restart: int,
+) -> list:
+    """Interleaved-scan MCU loop: Huffman-decode every block, then
+    dequantize/dezigzag/IDCT all blocks per component in ONE vectorized
+    numpy pass, place into full-resolution planes (chroma replicated up
+    by its sampling ratio)."""
+    h_img, w_img = frame
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    n_mcu = mcux * mcuy
+    coefs = [
+        np.zeros((n_mcu * c["h"] * c["v"], 64), dtype=np.float64)
+        for c, _, _ in scan
+    ]
+    mcu, seg_i = 0, 0
+    br = _JpegBits(segs[0])
+    preds = [0] * len(scan)
+    while mcu < n_mcu:
+        if restart and mcu and mcu % restart == 0 and seg_i + 1 < len(segs):
+            seg_i += 1
+            br = _JpegBits(segs[seg_i])
+            preds = [0] * len(scan)
+        for ci, (c, td, ta) in enumerate(scan):
+            dct, act = hdc[td], hac[ta]
+            for b in range(c["h"] * c["v"]):
+                row = coefs[ci][mcu * c["h"] * c["v"] + b]
+                s = br.huff(dct)
+                preds[ci] += br.receive_extend(s)
+                row[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = br.huff(act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("corrupt JPEG: AC index overrun")
+                    row[k] = br.receive_extend(s)
+                    k += 1
+        mcu += 1
+    planes = []
+    for ci, (c, _, _) in enumerate(scan):
+        deq = coefs[ci] * qt[c["tq"]][None, :]  # both in zigzag order
+        nat = np.zeros_like(deq)
+        nat[:, _ZIGZAG] = deq  # dezigzag
+        blocks = nat.reshape(-1, 8, 8)
+        px = np.einsum("ux,nuv,vy->nxy", _IDCT_M, blocks, _IDCT_M) + 128.0
+        # blocks -> (mcuy, mcux, v, h, 8, 8) -> component plane
+        plane = (
+            px.reshape(mcuy, mcux, c["v"], c["h"], 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * c["v"] * 8, mcux * c["h"] * 8)
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane)
+    return planes
+
+
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV/PCM -> (samples as float64 in [-1, 1] mono-mixed, rate).
     Stdlib ``wave`` module — a real container/codec, no external libs."""
@@ -301,12 +610,14 @@ def _real_features(payload: bytes, kind: str, fmt: str, dim: int) -> list:
         return _image_features(_decode_bmp(payload), dim).tolist()
     if fmt == "png":
         return _image_features(_decode_png(payload), dim).tolist()
+    if fmt in ("jpeg", "jpg"):
+        return _image_features(_decode_jpeg(payload), dim).tolist()
     if fmt == "wav":
         x, rate = _decode_wav(payload)
         return _audio_features(x, rate, dim).tolist()
     raise NotImplementedError(
         f"no in-container decoder for format {fmt!r} (kind {kind!r}); "
-        "ppm/bmp/png/wav decode natively — other codecs plug in here"
+        "ppm/bmp/png/jpeg/wav decode natively — other codecs plug in here"
     )
 
 
@@ -316,8 +627,9 @@ def extract_features(
     """Decode + feature-extract each asset via Arrow-batched mapInPandas.
 
     ``decoder='real'`` decodes natively-supported containers — PPM/BMP/
-    PNG images (PNG via stdlib ``zlib`` inflate + defilter) and WAV/PCM
-    audio (stdlib ``wave``) — into per-asset stat
+    PNG images (PNG via stdlib ``zlib`` inflate + defilter), baseline
+    sequential JPEG (pure-numpy Huffman + IDCT per ITU-T T.81) and
+    WAV/PCM audio (stdlib ``wave``) — into per-asset stat
     vectors; unsupported formats raise ``NotImplementedError`` naming
     the plug-in point. ``'stub'`` marks that integration point
     unconditionally; ``'fake'`` produces deterministic md5-seeded
@@ -456,12 +768,18 @@ def _ahash64(px: np.ndarray, hash_size: int = 8) -> int:
 
 _PHASH_SCHEMA = "media_id long, dhash long, ahash long"
 
-_IMAGE_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp, "png": _decode_png}
+_IMAGE_DECODERS = {
+    "ppm": _decode_ppm,
+    "bmp": _decode_bmp,
+    "png": _decode_png,
+    "jpeg": _decode_jpeg,
+    "jpg": _decode_jpeg,
+}
 
 
 def perceptual_hashes(media: DataFrame, hash_size: int = 8) -> DataFrame:
     """Per-image dHash + aHash via Arrow-batched ``mapInPandas`` over
-    the in-container decoders (PPM/BMP/PNG). NULL payloads and
+    the in-container decoders (PPM/BMP/PNG/baseline JPEG). NULL payloads and
     non-image rows emit NULL hashes (pass-through, excluded from any
     downstream banding); undecodable declared formats raise the same
     explicit ``NotImplementedError`` boundary as
@@ -491,7 +809,7 @@ def perceptual_hashes(media: DataFrame, hash_size: int = 8) -> DataFrame:
                 if dec is None:
                     raise NotImplementedError(
                         f"no in-container decoder for image format {fmt!r};"
-                        " ppm/bmp/png decode natively — other codecs plug"
+                        " ppm/bmp/png/jpeg decode natively — other codecs plug"
                         " in here"
                     )
                 px = dec(bytes(content))

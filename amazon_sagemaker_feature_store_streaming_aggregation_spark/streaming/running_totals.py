@@ -44,6 +44,8 @@ for this environment. Vendoring a hand-written ``google.protobuf``
 shim was rejected — the wire protocol is real protobuf encoding and
 a partial reimplementation would corrupt state silently rather than
 fail loudly. Nothing further is actionable from inside the repo.
+Retried 2026-08-15 (round 7): ``pip install protobuf`` → "No matching
+distribution found" (offline index); capability unchanged.
 
 100 TB notes: state per key is 16 bytes — hot keys cost nothing
 extra; the one shuffle is the groupBy key partitioning shared by all

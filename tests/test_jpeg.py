@@ -1,0 +1,141 @@
+"""Baseline JPEG decoder (operators/multimodal.py::_decode_jpeg).
+
+The fixture generator is tests/jpeg_encoder.py — an independent
+implementation of the FORWARD transforms from ITU-T T.81 (direct
+double-sum DCT, canonical code assignment from the spec text), so the
+round-trip cannot cancel a mirrored bug in the decoder's matrix IDCT
+or Huffman walk. Closing the r6 VERDICT's last multimodal format gap:
+the NotImplementedError boundary retreats to progressive/arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.multimodal import (
+    _decode_jpeg,
+    extract_features,
+    image_near_dup_pairs,
+    perceptual_hashes,
+)
+
+from .jpeg_encoder import encode_jpeg
+
+
+def _gradient(h=24, w=24):
+    g = np.linspace(40, 200, h * w).reshape(h, w)
+    return np.stack([g, g * 0.8 + 10, 255 - g], axis=2).astype(np.uint8)
+
+
+def test_solid_color_roundtrips_exactly():
+    """A solid mid-gray image is DC-only with zero quantization error:
+    decode(encode(x)) must be EXACT, pixel for pixel."""
+    solid = np.full((16, 16, 3), 128, dtype=np.uint8)
+    assert (_decode_jpeg(encode_jpeg(solid)) == solid).all()
+
+
+def test_smooth_image_high_quality_tolerance():
+    img = _gradient()
+    dec = _decode_jpeg(encode_jpeg(img, quality_scale=0.1))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_non_multiple_of_8_dimensions():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(21, 19, 3), dtype=np.uint8)
+    dec = _decode_jpeg(encode_jpeg(img, quality_scale=0.25))
+    assert dec.shape == (21, 19, 3)  # padding cropped back off
+
+
+def test_grayscale_single_component():
+    dec = _decode_jpeg(encode_jpeg(_gradient(), grayscale=True,
+                                   quality_scale=0.1))
+    assert dec.shape == (24, 24, 3)
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()
+    assert (dec[:, :, 1] == dec[:, :, 2]).all()
+
+
+def test_restart_markers_do_not_change_pixels():
+    img = _gradient()
+    with_rst = _decode_jpeg(encode_jpeg(img, quality_scale=0.1, restart=2))
+    without = _decode_jpeg(encode_jpeg(img, quality_scale=0.1))
+    assert (with_rst == without).all()
+
+
+@pytest.mark.parametrize("subsample", [(2, 2), (1, 2)])
+def test_chroma_subsampling(subsample):
+    """4:2:0 / 4:2:2 exercise the multi-block MCU layout and the
+    chroma upsample path; luma stays near-exact, chroma within the
+    box-down/nearest-up budget."""
+    img = _gradient()
+    dec = _decode_jpeg(
+        encode_jpeg(img, quality_scale=0.1, subsample=subsample)
+    )
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_progressive_and_arithmetic_rejected():
+    data = encode_jpeg(_gradient())
+    with pytest.raises(NotImplementedError, match="progressive"):
+        _decode_jpeg(data.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(NotImplementedError, match="baseline"):
+        _decode_jpeg(data.replace(b"\xff\xc0", b"\xff\xc9", 1))
+
+
+def test_truncated_payload_fails_loudly():
+    with pytest.raises(ValueError):
+        _decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def _media_rows(spark, images):
+    rows = [
+        (
+            mid,
+            "image",
+            bytearray(encode_jpeg(px, quality_scale=0.1)),
+            (px.shape[1], px.shape[0], None, None, "jpeg"),
+        )
+        for mid, px in images
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary,"
+        " meta struct<width:int,height:int,sample_rate:int,"
+        "n_frames:int,format:string>",
+    )
+
+
+def test_jpeg_near_twin_found_by_image_near_dup_pairs(spark):
+    """The r6 VERDICT acceptance: a planted JPEG near-twin pair is
+    found by the perceptual-hash + hamming-banding chain; an unrelated
+    JPEG is not paired."""
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0:2, 0:2] = 255  # tiny corner blotch
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    media = _media_rows(spark, [(1, base), (2, near), (3, other)])
+
+    hashes = {
+        r.media_id: r.dhash for r in perceptual_hashes(media).collect()
+    }
+    assert len(hashes) == 3 and all(v is not None for v in hashes.values())
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in image_near_dup_pairs(media).collect()
+    }
+    assert (1, 2) in pairs
+    assert all({a, b} == {1, 2} for a, b in pairs)
+
+
+def test_extract_features_decodes_jpeg(spark):
+    img = _gradient()
+    media = _media_rows(spark, [(7, img)])
+    row = extract_features(media, decoder="real").collect()[0]
+    assert row.media_id == 7
+    # feature vector layout: [w, h, mean_r, mean_g, mean_b, ...]
+    assert row.features[0] == 24.0 and row.features[1] == 24.0
+    assert abs(row.features[2] - img[:, :, 0].mean()) < 2.0
