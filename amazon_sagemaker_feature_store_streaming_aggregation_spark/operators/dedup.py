@@ -414,9 +414,22 @@ def _collapse_members(
     1,000-identical-docs case, or any boilerplate pile-up) put ONE
     representative row through the band self-join instead of k — the
     k²-per-bucket candidate blowup collapses to O(distinct²), and the
-    group members re-attach afterwards at output-sized cost."""
+    group members re-attach afterwards at output-sized cost.
+
+    The result is materialized ONCE (eager ``localCheckpoint``, the
+    :func:`jaccard_verify_pairs` precedent): downstream it feeds up to
+    six subtrees (two banded join sides, two expansion link sides, two
+    intra-pair sides) whose exchanges hash on different keys, so
+    Catalyst's ReuseExchange cannot deduplicate them — left lazy, the
+    md5-heavy signature scan under the window re-runs per subtree
+    (measured 6-8 FileScans, +25-70% on the sf0.1 bench). The cached
+    rows are (id, fingerprint/signature, rep) — tens of bytes per
+    document, far below corpus bytes; a standing pipeline would persist
+    the same table between stages."""
     w = Window.partitionBy(key_col)
-    return rows.withColumn("__rep", F.min(id_col).over(w))
+    return rows.withColumn("__rep", F.min(id_col).over(w)).localCheckpoint(
+        eager=True
+    )
 
 
 def _cap_band_buckets(
@@ -778,7 +791,11 @@ def lsh_near_dup_edges(
     also SAVES the dominant scan cost — md5 shingling and signature
     work run once per distinct text, not once per copy. The collapse
     itself is one shuffle of (id, text) rows keyed on the 8-byte text
-    hash.
+    hash; its :func:`_collapse_members` checkpoint carries the text
+    column here (unlike the signature/fingerprint paths), i.e. one
+    materialized copy of the corpus text in exchange for single-scan
+    input — the trade a pipeline makes by persisting its exact-dedup
+    output as a table.
     """
     d = docs.where(
         F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
