@@ -4013,6 +4013,118 @@ def _q_hamming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(docs, _hamming_edges(spark, sf_dir))
 
 
+def _q_hamming_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse component-equivalent near-dup edge set in fingerprint
+    space (operators/dedup.py::hamming_near_dup_edges): star edges
+    inside identical-SimHash groups (hamming 0 by construction) plus
+    popcount-verified representative-level pairs — the O(N + rep-pairs)
+    artifact a dedup pipeline persists instead of the quadratic pair
+    table. The oracle mirrors the collapse exactly: group by
+    fingerprint, min-id representative, banded candidates over
+    representatives only."""
+    fps = simhash(load_table(spark, sf_dir, "documents"))
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        hamming_near_dup_edges,
+    )
+
+    return hamming_near_dup_edges(
+        fps, id_col="doc_id", hash_col="simhash",
+        max_hamming=3, bands=4, n_bits=60,
+    )
+
+
+_HAMMING_EDGES_ORACLE = f"""
+WITH hefp AS (
+  SELECT doc_id, simhash AS fp FROM ({_SIMHASH_ORACLE})
+  WHERE simhash IS NOT NULL AND doc_id IS NOT NULL
+), hegrp AS (
+  SELECT fp, min(doc_id) AS rep FROM hefp GROUP BY fp
+), hestar AS (
+  SELECT g.rep AS doc_a, x.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+  FROM hefp x JOIN hegrp g ON x.fp = g.fp
+  WHERE x.doc_id != g.rep
+), hereps AS (
+  SELECT rep AS doc_id, fp FROM hegrp
+), hebands AS (
+  SELECT doc_id, t.b, (fp >> (t.b * 15)) & 32767 AS bv
+  FROM hereps, unnest([0, 1, 2, 3]) AS t(b)
+), hecand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM hebands a JOIN hebands b ON a.b = b.b AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(fa.fp, fb.fp)) AS INTEGER) AS hamming
+FROM hecand c
+JOIN hereps fa ON fa.doc_id = c.doc_a
+JOIN hereps fb ON fb.doc_id = c.doc_b
+WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+UNION ALL
+SELECT doc_a, doc_b, hamming FROM hestar
+"""
+
+
+def _q_lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse component-equivalent near-dup edge set in text space
+    (operators/dedup.py::lsh_near_dup_edges): exact-duplicate texts
+    collapse first (star edges, jaccard 1.0 by construction), then
+    MinHash + banding + exact-Jaccard verification over DISTINCT texts
+    only — the linear-on-dup-mass artifact the curation pipeline feeds
+    to near_dup_clusters."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        lsh_near_dup_edges,
+    )
+
+    return lsh_near_dup_edges(
+        load_table(spark, sf_dir, "documents"),
+        bands=_BANDS, rows_per_band=_ROWS_PER_BAND,
+        threshold=_JACCARD_THRESHOLD,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+_LSH_EDGES_ORACLE = f"""
+WITH led AS (
+  SELECT doc_id, text, {_H64.format(x="text")} AS th FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), legrp AS (
+  SELECT th, min(doc_id) AS rep FROM led GROUP BY th
+), lestar AS (
+  SELECT g.rep AS doc_a, x.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM led x JOIN legrp g ON x.th = g.th
+  WHERE x.doc_id != g.rep
+), lesh AS (
+  SELECT doc_id, {_SHINGLES} AS __sh
+  FROM (SELECT d.doc_id, d.text FROM led d
+        JOIN legrp g ON d.th = g.th AND d.doc_id = g.rep)
+), lesig AS (
+  SELECT doc_id, {_minhash_list_sql()} AS minhash FROM lesh
+), lebands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS bhash FROM lesig"
+      for b in range(_BANDS)
+  )}
+), lecands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM lebands a JOIN lebands b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+), leverified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.__sh, sb.__sh)) AS ni,
+         len(sa.__sh) AS na, len(sb.__sh) AS nb
+  FROM lecands c
+  JOIN lesh sa ON sa.doc_id = c.doc_a
+  JOIN lesh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard
+FROM leverified
+WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= {_JACCARD_THRESHOLD}
+UNION ALL
+SELECT doc_a, doc_b, jaccard FROM lestar
+"""
+
+
 _HAMMING_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE hpairs AS (
   SELECT doc_a, doc_b FROM ({_HAMMING_PAIRS_ORACLE})
@@ -4126,6 +4238,8 @@ def ext_queries():
         "dedup_simhash": _q_simhash,
         "dedup_hamming_pairs": _q_hamming_pairs,
         "dedup_hamming_clusters": _q_hamming_clusters,
+        "dedup_hamming_edges": _q_hamming_edges,
+        "dedup_lsh_edges": _q_lsh_edges,
         "t_inbatch_negatives": _q_inbatch_negatives,
         "text_stats": _q_text_stats,
         "text_repetition": _q_text_repetition,
@@ -4235,6 +4349,8 @@ def ext_oracles():
         "dedup_simhash": _SIMHASH_ORACLE,
         "dedup_hamming_pairs": _HAMMING_PAIRS_ORACLE,
         "dedup_hamming_clusters": _HAMMING_CLUSTERS_ORACLE,
+        "dedup_hamming_edges": _HAMMING_EDGES_ORACLE,
+        "dedup_lsh_edges": _LSH_EDGES_ORACLE,
         "t_inbatch_negatives": _INBATCH_NEG_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
         "text_repetition": _REPETITION_ORACLE,

@@ -242,6 +242,8 @@ DIRTY_QUERIES = [
     "dedup_inc_lsh_append",
     "dedup_hamming_pairs",
     "dedup_hamming_clusters",
+    "dedup_hamming_edges",
+    "dedup_lsh_edges",
     "t_inbatch_negatives",
     # text family over NULL/empty text
     "text_stats",
