@@ -75,37 +75,72 @@ def main() -> None:
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, fn in qmap.items():
+    def measure(fn):
         times, n = [], 0
         while len(times) < reps:
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = force(df)
+            n = force(fn(spark, sf_dir))
             times.append(time.perf_counter() - t0)
         while len(times) < max_reps:
             lo = sorted(times)[:2]
             if len(lo) >= 2 and lo[1] <= lo[0] * 1.4:
                 break  # minimum confirmed by a second clean run
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = force(df)
+            n = force(fn(spark, sf_dir))
             times.append(time.perf_counter() - t0)
-        best = min(times)
-        timings[name] = round(best, 3)
-        total += best
+        return min(times), times, n
+
+    def drop_temp_views():
         # Memory-sink replays register temp views holding their full
-        # result in JVM heap; dropped here so earlier queries' results
+        # result in JVM heap; dropped so earlier queries' results
         # don't tax later queries' GC.
         for t in spark.catalog.listTables():
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
+
+    # Host-episode sentinel: beyond the short VM pauses the adaptive
+    # reps absorb, this host also shows SUSTAINED multi-minute ~10x
+    # slowdown episodes — both reps of a query then AGREE at the
+    # inflated value and best-of-N records it as real (observed r7:
+    # an untouched query measured 2s -> 55s -> 7s across reruns). A
+    # fixed calibration job timed after each query detects "the host
+    # was slow while this query ran"; suspects are re-measured once
+    # more after the full pass, when the episode has usually passed,
+    # and the minimum wins.
+    def probe_time() -> float:
+        t0 = time.perf_counter()
+        # bit_xor, not sum: ANSI mode throws on long overflow
+        spark.range(1_000_000).selectExpr("bit_xor(xxhash64(id))").collect()
+        return time.perf_counter() - t0
+
+    probe_base = min(probe_time() for _ in range(3))
+
+    timings: dict[str, float] = {}
+    suspects: list[str] = []
+    for name, fn in qmap.items():
+        best, times, n = measure(fn)
+        timings[name] = round(best, 3)
+        drop_temp_views()
+        slow_host = probe_time() > 3 * probe_base
+        if slow_host:
+            suspects.append(name)
         print(
             f"# {name}: {best:.3f}s rows={n} "
-            f"(reps={len(times)}: {[round(t, 2) for t in times]})",
+            f"(reps={len(times)}: {[round(t, 2) for t in times]})"
+            + (" [slow-host suspect]" if slow_host else ""),
             file=sys.stderr,
         )
+    for name in suspects:
+        best, times, n = measure(qmap[name])
+        drop_temp_views()
+        if best < timings[name]:
+            print(
+                f"# {name}: re-measured {timings[name]:.3f}s -> {best:.3f}s "
+                f"(host episode during first pass)",
+                file=sys.stderr,
+            )
+            timings[name] = round(best, 3)
+    total = sum(timings.values())
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
