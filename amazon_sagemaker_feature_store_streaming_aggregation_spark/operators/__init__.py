@@ -23,6 +23,7 @@ from .dedup import (  # noqa: F401
     build_lsh_band_index,
     build_text_hash_index,
     build_text_hash_index_bucketed,
+    clusters_append,
     connected_components,
     contamination_overlap,
     dedup_append,

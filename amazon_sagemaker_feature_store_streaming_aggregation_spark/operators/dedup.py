@@ -990,6 +990,91 @@ def near_dup_clusters(
     )
 
 
+def clusters_append(
+    labels: DataFrame,
+    new_docs: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incremental near-dup CLUSTER maintenance: given the persisted
+    ``(id, cluster_id)`` labels of the already-ingested corpus, a new
+    document batch, and the near-dup edges the batch introduces
+    (:func:`lsh_append_candidates` / the streaming index verdicts /
+    :func:`hamming_near_dup_edges` over batch∪probe — any edge list
+    with at least one endpoint touching the batch, plus any late
+    old↔old edges), return the full corpus's updated
+    ``(id, cluster_id, cluster_size, is_canonical)`` — EXACTLY what a
+    from-scratch :func:`near_dup_clusters` over all edges would emit,
+    at O(batch + touched-cluster mass) cost instead of O(corpus).
+
+    The completion of the incremental dedup lifecycle: discovery has
+    :func:`dedup_append`/:func:`lsh_append_candidates`, streaming has
+    the index runners, and this closes clustering — a standing
+    pipeline re-labels only what the batch touched.
+
+    Exactness: only clusters containing an endpoint of a new edge can
+    change. Each touched OLD cluster is re-entered into connected
+    components as STAR edges ``(cluster_id ↔ member)`` — its label IS
+    its minimum member id, so the stars reproduce the old component's
+    connectivity and minimum exactly; unions with batch edges then
+    yield ``min(mins)``, which is the from-scratch label. Untouched
+    labels pass through without entering the iterative loop at all
+    (anti-join), so CC cost is bounded by the affected subgraph, not
+    the corpus. Cluster sizes/canonicals are recomputed in one
+    columnar aggregate over the merged labels (min id PRESENT in the
+    corpus, same rule as :func:`near_dup_clusters`).
+    """
+    edges = new_edges.select("doc_a", "doc_b")
+    eps = (
+        edges.select(F.col("doc_a").alias(id_col))
+        .union(edges.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    touched_cids = (
+        labels.join(eps, id_col, "left_semi").select("cluster_id").distinct()
+    )
+    touched = labels.join(touched_cids, "cluster_id", "left_semi")
+    star = touched.select(
+        F.col("cluster_id").alias("doc_a"), F.col(id_col).alias("doc_b")
+    ).where(F.col("doc_a") != F.col("doc_b"))
+    comp = connected_components(
+        edges.unionByName(star), max_iter=max_iter
+    ).withColumnRenamed("node", id_col)
+    all_docs = (
+        labels.select(id_col)
+        .unionByName(new_docs.select(id_col))
+        .distinct()
+    )
+    assigned = (
+        all_docs.join(comp, id_col, "left")
+        .join(
+            labels.select(id_col, F.col("cluster_id").alias("__old")),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col("__old"), F.col(id_col)).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.min(id_col).alias("__canon"),
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        F.when(F.col(id_col) == F.col("__canon"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_canonical"),
+    )
+
+
 def contamination_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -4125,6 +4125,40 @@ SELECT doc_a, doc_b, jaccard FROM lestar
 """
 
 
+def _q_clusters_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance (operators/dedup.py::
+    clusters_append): the corpus is split at the median-ish doc id —
+    the first half is 'already ingested' (labelled by a prior
+    near_dup_clusters run over the edges internal to it), the second
+    half is 'the new batch' whose edges (everything touching it) are
+    appended. The operator re-labels only touched clusters; the oracle
+    is the FULL from-scratch recompute (identical to
+    dedup_hamming_clusters' oracle), pinning the exactness claim: the
+    incremental path must be indistinguishable from rerunning the
+    whole corpus."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        clusters_append,
+        near_dup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _hamming_edges(spark, sf_dir)
+    mid = docs.agg(F.max("doc_id")).first()[0]
+    mid = (mid // 2) if mid is not None else 0
+    old_docs = docs.where(F.col("doc_id").isNull() | (F.col("doc_id") <= mid))
+    new_docs = docs.where(F.col("doc_id") > mid)
+    old_edges = edges.where(
+        (F.col("doc_a") <= mid) & (F.col("doc_b") <= mid)
+    )
+    new_edges = edges.where(
+        (F.col("doc_a") > mid) | (F.col("doc_b") > mid)
+    )
+    labels = near_dup_clusters(old_docs, old_edges).select(
+        "doc_id", "cluster_id"
+    )
+    return clusters_append(labels, new_docs, new_edges)
+
+
 _HAMMING_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE hpairs AS (
   SELECT doc_a, doc_b FROM ({_HAMMING_PAIRS_ORACLE})
@@ -4240,6 +4274,7 @@ def ext_queries():
         "dedup_hamming_clusters": _q_hamming_clusters,
         "dedup_hamming_edges": _q_hamming_edges,
         "dedup_lsh_edges": _q_lsh_edges,
+        "dedup_clusters_append": _q_clusters_append,
         "t_inbatch_negatives": _q_inbatch_negatives,
         "text_stats": _q_text_stats,
         "text_repetition": _q_text_repetition,
@@ -4351,6 +4386,7 @@ def ext_oracles():
         "dedup_hamming_clusters": _HAMMING_CLUSTERS_ORACLE,
         "dedup_hamming_edges": _HAMMING_EDGES_ORACLE,
         "dedup_lsh_edges": _LSH_EDGES_ORACLE,
+        "dedup_clusters_append": _HAMMING_CLUSTERS_ORACLE,
         "t_inbatch_negatives": _INBATCH_NEG_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
         "text_repetition": _REPETITION_ORACLE,

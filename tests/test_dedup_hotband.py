@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
     _hamming_rep_pairs,
+    clusters_append,
     connected_components,
     hamming_near_dup_edges,
     hamming_near_dup_pairs,
@@ -183,3 +184,102 @@ def test_lsh_edges_component_exact_vs_full_chain(spark):
     # the edge list is linear in the identical-text pile: 24 star edges
     # (+ rep-level verified pairs), vs C(25,2)+ for the full table
     assert edges.count() < full.count()
+
+
+def _cluster_set(df):
+    return {
+        (r.doc_id, r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in df.collect()
+    }
+
+
+def test_clusters_append_equals_from_scratch(spark):
+    """Incremental cluster maintenance is EXACT: for any split of the
+    edge stream into 'already ingested' and 'new batch', appending the
+    batch to the prior labels reproduces the from-scratch clustering —
+    including cross-batch merges of previously separate clusters,
+    late old↔old edges, and batch-only singletons."""
+    import random
+
+    rng = random.Random(17)
+    n = 120
+    all_edges = set()
+    # chains + random merges, ids interleaved so splits cross clusters
+    for i in range(0, n - 3, 3):
+        all_edges.add((i, i + 3))
+    for _ in range(25):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            all_edges.add((min(a, b), max(a, b)))
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges_df = spark.createDataFrame(
+        sorted(all_edges), "doc_a long, doc_b long"
+    )
+    expected = _cluster_set(near_dup_clusters(docs, edges_df))
+
+    for mid in (40, 80, 113):
+        old_docs = docs.where(F.col("doc_id") <= mid)
+        new_docs = docs.where(F.col("doc_id") > mid)
+        old_e = edges_df.where(
+            (F.col("doc_a") <= mid) & (F.col("doc_b") <= mid)
+        )
+        new_e = edges_df.where(
+            (F.col("doc_a") > mid) | (F.col("doc_b") > mid)
+        )
+        labels = near_dup_clusters(old_docs, old_e).select(
+            "doc_id", "cluster_id"
+        )
+        got = _cluster_set(clusters_append(labels, new_docs, new_e))
+        assert got == expected, f"split at {mid} diverged"
+
+
+def test_clusters_append_handles_late_old_edges_and_nulls(spark):
+    """A late edge between two OLD clusters merges them; NULL-id docs
+    ride through as NULL-cluster rows exactly as near_dup_clusters
+    emits them."""
+    docs = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (None,)], "doc_id long"
+    )
+    old_e = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    labels = near_dup_clusters(docs, old_e).select("doc_id", "cluster_id")
+    late = spark.createDataFrame([(2, 3)], "doc_a long, doc_b long")
+    got = _cluster_set(
+        clusters_append(labels, docs.limit(0), late)
+    )
+    all_e = old_e.unionByName(late)
+    assert got == _cluster_set(near_dup_clusters(docs, all_e))
+
+
+def test_clusters_append_leaves_untouched_clusters_out_of_cc(spark):
+    """Cost contract: only clusters touched by a new edge enter the
+    iterative CC loop — the star edge list it feeds is bounded by the
+    touched mass, not the corpus."""
+    # big untouched cluster 0..99, small touched cluster 100-101
+    docs = spark.createDataFrame([(i,) for i in range(104)], "doc_id long")
+    old_e = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)] + [(100, 101)],
+        "doc_a long, doc_b long",
+    )
+    labels = near_dup_clusters(docs, old_e).select("doc_id", "cluster_id")
+    new_e = spark.createDataFrame([(101, 102)], "doc_a long, doc_b long")
+    # reproduce the operator's internal touched set
+    eps = (
+        new_e.select(F.col("doc_a").alias("doc_id"))
+        .union(new_e.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    touched_cids = (
+        labels.join(eps, "doc_id", "left_semi").select("cluster_id").distinct()
+    )
+    touched = labels.join(touched_cids, "cluster_id", "left_semi")
+    touched_ids = {r.doc_id for r in touched.collect()}
+    # just the 100-101 pair and singleton 102 — never the 100-doc cluster
+    assert touched_ids == {100, 101, 102}
+    got = _cluster_set(
+        clusters_append(labels, docs.where(F.col("doc_id") > 101), new_e)
+    )
+    assert got == _cluster_set(
+        near_dup_clusters(docs, old_e.unionByName(new_e))
+    )

@@ -244,6 +244,7 @@ DIRTY_QUERIES = [
     "dedup_hamming_clusters",
     "dedup_hamming_edges",
     "dedup_lsh_edges",
+    "dedup_clusters_append",
     "t_inbatch_negatives",
     # text family over NULL/empty text
     "text_stats",
