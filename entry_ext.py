@@ -4226,6 +4226,11 @@ def _q_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SCALE-INVARIANT batch count: greatest(16, count(*) // 32) in SQL,
+# mirroring _neg_batches_for's per-dir policy (the parquet footer
+# count and count(*) agree), so the oracle is valid at ANY sf_dir —
+# including the dirty corpus and scale fixtures — instead of baking
+# the sf0.01 constant at import.
 _INBATCH_NEG_ORACLE = f"""
 WITH RECURSIVE nhpairs AS (
   SELECT doc_a, doc_b FROM ({_HAMMING_PAIRS_ORACLE})
@@ -4239,12 +4244,16 @@ WITH RECURSIVE nhpairs AS (
   SELECT nhreach.node, e.dst FROM nhreach JOIN nhedges e ON nhreach.r = e.src
 ), nhcomp AS (
   SELECT node, LEAST(node, MIN(r)) AS cluster_id FROM nhreach GROUP BY node
+), nbparams AS (
+  SELECT greatest(16, count(*) // 32) AS n_batches FROM documents
 ), labeled AS (
   SELECT d.doc_id,
          COALESCE(c.cluster_id, d.doc_id) AS cl,
          {_H64.format(x="'negatives-v1:' || CAST(d.doc_id AS VARCHAR)")}
-           % {_neg_batches_for(_ORACLE_SF_DIR)} AS batch
-  FROM documents d LEFT JOIN nhcomp c ON d.doc_id = c.node
+           % p.n_batches AS batch
+  FROM documents d
+  CROSS JOIN nbparams p
+  LEFT JOIN nhcomp c ON d.doc_id = c.node
   WHERE d.doc_id IS NOT NULL
 )
 SELECT a.doc_id AS anchor_id, b.doc_id AS negative_id, a.batch

@@ -12,15 +12,11 @@ SRP/cosine oracles, SQL-unique semantics, TRY_CAST) is pinned here.
 Scale-dependent oracles (sim_ann_*: auto_planes baked for sf0.01) are
 safe to include because both the dirty corpus and sf0.01 sit below
 the plane-count min-clamp, so both sides resolve the same constant.
-The sim_ivf_* oracles are scale-invariant as of round 7 (n_cells and
-the seeded-centroid step derive from a count(*) subquery, mirroring
-the query side's footer-count policy), so they are salted here like
-everything else. One remaining floor-dependence: _INBATCH_NEG_ORACLE
-bakes ``_neg_batches_for(_ORACLE_SF_DIR)`` (= 16) into its SQL at
-import while the query side computes it per sf_dir — they agree on
-the dirty corpus (45 docs) and sf0.01 (500 docs) only because both
-sit under the ``max(16, n_docs // 32)`` floor; a comparison corpus
-over ~544 docs would need the oracle regenerated for that dir.
+The sim_ivf_* and t_inbatch_negatives oracles are scale-invariant as
+of round 7 (n_cells / the seeded-centroid step / n_batches derive
+from count(*) subqueries, mirroring the query sides' footer-count
+policies), so every registered oracle is valid at any sf_dir and all
+are salted here like everything else.
 """
 
 from __future__ import annotations
