@@ -10,6 +10,7 @@ from .sources import (  # noqa: F401
 from .dedup import (  # noqa: F401
     dedup_stream_content,
     dedup_stream_exact,
+    run_cluster_maintain_stream,
     run_index_dedup_stream,
     run_index_lsh_stream,
     run_index_hamming_stream,

@@ -508,3 +508,178 @@ def run_index_hamming_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _committed_batches(spark, out_dir: str) -> list:
+    """Batch ids under ``out_dir/batch=<id>/`` whose ``_SUCCESS``
+    marker exists, ascending."""
+    fs, path = _hadoop_fs(spark, out_dir)
+    if not fs.exists(path):
+        return []
+    ids = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.startswith("batch="):
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if _fs_exists(spark, f"{out_dir.rstrip('/')}/{name}/_SUCCESS"):
+                ids.append(bid)
+    return sorted(ids)
+
+
+def run_cluster_maintain_stream(
+    stream: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    hash_col: str = "fp",
+    max_hamming: int = 3,
+    bands: int = 4,
+    n_bits: int = 64,
+    available_now: bool = True,
+    broadcast_batch: bool = True,
+):
+    """Standing near-dup CLUSTER maintenance — the full streaming dedup
+    lifecycle in one runner: per micro-batch, discover the edges the
+    batch introduces (batch-vs-persistent-fingerprint-index, verified
+    popcount, plus within-batch SPARSE edges via
+    ``operators/dedup.py::hamming_near_dup_edges``), then fold them
+    into the persisted label table with
+    ``operators/dedup.py::clusters_append`` — only clusters the batch
+    touches are re-labelled; the rest of the corpus never enters the
+    iterative loop.
+
+    Per micro-batch, under ``out_dir/batch=<id>/``:
+
+    * ``labels/`` — the FULL corpus labels after this batch
+      (``doc_id, cluster_id, cluster_size, is_canonical``). The latest
+      committed batch's ``labels/`` is the current state — exactly
+      what a from-scratch ``near_dup_clusters`` over all documents
+      seen so far and all their near-dup edges would emit (the gated
+      oracle states that for the final batch).
+    * ``fps/`` — the batch's non-NULL ``(id, fingerprint)`` rows,
+      appended to ``index_dir`` after the output commits.
+
+    Exactness by induction over batches: the discovery stage emits
+    every verified edge with an endpoint in the batch (pigeonhole-
+    complete banding on both probe directions), and
+    ``clusters_append`` is exact given labels that were exact after
+    the previous batch. NULL-fingerprint docs join the label table as
+    singletons (they can near-duplicate nothing); NULL-id rows ride
+    through as NULL-cluster rows, the ``near_dup_clusters`` rule.
+
+    Delivery contract identical to :func:`run_index_hamming_stream`:
+    at-least-once, batch-id idempotent via the REQUIRED durable
+    checkpoint (a retried committed batch only repairs the index
+    append), index-append-after-output-commit. Prior labels are read
+    from the LATEST COMMITTED batch dir, so a crash between label
+    write and _SUCCESS re-runs the batch against the previous
+    consistent state.
+    """
+    if not checkpoint_dir:
+        raise ValueError(
+            "run_cluster_maintain_stream requires a durable "
+            "checkpoint_dir: batch-id-based retry idempotency is only "
+            "safe when batch ids survive restarts"
+        )
+
+    from ..operators.dedup import (
+        _hamming_band_width,
+        clusters_append,
+        hamming_band_rows,
+        hamming_near_dup_edges,
+    )
+
+    width = _hamming_band_width(bands, n_bits)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = out_dir.rstrip("/")
+        batch_out = base + f"/batch={batch_id}"
+        labels_out = batch_out + "/labels"
+        fps_out = batch_out + "/fps"
+        edge_fp = batch_df.select(id_col, hash_col).where(
+            F.col(hash_col).isNotNull() & F.col(id_col).isNotNull()
+        )
+        if _fs_exists(spark, batch_out + "/_SUCCESS"):
+            committed = spark.read.parquet(fps_out)
+            if _fs_has_parquet(spark, index_dir):
+                missing = committed.join(
+                    spark.read.parquet(index_dir),
+                    on=[id_col, hash_col],
+                    how="left_anti",
+                )
+            else:
+                missing = committed
+            missing.write.mode("append").parquet(index_dir)
+            return
+        prior_ids = [b for b in _committed_batches(spark, base) if b < batch_id]
+        if prior_ids:
+            prior = spark.read.parquet(
+                base + f"/batch={prior_ids[-1]}/labels"
+            ).select(id_col, "cluster_id")
+        else:
+            prior = (
+                batch_df.select(id_col)
+                .limit(0)
+                .withColumn("cluster_id", F.col(id_col))
+            )
+        if _fs_has_parquet(spark, index_dir):
+            index = spark.read.parquet(index_dir)
+        else:
+            index = edge_fp.limit(0)
+        batch_bands = hamming_band_rows(edge_fp, id_col, hash_col, bands, width)
+        probe = F.broadcast(batch_bands) if broadcast_batch else batch_bands
+        index_bands = hamming_band_rows(index, id_col, hash_col, bands, width)
+        cross = (
+            index_bands.alias("a")
+            .join(
+                probe.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                    "doc_a"
+                ),
+                F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                    "doc_b"
+                ),
+                F.expr(
+                    f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+        within = hamming_near_dup_edges(
+            edge_fp,
+            id_col=id_col,
+            hash_col=hash_col,
+            max_hamming=max_hamming,
+            bands=bands,
+            n_bits=n_bits,
+        )
+        edges = cross.select("doc_a", "doc_b").unionByName(
+            within.select("doc_a", "doc_b")
+        )
+        labels = clusters_append(
+            prior, batch_df.select(id_col), edges, id_col=id_col
+        )
+        labels.write.mode("overwrite").parquet(labels_out)
+        edge_fp.write.mode("overwrite").parquet(fps_out)
+        _touch_success(spark, batch_out)
+        spark.read.parquet(fps_out).write.mode("append").parquet(index_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -264,6 +264,81 @@ def _q_stream_hamming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+def _q_stream_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing cluster maintenance (streaming/dedup.py::
+    run_cluster_maintain_stream): the documents table replays as TWO
+    micro-batches, each SimHash-fingerprinted in the stream; per batch
+    the runner discovers the edges the batch introduces (vs the
+    persistent fingerprint index + within-batch sparse edges) and
+    folds them into the persisted label table with clusters_append.
+    The FINAL batch's labels must equal the from-scratch
+    near_dup_clusters over the whole corpus — the oracle is
+    _HAMMING_CLUSTERS_ORACLE verbatim."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_cluster_maintain_stream,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _committed_batches,
+    )
+    from __spark_entry__ import _set_stream_partitions
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = sorted(x.as_py() for x in t.column("doc_id") if x.as_py() is not None)
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="sclm_src_")
+    work = tempfile.mkdtemp(prefix="sclm_work_")
+    # NULL ids ride in batch 0: they label as NULL-cluster singleton
+    # rows (the near_dup_clusters rule) and join no edge
+    key = t.column("doc_id")
+    in_b0 = pc.or_kleene(pc.less(key, mid), pc.is_null(key))
+    pq.write_table(
+        t.filter(pc.fill_null(in_b0, True)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        t.filter(pc.fill_null(pc.invert(in_b0), False)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        fps = simhash(stream).withColumnRenamed("simhash", "fp")
+        out = os.path.join(work, "out")
+        q = run_cluster_maintain_stream(
+            fps,
+            out,
+            os.path.join(work, "index"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            id_col="doc_id",
+            hash_col="fp",
+            max_hamming=3,
+            bands=4,
+            n_bits=60,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_cluster_maintain availableNow replay exceeded 300s"
+            )
+        last = _committed_batches(spark, out)[-1]
+        return spark.read.parquet(os.path.join(out, f"batch={last}", "labels"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 _LSH_APPEND_SPLIT = 250
 
 
@@ -4364,6 +4439,7 @@ def ext_queries():
         "dedup_inc_lsh_append": _q_lsh_append,
         "s_stream_lsh_index": _q_stream_lsh_index,
         "s_stream_hamming_index": _q_stream_hamming_index,
+        "s_stream_cluster_maintain": _q_stream_cluster_maintain,
         "dedup_inc_append_bloom": _q_dedup_append_bloom,
         "dedup_source_overlap": _q_source_overlap,
         "t_weighted_sample": _q_weighted_sample,
@@ -4476,6 +4552,7 @@ def ext_oracles():
         "dedup_inc_lsh_append": _LSH_APPEND_ORACLE,
         "s_stream_lsh_index": _LSH_ORACLE,
         "s_stream_hamming_index": _HAMMING_PAIRS_ORACLE,
+        "s_stream_cluster_maintain": _HAMMING_CLUSTERS_ORACLE,
         "dedup_inc_append_bloom": _DEDUP_APPEND_ORACLE,
         "dedup_source_overlap": _SOURCE_OVERLAP_ORACLE,
         "t_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

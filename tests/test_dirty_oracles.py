@@ -374,6 +374,7 @@ DIRTY_STREAM_QUERIES = [
     "s_stream_interval_join_outer",
     "s_stream_interval_join_full",
     "s_stream_hamming_index",
+    "s_stream_cluster_maintain",
     "s_stream_lsh_index",
     "s4_sliding_agg",
 ]

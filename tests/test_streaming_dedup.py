@@ -320,3 +320,103 @@ def test_index_hamming_stream_cross_batch_pairs(spark, tmp_path):
         for r in spark.read.parquet(out_dir + "/batch=*/pairs").collect()
     }
     assert got_after == got
+
+
+def test_cluster_maintain_stream_incremental_labels(spark, tmp_path):
+    """Standing cluster maintenance: per-batch labels equal the
+    from-scratch clustering of everything seen so far — cross-batch
+    merges re-label only touched clusters, identical fingerprints
+    collapse through the sparse edge path, NULL fingerprints ride as
+    singletons, and a retried run repairs a lost index append without
+    changing labels."""
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_cluster_maintain_stream,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _committed_batches,
+    )
+
+    schema = "doc_id long, fp long"
+    base = 0x0123_4567_89AB_CDEF
+    chunk0 = [(1, base), (2, 0x7654_3210_0000_0000)]
+    chunk1 = [(3, base ^ 0b101), (4, 0x00FF_00FF_00FF_00FF),
+              (5, 0x00FF_00FF_00FF_00FE), (7, 0x00FF_00FF_00FF_00FF),
+              (9, None)]
+    chunk2 = [(6, 0x7654_3210_0000_0003)]
+    path = _write_chunks(spark, tmp_path, [chunk0, chunk1, chunk2], schema)
+
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = run_cluster_maintain_stream(
+        stream,
+        out_dir,
+        index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_hamming=3,
+        bands=4,
+        n_bits=64,
+    )
+    assert q.awaitTermination(180)
+
+    def labels_at(bid):
+        return {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+            for r in spark.read.parquet(f"{out_dir}/batch={bid}/labels").collect()
+        }
+
+    assert _committed_batches(spark, out_dir) == [0, 1, 2]
+    # batch 0: two singletons
+    assert labels_at(0) == {1: (1, 1, 1), 2: (2, 1, 1)}
+    # batch 1: 3 joins 1 (cross-batch), {4,5,7} cluster (7 identical to
+    # 4 -> star edge), 9 singleton (NULL fp)
+    assert labels_at(1) == {
+        1: (1, 2, 1), 3: (1, 2, 0),
+        2: (2, 1, 1),
+        4: (4, 3, 1), 5: (4, 3, 0), 7: (4, 3, 0),
+        9: (9, 1, 1),
+    }
+    # batch 2: 6 merges into 2's cluster; everything else untouched
+    final = labels_at(2)
+    assert final == {
+        1: (1, 2, 1), 3: (1, 2, 0),
+        2: (2, 2, 1), 6: (2, 2, 0),
+        4: (4, 3, 1), 5: (4, 3, 0), 7: (4, 3, 0),
+        9: (9, 1, 1),
+    }
+    index = spark.read.parquet(index_dir)
+    assert index.count() == 7  # NULL fp of doc 9 never indexed
+
+    # retry with a fresh checkpoint after losing doc 6's index append:
+    # the hole is repaired, labels identical
+    import shutil
+
+    kept = index.where("doc_id <> 6")
+    kept.write.mode("overwrite").parquet(str(tmp_path / "index2"))
+    shutil.rmtree(index_dir)
+    shutil.move(str(tmp_path / "index2"), index_dir)
+    stream2 = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q2 = run_cluster_maintain_stream(
+        stream2,
+        out_dir,
+        index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        max_hamming=3,
+        bands=4,
+        n_bits=64,
+    )
+    assert q2.awaitTermination(180)
+    assert spark.read.parquet(index_dir).where("doc_id = 6").count() == 1
+    assert labels_at(2) == final
