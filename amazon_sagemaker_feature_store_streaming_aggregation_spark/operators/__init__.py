@@ -53,6 +53,9 @@ from .similarity import (  # noqa: F401
     ivf_topk,
     ivf_topk_batched,
     label_centroids,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
     srp_signatures,
     train_ivf_centroids,
 )

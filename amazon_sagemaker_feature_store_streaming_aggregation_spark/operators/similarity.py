@@ -859,3 +859,187 @@ def hard_negatives(
         cand, embeddings, embeddings, k, id_col, vec_col,
         broadcast_queries=False, max_cosine=dup_threshold,
     )
+
+
+# ------------------------------------------------ product quantization
+
+def _l2sq(a: str, b: str) -> str:
+    """Exact integer squared-L2 distance between two quantized
+    (micro-unit BIGINT) vectors — pure integer arithmetic, so both
+    engines compute the identical value; no division anywhere, so
+    zero vectors are fully valid (unlike the cosine family)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        f" 0L, (acc, v) -> acc + v)"
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+    algorithm): split the ``dims`` dimensions into ``m`` equal
+    subspaces and give each subspace ``n_codes`` centroid subvectors.
+    Output ``(subspace, code, cb)`` — ``m * n_codes`` rows, the tiny
+    table everything downstream broadcasts.
+
+    Centroids are SEEDED like :func:`ivf_centroids` (corpus vectors at
+    ids ``{0, step, ...}``, ``step = N div n_codes``): k-means would be
+    engine-dependent and the oracle unverifiable; a production
+    deployment trains codebooks offline and feeds them in as a table,
+    which changes only this function. ``n_codes`` is a FIXED quality
+    knob (classic PQ uses 256 per subspace at any corpus size) — it
+    scales compression, not per-row cost, so fixing it is not the
+    fixed-fan-out trap the scale bench caught in n_cells/n_batches.
+    """
+    if dims % m:
+        raise ValueError(f"m={m} must divide dims={dims}")
+    w = dims // m
+    n = corpus_count if corpus_count is not None else embeddings.count()
+    step = max(1, n // n_codes)
+    seeds = (
+        embeddings.where(F.col(vec_col).isNotNull())
+        .filter((F.col(id_col) % step == 0) & (F.col(id_col) < step * n_codes))
+        .select(
+            (F.col(id_col) / step).cast("int").alias("code"),
+            quantize(vec_col, "qv"),
+        )
+    )
+    subspaces = F.array(*[
+        F.struct(
+            F.lit(s).alias("subspace"),
+            F.slice("qv", s * w + 1, w).alias("cb"),
+        )
+        for s in range(m)
+    ])
+    return seeds.select(
+        "code", F.explode(subspaces).alias("__s")
+    ).select(
+        F.col("__s.subspace").alias("subspace"), "code",
+        F.col("__s.cb").alias("cb"),
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """PQ-encode every vector: per subspace, the code of the nearest
+    codebook subvector by exact integer squared-L2 (ties -> lowest
+    code). Output ``(id, subspace, code)`` — ``log2(n_codes)`` bits of
+    payload per subspace, the 10-100x compressed representation an
+    ANN index stores instead of raw floats.
+
+    Plan: subvectors slice out scan-side; the ``m * n_codes`` codebook
+    broadcasts; argmin is ONE thin shuffle of ``(id, subspace)`` rows
+    with map-side partial ``min(struct(dist, code))``. Nothing
+    corpus-sized is ever wider than 3 integers after the scan.
+    """
+    if dims % m:
+        raise ValueError(f"m={m} must divide dims={dims}")
+    w = dims // m
+    subspaces = F.array(*[
+        F.struct(
+            F.lit(s).alias("subspace"),
+            F.slice("qv", s * w + 1, w).alias("sv"),
+        )
+        for s in range(m)
+    ])
+    sub = (
+        embeddings.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), quantize(vec_col, "qv"))
+        .select(id_col, F.explode(subspaces).alias("__s"))
+        .select(id_col, F.col("__s.subspace").alias("subspace"),
+                F.col("__s.sv").alias("sv"))
+    )
+    scored = sub.join(F.broadcast(codebooks), on="subspace").withColumn(
+        "__d", F.expr(_l2sq("sv", "cb"))
+    )
+    return (
+        scored.groupBy(id_col, "subspace")
+        .agg(F.min(F.struct(F.col("__d"), F.col("code"))).alias("__m"))
+        .select(id_col, "subspace", F.col("__m.code").alias("code"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: queries keep their exact
+    quantized subvectors; corpus vectors are represented ONLY by their
+    PQ codes, and the approximate distance is the sum over subspaces
+    of the exact squared-L2 between the query subvector and the coded
+    centroid. Output ``(query_id, vec_id, adc_dist, rank)`` — rank
+    ascending by distance, ties by candidate id, self excluded. All
+    integer arithmetic: the result is bit-identical across engines.
+
+    Scale shape: the per-query distance LOOKUP TABLE (``m * n_codes``
+    entries per query — the classic ADC trick) broadcasts; the corpus
+    side joins it by ``(subspace, code)`` carrying only 3-integer rows,
+    and the per-(query, vector) sum is ONE map-side-combinable
+    aggregate. Corpus cost is O(N * m) rows per query batch — the
+    point-query/RAG-probe shape; corpus-sized query sets compose with
+    IVF cells (IVF-PQ) exactly as ``ivf_topk_batched`` does for flat
+    vectors, with this operator replacing the exact re-rank.
+    """
+    cbs = pq_codebooks(
+        embeddings, m, n_codes, id_col, vec_col, dims, corpus_count
+    )
+    codes = pq_encode(embeddings, cbs, m, id_col, vec_col, dims)
+    w = dims // m
+    subspaces = F.array(*[
+        F.struct(
+            F.lit(s).alias("subspace"),
+            F.slice("qv", s * w + 1, w).alias("sv"),
+        )
+        for s in range(m)
+    ])
+    qsub = (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"), quantize(vec_col, "qv"))
+        .select("query_id", F.explode(subspaces).alias("__s"))
+        .select("query_id", F.col("__s.subspace").alias("subspace"),
+                F.col("__s.sv").alias("sv"))
+    )
+    lut = qsub.join(F.broadcast(cbs), on="subspace").select(
+        "query_id", "subspace", "code",
+        F.expr(_l2sq("sv", "cb")).alias("__d"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), on=["subspace", "code"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("c_id"))
+        .agg(F.sum("__d").alias("adc_dist"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("c_id").alias(id_col),
+            "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1145,6 +1145,79 @@ FROM ranked WHERE rank <= {_ANN_K}
 """
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py::
+    pq_topk): seeded per-subspace codebooks, integer squared-L2 codes,
+    asymmetric-distance ranking — the compressed-index member of the
+    ANN family next to brute-force / SRP-LSH / IVF. All-integer
+    arithmetic, so the oracle is bit-exact; the codebook step derives
+    from count(*) (scale-invariant, like the IVF oracle)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return pq_topk(
+        emb, queries, k=_ANN_K, m=_PQ_M, n_codes=_PQ_CODES,
+        corpus_count=_emb_count(sf_dir),
+    )
+
+
+_PQ_M, _PQ_CODES = 4, 16
+_PQ_W = _ANN_DIMS // _PQ_M
+
+_PQ_L2 = (
+    "CAST(list_sum([(z[1]-z[2])*(z[1]-z[2])"
+    " for z in list_zip({a}, {b})]) AS BIGINT)"
+)
+
+_PQ_ORACLE = f"""
+WITH pqv AS MATERIALIZED (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+), pqparams AS (
+  SELECT greatest(1, (SELECT count(*) FROM embeddings) // {_PQ_CODES})
+           AS step
+), pqsub AS MATERIALIZED (
+  SELECT vec_id, t.s, qv[t.s*{_PQ_W}+1 : (t.s+1)*{_PQ_W}] AS sv
+  FROM pqv, unnest(range(0, {_PQ_M})) AS t(s)
+), pqcb AS MATERIALIZED (
+  SELECT CAST(v.vec_id // p.step AS INTEGER) AS code, t.s,
+         v.qv[t.s*{_PQ_W}+1 : (t.s+1)*{_PQ_W}] AS cb
+  FROM pqv v, pqparams p, unnest(range(0, {_PQ_M})) AS t(s)
+  WHERE v.vec_id % p.step = 0 AND v.vec_id < p.step * {_PQ_CODES}
+), pqenc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, x.s, c.code,
+           row_number() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {_PQ_L2.format(a="x.sv", b="c.cb")}, c.code
+           ) AS rn
+    FROM pqsub x JOIN pqcb c ON x.s = c.s
+  ) WHERE rn = 1
+), pqlut AS (
+  SELECT x.vec_id AS query_id, x.s, c.code,
+         {_PQ_L2.format(a="x.sv", b="c.cb")} AS d
+  FROM pqsub x JOIN pqcb c ON x.s = c.s
+  WHERE x.vec_id < {_N_QUERIES}
+), pqadc AS (
+  SELECT l.query_id, e.vec_id AS c_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM pqenc e JOIN pqlut l ON e.s = l.s AND e.code = l.code
+  WHERE e.vec_id != l.query_id
+  GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, c_id AS vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, c_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, c_id) AS rank
+  FROM pqadc
+)
+WHERE rank <= {_ANN_K}
+"""
+
+
 # -------------------------------------------------- embedding near-dup pairs
 
 _NEAR_DUP_THRESHOLD = 0.3  # testdata embeddings are centered: max
@@ -4372,6 +4445,7 @@ def ext_queries():
         "sim_ann_batched_topk": _q_ann_batched,
         "sim_ivf_topk": _q_ivf_topk,
         "sim_ivf_batched_topk": _q_ivf_batched,
+        "sim_pq_topk": _q_pq_topk,
         "t_hard_negatives": _q_hard_negatives,
         "sim_embedding_near_dup": _q_embedding_near_dup,
         "rel_semi_join": _q_rel_semi_join,
@@ -4485,6 +4559,7 @@ def ext_oracles():
         "sim_ann_batched_topk": _ann_oracle(_BATCH_QUERY_PRED),
         "sim_ivf_topk": _ivf_oracle(),
         "sim_ivf_batched_topk": _ivf_oracle(_BATCH_QUERY_PRED, scaled_cells=True),
+        "sim_pq_topk": _PQ_ORACLE,
         "t_hard_negatives": _ann_oracle("vec_id IS NOT NULL", max_cos=_NEAR_DUP_THRESHOLD),
         "sim_embedding_near_dup": _near_dup_oracle(),
         "rel_semi_join": _REL_SEMI_ORACLE,

@@ -263,6 +263,7 @@ DIRTY_QUERIES = [
     "sim_ann_batched_topk",
     "sim_ivf_topk",
     "sim_ivf_batched_topk",
+    "sim_pq_topk",
     "t_hard_negatives",
     "sim_embedding_near_dup",
     "sim_label_centroids",

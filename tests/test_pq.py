@@ -1,0 +1,62 @@
+"""Product quantization (operators/similarity.py::pq_*)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+)
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) if v is not None else (i, None)
+         for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_pq_shapes_and_determinism(spark):
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.normal(0, 0.1, 64)) for i in range(64)]
+    vecs.append((200, None))  # NULL embedding: excluded everywhere
+    df = _emb_df(spark, vecs)
+    cbs = pq_codebooks(df, m=4, n_codes=16, corpus_count=65)
+    rows = cbs.collect()
+    assert len(rows) == 4 * 16  # m * n_codes, all present
+    assert all(len(r.cb) == 16 for r in rows)  # dims/m subvector width
+    codes = pq_encode(df, cbs, m=4)
+    got = codes.collect()
+    assert len(got) == 64 * 4  # m rows per non-null vector
+    assert all(0 <= r.code < 16 for r in got)
+    assert not any(r.vec_id == 200 for r in got)
+    # deterministic across runs
+    again = {(r.vec_id, r.subspace): r.code for r in pq_encode(df, cbs, m=4).collect()}
+    assert {(r.vec_id, r.subspace): r.code for r in got} == again
+
+
+def test_pq_topk_ranks_seed_twin_first(spark):
+    """A query vector byte-identical to a codebook seed has ADC
+    distance 0 to that seed's codes — the twin must rank first with
+    adc_dist exactly 0 (all-integer arithmetic, no float fuzz)."""
+    rng = np.random.default_rng(11)
+    base = [rng.normal(0, 0.1, 64) for _ in range(16)]
+    vecs = [(i, base[i]) for i in range(16)]  # seeds: step=1 -> ids 0..15
+    vecs.append((50, base[3].copy()))  # exact twin of seed 3
+    df = _emb_df(spark, vecs)
+    out = pq_topk(df, df.filter(F.col("vec_id") == 50), k=3,
+                  m=4, n_codes=16, corpus_count=17)
+    top = sorted(out.collect(), key=lambda r: r.rank)
+    assert top[0].vec_id == 3 and top[0].adc_dist == 0
+    assert [r.rank for r in top] == [1, 2, 3]
+
+
+def test_pq_dims_must_divide(spark):
+    df = _emb_df(spark, [(0, np.zeros(64))])
+    with pytest.raises(ValueError, match="divide"):
+        pq_codebooks(df, m=5, n_codes=4, corpus_count=1)
