@@ -52,6 +52,7 @@ from .similarity import (  # noqa: F401
     hard_negatives,
     ivf_topk,
     ivf_topk_batched,
+    ivf_pq_topk_batched,
     label_centroids,
     pq_codebooks,
     pq_encode,

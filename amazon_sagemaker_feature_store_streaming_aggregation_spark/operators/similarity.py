@@ -1043,3 +1043,98 @@ def pq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivf_pq_topk_batched(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    n_cells: int | None = None,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """IVF-PQ for corpus-sized query batches — the composition the flat
+    operators promise, shipped as code: IVF cells bound WHICH vectors a
+    query compares against (both sides assigned and shuffle-joined on
+    ``cell``, nothing corpus-sized broadcasts — the
+    :func:`ivf_topk_batched` shape), and PQ ADC distances replace the
+    exact re-rank (candidates carry 3-integer code rows instead of raw
+    vectors — the :func:`pq_topk` shape). This is the classic
+    billion-scale ANN index layout (IVF-PQ, Jégou et al. 2011): probe
+    cost bounded by cells, memory bounded by codes.
+
+    Output ``(query_id, vec_id, adc_dist, rank)`` over probed-cell
+    candidates, ranked ascending by the integer ADC distance, ties by
+    candidate id, self excluded — deterministic, so the composed
+    DuckDB oracle checks it end to end.
+
+    Plan: the O(sqrt N) centroid table and the m*n_codes codebook are
+    the ONLY broadcasts; candidates join codes on ``c_id`` and the
+    per-query lookup table on ``(query_id, subspace, code)`` — every
+    corpus-sized row in flight is 3-4 integers wide.
+    """
+    if n_cells is None:
+        n = corpus_count if corpus_count is not None else embeddings.count()
+        n_cells = auto_cells(n)
+        corpus_count = n
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col, corpus_count)
+    corpus_assign = _ivf_assign(embeddings, cents, 1, id_col, vec_col, "c_id")
+    q_assign = _ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
+    cand = (
+        corpus_assign.join(q_assign, on="cell", how="inner")
+        .filter(F.col("c_id") != F.col("query_id"))
+        .select("c_id", "query_id")
+        .distinct()
+    )
+    cbs = pq_codebooks(
+        embeddings, m, n_codes, id_col, vec_col, dims, corpus_count
+    )
+    codes = pq_encode(embeddings, cbs, m, id_col, vec_col, dims).select(
+        F.col(id_col).alias("c_id"), "subspace", "code"
+    )
+    w = dims // m
+    subspaces = F.array(*[
+        F.struct(
+            F.lit(s).alias("subspace"),
+            F.slice("qv", s * w + 1, w).alias("sv"),
+        )
+        for s in range(m)
+    ])
+    qsub = (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"), quantize(vec_col, "qv"))
+        .select("query_id", F.explode(subspaces).alias("__s"))
+        .select("query_id", F.col("__s.subspace").alias("subspace"),
+                F.col("__s.sv").alias("sv"))
+    )
+    # per-query distance lookup table: Q * m * n_codes rows — NOT
+    # broadcast (the query side is corpus-sized by contract here);
+    # the tiny codebook is the broadcast side of its build join
+    lut = qsub.join(F.broadcast(cbs), on="subspace").select(
+        "query_id", "subspace", "code",
+        F.expr(_l2sq("sv", "cb")).alias("__d"),
+    )
+    scored = (
+        cand.join(codes, on="c_id")
+        .join(lut, on=["query_id", "subspace", "code"])
+        .groupBy("query_id", "c_id")
+        .agg(F.sum("__d").alias("adc_dist"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("c_id").alias(id_col),
+            "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1073,6 +1073,17 @@ def _q_ivf_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scaled_cells_sql() -> str:
+    """auto_cells in SQL: 2^round_even(log2(sqrt(max(4, N)))) clamped,
+    floored at the original 32 — count-derived, so any oracle using it
+    is scale-invariant."""
+    auto = (
+        "CAST(power(2, round_even(log2(sqrt(greatest(4.0,"
+        " CAST(count(*) AS DOUBLE)))), 0)) AS BIGINT)"
+    )
+    return f"greatest({_IVF_CELLS}, least(65536, {auto}))"
+
+
 def _ivf_oracle(query_pred: str | None = None, scaled_cells: bool = False) -> str:
     # SCALE-INVARIANT params: n_cells / step derive from count(*) in
     # SQL exactly as the query side derives them from the parquet
@@ -1084,14 +1095,9 @@ def _ivf_oracle(query_pred: str | None = None, scaled_cells: bool = False) -> st
     # by 1 ulp across engines). This keeps the oracle valid at any
     # sf_dir — including the salted dirty corpus — instead of baking
     # the sf0.01 constants at import.
-    if scaled_cells:
-        auto = (
-            "CAST(power(2, round_even(log2(sqrt(greatest(4.0,"
-            " CAST(count(*) AS DOUBLE)))), 0)) AS BIGINT)"
-        )
-        n_cells_sql = f"greatest({_IVF_CELLS}, least(65536, {auto}))"
-    else:
-        n_cells_sql = f"CAST({_IVF_CELLS} AS BIGINT)"
+    n_cells_sql = (
+        _scaled_cells_sql() if scaled_cells else f"CAST({_IVF_CELLS} AS BIGINT)"
+    )
     cos_vc = _COS_SQL.format(a="v.qv", b="c.cq")
     if query_pred is None:
         query_pred = f"vec_id < {_N_QUERIES}"
@@ -1213,6 +1219,105 @@ FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_dist, c_id) AS rank
   FROM pqadc
+)
+WHERE rank <= {_ANN_K}
+"""
+
+
+def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ for corpus-sized query batches (operators/similarity.py
+    ::ivf_pq_topk_batched): IVF cells bound the candidate set (both
+    sides shuffle-joined on cell — the batched no-broadcast shape), PQ
+    ADC distances replace the exact re-rank. The composed oracle runs
+    both machineries end to end; integer arithmetic keeps it
+    hash-exact and the count-derived cells/step keep it
+    scale-invariant."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ivf_pq_topk_batched,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_BATCH_QUERY_PRED))
+    return ivf_pq_topk_batched(
+        emb, queries, k=_ANN_K, m=_PQ_M, n_codes=_PQ_CODES,
+        n_cells=_ivf_cells_for(sf_dir), nprobe=_IVF_NPROBE,
+        corpus_count=_emb_count(sf_dir),
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    cos_vc = _COS_SQL.format(a="v.qv", b="c.cq")
+    return f"""
+WITH ipraw AS MATERIALIZED (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+), ipparams AS (
+  SELECT n_cells, greatest(1, n // n_cells) AS step
+  FROM (SELECT {_scaled_cells_sql()} AS n_cells, count(*) AS n
+        FROM embeddings)
+), ippqp AS (
+  SELECT greatest(1, (SELECT count(*) FROM embeddings) // {_PQ_CODES})
+           AS step
+), ipq AS MATERIALIZED (
+  SELECT vec_id, qv FROM ipraw
+  WHERE CAST(list_sum([z[1] * z[2] for z in list_zip(qv, qv)])
+             AS BIGINT) > 0
+), ipcent AS (
+  SELECT CAST(q.vec_id // p.step AS INTEGER) AS cell, q.qv AS cq
+  FROM ipq q, ipparams p
+  WHERE q.vec_id % p.step = 0 AND q.vec_id < p.step * p.n_cells
+), ipall AS (
+  SELECT v.vec_id, c.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {cos_vc} DESC, c.cell) AS rn
+  FROM ipq v CROSS JOIN ipcent c
+), ipassign AS (
+  SELECT vec_id AS c_id, cell FROM ipall WHERE rn = 1
+), ipqassign AS (
+  SELECT vec_id AS query_id, cell FROM ipall
+  WHERE rn <= {_IVF_NPROBE} AND {_BATCH_QUERY_PRED}
+), ipcand AS (
+  SELECT DISTINCT a.c_id, b.query_id
+  FROM ipassign a JOIN ipqassign b ON a.cell = b.cell
+  WHERE a.c_id != b.query_id
+), ipsub AS MATERIALIZED (
+  SELECT vec_id, t.s, qv[t.s*{_PQ_W}+1 : (t.s+1)*{_PQ_W}] AS sv
+  FROM ipraw, unnest(range(0, {_PQ_M})) AS t(s)
+), ipcb AS MATERIALIZED (
+  SELECT CAST(v.vec_id // p.step AS INTEGER) AS code, t.s,
+         v.qv[t.s*{_PQ_W}+1 : (t.s+1)*{_PQ_W}] AS cb
+  FROM ipraw v, ippqp p, unnest(range(0, {_PQ_M})) AS t(s)
+  WHERE v.vec_id % p.step = 0 AND v.vec_id < p.step * {_PQ_CODES}
+), ipenc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, x.s, c.code,
+           row_number() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {_PQ_L2.format(a="x.sv", b="c.cb")}, c.code
+           ) AS rn
+    FROM ipsub x JOIN ipcb c ON x.s = c.s
+  ) WHERE rn = 1
+), iplut AS (
+  SELECT x.vec_id AS query_id, x.s, c.code,
+         {_PQ_L2.format(a="x.sv", b="c.cb")} AS d
+  FROM ipsub x JOIN ipcb c ON x.s = c.s
+  WHERE {_BATCH_QUERY_PRED.replace("vec_id", "x.vec_id")}
+), ipadc AS (
+  SELECT n.query_id, n.c_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM ipcand n
+  JOIN ipenc e ON e.vec_id = n.c_id
+  JOIN iplut l ON l.query_id = n.query_id
+                AND l.s = e.s AND l.code = e.code
+  GROUP BY n.query_id, n.c_id
+)
+SELECT query_id, c_id AS vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, c_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, c_id) AS rank
+  FROM ipadc
 )
 WHERE rank <= {_ANN_K}
 """
@@ -4446,6 +4551,7 @@ def ext_queries():
         "sim_ivf_topk": _q_ivf_topk,
         "sim_ivf_batched_topk": _q_ivf_batched,
         "sim_pq_topk": _q_pq_topk,
+        "sim_ivf_pq_batched_topk": _q_ivf_pq_topk,
         "t_hard_negatives": _q_hard_negatives,
         "sim_embedding_near_dup": _q_embedding_near_dup,
         "rel_semi_join": _q_rel_semi_join,
@@ -4560,6 +4666,7 @@ def ext_oracles():
         "sim_ivf_topk": _ivf_oracle(),
         "sim_ivf_batched_topk": _ivf_oracle(_BATCH_QUERY_PRED, scaled_cells=True),
         "sim_pq_topk": _PQ_ORACLE,
+        "sim_ivf_pq_batched_topk": _ivf_pq_oracle(),
         "t_hard_negatives": _ann_oracle("vec_id IS NOT NULL", max_cos=_NEAR_DUP_THRESHOLD),
         "sim_embedding_near_dup": _near_dup_oracle(),
         "rel_semi_join": _REL_SEMI_ORACLE,

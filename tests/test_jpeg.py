@@ -139,3 +139,18 @@ def test_extract_features_decodes_jpeg(spark):
     # feature vector layout: [w, h, mean_r, mean_g, mean_b, ...]
     assert row.features[0] == 24.0 and row.features[1] == 24.0
     assert abs(row.features[2] - img[:, :, 0].mean()) < 2.0
+
+
+@pytest.mark.parametrize("shape", [(21, 19), (17, 33), (9, 9)])
+@pytest.mark.parametrize("subsample", [(2, 2), (2, 1)])
+def test_subsampled_odd_dimensions(shape, subsample):
+    """Subsampling + non-multiple-of-MCU dimensions: the encoder pads
+    planes to the MCU grid, the decoder crops back — shapes must
+    round-trip and errors stay within the chroma-downsample budget."""
+    g = np.linspace(30, 220, shape[0] * shape[1]).reshape(shape)
+    img = np.stack([g, 255 - g, g * 0.5 + 40], axis=2).astype(np.uint8)
+    dec = _decode_jpeg(
+        encode_jpeg(img, quality_scale=0.1, subsample=subsample)
+    )
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 20
