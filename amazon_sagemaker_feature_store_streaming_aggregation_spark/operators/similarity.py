@@ -874,6 +874,72 @@ def _l2sq(a: str, b: str) -> str:
     )
 
 
+def _pq_slice_rows(
+    df: DataFrame, key_col: str, m: int, w: int, out_vec: str
+) -> DataFrame:
+    """Explode a ``(key, qv)`` frame into ``(key, subspace, out_vec)``
+    subvector rows — the ONE spelling of the subspace slicing every PQ
+    stage (codebooks, encoding, query LUTs) shares, so the slice
+    boundaries can never drift between the gated queries and their
+    oracles. Scan-side array ops, no shuffle."""
+    subspaces = F.array(*[
+        F.struct(
+            F.lit(s).alias("subspace"),
+            F.slice("qv", s * w + 1, w).alias(out_vec),
+        )
+        for s in range(m)
+    ])
+    return df.select(key_col, F.explode(subspaces).alias("__s")).select(
+        key_col,
+        F.col("__s.subspace").alias("subspace"),
+        F.col(f"__s.{out_vec}").alias(out_vec),
+    )
+
+
+def _pq_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    w: int,
+) -> DataFrame:
+    """Per-query ADC distance lookup table: exact integer squared-L2
+    from each query subvector to every codebook centroid —
+    ``m * n_codes`` rows per query (the classic ADC trick). The tiny
+    codebook is the broadcast side of the build join."""
+    qsub = _pq_slice_rows(
+        queries.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"), quantize(vec_col, "qv")
+        ),
+        "query_id", m, w, "sv",
+    )
+    return qsub.join(F.broadcast(codebooks), on="subspace").select(
+        "query_id", "subspace", "code",
+        F.expr(_l2sq("sv", "cb")).alias("__d"),
+    )
+
+
+def _adc_rank(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared ADC tail: rank ``(query_id, c_id, adc_dist)`` ascending
+    by distance, ties by candidate id, keep top ``k`` — the single
+    determinism contract both PQ rankers (flat and IVF-bounded) and
+    their oracles pin."""
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("c_id").alias(id_col),
+            "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     m: int = 4,
@@ -912,18 +978,8 @@ def pq_codebooks(
             quantize(vec_col, "qv"),
         )
     )
-    subspaces = F.array(*[
-        F.struct(
-            F.lit(s).alias("subspace"),
-            F.slice("qv", s * w + 1, w).alias("cb"),
-        )
-        for s in range(m)
-    ])
-    return seeds.select(
-        "code", F.explode(subspaces).alias("__s")
-    ).select(
-        F.col("__s.subspace").alias("subspace"), "code",
-        F.col("__s.cb").alias("cb"),
+    return _pq_slice_rows(seeds, "code", m, w, "cb").select(
+        "subspace", "code", "cb"
     )
 
 
@@ -949,19 +1005,11 @@ def pq_encode(
     if dims % m:
         raise ValueError(f"m={m} must divide dims={dims}")
     w = dims // m
-    subspaces = F.array(*[
-        F.struct(
-            F.lit(s).alias("subspace"),
-            F.slice("qv", s * w + 1, w).alias("sv"),
-        )
-        for s in range(m)
-    ])
-    sub = (
-        embeddings.where(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), quantize(vec_col, "qv"))
-        .select(id_col, F.explode(subspaces).alias("__s"))
-        .select(id_col, F.col("__s.subspace").alias("subspace"),
-                F.col("__s.sv").alias("sv"))
+    sub = _pq_slice_rows(
+        embeddings.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col), quantize(vec_col, "qv")
+        ),
+        id_col, m, w, "sv",
     )
     scored = sub.join(F.broadcast(codebooks), on="subspace").withColumn(
         "__d", F.expr(_l2sq("sv", "cb"))
@@ -1005,44 +1053,14 @@ def pq_topk(
         embeddings, m, n_codes, id_col, vec_col, dims, corpus_count
     )
     codes = pq_encode(embeddings, cbs, m, id_col, vec_col, dims)
-    w = dims // m
-    subspaces = F.array(*[
-        F.struct(
-            F.lit(s).alias("subspace"),
-            F.slice("qv", s * w + 1, w).alias("sv"),
-        )
-        for s in range(m)
-    ])
-    qsub = (
-        queries.where(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("query_id"), quantize(vec_col, "qv"))
-        .select("query_id", F.explode(subspaces).alias("__s"))
-        .select("query_id", F.col("__s.subspace").alias("subspace"),
-                F.col("__s.sv").alias("sv"))
-    )
-    lut = qsub.join(F.broadcast(cbs), on="subspace").select(
-        "query_id", "subspace", "code",
-        F.expr(_l2sq("sv", "cb")).alias("__d"),
-    )
+    lut = _pq_lut(queries, cbs, id_col, vec_col, m, dims // m)
     scored = (
         codes.join(F.broadcast(lut), on=["subspace", "code"])
         .where(F.col(id_col) != F.col("query_id"))
         .groupBy("query_id", F.col(id_col).alias("c_id"))
         .agg(F.sum("__d").alias("adc_dist"))
     )
-    win = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("c_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("c_id").alias(id_col),
-            "adc_dist",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _adc_rank(scored, k, id_col)
 
 
 def ivf_pq_topk_batched(
@@ -1097,44 +1115,14 @@ def ivf_pq_topk_batched(
     codes = pq_encode(embeddings, cbs, m, id_col, vec_col, dims).select(
         F.col(id_col).alias("c_id"), "subspace", "code"
     )
-    w = dims // m
-    subspaces = F.array(*[
-        F.struct(
-            F.lit(s).alias("subspace"),
-            F.slice("qv", s * w + 1, w).alias("sv"),
-        )
-        for s in range(m)
-    ])
-    qsub = (
-        queries.where(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("query_id"), quantize(vec_col, "qv"))
-        .select("query_id", F.explode(subspaces).alias("__s"))
-        .select("query_id", F.col("__s.subspace").alias("subspace"),
-                F.col("__s.sv").alias("sv"))
-    )
     # per-query distance lookup table: Q * m * n_codes rows — NOT
     # broadcast (the query side is corpus-sized by contract here);
     # the tiny codebook is the broadcast side of its build join
-    lut = qsub.join(F.broadcast(cbs), on="subspace").select(
-        "query_id", "subspace", "code",
-        F.expr(_l2sq("sv", "cb")).alias("__d"),
-    )
+    lut = _pq_lut(queries, cbs, id_col, vec_col, m, dims // m)
     scored = (
         cand.join(codes, on="c_id")
         .join(lut, on=["query_id", "subspace", "code"])
         .groupBy("query_id", "c_id")
         .agg(F.sum("__d").alias("adc_dist"))
     )
-    win = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("c_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("c_id").alias(id_col),
-            "adc_dist",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _adc_rank(scored, k, id_col)

@@ -4222,9 +4222,15 @@ WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
 #: inside identical-fingerprint groups + rep-level verified pairs) —
 #: O(N + rep-pairs) rows even on duplicate pile-ups, so unlike the
 #: full pair table it never exceeds storage/driver budgets at scale.
-#: Written once per (process, sf_dir) with mode=overwrite so a code
-#: change can never serve a stale graph across rounds.
-_HAMMING_EDGES_WRITTEN: set = set()
+#: Concurrency + staleness contract: the cache key hashes the sf_dir
+#: path PLUS the documents.parquet (mtime, size) signature PLUS a code
+#: version token, so regenerated testdata or a semantics change land
+#: at a NEW path; a keyed table's content is therefore immutable, and
+#: it is written WRITE-ONCE via temp-dir + atomic rename — concurrent
+#: processes (bench + pytest on the same sf_dir) either rename first
+#: or discard their temp copy and read the winner; a reader never
+#: observes a partially (re)written directory.
+_HAMMING_EDGES_VERSION = 2  # bump when hamming_near_dup_edges semantics change
 _GATE_CACHE_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "_gate_cache"
 )
@@ -4232,20 +4238,33 @@ _GATE_CACHE_DIR = os.path.join(
 
 def _hamming_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import shutil
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(docs_path)
+    sig = (
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|v{_HAMMING_EDGES_VERSION}"
+    )
+    key = hashlib.md5(sig.encode()).hexdigest()[:16]
     path = os.path.join(_GATE_CACHE_DIR, f"hamming_edges_{key}")
-    if path not in _HAMMING_EDGES_WRITTEN:
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
             hamming_near_dup_edges,
         )
 
+        tmp = f"{path}.tmp.{os.getpid()}"
         fps = simhash(load_table(spark, sf_dir, "documents"))
         hamming_near_dup_edges(
             fps, id_col="doc_id", hash_col="simhash",
             max_hamming=3, bands=4, n_bits=60,
-        ).write.mode("overwrite").parquet(path)
-        _HAMMING_EDGES_WRITTEN.add(path)
+        ).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another process renamed first — identical deterministic
+            # content, keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path).select("doc_a", "doc_b")
 
 
