@@ -1176,7 +1176,53 @@ _PQ_L2 = (
     " for z in list_zip({a}, {b})]) AS BIGINT)"
 )
 
-_PQ_ORACLE = f"""
+def _pq_oracle(rerank: int | None = None) -> str:
+    """PQ ADC oracle; with ``rerank`` the ADC top-``rerank`` shortlist
+    is exact-cosine re-ranked (zero-norm candidates drop — cosine
+    undefined), mirroring pq_topk(rerank=...)'s production shape."""
+    body = _PQ_ORACLE_BODY
+    if rerank is None:
+        return body.format(final=f"""
+SELECT query_id, c_id AS vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, c_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, c_id) AS rank
+  FROM pqadc
+)
+WHERE rank <= {_ANN_K}
+""")
+    return body.format(final=f"""
+, pqshort AS (
+  SELECT query_id, c_id FROM (
+    SELECT query_id, c_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, c_id) AS rank
+    FROM pqadc
+  ) WHERE rank <= {rerank}
+), pqnorm AS (
+  SELECT vec_id, qv FROM pqv
+  WHERE CAST(list_sum([z[1] * z[2] for z in list_zip(qv, qv)])
+             AS BIGINT) > 0
+), pqscored AS (
+  SELECT s.query_id, s.c_id,
+         {_COS_SQL.format(a="cv.qv", b="qq.qv")} AS cosine
+  FROM pqshort s
+  JOIN pqnorm cv ON cv.vec_id = s.c_id
+  JOIN pqnorm qq ON qq.vec_id = s.query_id
+)
+SELECT query_id, c_id AS vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, c_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, c_id) AS rank
+  FROM pqscored
+)
+WHERE rank <= {_ANN_K}
+""")
+
+
+_PQ_ORACLE_BODY = f"""
 WITH pqv AS MATERIALIZED (
   SELECT vec_id,
          [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
@@ -1212,16 +1258,28 @@ WITH pqv AS MATERIALIZED (
   FROM pqenc e JOIN pqlut l ON e.s = l.s AND e.code = l.code
   WHERE e.vec_id != l.query_id
   GROUP BY l.query_id, e.vec_id
-)
-SELECT query_id, c_id AS vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
-FROM (
-  SELECT query_id, c_id, adc_dist,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY adc_dist, c_id) AS rank
-  FROM pqadc
-)
-WHERE rank <= {_ANN_K}
+){{final}}
 """
+
+_PQ_ORACLE = _pq_oracle()
+_PQ_RERANK = 50
+
+
+def _q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape PQ: ADC shortlists _PQ_RERANK candidates,
+    exact quantized cosine re-ranks them (operators/similarity.py::
+    pq_topk(rerank=...)). Pure ADC is tie-limited — identically coded
+    vectors share a distance — so the re-rank is what real PQ
+    deployments run; measured recall@5 on clustered fixtures: 0.16
+    ADC-only vs 1.0 re-ranked (tests/test_pq.py pins the floors)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return pq_topk(
+        emb, queries, k=_ANN_K, m=_PQ_M, n_codes=_PQ_CODES,
+        corpus_count=_emb_count(sf_dir), rerank=_PQ_RERANK,
+    )
 
 
 def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4570,6 +4628,7 @@ def ext_queries():
         "sim_ivf_topk": _q_ivf_topk,
         "sim_ivf_batched_topk": _q_ivf_batched,
         "sim_pq_topk": _q_pq_topk,
+        "sim_pq_rerank_topk": _q_pq_rerank_topk,
         "sim_ivf_pq_batched_topk": _q_ivf_pq_topk,
         "t_hard_negatives": _q_hard_negatives,
         "sim_embedding_near_dup": _q_embedding_near_dup,
@@ -4685,6 +4744,7 @@ def ext_oracles():
         "sim_ivf_topk": _ivf_oracle(),
         "sim_ivf_batched_topk": _ivf_oracle(_BATCH_QUERY_PRED, scaled_cells=True),
         "sim_pq_topk": _PQ_ORACLE,
+        "sim_pq_rerank_topk": _pq_oracle(rerank=_PQ_RERANK),
         "sim_ivf_pq_batched_topk": _ivf_pq_oracle(),
         "t_hard_negatives": _ann_oracle("vec_id IS NOT NULL", max_cos=_NEAR_DUP_THRESHOLD),
         "sim_embedding_near_dup": _near_dup_oracle(),

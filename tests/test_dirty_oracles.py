@@ -264,6 +264,7 @@ DIRTY_QUERIES = [
     "sim_ivf_topk",
     "sim_ivf_batched_topk",
     "sim_pq_topk",
+    "sim_pq_rerank_topk",
     "sim_ivf_pq_batched_topk",
     "t_hard_negatives",
     "sim_embedding_near_dup",
