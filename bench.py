@@ -122,11 +122,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     suspects: list[str] = []
+    probe_raw: dict[str, float] = {}  # probe time after each query's LAST run
     for name, fn in qmap.items():
         best, times, n = measure(fn)
         timings[name] = round(best, 3)
         drop_temp_views()
         p = probe_time()
+        probe_raw[name] = p
         probe_base = min(probe_base, p)
         slow_host = p > 3 * probe_base
         if slow_host:
@@ -137,12 +139,15 @@ def main() -> None:
             + (" [slow-host suspect]" if slow_host else ""),
             file=sys.stderr,
         )
+    unresolved: list[str] = []
     for name in suspects:
         best, times, n = measure(qmap[name])
         drop_temp_views()
         p = probe_time()
+        probe_raw[name] = p
         probe_base = min(probe_base, p)
         if p > 3 * probe_base:
+            unresolved.append(name)
             print(
                 f"# {name}: re-measure also ran on a slow host "
                 f"(probe {p:.3f}s vs base {probe_base:.3f}s) — "
@@ -158,6 +163,21 @@ def main() -> None:
             timings[name] = round(best, 3)
     total = sum(timings.values())
 
+    # Slow-host evidence IN the artifacts (previously stderr-only, so
+    # downstream exponent/regression analysis couldn't tell episode-
+    # inflated rows from clean ones — r7: driver recorded 19.89s for a
+    # query a quiet window measures at 6.84s, with no marker).
+    # "suspects" = queries whose LAST measurement still ran on a slow
+    # host (flagged, re-measured, re-measure also flagged) — their
+    # recorded minimum may be inflated and should be discounted.
+    # "probe_ratios" = last post-query calibration-probe time over the
+    # final (running-min) quiet baseline, for every query the episode
+    # sentinel ever flagged: ~1.0 means the final number is clean even
+    # though the first pass was hit.
+    probe_ratios = {
+        name: round(probe_raw[name] / probe_base, 2) for name in suspects
+    }
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf) if sf else sf_dir
@@ -169,6 +189,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "suspects": unresolved,
+        "probe_ratios": probe_ratios,
     }
     # The driver captures a BOUNDED tail of stdout; with 100+ per-query
     # entries the full JSON overflows it (BENCH_r03 came back
@@ -193,6 +215,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "suspects": unresolved,
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -40,6 +40,12 @@ def main() -> None:
         hi = json.load(fh)
     qs = {}
     worst = None
+    # slow-host suspects from either input ride into the composed
+    # entry: an exponent built on an episode-inflated timing is not
+    # evidence of quadratic creep, and downstream analysis needs to
+    # see that in the artifact, not in a stderr line long gone
+    sus_lo = set(lo.get("suspects") or [])
+    sus_hi = set(hi.get("suspects") or [])
     for name, t_lo in sorted(lo["queries"].items()):
         t_hi = hi["queries"].get(name)
         if t_hi is None:
@@ -54,6 +60,11 @@ def main() -> None:
             "exponent": round(exp, 3),
             "near_linear": exp <= args.bar,
         }
+        if name in sus_lo or name in sus_hi:
+            qs[name]["slow_host_suspect"] = sorted(
+                (["lo"] if name in sus_lo else [])
+                + (["hi"] if name in sus_hi else [])
+            )
         if worst is None or exp > qs[worst]["exponent"]:
             worst = name
     out = {
