@@ -796,6 +796,18 @@ def lsh_near_dup_edges(
     materialized copy of the corpus text in exchange for single-scan
     input — the trade a pipeline makes by persisting its exact-dedup
     output as a table.
+
+    Collision exposure (same convention as :func:`dedup_exact`, stated
+    here because an edge table AMPLIFIES it): "identical text" means
+    identical 64-bit ``h64(text)`` — two DISTINCT texts colliding on
+    the hash would fabricate a jaccard-1.0 star edge and merge their
+    components. The expected collision count at N documents is
+    ~N²/2⁶⁵ (birthday bound: ~0.0005 at 10⁹ docs, ~5 % odds of ONE
+    collision at 10¹⁰), which the repo's exact-dedup family accepts by
+    convention rather than paying a full byte-compare shuffle of the
+    corpus text; a pipeline that cannot accept it verifies text
+    equality within each collapse group (one extra comparison per
+    member against its representative) before emitting the star.
     """
     d = docs.where(
         F.col(text_col).isNotNull() & F.col(id_col).isNotNull()

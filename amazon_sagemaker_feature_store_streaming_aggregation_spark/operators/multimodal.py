@@ -438,6 +438,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             planes = _jpeg_decode_scan(
                 segs, scan, qt, hdc, hac, frame, restart
             )
+            scan_ids = [c["id"] for c, _, _ in scan]
         # APPn/COM and anything else: skipped
     if planes is None:
         raise ValueError("corrupt JPEG: no scan decoded")
@@ -449,7 +450,18 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         return np.repeat(y[:, :, None], 3, axis=2)
     if len(planes) != 3:
         raise NotImplementedError("JPEG with 2 or 4+ components unsupported")
-    y, cb, cr = (p[:h_img, :w_img] for p in planes)
+    # Y/Cb/Cr assignment is by COMPONENT ID, not SOS scan position: T.81
+    # puts no order constraint on the scan's component list, so a writer
+    # emitting e.g. (Cr, Cb, Y) would otherwise color-swap silently.
+    # JFIF (the only 3-component flavor this decoder claims) fixes the
+    # ids as Y=1, Cb=2, Cr=3; anything else is out of scope, loudly.
+    if sorted(scan_ids) != [1, 2, 3]:
+        raise NotImplementedError(
+            f"non-JFIF 3-component ids {sorted(scan_ids)} unsupported "
+            "(JFIF Y=1/Cb=2/Cr=3 only)"
+        )
+    by_id = dict(zip(scan_ids, planes))
+    y, cb, cr = (by_id[cid][:h_img, :w_img] for cid in (1, 2, 3))
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
@@ -485,7 +497,12 @@ def _jpeg_decode_scan(
             br = _JpegBits(segs[seg_i])
             preds = [0] * len(scan)
         for ci, (c, td, ta) in enumerate(scan):
-            dct, act = hdc[td], hac[ta]
+            try:
+                dct, act = hdc[td], hac[ta]
+            except KeyError as exc:  # selector with no DHT segment
+                raise ValueError(
+                    f"corrupt JPEG: undefined Huffman table {exc}"
+                ) from None
             for b in range(c["h"] * c["v"]):
                 row = coefs[ci][mcu * c["h"] * c["v"] + b]
                 s = br.huff(dct)
@@ -508,6 +525,10 @@ def _jpeg_decode_scan(
         mcu += 1
     planes = []
     for ci, (c, _, _) in enumerate(scan):
+        if c["tq"] not in qt:  # selector with no DQT segment
+            raise ValueError(
+                f"corrupt JPEG: undefined quant table {c['tq']}"
+            )
         deq = coefs[ci] * qt[c["tq"]][None, :]  # both in zigzag order
         nat = np.zeros_like(deq)
         nat[:, _ZIGZAG] = deq  # dezigzag

@@ -4289,6 +4289,15 @@ WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
 #: or discard their temp copy and read the winner; a reader never
 #: observes a partially (re)written directory.
 _HAMMING_EDGES_VERSION = 2  # bump when hamming_near_dup_edges semantics change
+#: simhash implementation token: bump when operators/dedup.py::simhash
+#: itself changes (token hashing, majority rule, bit order) — the edge
+#: cache is a pure function of (input data, simhash impl, banding
+#:  params), and only the first is observable from the filesystem.
+_SIMHASH_IMPL_VERSION = 1
+#: the banding/verify parameters the cached edge table was built with —
+#: part of the cache key, so changing them lands at a NEW path instead
+#: of silently serving edges computed under the old radius/band count.
+_HAMMING_EDGES_PARAMS = {"max_hamming": 3, "bands": 4, "n_bits": 60}
 _GATE_CACHE_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "_gate_cache"
 )
@@ -4300,9 +4309,11 @@ def _hamming_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(docs_path)
+    p = _HAMMING_EDGES_PARAMS
     sig = (
         f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
-        f"|v{_HAMMING_EDGES_VERSION}"
+        f"|v{_HAMMING_EDGES_VERSION}|sh{_SIMHASH_IMPL_VERSION}"
+        f"|mh{p['max_hamming']}|b{p['bands']}|n{p['n_bits']}"
     )
     key = hashlib.md5(sig.encode()).hexdigest()[:16]
     path = os.path.join(_GATE_CACHE_DIR, f"hamming_edges_{key}")
@@ -4314,8 +4325,7 @@ def _hamming_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = f"{path}.tmp.{os.getpid()}"
         fps = simhash(load_table(spark, sf_dir, "documents"))
         hamming_near_dup_edges(
-            fps, id_col="doc_id", hash_col="simhash",
-            max_hamming=3, bands=4, n_bits=60,
+            fps, id_col="doc_id", hash_col="simhash", **p,
         ).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)

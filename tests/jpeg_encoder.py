@@ -221,12 +221,18 @@ def _box_down(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
 def encode_jpeg(
     px: np.ndarray, quality_scale: float = 1.0, grayscale: bool = False,
     restart: int = 0, subsample: tuple = (1, 1),
+    sos_order: tuple | None = None,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JPEG bytes (SOF0, Annex K tables
     scaled by ``quality_scale`` and clamped to [1, 255], optional
     DRI/RSTn every ``restart`` MCUs). ``subsample=(v, h)`` sets the
     LUMA sampling factors relative to chroma — (1, 1) is 4:4:4,
-    (1, 2) is 4:2:2, (2, 2) is 4:2:0 (box-averaged chroma)."""
+    (1, 2) is 4:2:2, (2, 2) is 4:2:0 (box-averaged chroma).
+    ``sos_order`` permutes the SCAN's component order (indices into
+    the Y/Cb/Cr component list; the MCU interleave follows it, per
+    T.81 the scan order is the writer's choice) — decoders that map
+    planes by scan position instead of component id color-swap on
+    anything but the default (0, 1, 2)."""
     h, w = px.shape[:2]
     f = px.astype(np.float64)
     y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
@@ -266,8 +272,10 @@ def encode_jpeg(
     if restart:
         out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart.to_bytes(2, "big")
     # SOS
+    order = tuple(sos_order) if sos_order is not None else tuple(range(nc))
+    assert sorted(order) == list(range(nc)), "sos_order must permute comps"
     sos = bytes([nc])
-    for ci in range(nc):
+    for ci in order:
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
@@ -298,7 +306,8 @@ def encode_jpeg(
                 out += bytes([0xFF, 0xD0 + (rst % 8)])
                 rst += 1
                 preds = [0] * nc
-            for ci, (_, ch, cv) in enumerate(comps):
+            for ci in order:
+                _, ch, cv = comps[ci]
                 plane = padded[ci]
                 for r in range(cv):
                     for c in range(ch):

@@ -77,6 +77,33 @@ def test_chroma_subsampling(subsample):
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12
 
 
+def test_scan_component_order_is_irrelevant():
+    """T.81 leaves the SOS component order to the writer; plane
+    assignment must go by COMPONENT ID, not scan position — a decoder
+    keyed on scan position color-swaps on a (Cr, Cb, Y) scan."""
+    img = _gradient()
+    normal = _decode_jpeg(encode_jpeg(img, quality_scale=0.1))
+    for order in [(2, 1, 0), (1, 2, 0), (0, 2, 1)]:
+        swapped = _decode_jpeg(
+            encode_jpeg(img, quality_scale=0.1, sos_order=order)
+        )
+        assert (swapped == normal).all(), order
+
+
+def test_undefined_tables_raise_corrupt_jpeg():
+    """Missing DHT/DQT for a referenced selector is the corrupt-JPEG
+    ValueError contract, not a bare KeyError."""
+    data = encode_jpeg(_gradient(), quality_scale=0.1)
+    # retarget the luma DQT to table id 2: table 0 becomes undefined
+    no_qt = data.replace(b"\xff\xdb\x00\x43\x00", b"\xff\xdb\x00\x43\x02", 1)
+    with pytest.raises(ValueError, match="undefined quant table"):
+        _decode_jpeg(no_qt)
+    # retarget the luma DC DHT to id 2: DC selector 0 becomes undefined
+    no_dht = data.replace(b"\xff\xc4\x00\x1f\x00", b"\xff\xc4\x00\x1f\x02", 1)
+    with pytest.raises(ValueError, match="undefined Huffman table"):
+        _decode_jpeg(no_dht)
+
+
 def test_progressive_and_arithmetic_rejected():
     data = encode_jpeg(_gradient())
     with pytest.raises(NotImplementedError, match="progressive"):
