@@ -266,6 +266,7 @@ DIRTY_QUERIES = [
     "sim_pq_topk",
     "sim_pq_rerank_topk",
     "sim_ivf_pq_batched_topk",
+    "sim_ivf_pq_rerank_topk",
     "t_hard_negatives",
     "sim_embedding_near_dup",
     "sim_label_centroids",
