@@ -24,6 +24,7 @@ from .dedup import (  # noqa: F401
     build_text_hash_index,
     build_text_hash_index_bucketed,
     clusters_append,
+    clusters_delta,
     connected_components,
     contamination_overlap,
     dedup_append,

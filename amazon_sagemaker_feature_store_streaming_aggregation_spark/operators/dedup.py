@@ -1017,8 +1017,18 @@ def clusters_append(
     with at least one endpoint touching the batch, plus any late
     old↔old edges), return the full corpus's updated
     ``(id, cluster_id, cluster_size, is_canonical)`` — EXACTLY what a
-    from-scratch :func:`near_dup_clusters` over all edges would emit,
-    at O(batch + touched-cluster mass) cost instead of O(corpus).
+    from-scratch :func:`near_dup_clusters` over all edges would emit.
+
+    Cost, honestly: the ITERATIVE part (connected components) is
+    bounded by the touched subgraph — untouched labels never enter the
+    loop — which is the expensive part of the from-scratch twin
+    (O(E·log d) shuffles). But the function's CONTRACT is the full
+    label table, so the final sizes/canonical aggregate and the output
+    itself are O(corpus) per call — one flat groupBy + join, unavoidable
+    while emitting every row. A standing pipeline that cannot afford an
+    O(corpus) tail per batch wants :func:`clusters_delta` (emits only
+    the changed rows) + a persisted label store — exactly what
+    ``streaming/dedup.py::run_cluster_maintain_stream`` does.
 
     The completion of the incremental dedup lifecycle: discovery has
     :func:`dedup_append`/:func:`lsh_append_candidates`, streaming has
@@ -1062,6 +1072,87 @@ def clusters_append(
         all_docs.join(comp, id_col, "left")
         .join(
             labels.select(id_col, F.col("cluster_id").alias("__old")),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col("__old"), F.col(id_col)).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.min(id_col).alias("__canon"),
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        F.when(F.col(id_col) == F.col("__canon"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_canonical"),
+    )
+
+
+def clusters_delta(
+    touched_members: DataFrame,
+    new_docs: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """The DELTA core of incremental cluster maintenance: given the
+    FULL current membership of every cluster the batch touches
+    (``touched_members``: ``(id, cluster_id)`` rows — all members of
+    every cluster containing an edge endpoint), the genuinely NEW
+    document ids, and the batch's near-dup edges, return updated
+    ``(id, cluster_id, cluster_size, is_canonical)`` rows for the
+    AFFECTED docs only — O(batch + touched-cluster mass) rows in, out,
+    and through the iterative loop; the rest of the corpus is never
+    read, shuffled, or rewritten. :func:`clusters_append` is the
+    full-table twin (same relabel math, O(corpus) output contract);
+    this is what a persisted label store folds per batch
+    (``streaming/dedup.py::run_cluster_maintain_stream``).
+
+    Exactness (same induction as :func:`clusters_append`): each
+    touched cluster re-enters connected components as STAR edges
+    ``(cluster_id ↔ member)`` — its label IS its minimum member id, so
+    the stars reproduce the old component's connectivity and minimum
+    exactly, and unions with batch edges yield ``min(mins)``, the
+    from-scratch label. Sizes/canonicals are exact because every
+    RESULT cluster's membership is fully inside the scope: merged
+    clusters bring all members via ``touched_members``, new-doc
+    clusters are batch-contained by construction. Callers must
+    therefore route a re-delivered doc whose cluster is untouched
+    AROUND this function (it is not "new", and emitting it alone would
+    shrink its cluster's size) — the streaming runner's
+    prior-label lookup does exactly that.
+
+    NULL ids in ``new_docs`` are dropped (the :func:`near_dup_clusters`
+    rule: the null-unsafe sizes join excludes them from the label
+    table there too — probed, not assumed).
+    """
+    edges = new_edges.select("doc_a", "doc_b")
+    star = touched_members.select(
+        F.col("cluster_id").alias("doc_a"), F.col(id_col).alias("doc_b")
+    ).where(F.col("doc_a") != F.col("doc_b"))
+    comp = connected_components(
+        edges.unionByName(star), max_iter=max_iter
+    ).withColumnRenamed("node", id_col)
+    scope_ids = (
+        touched_members.select(id_col)
+        .unionByName(new_docs.select(id_col).where(F.col(id_col).isNotNull()))
+        .distinct()
+    )
+    assigned = (
+        scope_ids.join(comp, id_col, "left")
+        .join(
+            touched_members.select(
+                id_col, F.col("cluster_id").alias("__old")
+            ),
             id_col,
             "left",
         )

@@ -8,12 +8,15 @@ from .sources import (  # noqa: F401
     read_json_event_stream,
 )
 from .dedup import (  # noqa: F401
+    compact_cluster_store,
     dedup_stream_content,
     dedup_stream_exact,
+    read_cluster_labels,
     run_cluster_maintain_stream,
     run_index_dedup_stream,
     run_index_lsh_stream,
     run_index_hamming_stream,
+    vacuum_cluster_store,
 )
 from .join import interval_join  # noqa: F401
 from .metrics import progress_summary  # noqa: F401

@@ -529,6 +529,253 @@ def _committed_batches(spark, out_dir: str) -> list:
     return sorted(ids)
 
 
+def _fs_has_parquet_recursive(spark, dir_str: str) -> bool:
+    """True when any ``.parquet`` file exists anywhere under
+    ``dir_str`` (the partitioned-write layout puts files one level
+    down, under ``<bucket>=<v>/`` dirs — the flat check misses them)."""
+    fs, path = _hadoop_fs(spark, dir_str)
+    if not fs.exists(path):
+        return False
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
+def _label_bucket(col: str, n_buckets: int):
+    """Deterministic store bucket of an id/label column — the
+    PARTITION key of both label-store projections, so point-shaped
+    lookups prune to the buckets their keys hash into."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+def _cluster_store_parts(
+    spark, out_dir: str, upto_batch: int | None = None
+) -> tuple:
+    """(latest committed compaction's through-batch id or None,
+    [committed delta batch ids after it]) — the read set every label
+    reconstruction uses. Uncommitted batch dirs (crash before
+    ``_SUCCESS``) and uncommitted compactions are invisible."""
+    base = out_dir.rstrip("/")
+    fs, path = _hadoop_fs(spark, base)
+    compacts = []
+    if fs.exists(path):
+        for status in fs.listStatus(path):
+            name = status.getPath().getName()
+            if not name.startswith("compact="):
+                continue
+            try:
+                cid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if upto_batch is not None and cid > upto_batch:
+                continue
+            if _fs_exists(spark, f"{base}/{name}/_SUCCESS"):
+                compacts.append(cid)
+    through = max(compacts) if compacts else None
+    batches = [
+        b
+        for b in _committed_batches(spark, base)
+        if (through is None or b > through)
+        and (upto_batch is None or b <= upto_batch)
+    ]
+    return through, batches
+
+
+def _read_store_side(
+    spark,
+    out_dir: str,
+    side: str,
+    through: int | None,
+    batches: list,
+    buckets: list | None = None,
+) -> DataFrame | None:
+    """Union the label rows of one store projection (``side`` is
+    ``"doc"`` or ``"cluster"``) across the compaction + the given
+    committed deltas. With ``buckets`` the read is PRUNED: the bucket
+    filter sits on the partition column, so only the named
+    ``<bucket>=<v>/`` directories are listed and scanned — the
+    O(touched) prior-state read the standing runner depends on.
+    Returns None when no part holds data yet."""
+    base = out_dir.rstrip("/")
+    pcol = "dbucket" if side == "doc" else "cbucket"
+    paths = []
+    if through is not None:
+        sub = "by_doc" if side == "doc" else "by_cluster"
+        paths.append(f"{base}/compact={through}/{sub}")
+    for b in batches:
+        sub = "delta_doc" if side == "doc" else "delta_cluster"
+        paths.append(f"{base}/batch={b}/{sub}")
+    out = None
+    for p in paths:
+        if not _fs_has_parquet_recursive(spark, p):
+            continue  # empty delta (batch with no label changes)
+        df = spark.read.parquet(p)
+        if buckets is not None:
+            df = df.where(F.col(pcol).isin([int(x) for x in buckets]))
+        df = df.drop(pcol)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _read_store_sizes(
+    spark, out_dir: str, through: int | None, batches: list
+) -> DataFrame | None:
+    base = out_dir.rstrip("/")
+    paths = []
+    if through is not None:
+        paths.append(f"{base}/compact={through}/sizes")
+    paths += [f"{base}/batch={b}/sizes" for b in batches]
+    out = None
+    for p in paths:
+        if not _fs_has_parquet(spark, p):
+            continue
+        df = spark.read.parquet(p)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _latest_per_key(rows: DataFrame, key_col: str) -> DataFrame:
+    """Latest-batch-wins per key — how the keyed store resolves a
+    doc's (or cluster's) current row across compaction + deltas."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col("batch").desc())
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "batch")
+    )
+
+
+def read_cluster_labels(
+    spark,
+    out_dir: str,
+    id_col: str = "doc_id",
+    upto_batch: int | None = None,
+) -> DataFrame:
+    """Reconstruct the FULL current label table
+    ``(id, cluster_id, cluster_size, is_canonical)`` from the delta
+    store :func:`run_cluster_maintain_stream` maintains — the read API
+    of the standing-clustering lifecycle, and the one deliberately
+    O(corpus) operation in it (it materializes every row by contract;
+    per-batch maintenance never does). ``upto_batch`` reconstructs the
+    state as of that committed batch (time travel over the deltas).
+
+    Resolution: a doc's current label is its LATEST row across the
+    newest committed compaction and the committed deltas after it
+    (label rows are re-emitted whenever a doc's cluster is touched);
+    sizes/canonicals resolve the same way per cluster. Size rows of
+    merged-away clusters go stale in place, but a merged-away label is
+    current for no doc (labels are component minima — they only ever
+    move down), so the inner join never resurrects one.
+    """
+    through, batches = _cluster_store_parts(spark, out_dir, upto_batch)
+    rows = _read_store_side(spark, out_dir, "doc", through, batches)
+    sizes = _read_store_sizes(spark, out_dir, through, batches)
+    if rows is None or sizes is None:
+        raise ValueError(
+            f"no committed cluster-store state under {out_dir}"
+            + (f" at batch<={upto_batch}" if upto_batch is not None else "")
+        )
+    labels = _latest_per_key(rows, id_col)
+    current = _latest_per_key(sizes, "cluster_id")
+    return labels.join(current, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        F.when(F.col(id_col) == F.col("canon"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_canonical"),
+    )
+
+
+def compact_cluster_store(
+    spark,
+    out_dir: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> int | None:
+    """Fold the committed deltas into a fresh full compaction
+    ``out_dir/compact=<through_batch>/`` (both bucket projections +
+    sizes). Readers switch to it atomically via its ``_SUCCESS``
+    marker; the superseded deltas stay on disk until
+    :func:`vacuum_cluster_store`. Returns the new compaction's
+    through-batch id, or None when there is nothing new to fold.
+
+    O(corpus) by nature — which is exactly why it is PERIODIC
+    (``compact_every`` in the runner) instead of per-batch: the
+    per-batch path writes O(touched), and compaction amortizes the
+    full rewrite over many batches, bounding the number of delta dirs
+    a reconstruction must union."""
+    through, batches = _cluster_store_parts(spark, out_dir)
+    if not batches:
+        return None
+    target = max(batches)
+    labels = read_cluster_labels(spark, out_dir, id_col=id_col)
+    labels.persist()
+    try:
+        base = out_dir.rstrip("/")
+        cdir = f"{base}/compact={target}"
+        tagged = labels.withColumn("batch", F.lit(target))
+        (
+            tagged.select(id_col, "cluster_id", "batch")
+            .withColumn("dbucket", _label_bucket(id_col, n_buckets))
+            .repartition(n_buckets, F.col("dbucket"))
+            .write.mode("overwrite")
+            .partitionBy("dbucket")
+            .parquet(cdir + "/by_doc")
+        )
+        (
+            tagged.select(id_col, "cluster_id", "batch")
+            .withColumn("cbucket", _label_bucket("cluster_id", n_buckets))
+            .repartition(n_buckets, F.col("cbucket"))
+            .write.mode("overwrite")
+            .partitionBy("cbucket")
+            .parquet(cdir + "/by_cluster")
+        )
+        (
+            tagged.where(F.col("is_canonical") == 1)
+            .select(
+                "cluster_id",
+                "cluster_size",
+                F.col(id_col).alias("canon"),
+                "batch",
+            )
+            .write.mode("overwrite")
+            .parquet(cdir + "/sizes")
+        )
+        _touch_success(spark, cdir)
+    finally:
+        labels.unpersist()
+    return target
+
+
+def vacuum_cluster_store(spark, out_dir: str) -> list:
+    """Delete the per-batch ``delta_doc``/``delta_cluster``/``sizes``
+    dirs covered by the latest committed compaction (readers never
+    consult deltas at or below the compaction point). The batch dirs'
+    ``_SUCCESS`` markers and ``fps/`` stay: retry idempotency and the
+    committed-batch enumeration depend on them. Returns the vacuumed
+    batch ids."""
+    base = out_dir.rstrip("/")
+    through, _ = _cluster_store_parts(spark, out_dir)
+    if through is None:
+        return []
+    done = []
+    for b in _committed_batches(spark, base):
+        if b > through:
+            continue
+        for sub in ("delta_doc", "delta_cluster", "sizes"):
+            fs, path = _hadoop_fs(spark, f"{base}/batch={b}/{sub}")
+            if fs.exists(path):
+                fs.delete(path, True)
+        done.append(b)
+    return done
+
+
 def run_cluster_maintain_stream(
     stream: DataFrame,
     out_dir: str,
@@ -541,43 +788,79 @@ def run_cluster_maintain_stream(
     n_bits: int = 64,
     available_now: bool = True,
     broadcast_batch: bool = True,
+    n_buckets: int = 16,
+    compact_every: int | None = 16,
 ):
     """Standing near-dup CLUSTER maintenance — the full streaming dedup
     lifecycle in one runner: per micro-batch, discover the edges the
     batch introduces (batch-vs-persistent-fingerprint-index, verified
     popcount, plus within-batch SPARSE edges via
     ``operators/dedup.py::hamming_near_dup_edges``), then fold them
-    into the persisted label table with
-    ``operators/dedup.py::clusters_append`` — only clusters the batch
-    touches are re-labelled; the rest of the corpus never enters the
-    iterative loop.
+    into a persisted DELTA label store with
+    ``operators/dedup.py::clusters_delta`` — per-batch compute, WRITE,
+    and prior-state READ are all O(batch + touched-cluster mass), never
+    O(corpus). This is the streaming twin of the reference's
+    latest-record-per-key feature store (``src/lambda/
+    StreamingIngestAggFeatures/lambda_function.py:25-32``) applied to
+    cluster labels: an event updates its keys' records; the store
+    never rewrites all keys per event.
 
-    Per micro-batch, under ``out_dir/batch=<id>/``:
+    Store layout under ``out_dir``:
 
-    * ``labels/`` — the FULL corpus labels after this batch
-      (``doc_id, cluster_id, cluster_size, is_canonical``). The latest
-      committed batch's ``labels/`` is the current state — exactly
-      what a from-scratch ``near_dup_clusters`` over all documents
-      seen so far and all their near-dup edges would emit (the gated
-      oracle states that for the final batch).
-    * ``fps/`` — the batch's non-NULL ``(id, fingerprint)`` rows,
-      appended to ``index_dir`` after the output commits.
+    * ``batch=<id>/delta_doc/dbucket=<b>/`` and
+      ``batch=<id>/delta_cluster/cbucket=<b>/`` — the SAME delta rows
+      ``(id, cluster_id, batch)`` in two bucket-partitioned
+      projections (labels of touched clusters' members + genuinely new
+      docs, nothing else). Two projections because the per-batch fold
+      needs two point-shaped lookups — endpoint→current-label (keyed
+      by doc) and touched-cluster→members (keyed by cluster) — and a
+      partition-pruned read needs the partition key to BE the lookup
+      key. Write cost: 2× O(touched) rows per batch.
+    * ``batch=<id>/sizes/`` — ``(cluster_id, cluster_size, canon,
+      batch)`` for the batch's result clusters only (sizes are kept
+      incrementally — touched clusters get fresh rows, untouched rows
+      stay current by untouchedness).
+    * ``batch=<id>/fps/`` — the batch's non-NULL ``(id, fingerprint)``
+      rows, appended to ``index_dir`` after the batch commits.
+    * ``compact=<through>/`` — periodic full compaction
+      (:func:`compact_cluster_store`, every ``compact_every`` deltas),
+      bounding how many delta dirs a reconstruction unions.
+
+    Current full labels come from :func:`read_cluster_labels`
+    (compaction + deltas, latest-batch-wins) — exactly what a
+    from-scratch ``near_dup_clusters`` over all documents seen so far
+    and all their near-dup edges would emit (the gated oracle states
+    that for the final state).
+
+    Per-batch prior-state reads are PRUNED, not scanned: lookup keys
+    hash to at most ``n_buckets`` partition values (collected driver-
+    side — O(n_buckets) ints, a constant), and the bucket filter sits
+    on the partition column, so only those directories are listed and
+    read. A bucket holds ~corpus/n_buckets rows, so size ``n_buckets``
+    to the deployment's corpus/batch ratio (the classic keyed-store
+    trade; 100 TB deployments want thousands of buckets, or a real
+    keyed table format at the same plug point).
 
     Exactness by induction over batches: the discovery stage emits
     every verified edge with an endpoint in the batch (pigeonhole-
-    complete banding on both probe directions), and
-    ``clusters_append`` is exact given labels that were exact after
-    the previous batch. NULL-fingerprint docs join the label table as
-    singletons (they can near-duplicate nothing); NULL-id rows ride
-    through as NULL-cluster rows, the ``near_dup_clusters`` rule.
+    complete banding on both probe directions); ``clusters_delta`` is
+    exact given the touched clusters' full membership, which the
+    cluster-keyed projection provides because a CURRENT label's
+    membership rows can never be stale — labels are component minima,
+    so they only move down, wholesale: any doc that ever left cluster
+    A means ALL of A left, and A is current for nobody afterwards.
+    Re-delivered docs whose cluster is untouched are routed around the
+    fold entirely (their store rows are already correct). NULL-
+    fingerprint docs join as singletons (they can near-duplicate
+    nothing); NULL-id rows are dropped from the label table (the
+    ``near_dup_clusters`` null-unsafe-join rule, probed).
 
     Delivery contract identical to :func:`run_index_hamming_stream`:
     at-least-once, batch-id idempotent via the REQUIRED durable
     checkpoint (a retried committed batch only repairs the index
-    append), index-append-after-output-commit. Prior labels are read
-    from the LATEST COMMITTED batch dir, so a crash between label
-    write and _SUCCESS re-runs the batch against the previous
-    consistent state.
+    append), index-append-after-batch-commit, ``_SUCCESS``-gated
+    visibility for deltas and compactions (a crash mid-batch leaves
+    partial dirs that readers ignore and the retry overwrites).
     """
     if not checkpoint_dir:
         raise ValueError(
@@ -588,7 +871,7 @@ def run_cluster_maintain_stream(
 
     from ..operators.dedup import (
         _hamming_band_width,
-        clusters_append,
+        clusters_delta,
         hamming_band_rows,
         hamming_near_dup_edges,
     )
@@ -599,7 +882,6 @@ def run_cluster_maintain_stream(
         spark = batch_df.sparkSession
         base = out_dir.rstrip("/")
         batch_out = base + f"/batch={batch_id}"
-        labels_out = batch_out + "/labels"
         fps_out = batch_out + "/fps"
         edge_fp = batch_df.select(id_col, hash_col).where(
             F.col(hash_col).isNotNull() & F.col(id_col).isNotNull()
@@ -616,17 +898,6 @@ def run_cluster_maintain_stream(
                 missing = committed
             missing.write.mode("append").parquet(index_dir)
             return
-        prior_ids = [b for b in _committed_batches(spark, base) if b < batch_id]
-        if prior_ids:
-            prior = spark.read.parquet(
-                base + f"/batch={prior_ids[-1]}/labels"
-            ).select(id_col, "cluster_id")
-        else:
-            prior = (
-                batch_df.select(id_col)
-                .limit(0)
-                .withColumn("cluster_id", F.col(id_col))
-            )
         if _fs_has_parquet(spark, index_dir):
             index = spark.read.parquet(index_dir)
         else:
@@ -664,16 +935,132 @@ def run_cluster_maintain_stream(
             bands=bands,
             n_bits=n_bits,
         )
-        edges = cross.select("doc_a", "doc_b").unionByName(
-            within.select("doc_a", "doc_b")
+        edges = (
+            cross.select("doc_a", "doc_b")
+            .unionByName(within.select("doc_a", "doc_b"))
+            .persist()
         )
-        labels = clusters_append(
-            prior, batch_df.select(id_col), edges, id_col=id_col
-        )
-        labels.write.mode("overwrite").parquet(labels_out)
-        edge_fp.write.mode("overwrite").parquet(fps_out)
-        _touch_success(spark, batch_out)
-        spark.read.parquet(fps_out).write.mode("append").parquet(index_dir)
+        delta = None
+        try:
+            new_ids = (
+                batch_df.select(id_col)
+                .where(F.col(id_col).isNotNull())
+                .distinct()
+            )
+            eps = (
+                edges.select(F.col("doc_a").alias(id_col))
+                .unionByName(edges.select(F.col("doc_b").alias(id_col)))
+                .distinct()
+            )
+            lookup_ids = eps.unionByName(new_ids).distinct()
+            through, prior_batches = _cluster_store_parts(spark, base)
+            # bucket list of the lookup keys: <= n_buckets ints on the
+            # driver (a constant), pinning the store read to exactly
+            # the partitions the keys can live in
+            want = [
+                r[0]
+                for r in lookup_ids.select(
+                    _label_bucket(id_col, n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            store_doc = _read_store_side(
+                spark, base, "doc", through, prior_batches, buckets=want
+            )
+            if store_doc is None:
+                prior_known = (
+                    lookup_ids.limit(0)
+                    .withColumn("cluster_id", F.col(id_col))
+                )
+            else:
+                prior_known = _latest_per_key(store_doc, id_col).join(
+                    lookup_ids, id_col, "left_semi"
+                )
+            # touched clusters = current clusters of EDGE ENDPOINTS;
+            # a re-delivered doc whose cluster no edge touches stays
+            # out (its store rows are already correct)
+            touched_cids = (
+                prior_known.join(eps, id_col, "left_semi")
+                .select("cluster_id")
+                .distinct()
+            )
+            cwant = [
+                r[0]
+                for r in touched_cids.select(
+                    _label_bucket("cluster_id", n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            members = None
+            if cwant:
+                store_cluster = _read_store_side(
+                    spark, base, "cluster", through, prior_batches,
+                    buckets=cwant,
+                )
+                if store_cluster is not None:
+                    # stale rows cannot survive this semi-join: a
+                    # CURRENT label's membership never shrinks in
+                    # place (see docstring), so every row labelled
+                    # with a touched cid is a true current member
+                    members = (
+                        store_cluster.join(
+                            touched_cids, "cluster_id", "left_semi"
+                        )
+                        .select(id_col, "cluster_id")
+                        .distinct()
+                    )
+            if members is None:
+                members = prior_known.limit(0)
+            fresh = new_ids.join(prior_known, id_col, "left_anti")
+            delta = clusters_delta(
+                members, fresh, edges, id_col=id_col
+            ).persist()
+            tagged = delta.withColumn("batch", F.lit(batch_id))
+            # one pre-write shuffle per projection keyed on the bucket:
+            # without it every task writes a file into every bucket dir
+            # (tasks × buckets small files per batch)
+            (
+                tagged.select(id_col, "cluster_id", "batch")
+                .withColumn("dbucket", _label_bucket(id_col, n_buckets))
+                .repartition(n_buckets, F.col("dbucket"))
+                .write.mode("overwrite")
+                .partitionBy("dbucket")
+                .parquet(batch_out + "/delta_doc")
+            )
+            (
+                tagged.select(id_col, "cluster_id", "batch")
+                .withColumn("cbucket", _label_bucket("cluster_id", n_buckets))
+                .repartition(n_buckets, F.col("cbucket"))
+                .write.mode("overwrite")
+                .partitionBy("cbucket")
+                .parquet(batch_out + "/delta_cluster")
+            )
+            (
+                tagged.where(F.col("is_canonical") == 1)
+                .select(
+                    "cluster_id",
+                    "cluster_size",
+                    F.col(id_col).alias("canon"),
+                    "batch",
+                )
+                .write.mode("overwrite")
+                .parquet(batch_out + "/sizes")
+            )
+            edge_fp.write.mode("overwrite").parquet(fps_out)
+            _touch_success(spark, batch_out)
+            spark.read.parquet(fps_out).write.mode("append").parquet(
+                index_dir
+            )
+        finally:
+            edges.unpersist()
+            if delta is not None:
+                delta.unpersist()
+        if compact_every and len(prior_batches) + 1 >= compact_every:
+            compact_cluster_store(
+                spark, base, id_col=id_col, n_buckets=n_buckets
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_process)

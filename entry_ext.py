@@ -270,10 +270,11 @@ def _q_stream_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches, each SimHash-fingerprinted in the stream; per batch
     the runner discovers the edges the batch introduces (vs the
     persistent fingerprint index + within-batch sparse edges) and
-    folds them into the persisted label table with clusters_append.
-    The FINAL batch's labels must equal the from-scratch
-    near_dup_clusters over the whole corpus — the oracle is
-    _HAMMING_CLUSTERS_ORACLE verbatim."""
+    folds O(batch + touched) DELTA rows into the persisted label
+    store with clusters_delta. read_cluster_labels reconstructs the
+    full table (compaction + deltas, latest-batch-wins), which must
+    equal the from-scratch near_dup_clusters over the whole corpus —
+    the oracle is _HAMMING_CLUSTERS_ORACLE verbatim."""
     import os
     import tempfile
 
@@ -281,10 +282,8 @@ def _q_stream_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_cluster_labels,
         run_cluster_maintain_stream,
-    )
-    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
-        _committed_batches,
     )
     from __spark_entry__ import _set_stream_partitions
 
@@ -333,8 +332,7 @@ def _q_stream_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError(
                 "stream_cluster_maintain availableNow replay exceeded 300s"
             )
-        last = _committed_batches(spark, out)[-1]
-        return spark.read.parquet(os.path.join(out, f"batch={last}", "labels"))
+        return read_cluster_labels(spark, out)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 

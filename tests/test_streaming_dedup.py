@@ -332,6 +332,7 @@ def test_cluster_maintain_stream_incremental_labels(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_cluster_labels,
         run_cluster_maintain_stream,
     )
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
@@ -369,7 +370,9 @@ def test_cluster_maintain_stream_incremental_labels(spark, tmp_path):
     def labels_at(bid):
         return {
             r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
-            for r in spark.read.parquet(f"{out_dir}/batch={bid}/labels").collect()
+            for r in read_cluster_labels(
+                spark, out_dir, upto_batch=bid
+            ).collect()
         }
 
     assert _committed_batches(spark, out_dir) == [0, 1, 2]
@@ -420,3 +423,167 @@ def test_cluster_maintain_stream_incremental_labels(spark, tmp_path):
     assert q2.awaitTermination(180)
     assert spark.read.parquet(index_dir).where("doc_id = 6").count() == 1
     assert labels_at(2) == final
+
+
+def test_cluster_maintain_delta_writes_touched_only(spark, tmp_path):
+    """The 100 TB contract of the delta store: a batch touching ONE
+    cluster writes O(batch + that cluster) label rows — not the corpus
+    — and a re-delivered member of an existing cluster neither grows
+    its size nor rewrites anyone else. The prior-state reads are
+    partition-PRUNED (asserted on the physical plan), so per-batch I/O
+    is O(touched buckets), not a store scan."""
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_cluster_labels,
+        run_cluster_maintain_stream,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _read_store_side,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    base_fp = 0x0123_4567_89AB_CDEF
+    fp2 = 0x7654_3210_0EDC_BA98
+    # batch 0: cluster A (ids 0-4, identical fps), cluster B (ids
+    # 10-14), and 50 singletons with far-apart random fingerprints
+    chunk0 = (
+        [(i, base_fp) for i in range(5)]
+        + [(10 + i, fp2) for i in range(5)]
+        + [(100 + i, rng.getrandbits(63)) for i in range(50)]
+    )
+    chunk1 = [(200, base_fp ^ 1)]  # hamming 1 from cluster A only
+    chunk2 = [(1, base_fp)]  # re-delivery of an existing A member
+    path = _write_chunks(
+        spark, tmp_path, [chunk0, chunk1, chunk2], "doc_id long, fp long"
+    )
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, fp long")
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = run_cluster_maintain_stream(
+        stream,
+        out_dir,
+        str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_hamming=3,
+        bands=4,
+        n_bits=64,
+        n_buckets=8,
+    )
+    assert q.awaitTermination(180)
+
+    def delta_rows(bid):
+        return spark.read.parquet(f"{out_dir}/batch={bid}/delta_doc")
+
+    # batch 1 rewrote cluster A's 5 members + the 1 new doc — 6 rows,
+    # not the 60-doc corpus
+    got1 = {r["doc_id"] for r in delta_rows(1).collect()}
+    assert got1 == {0, 1, 2, 3, 4, 200}
+    sizes1 = spark.read.parquet(f"{out_dir}/batch=1/sizes").collect()
+    assert [
+        (r["cluster_id"], r["cluster_size"], r["canon"]) for r in sizes1
+    ] == [(0, 6, 0)]
+    # batch 2 (pure re-delivery): cluster A re-emitted unchanged —
+    # size stays 6 (no double count), nothing else rewritten
+    got2 = {r["doc_id"] for r in delta_rows(2).collect()}
+    assert got2 == {0, 1, 2, 3, 4, 200}
+    sizes2 = spark.read.parquet(f"{out_dir}/batch=2/sizes").collect()
+    assert [
+        (r["cluster_id"], r["cluster_size"], r["canon"]) for r in sizes2
+    ] == [(0, 6, 0)]
+
+    # final state == from-scratch clustering over everything seen
+    final = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in read_cluster_labels(spark, out_dir).collect()
+    }
+    assert len(final) == 61
+    assert final[200] == (0, 6, 0) and final[0] == (0, 6, 1)
+    assert final[10] == (10, 5, 1) and final[14] == (10, 5, 0)
+    assert final[100] == (100, 1, 1)
+
+    # prior-state reads prune to the requested buckets at the
+    # PARTITION level: the physical scan carries a PartitionFilter on
+    # the bucket column (only those directories are listed and read)
+    pruned = _read_store_side(
+        spark, out_dir, "doc", None, [0, 1, 2], buckets=[3]
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "dbucket" in plan.split("PartitionFilters", 1)[1][:120]
+
+
+def test_cluster_store_compaction_and_vacuum(spark, tmp_path):
+    """compact_every folds deltas into compact=<through>/ mid-stream;
+    vacuum removes superseded delta dirs (keeping fps + _SUCCESS) and
+    reconstruction stays exact from compaction + remaining deltas."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_cluster_labels,
+        run_cluster_maintain_stream,
+        vacuum_cluster_store,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _fs_exists,
+        _fs_has_parquet_recursive,
+    )
+
+    base_fp = 0x00FF_00FF_00FF_00FF
+    chunks = [
+        [(1, base_fp), (2, 0x0F0F_0F0F_0F0F_0F0F)],
+        [(3, base_fp ^ 0b11)],
+        [(4, 0x0F0F_0F0F_0F0F_0F0E), (5, None)],
+    ]
+    path = _write_chunks(spark, tmp_path, chunks, "doc_id long, fp long")
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, fp long")
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = run_cluster_maintain_stream(
+        stream,
+        out_dir,
+        str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_hamming=3,
+        bands=4,
+        n_bits=64,
+        n_buckets=4,
+        compact_every=2,
+    )
+    assert q.awaitTermination(180)
+
+    expected = {
+        1: (1, 2, 1), 3: (1, 2, 0),
+        2: (2, 2, 1), 4: (2, 2, 0),
+        5: (5, 1, 1),
+    }
+
+    def current():
+        return {
+            r["doc_id"]: (
+                r["cluster_id"], r["cluster_size"], r["is_canonical"]
+            )
+            for r in read_cluster_labels(spark, out_dir).collect()
+        }
+
+    # compaction fired after batch 1 (2 committed deltas)
+    assert _fs_exists(spark, f"{out_dir}/compact=1/_SUCCESS")
+    assert current() == expected
+
+    vacuumed = vacuum_cluster_store(spark, out_dir)
+    assert vacuumed == [0, 1]
+    # superseded deltas gone; commit markers + fps stay (retry
+    # idempotency and index repair need them)
+    assert not _fs_has_parquet_recursive(spark, f"{out_dir}/batch=0/delta_doc")
+    assert not _fs_has_parquet_recursive(spark, f"{out_dir}/batch=1/delta_doc")
+    assert _fs_exists(spark, f"{out_dir}/batch=0/_SUCCESS")
+    assert _fs_has_parquet_recursive(spark, f"{out_dir}/batch=0/fps")
+    assert current() == expected
