@@ -217,17 +217,19 @@ def _decode_png(data: bytes) -> np.ndarray:
     return px[:, :, :3]
 
 
-# ----------------------------------------------- baseline JPEG decode
+# ------------------------------------- baseline + progressive JPEG decode
 #
-# Pure numpy/stdlib implementation of ITU-T T.81 BASELINE sequential
-# DCT decoding (the public-spec algorithm: marker parse -> canonical
-# Huffman entropy decode -> dequantize -> dezigzag -> 8x8 IDCT ->
-# chroma upsample -> JFIF YCbCr->RGB). Supported: 8-bit baseline
-# (SOF0) and extended-sequential (SOF1) Huffman JPEGs, grayscale or
+# Pure numpy/stdlib implementation of ITU-T T.81 DCT decoding (the
+# public-spec algorithm: marker parse -> canonical Huffman entropy
+# decode -> dequantize -> dezigzag -> 8x8 IDCT -> chroma upsample ->
+# JFIF YCbCr->RGB). Supported: 8-bit baseline (SOF0), extended-
+# sequential (SOF1), and PROGRESSIVE (SOF2, T.81 Annex G: spectral
+# selection + successive approximation, DC/AC first and refinement
+# scans, cross-block EOB runs) Huffman JPEGs, grayscale or
 # 3-component, any sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...),
 # restart markers, 8/16-bit quant tables, multi-table DQT/DHT
-# segments. The NotImplementedError boundary retreats to progressive
-# (SOF2), lossless/hierarchical, and arithmetic-coded streams.
+# segments. The NotImplementedError boundary retreats to
+# lossless/hierarchical and arithmetic-coded streams.
 #
 # Correctness-first: the entropy decode walks bits in Python, so this
 # path is for fixture-scale corpora and pipeline verification; a
@@ -341,7 +343,8 @@ def _jpeg_scan_segments(data: bytes, pos: int) -> tuple:
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w, 3) uint8 RGB (see block comment above)."""
+    """Baseline or progressive JPEG -> (h, w, 3) uint8 RGB (see block
+    comment above)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict = {}
@@ -351,6 +354,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     restart = 0
     planes = None
     comps: list = []
+    progressive = False
+    prog_scans = 0
+    geom: dict = {}
     pos = 2
     while pos < len(data) - 1:
         if data[pos] != 0xFF:
@@ -392,7 +398,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 tab = _jpeg_build_huff(counts, seg[i + 17 : i + 17 + n])
                 (hdc if tc == 0 else hac)[th] = tab
                 i += 17 + n
-        elif m in (0xC0, 0xC1):  # SOF0/SOF1: sequential Huffman
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             prec, h_img, w_img, nc = (
                 seg[0],
                 int.from_bytes(seg[1:3], "big"),
@@ -408,12 +414,29 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = (h_img, w_img)
-        elif m == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) unsupported — baseline sequential"
-                " only; plug libjpeg in at _IMAGE_DECODERS for full codec"
-                " coverage"
-            )
+            progressive = m == 0xC2
+            if progressive:
+                # coefficient accumulator, filled scan by scan (Annex G):
+                # per component one (padded-block-grid, 64) int32 array in
+                # ZIGZAG order — successive-approximation bit ops need
+                # integer coefficients, dezigzag happens at finish
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w_img // (8 * hmax))
+                mcuy = -(-h_img // (8 * vmax))
+                geom = {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy}
+                for c in comps:
+                    c["bw_pad"] = mcux * c["h"]
+                    c["bh_pad"] = mcuy * c["v"]
+                    # non-interleaved scans cover the component's OWN
+                    # block grid (T.81 A.2.2), not the MCU-padded one
+                    sw = -(-(w_img * c["h"]) // hmax)
+                    sh = -(-(h_img * c["v"]) // vmax)
+                    c["bw"] = -(-sw // 8)
+                    c["bh"] = -(-sh // 8)
+                    c["coef"] = np.zeros(
+                        (c["bh_pad"] * c["bw_pad"], 64), dtype=np.int32
+                    )
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0x{m:02x} (lossless/hierarchical/"
@@ -425,21 +448,39 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
+            scan = []
+            for s in range(ns):
+                cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                comp = next(
+                    (c for c in comps if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"corrupt JPEG: scan component {cs} not in frame"
+                    )
+                scan.append((comp, tt >> 4, tt & 15))
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+                segs, pos = _jpeg_scan_segments(data, pos)
+                _jpeg_progressive_scan(
+                    segs, scan, hdc, hac, geom, ss, se, ah, al, restart
+                )
+                prog_scans += 1
+                continue
             if ns != len(comps):
                 raise NotImplementedError(
                     "non-interleaved multi-scan baseline JPEG unsupported"
                 )
-            scan = []
-            for s in range(ns):
-                cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
-                comp = next(c for c in comps if c["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 15))
             segs, pos = _jpeg_scan_segments(data, pos)
             planes = _jpeg_decode_scan(
                 segs, scan, qt, hdc, hac, frame, restart
             )
             scan_ids = [c["id"] for c, _, _ in scan]
         # APPn/COM and anything else: skipped
+    if progressive and prog_scans:
+        planes = [_jpeg_finish_component(c, qt, geom) for c in comps]
+        scan_ids = [c["id"] for c in comps]
     if planes is None:
         raise ValueError("corrupt JPEG: no scan decoded")
     h_img, w_img = frame
@@ -545,6 +586,195 @@ def _jpeg_decode_scan(
         )
         planes.append(plane)
     return planes
+
+
+def _jpeg_ac_first(br, row, act, ss, se, al, eobrun) -> int:
+    """Progressive AC first scan, one block (T.81 G.1.2.2 decode):
+    run-length coefficients scaled up by the point transform, with
+    cross-block EOB runs. Returns the updated EOB run."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.huff(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:  # EOBn: run of 2^r + ext blocks ending here
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC index overrun")
+        row[k] = br.receive_extend(s) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_ac_refine(br, row, act, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement scan, one block (T.81 G.1.2.3
+    decode): zero-history runs position newly-nonzero ±2^al
+    coefficients; every previously-nonzero coefficient crossed (and,
+    on EOB blocks, every one remaining in the band) reads one
+    correction bit appending 2^al to its magnitude. Returns the
+    updated EOB run."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(act)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "corrupt JPEG: refinement magnitude size != 1"
+                    )
+                newval = p1 if br.bit() else m1
+            while k <= se:
+                v = int(row[k])
+                if v != 0:
+                    if br.bit() and (v & p1) == 0:
+                        row[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("corrupt JPEG: AC index overrun")
+                row[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(row[k])
+            if v != 0:
+                if br.bit() and (v & p1) == 0:
+                    row[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive_scan(
+    segs: list, scan: list, hdc: dict, hac: dict, geom: dict,
+    ss: int, se: int, ah: int, al: int, restart: int,
+) -> None:
+    """One progressive scan (T.81 Annex G): fill/refine the scan
+    components' integer coefficient accumulators in place. DC scans
+    (Ss=0) may interleave components over the frame's MCU grid; AC
+    scans are single-component over that component's own block grid.
+    Restart intervals reset DC predictors and the EOB run."""
+    if ss > se or se > 63:
+        raise ValueError("corrupt JPEG: bad spectral selection")
+    if ss == 0 and se != 0:
+        raise ValueError("corrupt JPEG: progressive DC scan needs Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError(
+            "corrupt JPEG: progressive AC scan must be single-component"
+        )
+    dc_scan = ss == 0
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_units = geom["mcux"] * geom["mcuy"]
+    else:
+        c0 = scan[0][0]
+        n_units = c0["bh"] * c0["bw"]
+    dct = []
+    act = None
+    if dc_scan and ah == 0:
+        for _, td, _ in scan:
+            try:
+                dct.append(hdc[td])
+            except KeyError as exc:
+                raise ValueError(
+                    f"corrupt JPEG: undefined Huffman table {exc}"
+                ) from None
+    if not dc_scan:
+        ta0 = scan[0][2]
+        try:
+            act = hac[ta0]
+        except KeyError as exc:
+            raise ValueError(
+                f"corrupt JPEG: undefined Huffman table {exc}"
+            ) from None
+    seg_i = 0
+    br = _JpegBits(segs[0])
+    preds = [0] * len(scan)
+    eobrun = 0
+    for u in range(n_units):
+        if restart and u and u % restart == 0 and seg_i + 1 < len(segs):
+            seg_i += 1
+            br = _JpegBits(segs[seg_i])
+            preds = [0] * len(scan)
+            eobrun = 0
+        if dc_scan and interleaved:
+            my, mx = divmod(u, geom["mcux"])
+            for ci, (c, _, _) in enumerate(scan):
+                for r in range(c["v"]):
+                    for col in range(c["h"]):
+                        idx = (
+                            (my * c["v"] + r) * c["bw_pad"]
+                            + mx * c["h"] + col
+                        )
+                        row = c["coef"][idx]
+                        if ah == 0:
+                            s = br.huff(dct[ci])
+                            preds[ci] += br.receive_extend(s)
+                            row[0] = preds[ci] << al
+                        elif br.bit():
+                            row[0] = int(row[0]) | (1 << al)
+        else:
+            c = scan[0][0]
+            by, bx = divmod(u, c["bw"])
+            row = c["coef"][by * c["bw_pad"] + bx]
+            if dc_scan:
+                if ah == 0:
+                    s = br.huff(dct[0])
+                    preds[0] += br.receive_extend(s)
+                    row[0] = preds[0] << al
+                elif br.bit():
+                    row[0] = int(row[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _jpeg_ac_first(br, row, act, ss, se, al, eobrun)
+            else:
+                eobrun = _jpeg_ac_refine(br, row, act, ss, se, al, eobrun)
+
+
+def _jpeg_finish_component(c: dict, qt: dict, geom: dict) -> np.ndarray:
+    """Accumulated progressive coefficients -> full-resolution sample
+    plane: dequantize (zigzag-paired), dezigzag, vectorized IDCT,
+    block-grid placement, chroma replication — the same math as the
+    baseline scan tail, over the per-component block-row-major store."""
+    if c["tq"] not in qt:
+        raise ValueError(f"corrupt JPEG: undefined quant table {c['tq']}")
+    deq = c["coef"].astype(np.float64) * qt[c["tq"]][None, :]
+    nat = np.zeros_like(deq)
+    nat[:, _ZIGZAG] = deq
+    blocks = nat.reshape(-1, 8, 8)
+    px = np.einsum("ux,nuv,vy->nxy", _IDCT_M, blocks, _IDCT_M) + 128.0
+    plane = (
+        px.reshape(c["bh_pad"], c["bw_pad"], 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(c["bh_pad"] * 8, c["bw_pad"] * 8)
+    )
+    return np.repeat(
+        np.repeat(plane, geom["vmax"] // c["v"], axis=0),
+        geom["hmax"] // c["h"],
+        axis=1,
+    )
 
 
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:

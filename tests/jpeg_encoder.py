@@ -1,13 +1,20 @@
-"""Minimal baseline JPEG ENCODER — test-fixture generator only.
+"""Minimal baseline + progressive JPEG ENCODER — test-fixture
+generator only.
 
 Produces spec-conformant baseline sequential JPEGs (SOF0, 4:4:4 or
 grayscale, ITU-T T.81 Annex K example quantization + Huffman tables,
-optional restart markers) so the decoder in operators/multimodal.py
-can be exercised without any codec library in the container. Encoder
-and decoder share no code beyond the public zigzag constant — the
-round-trip test would not cancel a mirrored bug in the DCT, the
-entropy coder, or the table plumbing, because this side implements the
-FORWARD transforms from the spec text independently.
+optional restart markers) and PROGRESSIVE JPEGs (SOF2, Annex G:
+spectral selection + successive approximation with DC/AC first and
+refinement scans, cross-block EOB runs) so the decoder in
+operators/multimodal.py can be exercised without any codec library in
+the container. Encoder and decoder share no code beyond the public
+zigzag constant — the round-trip test would not cancel a mirrored bug
+in the DCT, the entropy coder, or the table plumbing, because this
+side implements the FORWARD transforms from the spec text
+independently. ``encode_jpeg_progressive`` quantizes identically to
+``encode_jpeg``, so progressive decode must match baseline decode
+EXACTLY, pixel for pixel — the round-trip oracle the progressive
+tests pin.
 """
 
 from __future__ import annotations
@@ -328,4 +335,276 @@ def encode_jpeg(
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------- progressive (SOF2)
+
+# Progressive-scan Huffman tables: flat canonical tables holding every
+# symbol the progressive encoder may emit (Annex K's sequential AC
+# tables lack the EOBn run symbols progressive scans need). DC sizes
+# 0..11 at 4 bits; AC run/size + ZRL + EOB0..EOB14 at 8 bits.
+PROG_DC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_PROG_AC_VALS = (
+    [n << 4 for n in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+PROG_AC = ([0] * 7 + [len(_PROG_AC_VALS)] + [0] * 8, _PROG_AC_VALS)
+
+
+class _ProgScan:
+    """Per-scan entropy state: bit writer + cross-block EOB run with
+    its buffered correction bits (T.81 G.1.2.2/G.1.2.3 encoder)."""
+
+    def __init__(self, ac_codes):
+        self.w = _BitWriter()
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.pending = []  # correction bits owed to the pending EOB run
+
+    def flush_eob(self):
+        if self.eobrun:
+            n = self.eobrun.bit_length() - 1
+            code, ln = self.ac_codes[n << 4]
+            self.w.write(code, ln)
+            if n:
+                self.w.write(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+        for b in self.pending:
+            self.w.write(b, 1)
+        self.pending = []
+
+
+def _emit_ac_first(st: _ProgScan, zz, ss, se, al, ac_codes):
+    """AC first scan, one block (G.1.2.2): point-transformed run/size
+    coding with EOB-run accumulation across blocks."""
+    t = [0] * 64
+    last = ss - 1
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        tv = abs(v) >> al  # AC point transform is sign-magnitude
+        if tv:
+            t[k] = tv if v > 0 else -tv
+            last = k
+    if last < ss:  # whole band zero at this precision: join EOB run
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+        return
+    st.flush_eob()
+    run = 0
+    for k in range(ss, last + 1):
+        v = t[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            st.w.write(code, ln)
+            run -= 16
+        size, amp = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        st.w.write(code, ln)
+        st.w.write(amp, size)
+        run = 0
+    if last < se:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+
+
+def _emit_ac_refine(st: _ProgScan, zz, ss, se, al, ac_codes):
+    """AC refinement scan, one block (G.1.2.3): newly-nonzero
+    coefficients code (zero-history-run, 1) + sign; previously-nonzero
+    coefficients contribute one buffered correction bit, emitted after
+    the symbol whose decode pass crosses them (ZRL flushing at the
+    first nonzero coefficient once >15 zero-history positions are
+    pending keeps encoder bit order identical to the decoder's
+    coefficient walk)."""
+    absv = [0] * 64
+    eobpos = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(int(zz[k])) >> al
+        absv[k] = t
+        if t == 1:  # newly nonzero at this precision level
+            eobpos = k
+    run = 0
+    br = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eobpos:
+            st.flush_eob()
+            code, ln = ac_codes[0xF0]
+            st.w.write(code, ln)
+            run -= 16
+            for b in br:
+                st.w.write(b, 1)
+            br = []
+        if t > 1:  # previously nonzero: one correction bit, run unbroken
+            br.append(t & 1)
+            continue
+        st.flush_eob()
+        code, ln = ac_codes[(run << 4) | 1]
+        st.w.write(code, ln)
+        st.w.write(1 if int(zz[k]) > 0 else 0, 1)
+        for b in br:
+            st.w.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:  # trailing zeros/corrections fold into the EOB run
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray, quality_scale: float = 1.0, grayscale: bool = False,
+    subsample: tuple = (1, 1), restart: int = 0,
+    scan_script: list | None = None,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive JPEG bytes (SOF2). Same
+    color transform, subsampling, and quantization as
+    :func:`encode_jpeg`, so both encodings carry IDENTICAL quantized
+    coefficients once every scan has landed. ``scan_script`` entries
+    are ``(comp_indices, Ss, Se, Ah, Al)``; the default script
+    exercises interleaved DC first + refinement, per-component AC
+    spectral bands, and two levels of successive approximation."""
+    h, w = px.shape[:2]
+    f = px.astype(np.float64)
+    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128
+    cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128
+    sv, sh = subsample
+    if grayscale:
+        comps = [(y, 1, 1)]
+    else:
+        comps = [
+            (y, sh, sv),
+            (_box_down(cb, sv, sh), 1, 1),
+            (_box_down(cr, sv, sh), 1, 1),
+        ]
+    nc = len(comps)
+    qts = [np.clip(np.round(QT_LUMA * quality_scale), 1, 255)]
+    if not grayscale:
+        qts.append(np.clip(np.round(QT_CHROMA * quality_scale), 1, 255))
+    hmax = max(ch for _, ch, _ in comps)
+    vmax = max(cv for _, _, cv in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # per-component quantized zigzag coefficients over the padded MCU
+    # grid, plus each component's own (non-interleaved) block dims
+    grids, own = [], []
+    for ci, (plane, ch, cv) in enumerate(comps):
+        ph, pw = plane.shape
+        own.append((-(-ph // 8), -(-pw // 8)))
+        padded = _pad_to(plane, mcuy * cv * 8, mcux * ch * 8)
+        gh, gw = mcuy * cv, mcux * ch
+        grid = np.empty((gh, gw, 64), dtype=np.int64)
+        q = qts[min(ci, len(qts) - 1)].reshape(8, 8)
+        for by in range(gh):
+            for bx in range(gw):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                quant = np.round(_fdct(blk - 128.0) / q).astype(np.int64)
+                grid[by, bx] = quant.ravel()[ZIGZAG]
+        grids.append(grid)
+
+    if scan_script is None:
+        if grayscale:
+            scan_script = [
+                ((0,), 0, 0, 0, 1),
+                ((0,), 1, 5, 0, 2),
+                ((0,), 6, 63, 0, 2),
+                ((0,), 1, 63, 2, 1),
+                ((0,), 0, 0, 1, 0),
+                ((0,), 1, 63, 1, 0),
+            ]
+        else:
+            scan_script = [
+                ((0, 1, 2), 0, 0, 0, 1),
+                ((0,), 1, 5, 0, 2),
+                ((2,), 1, 63, 0, 1),
+                ((1,), 1, 63, 0, 1),
+                ((0,), 6, 63, 0, 2),
+                ((0,), 1, 63, 2, 1),
+                ((0, 1, 2), 0, 0, 1, 0),
+                ((0,), 1, 63, 1, 0),
+                ((2,), 1, 63, 1, 0),
+                ((1,), 1, 63, 1, 0),
+            ]
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qts):
+        zzq = bytes(int(q[ZIGZAG[i]]) for i in range(64))
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tq]) + zzq
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci, (_, ch, cv) in enumerate(comps):
+        sof += bytes([ci + 1, (ch << 4) | cv, min(ci, 1)])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+    for tid, (bits, vals) in ((0x00, PROG_DC), (0x10, PROG_AC)):
+        body = bytes([tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+    if restart:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart.to_bytes(2, "big")
+    dc_codes = _codes(*PROG_DC)
+    ac_codes = _codes(*PROG_AC)
+
+    for sel, ss, se, ah, al in scan_script:
+        sos = bytes([len(sel)])
+        for ci in sel:
+            sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        # unit list: MCUs when interleaved, own-grid blocks otherwise
+        if len(sel) > 1:
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    blocks = []
+                    for ci in sel:
+                        _, ch, cv = comps[ci]
+                        for r in range(cv):
+                            for cc in range(ch):
+                                blocks.append((ci, my * cv + r, mx * ch + cc))
+                    units.append(blocks)
+        else:
+            ci = sel[0]
+            bh, bw = own[ci]
+            units = [[(ci, by, bx)] for by in range(bh) for bx in range(bw)]
+        st = _ProgScan(ac_codes)
+        preds = {ci: 0 for ci in sel}
+        rst = 0
+        for u, blocks in enumerate(units):
+            if restart and u and u % restart == 0:
+                st.flush_eob()
+                st.w.flush()
+                out += st.w.out
+                st.w = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = {ci: 0 for ci in sel}
+            for ci, by, bx in blocks:
+                zz = grids[ci][by, bx]
+                if ss == 0:  # DC scan
+                    if ah == 0:
+                        val = int(zz[0]) >> al  # DC transform: arith shift
+                        size, amp = _magnitude(val - preds[ci])
+                        code, ln = dc_codes[size]
+                        st.w.write(code, ln)
+                        if size:
+                            st.w.write(amp, size)
+                        preds[ci] = val
+                    else:
+                        st.w.write((int(zz[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    _emit_ac_first(st, zz, ss, se, al, ac_codes)
+                else:
+                    _emit_ac_refine(st, zz, ss, se, al, ac_codes)
+        st.flush_eob()
+        st.w.flush()
+        out += st.w.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -1,11 +1,15 @@
-"""Baseline JPEG decoder (operators/multimodal.py::_decode_jpeg).
+"""Baseline + progressive JPEG decoder
+(operators/multimodal.py::_decode_jpeg).
 
 The fixture generator is tests/jpeg_encoder.py — an independent
 implementation of the FORWARD transforms from ITU-T T.81 (direct
 double-sum DCT, canonical code assignment from the spec text), so the
 round-trip cannot cancel a mirrored bug in the decoder's matrix IDCT
-or Huffman walk. Closing the r6 VERDICT's last multimodal format gap:
-the NotImplementedError boundary retreats to progressive/arithmetic.
+or Huffman walk. Progressive (SOF2) coverage pins EXACT pixel
+equality against the baseline encoding of the same image (identical
+quantization on both encoder paths → identical coefficients once all
+scans land). The NotImplementedError boundary retreats to
+arithmetic/lossless/hierarchical.
 """
 
 from __future__ import annotations
@@ -20,7 +24,7 @@ from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.multim
     perceptual_hashes,
 )
 
-from .jpeg_encoder import encode_jpeg
+from .jpeg_encoder import encode_jpeg, encode_jpeg_progressive
 
 
 def _gradient(h=24, w=24):
@@ -104,12 +108,118 @@ def test_undefined_tables_raise_corrupt_jpeg():
         _decode_jpeg(no_dht)
 
 
-def test_progressive_and_arithmetic_rejected():
+def test_arithmetic_rejected_and_mislabeled_progressive_corrupt():
     data = encode_jpeg(_gradient())
-    with pytest.raises(NotImplementedError, match="progressive"):
-        _decode_jpeg(data.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(NotImplementedError, match="baseline"):
         _decode_jpeg(data.replace(b"\xff\xc0", b"\xff\xc9", 1))
+    # flipping a BASELINE stream's SOF marker to SOF2 yields a
+    # progressive file whose scan header (Ss=0, Se=63) is illegal —
+    # corrupt, loudly, not a silent mis-decode
+    with pytest.raises(ValueError, match="corrupt"):
+        _decode_jpeg(data.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
+# ------------------------------------------------ progressive (SOF2)
+
+
+@pytest.mark.parametrize("quality_scale", [1.0, 0.1])
+def test_progressive_matches_baseline_exactly(quality_scale):
+    """encode_jpeg_progressive quantizes identically to encode_jpeg,
+    so once every scan lands the decoder must produce the SAME pixels
+    — exact equality, no tolerance. Exercises interleaved DC first +
+    refinement, per-component spectral bands, two successive-
+    approximation levels, and cross-block EOB runs."""
+    img = _gradient()
+    base = _decode_jpeg(encode_jpeg(img, quality_scale=quality_scale))
+    prog = _decode_jpeg(
+        encode_jpeg_progressive(img, quality_scale=quality_scale)
+    )
+    assert (prog == base).all()
+
+
+def test_progressive_random_odd_size_exact():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(21, 19, 3), dtype=np.uint8)
+    base = _decode_jpeg(encode_jpeg(img, quality_scale=0.25))
+    prog = _decode_jpeg(encode_jpeg_progressive(img, quality_scale=0.25))
+    assert prog.shape == (21, 19, 3)
+    assert (prog == base).all()
+
+
+def test_progressive_grayscale_exact():
+    img = _gradient()
+    base = _decode_jpeg(encode_jpeg(img, grayscale=True, quality_scale=0.1))
+    prog = _decode_jpeg(
+        encode_jpeg_progressive(img, grayscale=True, quality_scale=0.1)
+    )
+    assert (prog == base).all()
+
+
+@pytest.mark.parametrize("subsample", [(2, 2), (1, 2)])
+def test_progressive_subsampled_exact(subsample):
+    """Subsampled progressive: interleaved DC scans cover the padded
+    MCU grid while per-component AC scans cover each component's OWN
+    block grid (T.81 A.2.2) — the geometry split that breaks naive
+    decoders."""
+    img = _gradient()
+    base = _decode_jpeg(
+        encode_jpeg(img, quality_scale=0.1, subsample=subsample)
+    )
+    prog = _decode_jpeg(
+        encode_jpeg_progressive(img, quality_scale=0.1, subsample=subsample)
+    )
+    assert (prog == base).all()
+
+
+def test_progressive_restart_markers_exact():
+    """RSTn inside progressive scans reset DC predictors AND the EOB
+    run; pixels must be identical to the unrestarted encoding."""
+    img = _gradient()
+    plain = _decode_jpeg(encode_jpeg_progressive(img, quality_scale=0.1))
+    rst = _decode_jpeg(
+        encode_jpeg_progressive(img, quality_scale=0.1, restart=2)
+    )
+    assert (rst == plain).all()
+
+
+def test_progressive_long_eob_runs_exact():
+    """A nearly-solid image makes most AC bands all-zero, driving EOB
+    runs far past 1 (EOBn with extension bits) — the cross-block run
+    path a per-block EOB0 fixture would never reach."""
+    solid = np.full((64, 64, 3), 130, dtype=np.uint8)
+    solid[5, 5] = [200, 40, 90]
+    base = _decode_jpeg(encode_jpeg(solid))
+    prog = _decode_jpeg(encode_jpeg_progressive(solid))
+    assert (prog == base).all()
+
+
+def test_progressive_custom_scan_script_exact():
+    """Any spec-legal scan script must converge to the same pixels:
+    three successive-approximation levels and fine-grained spectral
+    bands, refinements interleaved across components."""
+    img = _gradient()
+    script = [
+        ((0, 1, 2), 0, 0, 0, 2),
+        ((0,), 1, 2, 0, 3),
+        ((1,), 1, 63, 0, 2),
+        ((2,), 1, 63, 0, 2),
+        ((0,), 3, 20, 0, 3),
+        ((0, 1, 2), 0, 0, 2, 1),
+        ((0,), 21, 63, 0, 3),
+        ((0,), 1, 63, 3, 2),
+        ((1,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((2,), 1, 63, 2, 1),
+        ((0,), 1, 63, 2, 1),
+        ((1,), 1, 63, 1, 0),
+        ((2,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+    base = _decode_jpeg(encode_jpeg(img, quality_scale=0.1))
+    prog = _decode_jpeg(
+        encode_jpeg_progressive(img, quality_scale=0.1, scan_script=script)
+    )
+    assert (prog == base).all()
 
 
 def test_truncated_payload_fails_loudly():
@@ -153,6 +263,35 @@ def test_jpeg_near_twin_found_by_image_near_dup_pairs(spark):
     pairs = {
         (r.doc_a, r.doc_b): r.hamming
         for r in image_near_dup_pairs(media).collect()
+    }
+    assert (1, 2) in pairs
+    assert all({a, b} == {1, 2} for a, b in pairs)
+
+
+def test_progressive_near_twin_found_by_image_near_dup_pairs(spark):
+    """The r7 VERDICT acceptance: a PROGRESSIVE re-encode of a
+    baseline JPEG is a perceptual near-twin — the dedup chain must
+    pair them across codecs (decode path differs, pixels agree)."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_jpeg(base, quality_scale=0.1)),
+         (32, 32, None, None, "jpeg")),
+        (2, "image",
+         bytearray(encode_jpeg_progressive(base, quality_scale=0.1)),
+         (32, 32, None, None, "jpeg")),
+        (3, "image", bytearray(encode_jpeg(other, quality_scale=0.1)),
+         (32, 32, None, None, "jpeg")),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary,"
+        " meta struct<width:int,height:int,sample_rate:int,"
+        "n_frames:int,format:string>",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b) for r in image_near_dup_pairs(media).collect()
     }
     assert (1, 2) in pairs
     assert all({a, b} == {1, 2} for a, b in pairs)
