@@ -46,6 +46,9 @@ a partial reimplementation would corrupt state silently rather than
 fail loudly. Nothing further is actionable from inside the repo.
 Retried 2026-08-15 (round 7): ``pip install protobuf`` → "No matching
 distribution found" (offline index); capability unchanged.
+Retried 2026-08-15 (round 8): ``pip install protobuf`` → index host
+unresolvable (DNS failure, fully offline); ``import google.protobuf``
+still ModuleNotFoundError; capability unchanged.
 
 100 TB notes: state per key is 16 bytes — hot keys cost nothing
 extra; the one shuffle is the groupBy key partitioning shared by all
