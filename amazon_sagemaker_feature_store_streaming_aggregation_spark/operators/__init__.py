@@ -58,6 +58,8 @@ from .similarity import (  # noqa: F401
     pq_codebooks,
     pq_encode,
     pq_topk,
+    semantic_dedup,
+    semantic_dedup_pairs,
     srp_signatures,
     train_ivf_centroids,
 )

@@ -479,8 +479,27 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    feats = embeddings.select(F.col(id_col), quantize(vec_col, "qv")).withColumn(
-        "n2", F.expr(_dot("qv", "qv"))
+    return _score_pairs(cand, embeddings, threshold, id_col, vec_col)
+
+
+def _score_pairs(
+    cand: DataFrame,
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(id_a, id_b)`` candidates -> ``(id_a, id_b, cosine)`` rows
+    with cosine >= threshold — the shared exact-verify tail of every
+    embedding pair generator: per-vector quantized coords + squared
+    norm computed ONCE, one dot product per pair. Zero-norm vectors
+    are excluded (cosine undefined; ANSI mode would error on the 0
+    divisor) — every candidate source already excludes them, this is
+    the belt to that suspender."""
+    feats = (
+        embeddings.select(F.col(id_col), quantize(vec_col, "qv"))
+        .withColumn("n2", F.expr(_dot("qv", "qv")))
+        .where(F.col("n2") > 0)
     )
     scored = (
         cand.join(
@@ -510,6 +529,114 @@ def embedding_near_dup_pairs(
     )
     return scored.filter(F.col("cosine") >= F.lit(threshold)).select(
         "id_a", "id_b", "cosine"
+    )
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+    centroids: DataFrame | None = None,
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """SemDeDup candidate generation (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): embeddings partition into
+    ``n_cells`` Voronoi cells around centroids; ONLY within-cell pairs
+    are exactly scored, and pairs with cosine >= threshold come back
+    as ``(id_a, id_b, cosine)`` with ``id_a < id_b``. SemDeDup's
+    insight vs the SRP path (:func:`embedding_near_dup_pairs`): the
+    comparisons a cluster-then-compare pass makes are also the ones a
+    SEMANTIC threshold (0.7-0.95, paraphrases not byte-twins) needs —
+    random hyperplanes at that radius need many tables for recall,
+    k-means cells get it structurally.
+
+    ``centroids=`` takes an externally trained ``(cell, cq, cn2)``
+    table (:func:`train_ivf_centroids` — the paper's k-means step);
+    the default is the seeded deterministic layout
+    (:func:`ivf_centroids`), which keeps the operator oracle-checkable
+    end to end. Zero-norm / NULL vectors pair with nothing (cosine
+    undefined — the :func:`_ivf_assign` guard).
+
+    Scale shape: assignment is a broadcast-centroid scan (linear in
+    N); the self-join is keyed on ``cell`` — with cells ~ sqrt(N)
+    (:func:`auto_cells`) expected within-cell pairs are ~N^1.5 total,
+    never all-pairs. ``cell_cap`` deterministically bounds adversarial
+    cells (lowest ids kept — the oracle mirrors it) the way
+    ``bucket_cap`` bounds SRP buckets. Each id is assigned to exactly
+    one cell, so candidate pairs are unique by construction — no
+    distinct needed.
+    """
+    if centroids is not None:
+        cents = centroids
+    else:
+        if n_cells is None:
+            n = corpus_count if corpus_count is not None else embeddings.count()
+            n_cells = auto_cells(n)
+            corpus_count = n
+        cents = ivf_centroids(embeddings, n_cells, id_col, vec_col, corpus_count)
+    assign = _ivf_assign(embeddings, cents, 1, id_col, vec_col, "__sd_id")
+    if cell_cap is not None:
+        w = Window.partitionBy("cell").orderBy("__sd_id")
+        assign = (
+            assign.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cell_cap)
+            .drop("__rn")
+        )
+    cand = (
+        assign.select(F.col("__sd_id").alias("id_a"), "cell")
+        .join(assign.select(F.col("__sd_id").alias("id_b"), "cell"), on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return _score_pairs(cand, embeddings, threshold, id_col, vec_col)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+    centroids: DataFrame | None = None,
+    cell_cap: int | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """SemDeDup keep/drop labels: connected components over
+    :func:`semantic_dedup_pairs` edges, one canonical row per semantic
+    cluster — ``(id, cluster_id, cluster_size, is_canonical)``, the
+    same contract every dedup-cluster operator in this engine emits
+    (``operators/dedup.py::near_dup_clusters`` does the labelling).
+
+    Deviation from the paper, documented: SemDeDup keeps the group
+    member with the LOWEST cosine to its centroid; this engine keeps
+    the MINIMUM id — deterministic, engine-exact, and consistent with
+    every other dedup canonical in the repo (centroid-distance keep is
+    a one-line ORDER BY swap on the sizes aggregate for deployments
+    that want the paper's rule). Unpaired docs (including zero-norm
+    vectors) are singleton clusters of themselves.
+    """
+    from .dedup import near_dup_clusters
+
+    pairs = semantic_dedup_pairs(
+        embeddings,
+        threshold=threshold,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        corpus_count=corpus_count,
+        centroids=centroids,
+        cell_cap=cell_cap,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return near_dup_clusters(
+        embeddings.select(id_col), pairs, id_col=id_col, max_iter=max_iter
     )
 
 

@@ -1481,6 +1481,114 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_NEAR_DUP_THRESHOLD}
 """
 
 
+# ------------------------------------------------------------ semantic dedup
+
+_SEMDEDUP_THRESHOLD = 0.3  # same centered-testdata rationale as
+# _NEAR_DUP_THRESHOLD: exercises both the match and reject paths
+
+
+def _q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup candidate pairs (operators/similarity.py::
+    semantic_dedup_pairs, arXiv:2303.09540): cell-partition the
+    embeddings (seeded deterministic centroids, cells ~ sqrt(N)),
+    exactly score ONLY within-cell pairs, keep cosine >= threshold."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb,
+        threshold=_SEMDEDUP_THRESHOLD,
+        n_cells=_ivf_cells_for(sf_dir),
+        corpus_count=_emb_count(sf_dir),
+    )
+
+
+def _q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop labels: connected components over the
+    semantic pair edges, min-id canonical per semantic cluster (the
+    engine-wide dedup contract; the paper's farthest-from-centroid
+    keep rule is a documented one-line deviation)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb,
+        threshold=_SEMDEDUP_THRESHOLD,
+        n_cells=_ivf_cells_for(sf_dir),
+        corpus_count=_emb_count(sf_dir),
+    )
+
+
+def _semantic_oracle(clusters: bool) -> str:
+    """Scale-invariant SemDeDup oracle: the seeded-centroid/assignment
+    CTEs of _ivf_oracle (params from count(*)), a within-cell
+    self-join, the _COS_SQL exact verify — and for the clusters twin
+    the recursive min-reachable-id component labelling of
+    _CLUSTERS_ORACLE over the kept pairs."""
+    cos_vc = _COS_SQL.format(a="v.qv", b="c.cq")
+    prefix = f"""
+WITH RECURSIVE qraw AS (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS qv
+  FROM embeddings
+), params AS (
+  SELECT n_cells, greatest(1, n // n_cells) AS step
+  FROM (SELECT {_scaled_cells_sql()} AS n_cells, count(*) AS n
+        FROM embeddings)
+), q AS (
+  SELECT vec_id, qv FROM qraw
+  WHERE CAST(list_sum([z[1] * z[2] for z in list_zip(qv, qv)])
+             AS BIGINT) > 0
+), cent AS (
+  SELECT CAST(q.vec_id // p.step AS INTEGER) AS cell, q.qv AS cq
+  FROM q, params p
+  WHERE q.vec_id % p.step = 0 AND q.vec_id < p.step * p.n_cells
+), allassign AS (
+  SELECT v.vec_id, c.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {cos_vc} DESC, c.cell) AS rn
+  FROM q v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cell FROM allassign WHERE rn = 1
+), sdkeep AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS_SQL.format(a="ea.qv", b="eb.qv")} AS cosine
+  FROM assign a
+  JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN q ea ON ea.vec_id = a.vec_id
+  JOIN q eb ON eb.vec_id = b.vec_id
+  WHERE {_COS_SQL.format(a="ea.qv", b="eb.qv")} >= {_SEMDEDUP_THRESHOLD}
+)"""
+    if not clusters:
+        return prefix + "\nSELECT id_a, id_b, cosine FROM sdkeep"
+    return prefix + """, sdedges AS (
+  SELECT id_a AS src, id_b AS dst FROM sdkeep
+  UNION
+  SELECT id_b, id_a FROM sdkeep
+), reach(node, r) AS (
+  SELECT src, dst FROM sdedges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN sdedges e ON reach.r = e.src
+), comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS cluster_id FROM reach GROUP BY node
+), assigned AS (
+  SELECT emb.vec_id, COALESCE(c.cluster_id, emb.vec_id) AS cluster_id
+  FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.node
+), sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size, MIN(vec_id) AS canon
+  FROM assigned GROUP BY cluster_id
+)
+SELECT a.vec_id, a.cluster_id, s.cluster_size,
+       CASE WHEN a.vec_id = s.canon THEN 1 ELSE 0 END AS is_canonical
+FROM assigned a JOIN sizes s ON a.cluster_id = s.cluster_id
+"""
+
+
 # ------------------------------------------- S4b windowed sliding agg (1-min)
 
 
@@ -4696,6 +4804,8 @@ def ext_queries():
         "sim_ivf_pq_rerank_topk": _q_ivf_pq_rerank_topk,
         "t_hard_negatives": _q_hard_negatives,
         "sim_embedding_near_dup": _q_embedding_near_dup,
+        "dedup_semantic_pairs": _q_dedup_semantic_pairs,
+        "dedup_semantic_clusters": _q_dedup_semantic_clusters,
         "rel_semi_join": _q_rel_semi_join,
         "rel_anti_join": _q_rel_anti_join,
         "rel_intersect": _q_rel_intersect,
@@ -4813,6 +4923,8 @@ def ext_oracles():
         "sim_ivf_pq_rerank_topk": _ivf_pq_oracle(rerank=_IVF_PQ_RERANK),
         "t_hard_negatives": _ann_oracle("vec_id IS NOT NULL", max_cos=_NEAR_DUP_THRESHOLD),
         "sim_embedding_near_dup": _near_dup_oracle(),
+        "dedup_semantic_pairs": _semantic_oracle(clusters=False),
+        "dedup_semantic_clusters": _semantic_oracle(clusters=True),
         "rel_semi_join": _REL_SEMI_ORACLE,
         "rel_anti_join": _REL_ANTI_ORACLE,
         "rel_intersect": _REL_INTERSECT_ORACLE,

@@ -269,6 +269,8 @@ DIRTY_QUERIES = [
     "sim_ivf_pq_rerank_topk",
     "t_hard_negatives",
     "sim_embedding_near_dup",
+    "dedup_semantic_pairs",
+    "dedup_semantic_clusters",
     "sim_label_centroids",
     # pipelines composing the above
     "pipeline_clean_corpus",

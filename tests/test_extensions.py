@@ -370,6 +370,119 @@ def test_embedding_near_dup_finds_planted_duplicate(spark, emb):
     assert any(r["id_a"] == 0 and r["id_b"] == 100000 for r in pairs)
 
 
+# ---------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """SemDeDup end-to-end on planted geometry: two tight semantic
+    groups (near-identical directions) + isolated singletons. Pairs
+    must cover exactly the within-group pairs; clusters keep min-id
+    canonical; singletons label themselves; the zero-norm vector pairs
+    with nothing and stays a singleton."""
+    import numpy as np
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 16
+
+    def jitter(base, eps):
+        v = np.array(base) + rng.normal(0, eps, dim)
+        return [float(x) for x in v]
+
+    a = [float(x) for x in rng.normal(0, 1, dim)]
+    b = [float(x) for x in rng.normal(0, 1, dim)]
+    rows = (
+        [(i, jitter(a, 1e-3)) for i in range(3)]  # group A: ids 0-2
+        + [(10 + i, jitter(b, 1e-3)) for i in range(4)]  # group B: 10-13
+        + [
+            (100 + i, [float(x) for x in rng.normal(0, 1, dim)])
+            for i in range(20)
+        ]
+        + [(999, [0.0] * dim)]  # zero-norm: cosine undefined
+    )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    pairs = semantic_dedup_pairs(
+        emb, threshold=0.99, n_cells=4, corpus_count=len(rows)
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {(i, j) for i in range(3) for j in range(3) if i < j} | {
+        (10 + i, 10 + j) for i in range(4) for j in range(4) if i < j
+    }
+    assert got == want
+    assert all(r["cosine"] >= 0.99 for r in pairs)
+
+    labels = {
+        r["vec_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in semantic_dedup(
+            emb, threshold=0.99, n_cells=4, corpus_count=len(rows)
+        ).collect()
+    }
+    assert len(labels) == len(rows)
+    assert labels[0] == (0, 3, 1) and labels[2] == (0, 3, 0)
+    assert labels[10] == (10, 4, 1) and labels[13] == (10, 4, 0)
+    assert labels[100] == (100, 1, 1)
+    assert labels[999] == (999, 1, 1)  # zero-norm singleton
+
+
+def test_semantic_dedup_pairs_stay_within_cells(spark, emb):
+    """The scale contract: every emitted pair shares a cell — the
+    operator never compares across cells (that is what bounds the
+    candidate count at ~N^1.5 with sqrt-N cells)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ivf_centroids,
+        semantic_dedup_pairs,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        _ivf_assign,
+    )
+
+    n = emb.count()
+    cents = ivf_centroids(emb, 8, corpus_count=n)
+    cell_of = {
+        r["__c"]: r["cell"]
+        for r in _ivf_assign(emb, cents, 1, "vec_id", "embedding", "__c").collect()
+    }
+    pairs = semantic_dedup_pairs(
+        emb, threshold=0.0, n_cells=8, corpus_count=n
+    ).collect()
+    assert pairs, "threshold 0 over shared cells must emit pairs"
+    for r in pairs:
+        assert cell_of[r["id_a"]] == cell_of[r["id_b"]]
+
+
+def test_semantic_dedup_cell_cap_bounds_hot_cell(spark):
+    """cell_cap deterministically bounds a pile-up cell: 200 identical
+    vectors land in one cell; uncapped pairs are quadratic, capped
+    pairs are bounded by cap*(cap-1)/2."""
+    import numpy as np
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    base = [float(x) for x in rng.normal(0, 1, 16)]
+    rows = [(i, base) for i in range(200)] + [
+        (1000 + i, [float(x) for x in rng.normal(0, 1, 16)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = semantic_dedup_pairs(
+        emb, threshold=0.999, n_cells=4, corpus_count=len(rows)
+    ).count()
+    capped = semantic_dedup_pairs(
+        emb, threshold=0.999, n_cells=4, corpus_count=len(rows), cell_cap=16
+    ).count()
+    assert uncapped >= 200 * 199 / 2
+    assert capped <= 16 * 15 / 2 * 4  # per-cell cap over <=4 cells
+
+
 # ------------------------------------------------------------- multimodal
 
 def test_multimodal_fake_decode_deterministic(spark, docs):
