@@ -1,0 +1,161 @@
+"""N-gram language-model quality scoring (CCNet-style filter).
+
+The missing pillar of the text-quality family next to the heuristic
+stats (``functions/text.py::with_text_stats``): score every document
+by how well its token transitions fit a reference corpus — the
+public CCNet/Gopher recipe (Wenzek et al., "CCNet: Extracting High
+Quality Monolingual Datasets from Web Crawl Data", arXiv:1911.00359)
+trains a small LM on trusted text and drops the worst-scoring web
+documents. Here the LM is an add-one-smoothed BIGRAM model trained
+either on the corpus itself (``reference=None``, the self-consistency
+variant: boilerplate/gibberish scores low against the corpus's own
+statistics) or on a trusted reference DataFrame.
+
+Determinism contract (why this is a probability mean, not a log
+perplexity): ``ln`` is not correctly rounded and differs by ulps
+across engines/libms, which breaks the engine-vs-oracle value-hash
+gate this repo runs every round. Every arithmetic step here IS
+correctly rounded by IEEE 754 — integer counts, one exact int→double
+cast each, ONE division, ONE multiply, half-up round to an integer —
+so the score is bit-identical on any compliant engine. The per-token
+quantity is the smoothed transition probability
+
+    p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+
+quantized to ``round(p * QUANT)`` (bigint), and the doc score is the
+MEAN transition probability ``sum(qp) / n / QUANT`` — monotone in the
+same direction as negative cross-entropy for filtering purposes; a
+single-engine deployment that wants true log-perplexity swaps the
+quantized-p expression for ``ln`` at one marked line.
+
+Tokenizer: the repo-wide whitespace convention (``functions/text.py::
+_TOKENS``), lower-cased — the same stream with_text_stats and the
+TF-IDF/BPE family consume, so scores compose with their outputs.
+Tokens contain no whitespace by construction, which makes
+``w1 || ' ' || w2`` an injective bigram key (the DuckDB oracle uses
+the identical spelling).
+
+100 TB notes: bigram extraction is scan-side (``transform`` over the
+token array, whole-stage codegen); the model is two count aggregates
+(one shuffle each, map-side combined) over a table bounded by the
+distinct-bigram count; scoring joins the corpus bigram stream to
+those counts on the bigram key — natural-language bigram frequency is
+Zipfian, so AQE skew-join handles the "of the" keys; the vocabulary
+size is a single broadcast row. Nothing is ever collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import _TOKENS  # single tokenizer source
+
+#: probability quantum: qp = round(p * QUANT) as bigint. 1e9 keeps
+#: three-token docs distinguishable and sums far below int64 overflow
+#: (a doc would need ~9e9 tokens at p=1.0 to overflow).
+LM_QUANT = 1_000_000_000
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One ``(id, 'w1 w2')`` row per adjacent token pair. Scan-side:
+    the token array, lowering, and pairing all run inside codegen;
+    docs with NULL text or fewer than two tokens emit nothing (the
+    sequence() guard matters: Spark's sequence(1, 0) counts DOWN)."""
+    toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
+    return (
+        docs.select(F.col(id_col), F.expr(toks).alias("tk"))
+        .where(F.expr("tk IS NOT NULL AND size(tk) >= 2"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> concat(element_at(tk, i), ' ',"
+                    " element_at(tk, i + 1)))"
+                )
+            ).alias("big"),
+        )
+    )
+
+
+def lm_transition_scores(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram-LM fit: ``(id, n_bigrams, lm_prob_sum,
+    lm_score)`` where ``lm_score`` is the mean add-one-smoothed
+    transition probability under the reference model (see module
+    docstring for the exactness contract) — higher = more
+    reference-like; a filtering job keeps ``lm_score >= cutoff`` or
+    the top quantile. Docs with fewer than two tokens (or NULL text)
+    get ``n_bigrams = 0`` and a NULL score: no evidence, not bad
+    evidence — route them to the heuristic stats instead.
+
+    ``reference=None`` trains on ``docs`` itself; bigrams unseen in an
+    external reference back off to count 0 (the add-one floor), and an
+    unseen context ``w1`` scores ``1 / V`` — smoothing keeps every
+    probability finite and nonzero. Add-one artifact to know when
+    setting cutoffs: an unseen CONTEXT's uniform ``1/V`` can exceed a
+    frequent context's unseen-continuation floor ``1/(c(w1)+V)``, so
+    fully-OOV gibberish is not guaranteed to score below shuffled
+    common words — the reliable signal is reference-like transitions
+    scoring far above both floors (pinned in the tests; a production
+    deployment wanting Kneser-Ney/backoff swaps the probability
+    expression at the same marked line as the ln swap). Every doc row is preserved in the
+    output (left join back to ``docs``), duplicate ids share one score
+    group, NULL ids ride through with NULL stats (null-unsafe join,
+    the engine-wide rule).
+    """
+    ref = reference if reference is not None else docs
+    ref_bg = _doc_bigrams(ref, id_col, text_col)
+    big_counts = ref_bg.groupBy("big").agg(F.count("*").alias("cb"))
+    prev_counts = (
+        big_counts.withColumn("w1", F.substring_index("big", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cp"))
+    )
+    toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
+    vocab = (
+        ref.select(F.explode(F.expr(toks)).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    scored = (
+        _doc_bigrams(docs, id_col, text_col)
+        .join(big_counts, "big", "left")
+        .withColumn("w1", F.substring_index("big", " ", 1))
+        .join(prev_counts, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            # one division, one multiply, half-up round: every step
+            # correctly rounded -> engine-exact. Swap this expression
+            # for ln(...) to get true log-perplexity on a single engine.
+            F.expr(
+                "cast(round((cast(coalesce(cb, 0) + 1 as double)"
+                f" / cast(coalesce(cp, 0) + v as double)) * {LM_QUANT}.0)"
+                " as bigint)"
+            ).alias("qp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("qp").alias("lm_prob_sum"),
+    )
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("lm_prob_sum"), F.lit(0)).cast("long").alias(
+            "lm_prob_sum"
+        ),
+        F.when(
+            F.col("n_bigrams") > 0,
+            (
+                F.col("lm_prob_sum").cast("double")
+                / F.col("n_bigrams").cast("double")
+            )
+            / F.lit(float(LM_QUANT)),
+        ).alias("lm_score"),
+    )

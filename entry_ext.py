@@ -4367,6 +4367,67 @@ SELECT freq, count(*) AS n_terms FROM tc GROUP BY freq
 """
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (operators/lm.py::lm_transition_scores,
+    the CCNet-style filter), self-trained on the documents corpus.
+    Engine-exact by construction: integer counts, one correctly-
+    rounded division/multiply/round per transition (no ln — see the
+    module docstring's determinism contract)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        lm_transition_scores,
+    )
+
+    return lm_transition_scores(load_table(spark, sf_dir, "documents"))
+
+
+# bigram key = w1 || ' ' || w2 is injective (whitespace tokenizer);
+# one division -> one multiply -> half-up round mirrors the Spark
+# expression order exactly (every step IEEE-correctly-rounded).
+_LM_SCORE_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id,
+         [lower(t) for t in
+          list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      t -> t != '')] AS tk
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i + 1]
+                 for i in range(1, len(tk))]) AS big
+  FROM tk WHERE tk IS NOT NULL AND len(tk) >= 2
+), big_counts AS (
+  SELECT big, count(*) AS cb FROM bg GROUP BY big
+), prev_counts AS (
+  SELECT split_part(big, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS cp
+  FROM big_counts GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT t) AS v
+  FROM (SELECT unnest(tk) AS t FROM tk)
+), scored AS (
+  SELECT bg.doc_id,
+         CAST(round((CAST(COALESCE(bc.cb, 0) + 1 AS DOUBLE)
+                     / CAST(COALESCE(pc.cp, 0) + vocab.v AS DOUBLE))
+                    * 1000000000.0) AS BIGINT) AS qp
+  FROM bg
+  LEFT JOIN big_counts bc ON bg.big = bc.big
+  LEFT JOIN prev_counts pc ON split_part(bg.big, ' ', 1) = pc.w1
+  CROSS JOIN vocab
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(qp) AS BIGINT) AS lm_prob_sum
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.lm_prob_sum, 0) AS lm_prob_sum,
+       CASE WHEN a.n_bigrams > 0
+            THEN (CAST(a.lm_prob_sum AS DOUBLE)
+                  / CAST(a.n_bigrams AS DOUBLE)) / 1000000000.0
+            ELSE NULL END AS lm_score
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids
     (operators/similarity.py::label_centroids)."""
@@ -4878,6 +4939,7 @@ def ext_queries():
         "rel_variant_props": _q_variant_props,
         "t_chunk_documents": _q_chunk_documents,
         "text_token_spectrum": _q_token_spectrum,
+        "text_lm_score": _q_lm_score,
         "sim_label_centroids": _q_label_centroids,
     }
 
@@ -4997,5 +5059,6 @@ def ext_oracles():
         "rel_variant_props": _VARIANT_PROPS_ORACLE,
         "t_chunk_documents": _CHUNK_DOCS_ORACLE,
         "text_token_spectrum": _TOKEN_SPECTRUM_ORACLE,
+        "text_lm_score": _LM_SCORE_ORACLE,
         "sim_label_centroids": _LABEL_CENTROIDS_ORACLE,
     }

@@ -248,6 +248,7 @@ DIRTY_QUERIES = [
     "text_fingerprint",
     "text_repetition",
     "text_token_spectrum",
+    "text_lm_score",
     # sampling / chunking / packing with NULL ids, weights, text
     "t_weighted_sample",
     "t_chunk_documents",

@@ -370,6 +370,69 @@ def test_embedding_near_dup_finds_planted_duplicate(spark, emb):
     assert any(r["id_a"] == 0 and r["id_b"] == 100000 for r in pairs)
 
 
+# ------------------------------------------------------- LM quality score
+
+
+def test_lm_score_reference_trained_ordering(spark):
+    """CCNet-shaped contract: against a reference model, a document
+    made of reference-frequent transitions outscores one made of
+    transitions the reference never saw (which bottoms out at the
+    add-one smoothing floor, not zero)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        lm_transition_scores,
+    )
+
+    ref = _docs_df(
+        spark, ["the cat sat on the mat"] * 20 + ["the dog sat on the rug"] * 5
+    )
+    eval_docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),  # every bigram common in ref
+            (2, "mat the on sat cat the"),  # same tokens, unseen order
+            (3, "zq xv qq zz"),  # fully OOV
+            (4, "one"),  # single token: no transitions
+            (5, None),  # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in lm_transition_scores(eval_docs, reference=ref).collect()
+    }
+    assert len(rows) == 5
+    # reference-like text beats BOTH degenerate floors; note the
+    # add-one artifact (documented in operators/lm.py): an unseen
+    # CONTEXT backs off to 1/V, which can exceed a frequent context's
+    # unseen-word floor 1/(c+V) — so OOV gibberish is not asserted
+    # below wrong-order-common-words, only below real text
+    assert rows[1]["lm_score"] > rows[2]["lm_score"] > 0
+    assert rows[1]["lm_score"] > rows[3]["lm_score"] > 0
+    assert rows[4]["n_bigrams"] == 0 and rows[4]["lm_score"] is None
+    assert rows[5]["n_bigrams"] == 0 and rows[5]["lm_score"] is None
+    assert rows[1]["n_bigrams"] == 5
+
+
+def test_lm_score_self_trained_exact_value(spark):
+    """Hand-computed check of the quantized math on a 2-doc corpus:
+    counts, smoothing, and the mean are exactly the spec values."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        lm_transition_scores,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.lm import LM_QUANT
+
+    docs = _docs_df(spark, ["a b a b", "a b"])
+    # bigrams: doc0 = [a b, b a, a b], doc1 = [a b]; V = 2
+    # c(a b)=3, c(b a)=1; c(a ·)=3, c(b ·)=1
+    # p(a b) = (3+1)/(3+2) = 0.8 ; p(b a) = (1+1)/(1+2) = 2/3
+    rows = {r["doc_id"]: r for r in lm_transition_scores(docs).collect()}
+    q_ab = round(0.8 * LM_QUANT)
+    q_ba = round((2.0 / 3.0) * LM_QUANT)
+    assert rows[0]["lm_prob_sum"] == 2 * q_ab + q_ba
+    assert rows[1]["lm_prob_sum"] == q_ab
+    assert rows[0]["n_bigrams"] == 3 and rows[1]["n_bigrams"] == 1
+    assert rows[1]["lm_score"] == (q_ab / 1.0) / LM_QUANT
+
+
 # ---------------------------------------------------------- semantic dedup
 
 
