@@ -19,6 +19,7 @@ from .dedup import (  # noqa: F401
     vacuum_cluster_store,
 )
 from .join import interval_join  # noqa: F401
+from .similarity import run_index_embedding_stream  # noqa: F401
 from .metrics import progress_summary  # noqa: F401
 from .running_totals import (  # noqa: F401
     running_totals,

@@ -1,0 +1,198 @@
+"""Streaming EMBEDDING index maintenance — the semantic member of the
+standing near-dup index family (``streaming/dedup.py`` holds the
+exact/MinHash-LSH/SimHash-hamming members).
+
+``run_index_embedding_stream`` keeps a persistent CELL-KEYED vector
+index on disk and, per micro-batch, surfaces every semantic near-dup
+pair the batch introduces: batch vectors are assigned to Voronoi
+cells around a FIXED centroid table (trained offline in production —
+``operators/similarity.py::train_ivf_centroids``; seeded deterministic
+in the gated replay), probed against ONLY the index cells the batch
+touches, and exactly cosine-verified — the streaming twin of
+``operators/similarity.py::semantic_dedup_pairs`` exactly as the
+hamming stream twins ``hamming_near_dup_pairs``.
+
+The index layout is the scale improvement over the older streams'
+honest O(index) probe caveat: rows persist PARTITIONED BY CELL
+(``index_dir/cell=<c>/``), and the per-batch probe filters on the
+batch's own cell list (collected driver-side — bounded by
+min(batch size, n_cells) ints), so partition pruning reads only the
+touched cells: per-batch I/O is O(batch + touched cells), not
+O(corpus). Quantized coordinates and squared norms ride the index so
+probes never re-read or re-quantize raw vectors.
+
+Reference anchor: the same store-probe-append lifecycle as the
+reference's streaming feature ingestion (`src/lambda/
+StreamingIngestAggFeatures/lambda_function.py:25-32` — each event
+reads and updates only its keys' records); cells play the role of
+keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    _fs_exists,
+    _fs_has_parquet_recursive,
+    _touch_success,
+)
+
+
+def run_index_embedding_stream(
+    stream: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    centroids_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    broadcast_batch: bool = True,
+):
+    """Standing semantic near-dup discovery over an embedding stream.
+
+    Per micro-batch, under ``out_dir/batch=<id>/``:
+
+    * ``pairs/`` — exact-cosine-verified ``(id_a, id_b, cosine)``
+      pairs the batch introduces (batch-vs-index within shared cells +
+      within-batch via the batch operator), cosine >= ``threshold``,
+      ``id_a < id_b``. Final verdicts, not candidates — the quantized
+      vectors ride the index, so verification happens in-stream.
+    * ``vecs/`` — the batch's ``(id, cell, qv, n2)`` rows, appended to
+      the cell-partitioned ``index_dir`` after the output commits.
+
+    Every pair is discovered exactly once — when its later member's
+    batch arrives — and assignment uses the same fixed centroids the
+    batch operator would, so the union of per-batch pair outputs
+    equals the one-shot ``semantic_dedup_pairs(corpus,
+    centroids=...)`` run (the registered oracle states exactly that).
+    Zero-norm vectors and NULL ids/vectors index nothing and pair with
+    nothing (cosine undefined / the engine-wide null-unsafe rule).
+    Each id holds exactly one cell, so a cross pair can match at most
+    once — no dedup pass needed (the hamming stream needs one because
+    bands collide per-pair many times).
+
+    Delivery contract identical to ``run_index_hamming_stream``:
+    at-least-once, batch-id idempotent via the REQUIRED durable
+    checkpoint (a retried committed batch only repairs the index
+    append, pruned to the batch's own cells), index-append-after-
+    output-commit, ``_SUCCESS``-gated visibility.
+    """
+    if not checkpoint_dir:
+        raise ValueError(
+            "run_index_embedding_stream requires a durable checkpoint_dir: "
+            "batch-id-based retry idempotency is only safe when batch "
+            "ids survive restarts"
+        )
+
+    from ..operators.similarity import _dot, _ivf_assign, quantize
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
+        vecs_out = batch_out + "/vecs"
+        pairs_out = batch_out + "/pairs"
+        cents = spark.read.parquet(centroids_dir)
+        if _fs_exists(spark, batch_out + "/_SUCCESS"):
+            # retried committed batch: repair a possibly lost index
+            # append, reading only the batch's own cells
+            committed = spark.read.parquet(vecs_out)
+            cells = [r[0] for r in committed.select("cell").distinct().collect()]
+            if cells and _fs_has_parquet_recursive(spark, index_dir):
+                idx = spark.read.parquet(index_dir).where(
+                    F.col("cell").isin(cells)
+                )
+                missing = committed.join(
+                    idx.select(id_col, "cell"), on=[id_col, "cell"],
+                    how="left_anti",
+                )
+            else:
+                missing = committed
+            (
+                missing.write.mode("append")
+                .partitionBy("cell")
+                .parquet(index_dir)
+            )
+            return
+        feats = (
+            batch_df.select(F.col(id_col), quantize(vec_col, "qv"))
+            .where(F.col(id_col).isNotNull())
+            .withColumn("n2", F.expr(_dot("qv", "qv")))
+            .where(F.col("n2") > 0)
+        )
+        assign = _ivf_assign(batch_df, cents, 1, id_col, vec_col, id_col)
+        batch_rows = assign.join(feats, id_col).select(
+            id_col, "cell", "qv", "n2"
+        ).persist()
+        try:
+            cells = [
+                r[0] for r in batch_rows.select("cell").distinct().collect()
+            ]
+            if cells and _fs_has_parquet_recursive(spark, index_dir):
+                idx = spark.read.parquet(index_dir).where(
+                    F.col("cell").isin(cells)
+                )
+            else:
+                idx = batch_rows.limit(0)
+            probe = F.broadcast(batch_rows) if broadcast_batch else batch_rows
+            cross = (
+                idx.alias("a")
+                .join(
+                    probe.alias("b"),
+                    (F.col("a.cell") == F.col("b.cell"))
+                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.least(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("id_a"),
+                    F.greatest(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("id_b"),
+                    # the _score_pairs op order; integer dot and IEEE
+                    # multiply are symmetric, so the least/greatest id
+                    # swap cannot perturb the value
+                    (
+                        F.expr(_dot("a.qv", "b.qv")).cast("double")
+                        / (
+                            F.sqrt(F.col("a.n2").cast("double"))
+                            * F.sqrt(F.col("b.n2").cast("double"))
+                        )
+                    ).alias("cosine"),
+                )
+                .where(F.col("cosine") >= F.lit(threshold))
+            )
+            from ..operators.similarity import semantic_dedup_pairs
+
+            within = semantic_dedup_pairs(
+                batch_df,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                centroids=cents,
+            )
+            cross.unionByName(within).write.mode("overwrite").parquet(
+                pairs_out
+            )
+            batch_rows.write.mode("overwrite").parquet(vecs_out)
+            _touch_success(spark, batch_out)
+            (
+                spark.read.parquet(vecs_out)
+                .write.mode("append")
+                .partitionBy("cell")
+                .parquet(index_dir)
+            )
+        finally:
+            batch_rows.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

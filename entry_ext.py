@@ -264,6 +264,81 @@ def _q_stream_hamming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+def _q_stream_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic near-dup discovery against the persistent
+    cell-partitioned vector index (streaming/similarity.py::
+    run_index_embedding_stream): the embeddings table replays as TWO
+    micro-batches split at the id midpoint, each assigned to the SAME
+    fixed seeded centroids the batch operator derives (written to a
+    tmp table up front — the offline-trained-centroids production
+    shape) and probed against only the index cells it touches. Every
+    pair is discovered exactly once — when its later member's batch
+    arrives — so the union of per-batch pair outputs must equal the
+    one-shot semantic_dedup_pairs run, and the oracle is
+    _semantic_oracle(clusters=False) verbatim."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        ivf_centroids,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_embedding_stream,
+    )
+    from __spark_entry__ import _set_stream_partitions
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = sorted(x.as_py() for x in t.column("vec_id") if x.as_py() is not None)
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="ssem_src_")
+    work = tempfile.mkdtemp(prefix="ssem_work_")
+    key = t.column("vec_id")
+    in_b0 = pc.or_kleene(pc.less(key, mid), pc.is_null(key))
+    pq.write_table(
+        t.filter(pc.fill_null(in_b0, True)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        t.filter(pc.fill_null(pc.invert(in_b0), False)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    cents_dir = os.path.join(work, "centroids")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf_centroids(
+        emb, _ivf_cells_for(sf_dir), corpus_count=_emb_count(sf_dir)
+    ).write.parquet(cents_dir)
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        q = run_index_embedding_stream(
+            stream,
+            os.path.join(work, "out"),
+            os.path.join(work, "index"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            centroids_dir=cents_dir,
+            threshold=_SEMDEDUP_THRESHOLD,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_semantic availableNow replay exceeded 300s"
+            )
+        return spark.read.parquet(os.path.join(work, "out", "batch=*", "pairs"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 def _q_stream_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing cluster maintenance (streaming/dedup.py::
     run_cluster_maintain_stream): the documents table replays as TWO
@@ -4931,6 +5006,7 @@ def ext_queries():
         "dedup_inc_append": _q_dedup_append,
         "dedup_inc_lsh_append": _q_lsh_append,
         "s_stream_lsh_index": _q_stream_lsh_index,
+        "s_stream_semantic_index": _q_stream_semantic_index,
         "s_stream_hamming_index": _q_stream_hamming_index,
         "s_stream_cluster_maintain": _q_stream_cluster_maintain,
         "dedup_inc_append_bloom": _q_dedup_append_bloom,
@@ -5052,6 +5128,7 @@ def ext_oracles():
         "dedup_inc_lsh_append": _LSH_APPEND_ORACLE,
         "s_stream_lsh_index": _LSH_ORACLE,
         "s_stream_hamming_index": _HAMMING_PAIRS_ORACLE,
+        "s_stream_semantic_index": _semantic_oracle(clusters=False),
         "s_stream_cluster_maintain": _HAMMING_CLUSTERS_ORACLE,
         "dedup_inc_append_bloom": _DEDUP_APPEND_ORACLE,
         "dedup_source_overlap": _SOURCE_OVERLAP_ORACLE,

@@ -383,6 +383,7 @@ DIRTY_STREAM_QUERIES = [
     "s_stream_hamming_index",
     "s_stream_cluster_maintain",
     "s_stream_lsh_index",
+    "s_stream_semantic_index",
     "s4_sliding_agg",
 ]
 

@@ -1,0 +1,139 @@
+"""Streaming embedding-index maintenance
+(streaming/similarity.py::run_index_embedding_stream).
+
+Contracts pinned: full-run equivalence with the one-shot batch
+semantic_dedup_pairs (union of per-batch pair outputs over a chunked
+replay == batch run over the whole corpus, same fixed centroids);
+cell-PRUNED index probes (the physical plan carries a
+PartitionFilters entry on the cell column — the scale improvement
+over the O(index) probes of the LSH/hamming streams); recovery
+idempotency (a second availableNow run after completion neither
+duplicates pairs nor double-appends the index).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+    ivf_centroids,
+    semantic_dedup_pairs,
+)
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+    run_index_embedding_stream,
+)
+
+from .test_streaming_dedup import _write_chunks
+
+
+def _mk_rows(rng, start_id, n, dim=16, base=None, eps=1.0):
+    rows = []
+    for i in range(n):
+        if base is None:
+            v = rng.normal(0, 1, dim)
+        else:
+            v = np.array(base) + rng.normal(0, eps, dim)
+        rows.append((start_id + i, [float(x) for x in v]))
+    return rows
+
+
+@pytest.fixture()
+def corpus(spark):
+    rng = np.random.default_rng(13)
+    a = [float(x) for x in rng.normal(0, 1, 16)]
+    b = [float(x) for x in rng.normal(0, 1, 16)]
+    rows = (
+        _mk_rows(rng, 0, 3, base=a, eps=1e-3)  # tight group split across
+        + _mk_rows(rng, 100, 30)  # batches below (ids 0-2)
+        + _mk_rows(rng, 50, 2, base=b, eps=1e-3)  # pair within one batch
+        + [(999, [0.0] * 16), (998, None)]  # zero-norm + NULL vector
+    )
+    return rows
+
+
+def _start(spark, path, work, cents_dir):
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    return run_index_embedding_stream(
+        stream,
+        os.path.join(work, "out"),
+        os.path.join(work, "index"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        centroids_dir=cents_dir,
+        threshold=0.99,
+    )
+
+
+def test_stream_pairs_equal_batch_run_and_replay_idempotent(
+    spark, tmp_path, corpus
+):
+    emb = spark.createDataFrame(
+        corpus, "vec_id long, embedding array<double>"
+    )
+    work = str(tmp_path / "work")
+    cents_dir = os.path.join(work, "centroids")
+    cents = ivf_centroids(emb, 4, corpus_count=len(corpus))
+    cents.write.parquet(cents_dir)
+
+    # split so group A (0,1,2) spans batches: 0,1 in batch 0; 2 later
+    by_id = {r[0]: r for r in corpus}
+    chunk0 = [by_id[i] for i in sorted(by_id) if i in (0, 1, 50, 51)] + [
+        by_id[999], by_id[998]
+    ]
+    chunk1 = [by_id[2]] + [by_id[i] for i in sorted(by_id) if 100 <= i < 115]
+    chunk2 = [by_id[i] for i in sorted(by_id) if 115 <= i < 130]
+    path = _write_chunks(
+        spark, tmp_path, [chunk0, chunk1, chunk2],
+        "vec_id long, embedding array<double>",
+    )
+    q = _start(spark, path, work, cents_dir)
+    assert q.awaitTermination(180)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in spark.read.parquet(
+            os.path.join(work, "out", "batch=*", "pairs")
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_dedup_pairs(
+            emb, threshold=0.99, centroids=cents
+        ).collect()
+    }
+    assert got == want
+    assert (0, 2) in got and (1, 2) in got  # cross-batch discovery
+    assert (0, 1) in got and (50, 51) in got  # within-batch discovery
+    assert all(999 not in p and 998 not in p for p in got)
+
+    # index holds exactly the non-degenerate ids, partitioned by cell
+    idx = spark.read.parquet(os.path.join(work, "index"))
+    assert sorted(r["vec_id"] for r in idx.collect()) == sorted(
+        i for i in by_id if i not in (998, 999)
+    )
+    pruned = idx.where(F.col("cell") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:120]
+
+    # a fresh availableNow run over the same source + checkpoint is a
+    # no-op: no new pairs, no duplicate index rows
+    q2 = _start(spark, path, work, cents_dir)
+    assert q2.awaitTermination(120)
+    assert (
+        spark.read.parquet(os.path.join(work, "index")).count()
+        == idx.count()
+    )
+    got2 = spark.read.parquet(
+        os.path.join(work, "out", "batch=*", "pairs")
+    ).count()
+    assert got2 == len(got)
