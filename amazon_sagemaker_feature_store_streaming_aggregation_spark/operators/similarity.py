@@ -608,6 +608,7 @@ def semantic_dedup(
     centroids: DataFrame | None = None,
     cell_cap: int | None = None,
     max_iter: int = 25,
+    keep: str = "min_id",
 ) -> DataFrame:
     """SemDeDup keep/drop labels: connected components over
     :func:`semantic_dedup_pairs` edges, one canonical row per semantic
@@ -615,16 +616,34 @@ def semantic_dedup(
     same contract every dedup-cluster operator in this engine emits
     (``operators/dedup.py::near_dup_clusters`` does the labelling).
 
-    Deviation from the paper, documented: SemDeDup keeps the group
-    member with the LOWEST cosine to its centroid; this engine keeps
-    the MINIMUM id — deterministic, engine-exact, and consistent with
-    every other dedup canonical in the repo (centroid-distance keep is
-    a one-line ORDER BY swap on the sizes aggregate for deployments
-    that want the paper's rule). Unpaired docs (including zero-norm
-    vectors) are singleton clusters of themselves.
+    ``keep`` picks the canonical (kept) member per cluster:
+
+    * ``"min_id"`` (default) — deterministic, engine-exact, consistent
+      with every other dedup canonical in the repo; the gated oracle
+      checks this variant.
+    * ``"centroid_far"`` — the paper's rule: keep the member with the
+      LOWEST cosine to its assigned centroid (farthest from the
+      cluster center retains the most diversity; arXiv:2303.09540
+      §3), ties by min id. Same labels/sizes, only ``is_canonical``
+      moves; one extra window over the label table.
+
+    Unpaired docs (including zero-norm vectors, which have no defined
+    centroid cosine) are singleton clusters of themselves either way.
     """
+    if keep not in ("min_id", "centroid_far"):
+        raise ValueError(f"keep must be min_id or centroid_far, got {keep!r}")
     from .dedup import near_dup_clusters
 
+    if centroids is None and keep == "centroid_far":
+        # both the pair stage and the keep rule need the SAME centroid
+        # table; derive it once here
+        if n_cells is None:
+            n = corpus_count if corpus_count is not None else embeddings.count()
+            n_cells = auto_cells(n)
+            corpus_count = n
+        centroids = ivf_centroids(
+            embeddings, n_cells, id_col, vec_col, corpus_count
+        )
     pairs = semantic_dedup_pairs(
         embeddings,
         threshold=threshold,
@@ -635,8 +654,50 @@ def semantic_dedup(
         centroids=centroids,
         cell_cap=cell_cap,
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    return near_dup_clusters(
+    labels = near_dup_clusters(
         embeddings.select(id_col), pairs, id_col=id_col, max_iter=max_iter
+    )
+    if keep == "min_id":
+        return labels
+    # paper keep rule: canonical = argmin cosine-to-own-centroid
+    # (NULL cosine — zero-norm singletons — sorts last, min id breaks
+    # ties), replacing only the is_canonical bit
+    cents = centroids.where(F.col("cn2") > 0)
+    v = (
+        embeddings.select(F.col(id_col), quantize(vec_col, "vq"))
+        .withColumn("vn2", F.expr(_dot("vq", "vq")))
+        .where(F.col("vn2") > 0)
+    )
+    scored = v.join(F.broadcast(cents)).withColumn(
+        "__cos",
+        F.expr(_dot("vq", "cq")).cast("double")
+        / (
+            F.sqrt(F.col("vn2").cast("double"))
+            * F.sqrt(F.col("cn2").cast("double"))
+        ),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("__cos").desc(), F.col("cell")
+    )
+    own_cos = (
+        scored.withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "__cos")
+    )
+    w_keep = Window.partitionBy("cluster_id").orderBy(
+        F.asc_nulls_last("__cos"), F.col(id_col)
+    )
+    return (
+        labels.join(own_cos, id_col, "left")
+        .withColumn("__kr", F.row_number().over(w_keep))
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            "cluster_size",
+            F.when(F.col("__kr") == 1, 1).otherwise(0).cast("int").alias(
+                "is_canonical"
+            ),
+        )
     )
 
 

@@ -493,6 +493,65 @@ def test_semantic_dedup_planted_groups(spark):
     assert labels[999] == (999, 1, 1)  # zero-norm singleton
 
 
+def test_semantic_dedup_paper_keep_rule(spark):
+    """keep='centroid_far' (the arXiv:2303.09540 rule): within a
+    semantic cluster the kept member is the one with the LOWEST cosine
+    to its centroid; labels and sizes are identical to the min-id
+    variant, only is_canonical moves; singletons (incl. zero-norm)
+    stay their own canonical."""
+    import numpy as np
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(21)
+    dim = 16
+    base = rng.normal(0, 1, dim)
+    base /= np.linalg.norm(base)
+    ortho = rng.normal(0, 1, dim)
+    ortho -= ortho @ base * base
+    ortho /= np.linalg.norm(ortho)
+
+    def mix(eps):
+        v = base + eps * ortho
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    # id 0 sits AT the centroid direction, ids 1-2 progressively off:
+    # all pairwise cosines ~1, but id 2 is farthest from the centroid
+    rows = (
+        [(0, mix(0.0)), (1, mix(0.005)), (2, mix(0.01))]
+        + [(50 + i, [float(x) for x in rng.normal(0, 1, dim)]) for i in range(10)]
+        + [(999, [0.0] * dim)]
+    )
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # centroid table: make vector 0 itself a centroid so cosines to it
+    # strictly order 0 > 1 > 2
+    cents = ivf_centroids(emb2, 4, corpus_count=len(rows))
+    min_id = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb2, threshold=0.999, centroids=cents, keep="min_id"
+        ).collect()
+    }
+    far = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb2, threshold=0.999, centroids=cents, keep="centroid_far"
+        ).collect()
+    }
+    assert set(min_id) == set(far)
+    for k in min_id:
+        assert min_id[k]["cluster_id"] == far[k]["cluster_id"]
+        assert min_id[k]["cluster_size"] == far[k]["cluster_size"]
+    assert min_id[0]["cluster_size"] == 3
+    assert min_id[0]["is_canonical"] == 1  # min id keeps 0
+    assert far[2]["is_canonical"] == 1  # paper rule keeps farthest
+    assert far[0]["is_canonical"] == 0 and far[1]["is_canonical"] == 0
+    assert far[999]["is_canonical"] == 1  # zero-norm singleton
+
+
 def test_semantic_dedup_pairs_stay_within_cells(spark, emb):
     """The scale contract: every emitted pair shares a cell — the
     operator never compares across cells (that is what bounds the
