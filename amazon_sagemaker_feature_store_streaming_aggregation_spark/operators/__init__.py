@@ -12,6 +12,7 @@ from .rollup import time_rollup  # noqa: F401
 from .sampling import (  # noqa: F401
     deterministic_sample,
     stratified_sample,
+    temperature_mixture,
     weighted_sample,
 )
 from .sessionize import session_stats, sessionize  # noqa: F401

@@ -29,9 +29,18 @@ RATE_DENOM = 10_000
 
 def _bucket(id_col: str, salt: str) -> Column:
     """Stable per-row bucket in [0, RATE_DENOM): md5-derived from the
-    row id and a salt (different salts -> independent samples)."""
-    return F.pmod(h64(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
-                  F.lit(RATE_DENOM))
+    row id and a salt (different salts -> independent samples).
+
+    NULL-PROPAGATING concat, not concat_ws: concat_ws silently drops
+    NULL args, so a NULL id would hash the bare salt into a constant
+    bucket — sampled in or out by accident. With concat the bucket is
+    NULL and the membership filter excludes the row by documented rule
+    (mirrors the oracles' ``'salt:' || CAST(id AS VARCHAR)``, where
+    ``||`` propagates NULL — the engine-wide seed-prefix convention)."""
+    return F.pmod(
+        h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(RATE_DENOM),
+    )
 
 
 def deterministic_sample(
@@ -97,3 +106,83 @@ def weighted_sample(
         F.lit(RATE_DENOM),
     )
     return df.filter(_bucket(id_col, salt) < threshold)
+
+
+#: Quantum for the pow(n, tau) weights feeding the mixture
+#: normalizer: summing RAW doubles across strata would be
+#: addition-order-dependent (engines disagree in ulps); rounding each
+#: weight to 1e-6 first makes the normalizer an EXACT bigint sum.
+POW_QUANT = 1_000_000
+
+
+def temperature_mixture(
+    df: DataFrame,
+    tau: float = 0.7,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    target_fraction: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based source mixing (the XLM-R / Pile recipe,
+    arXiv:1911.02116 §3.1): resample so source ``s`` contributes a
+    share ∝ ``n_s^tau`` of the output — ``tau < 1`` flattens the
+    mixture toward rare sources, ``tau = 1`` preserves natural
+    proportions. The per-source keep rate is
+
+        rate_s = target_fraction * N * (n_s^tau / Σ_t n_t^tau) / n_s
+
+    clamped to [0, 1]: this operator only DOWNSAMPLES (a rate > 1
+    means the recipe wants that source repeated — epochs, not
+    sampling — so rare sources saturate at keeping everything, the
+    standard single-epoch behavior).
+
+    Fully relational — counts, the normalizer, and rates are
+    aggregates joined back broadcast; nothing collects. Membership is
+    the same md5 id-hash coin as every sampler here (stable under
+    partitioning/engine/scale). Rows with NULL ``strata_col`` are
+    EXCLUDED (no provenance → no mixing weight; the join is
+    null-unsafe by documented rule). Determinism: every arithmetic
+    step is integer-exact or IEEE-correctly-rounded EXCEPT ``pow(n,
+    tau)`` itself (libm, ±1 ulp across engines) — its result is
+    quantized to 1e-6 before use, so a cross-engine flip needs the
+    true value within ~1e-10 of a rounding boundary (the same
+    documented residual-risk class as the auto_cells log2 tie).
+    """
+    n = F.col("__n").cast("double")
+    qpow = F.expr(
+        f"cast(round(pow(cast(__n as double), {tau}) * {POW_QUANT}) as bigint)"
+    )
+    counts = (
+        df.where(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__qpow", qpow)
+    )
+    tots = counts.agg(
+        F.sum("__n").alias("__ntot"), F.sum("__qpow").alias("__z")
+    )
+    rates = counts.crossJoin(F.broadcast(tots)).select(
+        strata_col,
+        F.least(
+            F.lit(RATE_DENOM),
+            F.greatest(
+                F.lit(0),
+                F.round(
+                    (
+                        (F.lit(target_fraction) * F.col("__ntot").cast("double"))
+                        * (
+                            F.col("__qpow").cast("double")
+                            / F.col("__z").cast("double")
+                        )
+                        / n
+                    )
+                    * RATE_DENOM
+                ).cast("long"),
+            ),
+        ).alias("__qrate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(_bucket(id_col, salt) < F.col("__qrate"))
+        .drop("__qrate")
+    )

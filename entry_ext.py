@@ -4356,6 +4356,58 @@ GROUP BY source
 """
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (operators/sampling.py::
+    temperature_mixture, the XLM-R/Pile recipe): per-source keep rates
+    ∝ n_s^tau normalized to a target output fraction, membership by
+    the md5 id coin. tau=0.5 flattens hard enough that the small
+    sources keep visibly more than the natural share. Summarized per
+    source (counts + id-sums) like t_weighted_sample."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = temperature_mixture(
+        docs, tau=0.5, strata_col="source", id_col="doc_id",
+        target_fraction=0.5,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("kept_sum"),
+    )
+
+
+# op-order mirror of temperature_mixture: pow quantized to 1e-6 BEFORE
+# the cross-source sum (raw-double sums are addition-order-dependent),
+# then (tf * ntot) * (qpow/z) / n, * 10000, half-up round, clamp.
+_TEMPERATURE_MIX_ORACLE = f"""
+WITH tcounts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(round(pow(CAST(count(*) AS DOUBLE), 0.5) * 1000000)
+              AS BIGINT) AS qpow
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+), ttots AS (
+  SELECT CAST(sum(n) AS BIGINT) AS ntot, CAST(sum(qpow) AS BIGINT) AS z
+  FROM tcounts
+), trates AS (
+  SELECT c.source,
+         least(10000, greatest(0,
+           CAST(round(((0.5 * CAST(t.ntot AS DOUBLE))
+                       * (CAST(c.qpow AS DOUBLE) / CAST(t.z AS DOUBLE))
+                       / CAST(c.n AS DOUBLE)) * 10000) AS BIGINT))) AS qrate
+  FROM tcounts c CROSS JOIN ttots t
+), tkept AS (
+  SELECT d.doc_id, d.source
+  FROM documents d JOIN trates r ON d.source = r.source
+  WHERE {_H64.format(x="'tmix:' || CAST(doc_id AS VARCHAR)")} % 10000
+        < r.qrate
+)
+SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_sum
+FROM tkept GROUP BY source
+"""
+
+
 def _q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 VARIANT semi-structured path
     (plans/relational.py::variant_props_histogram): parse_json once,
@@ -5012,6 +5064,7 @@ def ext_queries():
         "dedup_inc_append_bloom": _q_dedup_append_bloom,
         "dedup_source_overlap": _q_source_overlap,
         "t_weighted_sample": _q_weighted_sample,
+        "t_temperature_mix": _q_temperature_mix,
         "rel_variant_props": _q_variant_props,
         "t_chunk_documents": _q_chunk_documents,
         "text_token_spectrum": _q_token_spectrum,
@@ -5133,6 +5186,7 @@ def ext_oracles():
         "dedup_inc_append_bloom": _DEDUP_APPEND_ORACLE,
         "dedup_source_overlap": _SOURCE_OVERLAP_ORACLE,
         "t_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
+        "t_temperature_mix": _TEMPERATURE_MIX_ORACLE,
         "rel_variant_props": _VARIANT_PROPS_ORACLE,
         "t_chunk_documents": _CHUNK_DOCS_ORACLE,
         "text_token_spectrum": _TOKEN_SPECTRUM_ORACLE,

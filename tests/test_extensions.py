@@ -370,6 +370,44 @@ def test_embedding_near_dup_finds_planted_duplicate(spark, emb):
     assert any(r["id_a"] == 0 and r["id_b"] == 100000 for r in pairs)
 
 
+# --------------------------------------------------- temperature mixing
+
+
+def test_temperature_mixture_flattens_and_excludes_null_source(spark):
+    """tau<1 flattens toward rare sources: the rare source's keep RATE
+    exceeds the common source's; tau=1 keeps natural proportions
+    (both rates ~= target_fraction); rows with NULL provenance are
+    excluded by documented rule; rates clamp at keep-everything."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        temperature_mixture,
+    )
+
+    rows = (
+        [(i, "common") for i in range(4000)]
+        + [(10_000 + i, "rare") for i in range(40)]
+        + [(20_000, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def rates(tau):
+        kept = temperature_mixture(
+            df, tau=tau, strata_col="source", id_col="doc_id",
+            target_fraction=0.5,
+        )
+        counts = {r["source"]: r["n"] for r in
+                  kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert None not in counts  # NULL provenance excluded
+        return counts.get("common", 0) / 4000, counts.get("rare", 0) / 40
+
+    c_flat, r_flat = rates(0.3)
+    assert r_flat > c_flat  # flattened toward the rare source
+    assert r_flat == 1.0  # rare rate clamps at keep-everything
+    c_nat, r_nat = rates(1.0)
+    # natural proportions: both rates ~ target_fraction (hash noise on
+    # the 40-row source is binomial; allow a wide band)
+    assert abs(c_nat - 0.5) < 0.05 and abs(r_nat - 0.5) < 0.25
+
+
 # ------------------------------------------------------- LM quality score
 
 
