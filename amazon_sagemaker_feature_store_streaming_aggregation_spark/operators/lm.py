@@ -133,10 +133,16 @@ def lm_transition_scores(
             # one division, one multiply, half-up round: every step
             # correctly rounded -> engine-exact. Swap this expression
             # for ln(...) to get true log-perplexity on a single engine.
+            # greatest(v, 1): a reference with no tokens at all makes
+            # V = 0 and every cp NULL — without the floor the divisor
+            # is 0 and ANSI mode kills the job; with it the degenerate
+            # model scores every transition at the uniform ceiling
+            # (uninformative but finite — validate the reference
+            # upstream). Normal references never hit the floor.
             F.expr(
                 "cast(round((cast(coalesce(cb, 0) + 1 as double)"
-                f" / cast(coalesce(cp, 0) + v as double)) * {LM_QUANT}.0)"
-                " as bigint)"
+                " / cast(coalesce(cp, 0) + greatest(v, 1) as double))"
+                f" * {LM_QUANT}.0) as bigint)"
             ).alias("qp"),
         )
     )

@@ -550,6 +550,62 @@ def _label_bucket(col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
 
 
+def _ensure_store_buckets(spark, out_dir: str, n_buckets: int | None) -> int:
+    """Pin ``n_buckets`` in ``out_dir/_meta`` on first use and VALIDATE
+    every later use against it. The bucket count is baked into every
+    ``dbucket=``/``cbucket=`` partition dir on disk; resuming the
+    stream (or compacting) with a different value would compute prune
+    lists against the wrong modulus and silently miss prior state —
+    a redelivered doc would then look new, split out of its cluster,
+    and latest-batch-wins would make the corruption permanent. Loud
+    error instead. ``n_buckets=None`` means "whatever the store says"
+    (for maintenance entry points); a store with no meta yet requires
+    an explicit value."""
+    base = out_dir.rstrip("/")
+    meta = base + "/_meta"
+    if _fs_has_parquet(spark, meta):
+        stored = int(spark.read.parquet(meta).collect()[0][0])
+        if n_buckets is not None and int(n_buckets) != stored:
+            raise ValueError(
+                f"cluster store at {out_dir} was written with "
+                f"n_buckets={stored}, got {n_buckets} — the bucket count "
+                "is part of the on-disk partition layout and cannot change "
+                "without a rebuild"
+            )
+        return stored
+    if n_buckets is None:
+        raise ValueError(
+            f"no cluster store metadata under {out_dir} and no n_buckets "
+            "given"
+        )
+    spark.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(meta)
+    return int(n_buckets)
+
+
+def _vacuumed_through(spark, out_dir: str) -> int | None:
+    """Highest batch id any vacuum has (begun to) reclaim below —
+    the marker is written BEFORE deletion, so even an interrupted
+    vacuum flags the range whose deltas may be partially gone."""
+    base = out_dir.rstrip("/")
+    fs, path = _hadoop_fs(spark, base)
+    if not fs.exists(path):
+        return None
+    best = None
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if not name.startswith("vacuumed="):
+            continue
+        try:
+            vid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if _fs_exists(spark, f"{base}/{name}/_SUCCESS"):
+            best = vid if best is None else max(best, vid)
+    return best
+
+
 def _cluster_store_parts(
     spark, out_dir: str, upto_batch: int | None = None
 ) -> tuple:
@@ -670,7 +726,22 @@ def read_cluster_labels(
     merged-away clusters go stale in place, but a merged-away label is
     current for no doc (labels are component minima — they only ever
     move down), so the inner join never resurrects one.
+
+    Time-travel horizon: :func:`vacuum_cluster_store` reclaims deltas
+    at or below the latest compaction, which DELETES history below
+    that point — it records the horizon (marker written before any
+    deletion, so an interrupted vacuum still flags it), and a read
+    with ``upto_batch`` below it raises loudly instead of silently
+    reconstructing from partial deltas.
     """
+    if upto_batch is not None:
+        vt = _vacuumed_through(spark, out_dir)
+        if vt is not None and upto_batch < vt:
+            raise ValueError(
+                f"cluster-store state at batch<={upto_batch} was vacuumed "
+                f"(history below batch {vt} is reclaimed); only "
+                f"upto_batch>={vt} or current-state reads remain"
+            )
     through, batches = _cluster_store_parts(spark, out_dir, upto_batch)
     rows = _read_store_side(spark, out_dir, "doc", through, batches)
     sizes = _read_store_sizes(spark, out_dir, through, batches)
@@ -696,7 +767,7 @@ def compact_cluster_store(
     spark,
     out_dir: str,
     id_col: str = "doc_id",
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> int | None:
     """Fold the committed deltas into a fresh full compaction
     ``out_dir/compact=<through_batch>/`` (both bucket projections +
@@ -709,7 +780,10 @@ def compact_cluster_store(
     (``compact_every`` in the runner) instead of per-batch: the
     per-batch path writes O(touched), and compaction amortizes the
     full rewrite over many batches, bounding the number of delta dirs
-    a reconstruction must union."""
+    a reconstruction must union. ``n_buckets`` defaults to the value
+    pinned in the store's ``_meta`` (a mismatch raises — the bucket
+    modulus is part of the on-disk layout)."""
+    n_buckets = _ensure_store_buckets(spark, out_dir, n_buckets)
     through, batches = _cluster_store_parts(spark, out_dir)
     if not batches:
         return None
@@ -754,16 +828,37 @@ def compact_cluster_store(
 
 
 def vacuum_cluster_store(spark, out_dir: str) -> list:
-    """Delete the per-batch ``delta_doc``/``delta_cluster``/``sizes``
-    dirs covered by the latest committed compaction (readers never
-    consult deltas at or below the compaction point). The batch dirs'
-    ``_SUCCESS`` markers and ``fps/`` stay: retry idempotency and the
-    committed-batch enumeration depend on them. Returns the vacuumed
-    batch ids."""
+    """Reclaim store history superseded by the latest committed
+    compaction: the per-batch ``delta_doc``/``delta_cluster``/``sizes``
+    dirs at or below the compaction point, plus every OLDER compaction
+    snapshot (committed or crash-orphaned — each is a full O(corpus)
+    copy, and current-state readers only ever consult the newest one).
+    The batch dirs' ``_SUCCESS`` markers and ``fps/`` stay: retry
+    idempotency and the committed-batch enumeration depend on them.
+
+    Vacuuming DELETES time travel below the compaction point:
+    ``read_cluster_labels(upto_batch=...)`` needs the deltas (and
+    older compactions) this removes, so the horizon is recorded first
+    (``vacuumed=<through>/`` marker, written BEFORE any deletion —
+    an interrupted vacuum still flags the partially-reclaimed range)
+    and historical reads below it raise. Returns the vacuumed batch
+    ids."""
     base = out_dir.rstrip("/")
     through, _ = _cluster_store_parts(spark, out_dir)
     if through is None:
         return []
+    _touch_success(spark, f"{base}/vacuumed={through}")
+    fs, path = _hadoop_fs(spark, base)
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if not name.startswith("compact="):
+            continue
+        try:
+            cid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if cid < through:
+            fs.delete(status.getPath(), True)
     done = []
     for b in _committed_batches(spark, base):
         if b > through:
@@ -878,9 +973,20 @@ def run_cluster_maintain_stream(
 
     width = _hamming_band_width(bands, n_bits)
 
+    _resolved: dict = {}
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         base = out_dir.rstrip("/")
+        if "n_buckets" not in _resolved:
+            # pin/validate the bucket modulus against the store's
+            # _meta ONCE per runner — a resume with a different
+            # n_buckets must fail loudly, never mis-prune (the modulus
+            # is baked into every partition dir name)
+            _resolved["n_buckets"] = _ensure_store_buckets(
+                spark, base, n_buckets
+            )
+        nb = _resolved["n_buckets"]
         batch_out = base + f"/batch={batch_id}"
         fps_out = batch_out + "/fps"
         edge_fp = batch_df.select(id_col, hash_col).where(
@@ -960,7 +1066,7 @@ def run_cluster_maintain_stream(
             want = [
                 r[0]
                 for r in lookup_ids.select(
-                    _label_bucket(id_col, n_buckets).alias("b")
+                    _label_bucket(id_col, nb).alias("b")
                 )
                 .distinct()
                 .collect()
@@ -988,7 +1094,7 @@ def run_cluster_maintain_stream(
             cwant = [
                 r[0]
                 for r in touched_cids.select(
-                    _label_bucket("cluster_id", n_buckets).alias("b")
+                    _label_bucket("cluster_id", nb).alias("b")
                 )
                 .distinct()
                 .collect()
@@ -1023,16 +1129,16 @@ def run_cluster_maintain_stream(
             # (tasks × buckets small files per batch)
             (
                 tagged.select(id_col, "cluster_id", "batch")
-                .withColumn("dbucket", _label_bucket(id_col, n_buckets))
-                .repartition(n_buckets, F.col("dbucket"))
+                .withColumn("dbucket", _label_bucket(id_col, nb))
+                .repartition(nb, F.col("dbucket"))
                 .write.mode("overwrite")
                 .partitionBy("dbucket")
                 .parquet(batch_out + "/delta_doc")
             )
             (
                 tagged.select(id_col, "cluster_id", "batch")
-                .withColumn("cbucket", _label_bucket("cluster_id", n_buckets))
-                .repartition(n_buckets, F.col("cbucket"))
+                .withColumn("cbucket", _label_bucket("cluster_id", nb))
+                .repartition(nb, F.col("cbucket"))
                 .write.mode("overwrite")
                 .partitionBy("cbucket")
                 .parquet(batch_out + "/delta_cluster")
@@ -1059,7 +1165,7 @@ def run_cluster_maintain_stream(
                 delta.unpersist()
         if compact_every and len(prior_batches) + 1 >= compact_every:
             compact_cluster_store(
-                spark, base, id_col=id_col, n_buckets=n_buckets
+                spark, base, id_col=id_col, n_buckets=nb
             )
 
     writer = (

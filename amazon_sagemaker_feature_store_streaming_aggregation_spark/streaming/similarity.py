@@ -69,11 +69,17 @@ def run_index_embedding_stream(
     batch operator would, so the union of per-batch pair outputs
     equals the one-shot ``semantic_dedup_pairs(corpus,
     centroids=...)`` run (the registered oracle states exactly that).
-    Zero-norm vectors and NULL ids/vectors index nothing and pair with
-    nothing (cosine undefined / the engine-wide null-unsafe rule).
-    Each id holds exactly one cell, so a cross pair can match at most
-    once — no dedup pass needed (the hamming stream needs one because
-    bands collide per-pair many times).
+    Discovery-once holds under at-least-once SOURCE redelivery too: a
+    batch id already present in the index is recognized (anti-join,
+    pruned to the batch's cells) and routed AROUND discovery and the
+    index append — its pairs were emitted when it first arrived, and
+    re-probing it would duplicate them and double the index. Zero-norm
+    vectors and NULL ids/vectors index nothing and pair with nothing
+    (cosine undefined / the engine-wide null-unsafe rule). With
+    redelivered ids excluded, cross (new-vs-index) and within
+    (new-vs-new) are disjoint by construction — no dedup pass needed
+    (the hamming stream needs one because bands collide per-pair many
+    times).
 
     Delivery contract identical to ``run_index_hamming_stream``:
     at-least-once, batch-id idempotent via the REQUIRED durable
@@ -112,7 +118,8 @@ def run_index_embedding_stream(
             else:
                 missing = committed
             (
-                missing.write.mode("append")
+                missing.repartition(F.col("cell"))
+                .write.mode("append")
                 .partitionBy("cell")
                 .parquet(index_dir)
             )
@@ -124,19 +131,25 @@ def run_index_embedding_stream(
             .where(F.col("n2") > 0)
         )
         assign = _ivf_assign(batch_df, cents, 1, id_col, vec_col, id_col)
-        batch_rows = assign.join(feats, id_col).select(
+        all_rows = assign.join(feats, id_col).select(
             id_col, "cell", "qv", "n2"
         ).persist()
+        batch_rows = None
         try:
             cells = [
-                r[0] for r in batch_rows.select("cell").distinct().collect()
+                r[0] for r in all_rows.select("cell").distinct().collect()
             ]
             if cells and _fs_has_parquet_recursive(spark, index_dir):
                 idx = spark.read.parquet(index_dir).where(
                     F.col("cell").isin(cells)
                 )
             else:
-                idx = batch_rows.limit(0)
+                idx = all_rows.limit(0)
+            # redelivered ids (already indexed) are routed around
+            # discovery AND the append — their pairs already emitted
+            batch_rows = all_rows.join(
+                idx.select(id_col), id_col, "left_anti"
+            ).persist()
             probe = F.broadcast(batch_rows) if broadcast_batch else batch_rows
             cross = (
                 idx.alias("a")
@@ -168,7 +181,7 @@ def run_index_embedding_stream(
             from ..operators.similarity import semantic_dedup_pairs
 
             within = semantic_dedup_pairs(
-                batch_df,
+                batch_df.join(batch_rows.select(id_col), id_col, "left_semi"),
                 threshold=threshold,
                 id_col=id_col,
                 vec_col=vec_col,
@@ -179,14 +192,20 @@ def run_index_embedding_stream(
             )
             batch_rows.write.mode("overwrite").parquet(vecs_out)
             _touch_success(spark, batch_out)
+            # one pre-write shuffle keyed on the partition column:
+            # without it every read task writes a file into every cell
+            # dir (tasks x cells small files per append)
             (
                 spark.read.parquet(vecs_out)
+                .repartition(F.col("cell"))
                 .write.mode("append")
                 .partitionBy("cell")
                 .parquet(index_dir)
             )
         finally:
-            batch_rows.unpersist()
+            all_rows.unpersist()
+            if batch_rows is not None:
+                batch_rows.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(_process)

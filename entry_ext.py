@@ -4533,7 +4533,8 @@ WITH tk AS (
 ), scored AS (
   SELECT bg.doc_id,
          CAST(round((CAST(COALESCE(bc.cb, 0) + 1 AS DOUBLE)
-                     / CAST(COALESCE(pc.cp, 0) + vocab.v AS DOUBLE))
+                     / CAST(COALESCE(pc.cp, 0) + greatest(vocab.v, 1)
+                            AS DOUBLE))
                     * 1000000000.0) AS BIGINT) AS qp
   FROM bg
   LEFT JOIN big_counts bc ON bg.big = bc.big

@@ -450,6 +450,24 @@ def test_lm_score_reference_trained_ordering(spark):
     assert rows[1]["n_bigrams"] == 5
 
 
+def test_lm_score_empty_reference_survives_ansi(spark):
+    """A token-less reference (every text NULL/empty) makes V=0 and
+    every context count NULL; the greatest(v,1) floor keeps the ANSI
+    divide alive and scores degenerate to the uniform ceiling instead
+    of killing the job."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        lm_transition_scores,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    docs = _docs_df(spark, ["a b c"])
+    rows = lm_transition_scores(docs, reference=ref).collect()
+    assert len(rows) == 1 and rows[0]["n_bigrams"] == 2
+    assert rows[0]["lm_score"] == 1.0  # uniform ceiling, finite
+
+
 def test_lm_score_self_trained_exact_value(spark):
     """Hand-computed check of the quantized math on a 2-doc corpus:
     counts, smoothing, and the mean are exactly the spec values."""

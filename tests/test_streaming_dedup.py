@@ -587,3 +587,63 @@ def test_cluster_store_compaction_and_vacuum(spark, tmp_path):
     assert _fs_exists(spark, f"{out_dir}/batch=0/_SUCCESS")
     assert _fs_has_parquet_recursive(spark, f"{out_dir}/batch=0/fps")
     assert current() == expected
+
+    # time travel below the vacuum horizon raises loudly (the deltas
+    # it needs are gone) — never a silently partial reconstruction;
+    # at/above the horizon it still works
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vacuumed"):
+        read_cluster_labels(spark, out_dir, upto_batch=0)
+    assert read_cluster_labels(spark, out_dir, upto_batch=2).count() == 5
+
+    # a second compaction supersedes the first; vacuum reclaims the
+    # older O(corpus) snapshot (readers only consult the newest)
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        compact_cluster_store,
+    )
+
+    assert compact_cluster_store(spark, out_dir) == 2
+    vacuum_cluster_store(spark, out_dir)
+    assert not _fs_exists(spark, f"{out_dir}/compact=1")
+    assert _fs_exists(spark, f"{out_dir}/compact=2/_SUCCESS")
+    assert current() == expected
+
+
+def test_cluster_store_n_buckets_pinned(spark, tmp_path):
+    """The bucket modulus is part of the on-disk partition layout:
+    resuming the runner (or compacting) with a different n_buckets
+    must fail loudly — a silent mis-prune would split redelivered docs
+    out of their clusters permanently."""
+    import pytest as _pytest
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        compact_cluster_store,
+        run_cluster_maintain_stream,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _ensure_store_buckets,
+    )
+
+    chunks = [[(1, 0x0F0F), (2, 0x00FF)]]
+    path = _write_chunks(spark, tmp_path, chunks, "doc_id long, fp long")
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, fp long")
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = run_cluster_maintain_stream(
+        stream,
+        out_dir,
+        str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=8,
+    )
+    assert q.awaitTermination(120)
+    assert _ensure_store_buckets(spark, out_dir, None) == 8
+    with _pytest.raises(ValueError, match="n_buckets=8"):
+        _ensure_store_buckets(spark, out_dir, 16)
+    with _pytest.raises(ValueError, match="n_buckets=8"):
+        compact_cluster_store(spark, out_dir, n_buckets=4)

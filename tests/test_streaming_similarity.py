@@ -137,3 +137,44 @@ def test_stream_pairs_equal_batch_run_and_replay_idempotent(
         os.path.join(work, "out", "batch=*", "pairs")
     ).count()
     assert got2 == len(got)
+
+
+def test_redelivered_ids_do_not_duplicate_pairs_or_index(spark, tmp_path):
+    """At-least-once SOURCE redelivery: a doc redelivered in a LATER
+    batch (new batch id, so checkpoint idempotency cannot help) is
+    recognized via the index and routed around discovery — its pairs
+    are not re-emitted, it is not re-appended, and a pair between a
+    redelivered doc and a genuinely new doc is emitted exactly once."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    base = [float(x) for x in rng.normal(0, 1, 16)]
+
+    def near(eps_seed):
+        r2 = np.random.default_rng(eps_seed)
+        return [float(x) for x in np.array(base) + r2.normal(0, 1e-3, 16)]
+
+    chunk0 = [(1, near(1)), (2, near(2))]
+    # batch 1 REDELIVERS doc 1 alongside the new doc 3 (same cell)
+    chunk1 = [(1, near(1)), (3, near(3))]
+    path = _write_chunks(
+        spark, tmp_path, [chunk0, chunk1],
+        "vec_id long, embedding array<double>",
+    )
+    emb = spark.createDataFrame(
+        chunk0 + [(3, near(3))], "vec_id long, embedding array<double>"
+    )
+    work = str(tmp_path / "work")
+    cents_dir = os.path.join(work, "centroids")
+    cents = ivf_centroids(emb, 2, corpus_count=3)
+    cents.write.parquet(cents_dir)
+    q = _start(spark, path, work, cents_dir)
+    assert q.awaitTermination(120)
+
+    pairs = spark.read.parquet(
+        os.path.join(work, "out", "batch=*", "pairs")
+    ).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+    assert got == [(1, 2), (1, 3), (2, 3)]  # each exactly once
+    idx = spark.read.parquet(os.path.join(work, "index"))
+    assert sorted(r["vec_id"] for r in idx.collect()) == [1, 2, 3]
