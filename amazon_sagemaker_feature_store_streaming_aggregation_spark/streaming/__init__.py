@@ -19,7 +19,10 @@ from .dedup import (  # noqa: F401
     vacuum_cluster_store,
 )
 from .join import interval_join  # noqa: F401
-from .similarity import run_index_embedding_stream  # noqa: F401
+from .similarity import (  # noqa: F401
+    compact_embedding_index,
+    run_index_embedding_stream,
+)
 from .metrics import progress_summary  # noqa: F401
 from .running_totals import (  # noqa: F401
     running_totals,

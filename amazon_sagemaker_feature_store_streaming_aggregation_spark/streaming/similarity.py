@@ -215,3 +215,47 @@ def run_index_embedding_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_embedding_index(
+    spark,
+    index_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Per-cell small-file compaction of the vector index: every
+    micro-batch appends ~one file per touched cell, so a standing
+    stream accumulates O(batches) files per hot cell — metadata
+    pressure that eventually dominates probe time. This rewrites each
+    ``cell=<c>/`` leaf to ~``target_bytes`` files via
+    ``sinks/compaction.py::compact_parquet_dir`` (atomic two-step
+    swap, rows untouched) — per LEAF, so the job parallelizes across
+    cells and never rewrites the whole index, and partition pruning
+    semantics are unchanged (the ``cell`` value lives in the dir name,
+    not the files). Same caveat as the underlying helper: run
+    quiesced or from the runner that owns the index, between batches.
+    Returns ``{cell: resulting file count}`` for the leaves visited.
+    """
+    from ..sinks.compaction import compact_parquet_dir
+    from .dedup import _hadoop_fs
+
+    base = index_dir.rstrip("/")
+    fs, path = _hadoop_fs(spark, base)
+    out: dict = {}
+    if not fs.exists(path):
+        return out
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if not name.startswith("cell="):
+            continue
+        try:
+            cell = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        out[cell] = compact_parquet_dir(
+            spark,
+            f"{base}/{name}",
+            target_bytes=target_bytes,
+            min_files=min_files,
+        )
+    return out

@@ -178,3 +178,46 @@ def test_redelivered_ids_do_not_duplicate_pairs_or_index(spark, tmp_path):
     assert got == [(1, 2), (1, 3), (2, 3)]  # each exactly once
     idx = spark.read.parquet(os.path.join(work, "index"))
     assert sorted(r["vec_id"] for r in idx.collect()) == [1, 2, 3]
+
+
+def test_compact_embedding_index_preserves_probes(spark, tmp_path):
+    """Per-cell compaction is a physical-layout operation: fewer files
+    per cell leaf, identical rows, partition pruning intact."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sinks.compaction import (
+        dir_stats,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        compact_embedding_index,
+    )
+
+    rng = np.random.default_rng(41)
+    chunks = [
+        _mk_rows(rng, i * 10, 6) for i in range(3)
+    ]  # 3 batches -> up to 3 files per touched cell
+    path = _write_chunks(
+        spark, tmp_path, chunks, "vec_id long, embedding array<double>"
+    )
+    emb = spark.createDataFrame(
+        [r for c in chunks for r in c], "vec_id long, embedding array<double>"
+    )
+    work = str(tmp_path / "work")
+    cents_dir = os.path.join(work, "centroids")
+    ivf_centroids(emb, 2, corpus_count=18).write.parquet(cents_dir)
+    q = _start(spark, path, work, cents_dir)
+    assert q.awaitTermination(120)
+
+    index_dir = os.path.join(work, "index")
+    before = spark.read.parquet(index_dir)
+    rows_before = sorted(
+        (r["vec_id"], r["cell"]) for r in before.collect()
+    )
+    files_before = dir_stats(index_dir)[0]
+    done = compact_embedding_index(spark, index_dir, min_files=2)
+    assert done  # visited at least one cell leaf
+    files_after = dir_stats(index_dir)[0]
+    assert files_after < files_before
+    after = spark.read.parquet(index_dir)
+    assert sorted((r["vec_id"], r["cell"]) for r in after.collect()) == rows_before
+    pruned = after.where(F.col("cell") == list(done)[0])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
