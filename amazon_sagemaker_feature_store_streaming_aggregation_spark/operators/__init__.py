@@ -83,5 +83,6 @@ from .training_data import (  # noqa: F401
     chunk_documents,
     global_shuffle,
     pack_context_windows,
+    remove_boilerplate_lines,
     write_training_shards,
 )

@@ -400,3 +400,92 @@ def in_batch_negatives(
             F.col("a.batch").alias("batch"),
         )
     )
+
+
+#: boilerplate threshold granularity: fractions in 1/10000ths keep the
+#: doc-frequency comparison all-integer (engine-exact)
+BP_DENOM = 10_000
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """Line-level boilerplate removal — the CCNet / RefinedWeb cleanup
+    pass this engine's quality stack was missing: a line whose TRIMMED
+    form appears in at least ``max(min_docs, min_doc_frac * n_docs)``
+    DISTINCT documents (nav bars, cookie banners, license footers) is
+    stripped from every document; the survivors reassemble in original
+    order. Output: ``(id, text_clean, n_lines, n_removed)`` — one row
+    per input row.
+
+    The frequency test is ALL-INTEGER (``df * 10000 >= frac_q * N``
+    with the fraction quantized to 1/10000ths), so the oracle
+    reproduces it bit-for-bit at any corpus size. Lines key on
+    ``h64(trim(line))`` — the 8-byte hash rides the df shuffle, never
+    the text (the ``dedup_exact`` convention, same documented
+    collision exposure). Empty/whitespace-only lines are never
+    boilerplate (they'd glue unrelated documents into one "dup") and
+    always survive; NULL ``text`` stays NULL with ``n_lines = 0``; a
+    document whose every line is boilerplate comes back as ``''``
+    (cleaned-to-empty, distinguishable from NULL-input).
+
+    Plan shape: line explode + trim + hash are scan-side; ONE
+    distinct-doc-count shuffle on the 8-byte line hash builds the
+    (small — only above-threshold lines) boilerplate table for the
+    anti-join, and ONE groupBy on the doc id reassembles via
+    ``array_sort(collect_list(struct(pos, line)))`` — order restored
+    without a window. ``corpus_count`` skips the one count() action
+    (pass it on a large corpus).
+    """
+    n = corpus_count if corpus_count is not None else docs.count()
+    frac_q = int(round(min_doc_frac * BP_DENOM))
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+    ).withColumn("lh", h64(F.trim(F.col("ln"))))
+    bl = (
+        lines.where(F.trim(F.col("ln")) != "")
+        .groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .where(
+            (F.col("df") * BP_DENOM >= F.lit(frac_q) * F.lit(n))
+            & (F.col("df") >= min_docs)
+        )
+        .select("lh")
+    )
+    kept = lines.join(bl, "lh", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, ln))),"
+                " s -> s.ln)"
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("__n_kept"),
+    )
+    tot = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        docs.select(id_col)
+        .join(tot, id_col, "left")
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("n_lines").isNotNull(),
+                F.coalesce(F.col("text_clean"), F.lit("")),
+            ).alias("text_clean"),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias(
+                "n_lines"
+            ),
+            (
+                F.coalesce(F.col("n_lines"), F.lit(0))
+                - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

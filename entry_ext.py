@@ -4494,6 +4494,62 @@ SELECT freq, count(*) AS n_terms FROM tc GROUP BY freq
 """
 
 
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/training_data.py::
+    remove_boilerplate_lines, the CCNet/RefinedWeb cleanup pass):
+    lines whose trimmed form appears in >= max(2, 5% of docs) distinct
+    documents are stripped; survivors reassemble in original order.
+    The clean corpus is single-line with no sharing (pins the
+    reassembly identity); the dirty corpus plants duplicate texts that
+    actually get removed."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        remove_boilerplate_lines,
+    )
+
+    return remove_boilerplate_lines(load_table(spark, sf_dir, "documents"))
+
+
+_BOILERPLATE_ORACLE = f"""
+WITH bsplit AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+), bnest AS (
+  SELECT doc_id,
+         unnest([{{'pos': i - 1, 'ln': ls[i]}}
+                 for i in range(1, len(ls) + 1)]) AS s
+  FROM bsplit
+), blines AS (
+  SELECT doc_id, s.pos AS pos, s.ln AS ln,
+         {_H64.format(x="trim(s.ln)")} AS lh
+  FROM bnest
+), bl AS (
+  SELECT lh FROM blines WHERE trim(ln) != ''
+  GROUP BY lh
+  HAVING count(DISTINCT doc_id) * 10000
+           >= 500 * (SELECT count(*) FROM documents)
+     AND count(DISTINCT doc_id) >= 2
+), bkept AS (
+  SELECT l.* FROM blines l LEFT JOIN bl ON l.lh = bl.lh
+  WHERE bl.lh IS NULL
+), bagg AS (
+  SELECT doc_id,
+         string_agg(ln, chr(10) ORDER BY pos) AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM bkept GROUP BY doc_id
+), btot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+  FROM blines GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN t.n_lines IS NOT NULL
+            THEN COALESCE(a.text_clean, '') END AS text_clean,
+       COALESCE(t.n_lines, 0) AS n_lines,
+       COALESCE(t.n_lines, 0) - COALESCE(a.n_kept, 0) AS n_removed
+FROM documents d
+LEFT JOIN btot t ON d.doc_id = t.doc_id
+LEFT JOIN bagg a ON d.doc_id = a.doc_id
+"""
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality score (operators/lm.py::lm_transition_scores,
     the CCNet-style filter), self-trained on the documents corpus.
@@ -5070,6 +5126,7 @@ def ext_queries():
         "t_chunk_documents": _q_chunk_documents,
         "text_token_spectrum": _q_token_spectrum,
         "text_lm_score": _q_lm_score,
+        "text_clean_boilerplate": _q_boilerplate_lines,
         "sim_label_centroids": _q_label_centroids,
     }
 
@@ -5192,5 +5249,6 @@ def ext_oracles():
         "t_chunk_documents": _CHUNK_DOCS_ORACLE,
         "text_token_spectrum": _TOKEN_SPECTRUM_ORACLE,
         "text_lm_score": _LM_SCORE_ORACLE,
+        "text_clean_boilerplate": _BOILERPLATE_ORACLE,
         "sim_label_centroids": _LABEL_CENTROIDS_ORACLE,
     }

@@ -249,6 +249,7 @@ DIRTY_QUERIES = [
     "text_repetition",
     "text_token_spectrum",
     "text_lm_score",
+    "text_clean_boilerplate",
     # sampling / chunking / packing with NULL ids, weights, text
     "t_weighted_sample",
     "t_temperature_mix",

@@ -370,6 +370,57 @@ def test_embedding_near_dup_finds_planted_duplicate(spark, emb):
     assert any(r["id_a"] == 0 and r["id_b"] == 100000 for r in pairs)
 
 
+# ---------------------------------------------------- boilerplate lines
+
+
+def test_remove_boilerplate_lines_planted(spark):
+    """Planted nav-bar line in most docs is stripped; unique lines and
+    empty lines survive in original order; an all-boilerplate doc
+    cleans to '' (distinguishable from NULL input); per-doc counts are
+    exact."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        remove_boilerplate_lines,
+    )
+
+    nav = "Home | About | Contact"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{nav}\nunique one\n\nunique two"),
+            (2, f"alpha\n  {nav}  \nbeta"),  # trimmed form matches
+            (3, f"{nav}\ngamma"),
+            (4, nav),  # all boilerplate -> ''
+            (5, "only unique text"),
+            (6, None),
+            (7, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(
+            docs, min_doc_frac=0.3, corpus_count=7
+        ).collect()
+    }
+    assert rows[1]["text_clean"] == "unique one\n\nunique two"
+    assert rows[1]["n_lines"] == 4 and rows[1]["n_removed"] == 1
+    assert rows[2]["text_clean"] == "alpha\nbeta"  # order preserved
+    assert rows[3]["text_clean"] == "gamma"
+    assert rows[4]["text_clean"] == "" and rows[4]["n_removed"] == 1
+    assert rows[5]["text_clean"] == "only unique text"
+    assert rows[5]["n_removed"] == 0
+    assert rows[6]["text_clean"] is None and rows[6]["n_lines"] == 0
+    assert rows[7]["text_clean"] == "" and rows[7]["n_lines"] == 1
+
+    # below-threshold sharing survives: nav is in 4 of 7 docs (57%),
+    # under a 70% bar
+    few = remove_boilerplate_lines(
+        docs, min_doc_frac=0.7, corpus_count=7
+    ).collect()
+    assert all(
+        nav in (r["text_clean"] or "") for r in few if r["doc_id"] in (1, 3)
+    )
+
+
 # --------------------------------------------------- temperature mixing
 
 
