@@ -269,3 +269,74 @@ def curate_and_shard(
         n_shards=n_shards,
         budget=budget,
     ).withColumn("shard", F.col("shard").cast("long"))
+
+
+def quality_filter(
+    docs: DataFrame,
+    bottom_frac: float = 0.2,
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    cutoff: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """The composed CCNet-shaped quality chain, one oracle-checked
+    plan: line-level boilerplate removal -> bigram-LM scoring of the
+    CLEANED text (self-trained, so boilerplate can't inflate its own
+    transition counts) -> drop the worst-scoring ``bottom_frac`` of
+    scorable documents. Output: the kept docs as ``(id, lm_score,
+    n_bigrams, n_removed)``. Unscorable docs (< 2 tokens after
+    cleaning) are dropped with the bottom slice — no evidence is not
+    good evidence in a keep-the-best filter.
+
+    The cut value is the exact PERCENTILE_DISC(``bottom_frac``) of the
+    scores (smallest score with rank >= ceil(frac * n)) — kept =
+    ``score >= cut``, a VALUE comparison, so rank-order ties between
+    engines cannot change membership. Calibration is deliberately a
+    single-group exact percentile: the ranked frame is one thin score
+    column, but it does serialize through one partition — at 100 TB
+    either calibrate on a :func:`~..operators.sampling.
+    deterministic_sample` or pass a precomputed ``cutoff`` (the CCNet
+    recipe's fixed per-bucket thresholds), which skips the ranking
+    entirely.
+    """
+    if cutoff is None and not (0.0 < bottom_frac < 1.0):
+        raise ValueError("bottom_frac must be in (0, 1)")
+    from ..operators.lm import lm_transition_scores
+    from ..operators.training_data import remove_boilerplate_lines
+
+    cleaned = remove_boilerplate_lines(
+        docs,
+        min_doc_frac=min_doc_frac,
+        min_docs=min_docs,
+        id_col=id_col,
+        text_col=text_col,
+        corpus_count=corpus_count,
+    )
+    scored = lm_transition_scores(
+        cleaned.select(F.col(id_col), F.col("text_clean").alias("text")),
+        id_col=id_col,
+    )
+    scorable = scored.where(F.col("n_bigrams") > 0).join(
+        cleaned.select(id_col, "n_removed"), id_col
+    )
+    if cutoff is not None:
+        cut = scorable.sparkSession.createDataFrame(
+            [(float(cutoff),)], "__t double"
+        )
+    else:
+        ranked = (
+            scorable.select("lm_score")
+            .withColumn("__rn", F.row_number().over(Window.orderBy("lm_score")))
+            .withColumn("__n", F.count("*").over(Window.partitionBy()))
+        )
+        cut = ranked.where(
+            F.col("__rn")
+            == F.ceil(F.lit(bottom_frac) * F.col("__n")).cast("int")
+        ).select(F.col("lm_score").alias("__t"))
+    return (
+        scorable.crossJoin(F.broadcast(cut))
+        .where(F.col("lm_score") >= F.col("__t"))
+        .select(id_col, "lm_score", "n_bigrams", "n_removed")
+    )

@@ -4566,13 +4566,16 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bigram key = w1 || ' ' || w2 is injective (whitespace tokenizer);
 # one division -> one multiply -> half-up round mirrors the Spark
 # expression order exactly (every step IEEE-correctly-rounded).
-_LM_SCORE_ORACLE = r"""
+# Parameterized by source table/column so the composed quality-filter
+# oracle can run it over the boilerplate-cleaned corpus.
+def _lm_score_sql(src: str = "documents", text_col: str = "text") -> str:
+    return rf"""
 WITH tk AS (
   SELECT doc_id,
          [lower(t) for t in
-          list_filter(regexp_split_to_array(trim(text), '\s+'),
+          list_filter(regexp_split_to_array(trim({text_col}), '\s+'),
                       t -> t != '')] AS tk
-  FROM documents
+  FROM {src}
 ), bg AS (
   SELECT doc_id,
          unnest([tk[i] || ' ' || tk[i + 1]
@@ -4608,7 +4611,47 @@ SELECT d.doc_id,
             THEN (CAST(a.lm_prob_sum AS DOUBLE)
                   / CAST(a.n_bigrams AS DOUBLE)) / 1000000000.0
             ELSE NULL END AS lm_score
-FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+FROM {src} d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+_LM_SCORE_ORACLE = _lm_score_sql()
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed CCNet-shaped quality chain
+    (plans/pipeline.py::quality_filter): boilerplate-clean -> bigram-LM
+    score the cleaned text -> drop the worst 20% of scorable docs at
+    the exact PERCENTILE_DISC cut. One oracle checks the whole chain."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.pipeline import (
+        quality_filter,
+    )
+
+    return quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+# the boilerplate and LM oracles nest as CTE bodies (their WITH
+# clauses scope locally); the cut is a VALUE threshold, so rank-order
+# ties between engines cannot change membership
+_QUALITY_FILTER_ORACLE = f"""
+WITH cleaned AS (
+{_BOILERPLATE_ORACLE}
+), lmout AS (
+{_lm_score_sql("cleaned", "text_clean")}
+), qscorable AS (
+  SELECT l.doc_id, l.lm_score, l.n_bigrams, c.n_removed
+  FROM lmout l JOIN cleaned c ON l.doc_id = c.doc_id
+  WHERE l.n_bigrams > 0
+), qranked AS (
+  SELECT lm_score, row_number() OVER (ORDER BY lm_score) AS rn,
+         count(*) OVER () AS n
+  FROM qscorable
+), qcut AS (
+  SELECT lm_score AS t FROM qranked
+  WHERE rn = CAST(ceil(0.2 * n) AS BIGINT)
+)
+SELECT s.doc_id, s.lm_score, s.n_bigrams, s.n_removed
+FROM qscorable s, qcut WHERE s.lm_score >= qcut.t
 """
 
 
@@ -5127,6 +5170,7 @@ def ext_queries():
         "text_token_spectrum": _q_token_spectrum,
         "text_lm_score": _q_lm_score,
         "text_clean_boilerplate": _q_boilerplate_lines,
+        "pipeline_quality_filter": _q_quality_filter,
         "sim_label_centroids": _q_label_centroids,
     }
 
@@ -5250,5 +5294,6 @@ def ext_oracles():
         "text_token_spectrum": _TOKEN_SPECTRUM_ORACLE,
         "text_lm_score": _LM_SCORE_ORACLE,
         "text_clean_boilerplate": _BOILERPLATE_ORACLE,
+        "pipeline_quality_filter": _QUALITY_FILTER_ORACLE,
         "sim_label_centroids": _LABEL_CENTROIDS_ORACLE,
     }

@@ -250,6 +250,7 @@ DIRTY_QUERIES = [
     "text_token_spectrum",
     "text_lm_score",
     "text_clean_boilerplate",
+    "pipeline_quality_filter",
     # sampling / chunking / packing with NULL ids, weights, text
     "t_weighted_sample",
     "t_temperature_mix",

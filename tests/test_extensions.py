@@ -370,6 +370,54 @@ def test_embedding_near_dup_finds_planted_duplicate(spark, emb):
     assert any(r["id_a"] == 0 and r["id_b"] == 100000 for r in pairs)
 
 
+# -------------------------------------------------- quality filter chain
+
+
+def test_quality_filter_drops_bottom_and_respects_cutoff(spark):
+    """The composed chain: boilerplate is stripped BEFORE scoring (so
+    it can't inflate its own transition counts), the bottom fraction
+    of scorable docs drops at the exact PERCENTILE_DISC cut (value
+    comparison — ties keep), unscorable docs drop, and an explicit
+    cutoff= skips calibration entirely."""
+    import pytest as _pytest
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.pipeline import (
+        quality_filter,
+    )
+
+    nav = "Home | About | Contact"
+    good = "the cat sat on the mat and the dog sat on the rug"
+    docs = spark.createDataFrame(
+        # unique suffix per doc: the GOOD lines must not themselves
+        # trip the line-frequency boilerplate bar
+        [(i, f"{nav}\n{good} v{i}") for i in range(8)]
+        + [(100, f"{nav}\nzq xv qq zz yy ww uu tt")]  # OOV transitions
+        + [(200, "one"), (201, None)],  # unscorable after cleaning
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]: r
+        for r in quality_filter(
+            docs, bottom_frac=0.2, min_doc_frac=0.5, corpus_count=11
+        ).collect()
+    }
+    # 9 scorable docs; ceil(0.2*9)=2nd-lowest score is the cut: the
+    # OOV doc is the unique minimum and drops; the 8 identical good
+    # docs tie at/above the cut and all stay
+    assert set(kept) == set(range(8))
+    assert all(r["n_removed"] == 1 for r in kept.values())  # nav gone
+    assert 200 not in kept and 201 not in kept
+
+    # explicit cutoff keeps everything scorable at/above it
+    all_kept = quality_filter(
+        docs, cutoff=0.0, min_doc_frac=0.5, corpus_count=11
+    ).collect()
+    assert {r["doc_id"] for r in all_kept} == set(range(8)) | {100}
+
+    with _pytest.raises(ValueError, match="bottom_frac"):
+        quality_filter(docs, bottom_frac=1.5)
+
+
 # ---------------------------------------------------- boilerplate lines
 
 
