@@ -436,14 +436,21 @@ def remove_boilerplate_lines(
 
     Plan shape: line explode + trim + hash are scan-side; ONE
     distinct-doc-count shuffle on the 8-byte line hash builds the
-    (small — only above-threshold lines) boilerplate table for the
-    anti-join, and ONE groupBy on the doc id reassembles via
-    ``array_sort(collect_list(struct(pos, line)))`` — order restored
-    without a window. ``corpus_count`` skips the one count() action
-    (pass it on a large corpus).
+    (small — only above-threshold lines) boilerplate table; lines mark
+    themselves boilerplate via one left join against it (broadcastable
+    by size), and ONE groupBy on the doc id computes counts AND the
+    ordered reassembly together — ``collect_list`` skips the NULLed
+    boilerplate structs, ``array_sort`` restores order without a
+    window. ``corpus_count`` skips the one count() action (pass it on
+    a large corpus).
     """
     n = corpus_count if corpus_count is not None else docs.count()
     frac_q = int(round(min_doc_frac * BP_DENOM))
+    # the threshold product is computed DRIVER-side as a Python int:
+    # F.lit(frac_q) * F.lit(n) would fold two int32 literals and
+    # overflow (ANSI: query-killing error) past ~4.3M docs at the
+    # default 5% — the df side stays column arithmetic (long)
+    bar = frac_q * n
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
@@ -453,39 +460,37 @@ def remove_boilerplate_lines(
         .groupBy("lh")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
         .where(
-            (F.col("df") * BP_DENOM >= F.lit(frac_q) * F.lit(n))
+            (F.col("df") * F.lit(BP_DENOM).cast("long") >= F.lit(bar))
             & (F.col("df") >= min_docs)
         )
-        .select("lh")
+        .select("lh", F.lit(True).alias("__bp"))
     )
-    kept = lines.join(bl, "lh", "left_anti")
-    agg = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            "\n",
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, ln))),"
-                " s -> s.ln)"
+    agg = (
+        lines.join(bl, "lh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("__bp").isNull(), 1).otherwise(0)).alias(
+                "__n_kept"
             ),
-        ).alias("text_clean"),
-        F.count("*").alias("__n_kept"),
-    )
-    tot = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
-    return (
-        docs.select(id_col)
-        .join(tot, id_col, "left")
-        .join(agg, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.when(
-                F.col("n_lines").isNotNull(),
-                F.coalesce(F.col("text_clean"), F.lit("")),
+            F.concat_ws(
+                "\n",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "  case when __bp is null then struct(pos, ln) end)),"
+                    " s -> s.ln)"
+                ),
             ).alias("text_clean"),
-            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias(
-                "n_lines"
-            ),
-            (
-                F.coalesce(F.col("n_lines"), F.lit(0))
-                - F.coalesce(F.col("__n_kept"), F.lit(0))
-            ).cast("long").alias("n_removed"),
         )
+    )
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.when(
+            F.col("n_lines").isNotNull(), F.col("text_clean")
+        ).alias("text_clean"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+        (
+            F.coalesce(F.col("n_lines"), F.lit(0))
+            - F.coalesce(F.col("__n_kept"), F.lit(0))
+        ).cast("long").alias("n_removed"),
     )

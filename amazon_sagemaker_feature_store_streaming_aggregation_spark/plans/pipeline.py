@@ -326,6 +326,12 @@ def quality_filter(
             [(float(cutoff),)], "__t double"
         )
     else:
+        # the calibration subquery and the returned plan both consume
+        # scorable with DIFFERENT column pruning, so ReuseExchange
+        # cannot merge them — without this eager checkpoint the whole
+        # clean+score chain (the two heavy shuffles) runs twice
+        scorable = scorable.localCheckpoint()
+    if cutoff is None:
         ranked = (
             scorable.select("lm_score")
             .withColumn("__rn", F.row_number().over(Window.orderBy("lm_score")))

@@ -513,20 +513,7 @@ def run_index_hamming_stream(
 def _committed_batches(spark, out_dir: str) -> list:
     """Batch ids under ``out_dir/batch=<id>/`` whose ``_SUCCESS``
     marker exists, ascending."""
-    fs, path = _hadoop_fs(spark, out_dir)
-    if not fs.exists(path):
-        return []
-    ids = []
-    for status in fs.listStatus(path):
-        name = status.getPath().getName()
-        if name.startswith("batch="):
-            try:
-                bid = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if _fs_exists(spark, f"{out_dir.rstrip('/')}/{name}/_SUCCESS"):
-                ids.append(bid)
-    return sorted(ids)
+    return _list_partition_ids(spark, out_dir.rstrip("/"), "batch")
 
 
 def _fs_has_parquet_recursive(spark, dir_str: str) -> bool:
@@ -573,6 +560,16 @@ def _ensure_store_buckets(spark, out_dir: str, n_buckets: int | None) -> int:
                 "without a rebuild"
             )
         return stored
+    if _committed_batches(spark, base):
+        # committed batches but no _meta: a store from before the meta
+        # convention (or a torn copy). Pinning the CALLER's value would
+        # legitimize a possibly-mismatched modulus — the silent
+        # mis-prune this guard exists to prevent — so refuse loudly.
+        raise ValueError(
+            f"cluster store at {out_dir} has committed batches but no "
+            "_meta — write _meta with the modulus its dbucket= dirs were "
+            "hashed with (1-row parquet, column n_buckets) or rebuild"
+        )
     if n_buckets is None:
         raise ValueError(
             f"no cluster store metadata under {out_dir} and no n_buckets "
@@ -584,26 +581,40 @@ def _ensure_store_buckets(spark, out_dir: str, n_buckets: int | None) -> int:
     return int(n_buckets)
 
 
+def _list_partition_ids(
+    spark, base: str, prefix: str, require_success: bool = True
+) -> list:
+    """Integer ids of ``<prefix>=<id>`` child dirs under ``base``,
+    ascending — THE directory-enumeration primitive every on-disk
+    store here shares (committed batches, compactions, vacuum markers,
+    index cells), so commit semantics and URI handling live in one
+    place. ``require_success`` gates on the dir's ``_SUCCESS`` marker
+    (crash-torn dirs stay invisible)."""
+    fs, path = _hadoop_fs(spark, base)
+    if not fs.exists(path):
+        return []
+    ids = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if not name.startswith(prefix + "="):
+            continue
+        try:
+            pid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if not require_success or _fs_exists(
+            spark, f"{base}/{name}/_SUCCESS"
+        ):
+            ids.append(pid)
+    return sorted(ids)
+
+
 def _vacuumed_through(spark, out_dir: str) -> int | None:
     """Highest batch id any vacuum has (begun to) reclaim below —
     the marker is written BEFORE deletion, so even an interrupted
     vacuum flags the range whose deltas may be partially gone."""
-    base = out_dir.rstrip("/")
-    fs, path = _hadoop_fs(spark, base)
-    if not fs.exists(path):
-        return None
-    best = None
-    for status in fs.listStatus(path):
-        name = status.getPath().getName()
-        if not name.startswith("vacuumed="):
-            continue
-        try:
-            vid = int(name.split("=", 1)[1])
-        except ValueError:
-            continue
-        if _fs_exists(spark, f"{base}/{name}/_SUCCESS"):
-            best = vid if best is None else max(best, vid)
-    return best
+    ids = _list_partition_ids(spark, out_dir.rstrip("/"), "vacuumed")
+    return ids[-1] if ids else None
 
 
 def _cluster_store_parts(
@@ -614,21 +625,11 @@ def _cluster_store_parts(
     reconstruction uses. Uncommitted batch dirs (crash before
     ``_SUCCESS``) and uncommitted compactions are invisible."""
     base = out_dir.rstrip("/")
-    fs, path = _hadoop_fs(spark, base)
-    compacts = []
-    if fs.exists(path):
-        for status in fs.listStatus(path):
-            name = status.getPath().getName()
-            if not name.startswith("compact="):
-                continue
-            try:
-                cid = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if upto_batch is not None and cid > upto_batch:
-                continue
-            if _fs_exists(spark, f"{base}/{name}/_SUCCESS"):
-                compacts.append(cid)
+    compacts = [
+        c
+        for c in _list_partition_ids(spark, base, "compact")
+        if upto_batch is None or c <= upto_batch
+    ]
     through = max(compacts) if compacts else None
     batches = [
         b

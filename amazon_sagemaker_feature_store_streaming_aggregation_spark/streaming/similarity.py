@@ -235,26 +235,33 @@ def compact_embedding_index(
     not the files). Same caveat as the underlying helper: run
     quiesced or from the runner that owns the index, between batches.
     Returns ``{cell: resulting file count}`` for the leaves visited.
+
+    LOCAL paths only, loudly: the underlying ``compact_parquet_dir``
+    measures with ``os.walk`` and swaps with ``os.rename``, which
+    would silently no-op on object storage — a remote URI would report
+    success while the small-file growth continued. Table formats
+    (Delta OPTIMIZE, Iceberg rewrite_data_files) are the deployment
+    path there.
     """
     from ..sinks.compaction import compact_parquet_dir
-    from .dedup import _hadoop_fs
+    from .dedup import _hadoop_fs, _list_partition_ids
 
     base = index_dir.rstrip("/")
-    fs, path = _hadoop_fs(spark, base)
+    fs, _ = _hadoop_fs(spark, base)
+    scheme = fs.getUri().getScheme()
+    if scheme not in (None, "file"):
+        raise NotImplementedError(
+            f"compact_embedding_index is local-filesystem-only (got "
+            f"{scheme}://) — compact_parquet_dir's measure/swap are "
+            "os-level; use a table format's OPTIMIZE on object storage"
+        )
     out: dict = {}
-    if not fs.exists(path):
-        return out
-    for status in fs.listStatus(path):
-        name = status.getPath().getName()
-        if not name.startswith("cell="):
-            continue
-        try:
-            cell = int(name.split("=", 1)[1])
-        except ValueError:
-            continue
+    for cell in _list_partition_ids(
+        spark, base, "cell", require_success=False
+    ):
         out[cell] = compact_parquet_dir(
             spark,
-            f"{base}/{name}",
+            f"{base}/cell={cell}",
             target_bytes=target_bytes,
             min_files=min_files,
         )
