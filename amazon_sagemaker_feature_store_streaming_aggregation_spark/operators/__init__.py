@@ -64,7 +64,7 @@ from .similarity import (  # noqa: F401
     srp_signatures,
     train_ivf_centroids,
 )
-from .lm import lm_transition_scores  # noqa: F401
+from .lm import lm_fit, lm_transition_scores  # noqa: F401
 from .multimodal import (  # noqa: F401
     extract_features,
     resize_plan,

@@ -79,11 +79,38 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def lm_fit(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the bigram model: ``(big_counts(big, cb),
+    prev_counts(w1, cp), vocab(v))`` — the three tables
+    :func:`lm_transition_scores` consumes via ``model=``. Persist them
+    (plain parquet) to score many corpora — or a STREAM
+    (``streaming/quality.py::run_lm_score_stream``) — against one
+    fixed reference without refitting."""
+    ref_bg = _doc_bigrams(reference, id_col, text_col)
+    big_counts = ref_bg.groupBy("big").agg(F.count("*").alias("cb"))
+    prev_counts = (
+        big_counts.withColumn("w1", F.substring_index("big", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cp"))
+    )
+    toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
+    vocab = (
+        reference.select(F.explode(F.expr(toks)).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    return big_counts, prev_counts, vocab
+
+
 def lm_transition_scores(
     docs: DataFrame,
     reference: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document bigram-LM fit: ``(id, n_bigrams, lm_prob_sum,
     lm_score)`` where ``lm_score`` is the mean add-one-smoothed
@@ -94,7 +121,10 @@ def lm_transition_scores(
     get ``n_bigrams = 0`` and a NULL score: no evidence, not bad
     evidence — route them to the heuristic stats instead.
 
-    ``reference=None`` trains on ``docs`` itself; bigrams unseen in an
+    ``model=`` takes the pre-fitted count tables from :func:`lm_fit`
+    (read back from parquet in a standing deployment) and skips
+    training entirely; otherwise ``reference=None`` trains on ``docs``
+    itself; bigrams unseen in an
     external reference back off to count 0 (the add-one floor), and an
     unseen context ``w1`` scores ``1 / V`` — smoothing keeps every
     probability finite and nonzero. Add-one artifact to know when
@@ -109,19 +139,11 @@ def lm_transition_scores(
     group, NULL ids ride through with NULL stats (null-unsafe join,
     the engine-wide rule).
     """
-    ref = reference if reference is not None else docs
-    ref_bg = _doc_bigrams(ref, id_col, text_col)
-    big_counts = ref_bg.groupBy("big").agg(F.count("*").alias("cb"))
-    prev_counts = (
-        big_counts.withColumn("w1", F.substring_index("big", " ", 1))
-        .groupBy("w1")
-        .agg(F.sum("cb").alias("cp"))
-    )
-    toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
-    vocab = (
-        ref.select(F.explode(F.expr(toks)).alias("t"))
-        .agg(F.count_distinct("t").alias("v"))
-    )
+    if model is not None:
+        big_counts, prev_counts, vocab = model
+    else:
+        ref = reference if reference is not None else docs
+        big_counts, prev_counts, vocab = lm_fit(ref, id_col, text_col)
     scored = (
         _doc_bigrams(docs, id_col, text_col)
         .join(big_counts, "big", "left")

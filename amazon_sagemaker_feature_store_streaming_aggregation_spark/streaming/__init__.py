@@ -19,6 +19,11 @@ from .dedup import (  # noqa: F401
     vacuum_cluster_store,
 )
 from .join import interval_join  # noqa: F401
+from .quality import (  # noqa: F401
+    read_lm_model,
+    run_lm_score_stream,
+    write_lm_model,
+)
 from .similarity import (  # noqa: F401
     compact_embedding_index,
     run_index_embedding_stream,

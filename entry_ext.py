@@ -4618,6 +4618,70 @@ FROM {src} d LEFT JOIN agg a ON d.doc_id = a.doc_id
 _LM_SCORE_ORACLE = _lm_score_sql()
 
 
+def _q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing LM quality scoring (streaming/quality.py::
+    run_lm_score_stream): the bigram model is fitted ONCE on the full
+    documents corpus and persisted (the offline-training artifact);
+    the corpus then replays as TWO micro-batches scored statelessly
+    against it. Scoring depends only on each doc's own tokens and the
+    fixed model, so the union of per-batch scores equals the one-shot
+    batch run — the oracle is _LM_SCORE_ORACLE verbatim (reference ==
+    corpus == self-trained)."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_lm_score_stream,
+        write_lm_model,
+    )
+    from __spark_entry__ import _set_stream_partitions
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = sorted(x.as_py() for x in t.column("doc_id") if x.as_py() is not None)
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="slm_src_")
+    work = tempfile.mkdtemp(prefix="slm_work_")
+    key = t.column("doc_id")
+    in_b0 = pc.or_kleene(pc.less(key, mid), pc.is_null(key))
+    pq.write_table(
+        t.filter(pc.fill_null(in_b0, True)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        t.filter(pc.fill_null(pc.invert(in_b0), False)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    model_dir = os.path.join(work, "model")
+    write_lm_model(load_table(spark, sf_dir, "documents"), model_dir)
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        q = run_lm_score_stream(
+            stream,
+            os.path.join(work, "out"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            model_dir=model_dir,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_lm_score availableNow replay exceeded 300s")
+        return spark.read.parquet(
+            os.path.join(work, "out", "batch=*", "scores")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed CCNet-shaped quality chain
     (plans/pipeline.py::quality_filter): boilerplate-clean -> bigram-LM
@@ -5171,6 +5235,7 @@ def ext_queries():
         "text_lm_score": _q_lm_score,
         "text_clean_boilerplate": _q_boilerplate_lines,
         "pipeline_quality_filter": _q_quality_filter,
+        "s_stream_lm_score": _q_stream_lm_score,
         "sim_label_centroids": _q_label_centroids,
     }
 
@@ -5295,5 +5360,6 @@ def ext_oracles():
         "text_lm_score": _LM_SCORE_ORACLE,
         "text_clean_boilerplate": _BOILERPLATE_ORACLE,
         "pipeline_quality_filter": _QUALITY_FILTER_ORACLE,
+        "s_stream_lm_score": _LM_SCORE_ORACLE,
         "sim_label_centroids": _LABEL_CENTROIDS_ORACLE,
     }

@@ -387,6 +387,7 @@ DIRTY_STREAM_QUERIES = [
     "s_stream_cluster_maintain",
     "s_stream_lsh_index",
     "s_stream_semantic_index",
+    "s_stream_lm_score",
     "s4_sliding_agg",
 ]
 

@@ -221,3 +221,68 @@ def test_compact_embedding_index_preserves_probes(spark, tmp_path):
     pruned = after.where(F.col("cell") == list(done)[0])
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_lm_score_stream_matches_batch_against_fixed_model(spark, tmp_path):
+    """The persisted-model contract: scores from the stream (chunked
+    replay, stateless per batch) equal the one-shot batch run against
+    the SAME fitted model, and the model round-trips through parquet
+    (write_lm_model / read_lm_model / model=)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        lm_transition_scores,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_lm_model,
+        run_lm_score_stream,
+        write_lm_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    chunks = [
+        [(1, "the cat sat"), (2, "zq xv"), (3, None)],
+        [(4, "sat on the mat"), (5, "one")],
+    ]
+    path = _write_chunks(
+        spark, tmp_path, chunks, "doc_id long, text string"
+    )
+    model_dir = str(tmp_path / "model")
+    write_lm_model(ref, model_dir)
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = run_lm_score_stream(
+        stream, out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        model_dir=model_dir,
+    )
+    assert q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_prob_sum"], r["lm_score"])
+        for r in spark.read.parquet(out_dir + "/batch=*/scores").collect()
+    }
+    corpus = spark.createDataFrame(
+        [r for c in chunks for r in c], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_prob_sum"], r["lm_score"])
+        for r in lm_transition_scores(
+            corpus, model=read_lm_model(spark, model_dir)
+        ).collect()
+    }
+    assert got == want
+    # model= equals the reference= training path bit for bit
+    direct = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_prob_sum"], r["lm_score"])
+        for r in lm_transition_scores(corpus, reference=ref).collect()
+    }
+    assert got == direct
+    assert got[3] == (0, 0, None) and got[5] == (0, 0, None)
+    assert got[1][0] == 2 and got[2][0] == 1
