@@ -799,15 +799,18 @@ def lsh_near_dup_edges(
 
     Collision exposure (same convention as :func:`dedup_exact`, stated
     here because an edge table AMPLIFIES it): "identical text" means
-    identical 64-bit ``h64(text)`` — two DISTINCT texts colliding on
-    the hash would fabricate a jaccard-1.0 star edge and merge their
-    components. The expected collision count at N documents is
-    ~N²/2⁶⁵ (birthday bound: ~0.0005 at 10⁹ docs, ~5 % odds of ONE
-    collision at 10¹⁰), which the repo's exact-dedup family accepts by
-    convention rather than paying a full byte-compare shuffle of the
-    corpus text; a pipeline that cannot accept it verifies text
-    equality within each collapse group (one extra comparison per
-    member against its representative) before emitting the star.
+    identical 60-BIT ``h64(text)`` (md5 truncated to 15 hex chars,
+    stored as an 8-byte long — functions/hashing.py) — two DISTINCT
+    texts colliding on the hash would fabricate a jaccard-1.0 star
+    edge and merge their components. The expected collision count at
+    N documents is ~N²/2⁶¹ (birthday bound over 2⁶⁰ values: ~0.43
+    expected collisions at 10⁹ docs, ~43 at 10¹⁰ — NOT negligible at
+    frontier-corpus scale), which the repo's exact-dedup family
+    accepts by convention at sub-billion scale rather than paying a
+    full byte-compare shuffle of the corpus text; a pipeline at 10⁹+
+    documents verifies text equality within each collapse group (one
+    extra comparison per member against its representative, O(dup
+    mass) — never all-pairs) before emitting the star.
     """
     d = docs.where(
         F.col(text_col).isNotNull() & F.col(id_col).isNotNull()

@@ -426,9 +426,10 @@ def remove_boilerplate_lines(
     The frequency test is ALL-INTEGER (``df * 10000 >= frac_q * N``
     with the fraction quantized to 1/10000ths), so the oracle
     reproduces it bit-for-bit at any corpus size. Lines key on
-    ``h64(trim(line))`` — the 8-byte hash rides the df shuffle, never
-    the text (the ``dedup_exact`` convention, same documented
-    collision exposure). Empty/whitespace-only lines are never
+    ``h64(trim(line))`` — the 60-bit hash (an 8-byte long on the wire)
+    rides the df shuffle, never the text (the ``dedup_exact``
+    convention, same documented ~N²/2⁶¹ collision exposure — see
+    ``lsh_near_dup_edges``; distinct LINES here, far fewer than docs). Empty/whitespace-only lines are never
     boilerplate (they'd glue unrelated documents into one "dup") and
     always survive; NULL ``text`` stays NULL with ``n_lines = 0``; a
     document whose every line is boilerplate comes back as ``''``

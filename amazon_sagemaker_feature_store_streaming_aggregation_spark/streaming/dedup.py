@@ -127,6 +127,111 @@ def _fs_has_parquet(spark, dir_str: str) -> bool:
     return False
 
 
+def _index_bucket(n_buckets: int, *cols):
+    """Deterministic PARTITION bucket of an index row's lookup key —
+    ``pmod(xxhash64(keys...), n_buckets)``. Equal keys land in equal
+    buckets, so a probe whose key set hashes to B buckets reads
+    exactly those B directories: the point-access discipline of the
+    reference's online store (`src/lambda/StreamingIngestAggFeatures/
+    lambda_function.py:25-32` — every touch is a keyed get/put, never
+    a scan) transplanted to a file-backed index. xxhash64 (not h64):
+    this bucket never crosses engines — it exists only in the on-disk
+    layout — so the cheap JVM-native hash is the right one."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)
+    ).cast("int")
+
+
+def _ensure_index_buckets(spark, index_dir: str, n_buckets: int) -> int:
+    """Pin the index's bucket modulus in ``index_dir/_meta`` on first
+    use and VALIDATE every later use against it (the
+    ``_ensure_store_buckets`` rule applied to probe indexes): the
+    modulus is baked into every ``ibucket=<b>`` directory name, and a
+    resume with a different value would prune probe reads against the
+    wrong modulus — prior fingerprints would silently stop matching
+    and every redelivery would look new. A flat pre-bucketing index
+    (root-level parquet, no meta) is refused loudly: rebuild it
+    through the runner."""
+    base = index_dir.rstrip("/")
+    meta = base + "/_meta"
+    if _fs_has_parquet(spark, meta):
+        stored = int(spark.read.parquet(meta).collect()[0][0])
+        if n_buckets is not None and int(n_buckets) != stored:
+            raise ValueError(
+                f"index at {index_dir} was written with n_buckets="
+                f"{stored}, got {n_buckets} — the bucket modulus is part "
+                "of the on-disk partition layout and cannot change "
+                "without a rebuild"
+            )
+        return stored
+    if _fs_has_parquet(spark, base):
+        raise ValueError(
+            f"index at {index_dir} holds root-level parquet but no _meta "
+            "— a flat pre-bucketing layout; rebuild it through the "
+            "runner (or write _meta and re-layout into ibucket= dirs)"
+        )
+    if _list_partition_ids(spark, base, "ibucket", require_success=False):
+        raise ValueError(
+            f"index at {index_dir} has ibucket= partitions but no _meta "
+            "— write _meta with the modulus they were hashed with "
+            "(1-row parquet, column n_buckets) or rebuild"
+        )
+    spark.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(meta)
+    return int(n_buckets)
+
+
+def _index_nonempty(spark, index_dir: str) -> bool:
+    """True when any ``ibucket=<b>/`` partition holds parquet (the
+    ``_meta`` sidecar never counts as index data)."""
+    base = index_dir.rstrip("/")
+    for b in _list_partition_ids(spark, base, "ibucket", require_success=False):
+        if _fs_has_parquet(spark, f"{base}/ibucket={b}"):
+            return True
+    return False
+
+
+def _read_index_pruned(spark, index_dir: str, buckets: list):
+    """Read the bucketed index PRUNED to ``buckets`` (a driver-side
+    list of at most n_buckets ints — the partition values the probe's
+    keys hash into). The filter sits on the partition column, so only
+    the named ``ibucket=`` directories are listed and scanned: per-
+    batch probe I/O is O(touched buckets), never O(index). Returns
+    None when the index holds no data or the bucket list is empty."""
+    if not buckets or not _index_nonempty(spark, index_dir):
+        return None
+    return (
+        spark.read.parquet(index_dir.rstrip("/"))
+        .where(F.col("ibucket").isin([int(b) for b in buckets]))
+        .drop("ibucket")
+    )
+
+
+def _append_index(rows: DataFrame, index_dir: str) -> None:
+    """Append index rows (must carry ``ibucket``) under their bucket
+    partitions — one pre-write shuffle keyed on the bucket so every
+    bucket dir gains ~one file per batch instead of one per task."""
+    (
+        rows.repartition(F.col("ibucket"))
+        .write.mode("append")
+        .partitionBy("ibucket")
+        .parquet(index_dir.rstrip("/"))
+    )
+
+
+def _collect_buckets(rows: DataFrame, n_buckets: int, *key_cols) -> list:
+    """Distinct index buckets of ``rows``' keys — at most ``n_buckets``
+    ints on the driver (a constant, not data-sized): the prune list a
+    probe read passes to :func:`_read_index_pruned`."""
+    return [
+        r[0]
+        for r in rows.select(_index_bucket(n_buckets, *key_cols).alias("b"))
+        .distinct()
+        .collect()
+    ]
+
+
 def run_index_dedup_stream(
     stream: DataFrame,
     out_dir: str,
@@ -135,6 +240,7 @@ def run_index_dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     available_now: bool = True,
+    n_buckets: int = 16,
 ):
     """UNBOUNDED-horizon streaming dedup: every micro-batch is deduped
     against the PERSISTENT on-disk hash index (the batch
@@ -166,11 +272,18 @@ def run_index_dedup_stream(
     local paths — ``os.path`` would answer False for every non-local
     URI and silently disable cross-batch dedup.
 
-    100 TB: each micro-batch pays O(batch) work — the index rides the
-    anti-join as bare 8-byte hashes and never rescans the corpus; for
-    the standing deployment, persist the index bucketed
-    (``build_text_hash_index_bucketed``) or front it with the Bloom
-    bitmap (``dedup_append_bloom``) and swap the call below.
+    100 TB: each micro-batch pays O(batch) SHUFFLE work (the index
+    rides the anti-join as bare 8-byte hashes) AND O(batch) probe I/O:
+    the index persists PARTITIONED by ``ibucket =
+    pmod(xxhash64(text_hash), n_buckets)`` and each batch reads only
+    the buckets its own hashes fall in (partition-pruned — the
+    ``run_index_embedding_stream`` cell pattern applied to hashes), so
+    a trigger never rescans the full index. A bucket holds
+    ~index/n_buckets rows; size ``n_buckets`` to the deployment's
+    index/batch ratio (pinned in ``index_dir/_meta`` — a resume with a
+    different modulus fails loudly instead of mis-pruning). The Bloom
+    front (``dedup_append_bloom``) remains the plug point when even
+    the touched buckets are too hot.
     """
     if not checkpoint_dir:
         raise ValueError(
@@ -179,10 +292,13 @@ def run_index_dedup_stream(
             "ids survive restarts"
         )
 
-    from ..operators.dedup import dedup_append
+    _resolved: dict = {}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if "nb" not in _resolved:
+            _resolved["nb"] = _ensure_index_buckets(spark, index_dir, n_buckets)
+        nb = _resolved["nb"]
         batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
         if _fs_exists(spark, batch_out + "/_SUCCESS"):
             # Retried batch whose output already committed. The INDEX
@@ -191,32 +307,55 @@ def run_index_dedup_stream(
             # hole PERMANENT, re-admitting this batch's documents'
             # duplicates forever. Repair: re-append exactly the
             # committed survivors' hashes that the index lacks
-            # (O(batch) anti-join; a no-op when the append did land).
+            # (anti-join pruned to the survivors' own buckets; a no-op
+            # when the append did land).
             committed = spark.read.parquet(batch_out).select("text_hash")
-            if _fs_has_parquet(spark, index_dir):
-                missing = committed.join(
-                    spark.read.parquet(index_dir).select("text_hash"),
-                    on="text_hash",
-                    how="left_anti",
-                )
-            else:
-                missing = committed
-            missing.write.mode("append").parquet(index_dir)
+            idx = _read_index_pruned(
+                spark, index_dir,
+                _collect_buckets(committed, nb, "text_hash"),
+            )
+            missing = committed if idx is None else committed.join(
+                idx.select("text_hash"), on="text_hash", how="left_anti"
+            )
+            _append_index(
+                missing.withColumn(
+                    "ibucket", _index_bucket(nb, "text_hash")
+                ),
+                index_dir,
+            )
             return
-        if _fs_has_parquet(spark, index_dir):
-            index = spark.read.parquet(index_dir).select("text_hash")
-        else:
-            index = spark.createDataFrame([], "text_hash long")
-        fresh = dedup_append(
-            index, batch_df, text_col=text_col, id_col=id_col
+        batch_best = (
+            batch_df.withColumn("text_hash", h64(text_col))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias(id_col))
+            .persist()
         )
-        # survivors carry (id, hash); persist both, then append hashes
-        fresh.persist()
         try:
-            fresh.write.mode("overwrite").parquet(batch_out)
-            fresh.select("text_hash").write.mode("append").parquet(index_dir)
+            idx = _read_index_pruned(
+                spark, index_dir,
+                _collect_buckets(batch_best, nb, "text_hash"),
+            )
+            # the dedup_append anti-join over the PERSISTED batch_best
+            # (recomputing it inside dedup_append would re-run the md5
+            # scan the bucket collect above already paid for)
+            fresh = batch_best if idx is None else batch_best.join(
+                idx.select("text_hash"), on="text_hash", how="left_anti"
+            )
+            fresh = fresh.select(id_col, "text_hash")
+            # survivors carry (id, hash); persist both, then append
+            fresh.persist()
+            try:
+                fresh.write.mode("overwrite").parquet(batch_out)
+                _append_index(
+                    fresh.select("text_hash").withColumn(
+                        "ibucket", _index_bucket(nb, "text_hash")
+                    ),
+                    index_dir,
+                )
+            finally:
+                fresh.unpersist()
         finally:
-            fresh.unpersist()
+            batch_best.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(_process)
@@ -240,21 +379,22 @@ def run_index_lsh_stream(
     rows_per_band: int = 4,
     available_now: bool = True,
     broadcast_batch: bool = True,
+    n_buckets: int = 16,
 ):
     """Unbounded-horizon streaming NEAR-dup discovery: the LSH twin of
-    :func:`run_index_dedup_stream`. Every micro-batch runs
-    ``operators/dedup.py::lsh_append_candidates`` against the
+    :func:`run_index_dedup_stream`. Every micro-batch probes the
     PERSISTENT on-disk band index, so a near-duplicate of a document
     ingested months ago is still surfaced today with O(batch) SHUFFLE
     work — the index never shuffles (with ``broadcast_batch=True`` the
-    batch's band rows broadcast to the index scan). Per-batch I/O is
-    still O(index): each micro-batch re-reads the band index as the
-    join's probe target, which at multi-TB index sizes dominates the
-    batch cost — partition/sort the index by ``bhash`` range and rely
-    on scan pruning, or lengthen the trigger interval, when the index
-    outgrows the batch by orders of magnitude.
+    batch's band rows broadcast to the index scan) — AND O(batch)
+    probe I/O: the index persists PARTITIONED by ``ibucket =
+    pmod(xxhash64(band, bhash), n_buckets)`` and each batch reads only
+    the buckets its own band rows hash into (partition-pruned; equal
+    join keys hash to equal buckets, so the prune is lossless). The
+    modulus is pinned in ``index_dir/_meta`` — a resume with a
+    different value fails loudly instead of silently mis-pruning.
 
-    ``broadcast_batch`` follows :func:`lsh_append_candidates`: keep
+    ``broadcast_batch`` follows ``lsh_append_candidates``: keep
     the default for the standing small-batch regime; pass ``False``
     for an ``availableNow`` backfill whose first micro-batch is
     corpus-sized (broadcasting its band rows would OOM the driver) —
@@ -268,14 +408,21 @@ def run_index_lsh_stream(
       texts, which the band index deliberately does not carry — a
       downstream batch stage joins the doc store and runs
       ``jaccard_verify_pairs`` on this (small) pair stream.
-    * ``bands/`` — the batch's own band rows, appended to
+    * ``bands/`` — the batch's own NEW band rows, appended to
       ``index_dir`` after the output commits.
+
+    At-least-once SOURCE redelivery across distinct batch ids is
+    routed AROUND discovery and the append: a batch doc whose band
+    rows are already in the index (anti-join, pruned to the batch's
+    buckets) re-emits no candidates and re-appends nothing — without
+    the guard the index would grow monotonically under redelivery
+    (the ``run_index_embedding_stream`` redelivered-id rule).
 
     Delivery contract: identical to :func:`run_index_dedup_stream`
     (at-least-once; batch-id idempotent output via the REQUIRED
     durable checkpoint; index-append-after-output with retry-time
     repair — a committed batch whose band append was lost re-appends
-    exactly the missing ``(doc_id, band)`` rows). All existence
+    exactly the missing ``(doc_id, band, bhash)`` rows). All existence
     checks via the Hadoop FS API (object-storage-safe).
     """
     if not checkpoint_dir:
@@ -287,64 +434,118 @@ def run_index_lsh_stream(
 
     from ..operators.dedup import (
         band_rows,
-        lsh_append_candidates,
+        lsh_candidate_pairs,
         minhash_signatures,
     )
 
+    _resolved: dict = {}
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if "nb" not in _resolved:
+            _resolved["nb"] = _ensure_index_buckets(spark, index_dir, n_buckets)
+        nb = _resolved["nb"]
         batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
         bands_out = batch_out + "/bands"
         pairs_out = batch_out + "/pairs"
         if _fs_exists(spark, batch_out + "/_SUCCESS"):
             # Retried batch whose output committed: repair a possibly
             # lost index append by re-appending exactly the committed
-            # band rows the index lacks (keyed (doc_id, band) — a
-            # no-op when the append landed).
+            # band rows the index lacks (keyed (doc_id, band, bhash),
+            # pruned to the committed rows' buckets — a no-op when the
+            # append landed).
             committed = spark.read.parquet(bands_out)
-            if _fs_has_parquet(spark, index_dir):
-                missing = committed.join(
-                    spark.read.parquet(index_dir),
-                    on=[id_col, "band", "bhash"],
-                    how="left_anti",
-                )
-            else:
-                missing = committed
-            missing.write.mode("append").parquet(index_dir)
+            idx = _read_index_pruned(
+                spark, index_dir,
+                _collect_buckets(committed, nb, "band", "bhash"),
+            )
+            missing = committed if idx is None else committed.join(
+                idx, on=[id_col, "band", "bhash"], how="left_anti"
+            )
+            _append_index(
+                missing.withColumn(
+                    "ibucket", _index_bucket(nb, "band", "bhash")
+                ),
+                index_dir,
+            )
             return
-        batch_bands = band_rows(
-            minhash_signatures(batch_df, text_col, id_col, num_hashes),
-            id_col,
-            bands,
-            rows_per_band,
-        )
-        if _fs_has_parquet(spark, index_dir):
-            index = spark.read.parquet(index_dir)
-        else:
-            # empty-index bootstrap: derive the schema from the batch's
-            # own band rows so string/binary doc ids work unchanged (a
-            # hardcoded `long` DDL would mistype the first micro-batch)
-            index = batch_bands.limit(0)
-        pairs = lsh_append_candidates(
-            index,
-            batch_df,
-            text_col=text_col,
-            id_col=id_col,
-            num_hashes=num_hashes,
-            bands=bands,
-            rows_per_band=rows_per_band,
-            broadcast_batch=broadcast_batch,
-        )
-        pairs.write.mode("overwrite").parquet(pairs_out)
-        batch_bands.write.mode("overwrite").parquet(bands_out)
-        # the batch dir's OWN _SUCCESS commits last: both sub-outputs
-        # are durably in place before a retry could skip this batch
-        _touch_success(spark, batch_out)
-        # index append after output commit (at-least-once; the retry
-        # branch repairs a crash landing between these two writes) —
-        # read back the committed bands rather than recomputing, so
-        # the index holds exactly what the batch dir holds
-        spark.read.parquet(bands_out).write.mode("append").parquet(index_dir)
+        # ONE signature pass per batch: the band rows computed here
+        # feed the bucket collect, the probe join, the redelivery
+        # guard AND the append (the pre-bucketing path recomputed
+        # signatures inside lsh_append_candidates)
+        sigs = minhash_signatures(
+            batch_df, text_col, id_col, num_hashes
+        ).persist()
+        batch_bands = band_rows(sigs, id_col, bands, rows_per_band).persist()
+        try:
+            idx = _read_index_pruned(
+                spark, index_dir,
+                _collect_buckets(batch_bands, nb, "band", "bhash"),
+            )
+            if idx is None:
+                # empty-index bootstrap: derive the schema from the
+                # batch's own band rows so string/binary doc ids work
+                # unchanged (a hardcoded `long` DDL would mistype the
+                # first micro-batch)
+                idx = batch_bands.limit(0)
+            # redelivered docs (any band row already indexed — torn
+            # appends are repaired before the next batch runs, so any
+            # match means all rows landed) are routed around
+            # discovery and the append: their candidates were emitted
+            # when they first arrived
+            redelivered = (
+                batch_bands.join(
+                    idx, on=[id_col, "band", "bhash"], how="left_semi"
+                )
+                .select(id_col)
+                .distinct()
+            )
+            new_bands = batch_bands.join(redelivered, id_col, "left_anti")
+            probe = F.broadcast(new_bands) if broadcast_batch else new_bands
+            cross = (
+                idx.alias("a")
+                .join(
+                    probe.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bhash") == F.col("b.bhash"))
+                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.least(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("doc_a"),
+                    F.greatest(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("doc_b"),
+                )
+            )
+            within = lsh_candidate_pairs(
+                sigs.join(redelivered, id_col, "left_anti"),
+                id_col,
+                bands,
+                rows_per_band,
+            )
+            pairs = cross.unionByName(within).distinct()
+            pairs.write.mode("overwrite").parquet(pairs_out)
+            new_bands.write.mode("overwrite").parquet(bands_out)
+            # the batch dir's OWN _SUCCESS commits last: both
+            # sub-outputs are durably in place before a retry could
+            # skip this batch
+            _touch_success(spark, batch_out)
+            # index append after output commit (at-least-once; the
+            # retry branch repairs a crash landing between these two
+            # writes) — read back the committed bands rather than
+            # recomputing, so the index holds exactly what the batch
+            # dir holds
+            _append_index(
+                spark.read.parquet(bands_out).withColumn(
+                    "ibucket", _index_bucket(nb, "band", "bhash")
+                ),
+                index_dir,
+            )
+        finally:
+            batch_bands.unpersist()
+            sigs.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(_process)
@@ -376,6 +577,7 @@ def run_index_hamming_stream(
     n_bits: int = 64,
     available_now: bool = True,
     broadcast_batch: bool = True,
+    n_buckets: int = 16,
 ):
     """Unbounded-horizon streaming FINGERPRINT near-dup discovery: the
     hamming-distance twin of :func:`run_index_lsh_stream` for
@@ -395,27 +597,42 @@ def run_index_hamming_stream(
       ``<= max_hamming``. Unlike the LSH stream's Jaccard candidates
       these are final VERDICTS: the fingerprint itself rides the
       index, so verification happens in-stream.
-    * ``fps/`` — the batch's ``(id, fingerprint)`` rows, appended to
-      ``index_dir`` after the output commits.
+    * ``fps/`` — the batch's NEW ``(id, fingerprint)`` rows, their
+      band rows appended to ``index_dir`` after the output commits.
 
     Every pair is discovered exactly once — when its later member's
     batch arrives — so the union of per-batch pair outputs equals the
     one-shot batch :func:`~..operators.dedup.hamming_near_dup_pairs`
     run over the whole corpus (the registered oracle states exactly
     that). NULL fingerprints pass through to neither output (they can
-    collide with nothing).
+    collide with nothing). At-least-once SOURCE redelivery across
+    distinct batch ids is routed around discovery and the append: a
+    batch ``(id, fp)`` already in the index re-emits no pairs and
+    re-appends nothing.
 
-    Plan: band values derive scan-side from the 16-byte fingerprints
-    on BOTH sides at probe time (the index stores raw fingerprints,
-    never band rows — bands are a pure function of the fingerprint,
-    so persisting them would triple index bytes for no replay
-    benefit); with ``broadcast_batch=True`` the batch's band rows
-    broadcast to the index scan and the index never shuffles. Per-
-    batch I/O is O(index) — same honest caveat as the LSH stream.
+    Index layout: the index stores BAND rows ``(id, fp, band, bv)``
+    PARTITIONED by ``ibucket = pmod(xxhash64(band, bv), n_buckets)``,
+    so each micro-batch reads only the buckets its own band rows hash
+    into — per-batch probe I/O is O(batch's buckets), never O(index)
+    (the ``run_index_embedding_stream`` cell-prune pattern applied to
+    band values; equal join keys hash to equal buckets, so the prune
+    is lossless). The trade, stated plainly: ``bands``× more index
+    rows than the raw-fingerprint layout (the fingerprint rides each
+    band row for in-place popcount verification), bought back many
+    times over at scale because a trigger now touches ~batch-sized
+    I/O instead of rescanning a corpus-sized index — and the banding
+    CPU over the index (previously re-derived scan-side EVERY batch)
+    is paid once at append time. The modulus is pinned in
+    ``index_dir/_meta``; a resume with a different value fails loudly
+    instead of silently mis-pruning. With ``broadcast_batch=True``
+    the batch's band rows broadcast to the pruned index scan and the
+    index never shuffles.
+
     Delivery contract identical to :func:`run_index_dedup_stream`:
     at-least-once, batch-id idempotent output via the REQUIRED
     durable checkpoint, index-append-after-output with retry-time
-    repair, Hadoop-FS existence checks throughout.
+    repair (band-row-granular, so a torn append heals exactly),
+    Hadoop-FS existence checks throughout.
     """
     if not checkpoint_dir:
         raise ValueError(
@@ -432,8 +649,13 @@ def run_index_hamming_stream(
 
     width = _hamming_band_width(bands, n_bits)
 
+    _resolved: dict = {}
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if "nb" not in _resolved:
+            _resolved["nb"] = _ensure_index_buckets(spark, index_dir, n_buckets)
+        nb = _resolved["nb"]
         batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
         fps_out = batch_out + "/fps"
         pairs_out = batch_out + "/pairs"
@@ -442,63 +664,98 @@ def run_index_hamming_stream(
         )
         if _fs_exists(spark, batch_out + "/_SUCCESS"):
             # retried batch whose output committed: repair a possibly
-            # lost index append (keyed (id, fingerprint) — a no-op
-            # when the append landed)
-            committed = spark.read.parquet(fps_out)
-            if _fs_has_parquet(spark, index_dir):
-                missing = committed.join(
-                    spark.read.parquet(index_dir),
-                    on=[id_col, hash_col],
-                    how="left_anti",
+            # lost index append (band-row-keyed, pruned to the
+            # committed rows' buckets — a no-op when the append
+            # landed, an exact heal when it tore mid-write)
+            committed_bands = hamming_band_rows(
+                spark.read.parquet(fps_out), id_col, hash_col, bands, width
+            )
+            idx = _read_index_pruned(
+                spark, index_dir,
+                _collect_buckets(committed_bands, nb, "band", "bv"),
+            )
+            missing = committed_bands if idx is None else (
+                committed_bands.join(
+                    idx, on=[id_col, hash_col, "band", "bv"], how="left_anti"
                 )
-            else:
-                missing = committed
-            missing.write.mode("append").parquet(index_dir)
+            )
+            _append_index(
+                missing.withColumn(
+                    "ibucket", _index_bucket(nb, "band", "bv")
+                ),
+                index_dir,
+            )
             return
-        if _fs_has_parquet(spark, index_dir):
-            index = spark.read.parquet(index_dir)
-        else:
-            index = batch_fp.limit(0)
-        batch_bands = hamming_band_rows(batch_fp, id_col, hash_col, bands, width)
-        probe = F.broadcast(batch_bands) if broadcast_batch else batch_bands
-        index_bands = hamming_band_rows(index, id_col, hash_col, bands, width)
-        cross = (
-            index_bands.alias("a")
-            .join(
-                probe.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bv") == F.col("b.bv"))
-                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        batch_bands = hamming_band_rows(
+            batch_fp, id_col, hash_col, bands, width
+        ).persist()
+        try:
+            idx = _read_index_pruned(
+                spark, index_dir,
+                _collect_buckets(batch_bands, nb, "band", "bv"),
             )
-            .select(
-                F.least(
-                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-                ).alias("doc_a"),
-                F.greatest(
-                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-                ).alias("doc_b"),
-                F.expr(
-                    f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
-                ).alias("hamming"),
+            if idx is None:
+                idx = batch_bands.limit(0)
+            # redelivered (id, fp) rows are already fully indexed
+            # (torn appends heal on retry before the next batch), so
+            # any band-row match identifies them; route them around
+            # discovery and the append
+            new_fp = batch_fp.join(
+                idx.select(id_col, hash_col).distinct(),
+                on=[id_col, hash_col],
+                how="left_anti",
             )
-            .where(F.col("hamming") <= max_hamming)
-            .distinct()
-        )
-        within = hamming_near_dup_pairs(
-            batch_fp,
-            id_col=id_col,
-            hash_col=hash_col,
-            max_hamming=max_hamming,
-            bands=bands,
-            n_bits=n_bits,
-        )
-        pairs = cross.unionByName(within).distinct()
-        pairs.write.mode("overwrite").parquet(pairs_out)
-        batch_fp.write.mode("overwrite").parquet(fps_out)
-        _touch_success(spark, batch_out)
-        # index append after output commit (at-least-once; the retry
-        # branch repairs a crash between these writes)
-        spark.read.parquet(fps_out).write.mode("append").parquet(index_dir)
+            new_bands = batch_bands.join(
+                new_fp.select(id_col), id_col, "left_semi"
+            )
+            probe = F.broadcast(new_bands) if broadcast_batch else new_bands
+            cross = (
+                idx.alias("a")
+                .join(
+                    probe.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bv") == F.col("b.bv"))
+                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.least(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("doc_a"),
+                    F.greatest(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("doc_b"),
+                    F.expr(
+                        f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
+                    ).alias("hamming"),
+                )
+                .where(F.col("hamming") <= max_hamming)
+                .distinct()
+            )
+            within = hamming_near_dup_pairs(
+                new_fp,
+                id_col=id_col,
+                hash_col=hash_col,
+                max_hamming=max_hamming,
+                bands=bands,
+                n_bits=n_bits,
+            )
+            pairs = cross.unionByName(within).distinct()
+            pairs.write.mode("overwrite").parquet(pairs_out)
+            new_fp.write.mode("overwrite").parquet(fps_out)
+            _touch_success(spark, batch_out)
+            # index append after output commit (at-least-once; the
+            # retry branch repairs a crash between these writes) —
+            # band rows derive from the committed fps so the index
+            # holds exactly what the batch dir holds
+            _append_index(
+                hamming_band_rows(
+                    spark.read.parquet(fps_out), id_col, hash_col,
+                    bands, width,
+                ).withColumn("ibucket", _index_bucket(nb, "band", "bv")),
+                index_dir,
+            )
+        finally:
+            batch_bands.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(_process)
@@ -677,20 +934,28 @@ def _read_store_side(
 
 
 def _read_store_sizes(
-    spark, out_dir: str, through: int | None, batches: list
+    spark,
+    out_dir: str,
+    through: int | None,
+    batches: list,
+    id_col: str = "doc_id",
 ) -> DataFrame | None:
-    base = out_dir.rstrip("/")
-    paths = []
-    if through is not None:
-        paths.append(f"{base}/compact={through}/sizes")
-    paths += [f"{base}/batch={b}/sizes" for b in batches]
-    out = None
-    for p in paths:
-        if not _fs_has_parquet(spark, p):
-            continue
-        df = spark.read.parquet(p)
-        out = df if out is None else out.unionByName(df)
-    return out
+    """Per-cluster ``(cluster_id, cluster_size, canon, batch)`` rows
+    across the compaction + deltas — DERIVED from the cluster-keyed
+    projection's canonical rows rather than a third per-batch
+    artifact: the delta rows already carry ``cluster_size`` and
+    ``is_canonical``, so a separate ``sizes`` dir would re-shuffle and
+    re-write the same information every batch (the r8 layout did, and
+    it was ~a third of the per-batch fixed cost)."""
+    rows = _read_store_side(spark, out_dir, "cluster", through, batches)
+    if rows is None:
+        return None
+    return rows.where(F.col("is_canonical") == 1).select(
+        "cluster_id",
+        "cluster_size",
+        F.col(id_col).alias("canon"),
+        "batch",
+    )
 
 
 def _latest_per_key(rows: DataFrame, key_col: str) -> DataFrame:
@@ -745,7 +1010,7 @@ def read_cluster_labels(
             )
     through, batches = _cluster_store_parts(spark, out_dir, upto_batch)
     rows = _read_store_side(spark, out_dir, "doc", through, batches)
-    sizes = _read_store_sizes(spark, out_dir, through, batches)
+    sizes = _read_store_sizes(spark, out_dir, through, batches, id_col=id_col)
     if rows is None or sizes is None:
         raise ValueError(
             f"no committed cluster-store state under {out_dir}"
@@ -803,24 +1068,20 @@ def compact_cluster_store(
             .partitionBy("dbucket")
             .parquet(cdir + "/by_doc")
         )
+        # the cluster-keyed projection carries sizes + canonical flags
+        # in place — sizes derive from its canonical rows at read time
+        # (_read_store_sizes), so there is no third projection to
+        # shuffle and write
         (
-            tagged.select(id_col, "cluster_id", "batch")
+            tagged.select(
+                id_col, "cluster_id", "cluster_size", "is_canonical",
+                "batch",
+            )
             .withColumn("cbucket", _label_bucket("cluster_id", n_buckets))
             .repartition(n_buckets, F.col("cbucket"))
             .write.mode("overwrite")
             .partitionBy("cbucket")
             .parquet(cdir + "/by_cluster")
-        )
-        (
-            tagged.where(F.col("is_canonical") == 1)
-            .select(
-                "cluster_id",
-                "cluster_size",
-                F.col(id_col).alias("canon"),
-                "batch",
-            )
-            .write.mode("overwrite")
-            .parquet(cdir + "/sizes")
         )
         _touch_success(spark, cdir)
     finally:
@@ -905,22 +1166,34 @@ def run_cluster_maintain_stream(
 
     * ``batch=<id>/delta_doc/dbucket=<b>/`` and
       ``batch=<id>/delta_cluster/cbucket=<b>/`` — the SAME delta rows
-      ``(id, cluster_id, batch)`` in two bucket-partitioned
-      projections (labels of touched clusters' members + genuinely new
-      docs, nothing else). Two projections because the per-batch fold
-      needs two point-shaped lookups — endpoint→current-label (keyed
-      by doc) and touched-cluster→members (keyed by cluster) — and a
+      in two bucket-partitioned projections (labels of touched
+      clusters' members + genuinely new docs, nothing else). Two
+      projections because the per-batch fold needs two point-shaped
+      lookups — endpoint→current-label (keyed by doc) and
+      touched-cluster→members (keyed by cluster) — and a
       partition-pruned read needs the partition key to BE the lookup
-      key. Write cost: 2× O(touched) rows per batch.
-    * ``batch=<id>/sizes/`` — ``(cluster_id, cluster_size, canon,
-      batch)`` for the batch's result clusters only (sizes are kept
-      incrementally — touched clusters get fresh rows, untouched rows
-      stay current by untouchedness).
-    * ``batch=<id>/fps/`` — the batch's non-NULL ``(id, fingerprint)``
-      rows, appended to ``index_dir`` after the batch commits.
+      key. The cluster-keyed projection carries ``cluster_size`` and
+      ``is_canonical`` IN PLACE (sizes derive from its canonical rows
+      at read time — a third per-batch sizes artifact would re-shuffle
+      and re-write the same information every trigger). Write cost:
+      2× O(touched) rows per batch; a batch whose delta is EMPTY (pure
+      redelivery) writes neither projection.
+    * ``batch=<id>/fps/`` — the batch's NEW non-NULL ``(id,
+      fingerprint)`` rows; their band rows append to ``index_dir``
+      after the batch commits.
     * ``compact=<through>/`` — periodic full compaction
       (:func:`compact_cluster_store`, every ``compact_every`` deltas),
       bounding how many delta dirs a reconstruction unions.
+
+    The DISCOVERY index under ``index_dir`` stores band rows ``(id,
+    fp, band, bv)`` partitioned by ``ibucket = pmod(xxhash64(band,
+    bv), n_buckets)`` — each batch probes only the buckets its own
+    band rows hash into (the :func:`run_index_hamming_stream` layout;
+    its docstring states the bands×-rows-for-pruned-I/O trade), so
+    per-trigger discovery I/O is O(batch's buckets), never O(index).
+    Redelivered ``(id, fp)`` rows (already indexed) are routed around
+    discovery AND the append — without the append guard the index
+    would grow monotonically under at-least-once source redelivery.
 
     Current full labels come from :func:`read_cluster_labels`
     (compaction + deltas, latest-batch-wins) — exactly what a
@@ -980,40 +1253,69 @@ def run_cluster_maintain_stream(
         spark = batch_df.sparkSession
         base = out_dir.rstrip("/")
         if "n_buckets" not in _resolved:
-            # pin/validate the bucket modulus against the store's
-            # _meta ONCE per runner — a resume with a different
-            # n_buckets must fail loudly, never mis-prune (the modulus
-            # is baked into every partition dir name)
+            # pin/validate the bucket moduli against the store's and
+            # the index's _meta ONCE per runner — a resume with a
+            # different n_buckets must fail loudly, never mis-prune
+            # (the modulus is baked into every partition dir name)
             _resolved["n_buckets"] = _ensure_store_buckets(
                 spark, base, n_buckets
             )
+            _resolved["inb"] = _ensure_index_buckets(
+                spark, index_dir, _resolved["n_buckets"]
+            )
         nb = _resolved["n_buckets"]
+        inb = _resolved["inb"]
         batch_out = base + f"/batch={batch_id}"
         fps_out = batch_out + "/fps"
         edge_fp = batch_df.select(id_col, hash_col).where(
             F.col(hash_col).isNotNull() & F.col(id_col).isNotNull()
         )
         if _fs_exists(spark, batch_out + "/_SUCCESS"):
-            committed = spark.read.parquet(fps_out)
-            if _fs_has_parquet(spark, index_dir):
-                missing = committed.join(
-                    spark.read.parquet(index_dir),
-                    on=[id_col, hash_col],
+            committed_bands = hamming_band_rows(
+                spark.read.parquet(fps_out), id_col, hash_col, bands, width
+            )
+            idx = _read_index_pruned(
+                spark, index_dir,
+                _collect_buckets(committed_bands, inb, "band", "bv"),
+            )
+            missing = committed_bands if idx is None else (
+                committed_bands.join(
+                    idx, on=[id_col, hash_col, "band", "bv"],
                     how="left_anti",
                 )
-            else:
-                missing = committed
-            missing.write.mode("append").parquet(index_dir)
+            )
+            _append_index(
+                missing.withColumn(
+                    "ibucket", _index_bucket(inb, "band", "bv")
+                ),
+                index_dir,
+            )
             return
-        if _fs_has_parquet(spark, index_dir):
-            index = spark.read.parquet(index_dir)
-        else:
-            index = edge_fp.limit(0)
-        batch_bands = hamming_band_rows(edge_fp, id_col, hash_col, bands, width)
-        probe = F.broadcast(batch_bands) if broadcast_batch else batch_bands
-        index_bands = hamming_band_rows(index, id_col, hash_col, bands, width)
+        batch_bands = hamming_band_rows(
+            edge_fp, id_col, hash_col, bands, width
+        ).persist()
+        idx = _read_index_pruned(
+            spark, index_dir,
+            _collect_buckets(batch_bands, inb, "band", "bv"),
+        )
+        if idx is None:
+            idx = batch_bands.limit(0)
+        # redelivered (id, fp) rows are already indexed AND already
+        # folded into the label store (the index appends only after
+        # the store commit) — route them around discovery and the
+        # append: their edges were discovered at first arrival, and
+        # re-probing would only re-touch their clusters for nothing
+        new_fp = edge_fp.join(
+            idx.select(id_col, hash_col).distinct(),
+            on=[id_col, hash_col],
+            how="left_anti",
+        )
+        new_bands = batch_bands.join(
+            new_fp.select(id_col), id_col, "left_semi"
+        )
+        probe = F.broadcast(new_bands) if broadcast_batch else new_bands
         cross = (
-            index_bands.alias("a")
+            idx.alias("a")
             .join(
                 probe.alias("b"),
                 (F.col("a.band") == F.col("b.band"))
@@ -1035,7 +1337,7 @@ def run_cluster_maintain_stream(
             .distinct()
         )
         within = hamming_near_dup_edges(
-            edge_fp,
+            new_fp,
             id_col=id_col,
             hash_col=hash_col,
             max_hamming=max_hamming,
@@ -1125,42 +1427,48 @@ def run_cluster_maintain_stream(
                 members, fresh, edges, id_col=id_col
             ).persist()
             tagged = delta.withColumn("batch", F.lit(batch_id))
-            # one pre-write shuffle per projection keyed on the bucket:
-            # without it every task writes a file into every bucket dir
-            # (tasks × buckets small files per batch)
-            (
-                tagged.select(id_col, "cluster_id", "batch")
-                .withColumn("dbucket", _label_bucket(id_col, nb))
-                .repartition(nb, F.col("dbucket"))
-                .write.mode("overwrite")
-                .partitionBy("dbucket")
-                .parquet(batch_out + "/delta_doc")
-            )
-            (
-                tagged.select(id_col, "cluster_id", "batch")
-                .withColumn("cbucket", _label_bucket("cluster_id", nb))
-                .repartition(nb, F.col("cbucket"))
-                .write.mode("overwrite")
-                .partitionBy("cbucket")
-                .parquet(batch_out + "/delta_cluster")
-            )
-            (
-                tagged.where(F.col("is_canonical") == 1)
-                .select(
-                    "cluster_id",
-                    "cluster_size",
-                    F.col(id_col).alias("canon"),
-                    "batch",
+            # a pure-redelivery batch folds to an EMPTY delta — skip
+            # both projection writes outright (readers treat a
+            # committed batch with no delta dirs as a no-op); the
+            # isEmpty probe is one cheap action on the persisted delta
+            if not delta.isEmpty():
+                # one pre-write shuffle per projection keyed on the
+                # bucket: without it every task writes a file into
+                # every bucket dir (tasks × buckets small files)
+                (
+                    tagged.select(id_col, "cluster_id", "batch")
+                    .withColumn("dbucket", _label_bucket(id_col, nb))
+                    .repartition(nb, F.col("dbucket"))
+                    .write.mode("overwrite")
+                    .partitionBy("dbucket")
+                    .parquet(batch_out + "/delta_doc")
                 )
-                .write.mode("overwrite")
-                .parquet(batch_out + "/sizes")
-            )
-            edge_fp.write.mode("overwrite").parquet(fps_out)
+                # sizes/canonical flags ride the cluster projection in
+                # place — no third per-batch artifact to write
+                (
+                    tagged.select(
+                        id_col, "cluster_id", "cluster_size",
+                        "is_canonical", "batch",
+                    )
+                    .withColumn("cbucket", _label_bucket("cluster_id", nb))
+                    .repartition(nb, F.col("cbucket"))
+                    .write.mode("overwrite")
+                    .partitionBy("cbucket")
+                    .parquet(batch_out + "/delta_cluster")
+                )
+            new_fp.write.mode("overwrite").parquet(fps_out)
             _touch_success(spark, batch_out)
-            spark.read.parquet(fps_out).write.mode("append").parquet(
-                index_dir
+            # band rows derive from the committed fps so the index
+            # holds exactly what the batch dir holds
+            _append_index(
+                hamming_band_rows(
+                    spark.read.parquet(fps_out), id_col, hash_col,
+                    bands, width,
+                ).withColumn("ibucket", _index_bucket(inb, "band", "bv")),
+                index_dir,
             )
         finally:
+            batch_bands.unpersist()
             edges.unpersist()
             if delta is not None:
                 delta.unpersist()

@@ -4532,7 +4532,10 @@ WITH bsplit AS (
   WHERE bl.lh IS NULL
 ), bagg AS (
   SELECT doc_id,
-         string_agg(ln, chr(10) ORDER BY pos) AS text_clean,
+         -- ORDER BY pos, ln: the ln tie-break matches the engine's
+         -- array_sort over struct(pos, ln) when duplicate doc_ids
+         -- carry different texts (equal-pos collisions per group)
+         string_agg(ln, chr(10) ORDER BY pos, ln) AS text_clean,
          CAST(count(*) AS BIGINT) AS n_kept
   FROM bkept GROUP BY doc_id
 ), btot AS (

@@ -283,19 +283,30 @@ def test_index_hamming_stream_cross_batch_pairs(spark, tmp_path):
     }
     # cross-batch (1,3) d=2 and (2,6) d=2; within-batch (4,5) d=1
     assert got == {(1, 3): 2, (4, 5): 1, (2, 6): 2}
+    # the index stores BAND rows bucketed on (band, bv): 6 non-NULL
+    # fingerprints x 4 bands
     index = spark.read.parquet(index_dir)
-    assert index.count() == 6  # NULL fp of doc 9 never indexed
-    assert index.where(F.col("doc_id") == 9).count() == 0
+    assert index.count() == 24
+    assert index.select("doc_id").distinct().count() == 6
+    assert index.where(F.col("doc_id") == 9).count() == 0  # NULL fp
+    assert "ibucket" in index.columns
 
-    # retry repair: drop doc 6's fingerprint from the index (a crash
+    # retry repair: drop doc 6's band rows from the index (a crash
     # between output commit and index append), re-run the committed
-    # batch — the hole is repaired, nothing re-emitted
+    # batch — the hole is repaired, nothing re-emitted. The rewrite
+    # preserves the bucketed layout; the _meta the rmtree destroys is
+    # re-pinned with the same modulus.
     kept = index.where("doc_id <> 6")
-    kept.write.mode("overwrite").parquet(str(tmp_path / "index2"))
+    kept.write.mode("overwrite").partitionBy("ibucket").parquet(
+        str(tmp_path / "index2")
+    )
     import shutil
 
     shutil.rmtree(index_dir)
     shutil.move(str(tmp_path / "index2"), index_dir)
+    spark.createDataFrame([(16,)], "n_buckets int").coalesce(
+        1
+    ).write.parquet(index_dir + "/_meta")
     stream2 = (
         spark.readStream.format("parquet")
         .schema(schema)
@@ -313,8 +324,8 @@ def test_index_hamming_stream_cross_batch_pairs(spark, tmp_path):
     )
     assert q2.awaitTermination(180)
     index_after = spark.read.parquet(index_dir)
-    assert index_after.count() == 6
-    assert index_after.where("doc_id = 6").count() == 1
+    assert index_after.count() == 24
+    assert index_after.where("doc_id = 6").count() == 4
     got_after = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in spark.read.parquet(out_dir + "/batch=*/pairs").collect()
@@ -395,16 +406,24 @@ def test_cluster_maintain_stream_incremental_labels(spark, tmp_path):
         9: (9, 1, 1),
     }
     index = spark.read.parquet(index_dir)
-    assert index.count() == 7  # NULL fp of doc 9 never indexed
+    # band-row layout: 7 non-NULL fingerprints x 4 bands
+    assert index.count() == 28
+    assert index.select("doc_id").distinct().count() == 7
 
     # retry with a fresh checkpoint after losing doc 6's index append:
-    # the hole is repaired, labels identical
+    # the hole is repaired, labels identical (layout + _meta preserved
+    # through the rewrite)
     import shutil
 
     kept = index.where("doc_id <> 6")
-    kept.write.mode("overwrite").parquet(str(tmp_path / "index2"))
+    kept.write.mode("overwrite").partitionBy("ibucket").parquet(
+        str(tmp_path / "index2")
+    )
     shutil.rmtree(index_dir)
     shutil.move(str(tmp_path / "index2"), index_dir)
+    spark.createDataFrame([(16,)], "n_buckets int").coalesce(
+        1
+    ).write.parquet(index_dir + "/_meta")
     stream2 = (
         spark.readStream.format("parquet")
         .schema(schema)
@@ -421,7 +440,7 @@ def test_cluster_maintain_stream_incremental_labels(spark, tmp_path):
         n_bits=64,
     )
     assert q2.awaitTermination(180)
-    assert spark.read.parquet(index_dir).where("doc_id = 6").count() == 1
+    assert spark.read.parquet(index_dir).where("doc_id = 6").count() == 4
     assert labels_at(2) == final
 
 
@@ -485,18 +504,33 @@ def test_cluster_maintain_delta_writes_touched_only(spark, tmp_path):
     # not the 60-doc corpus
     got1 = {r["doc_id"] for r in delta_rows(1).collect()}
     assert got1 == {0, 1, 2, 3, 4, 200}
-    sizes1 = spark.read.parquet(f"{out_dir}/batch=1/sizes").collect()
+    # sizes ride the cluster-keyed projection's canonical rows (no
+    # third per-batch artifact)
+    sizes1 = (
+        spark.read.parquet(f"{out_dir}/batch=1/delta_cluster")
+        .where("is_canonical = 1")
+        .collect()
+    )
     assert [
-        (r["cluster_id"], r["cluster_size"], r["canon"]) for r in sizes1
+        (r["cluster_id"], r["cluster_size"], r["doc_id"]) for r in sizes1
     ] == [(0, 6, 0)]
-    # batch 2 (pure re-delivery): cluster A re-emitted unchanged —
-    # size stays 6 (no double count), nothing else rewritten
-    got2 = {r["doc_id"] for r in delta_rows(2).collect()}
-    assert got2 == {0, 1, 2, 3, 4, 200}
-    sizes2 = spark.read.parquet(f"{out_dir}/batch=2/sizes").collect()
-    assert [
-        (r["cluster_id"], r["cluster_size"], r["canon"]) for r in sizes2
-    ] == [(0, 6, 0)]
+    # batch 2 (pure re-delivery of an already-indexed (id, fp)): the
+    # doc is routed around discovery and the fold entirely — the
+    # batch commits with NO delta dirs at all, and the index gains
+    # nothing (at-least-once redelivery cannot grow it)
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _fs_exists,
+        _fs_has_parquet_recursive,
+    )
+
+    assert _fs_exists(spark, f"{out_dir}/batch=2/_SUCCESS")
+    assert not _fs_has_parquet_recursive(spark, f"{out_dir}/batch=2/delta_doc")
+    assert not _fs_has_parquet_recursive(
+        spark, f"{out_dir}/batch=2/delta_cluster"
+    )
+    index = spark.read.parquet(str(tmp_path / "index"))
+    assert index.select("doc_id").distinct().count() == 61
+    assert index.count() == 61 * 4  # one band row per (doc, band), once
 
     # final state == from-scratch clustering over everything seen
     final = {
@@ -517,6 +551,19 @@ def test_cluster_maintain_delta_writes_touched_only(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "dbucket" in plan.split("PartitionFilters", 1)[1][:120]
+
+    # the DISCOVERY index probe is pruned the same way: the bucket
+    # filter sits on the ibucket partition column, so a batch reads
+    # only the band-value buckets it hashes into — never the full
+    # index (the last O(index)-per-trigger scan class, closed)
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _read_index_pruned,
+    )
+
+    ipruned = _read_index_pruned(spark, str(tmp_path / "index"), [0, 1])
+    iplan = ipruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in iplan
+    assert "ibucket" in iplan.split("PartitionFilters", 1)[1][:120]
 
 
 def test_cluster_store_compaction_and_vacuum(spark, tmp_path):
@@ -647,3 +694,101 @@ def test_cluster_store_n_buckets_pinned(spark, tmp_path):
         _ensure_store_buckets(spark, out_dir, 16)
     with _pytest.raises(ValueError, match="n_buckets=8"):
         compact_cluster_store(spark, out_dir, n_buckets=4)
+
+
+def test_lsh_stream_redelivery_does_not_grow_index(spark, tmp_path):
+    """At-least-once SOURCE redelivery across DISTINCT batch ids (not
+    a foreachBatch retry — a new batch id carrying an already-ingested
+    doc) must neither re-emit its pairs nor re-append its band rows:
+    without the guard the band index grows monotonically under
+    redelivery and every future probe pays for the duplicates."""
+    schema = "doc_id long, ts timestamp, text string"
+    t_a = "the quick brown fox jumps over the lazy dog again and again"
+    t_b = "completely different prose describing spark execution engines"
+    mk = lambda i, s, t: (i, T0 + dt.timedelta(seconds=s), t)
+    chunk0 = [mk(1, 0, t_a), mk(2, 1, t_b)]
+    chunk1 = [mk(1, 0, t_a)]  # doc 1 redelivered under a NEW batch id
+    path = _write_chunks(spark, tmp_path, [chunk0, chunk1], schema)
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_lsh_stream,
+    )
+
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = run_index_lsh_stream(
+        stream, out_dir, index_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(180)
+    index = spark.read.parquet(index_dir)
+    assert index.count() == 8  # 2 docs x 4 bands — redelivery added 0
+    assert spark.read.parquet(out_dir + "/batch=1/pairs").count() == 0
+
+
+def test_hamming_stream_redelivery_does_not_grow_index(spark, tmp_path):
+    """The fingerprint-stream twin of the LSH redelivery guard: a
+    redelivered (id, fp) under a new batch id re-emits no pairs and
+    re-appends no band rows."""
+    schema = "doc_id long, fp long"
+    chunk0 = [(1, 0x0123_4567_89AB_CDEF), (2, 0x7654_3210_0000_0000)]
+    chunk1 = [(1, 0x0123_4567_89AB_CDEF)]
+    path = _write_chunks(spark, tmp_path, [chunk0, chunk1], schema)
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_hamming_stream,
+    )
+
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = run_index_hamming_stream(
+        stream,
+        out_dir,
+        index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_hamming=3,
+        bands=4,
+        n_bits=64,
+    )
+    assert q.awaitTermination(180)
+    index = spark.read.parquet(index_dir)
+    assert index.count() == 8  # 2 fps x 4 bands — redelivery added 0
+    assert spark.read.parquet(out_dir + "/batch=1/pairs").count() == 0
+    # the redelivered batch's fps/ holds only NEW rows (none)
+    assert spark.read.parquet(out_dir + "/batch=1/fps").count() == 0
+
+
+def test_index_meta_modulus_pinned(spark, tmp_path):
+    """The index bucket modulus is part of the on-disk layout: a
+    resume with a different n_buckets must fail loudly (silent
+    mis-pruning would make prior fingerprints invisible to probes)."""
+    import pytest as _pytest
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _ensure_index_buckets,
+    )
+
+    idx = str(tmp_path / "index")
+    assert _ensure_index_buckets(spark, idx, 8) == 8
+    assert _ensure_index_buckets(spark, idx, None) == 8
+    with _pytest.raises(ValueError, match="n_buckets=8"):
+        _ensure_index_buckets(spark, idx, 16)
+    # a flat pre-bucketing index (root-level parquet, no _meta) is
+    # refused, never silently treated as empty
+    flat = str(tmp_path / "flat_index")
+    spark.createDataFrame([(1, 2)], "doc_id long, fp long").write.parquet(
+        flat
+    )
+    with _pytest.raises(ValueError, match="flat"):
+        _ensure_index_buckets(spark, flat, 8)
