@@ -28,6 +28,7 @@ Scale notes per operator:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -869,11 +870,56 @@ def simhash(
     )
 
 
+def _cc_union_find(sym: DataFrame) -> DataFrame:
+    """Single-pass union-find over a SYMMETRIZED, size-bounded edge
+    list (the small-graph fast path of ``connected_components`` —
+    caller enforces the row bound). One ``coalesce(1)`` +
+    ``mapInPandas`` job: no shuffle, no per-round actions; memory is
+    O(nodes) <= O(rows) in the single task, bounded by the caller's
+    threshold. Union-by-min-root + path compression, so every final
+    root is the component's minimum node id — byte-identical output
+    to the distributed loop.
+    """
+    node_t = sym.schema["src"].dataType.simpleString()
+
+    def fold(batches):
+        parent = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra < rb:
+                    parent[rb] = ra
+                elif rb < ra:
+                    parent[ra] = rb
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "label": [find(x) for x in nodes]}
+        )
+
+    return sym.coalesce(1).mapInPandas(
+        fold, schema=f"node {node_t}, label {node_t}"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    small_graph_max_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list: each node is
     labelled with the MINIMUM node id reachable from it.
@@ -898,6 +944,21 @@ def connected_components(
 
     This is driver-COORDINATED but not driver-computed: the driver
     sees one 8-byte sum per round; labels stay distributed.
+
+    SMALL-GRAPH FAST PATH: near-dup graphs are SPARSE by construction
+    (the edge builders emit star edges, so E = O(N_dup)), and the
+    streaming delta fold runs CC every micro-batch on a touched
+    subgraph that is usually a few hundred edges — where the
+    distributed loop's cost is pure fixed overhead (each
+    checkpoint+sum round is a multi-stage job; measured 3.8 s for a
+    131-edge graph at 8 shuffle partitions). When the materialized
+    edge list is at most ``small_graph_max_edges`` rows the component
+    fold runs as ONE Arrow-batched ``mapInPandas`` pass over the
+    coalesced edges: a path-halving union-find whose memory is
+    bounded by the threshold (<= 2*E node entries; 500k edges ~ tens
+    of MB), producing the identical min-label output. Larger graphs
+    take the distributed loop unchanged; pass
+    ``small_graph_max_edges=0`` to force it.
     """
     # Materialize the symmetrized edge list ONCE: every round joins
     # against it, and without the checkpoint each round would re-run
@@ -912,33 +973,45 @@ def connected_components(
         )
         .localCheckpoint()
     )
+    if small_graph_max_edges and (
+        sym.count() <= 2 * small_graph_max_edges
+    ):
+        return _cc_union_find(sym)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
-        nbr = sym.join(labels, sym["src"] == labels["node"]).select(
+
+    def _round(lab):
+        nbr = sym.join(lab, sym["src"] == lab["node"]).select(
             F.col("dst").alias("node"), F.col("label")
         )
         merged = (
-            labels.unionByName(nbr)
+            lab.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
         jump = merged.select(
             F.col("node").alias("jn"), F.col("label").alias("jl")
         )
-        new_labels = (
-            merged.join(jump, merged["label"] == jump["jn"], "left")
-            .select(
-                F.col("node"),
-                F.coalesce(F.col("jl"), F.col("label")).alias("label"),
-            )
-            .localCheckpoint()
+        return merged.join(jump, merged["label"] == jump["jn"], "left").select(
+            F.col("node"),
+            F.coalesce(F.col("jl"), F.col("label")).alias("label"),
         )
+
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        # TWO propagate+jump rounds per checkpoint/action: each
+        # checkpoint+sum is a full job (the dominant fixed cost of the
+        # loop on small touched subgraphs — the streaming delta fold
+        # runs this every micro-batch), the composed two-round plan is
+        # still shallow, and label distance to the minimum roughly
+        # QUADRUPLES per iteration. Convergence stays sound: at a
+        # fixpoint two more rounds change nothing (sum equal → stop);
+        # off fixpoint the sum strictly decreases across the block.
+        new_labels = _round(_round(labels)).localCheckpoint()
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,8 +93,19 @@ def compact_parquet_dir(
     store avoids this window entirely with versioned ``v=K`` snapshot
     dirs and a ``_VERSION`` pointer flip; this helper deliberately
     stays layout-preserving for plain parquet sinks.)
+
+    Filesystem access goes through the Hadoop FileSystem API (the
+    ``compact_cluster_store`` pattern), so any scheme Spark can write
+    works — file://, hdfs://, s3a://. On true object stores a
+    directory "rename" is the connector's copy+delete (not O(1), and
+    the no-mixed-listing guarantee weakens to the connector's
+    semantics); the quiesced-or-writer-owned rule above is what makes
+    that acceptable, and table formats (Delta OPTIMIZE, Iceberg
+    rewrite_data_files) remain the managed alternative there.
     """
-    n_files, total = dir_stats(path)
+    from ..streaming.dedup import _hadoop_fs
+
+    n_files, total = fs_dir_stats(spark, path)
     n_out = max(1, math.ceil(total / target_bytes))
     if n_files < min_files or n_out >= n_files:
         return n_files
@@ -103,16 +113,24 @@ def compact_parquet_dir(
     df: DataFrame = spark.read.parquet(path)
     staging = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
     retired = f"{path.rstrip('/')}.__retired_{uuid.uuid4().hex[:8]}"
+    fs, p = _hadoop_fs(spark, path)
+    _, sp = _hadoop_fs(spark, staging)
+    _, rp = _hadoop_fs(spark, retired)
     try:
         df.repartition(n_out).write.mode("overwrite").parquet(staging)
-        # atomic swap: readers see the old or the new listing, not a mix
-        os.rename(path, retired)
+        # swap: readers see the old or the new listing, not a mix
+        if not fs.rename(p, rp):
+            raise IOError(f"compaction swap failed: rename {path} away")
     except BaseException:
         # failed write (or failed swap) must not leak the staging copy:
         # a sibling .__compact_* dir the size of the table is a silent
         # 2x-disk cost on every failed maintenance run
-        shutil.rmtree(staging, ignore_errors=True)
+        fs.delete(sp, True)
         raise
-    os.rename(staging, path)
-    shutil.rmtree(retired, ignore_errors=True)
-    return dir_stats(path)[0]
+    if not fs.rename(sp, p):
+        # put the original back rather than leave the path missing
+        fs.rename(rp, p)
+        fs.delete(sp, True)
+        raise IOError(f"compaction swap failed: rename staging into {path}")
+    fs.delete(rp, True)
+    return fs_dir_stats(spark, path)[0]

@@ -492,13 +492,16 @@ def run_index_lsh_stream(
             # appends are repaired before the next batch runs, so any
             # match means all rows landed) are routed around
             # discovery and the append: their candidates were emitted
-            # when they first arrived
+            # when they first arrived. PERSISTED: the id set is tiny
+            # (bounded by the batch) and feeds three consumers — left
+            # lazy, each would re-scan the pruned index.
             redelivered = (
                 batch_bands.join(
                     idx, on=[id_col, "band", "bhash"], how="left_semi"
                 )
                 .select(id_col)
                 .distinct()
+                .persist()
             )
             new_bands = batch_bands.join(redelivered, id_col, "left_anti")
             probe = F.broadcast(new_bands) if broadcast_batch else new_bands
@@ -543,6 +546,7 @@ def run_index_lsh_stream(
                 ),
                 index_dir,
             )
+            redelivered.unpersist()
         finally:
             batch_bands.unpersist()
             sigs.unpersist()
@@ -699,12 +703,16 @@ def run_index_hamming_stream(
             # redelivered (id, fp) rows are already fully indexed
             # (torn appends heal on retry before the next batch), so
             # any band-row match identifies them; route them around
-            # discovery and the append
+            # discovery and the append. PERSISTED: new_fp feeds the
+            # probe bands, the within-batch pairs AND the fps write —
+            # left lazy, each consumer would re-run the anti-join
+            # against the pruned index. (No distinct on the index
+            # side: an anti-join only tests existence.)
             new_fp = batch_fp.join(
-                idx.select(id_col, hash_col).distinct(),
+                idx.select(id_col, hash_col),
                 on=[id_col, hash_col],
                 how="left_anti",
-            )
+            ).persist()
             new_bands = batch_bands.join(
                 new_fp.select(id_col), id_col, "left_semi"
             )
@@ -754,6 +762,7 @@ def run_index_hamming_stream(
                 ).withColumn("ibucket", _index_bucket(nb, "band", "bv")),
                 index_dir,
             )
+            new_fp.unpersist()
         finally:
             batch_bands.unpersist()
 
@@ -1304,12 +1313,16 @@ def run_cluster_maintain_stream(
         # folded into the label store (the index appends only after
         # the store commit) — route them around discovery and the
         # append: their edges were discovered at first arrival, and
-        # re-probing would only re-touch their clusters for nothing
+        # re-probing would only re-touch their clusters for nothing.
+        # PERSISTED: new_fp feeds the probe bands, the within-batch
+        # edges AND the fps write — left lazy, each consumer would
+        # re-run the anti-join against the pruned index. (No distinct
+        # on the index side: an anti-join only tests existence.)
         new_fp = edge_fp.join(
-            idx.select(id_col, hash_col).distinct(),
+            idx.select(id_col, hash_col),
             on=[id_col, hash_col],
             how="left_anti",
-        )
+        ).persist()
         new_bands = batch_bands.join(
             new_fp.select(id_col), id_col, "left_semi"
         )
@@ -1363,20 +1376,26 @@ def run_cluster_maintain_stream(
             )
             lookup_ids = eps.unionByName(new_ids).distinct()
             through, prior_batches = _cluster_store_parts(spark, base)
-            # bucket list of the lookup keys: <= n_buckets ints on the
-            # driver (a constant), pinning the store read to exactly
-            # the partitions the keys can live in
-            want = [
-                r[0]
-                for r in lookup_ids.select(
-                    _label_bucket(id_col, nb).alias("b")
+            if through is None and not prior_batches:
+                # empty store (first batch): nothing to look up — skip
+                # the two bucket-collect actions outright (half the
+                # batches of a two-batch replay, and every cold start)
+                store_doc = None
+            else:
+                # bucket list of the lookup keys: <= n_buckets ints on
+                # the driver (a constant), pinning the store read to
+                # exactly the partitions the keys can live in
+                want = [
+                    r[0]
+                    for r in lookup_ids.select(
+                        _label_bucket(id_col, nb).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                store_doc = _read_store_side(
+                    spark, base, "doc", through, prior_batches, buckets=want
                 )
-                .distinct()
-                .collect()
-            ]
-            store_doc = _read_store_side(
-                spark, base, "doc", through, prior_batches, buckets=want
-            )
             if store_doc is None:
                 prior_known = (
                     lookup_ids.limit(0)
@@ -1469,6 +1488,7 @@ def run_cluster_maintain_stream(
             )
         finally:
             batch_bands.unpersist()
+            new_fp.unpersist()
             edges.unpersist()
             if delta is not None:
                 delta.unpersist()

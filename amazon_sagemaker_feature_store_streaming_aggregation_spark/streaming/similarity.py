@@ -236,25 +236,19 @@ def compact_embedding_index(
     quiesced or from the runner that owns the index, between batches.
     Returns ``{cell: resulting file count}`` for the leaves visited.
 
-    LOCAL paths only, loudly: the underlying ``compact_parquet_dir``
-    measures with ``os.walk`` and swaps with ``os.rename``, which
-    would silently no-op on object storage — a remote URI would report
-    success while the small-file growth continued. Table formats
-    (Delta OPTIMIZE, Iceberg rewrite_data_files) are the deployment
-    path there.
+    Works on any URI scheme Spark can write: the underlying
+    ``compact_parquet_dir`` measures and swaps through the Hadoop
+    FileSystem API (the ``compact_cluster_store`` pattern) — which
+    matters here most, because the standing-stream small-file problem
+    this solves is worst exactly on object storage. There the swap is
+    the connector's copy+delete (see ``compact_parquet_dir``'s
+    consistency note); table formats (Delta OPTIMIZE, Iceberg
+    rewrite_data_files) remain the managed alternative.
     """
     from ..sinks.compaction import compact_parquet_dir
-    from .dedup import _hadoop_fs, _list_partition_ids
+    from .dedup import _list_partition_ids
 
     base = index_dir.rstrip("/")
-    fs, _ = _hadoop_fs(spark, base)
-    scheme = fs.getUri().getScheme()
-    if scheme not in (None, "file"):
-        raise NotImplementedError(
-            f"compact_embedding_index is local-filesystem-only (got "
-            f"{scheme}://) — compact_parquet_dir's measure/swap are "
-            "os-level; use a table format's OPTIMIZE on object storage"
-        )
     out: dict = {}
     for cell in _list_partition_ids(
         spark, base, "cell", require_success=False

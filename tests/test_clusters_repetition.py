@@ -66,14 +66,35 @@ def test_components_random_graph_matches_union_find(spark):
     ]
     edges = [(a, b) for a, b in edges if a != b]
     expect = _py_components(n, edges)
+    touched = {x for e in edges for x in e}
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    # both paths — the single-task union-find fast path (default for a
+    # graph this size) and the distributed pointer-jumping loop
+    # (forced) — must produce the identical min-label map
+    for small in (500_000, 0):
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components(
+                df, small_graph_max_edges=small
+            ).collect()
+        }
+        assert got == {x: expect[x] for x in touched}, f"small={small}"
+
+
+def test_components_distributed_path_long_chain(spark):
+    # keep the distributed loop covered on the convergence-critical
+    # shape (path graph, diameter >> rounds) now that small graphs
+    # default to the union-find fast path
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+    )
     got = {
         r["node"]: r["label"]
         for r in connected_components(
-            spark.createDataFrame(edges, ["doc_a", "doc_b"])
+            edges, small_graph_max_edges=0
         ).collect()
     }
-    touched = {x for e in edges for x in e}
-    assert got == {x: expect[x] for x in touched}
+    assert got == {i: 0 for i in range(41)}
 
 
 def test_near_dup_clusters_keep_list(spark):
