@@ -2497,6 +2497,147 @@ GROUP BY c.doc_id
 """
 
 
+# ------------------------------- substring-level dedup (Lee et al. 2021)
+
+_SUBSTR_K = 8
+_SUBSTR_MIN_COUNT = 2
+
+
+def _q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup discovery (operators/substring.py::
+    repeated_spans, the Lee et al. 2021 ExactSubstr pass re-expressed
+    relationally): every k-token window hashes scan-side, windows
+    whose hash occurs >= 2 times corpus-wide mark their occurrences,
+    marked windows merge into maximal per-doc token extents via
+    gaps-and-islands on one doc-keyed window. All stages O(windows);
+    no pair materialization anywhere."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.substring import (
+        repeated_spans,
+    )
+
+    return repeated_spans(
+        load_table(spark, sf_dir, "documents"),
+        k=_SUBSTR_K,
+        min_count=_SUBSTR_MIN_COUNT,
+    )
+
+
+def _q_dedup_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring surgery (operators/substring.py::
+    remove_repeated_spans): one row per input row, tokens inside the
+    repeated extents cut, text single-space rejoined; NULL text stays
+    NULL, NULL ids pass through untouched (outside span accounting by
+    the null-unsafe rule)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.substring import (
+        remove_repeated_spans,
+    )
+
+    return remove_repeated_spans(
+        load_table(spark, sf_dir, "documents"),
+        k=_SUBSTR_K,
+        min_count=_SUBSTR_MIN_COUNT,
+    )
+
+
+def _substring_grp_cte(k: int, mc: int) -> str:
+    """Shared CTE chain (tokenize -> window-hash -> corpus-wide dup
+    mark -> gaps-and-islands) for both substring oracles — one source
+    of truth so discovery and removal can never drift. Tokenizer is
+    the engine-wide list_filter(regexp_split_to_array(...)) twin;
+    window hash = h64 of the space-joined window (tokens cannot
+    contain whitespace, so the join is boundary-unambiguous)."""
+    wh = _H64.format(x=f"array_to_string(tk[i + 1 : i + {k}], ' ')")
+    return f"""
+spans AS (
+  SELECT doc_id,
+         unnest(range(len(tk) - {k} + 1)) AS pos,
+         unnest(list_transform(range(len(tk) - {k} + 1), i -> {wh})) AS sh
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t != '') AS tk
+        FROM documents WHERE doc_id IS NOT NULL)
+  WHERE len(tk) >= {k}
+), dup AS (
+  SELECT sh FROM spans GROUP BY sh HAVING count(*) >= {mc}
+), marked AS (
+  SELECT s.doc_id, s.pos FROM spans s JOIN dup USING (sh)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos) OVER (PARTITION BY doc_id
+              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              + {k}, -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM marked
+), grp AS (
+  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)"""
+
+
+_SUBSTRING_SPANS_ORACLE = f"""
+WITH {_substring_grp_cte(_SUBSTR_K, _SUBSTR_MIN_COUNT)}
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SUBSTR_K} AS BIGINT) AS span_end,
+       count(*) AS n_windows
+FROM grp GROUP BY doc_id, island
+"""
+
+# Removal: reconstruction groups per DISTINCT (doc_id, text) — dirty
+# corpora carry duplicate ids with different texts, and the merged
+# doc-level extents apply to EACH row's own token stream; joining the
+# per-(id, text) reconstruction back to the base table restores row
+# multiplicity. string_agg over zero kept rows vanishes, hence the
+# coalesce('') for fully-covered docs; NULL ids and NULL texts ride
+# their own branches (outside span accounting / no text contract).
+_SUBSTRING_REMOVED_ORACLE = f"""
+WITH {_substring_grp_cte(_SUBSTR_K, _SUBSTR_MIN_COUNT)}, ext AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_SUBSTR_K} AS e
+  FROM grp GROUP BY doc_id, island
+), dd AS (
+  SELECT DISTINCT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), dtoks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t != '') AS tk
+  FROM dd
+), tokpos AS (
+  SELECT doc_id, text, unnest(tk) AS tok, unnest(range(len(tk))) AS i
+  FROM dtoks
+), keptrows AS (
+  SELECT t.doc_id, t.text, t.tok, t.i
+  FROM tokpos t LEFT JOIN ext e
+    ON t.doc_id = e.doc_id AND t.i >= e.s AND t.i < e.e
+  WHERE e.doc_id IS NULL
+), kc AS (
+  SELECT doc_id, text, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS text_clean
+  FROM keptrows GROUP BY doc_id, text
+), recon AS (
+  SELECT t.doc_id, t.text, coalesce(k.text_clean, '') AS text_clean,
+         CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         CAST(len(t.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+  FROM dtoks t LEFT JOIN kc k ON t.doc_id = k.doc_id AND t.text = k.text
+)
+SELECT d.doc_id, r.text_clean, r.n_tokens, r.n_removed
+FROM documents d JOIN recon r ON d.doc_id = r.doc_id AND d.text = r.text
+WHERE d.text IS NOT NULL AND d.doc_id IS NOT NULL
+UNION ALL
+SELECT doc_id,
+       array_to_string(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   t -> t != ''), ' ') AS text_clean,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t != '')) AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS n_removed
+FROM documents WHERE doc_id IS NULL AND text IS NOT NULL
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR) AS text_clean,
+       CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS n_removed
+FROM documents WHERE text IS NULL
+"""
+
+
 # ------------------------------------------------------- salted join
 
 
@@ -5179,6 +5320,8 @@ def ext_queries():
         "sketch_cms_heavy_hitters": _q_sketch_cms,
         "mm_frame_sample": _q_mm_frame_sample,
         "dedup_contamination": _q_dedup_contamination,
+        "dedup_substring_spans": _q_dedup_substring_spans,
+        "dedup_substring_removed": _q_dedup_substring_removed,
         "rel_salted_join": _q_rel_salted_join,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "udx_luhn": _q_udx_luhn,
@@ -5304,6 +5447,8 @@ def ext_oracles():
         "sketch_cms_heavy_hitters": _cms_oracle(),
         "mm_frame_sample": _MM_FRAME_ORACLE,
         "dedup_contamination": _CONTAMINATION_ORACLE,
+        "dedup_substring_spans": _SUBSTRING_SPANS_ORACLE,
+        "dedup_substring_removed": _SUBSTRING_REMOVED_ORACLE,
         "rel_salted_join": _REL_SALTED_ORACLE,
         "pipeline_clean_corpus": _pipeline_oracle(),
         "udx_luhn": _luhn_oracle(),

@@ -329,6 +329,8 @@ DIRTY_QUERIES = [
     "b13_feature_records",
     "cohort_retention",
     "dedup_contamination",
+    "dedup_substring_spans",
+    "dedup_substring_removed",
     "dedup_edit_distance",
     "dedup_inc_append",
     "dedup_inc_append_bloom",
