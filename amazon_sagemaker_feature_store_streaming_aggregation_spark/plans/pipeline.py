@@ -271,6 +271,96 @@ def curate_and_shard(
     ).withColumn("shard", F.col("shard").cast("long"))
 
 
+def curate_mix_shards(
+    documents: DataFrame,
+    bottom_frac: float = 0.2,
+    tau: float = 0.5,
+    target_fraction: float = 0.5,
+    n_shards: int = 8,
+    budget: int = 512,
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    cutoff: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """The full modern curation recipe as ONE composed job — what a
+    100 TB pretraining-data pipeline actually runs, every stage the
+    already-verified operator:
+
+    1. **clean** — CCNet line-level boilerplate removal
+       (``remove_boilerplate_lines``);
+    2. **LM-score + percentile cut** — bigram-LM scoring of the
+       cleaned text, drop the worst ``bottom_frac``
+       (:func:`quality_filter`, ``with_text=True`` so the cleaned
+       text flows on without re-running the line-frequency shuffle);
+    3. **mix** — temperature-based source resampling over the
+       survivors (``temperature_mixture``; counts are computed on the
+       survivor population, which is what the recipe means — mixing
+       weights follow what is LEFT after quality filtering);
+    4. **dedup** — exact dedup on the CLEANED text (boilerplate
+       stripping canonicalizes near-identical pages into exact
+       duplicates — deduping after cleaning is the whole point of the
+       ordering), lowest id wins;
+    5. **shard** — deterministic global shuffle + fixed-token-budget
+       context-window packing (``pack_context_windows``); output is
+       the per-(shard, win) manifest.
+
+    Provenance re-attaches by an id join after stage 2 (the quality
+    chain is (id, text)-pure); with duplicate ids carrying different
+    texts the join follows SQL multiplicity — and the downstream
+    shuffle's ``(hash, id)`` sort key can then tie, so like every
+    packer here the manifest is only deterministic on unique-id
+    corpora (the engine-wide contract; ``_cleaned`` documents the
+    same rule).
+
+    Shuffle census: boilerplate line-frequency exchange + its doc
+    regroup, two thin LM aggregates, the one-partition calibration
+    window (or none with ``cutoff=``), broadcast-joined mix rates,
+    ONE dedup exchange on the 8-byte cleaned-text hash, and the
+    packer's shard exchange. Nothing moves the corpus twice; every
+    post-clean stage sees only survivors.
+    """
+    from ..operators.sampling import temperature_mixture
+    from ..operators.training_data import pack_context_windows
+
+    kept = quality_filter(
+        documents.select(id_col, text_col),
+        bottom_frac=bottom_frac,
+        min_doc_frac=min_doc_frac,
+        min_docs=min_docs,
+        cutoff=cutoff,
+        id_col=id_col,
+        text_col=text_col,
+        with_text=True,
+    )
+    with_src = kept.join(
+        documents.select(id_col, source_col),
+        id_col,
+    )
+    mixed = temperature_mixture(
+        with_src,
+        tau=tau,
+        strata_col=source_col,
+        id_col=id_col,
+        target_fraction=target_fraction,
+    )
+    w = Window.partitionBy(h64(F.col("text_clean"))).orderBy(id_col)
+    deduped = (
+        mixed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return pack_context_windows(
+        deduped,
+        text_col="text_clean",
+        key_col=id_col,
+        n_shards=n_shards,
+        budget=budget,
+    ).withColumn("shard", F.col("shard").cast("long"))
+
+
 def quality_filter(
     docs: DataFrame,
     bottom_frac: float = 0.2,
@@ -280,6 +370,7 @@ def quality_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus_count: int | None = None,
+    with_text: bool = False,
 ) -> DataFrame:
     """The composed CCNet-shaped quality chain, one oracle-checked
     plan: line-level boilerplate removal -> bigram-LM scoring of the
@@ -300,6 +391,11 @@ def quality_filter(
     deterministic_sample` or pass a precomputed ``cutoff`` (the CCNet
     recipe's fixed per-bucket thresholds), which skips the ranking
     entirely.
+
+    ``with_text=True`` appends the boilerplate-cleaned ``text_clean``
+    column to the output — the downstream stages of a composed
+    curation pipeline (dedup, packing) consume the CLEANED text, and
+    re-deriving it would re-run the line-frequency shuffle.
     """
     if cutoff is None and not (0.0 < bottom_frac < 1.0):
         raise ValueError("bottom_frac must be in (0, 1)")
@@ -318,8 +414,9 @@ def quality_filter(
         cleaned.select(F.col(id_col), F.col("text_clean").alias("text")),
         id_col=id_col,
     )
+    keep_cols = ["n_removed"] + (["text_clean"] if with_text else [])
     scorable = scored.where(F.col("n_bigrams") > 0).join(
-        cleaned.select(id_col, "n_removed"), id_col
+        cleaned.select(id_col, *keep_cols), id_col
     )
     if cutoff is not None:
         cut = scorable.sparkSession.createDataFrame(
@@ -344,5 +441,5 @@ def quality_filter(
     return (
         scorable.crossJoin(F.broadcast(cut))
         .where(F.col("lm_score") >= F.col("__t"))
-        .select(id_col, "lm_score", "n_bigrams", "n_removed")
+        .select(id_col, "lm_score", "n_bigrams", *keep_cols)
     )

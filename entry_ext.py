@@ -4863,6 +4863,101 @@ FROM qscorable s, qcut WHERE s.lm_score >= qcut.t
 """
 
 
+def _q_pipeline_curate_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern curation recipe end-to-end (plans/pipeline.py::
+    curate_mix_shards): CCNet boilerplate clean -> bigram-LM score ->
+    exact percentile cut -> temperature source mixing over the
+    survivors -> exact dedup on the CLEANED text -> deterministic
+    shuffle + context-window packing. One composed DuckDB oracle
+    replays every stage; output is the per-(shard, win) manifest."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.pipeline import (
+        curate_mix_shards,
+    )
+
+    return curate_mix_shards(load_table(spark, sf_dir, "documents"))
+
+
+def _curate_mix_oracle() -> str:
+    """Composed oracle for the clean->score->cut->mix->dedup->pack
+    pipeline. Stage bodies are the registered single-stage oracles
+    nested as CTEs (boilerplate + source-parameterized LM + the
+    quality cut from _QUALITY_FILTER_ORACLE + the temperature-mix
+    arithmetic from _TEMPERATURE_MIX_ORACLE with counts over the
+    SURVIVOR population + the dedup/pack chain from
+    _curate_shards_oracle). qscorable/wsrc are MATERIALIZED: each
+    feeds two consumers, and default inlining would re-run the
+    boilerplate+LM chain once per reference."""
+    tmix_h = _H64.format(x="'tmix:' || CAST(doc_id AS VARCHAR)")
+    dedup_h = _H64.format(x="text_clean")
+    shuf_h = _H64.format(x="'shuffle-v1:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH cleaned AS MATERIALIZED (
+{_BOILERPLATE_ORACLE}
+), lmout AS (
+{_lm_score_sql("cleaned", "text_clean")}
+), qscorable AS MATERIALIZED (
+  SELECT l.doc_id, l.lm_score, l.n_bigrams, c.n_removed, c.text_clean
+  FROM lmout l JOIN cleaned c ON l.doc_id = c.doc_id
+  WHERE l.n_bigrams > 0
+), qranked AS (
+  SELECT lm_score, row_number() OVER (ORDER BY lm_score) AS rn,
+         count(*) OVER () AS n
+  FROM qscorable
+), qcut AS (
+  SELECT lm_score AS t FROM qranked
+  WHERE rn = CAST(ceil(0.2 * n) AS BIGINT)
+), wsrc AS MATERIALIZED (
+  SELECT s.doc_id, s.text_clean, d.source
+  FROM qscorable s, qcut, documents d
+  WHERE s.lm_score >= qcut.t AND s.doc_id = d.doc_id
+), tcounts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(round(pow(CAST(count(*) AS DOUBLE), 0.5) * 1000000)
+              AS BIGINT) AS qpow
+  FROM wsrc WHERE source IS NOT NULL GROUP BY source
+), ttots AS (
+  SELECT CAST(sum(n) AS BIGINT) AS ntot, CAST(sum(qpow) AS BIGINT) AS z
+  FROM tcounts
+), trates AS (
+  SELECT c.source,
+         least(10000, greatest(0,
+           CAST(round(((0.5 * CAST(t.ntot AS DOUBLE))
+                       * (CAST(c.qpow AS DOUBLE) / CAST(t.z AS DOUBLE))
+                       / CAST(c.n AS DOUBLE)) * 10000) AS BIGINT))) AS qrate
+  FROM tcounts c CROSS JOIN ttots t
+), mixed AS (
+  SELECT w.doc_id, w.text_clean
+  FROM wsrc w JOIN trates r ON w.source = r.source
+  WHERE {tmix_h} % 10000 < r.qrate
+), mdedup AS (
+  SELECT doc_id, text_clean FROM (
+    SELECT m.doc_id, m.text_clean,
+           row_number() OVER (PARTITION BY {dedup_h}
+                              ORDER BY doc_id) AS dd_rn
+    FROM mixed m)
+  WHERE dd_rn = 1
+), shuffled AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text_clean),
+              '\\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
+         {shuf_h} % 8 AS shard,
+         row_number() OVER (PARTITION BY {shuf_h} % 8
+                            ORDER BY {shuf_h}, doc_id) AS pos
+  FROM mdedup
+), cum AS (
+  SELECT shard, pos, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos)
+              AS BIGINT) AS c
+  FROM shuffled
+)
+SELECT shard, CAST(floor((c - n_tokens) / 512.0) AS BIGINT) AS win,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS win_tokens,
+       CAST(min(pos) AS BIGINT) AS first_pos,
+       CAST(max(pos) AS BIGINT) AS last_pos
+FROM cum GROUP BY 1, 2
+"""
+
+
 def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids
     (operators/similarity.py::label_centroids)."""
@@ -5381,6 +5476,7 @@ def ext_queries():
         "text_lm_score": _q_lm_score,
         "text_clean_boilerplate": _q_boilerplate_lines,
         "pipeline_quality_filter": _q_quality_filter,
+        "pipeline_curate_mix": _q_pipeline_curate_mix,
         "s_stream_lm_score": _q_stream_lm_score,
         "sim_label_centroids": _q_label_centroids,
     }
@@ -5508,6 +5604,7 @@ def ext_oracles():
         "text_lm_score": _LM_SCORE_ORACLE,
         "text_clean_boilerplate": _BOILERPLATE_ORACLE,
         "pipeline_quality_filter": _QUALITY_FILTER_ORACLE,
+        "pipeline_curate_mix": _curate_mix_oracle(),
         "s_stream_lm_score": _LM_SCORE_ORACLE,
         "sim_label_centroids": _LABEL_CENTROIDS_ORACLE,
     }

@@ -341,6 +341,7 @@ DIRTY_QUERIES = [
     "olap_grouping_sets",
     "olap_revenue_cube",
     "olap_small_qty_revenue",
+    "pipeline_curate_mix",
     "pipeline_source_cap",
     "pit_training_set",
     "q_profile_table",
