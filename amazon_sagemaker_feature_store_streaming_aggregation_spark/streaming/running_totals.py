@@ -49,6 +49,9 @@ distribution found" (offline index); capability unchanged.
 Retried 2026-08-15 (round 8): ``pip install protobuf`` → index host
 unresolvable (DNS failure, fully offline); ``import google.protobuf``
 still ModuleNotFoundError; capability unchanged.
+Retried 2026-08-15 (round 9): same DNS-unresolvable index
+(NewConnectionError on every pip retry); ``import google.protobuf``
+still ModuleNotFoundError; capability unchanged.
 
 100 TB notes: state per key is 16 bytes — hot keys cost nothing
 extra; the one shuffle is the groupBy key partitioning shared by all
