@@ -48,6 +48,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import _TOKENS  # single tokenizer source
 
@@ -186,4 +187,89 @@ def lm_transition_scores(
             )
             / F.lit(float(LM_QUANT)),
         ).alias("lm_score"),
+    )
+
+
+def lm_quality_buckets(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    cutoffs: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing (Wenzek et al.
+    arXiv:1911.00359 §4.3), per SOURCE stratum: rank every scorable
+    document's :func:`lm_transition_scores` value inside its source
+    and label the top tercile ``head``, the next ``middle``, the rest
+    ``tail`` — the recipe's pre-training data split (train on head,
+    sample middle, drop tail) generalized from per-language to any
+    provenance column. Output: one row per DISTINCT scorable
+    ``(id, source)`` pair — ``(id, source, lm_score, bucket)``.
+
+    Cut values are the per-source exact PERCENTILE_DISC at 1/3 and
+    2/3 (smallest score with rank >= ceil(frac * n)); bucket
+    membership is a VALUE comparison against them, so rank-order ties
+    cannot flip labels across engines. Excluded by the engine-wide
+    provenance/evidence rules: NULL ids, NULL sources, and docs with
+    ``n_bigrams = 0`` (no transitions -> no quality evidence).
+    Duplicate id rows pool their bigrams into one score group
+    (the :func:`lm_transition_scores` contract) and bucket once per
+    distinct (id, source).
+
+    ``cutoffs=`` takes a precomputed ``(source, cut1, cut2)`` frame
+    and skips the ranking pass entirely — the CCNet deployment shape
+    (fixed per-stratum thresholds), and the scale path when a single
+    source dominates the corpus: the ranking window sorts each
+    source's scores through one partition (thin rows, but one task
+    per hot source), while fixed cutoffs keep everything scan-side.
+    """
+    scored = (
+        lm_transition_scores(docs, reference, id_col, text_col, model)
+        .where(F.col("n_bigrams") > 0)
+        .select(id_col, "lm_score")
+        .distinct()
+    )
+    pairs = (
+        docs.where(
+            F.col(id_col).isNotNull() & F.col(source_col).isNotNull()
+        )
+        .select(id_col, source_col)
+        .distinct()
+    )
+    scorable = pairs.join(scored, id_col)
+    if cutoffs is None:
+        w = Window.partitionBy(source_col).orderBy("lm_score")
+        ranked = scorable.withColumn(
+            "__rn", F.row_number().over(w)
+        ).withColumn(
+            "__n", F.count("*").over(Window.partitionBy(source_col))
+        )
+        cutoffs = ranked.groupBy(source_col).agg(
+            F.max(
+                F.when(
+                    F.col("__rn")
+                    == F.ceil(F.col("__n") / F.lit(3.0)).cast("long"),
+                    F.col("lm_score"),
+                )
+            ).alias("cut1"),
+            F.max(
+                F.when(
+                    F.col("__rn")
+                    == F.ceil(F.lit(2.0) * F.col("__n") / F.lit(3.0)).cast(
+                        "long"
+                    ),
+                    F.col("lm_score"),
+                )
+            ).alias("cut2"),
+        )
+    return scorable.join(F.broadcast(cutoffs), source_col).select(
+        id_col,
+        source_col,
+        "lm_score",
+        F.when(F.col("lm_score") >= F.col("cut2"), F.lit("head"))
+        .when(F.col("lm_score") >= F.col("cut1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )

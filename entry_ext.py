@@ -4863,6 +4863,52 @@ FROM qscorable s, qcut WHERE s.lm_score >= qcut.t
 """
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (operators/lm.py::
+    lm_quality_buckets, Wenzek et al. §4.3): per-source exact
+    PERCENTILE_DISC terciles of the self-trained bigram-LM score;
+    bucket membership by VALUE comparison so rank ties cannot flip
+    labels across engines."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.lm import (
+        lm_quality_buckets,
+    )
+
+    return lm_quality_buckets(load_table(spark, sf_dir, "documents"))
+
+
+_CCNET_BUCKETS_ORACLE = f"""
+WITH lmsc AS (
+{_lm_score_sql()}
+), su AS (
+  SELECT DISTINCT doc_id, lm_score FROM lmsc
+  WHERE doc_id IS NOT NULL AND n_bigrams > 0
+), pairs AS (
+  SELECT DISTINCT doc_id, source FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+), scor AS (
+  SELECT p.doc_id, p.source, s.lm_score
+  FROM pairs p JOIN su s ON p.doc_id = s.doc_id
+), ranked AS (
+  SELECT doc_id, source, lm_score,
+         row_number() OVER (PARTITION BY source ORDER BY lm_score) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scor
+), cuts AS (
+  SELECT source,
+         max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                  THEN lm_score END) AS cut1,
+         max(CASE WHEN rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT)
+                  THEN lm_score END) AS cut2
+  FROM ranked GROUP BY source
+)
+SELECT s.doc_id, s.source, s.lm_score,
+       CASE WHEN s.lm_score >= c.cut2 THEN 'head'
+            WHEN s.lm_score >= c.cut1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scor s JOIN cuts c ON s.source = c.source
+"""
+
+
 def _q_pipeline_curate_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL modern curation recipe end-to-end (plans/pipeline.py::
     curate_mix_shards): CCNet boilerplate clean -> bigram-LM score ->
@@ -5477,6 +5523,7 @@ def ext_queries():
         "text_clean_boilerplate": _q_boilerplate_lines,
         "pipeline_quality_filter": _q_quality_filter,
         "pipeline_curate_mix": _q_pipeline_curate_mix,
+        "text_ccnet_buckets": _q_ccnet_buckets,
         "s_stream_lm_score": _q_stream_lm_score,
         "sim_label_centroids": _q_label_centroids,
     }
@@ -5605,6 +5652,7 @@ def ext_oracles():
         "text_clean_boilerplate": _BOILERPLATE_ORACLE,
         "pipeline_quality_filter": _QUALITY_FILTER_ORACLE,
         "pipeline_curate_mix": _curate_mix_oracle(),
+        "text_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "s_stream_lm_score": _LM_SCORE_ORACLE,
         "sim_label_centroids": _LABEL_CENTROIDS_ORACLE,
     }

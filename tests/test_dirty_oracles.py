@@ -342,6 +342,7 @@ DIRTY_QUERIES = [
     "olap_revenue_cube",
     "olap_small_qty_revenue",
     "pipeline_curate_mix",
+    "text_ccnet_buckets",
     "pipeline_source_cap",
     "pit_training_set",
     "q_profile_table",

@@ -133,3 +133,68 @@ def test_profile_table_approx_within_hll_tolerance(spark):
         p_approx.count("Expand"),
         p_exact.count("Expand"),
     )
+
+
+def test_lm_quality_buckets_terciles(spark):
+    """Distinct scores in one source split 4/3/2 (PERCENTILE_DISC
+    cut VALUES are inclusive on the upper side: tail = ranks below
+    ceil(n/3), middle = up to but excluding the rank-ceil(2n/3)
+    value, head = at/above it) and the bucket ordering follows the
+    score ordering."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.lm import (
+        lm_quality_buckets,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the dog",
+        "the quick brown fox sleeps",
+        "colorless green ideas sleep furiously tonight",
+        "green ideas the quick dog",
+        "fox dog the over jumps",
+        "entirely novel wording here absolutely",
+        "lazy dog lazy dog lazy dog",
+        "quick quick quick brown brown",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "web") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    rows = lm_quality_buckets(docs).collect()
+    assert len(rows) == 9
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["lm_score"])
+    assert {k: len(v) for k, v in by_bucket.items()} == {
+        "head": 4, "middle": 3, "tail": 2,
+    }
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+
+
+def test_lm_quality_buckets_fixed_cutoffs(spark):
+    """cutoffs= (the CCNet deployment shape) skips ranking and labels
+    by the given per-source thresholds; NULL source/id excluded."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.lm import (
+        lm_quality_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b", "web"),
+            (2, "c d e f g h", "web"),
+            (None, "a b a b", "web"),
+            (3, "a b a b", None),
+        ],
+        "doc_id long, text string, source string",
+    )
+    cuts = spark.createDataFrame(
+        [("web", 0.0, 1.1)], "source string, cut1 double, cut2 double"
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in lm_quality_buckets(docs, cutoffs=cuts).collect()
+    }
+    # cut2 > 1 is unreachable (scores are mean probabilities <= 1), so
+    # everything scorable with source lands in 'middle'
+    assert got == {1: "middle", 2: "middle"}
