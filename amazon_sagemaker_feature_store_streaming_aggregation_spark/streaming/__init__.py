@@ -8,6 +8,7 @@ from .sources import (  # noqa: F401
     read_json_event_stream,
 )
 from .dedup import (  # noqa: F401
+    compact_banded_index,
     compact_cluster_store,
     dedup_stream_content,
     dedup_stream_exact,

@@ -232,6 +232,41 @@ def _collect_buckets(rows: DataFrame, n_buckets: int, *key_cols) -> list:
     ]
 
 
+def compact_banded_index(
+    spark,
+    index_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Per-bucket small-file compaction for the ``ibucket``-partitioned
+    streaming dedup indexes (exact-hash / LSH band / hamming band —
+    the twin of ``streaming/similarity.py::compact_embedding_index``
+    for cell-partitioned vector indexes): every micro-batch appends
+    ~one file per touched bucket, so a standing stream accumulates
+    O(batches) files per hot bucket. Rewrites each ``ibucket=<b>/``
+    leaf to ~``target_bytes`` files via ``compact_parquet_dir`` (Hadoop
+    FS API — any URI scheme; atomic-swap semantics per its docstring),
+    leaf by leaf so the whole index is never rewritten at once and
+    partition pruning is untouched (the bucket value lives in the dir
+    name). Run quiesced or from the runner that owns the index,
+    between batches. Returns ``{bucket: resulting file count}``.
+    """
+    from ..sinks.compaction import compact_parquet_dir
+
+    base = index_dir.rstrip("/")
+    out: dict = {}
+    for b in _list_partition_ids(
+        spark, base, "ibucket", require_success=False
+    ):
+        out[b] = compact_parquet_dir(
+            spark,
+            f"{base}/ibucket={b}",
+            target_bytes=target_bytes,
+            min_files=min_files,
+        )
+    return out
+
+
 def run_index_dedup_stream(
     stream: DataFrame,
     out_dir: str,

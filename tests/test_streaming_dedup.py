@@ -792,3 +792,62 @@ def test_index_meta_modulus_pinned(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="flat"):
         _ensure_index_buckets(spark, flat, 8)
+
+
+def test_compact_banded_index_preserves_rows_and_pruning(spark, tmp_path):
+    """Per-bucket compaction of an ibucket-partitioned band index is a
+    physical-layout operation: fewer files in the visited leaves,
+    identical rows, and the partition-pruned probe plan intact."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sinks.compaction import (
+        dir_stats,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        compact_banded_index,
+        run_index_lsh_stream,
+    )
+
+    schema = "doc_id long, ts timestamp, text string"
+
+    def mk(i, s, text):
+        return (i, T0 + dt.timedelta(seconds=s), text)
+
+    texts = [
+        f"document number {i} with some shared filler words in it"
+        for i in range(9)
+    ]
+    chunks = [
+        [mk(3 * b + j, 60 * b + j, texts[3 * b + j]) for j in range(3)]
+        for b in range(3)
+    ]  # 3 micro-batches -> up to 3 files per touched bucket
+    path = _write_chunks(spark, tmp_path, chunks, schema)
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = run_index_lsh_stream(
+        stream,
+        str(tmp_path / "out"),
+        index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(180)
+
+    before = spark.read.parquet(index_dir)
+    rows_before = sorted(map(tuple, before.collect()))
+    files_before = dir_stats(index_dir)[0]
+    done = compact_banded_index(spark, index_dir, min_files=2)
+    assert done  # visited at least one bucket leaf
+    files_after = dir_stats(index_dir)[0]
+    assert files_after < files_before
+    after = spark.read.parquet(index_dir)
+    assert sorted(map(tuple, after.collect())) == rows_before
+    pruned = after.where(F.col("ibucket") == list(done)[0])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
