@@ -26,4 +26,4 @@ Everything here is built on public Apache Spark APIs only.
 
 __version__ = "0.1.0"
 
-from .session import get_spark  # noqa: F401
+from .session import get_spark, local_rows  # noqa: F401

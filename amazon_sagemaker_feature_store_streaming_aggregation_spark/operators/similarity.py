@@ -46,6 +46,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_rows
+
 QUANT = 1_000_000
 
 #: auto_planes default: expected bucket occupancy the policy aims for.
@@ -792,7 +794,8 @@ def train_ivf_centroids(
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(unit)
     spark = embeddings.sparkSession
-    centers = spark.createDataFrame(
+    centers = local_rows(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, center array<double>",
     )

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_rows
+
 # Same whitespace tokenizer as functions/text.py (oracle:
 # list_filter(regexp_split_to_array(trim(c), '\s+'), t -> t != ''))
 from ..functions.text import _TOKENS  # noqa: E402  (single tokenizer source)
@@ -374,8 +376,9 @@ def learn_bpe_merges(
             s = nxt
     finally:
         s.unpersist()
-    return docs.sparkSession.createDataFrame(
-        merges, "step int, lhs string, rhs string, weight long"
+    return local_rows(
+        docs.sparkSession, merges,
+        "step int, lhs string, rhs string, weight long",
     )
 
 

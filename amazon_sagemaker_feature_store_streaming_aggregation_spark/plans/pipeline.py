@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_rows
+
 from ..functions.hashing import h64
 from ..functions.text import with_lang_id, with_text_stats
 
@@ -419,8 +421,8 @@ def quality_filter(
         cleaned.select(id_col, *keep_cols), id_col
     )
     if cutoff is not None:
-        cut = scorable.sparkSession.createDataFrame(
-            [(float(cutoff),)], "__t double"
+        cut = local_rows(
+            scorable.sparkSession, [(float(cutoff),)], "__t double"
         )
     else:
         # the calibration subquery and the returned plan both consume

@@ -75,3 +75,43 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_rows(spark: SparkSession, rows: list, schema) -> "DataFrame":
+    """Small driver-side constant table as a JVM ``LocalTableScan``.
+
+    ``spark.createDataFrame(python_list)`` builds a Python-PICKLED RDD
+    (``Scan ExistingRDD`` in the plan): every downstream action ships
+    the pickle to a Python worker and pays worker spin-up — measured
+    ~4.6 s PER ACTION for a 1-row frame on the bench host, vs ~0.2 s
+    for the Arrow path. Constant tables sit on per-trigger hot paths
+    (store ``_meta`` sidecars, centroid seeds, BPE merge tables,
+    quality cutoffs), so they must stay JVM-side: routing the rows
+    through a pandas frame with an EXPLICIT schema produces an
+    Arrow-backed ``LocalTableScan`` that never touches a Python worker
+    again. Empty inputs can't take that route (zero-row pandas frames
+    fall back to the pickled RDD), so they build as a ``range(0)``
+    projection — also pure JVM.
+
+    ``rows`` is a list of tuples; ``schema`` is a DDL string or
+    ``StructType``. Driver-sized inputs only (vocab/meta/constant
+    scale) — corpus data belongs in files, never on the driver.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if not rows:
+        return spark.range(0).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    import pandas as pd
+
+    pdf = pd.DataFrame.from_records(
+        list(rows), columns=[f.name for f in schema.fields]
+    )
+    return spark.createDataFrame(pdf, schema=schema)

@@ -30,12 +30,30 @@ infinite stream is impossible by construction, which is why the batch
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h64
+from ..session import local_rows
+
+_STREAM_DEBUG = _os.environ.get("SPARK_GRAFT_STREAM_DEBUG") == "1"
+
+
+def _tick(t0: list, label: str) -> None:
+    """Dev-only section timer for the streaming runners: prints the
+    elapsed time since the previous tick when
+    ``SPARK_GRAFT_STREAM_DEBUG=1`` (off in production — zero cost
+    beyond one env read at import)."""
+    if _STREAM_DEBUG:
+        import time
+
+        t = time.time()
+        print(f"## {label}: {t - t0[0]:.2f}s", flush=True)
+        t0[0] = t
+
 
 
 def dedup_stream_exact(
@@ -176,8 +194,8 @@ def _ensure_index_buckets(spark, index_dir: str, n_buckets: int) -> int:
             "— write _meta with the modulus they were hashed with "
             "(1-row parquet, column n_buckets) or rebuild"
         )
-    spark.createDataFrame(
-        [(int(n_buckets),)], "n_buckets int"
+    local_rows(
+        spark, [(int(n_buckets),)], "n_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(meta)
     return int(n_buckets)
 
@@ -876,8 +894,8 @@ def _ensure_store_buckets(spark, out_dir: str, n_buckets: int | None) -> int:
             f"no cluster store metadata under {out_dir} and no n_buckets "
             "given"
         )
-    spark.createDataFrame(
-        [(int(n_buckets),)], "n_buckets int"
+    local_rows(
+        spark, [(int(n_buckets),)], "n_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(meta)
     return int(n_buckets)
 
@@ -1294,6 +1312,9 @@ def run_cluster_maintain_stream(
     _resolved: dict = {}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        t0 = [time.time()]
         spark = batch_df.sparkSession
         base = out_dir.rstrip("/")
         if "n_buckets" not in _resolved:
@@ -1301,14 +1322,17 @@ def run_cluster_maintain_stream(
             # the index's _meta ONCE per runner — a resume with a
             # different n_buckets must fail loudly, never mis-prune
             # (the modulus is baked into every partition dir name)
+            _tick(t0, f"b{batch_id} process-entry")
             _resolved["n_buckets"] = _ensure_store_buckets(
                 spark, base, n_buckets
             )
+            _tick(t0, f"b{batch_id} ensure-store")
             _resolved["inb"] = _ensure_index_buckets(
                 spark, index_dir, _resolved["n_buckets"]
             )
         nb = _resolved["n_buckets"]
         inb = _resolved["inb"]
+        _tick(t0, f"b{batch_id} ensure-meta")
         batch_out = base + f"/batch={batch_id}"
         fps_out = batch_out + "/fps"
         edge_fp = batch_df.select(id_col, hash_col).where(
@@ -1338,10 +1362,12 @@ def run_cluster_maintain_stream(
         batch_bands = hamming_band_rows(
             edge_fp, id_col, hash_col, bands, width
         ).persist()
+        _tick(t0, f"b{batch_id} success-check")
         idx = _read_index_pruned(
             spark, index_dir,
             _collect_buckets(batch_bands, inb, "band", "bv"),
         )
+        _tick(t0, f"b{batch_id} bucket-collect+index-read")
         if idx is None:
             idx = batch_bands.limit(0)
         # redelivered (id, fp) rows are already indexed AND already
@@ -1428,6 +1454,7 @@ def run_cluster_maintain_stream(
                     .distinct()
                     .collect()
                 ]
+                _tick(t0, f"b{batch_id} want-collect")
                 store_doc = _read_store_side(
                     spark, base, "doc", through, prior_batches, buckets=want
                 )
@@ -1456,6 +1483,7 @@ def run_cluster_maintain_stream(
                 .distinct()
                 .collect()
             ]
+            _tick(t0, f"b{batch_id} cwant-collect")
             members = None
             if cwant:
                 store_cluster = _read_store_side(
@@ -1485,6 +1513,7 @@ def run_cluster_maintain_stream(
             # both projection writes outright (readers treat a
             # committed batch with no delta dirs as a no-op); the
             # isEmpty probe is one cheap action on the persisted delta
+            _tick(t0, f"b{batch_id} delta-build+isEmpty")
             if not delta.isEmpty():
                 # one pre-write shuffle per projection keyed on the
                 # bucket: without it every task writes a file into
@@ -1510,7 +1539,9 @@ def run_cluster_maintain_stream(
                     .partitionBy("cbucket")
                     .parquet(batch_out + "/delta_cluster")
                 )
+                _tick(t0, f"b{batch_id} delta-writes")
             new_fp.write.mode("overwrite").parquet(fps_out)
+            _tick(t0, f"b{batch_id} fps-write")
             _touch_success(spark, batch_out)
             # band rows derive from the committed fps so the index
             # holds exactly what the batch dir holds
@@ -1521,6 +1552,7 @@ def run_cluster_maintain_stream(
                 ).withColumn("ibucket", _index_bucket(inb, "band", "bv")),
                 index_dir,
             )
+            _tick(t0, f"b{batch_id} index-append")
         finally:
             batch_bands.unpersist()
             new_fp.unpersist()

@@ -31,6 +31,7 @@ from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import
     simhash,
 )
 from amazon_sagemaker_feature_store_streaming_aggregation_spark.sources import load_table
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.session import local_rows
 
 # 60-bit md5 hash, DuckDB spelling (bit-equal with functions/hashing.h64).
 # '0x' || ... (NOT concat): || propagates NULL like Spark's md5/concat
@@ -3512,7 +3513,8 @@ def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word-count table, ties (weight DESC, lhs, rhs). The oracle
     replays the identical k stages in DuckDB over the wrapped-symbol
     encoding, so the learned table is bit-checkable cross-engine."""
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         _bpe_merges(spark, sf_dir),
         "step int, lhs string, rhs string, weight long",
     )
