@@ -77,6 +77,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import local_rows
+
 _BUCKET = "__fg_bucket"
 
 #: column names the store itself writes/overwrites during a merge,
@@ -424,7 +426,8 @@ class FeatureGroup:
         if isinstance(keys, DataFrame):
             keys_df = keys.select(F.col(keys.columns[0]).cast(key_type).alias(self.key))
         else:
-            keys_df = self.spark.createDataFrame(
+            keys_df = local_rows(
+                self.spark,
                 [(k,) for k in keys],
                 T.StructType([T.StructField(self.key, key_type)]),
             )
@@ -516,7 +519,7 @@ class FeatureGroup:
                 src = os.path.join(staging, f"{_BUCKET}={b}")
                 if not os.path.isdir(src):
                     # all records of this bucket deleted: zero-row file
-                    self.spark.createDataFrame([], empty_schema).coalesce(
+                    local_rows(self.spark, [], empty_schema).coalesce(
                         1
                     ).write.mode("overwrite").parquet(src)
             if self.change_feed:
@@ -669,7 +672,7 @@ class FeatureGroup:
                 # a ZERO-ROW parquet, never a bare directory — a bare
                 # dir breaks every later read of the bucket (same rule
                 # as the delete path)
-                self.spark.createDataFrame([], empty_schema).coalesce(
+                local_rows(self.spark, [], empty_schema).coalesce(
                     1
                 ).write.mode("overwrite").parquet(src)
             if not self._commit_bucket(b, read_vers[b], src):
@@ -827,7 +830,7 @@ class FeatureGroup:
                 T.StructField("_bucket", T.IntegerType()),
                 T.StructField("_commit_version", T.IntegerType()),
             ]
-            return self.spark.createDataFrame([], T.StructType(fields))
+            return local_rows(self.spark, [], T.StructType(fields))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
@@ -969,6 +972,19 @@ class FeatureGroup:
         API; a per-record loop is the reference's anti-pattern. (Still
         bucket-local: touches exactly one bucket.)
         """
+        stored = self._stored_schema()
+        if stored is not None and set(record) == {f.name for f in stored.fields}:
+            # Arrow LocalTableScan (local_rows): the inferred-schema
+            # path below is a Python-pickled RDD whose WRITE re-spawns
+            # a Python worker every call (~4 s per put_record)
+            self.upsert(
+                local_rows(
+                    self.spark,
+                    [tuple(record[f.name] for f in stored.fields)],
+                    stored,
+                )
+            )
+            return
         self.upsert(self.spark.createDataFrame([record]))
 
     # ----------------------------------------------------------------- read

@@ -1,5 +1,10 @@
 from .batch import write_csv_single, write_parquet  # noqa: F401
-from .compaction import compact_parquet_dir, dir_stats  # noqa: F401
+from .compaction import (  # noqa: F401
+    compact_parquet_dir,
+    dir_stats,
+    heal_compaction_swap,
+    heal_swap_leftovers,
+)
 from .layout import (  # noqa: F401
     read_pruned,
     write_bucketed_table,

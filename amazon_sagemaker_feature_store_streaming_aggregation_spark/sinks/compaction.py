@@ -71,6 +71,135 @@ def dir_stats(path: str) -> tuple[int, int]:
     return n, size
 
 
+def _swap_names(path: str) -> tuple[str, str, str]:
+    """(parent, hidden staging path, hidden retired path) for one
+    compaction attempt on ``path``. The swap dirs are DOT-PREFIXED
+    siblings (``<parent>/.<name>.__compact_<uuid>``): Spark's file
+    index skips names starting with ``.`` or ``_``, so a crash that
+    leaks one can never surface as a bogus partition value next to
+    ``ibucket=``/``cell=`` leaves (an un-hidden leftover named
+    ``ibucket=5.__compact_x`` would silently become partition value
+    ``"5.__compact_x"`` — string-typed, rows invisible to pruned
+    probes)."""
+    base = path.rstrip("/")
+    parent, name = base.rsplit("/", 1)
+    tag = uuid.uuid4().hex[:8]
+    return (
+        parent,
+        f"{parent}/.{name}.__compact_{tag}",
+        f"{parent}/.{name}.__retired_{tag}",
+    )
+
+
+def heal_compaction_swap(spark: SparkSession, path: str) -> str | None:
+    """Detect and resolve a crash-interrupted ``compact_parquet_dir``
+    swap on ``path`` BEFORE anyone reads it. Returns what happened
+    (``"completed"``, ``"restored"``, ``"cleaned"``) or None when no
+    leftover exists.
+
+    The swap has three crash windows, each leaving a distinct on-disk
+    state, each resolved deterministically:
+
+    * staging leaked, ``path`` still present — the write or the first
+      rename failed; the staging copy is garbage (delete it). A
+      leaked RETIRED dir with ``path`` present means the final delete
+      was interrupted AFTER the swap completed — also garbage.
+    * ``path`` missing, staging has ``_SUCCESS`` — crash between the
+      two renames with a complete new copy: finish the swap (rename
+      staging in, drop the retired original).
+    * ``path`` missing, staging absent/incomplete — crash between the
+      renames before the new copy was usable: put the retired
+      original back.
+
+    Legacy un-hidden leftovers (``<name>.__compact_*`` from the
+    pre-hidden naming) are recognized and resolved the same way.
+    """
+    from ..streaming.dedup import _hadoop_fs
+
+    base = path.rstrip("/")
+    parent, name = base.rsplit("/", 1)
+    fs, pp = _hadoop_fs(spark, parent)
+    if not fs.exists(pp):
+        return None
+    stagings, retireds = [], []
+    for status in fs.listStatus(pp):
+        n = status.getPath().getName()
+        stem = n[1:] if n.startswith(".") else n
+        if stem.startswith(name + ".__compact_"):
+            stagings.append(status.getPath())
+        elif stem.startswith(name + ".__retired_"):
+            retireds.append(status.getPath())
+    if not stagings and not retireds:
+        return None
+    _, p = _hadoop_fs(spark, base)
+    if fs.exists(p):
+        for leftover in stagings + retireds:
+            fs.delete(leftover, True)
+        return "cleaned"
+    done = [
+        s
+        for s in stagings
+        if fs.exists(
+            _hadoop_fs(spark, f"{parent}/{s.getName()}/_SUCCESS")[1]
+        )
+    ]
+    if done:
+        # complete the interrupted swap forward: the staging copy is a
+        # full committed rewrite of the same rows
+        if not fs.rename(done[0], p):
+            raise IOError(f"heal failed: rename {done[0]} into {path}")
+        for leftover in stagings + retireds:
+            if str(leftover) != str(done[0]):
+                fs.delete(leftover, True)
+        return "completed"
+    if retireds:
+        if len(retireds) > 1:
+            # cannot happen through the swap protocol (a second
+            # retirement requires the first to have been deleted);
+            # refuse to guess which copy is current
+            raise IOError(
+                f"multiple retired copies next to {path}: "
+                f"{[str(r) for r in retireds]} — resolve manually"
+            )
+        if not fs.rename(retireds[0], p):
+            raise IOError(f"heal failed: restore {retireds[0]} to {path}")
+        for leftover in stagings:
+            fs.delete(leftover, True)
+        return "restored"
+    for leftover in stagings:
+        fs.delete(leftover, True)
+    return "cleaned"
+
+
+def heal_swap_leftovers(spark: SparkSession, root: str) -> dict:
+    """Scan ``root``'s direct children for interrupted-compaction swap
+    dirs and heal every affected target — the probe-safety sweep the
+    partitioned index owners run before trusting their listings
+    (``_ensure_index_buckets`` / the per-leaf compactors). Driven from
+    the SWAP-DIR side, not the leaf listing: a leaf that vanished
+    mid-swap is absent from the listing, so only its leftover names
+    it. Returns ``{target_path: action}``."""
+    from ..streaming.dedup import _hadoop_fs
+
+    fs, rp = _hadoop_fs(spark, root.rstrip("/"))
+    if not fs.exists(rp):
+        return {}
+    targets = set()
+    for status in fs.listStatus(rp):
+        n = status.getPath().getName()
+        stem = n[1:] if n.startswith(".") else n
+        for marker in (".__compact_", ".__retired_"):
+            if marker in stem:
+                targets.add(stem.split(marker, 1)[0])
+    out = {}
+    for t in sorted(targets):
+        target = f"{root.rstrip('/')}/{t}"
+        action = heal_compaction_swap(spark, target)
+        if action:
+            out[target] = action
+    return out
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,
@@ -94,6 +223,13 @@ def compact_parquet_dir(
     dirs and a ``_VERSION`` pointer flip; this helper deliberately
     stays layout-preserving for plain parquet sinks.)
 
+    Crash safety: the staging/retired dirs are HIDDEN siblings
+    (``.<name>.__compact_<uuid>`` — see :func:`_swap_names`), so a
+    leaked leftover is invisible to Spark partition discovery instead
+    of masquerading as a partition value; every entry first heals any
+    prior interrupted swap via :func:`heal_compaction_swap`, and index
+    owners sweep with :func:`heal_swap_leftovers` before probing.
+
     Filesystem access goes through the Hadoop FileSystem API (the
     ``compact_cluster_store`` pattern), so any scheme Spark can write
     works — file://, hdfs://, s3a://. On true object stores a
@@ -105,14 +241,14 @@ def compact_parquet_dir(
     """
     from ..streaming.dedup import _hadoop_fs
 
+    heal_compaction_swap(spark, path)
     n_files, total = fs_dir_stats(spark, path)
     n_out = max(1, math.ceil(total / target_bytes))
     if n_files < min_files or n_out >= n_files:
         return n_files
 
     df: DataFrame = spark.read.parquet(path)
-    staging = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
-    retired = f"{path.rstrip('/')}.__retired_{uuid.uuid4().hex[:8]}"
+    _, staging, retired = _swap_names(path)
     fs, p = _hadoop_fs(spark, path)
     _, sp = _hadoop_fs(spark, staging)
     _, rp = _hadoop_fs(spark, retired)

@@ -172,6 +172,13 @@ def _ensure_index_buckets(spark, index_dir: str, n_buckets: int) -> int:
     through the runner."""
     base = index_dir.rstrip("/")
     meta = base + "/_meta"
+    # resolve any crash-interrupted per-bucket compaction swap BEFORE
+    # the first probe: a bucket whose leaf vanished mid-swap would
+    # otherwise silently read as empty (duplicates readmitted) until
+    # the next maintenance run (sinks/compaction.py docstring)
+    from ..sinks.compaction import heal_swap_leftovers
+
+    heal_swap_leftovers(spark, base)
     if _fs_has_parquet(spark, meta):
         stored = int(spark.read.parquet(meta).collect()[0][0])
         if n_buckets is not None and int(n_buckets) != stored:
@@ -269,9 +276,13 @@ def compact_banded_index(
     name). Run quiesced or from the runner that owns the index,
     between batches. Returns ``{bucket: resulting file count}``.
     """
-    from ..sinks.compaction import compact_parquet_dir
+    from ..sinks.compaction import compact_parquet_dir, heal_swap_leftovers
 
     base = index_dir.rstrip("/")
+    # heal interrupted prior swaps FIRST: a leaf that vanished
+    # mid-swap is absent from the listing below, so only its hidden
+    # leftover dir names it
+    heal_swap_leftovers(spark, base)
     out: dict = {}
     for b in _list_partition_ids(
         spark, base, "ibucket", require_success=False

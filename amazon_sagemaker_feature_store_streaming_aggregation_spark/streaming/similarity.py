@@ -245,10 +245,13 @@ def compact_embedding_index(
     consistency note); table formats (Delta OPTIMIZE, Iceberg
     rewrite_data_files) remain the managed alternative.
     """
-    from ..sinks.compaction import compact_parquet_dir
+    from ..sinks.compaction import compact_parquet_dir, heal_swap_leftovers
     from .dedup import _list_partition_ids
 
     base = index_dir.rstrip("/")
+    # heal interrupted prior swaps first — a vanished leaf is named
+    # only by its hidden leftover, not the cell listing
+    heal_swap_leftovers(spark, base)
     out: dict = {}
     for cell in _list_partition_ids(
         spark, base, "cell", require_success=False

@@ -327,3 +327,104 @@ def test_shuffle_join_gets_runtime_bloom_filter(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_compaction_swap_dirs_hidden_from_partition_discovery(spark, tmp_path):
+    """ADVICE r9 (medium): staging/retired swap dirs must be invisible
+    to Spark partition discovery. A leaked un-hidden sibling named
+    'ibucket=0.__compact_x' used to parse as partition VALUE
+    '0.__compact_x' — flipping ibucket to string and hiding rows from
+    pruned probes. The hidden naming keeps a leak harmless."""
+    import os
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sinks import (
+        compact_parquet_dir,
+    )
+
+    root = str(tmp_path / "idx")
+    df = spark.range(100).withColumn("ibucket", (F.col("id") % 2).cast("int"))
+    df.repartition(8).write.partitionBy("ibucket").parquet(root)
+    # simulate a SIGKILL-leaked staging dir from a crashed compaction
+    leaked = os.path.join(root, ".ibucket=0.__compact_deadbeef")
+    spark.range(5).write.parquet(leaked)
+    got = spark.read.parquet(root)
+    assert dict(got.dtypes)["ibucket"] == "int"
+    assert got.count() == 100
+    # a real compaction on a leaf leaves no visible sibling behind
+    compact_parquet_dir(spark, os.path.join(root, "ibucket=0"), target_bytes=1 << 30)
+    visible = [n for n in os.listdir(root) if not n.startswith((".", "_"))]
+    assert sorted(visible) == ["ibucket=0", "ibucket=1"]
+    assert spark.read.parquet(root).count() == 100
+
+
+def test_heal_completes_swap_with_committed_staging(spark, tmp_path):
+    """Crash between the two renames with a complete (_SUCCESS) staging
+    copy: heal finishes the swap forward and drops the retired dir."""
+    import os
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sinks import (
+        heal_compaction_swap,
+        heal_swap_leftovers,
+    )
+
+    root = str(tmp_path / "idx")
+    leaf = os.path.join(root, "ibucket=0")
+    spark.range(50).select(F.col("id").alias("v")).repartition(4).write.parquet(leaf)
+    # staging = the compacted rewrite (committed), retired = the original
+    staging = os.path.join(root, ".ibucket=0.__compact_aa")
+    spark.read.parquet(leaf).repartition(1).write.parquet(staging)
+    os.rename(leaf, os.path.join(root, ".ibucket=0.__retired_aa"))
+    assert not os.path.exists(leaf)
+    healed = heal_swap_leftovers(spark, root)
+    assert healed == {leaf: "completed"}
+    assert sorted(r[0] for r in spark.read.parquet(leaf).collect()) == list(range(50))
+    assert os.listdir(root) == ["ibucket=0"]
+    # idempotent: nothing left to heal
+    assert heal_compaction_swap(spark, leaf) is None
+
+
+def test_heal_restores_original_when_staging_incomplete(spark, tmp_path):
+    """Crash between the renames BEFORE the staging copy committed:
+    heal puts the retired original back and deletes the torn staging.
+    Covers the legacy un-hidden leftover naming too."""
+    import os
+    import shutil
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sinks import (
+        heal_swap_leftovers,
+    )
+
+    root = str(tmp_path / "idx")
+    leaf = os.path.join(root, "ibucket=3")
+    spark.range(30).select(F.col("id").alias("v")).write.parquet(leaf)
+    staging = os.path.join(root, ".ibucket=3.__compact_bb")
+    spark.read.parquet(leaf).repartition(1).write.parquet(staging)
+    os.remove(os.path.join(staging, "_SUCCESS"))  # torn write
+    # legacy naming: retired dir WITHOUT the hidden dot prefix
+    os.rename(leaf, os.path.join(root, "ibucket=3.__retired_bb"))
+    healed = heal_swap_leftovers(spark, root)
+    assert healed == {leaf: "restored"}
+    assert spark.read.parquet(leaf).count() == 30
+    assert os.listdir(root) == ["ibucket=3"]
+    shutil.rmtree(root)
+
+
+def test_heal_cleans_leftovers_when_path_intact(spark, tmp_path):
+    """Leaked staging (failed write) or retired (interrupted final
+    delete) next to an INTACT leaf are garbage: heal removes them and
+    leaves the rows alone."""
+    import os
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.sinks import (
+        heal_swap_leftovers,
+    )
+
+    root = str(tmp_path / "idx")
+    leaf = os.path.join(root, "cell=7")
+    spark.range(10).write.parquet(leaf)
+    spark.range(3).write.parquet(os.path.join(root, ".cell=7.__compact_cc"))
+    spark.range(4).write.parquet(os.path.join(root, ".cell=7.__retired_cc"))
+    healed = heal_swap_leftovers(spark, root)
+    assert healed == {leaf: "cleaned"}
+    assert spark.read.parquet(leaf).count() == 10
+    assert os.listdir(root) == ["cell=7"]
