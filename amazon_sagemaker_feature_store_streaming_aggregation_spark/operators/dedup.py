@@ -919,7 +919,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
-    small_graph_max_edges: int = 500_000,
+    small_graph_max_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list: each node is
     labelled with the MINIMUM node id reachable from it.
@@ -954,11 +954,19 @@ def connected_components(
     131-edge graph at 8 shuffle partitions). When the materialized
     edge list is at most ``small_graph_max_edges`` rows the component
     fold runs as ONE Arrow-batched ``mapInPandas`` pass over the
-    coalesced edges: a path-halving union-find whose memory is
-    bounded by the threshold (<= 2*E node entries; 500k edges ~ tens
-    of MB), producing the identical min-label output. Larger graphs
-    take the distributed loop unchanged; pass
-    ``small_graph_max_edges=0`` to force it.
+    coalesced edges: a path-halving union-find producing the identical
+    min-label output. Memory, honestly: that single task holds the
+    symmetrized pandas frame plus a <=2*E-entry Python dict whose int
+    keys/values are ~60-80 B apiece — roughly 50-60 MB at the 100k
+    default, and ~0.5 GB had it stayed at the old 500k default, which
+    is why the default is 100k: executors sized for streaming
+    micro-batch folds (the main consumer) must not need a half-GB
+    headroom spike for one task. Larger graphs take the distributed
+    loop unchanged; raise the threshold explicitly when the executors
+    have the memory, or pass ``small_graph_max_edges=0`` to force the
+    loop. The size probe reads at most ``2*threshold+1`` rows of the
+    checkpointed edge list, so corpus-scale calls don't pay a full
+    count before taking the loop.
     """
     # Materialize the symmetrized edge list ONCE: every round joins
     # against it, and without the checkpoint each round would re-run
@@ -973,9 +981,8 @@ def connected_components(
         )
         .localCheckpoint()
     )
-    if small_graph_max_edges and (
-        sym.count() <= 2 * small_graph_max_edges
-    ):
+    cap = 2 * small_graph_max_edges
+    if small_graph_max_edges and sym.limit(cap + 1).count() <= cap:
         return _cc_union_find(sym)
     labels = (
         sym.select(F.col("src").alias("node"))

@@ -224,7 +224,14 @@ def lm_quality_buckets(
     source dominates the corpus: the ranking window sorts each
     source's scores through one partition (thin rows, but one task
     per hot source), while fixed cutoffs keep everything scan-side.
+    A provided frame must cover EVERY scorable source: the bucket
+    join is inner, so a stale threshold table would otherwise
+    silently delete whole sources from the output — validated up
+    front (one action on the distinct source lists, bounded by the
+    number of sources) and raised loudly naming the uncovered
+    sources.
     """
+    user_cutoffs = cutoffs is not None
     scored = (
         lm_transition_scores(docs, reference, id_col, text_col, model)
         .where(F.col("n_bigrams") > 0)
@@ -264,6 +271,22 @@ def lm_quality_buckets(
                 )
             ).alias("cut2"),
         )
+    if user_cutoffs:
+        missing = [
+            r[0]
+            for r in scorable.select(source_col)
+            .distinct()
+            .join(cutoffs.select(source_col), source_col, "left_anti")
+            .collect()
+        ]
+        if missing:
+            raise ValueError(
+                "cutoffs= frame has no row for scorable source(s) "
+                f"{sorted(missing)!r} — the bucket join is inner, so "
+                "these sources would silently vanish from the output; "
+                "add rows for them (or recompute cutoffs without the "
+                "argument)"
+            )
     return scorable.join(F.broadcast(cutoffs), source_col).select(
         id_col,
         source_col,

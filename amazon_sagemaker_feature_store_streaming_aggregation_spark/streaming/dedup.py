@@ -476,11 +476,16 @@ def run_index_lsh_stream(
       ``index_dir`` after the output commits.
 
     At-least-once SOURCE redelivery across distinct batch ids is
-    routed AROUND discovery and the append: a batch doc whose band
-    rows are already in the index (anti-join, pruned to the batch's
+    routed AROUND discovery and the append: a batch doc ALL of whose
+    band rows are already in the index (pruned to the batch's
     buckets) re-emits no candidates and re-appends nothing — without
     the guard the index would grow monotonically under redelivery
-    (the ``run_index_embedding_stream`` redelivered-id rule).
+    (the ``run_index_embedding_stream`` redelivered-id rule). The
+    all-rows test matters: a same-id re-ingest with MODIFIED text
+    shares >=1 band precisely in the near-dup regime, and an
+    any-row-matches rule would silently skip indexing the new
+    version; partial-match docs instead go through discovery with
+    their full band set, and only the rows the index lacks append.
 
     Delivery contract: identical to :func:`run_index_dedup_stream`
     (at-least-once; batch-id idempotent output via the REQUIRED
@@ -552,22 +557,37 @@ def run_index_lsh_stream(
                 # unchanged (a hardcoded `long` DDL would mistype the
                 # first micro-batch)
                 idx = batch_bands.limit(0)
-            # redelivered docs (any band row already indexed — torn
-            # appends are repaired before the next batch runs, so any
-            # match means all rows landed) are routed around
-            # discovery and the append: their candidates were emitted
-            # when they first arrived. PERSISTED: the id set is tiny
-            # (bounded by the batch) and feeds three consumers — left
-            # lazy, each would re-scan the pruned index.
+            # redelivered docs — routed around discovery and the
+            # append (their candidates were emitted at first arrival)
+            # — are ids whose band rows ALL match the index, not "any
+            # row matches": a same-id re-ingest with MODIFIED text
+            # shares >=1 band in exactly the near-dup regime, and an
+            # any-match rule would silently route the new version
+            # around indexing forever. All bands matching implies the
+            # identical signature (the bands partition the whole
+            # minhash vector), so the doc truly is a redelivery.
+            # countDistinct tolerates within-batch duplicate rows of
+            # one id. PERSISTED: the id set is tiny (bounded by the
+            # batch) and feeds three consumers — left lazy, each
+            # would re-scan the pruned index.
             redelivered = (
                 batch_bands.join(
                     idx, on=[id_col, "band", "bhash"], how="left_semi"
                 )
+                .groupBy(id_col)
+                .agg(F.countDistinct("band").alias("__nb"))
+                .where(F.col("__nb") == F.lit(int(bands)))
                 .select(id_col)
-                .distinct()
                 .persist()
             )
             new_bands = batch_bands.join(redelivered, id_col, "left_anti")
+            # rows a PARTIAL-match doc shares with the index must not
+            # re-append (monotonic index growth under re-ingest): the
+            # batch artifact + append source hold only rows the index
+            # lacks, while discovery probes with the full band set
+            fresh_bands = new_bands.join(
+                idx, on=[id_col, "band", "bhash"], how="left_anti"
+            )
             probe = F.broadcast(new_bands) if broadcast_batch else new_bands
             cross = (
                 idx.alias("a")
@@ -594,7 +614,7 @@ def run_index_lsh_stream(
             )
             pairs = cross.unionByName(within).distinct()
             pairs.write.mode("overwrite").parquet(pairs_out)
-            new_bands.write.mode("overwrite").parquet(bands_out)
+            fresh_bands.write.mode("overwrite").parquet(bands_out)
             # the batch dir's OWN _SUCCESS commits last: both
             # sub-outputs are durably in place before a retry could
             # skip this batch
@@ -867,21 +887,61 @@ def _label_bucket(col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
 
 
+#: On-disk cluster-store layout generation, pinned in ``_meta``.
+#: v2 (current): per-batch ``delta_doc``/``delta_cluster`` bucket
+#: projections with ``cluster_size``/``is_canonical`` carried IN the
+#: cluster-keyed rows; no ``sizes/`` dirs. v1 (the r8 layout) had a
+#: third per-batch ``sizes`` artifact and thinner delta rows — a v1
+#: store read by v2 code would fail with an opaque missing-column
+#: AnalysisException deep in a probe, so the version is checked up
+#: front and mismatches raise with a stated migration path.
+_STORE_LAYOUT_VERSION = 2
+
+
+def _check_store_layout(spark, base: str) -> int | None:
+    """Validate ``base/_meta``'s layout version and return the pinned
+    ``n_buckets`` (None when no meta exists yet — the caller decides
+    whether that is a fresh store or a refused legacy one)."""
+    meta = base + "/_meta"
+    if not _fs_has_parquet(spark, meta):
+        return None
+    df = spark.read.parquet(meta)
+    row = df.collect()[0]
+    if "layout_version" not in df.columns:
+        raise ValueError(
+            f"cluster store at {base} predates layout versioning (its "
+            "_meta has no layout_version column): its batches carry the "
+            "old sizes/-dir layout this code no longer reads. Rebuild by "
+            "replaying the source through the current runner into a "
+            "fresh out_dir, or keep reading it with the code version "
+            "that wrote it"
+        )
+    lv = int(row["layout_version"])
+    if lv != _STORE_LAYOUT_VERSION:
+        raise ValueError(
+            f"cluster store at {base} has layout_version={lv}, this code "
+            f"reads v{_STORE_LAYOUT_VERSION} — rebuild the store through "
+            "the current runner (replay into a fresh out_dir) or use the "
+            "matching code version"
+        )
+    return int(row["n_buckets"])
+
+
 def _ensure_store_buckets(spark, out_dir: str, n_buckets: int | None) -> int:
-    """Pin ``n_buckets`` in ``out_dir/_meta`` on first use and VALIDATE
-    every later use against it. The bucket count is baked into every
-    ``dbucket=``/``cbucket=`` partition dir on disk; resuming the
-    stream (or compacting) with a different value would compute prune
-    lists against the wrong modulus and silently miss prior state —
-    a redelivered doc would then look new, split out of its cluster,
-    and latest-batch-wins would make the corruption permanent. Loud
-    error instead. ``n_buckets=None`` means "whatever the store says"
-    (for maintenance entry points); a store with no meta yet requires
-    an explicit value."""
+    """Pin ``n_buckets`` (and the layout version) in ``out_dir/_meta``
+    on first use and VALIDATE every later use against it. The bucket
+    count is baked into every ``dbucket=``/``cbucket=`` partition dir
+    on disk; resuming the stream (or compacting) with a different
+    value would compute prune lists against the wrong modulus and
+    silently miss prior state — a redelivered doc would then look new,
+    split out of its cluster, and latest-batch-wins would make the
+    corruption permanent. Loud error instead. ``n_buckets=None`` means
+    "whatever the store says" (for maintenance entry points); a store
+    with no meta yet requires an explicit value."""
     base = out_dir.rstrip("/")
     meta = base + "/_meta"
-    if _fs_has_parquet(spark, meta):
-        stored = int(spark.read.parquet(meta).collect()[0][0])
+    stored = _check_store_layout(spark, base)
+    if stored is not None:
         if n_buckets is not None and int(n_buckets) != stored:
             raise ValueError(
                 f"cluster store at {out_dir} was written with "
@@ -898,7 +958,8 @@ def _ensure_store_buckets(spark, out_dir: str, n_buckets: int | None) -> int:
         raise ValueError(
             f"cluster store at {out_dir} has committed batches but no "
             "_meta — write _meta with the modulus its dbucket= dirs were "
-            "hashed with (1-row parquet, column n_buckets) or rebuild"
+            "hashed with (1-row parquet, columns n_buckets + "
+            "layout_version) or rebuild"
         )
     if n_buckets is None:
         raise ValueError(
@@ -906,7 +967,9 @@ def _ensure_store_buckets(spark, out_dir: str, n_buckets: int | None) -> int:
             "given"
         )
     local_rows(
-        spark, [(int(n_buckets),)], "n_buckets int"
+        spark,
+        [(int(n_buckets), _STORE_LAYOUT_VERSION)],
+        "n_buckets int, layout_version int",
     ).coalesce(1).write.mode("overwrite").parquet(meta)
     return int(n_buckets)
 
@@ -1073,6 +1136,7 @@ def read_cluster_labels(
     with ``upto_batch`` below it raises loudly instead of silently
     reconstructing from partial deltas.
     """
+    _check_store_layout(spark, out_dir.rstrip("/"))
     if upto_batch is not None:
         vt = _vacuumed_through(spark, out_dir)
         if vt is not None and upto_batch < vt:

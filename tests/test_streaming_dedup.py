@@ -731,6 +731,69 @@ def test_lsh_stream_redelivery_does_not_grow_index(spark, tmp_path):
     assert spark.read.parquet(out_dir + "/batch=1/pairs").count() == 0
 
 
+def test_lsh_stream_modified_reingest_is_indexed(spark, tmp_path):
+    """ADVICE r9: a same-id re-ingest with MODIFIED text that still
+    shares >=1 band with the old version (exactly the near-dup regime)
+    must NOT be classified as a redelivery: the new version goes
+    through discovery (its identical twin surfaces as a candidate) and
+    the band rows the index lacks are appended. The old any-row-match
+    rule silently skipped both. Texts chosen so old-vs-modified share
+    exactly 1 of 4 bands (precondition asserted)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        band_rows,
+        minhash_signatures,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_lsh_stream,
+    )
+
+    t_a = "the quick brown fox jumps over the lazy dog again and again"
+    t_mod = "the quick brown fox leaps over the lazy dog again and again"
+    t_b = "completely different prose describing spark execution engines"
+    probe = minhash_signatures(
+        spark.createDataFrame([(0, t_a), (1, t_mod)], "doc_id long, text string"),
+        "text",
+        "doc_id",
+        16,
+    )
+    bands_of = {
+        (r["doc_id"], r["band"]): r["bhash"]
+        for r in band_rows(probe, "doc_id", 4, 4).collect()
+    }
+    shared = sum(1 for b in range(4) if bands_of[(0, b)] == bands_of[(1, b)])
+    assert shared == 1, shared  # fixture precondition
+
+    schema = "doc_id long, ts timestamp, text string"
+    mk = lambda i, s, t: (i, T0 + dt.timedelta(seconds=s), t)
+    chunk0 = [mk(1, 0, t_a), mk(2, 1, t_b), mk(3, 2, t_mod)]
+    chunk1 = [mk(1, 0, t_mod)]  # same id, modified text, 1 band shared
+    path = _write_chunks(spark, tmp_path, [chunk0, chunk1], schema)
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = run_index_lsh_stream(
+        stream, out_dir, index_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(180)
+    # discovery ran: the new version pairs with its identical twin
+    p1 = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(out_dir + "/batch=1/pairs").collect()
+    }
+    assert p1 == {(1, 3)}
+    # append ran, at row granularity: 12 rows from batch 0 plus the 3
+    # bands of the modified signature the index lacked (the 1 shared
+    # (id, band, bhash) row must not duplicate)
+    index = spark.read.parquet(index_dir)
+    assert index.count() == 15
+    assert index.distinct().count() == 15
+
+
 def test_hamming_stream_redelivery_does_not_grow_index(spark, tmp_path):
     """The fingerprint-stream twin of the LSH redelivery guard: a
     redelivered (id, fp) under a new batch id re-emits no pairs and
@@ -851,3 +914,36 @@ def test_compact_banded_index_preserves_rows_and_pruning(spark, tmp_path):
     pruned = after.where(F.col("ibucket") == list(done)[0])
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_cluster_store_layout_version_guard(spark, tmp_path):
+    """ADVICE r9: a store written under the pre-versioning layout
+    (meta carries only n_buckets; batches hold sizes/ dirs) must fail
+    LOUDLY at resume/read time with a stated migration path — not
+    with a missing-column AnalysisException deep inside a probe. An
+    unknown FUTURE version is refused the same way."""
+    import pytest as _pytest
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark import local_rows
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_cluster_labels,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _ensure_store_buckets,
+    )
+
+    legacy = str(tmp_path / "legacy")
+    local_rows(spark, [(16,)], "n_buckets int").coalesce(1).write.parquet(
+        legacy + "/_meta"
+    )
+    with _pytest.raises(ValueError, match="predates layout versioning"):
+        _ensure_store_buckets(spark, legacy, 16)
+    with _pytest.raises(ValueError, match="predates layout versioning"):
+        read_cluster_labels(spark, legacy)
+
+    future = str(tmp_path / "future")
+    local_rows(
+        spark, [(16, 99)], "n_buckets int, layout_version int"
+    ).coalesce(1).write.parquet(future + "/_meta")
+    with _pytest.raises(ValueError, match="layout_version=99"):
+        _ensure_store_buckets(spark, future, 16)
