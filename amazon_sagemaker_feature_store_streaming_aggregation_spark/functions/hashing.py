@@ -32,9 +32,39 @@ from pyspark.sql.column import Column
 
 def h64(col: Column | str) -> Column:
     """60-bit deterministic hash of a string column (oracle: DuckDB
-    ``CAST('0x' || substring(md5(x),1,15) AS BIGINT)``)."""
+    ``CAST('0x' || substring(md5(x),1,15) AS BIGINT)``).
+
+    Collision honesty: 60 bits means ~N²/2⁶¹ expected collisions —
+    negligible through ~10⁸ documents, ~0.4 expected at 10⁹. The
+    exact-dedup entry points take ``hash_bits=128`` (:func:`h128`)
+    for the ≥10⁹-doc regime."""
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def h128(col: Column | str) -> Column:
+    """Full 128-bit content key: the 32-char md5 hex digest, kept as a
+    STRING (oracle: DuckDB ``md5(x)`` verbatim). Chosen over packing
+    two bigints because the whole digest survives untruncated (2¹²⁸
+    key space — ~10⁻²⁰ expected collisions even at 10¹² documents)
+    and the cross-engine oracle is one builtin. The trade is key
+    width: a 32-byte shuffle/index key instead of 8 — still far below
+    the text payloads it stands in for, which is why this is the
+    opt-in for the ≥10⁹-doc regime rather than the default."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def content_key(col: Column | str, hash_bits: int = 64) -> Column:
+    """The exact-dedup content key at the requested width: 64 →
+    :func:`h64` (bigint), 128 → :func:`h128` (md5 hex string). Any
+    other width is refused loudly — the width is baked into persisted
+    hash indexes, so a typo must not silently build a new key space."""
+    if hash_bits == 64:
+        return h64(col)
+    if hash_bits == 128:
+        return h128(col)
+    raise ValueError(f"hash_bits must be 64 or 128, got {hash_bits}")
 
 
 MERSENNE_61 = (1 << 61) - 1

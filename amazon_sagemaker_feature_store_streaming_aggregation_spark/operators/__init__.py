@@ -33,6 +33,7 @@ from .dedup import (  # noqa: F401
     dedup_append_bucketed,
     dedup_edit_distance,
     dedup_exact,
+    dedup_url_canonical,
     hamming_near_dup_edges,
     hamming_near_dup_pairs,
     lsh_append_candidates,

@@ -82,19 +82,63 @@ def _shingle_expr(text_col: str, k: int) -> str:
 
 
 def dedup_exact(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Exact dedup: keep the smallest id per distinct text.
 
-    The group key is ``h64(text)`` (8-byte shuffle key), with the full
-    text kept only for the (vanishingly unlikely) 60-bit collision check
-    left to the caller at these cardinalities.
+    The default group key is ``h64(text)`` (8-byte shuffle key; ~N²/2⁶¹
+    expected collisions — negligible through ~10⁸ docs, ~0.4 expected
+    at 10⁹). ``hash_bits=128`` switches to the full md5 digest
+    (``functions/hashing.py::h128``) for the ≥10⁹-doc regime — a
+    32-byte key, still tiny against the texts it stands in for.
     """
+    from ..functions.hashing import content_key
+
     return (
-        docs.withColumn("__th", h64(text_col))
+        docs.withColumn("__th", content_key(text_col, hash_bits))
         .groupBy("__th")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
         .drop("__th")
+    )
+
+
+def dedup_url_canonical(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup — the standard FIRST pass of the public
+    CC curation recipes (RefinedWeb arXiv:2306.01116 §3.2; see
+    ``functions/url.py`` for the canonical form): one row per distinct
+    CANONICAL url, carrying the smallest surviving ``id_col``
+    (``keep_id``), the distinct-document count collapsed into it
+    (``n_docs``), and the canonical ``domain`` (host) — the grouping
+    key ``cap_per_source(source_col="domain")`` consumes for
+    per-domain caps.
+
+    Runs before any content dedup at 100 TB because it is the cheap
+    pass: the canonicalization is scan-side string work inside the
+    same codegen stage as the read, and the only shuffle is the
+    groupBy on the canonical string. Rows with a NULL/unparseable URL
+    or NULL id identify no page and join no group (the engine-wide
+    NULL-key rule) — they are EXCLUDED here; a pipeline that wants
+    them routes them explicitly, exactly like NULL-text rows around
+    ``dedup_exact``.
+    """
+    from ..functions.url import canonical_host_sql, with_canonical_url
+
+    return (
+        with_canonical_url(docs, url_col)
+        .where(
+            F.col("canonical_url").isNotNull() & F.col(id_col).isNotNull()
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .withColumn("domain", F.expr(canonical_host_sql("canonical_url")))
     )
 
 
@@ -128,7 +172,9 @@ def dedup_append(
     moves — the plan-pin test asserts zero exchange above the index.
     """
     batch_best = (
-        new_docs.withColumn("text_hash", h64(text_col))
+        new_docs.withColumn(
+            "text_hash", _index_content_key(corpus_index, text_col)
+        )
         .groupBy("text_hash")
         .agg(F.min(id_col).alias(id_col))
     )
@@ -138,12 +184,40 @@ def dedup_append(
     return fresh.select(id_col, "text_hash")
 
 
+def _index_content_key(corpus_index: DataFrame, text_col: str):
+    """The batch-side content key at the WIDTH THE INDEX WAS BUILT
+    WITH, inferred from its ``text_hash`` dtype (bigint → h64,
+    string → h128). Inference instead of a parameter: the width is
+    baked into the persisted index, and a mismatched parameter would
+    hash the batch into a different key space — every prior document
+    would silently look new (worse, a long-vs-string equi-join would
+    ANSI-cast instead of failing)."""
+    from ..functions.hashing import content_key
+
+    dtype = dict(corpus_index.dtypes).get("text_hash")
+    if dtype == "bigint":
+        return content_key(text_col, 64)
+    if dtype == "string":
+        return content_key(text_col, 128)
+    raise ValueError(
+        f"corpus index text_hash has dtype {dtype!r}; expected bigint "
+        "(h64 index) or string (h128 index)"
+    )
+
+
 def build_text_hash_index(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame, text_col: str = "text", hash_bits: int = 64
 ) -> DataFrame:
     """The persistent dedup index for :func:`dedup_append`: one
-    ``text_hash`` row per distinct text already in the corpus."""
-    return docs.select(h64(text_col).alias("text_hash")).distinct()
+    ``text_hash`` row per distinct text already in the corpus.
+    ``hash_bits=128`` builds the full-md5 (string-keyed) index for the
+    ≥10⁹-doc regime; :func:`dedup_append` infers the width from the
+    index dtype, so the pair can never silently mismatch."""
+    from ..functions.hashing import content_key
+
+    return docs.select(
+        content_key(text_col, hash_bits).alias("text_hash")
+    ).distinct()
 
 
 def build_text_hash_index_bucketed(

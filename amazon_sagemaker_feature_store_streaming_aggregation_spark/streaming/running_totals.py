@@ -52,6 +52,9 @@ still ModuleNotFoundError; capability unchanged.
 Retried 2026-08-15 (round 9): same DNS-unresolvable index
 (NewConnectionError on every pip retry); ``import google.protobuf``
 still ModuleNotFoundError; capability unchanged.
+Retried 2026-08-15 (round 10): ``pip install protobuf`` → "No matching
+distribution found (from versions: none)"; ``import google.protobuf``
+still ModuleNotFoundError; capability unchanged.
 
 100 TB notes: state per key is 16 bytes — hot keys cost nothing
 extra; the one shuffle is the groupBy key partitioning shared by all

@@ -57,6 +57,126 @@ FROM documents
 GROUP BY {_H64.format(x="text")}
 """
 
+
+def _q_dedup_exact_128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the OPT-IN 128-bit content key (full md5 digest,
+    functions/hashing.py::h128) — the ≥10⁹-doc regime where the 60-bit
+    default's ~N²/2⁶¹ collision bound stops being negligible. Same
+    output shape as dedup_exact; the oracle groups by DuckDB's
+    md5(text) verbatim, so the key itself is bit-checked."""
+    return dedup_exact(
+        load_table(spark, sf_dir, "documents"), hash_bits=128
+    )
+
+
+_DEDUP_EXACT_128_ORACLE = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+"""
+
+# ------------------------------------------------- URL-canonical dedup
+
+# Deterministic messy-URL fixture derived from doc_id: seven surface
+# variants per logical article id (doc_id div 7) — case, www., default
+# ports, tracking params, unsorted params, fragments, and one
+# no-scheme string that must canonicalize to NULL. The SAME expression
+# builds the column in both engines, so the gate checks the full
+# canonicalization chain end to end.
+_URL_FIXTURE = {
+    0: ("'https://news.example.com/articles/'", "''"),
+    1: ("'HTTPS://News.Example.COM:443/articles/'", "'/'"),
+    2: (
+        "'https://www.news.example.com/articles/'",
+        "'?utm_source=rss&utm_medium=feed'",
+    ),
+    3: ("'https://news.example.com/articles/'", "'?b=2&a=1#section'"),
+    4: ("'https://news.example.com:443/articles/'", "'?a=1&b=2'"),
+    5: ("'http://other.example.org:80/items/'", "'?fbclid=xyz&x=9'"),
+    6: ("'news.example.com/articles/'", "''"),
+}
+
+
+def _url_fixture_sql(div: str, cast: str) -> str:
+    """CASE expression building the messy url; ``div`` is the engine's
+    integer-division spelling, ``cast`` its string cast."""
+    whens = " ".join(
+        f"WHEN {v} THEN {pre} || {cast.format(x=f'(doc_id {div} 7)')} || {post}"
+        for v, (pre, post) in _URL_FIXTURE.items()
+    )
+    return f"CASE doc_id % 7 {whens} END"
+
+
+def _q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup (operators/dedup.py::dedup_url_canonical
+    over functions/url.py::with_canonical_url): the messy-URL fixture
+    collapses each logical article's surface variants — {case, www,
+    :443, utm-params} into one canonical key, {unsorted params,
+    fragment} into another — and the no-scheme variant canonicalizes
+    to NULL and joins nothing. The oracle replays every rewrite step
+    in DuckDB, so host/port/param/fragment handling is bit-checked
+    cross-engine."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        dedup_url_canonical,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_url_fixture_sql("div", "cast({x} as string)"))
+    )
+    return dedup_url_canonical(docs)
+
+
+_URL_CANONICAL_ORACLE = f"""
+WITH urls AS (
+  SELECT doc_id, {_url_fixture_sql("//", "CAST({x} AS VARCHAR)")} AS url
+  FROM documents
+), p1 AS (
+  SELECT doc_id,
+    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+  FROM urls WHERE url IS NOT NULL
+), p2 AS (
+  SELECT doc_id, scheme, after,
+    regexp_extract(after, '^([^/?]*)', 1) AS auth,
+    substr(after, length(regexp_extract(after, '^([^/?]*)', 1)) + 1) AS pathq
+  FROM p1
+), p3 AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http'
+           THEN regexp_replace(regexp_replace(lower(auth), '^www\\.', ''), ':80$', '')
+         WHEN scheme = 'https'
+           THEN regexp_replace(regexp_replace(lower(auth), '^www\\.', ''), ':443$', '')
+         ELSE regexp_replace(lower(auth), '^www\\.', '') END AS host,
+    regexp_replace(regexp_replace(pathq, '\\?.*$', ''), '/+$', '') AS cpath,
+    CASE WHEN instr(pathq, '?') > 0
+         THEN substr(pathq, instr(pathq, '?') + 1) ELSE '' END AS query
+  FROM p2
+), p4 AS (
+  SELECT doc_id, scheme, host, cpath,
+    -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+    -- array_join([]) is '' — the empty-query family must not vanish
+    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT regexp_matches(lower(p),
+        '^(utm_[^=&]*|gclid|fbclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src)(=.*)?$'
+      ))), '&'), '') AS cq
+  FROM p3
+), canon AS (
+  SELECT doc_id,
+    CASE WHEN scheme = '' OR host = '' THEN NULL
+         ELSE scheme || '://' || host || cpath ||
+              CASE WHEN cq = '' THEN '' ELSE '?' || cq END END AS canonical_url
+  FROM p4
+)
+SELECT canonical_url,
+       min(doc_id) AS keep_id,
+       count(DISTINCT doc_id) AS n_docs,
+       regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) AS domain
+FROM canon
+WHERE canonical_url IS NOT NULL AND doc_id IS NOT NULL
+GROUP BY canonical_url
+"""
+
 # ---------------------------------------------------------- minhash + LSH
 
 _NUM_HASHES = 16
@@ -5528,6 +5648,8 @@ def ext_queries():
         "text_ccnet_buckets": _q_ccnet_buckets,
         "s_stream_lm_score": _q_stream_lm_score,
         "sim_label_centroids": _q_label_centroids,
+        "dedup_url_canonical": _q_dedup_url_canonical,
+        "dedup_exact_128": _q_dedup_exact_128,
     }
 
 
@@ -5543,6 +5665,8 @@ def ext_oracles():
         "olap_late_shipment_priority": _LATE_SHIP_ORACLE,
         "ts_gap_fill_daily": _GAP_FILL_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "dedup_url_canonical": _URL_CANONICAL_ORACLE,
+        "dedup_exact_128": _DEDUP_EXACT_128_ORACLE,
         "dedup_minhash_sigs": _MINHASH_ORACLE,
         "dedup_minhash_lsh_pairs": _LSH_ORACLE,
         "dedup_ngram_jaccard": _JACCARD_ORACLE,

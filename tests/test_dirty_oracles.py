@@ -229,6 +229,8 @@ def dirty_dir(tmp_path_factory) -> str:
 DIRTY_QUERIES = [
     # hash/dedup family: NULL text + NULL doc_id + planted dups
     "dedup_exact",
+    "dedup_exact_128",
+    "dedup_url_canonical",
     "dedup_minhash_sigs",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
