@@ -68,6 +68,8 @@ from .similarity import (  # noqa: F401
 from .lm import lm_fit, lm_transition_scores  # noqa: F401
 from .multimodal import (  # noqa: F401
     extract_features,
+    image_near_dup_pairs,
+    perceptual_hashes,
     resize_plan,
     sample_frames,
     synth_media,

@@ -2585,6 +2585,99 @@ WHERE n_frames >= 1
 """
 
 
+# ------------------------------------------- image near-dup (gated)
+
+# dHash-invertible PPM fixture: each 9x8 grayscale image encodes the
+# 64 bits of a 60-bit md5 value H(doc_id) as its horizontal luminance
+# steps — pixel(y, x+1) = pixel(y, x) +/- 1 according to bit
+# 63-(y*8+x) of H — so operators/multimodal.py::perceptual_hashes
+# decodes REAL pixels through the REAL PPM decoder and block-mean,
+# yet dhash(image) == H exactly (dhash compares neighbours; the walk
+# stays inside [120, 136], and 1x1 blocks make the area-mean the
+# identity). Groups of 4 consecutive ids share a base H with bit
+# masks {0, 1 bit, 4 bits, 0} flipped per variant, so each group
+# contributes exactly the pairs (v0,v3,h=0), (v0,v1,h=1), (v1,v3,h=1)
+# and variant 2 (h=4 > max 3) pairs with nothing. The oracle computes
+# the same H in DuckDB md5 arithmetic and brute-forces verified pairs
+# — the whole decode->hash->band->verify pipeline is value-checked.
+_MM_PHASH_MASKS = (0, 1 << 5, 0b1111 << 20, 0)
+
+
+def _mm_phash_h(group: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(group).encode()).hexdigest()[:15], 16)
+
+
+def _q_mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs end to end (operators/multimodal.py::
+    image_near_dup_pairs = perceptual_hashes -> hamming_near_dup_pairs)
+    over the dHash-invertible PPM fixture above."""
+    import pandas as _pd
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        image_near_dup_pairs,
+    )
+
+    def _ppm(doc_id):
+        # NULL ids arrive as None or NaN depending on the Arrow batch's
+        # pandas dtype (int64 vs float64) — both mean "no identity":
+        # emit no payload, so the hash stage emits NULL and the row
+        # joins nothing (the engine-wide NULL-key rule)
+        if doc_id is None or _pd.isna(doc_id):
+            return None
+        g, v = divmod(int(doc_id), 4)
+        h = _mm_phash_h(g) ^ _MM_PHASH_MASKS[v]
+        body = bytearray()
+        for y in range(8):
+            val = 128
+            row = [val]
+            for x in range(8):
+                val += 1 if (h >> (63 - (y * 8 + x))) & 1 else -1
+                row.append(val)
+            for px in row:
+                body += bytes((px, px, px))
+        return b"P6\n9 8\n255\n" + bytes(body)
+
+    def _build(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": [_ppm(i) for i in pdf["doc_id"]],
+                    "meta": [{"format": "ppm"}] * len(pdf),
+                }
+            )
+
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            _build,
+            schema="media_id long, kind string, content binary, "
+            "meta map<string,string>",
+        )
+    )
+    return image_near_dup_pairs(media, max_hamming=3, bands=4)
+
+
+_MM_NEAR_DUP_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         xor({_H64.format(x="CAST(doc_id // 4 AS VARCHAR)")},
+             CASE doc_id % 4 WHEN 1 THEN {1 << 5}
+                             WHEN 2 THEN {0b1111 << 20}
+                             ELSE 0 END) AS dh
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+       CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dh, b.dh)) <= 3
+"""
+
+
 # ---------------------------------------------------- decontamination
 
 
@@ -5650,6 +5743,7 @@ def ext_queries():
         "sim_label_centroids": _q_label_centroids,
         "dedup_url_canonical": _q_dedup_url_canonical,
         "dedup_exact_128": _q_dedup_exact_128,
+        "mm_image_near_dup": _q_mm_image_near_dup,
     }
 
 
@@ -5667,6 +5761,7 @@ def ext_oracles():
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_url_canonical": _URL_CANONICAL_ORACLE,
         "dedup_exact_128": _DEDUP_EXACT_128_ORACLE,
+        "mm_image_near_dup": _MM_NEAR_DUP_ORACLE,
         "dedup_minhash_sigs": _MINHASH_ORACLE,
         "dedup_minhash_lsh_pairs": _LSH_ORACLE,
         "dedup_ngram_jaccard": _JACCARD_ORACLE,

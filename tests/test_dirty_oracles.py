@@ -239,6 +239,7 @@ DIRTY_QUERIES = [
     "dedup_source_overlap",
     "dedup_inc_lsh_append",
     "dedup_hamming_pairs",
+    "mm_image_near_dup",
     "dedup_hamming_clusters",
     "dedup_hamming_edges",
     "dedup_lsh_edges",

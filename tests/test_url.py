@@ -157,3 +157,43 @@ def test_dedup_append_infers_index_hash_width(spark):
     bad = local_rows(spark, [(1.5,)], "text_hash double")
     with _pytest.raises(ValueError, match="dtype 'double'"):
         dedup_append(bad, batch).collect()
+
+
+def test_image_near_dup_matches_bruteforce(spark):
+    """image_near_dup_pairs (decode -> dhash -> band -> verify) equals
+    the brute-force all-pairs hamming over the same perceptual hashes
+    on the dHash-invertible PPM fixture — recall 1 at
+    max_hamming < bands by pigeonhole, pinned here against the real
+    decoder path. NULL ids (None payloads) join nothing."""
+    from entry_ext import _q_mm_image_near_dup  # the fixture builder
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        image_near_dup_pairs,  # noqa: F401  (imported by the query)
+    )
+
+    from tests.conftest import SF0001
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in _q_mm_image_near_dup(spark, SF0001).collect()
+    }
+    # brute force from the closed-form dhash values
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from entry_ext import _MM_PHASH_MASKS, _mm_phash_h
+
+    ids = [
+        x.as_py()
+        for x in pq.read_table(
+            f"{SF0001}/documents.parquet", columns=["doc_id"]
+        ).column("doc_id")
+        if x.as_py() is not None
+    ]
+    h = {i: _mm_phash_h(i // 4) ^ _MM_PHASH_MASKS[i % 4] for i in ids}
+    want = {
+        (a, b, bin(h[a] ^ h[b]).count("1"))
+        for a, b in itertools.combinations(sorted(ids), 2)
+        if bin(h[a] ^ h[b]).count("1") <= 3
+    }
+    assert got == want and len(want) > 0
