@@ -9,6 +9,8 @@ from .sources import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     compact_banded_index,
+    rebucket_banded_index,
+    rebucket_cluster_store,
     compact_cluster_store,
     dedup_stream_content,
     dedup_stream_exact,

@@ -179,6 +179,11 @@ def _ensure_index_buckets(spark, index_dir: str, n_buckets: int) -> int:
     from ..sinks.compaction import heal_swap_leftovers
 
     heal_swap_leftovers(spark, base)
+    # also resolve a crash-interrupted REBUCKET swap of the whole root
+    # (rebucket_banded_index renames the root itself)
+    from ..sinks.compaction import heal_compaction_swap
+
+    heal_compaction_swap(spark, base)
     if _fs_has_parquet(spark, meta):
         stored = int(spark.read.parquet(meta).collect()[0][0])
         if n_buckets is not None and int(n_buckets) != stored:
@@ -200,6 +205,12 @@ def _ensure_index_buckets(spark, index_dir: str, n_buckets: int) -> int:
             f"index at {index_dir} has ibucket= partitions but no _meta "
             "— write _meta with the modulus they were hashed with "
             "(1-row parquet, column n_buckets) or rebuild"
+        )
+    if n_buckets is None:
+        raise ValueError(
+            f"no index metadata under {index_dir} and no n_buckets given "
+            "— n_buckets=None means 'adopt the store's pinned modulus' "
+            "(the post-rebucket resume path) and needs an existing _meta"
         )
     local_rows(
         spark, [(int(n_buckets),)], "n_buckets int"
@@ -294,6 +305,80 @@ def compact_banded_index(
             min_files=min_files,
         )
     return out
+
+
+def rebucket_banded_index(
+    spark, index_dir: str, key_cols: Sequence[str], factor: int = 2
+) -> int:
+    """GROW a pinned-modulus ``ibucket=`` index online: rewrite every
+    row under ``n_buckets * factor`` and flip ``_meta`` atomically —
+    the missing growth path for stores that live forever (the
+    docstrings say "100 TB deployments want thousands of buckets";
+    without this, getting from 16 to 4096 meant a full manual
+    rebuild). ``key_cols`` must be the index's probe keys (the ones
+    every ``_collect_buckets``/``_index_bucket`` call uses —
+    ``("text_hash",)`` / ``("band", "bhash")`` / ``("band", "bv")``):
+    the modulus is only lossless to change because the FULL key rides
+    every row, so the new bucket is recomputed from data, never
+    derived from the old bucket value.
+
+    O(index) rewrite by nature — a periodic maintenance op exactly
+    like compaction (amortize it: each doubling halves per-bucket
+    size, so doublings get exponentially rarer at a fixed ingest
+    rate). Runs quiesced or from the runner that owns the index,
+    between batches.
+
+    Atomicity: the new layout (meta FIRST, then rows — so a staging
+    dir whose root ``_SUCCESS`` exists always carries its meta) builds
+    in a hidden sibling and swaps in with the compaction two-rename
+    protocol; every crash window is resolved by
+    ``heal_compaction_swap``, which ``_ensure_index_buckets`` runs
+    before any probe. A resume that still passes the OLD n_buckets
+    fails loudly against the flipped meta (the pinned-modulus guard,
+    unchanged). Returns the new modulus.
+    """
+    from ..sinks.compaction import _swap_names, heal_compaction_swap
+
+    if int(factor) != factor or factor < 2:
+        raise ValueError(f"factor must be an integer >= 2, got {factor}")
+    base = index_dir.rstrip("/")
+    heal_compaction_swap(spark, base)
+    old_m = _ensure_index_buckets(spark, base, None)
+    new_m = old_m * int(factor)
+    _, staging, retired = _swap_names(base)
+    fs, p = _hadoop_fs(spark, base)
+    _, sp = _hadoop_fs(spark, staging)
+    _, rp = _hadoop_fs(spark, retired)
+    try:
+        # meta first: heal-forward requires the staging root _SUCCESS,
+        # which only the rows write below creates — so a "committed"
+        # staging can never be missing its modulus
+        local_rows(
+            spark, [(int(new_m),)], "n_buckets int"
+        ).coalesce(1).write.parquet(staging + "/_meta")
+        if _index_nonempty(spark, base):
+            (
+                spark.read.parquet(base)
+                .drop("ibucket")
+                .withColumn("ibucket", _index_bucket(new_m, *key_cols))
+                .repartition(F.col("ibucket"))
+                .write.mode("append")  # staging already holds _meta/
+                .partitionBy("ibucket")
+                .parquet(staging)
+            )
+        else:
+            _touch_success(spark, staging)
+        if not fs.rename(p, rp):
+            raise IOError(f"rebucket swap failed: rename {base} away")
+    except BaseException:
+        fs.delete(sp, True)
+        raise
+    if not fs.rename(sp, p):
+        fs.rename(rp, p)
+        fs.delete(sp, True)
+        raise IOError(f"rebucket swap failed: rename staging into {base}")
+    fs.delete(rp, True)
+    return new_m
 
 
 def run_index_dedup_stream(
@@ -901,7 +986,13 @@ _STORE_LAYOUT_VERSION = 2
 def _check_store_layout(spark, base: str) -> int | None:
     """Validate ``base/_meta``'s layout version and return the pinned
     ``n_buckets`` (None when no meta exists yet — the caller decides
-    whether that is a fresh store or a refused legacy one)."""
+    whether that is a fresh store or a refused legacy one). Resolves a
+    crash-interrupted rebucket root swap first — every store read and
+    every runner resume funnels through here, so no probe can see a
+    half-swapped root."""
+    from ..sinks.compaction import heal_compaction_swap
+
+    heal_compaction_swap(spark, base)
     meta = base + "/_meta"
     if not _fs_has_parquet(spark, meta):
         return None
@@ -1194,36 +1285,147 @@ def compact_cluster_store(
     labels = read_cluster_labels(spark, out_dir, id_col=id_col)
     labels.persist()
     try:
-        base = out_dir.rstrip("/")
-        cdir = f"{base}/compact={target}"
-        tagged = labels.withColumn("batch", F.lit(target))
-        (
-            tagged.select(id_col, "cluster_id", "batch")
-            .withColumn("dbucket", _label_bucket(id_col, n_buckets))
-            .repartition(n_buckets, F.col("dbucket"))
-            .write.mode("overwrite")
-            .partitionBy("dbucket")
-            .parquet(cdir + "/by_doc")
+        _write_compaction(
+            spark,
+            labels,
+            f"{out_dir.rstrip('/')}/compact={target}",
+            n_buckets,
+            id_col,
+            target,
         )
-        # the cluster-keyed projection carries sizes + canonical flags
-        # in place — sizes derive from its canonical rows at read time
-        # (_read_store_sizes), so there is no third projection to
-        # shuffle and write
-        (
-            tagged.select(
-                id_col, "cluster_id", "cluster_size", "is_canonical",
-                "batch",
-            )
-            .withColumn("cbucket", _label_bucket("cluster_id", n_buckets))
-            .repartition(n_buckets, F.col("cbucket"))
-            .write.mode("overwrite")
-            .partitionBy("cbucket")
-            .parquet(cdir + "/by_cluster")
-        )
-        _touch_success(spark, cdir)
     finally:
         labels.unpersist()
     return target
+
+
+def _write_compaction(
+    spark, labels: DataFrame, cdir: str, n_buckets: int, id_col: str,
+    target: int,
+) -> None:
+    """Write one full compaction snapshot (both bucket projections) of
+    ``labels`` under ``cdir`` at modulus ``n_buckets``, committed by
+    its ``_SUCCESS`` marker — shared by periodic compaction and the
+    rebucket maintenance op (which writes the same snapshot at a NEW
+    modulus)."""
+    tagged = labels.withColumn("batch", F.lit(target))
+    (
+        tagged.select(id_col, "cluster_id", "batch")
+        .withColumn("dbucket", _label_bucket(id_col, n_buckets))
+        .repartition(n_buckets, F.col("dbucket"))
+        .write.mode("overwrite")
+        .partitionBy("dbucket")
+        .parquet(cdir + "/by_doc")
+    )
+    # the cluster-keyed projection carries sizes + canonical flags
+    # in place — sizes derive from its canonical rows at read time
+    # (_read_store_sizes), so there is no third projection to
+    # shuffle and write
+    (
+        tagged.select(
+            id_col, "cluster_id", "cluster_size", "is_canonical",
+            "batch",
+        )
+        .withColumn("cbucket", _label_bucket("cluster_id", n_buckets))
+        .repartition(n_buckets, F.col("cbucket"))
+        .write.mode("overwrite")
+        .partitionBy("cbucket")
+        .parquet(cdir + "/by_cluster")
+    )
+    _touch_success(spark, cdir)
+
+
+def rebucket_cluster_store(
+    spark, out_dir: str, factor: int = 2, id_col: str = "doc_id"
+) -> int:
+    """GROW the cluster label store's pinned bucket modulus online:
+    fold the current state into a full compaction written at
+    ``n_buckets * factor``, carry the committed batch markers and
+    ``fps/`` artifacts over, and swap the whole store root atomically
+    — the label-store twin of :func:`rebucket_banded_index`, closing
+    the same growth gap (a store that starts at 16 buckets can reach
+    thousands without a manual rebuild).
+
+    What the new root contains, and why:
+
+    * ``_meta`` at the NEW modulus (written before anything that could
+      mark the staging complete);
+    * ``compact=<T>`` (T = the newest state the old store held) — the
+      full current labels bucketed at the new modulus. Old deltas are
+      NOT carried: their partition values are old-modulus buckets,
+      and a pruned read against the new modulus would silently miss
+      them — dropping them in favor of the compaction is exactly
+      vacuum semantics, so the ``vacuumed=<T>`` horizon marker is
+      written too and time travel below T raises (as after any
+      vacuum).
+    * each committed ``batch=<id>/`` dir's ``_SUCCESS`` marker and its
+      ``fps/`` payload (COPIED, so a crash mid-build leaves the live
+      store intact): batch-id retry idempotency and the torn-append
+      repair path read them, and fps rows are modulus-independent.
+
+    O(corpus) by nature (it rewrites the full label state), quiesced
+    or writer-owned like every maintenance op here. Crash windows are
+    the two-rename protocol's, resolved by ``heal_compaction_swap``;
+    the runner resumes with ``n_buckets=None`` (adopt the store's
+    modulus) — resuming with the OLD count fails loudly against the
+    flipped meta. Returns the new modulus.
+    """
+    from ..sinks.compaction import _swap_names, heal_compaction_swap
+
+    if int(factor) != factor or factor < 2:
+        raise ValueError(f"factor must be an integer >= 2, got {factor}")
+    base = out_dir.rstrip("/")
+    heal_compaction_swap(spark, base)
+    old_m = _ensure_store_buckets(spark, base, None)
+    new_m = old_m * int(factor)
+    through, batches = _cluster_store_parts(spark, base)
+    if through is None and not batches:
+        raise ValueError(
+            f"cluster store at {out_dir} holds no committed state to "
+            "rebucket — set the modulus at first use instead"
+        )
+    target = max([b for b in batches] + ([through] if through is not None else []))
+    labels = read_cluster_labels(spark, base, id_col=id_col).persist()
+    _, staging, retired = _swap_names(base)
+    fs, p = _hadoop_fs(spark, base)
+    _, sp = _hadoop_fs(spark, staging)
+    _, rp = _hadoop_fs(spark, retired)
+    try:
+        local_rows(
+            spark,
+            [(int(new_m), _STORE_LAYOUT_VERSION)],
+            "n_buckets int, layout_version int",
+        ).coalesce(1).write.parquet(staging + "/_meta")
+        _write_compaction(
+            spark, labels, f"{staging}/compact={target}", new_m, id_col,
+            target,
+        )
+        _touch_success(spark, f"{staging}/vacuumed={target}")
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for b in _committed_batches(spark, base):
+            bdir = f"{staging}/batch={b}"
+            src_fps = _hadoop_fs(spark, f"{base}/batch={b}/fps")[1]
+            if fs.exists(src_fps):
+                jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    fs, src_fps,
+                    fs, _hadoop_fs(spark, bdir + "/fps")[1],
+                    False, conf,
+                )
+            _touch_success(spark, bdir)
+        _touch_success(spark, staging)
+        if not fs.rename(p, rp):
+            raise IOError(f"rebucket swap failed: rename {base} away")
+    except BaseException:
+        fs.delete(sp, True)
+        raise
+    finally:
+        labels.unpersist()
+    if not fs.rename(sp, p):
+        fs.rename(rp, p)
+        fs.delete(sp, True)
+        raise IOError(f"rebucket swap failed: rename staging into {base}")
+    fs.delete(rp, True)
+    return new_m
 
 
 def vacuum_cluster_store(spark, out_dir: str) -> list:

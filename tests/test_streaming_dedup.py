@@ -947,3 +947,170 @@ def test_cluster_store_layout_version_guard(spark, tmp_path):
     ).coalesce(1).write.parquet(future + "/_meta")
     with _pytest.raises(ValueError, match="layout_version=99"):
         _ensure_store_buckets(spark, future, 16)
+
+
+def _one_file(spark, dirpath, name, rows, schema):
+    """Write one replay file into an existing stream dir (the
+    staged-replay twin of _write_chunks — files added BETWEEN runs)."""
+    import glob
+    import shutil
+
+    os.makedirs(str(dirpath), exist_ok=True)
+    f = str(dirpath / name)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f + ".dir")
+    shutil.copy(glob.glob(f + ".dir/*.parquet")[0], f)
+    shutil.rmtree(f + ".dir")
+
+
+def test_rebucket_banded_index_mid_replay(spark, tmp_path):
+    """Online bucket growth (VERDICT r9 task #3): an LSH index written
+    at n_buckets=4 is rebucketed to 8 BETWEEN micro-batches; the
+    resumed stream adopts the store's modulus (n_buckets=None), probe
+    reads stay partition-pruned, the union of per-batch pairs still
+    equals the one-shot run, and a resume passing the stale modulus
+    fails loudly."""
+    import pytest as _pytest
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        rebucket_banded_index,
+        run_index_lsh_stream,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _ensure_index_buckets,
+        _read_index_pruned,
+    )
+
+    t_a = "the quick brown fox jumps over the lazy dog again and again"
+    t_b = "completely different prose describing spark execution engines"
+    schema = "doc_id long, ts timestamp, text string"
+    mk = lambda i, s, t: (i, T0 + dt.timedelta(seconds=s), t)
+    d = tmp_path / "stream"
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run(n_buckets):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(d))
+        )
+        q = run_index_lsh_stream(
+            stream, out_dir, index_dir, checkpoint_dir=ckpt,
+            n_buckets=n_buckets,
+        )
+        assert q.awaitTermination(180)
+
+    _one_file(spark, d, "00.parquet", [mk(1, 0, t_a), mk(2, 1, t_b)], schema)
+    _run(4)
+    assert _ensure_index_buckets(spark, index_dir, None) == 4
+    before = spark.read.parquet(index_dir).drop("ibucket").collect()
+
+    assert rebucket_banded_index(spark, index_dir, ("band", "bhash")) == 8
+    # same rows, new modulus, probes still pruned on the partition col
+    assert _ensure_index_buckets(spark, index_dir, None) == 8
+    after = spark.read.parquet(index_dir).drop("ibucket").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    plan = (
+        _read_index_pruned(spark, index_dir, [0, 1])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "ibucket" in plan.split("PartitionFilters", 1)[1][:120]
+
+    # stale-modulus resume fails loudly; adopting the store's modulus
+    # (None) resumes and still discovers the cross-batch pair
+    with _pytest.raises(Exception, match="n_buckets=8"):
+        _ensure_index_buckets(spark, index_dir, 4)
+    _one_file(spark, d, "01.parquet", [mk(3, 2, t_a)], schema)
+    _run(None)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(
+            os.path.join(out_dir, "batch=*", "pairs")
+        ).collect()
+    }
+    sigs = minhash_signatures(
+        spark.createDataFrame(
+            [mk(1, 0, t_a), mk(2, 1, t_b), mk(3, 2, t_a)], schema
+        ),
+        "text",
+        "doc_id",
+        16,
+    )
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", 4, 4).collect()
+    }
+    assert got == want and (1, 3) in got
+
+
+def test_rebucket_cluster_store_mid_replay(spark, tmp_path):
+    """Cluster-store twin: store + its discovery index written at
+    n_buckets=4 are rebucketed to 8 between batches (both — the runner
+    pins the index modulus to the store's); the resumed runner adopts
+    the new modulus via n_buckets=None, final labels equal the
+    from-scratch clustering, time travel below the rebucket point
+    raises (vacuum semantics), and a stale-modulus resume fails."""
+    import pytest as _pytest
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        read_cluster_labels,
+        rebucket_banded_index,
+        rebucket_cluster_store,
+        run_cluster_maintain_stream,
+    )
+
+    base_fp = 0x00FF_00FF_00FF_00FF
+    schema = "doc_id long, fp long"
+    d = tmp_path / "stream"
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run(n_buckets):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(d))
+        )
+        q = run_cluster_maintain_stream(
+            stream, out_dir, index_dir, checkpoint_dir=ckpt,
+            id_col="doc_id", hash_col="fp", n_buckets=n_buckets,
+        )
+        assert q.awaitTermination(180)
+
+    _one_file(
+        spark, d, "00.parquet",
+        [(1, base_fp), (2, 0x0F0F_0F0F_0F0F_0F0F)], schema,
+    )
+    _run(4)
+    assert rebucket_cluster_store(spark, out_dir) == 8
+    assert rebucket_banded_index(spark, index_dir, ("band", "bv")) == 8
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _ensure_store_buckets,
+    )
+
+    with _pytest.raises(ValueError, match="n_buckets=8"):
+        _ensure_store_buckets(spark, out_dir, 4)
+    # time travel below the rebucket horizon is vacuumed away
+    with _pytest.raises(ValueError, match="vacuumed"):
+        read_cluster_labels(spark, out_dir, upto_batch=-1)
+
+    _one_file(spark, d, "01.parquet", [(3, base_fp ^ 0b11)], schema)
+    _run(None)
+    labels = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in read_cluster_labels(spark, out_dir).collect()
+    }
+    # docs 1 and 3 are within hamming 2 -> one cluster of size 2
+    assert labels[1] == (1, 2) and labels[3] == (1, 2)
+    assert labels[2] == (2, 1)
