@@ -228,14 +228,30 @@ def _index_nonempty(spark, index_dir: str) -> bool:
     return False
 
 
-def _read_index_pruned(spark, index_dir: str, buckets: list):
+def _read_index_pruned(
+    spark, index_dir: str, buckets: list, nonempty_memo: dict | None = None
+):
     """Read the bucketed index PRUNED to ``buckets`` (a driver-side
     list of at most n_buckets ints — the partition values the probe's
     keys hash into). The filter sits on the partition column, so only
     the named ``ibucket=`` directories are listed and scanned: per-
     batch probe I/O is O(touched buckets), never O(index). Returns
-    None when the index holds no data or the bucket list is empty."""
-    if not buckets or not _index_nonempty(spark, index_dir):
+    None when the index holds no data or the bucket list is empty.
+
+    ``nonempty_memo`` (a caller-owned dict, e.g. a runner's per-stream
+    ``_resolved`` state) caches the non-emptiness probe under key
+    ``"nonempty"``: once the index has data the answer can never go
+    back to False, so the O(n_buckets) directory listing runs only
+    while the index is actually empty (cheap — nothing to list) and
+    once when it first turns non-empty."""
+    if not buckets:
+        return None
+    if nonempty_memo is not None:
+        if not nonempty_memo.get("nonempty"):
+            nonempty_memo["nonempty"] = _index_nonempty(spark, index_dir)
+        if not nonempty_memo["nonempty"]:
+            return None
+    elif not _index_nonempty(spark, index_dir):
         return None
     return (
         spark.read.parquet(index_dir.rstrip("/"))
@@ -586,11 +602,7 @@ def run_index_lsh_stream(
             "ids survive restarts"
         )
 
-    from ..operators.dedup import (
-        band_rows,
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
+    from ..operators.dedup import band_rows, minhash_signatures
 
     _resolved: dict = {}
 
@@ -623,102 +635,122 @@ def run_index_lsh_stream(
                 index_dir,
             )
             return
-        # ONE signature pass per batch: the band rows computed here
-        # feed the bucket collect, the probe join, the redelivery
-        # guard AND the append (the pre-bucketing path recomputed
-        # signatures inside lsh_append_candidates)
-        sigs = minhash_signatures(
-            batch_df, text_col, id_col, num_hashes
-        ).persist()
-        batch_bands = band_rows(sigs, id_col, bands, rows_per_band).persist()
-        try:
-            idx = _read_index_pruned(
-                spark, index_dir,
-                _collect_buckets(batch_bands, nb, "band", "bhash"),
+        # ONE signature+banding pass per batch, eagerly
+        # localCheckpoint-ed: the bucket collect, the probe join, the
+        # redelivery guard, the within-batch pairs AND the append all
+        # start from a flat LogicalRDD — Catalyst never re-analyzes
+        # the (large) minhash expression tree again this batch, and
+        # nothing recomputes it (measured: plan re-analysis and
+        # recompute were most of the per-trigger fixed cost)
+        batch_bands = band_rows(
+            minhash_signatures(batch_df, text_col, id_col, num_hashes),
+            id_col,
+            bands,
+            rows_per_band,
+        ).localCheckpoint()
+        idx = _read_index_pruned(
+            spark, index_dir,
+            _collect_buckets(batch_bands, nb, "band", "bhash"),
+            nonempty_memo=_resolved,
+        )
+        if idx is None:
+            # empty-index bootstrap: derive the schema from the
+            # batch's own band rows so string/binary doc ids work
+            # unchanged (a hardcoded `long` DDL would mistype the
+            # first micro-batch)
+            idx = batch_bands.limit(0)
+        # redelivered docs — routed around discovery and the
+        # append (their candidates were emitted at first arrival)
+        # — are ids whose band rows ALL match the index, not "any
+        # row matches": a same-id re-ingest with MODIFIED text
+        # shares >=1 band in exactly the near-dup regime, and an
+        # any-match rule would silently route the new version
+        # around indexing forever. All bands matching implies the
+        # identical signature (the bands partition the whole
+        # minhash vector), so the doc truly is a redelivery.
+        # countDistinct tolerates within-batch duplicate rows of
+        # one id. CHECKPOINTED: the id set is tiny (bounded by the
+        # batch) and feeds three consumers — left lazy, each
+        # would re-scan the pruned index.
+        redelivered = (
+            batch_bands.join(
+                idx, on=[id_col, "band", "bhash"], how="left_semi"
             )
-            if idx is None:
-                # empty-index bootstrap: derive the schema from the
-                # batch's own band rows so string/binary doc ids work
-                # unchanged (a hardcoded `long` DDL would mistype the
-                # first micro-batch)
-                idx = batch_bands.limit(0)
-            # redelivered docs — routed around discovery and the
-            # append (their candidates were emitted at first arrival)
-            # — are ids whose band rows ALL match the index, not "any
-            # row matches": a same-id re-ingest with MODIFIED text
-            # shares >=1 band in exactly the near-dup regime, and an
-            # any-match rule would silently route the new version
-            # around indexing forever. All bands matching implies the
-            # identical signature (the bands partition the whole
-            # minhash vector), so the doc truly is a redelivery.
-            # countDistinct tolerates within-batch duplicate rows of
-            # one id. PERSISTED: the id set is tiny (bounded by the
-            # batch) and feeds three consumers — left lazy, each
-            # would re-scan the pruned index.
-            redelivered = (
-                batch_bands.join(
-                    idx, on=[id_col, "band", "bhash"], how="left_semi"
-                )
-                .groupBy(id_col)
-                .agg(F.countDistinct("band").alias("__nb"))
-                .where(F.col("__nb") == F.lit(int(bands)))
-                .select(id_col)
-                .persist()
-            )
-            new_bands = batch_bands.join(redelivered, id_col, "left_anti")
-            # rows a PARTIAL-match doc shares with the index must not
-            # re-append (monotonic index growth under re-ingest): the
-            # batch artifact + append source hold only rows the index
-            # lacks, while discovery probes with the full band set
-            fresh_bands = new_bands.join(
+            .groupBy(id_col)
+            .agg(F.countDistinct("band").alias("__nb"))
+            .where(F.col("__nb") == F.lit(int(bands)))
+            .select(id_col)
+            .localCheckpoint()
+        )
+        new_bands = batch_bands.join(redelivered, id_col, "left_anti")
+        # rows a PARTIAL-match doc shares with the index must not
+        # re-append (monotonic index growth under re-ingest): the
+        # batch artifact + append source hold only rows the index
+        # lacks, while discovery probes with the full band set.
+        # CHECKPOINTED with the bucket column already attached: the
+        # batch artifact write and the index append both read these
+        # same materialized rows, so the index holds exactly what the
+        # batch dir holds with no read-back of the just-written files.
+        fresh_bands = (
+            new_bands.join(
                 idx, on=[id_col, "band", "bhash"], how="left_anti"
             )
-            probe = F.broadcast(new_bands) if broadcast_batch else new_bands
-            cross = (
-                idx.alias("a")
-                .join(
-                    probe.alias("b"),
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bhash") == F.col("b.bhash"))
-                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-                )
-                .select(
-                    F.least(
-                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-                    ).alias("doc_a"),
-                    F.greatest(
-                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-                    ).alias("doc_b"),
-                )
+            .withColumn("ibucket", _index_bucket(nb, "band", "bhash"))
+            .localCheckpoint()
+        )
+        probe = F.broadcast(new_bands) if broadcast_batch else new_bands
+        cross = (
+            idx.alias("a")
+            .join(
+                probe.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bhash") == F.col("b.bhash"))
+                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
             )
-            within = lsh_candidate_pairs(
-                sigs.join(redelivered, id_col, "left_anti"),
-                id_col,
-                bands,
-                rows_per_band,
+            .select(
+                F.least(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("doc_a"),
+                F.greatest(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("doc_b"),
             )
-            pairs = cross.unionByName(within).distinct()
-            pairs.write.mode("overwrite").parquet(pairs_out)
-            fresh_bands.write.mode("overwrite").parquet(bands_out)
-            # the batch dir's OWN _SUCCESS commits last: both
-            # sub-outputs are durably in place before a retry could
-            # skip this batch
-            _touch_success(spark, batch_out)
-            # index append after output commit (at-least-once; the
-            # retry branch repairs a crash landing between these two
-            # writes) — read back the committed bands rather than
-            # recomputing, so the index holds exactly what the batch
-            # dir holds
-            _append_index(
-                spark.read.parquet(bands_out).withColumn(
-                    "ibucket", _index_bucket(nb, "band", "bhash")
-                ),
-                index_dir,
+        )
+        # within-batch pairs straight off the checkpointed band rows —
+        # set-identical to lsh_candidate_pairs over the non-redelivered
+        # batch docs (pairs sharing >=1 band; the union's distinct
+        # collapses multi-band collisions), with no second signature
+        # pass. lsh_candidate_pairs' identical-signature collapse is a
+        # hot-pile guard for CORPUS-sized inputs; a micro-batch
+        # self-join is bounded by the batch, and an availableNow
+        # backfill whose first batch is corpus-sized should run the
+        # batch operator first instead (the runner docstring's
+        # broadcast_batch note).
+        within = (
+            new_bands.alias("a")
+            .join(
+                new_bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bhash") == F.col("b.bhash"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
-            redelivered.unpersist()
-        finally:
-            batch_bands.unpersist()
-            sigs.unpersist()
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+        )
+        pairs = cross.unionByName(within).distinct()
+        pairs.write.mode("overwrite").parquet(pairs_out)
+        fresh_bands.drop("ibucket").write.mode("overwrite").parquet(bands_out)
+        # the batch dir's OWN _SUCCESS commits last: both
+        # sub-outputs are durably in place before a retry could
+        # skip this batch
+        _touch_success(spark, batch_out)
+        # index append after output commit (at-least-once; the
+        # retry branch repairs a crash landing between these two
+        # writes) — from the SAME checkpointed rows the batch
+        # artifact was written from
+        _append_index(fresh_bands, index_dir)
 
     writer = (
         stream.writeStream.foreachBatch(_process)
@@ -859,81 +891,85 @@ def run_index_hamming_stream(
                 index_dir,
             )
             return
+        # ONE fingerprint pass per batch, eagerly localCheckpoint-ed:
+        # upstream hash exprs (e.g. a 60-bit SimHash tree computed in
+        # the stream) are large, and every later action would
+        # otherwise re-analyze — and for uncached consumers recompute
+        # — them. Band rows stay LAZY on top of the flat fingerprints:
+        # banding is shift/mask arithmetic, cheap to re-derive.
+        batch_fp = batch_fp.localCheckpoint()
         batch_bands = hamming_band_rows(
             batch_fp, id_col, hash_col, bands, width
-        ).persist()
-        try:
-            idx = _read_index_pruned(
-                spark, index_dir,
-                _collect_buckets(batch_bands, nb, "band", "bv"),
+        )
+        idx = _read_index_pruned(
+            spark, index_dir,
+            _collect_buckets(batch_bands, nb, "band", "bv"),
+            nonempty_memo=_resolved,
+        )
+        if idx is None:
+            idx = batch_bands.limit(0)
+        # redelivered (id, fp) rows are already fully indexed
+        # (torn appends heal on retry before the next batch), so
+        # any band-row match identifies them; route them around
+        # discovery and the append. CHECKPOINTED: new_fp feeds the
+        # probe bands, the within-batch pairs AND the fps write —
+        # left lazy, each consumer would re-run the anti-join
+        # against the pruned index. (No distinct on the index
+        # side: an anti-join only tests existence.)
+        new_fp = batch_fp.join(
+            idx.select(id_col, hash_col),
+            on=[id_col, hash_col],
+            how="left_anti",
+        ).localCheckpoint()
+        new_bands = hamming_band_rows(
+            new_fp, id_col, hash_col, bands, width
+        )
+        probe = F.broadcast(new_bands) if broadcast_batch else new_bands
+        cross = (
+            idx.alias("a")
+            .join(
+                probe.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
             )
-            if idx is None:
-                idx = batch_bands.limit(0)
-            # redelivered (id, fp) rows are already fully indexed
-            # (torn appends heal on retry before the next batch), so
-            # any band-row match identifies them; route them around
-            # discovery and the append. PERSISTED: new_fp feeds the
-            # probe bands, the within-batch pairs AND the fps write —
-            # left lazy, each consumer would re-run the anti-join
-            # against the pruned index. (No distinct on the index
-            # side: an anti-join only tests existence.)
-            new_fp = batch_fp.join(
-                idx.select(id_col, hash_col),
-                on=[id_col, hash_col],
-                how="left_anti",
-            ).persist()
-            new_bands = batch_bands.join(
-                new_fp.select(id_col), id_col, "left_semi"
+            .select(
+                F.least(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("doc_a"),
+                F.greatest(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("doc_b"),
+                F.expr(
+                    f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
+                ).alias("hamming"),
             )
-            probe = F.broadcast(new_bands) if broadcast_batch else new_bands
-            cross = (
-                idx.alias("a")
-                .join(
-                    probe.alias("b"),
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bv") == F.col("b.bv"))
-                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-                )
-                .select(
-                    F.least(
-                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-                    ).alias("doc_a"),
-                    F.greatest(
-                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-                    ).alias("doc_b"),
-                    F.expr(
-                        f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
-                    ).alias("hamming"),
-                )
-                .where(F.col("hamming") <= max_hamming)
-                .distinct()
-            )
-            within = hamming_near_dup_pairs(
-                new_fp,
-                id_col=id_col,
-                hash_col=hash_col,
-                max_hamming=max_hamming,
-                bands=bands,
-                n_bits=n_bits,
-            )
-            pairs = cross.unionByName(within).distinct()
-            pairs.write.mode("overwrite").parquet(pairs_out)
-            new_fp.write.mode("overwrite").parquet(fps_out)
-            _touch_success(spark, batch_out)
-            # index append after output commit (at-least-once; the
-            # retry branch repairs a crash between these writes) —
-            # band rows derive from the committed fps so the index
-            # holds exactly what the batch dir holds
-            _append_index(
-                hamming_band_rows(
-                    spark.read.parquet(fps_out), id_col, hash_col,
-                    bands, width,
-                ).withColumn("ibucket", _index_bucket(nb, "band", "bv")),
-                index_dir,
-            )
-            new_fp.unpersist()
-        finally:
-            batch_bands.unpersist()
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+        within = hamming_near_dup_pairs(
+            new_fp,
+            id_col=id_col,
+            hash_col=hash_col,
+            max_hamming=max_hamming,
+            bands=bands,
+            n_bits=n_bits,
+        )
+        pairs = cross.unionByName(within).distinct()
+        pairs.write.mode("overwrite").parquet(pairs_out)
+        new_fp.write.mode("overwrite").parquet(fps_out)
+        _touch_success(spark, batch_out)
+        # index append after output commit (at-least-once; the
+        # retry branch repairs a crash between these writes) —
+        # band rows re-derive from the SAME checkpointed new_fp the
+        # committed artifact was written from, so the index holds
+        # exactly what the batch dir holds with no read-back
+        _append_index(
+            new_bands.withColumn(
+                "ibucket", _index_bucket(nb, "band", "bv")
+            ),
+            index_dir,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_process)
@@ -1636,13 +1672,22 @@ def run_cluster_maintain_stream(
                 index_dir,
             )
             return
+        # ONE fingerprint pass per batch, eagerly localCheckpoint-ed
+        # (the run_index_hamming_stream rule): the upstream hash expr
+        # (e.g. the 60-bit SimHash tree computed in the stream) is
+        # large, and every later action would otherwise re-analyze —
+        # and for uncached consumers recompute — it. Band rows stay
+        # LAZY on the flat fingerprints: banding is shift/mask
+        # arithmetic, cheap to re-derive.
+        edge_fp = edge_fp.localCheckpoint()
         batch_bands = hamming_band_rows(
             edge_fp, id_col, hash_col, bands, width
-        ).persist()
-        _tick(t0, f"b{batch_id} success-check")
+        )
+        _tick(t0, f"b{batch_id} success-check+fp-checkpoint")
         idx = _read_index_pruned(
             spark, index_dir,
             _collect_buckets(batch_bands, inb, "band", "bv"),
+            nonempty_memo=_resolved,
         )
         _tick(t0, f"b{batch_id} bucket-collect+index-read")
         if idx is None:
@@ -1652,7 +1697,7 @@ def run_cluster_maintain_stream(
         # the store commit) — route them around discovery and the
         # append: their edges were discovered at first arrival, and
         # re-probing would only re-touch their clusters for nothing.
-        # PERSISTED: new_fp feeds the probe bands, the within-batch
+        # CHECKPOINTED: new_fp feeds the probe bands, the within-batch
         # edges AND the fps write — left lazy, each consumer would
         # re-run the anti-join against the pruned index. (No distinct
         # on the index side: an anti-join only tests existence.)
@@ -1660,9 +1705,9 @@ def run_cluster_maintain_stream(
             idx.select(id_col, hash_col),
             on=[id_col, hash_col],
             how="left_anti",
-        ).persist()
-        new_bands = batch_bands.join(
-            new_fp.select(id_col), id_col, "left_semi"
+        ).localCheckpoint()
+        new_bands = hamming_band_rows(
+            new_fp, id_col, hash_col, bands, width
         )
         probe = F.broadcast(new_bands) if broadcast_batch else new_bands
         cross = (
@@ -1698,144 +1743,145 @@ def run_cluster_maintain_stream(
         edges = (
             cross.select("doc_a", "doc_b")
             .unionByName(within.select("doc_a", "doc_b"))
-            .persist()
+            .localCheckpoint()
         )
-        delta = None
-        try:
-            new_ids = (
-                batch_df.select(id_col)
-                .where(F.col(id_col).isNotNull())
-                .distinct()
-            )
-            eps = (
-                edges.select(F.col("doc_a").alias(id_col))
-                .unionByName(edges.select(F.col("doc_b").alias(id_col)))
-                .distinct()
-            )
-            lookup_ids = eps.unionByName(new_ids).distinct()
-            through, prior_batches = _cluster_store_parts(spark, base)
-            if through is None and not prior_batches:
-                # empty store (first batch): nothing to look up — skip
-                # the two bucket-collect actions outright (half the
-                # batches of a two-batch replay, and every cold start)
-                store_doc = None
-            else:
-                # bucket list of the lookup keys: <= n_buckets ints on
-                # the driver (a constant), pinning the store read to
-                # exactly the partitions the keys can live in
-                want = [
-                    r[0]
-                    for r in lookup_ids.select(
-                        _label_bucket(id_col, nb).alias("b")
-                    )
-                    .distinct()
-                    .collect()
-                ]
-                _tick(t0, f"b{batch_id} want-collect")
-                store_doc = _read_store_side(
-                    spark, base, "doc", through, prior_batches, buckets=want
-                )
-            if store_doc is None:
-                prior_known = (
-                    lookup_ids.limit(0)
-                    .withColumn("cluster_id", F.col(id_col))
-                )
-            else:
-                prior_known = _latest_per_key(store_doc, id_col).join(
-                    lookup_ids, id_col, "left_semi"
-                )
-            # touched clusters = current clusters of EDGE ENDPOINTS;
-            # a re-delivered doc whose cluster no edge touches stays
-            # out (its store rows are already correct)
-            touched_cids = (
-                prior_known.join(eps, id_col, "left_semi")
-                .select("cluster_id")
-                .distinct()
-            )
-            cwant = [
+        new_ids = (
+            batch_df.select(id_col)
+            .where(F.col(id_col).isNotNull())
+            .distinct()
+        )
+        eps = (
+            edges.select(F.col("doc_a").alias(id_col))
+            .unionByName(edges.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        lookup_ids = eps.unionByName(new_ids).distinct()
+        through, prior_batches = _cluster_store_parts(spark, base)
+        if through is None and not prior_batches:
+            # empty store (first batch): nothing to look up — skip
+            # the two bucket-collect actions outright (half the
+            # batches of a two-batch replay, and every cold start)
+            store_doc = None
+        else:
+            # bucket list of the lookup keys: <= n_buckets ints on
+            # the driver (a constant), pinning the store read to
+            # exactly the partitions the keys can live in
+            want = [
                 r[0]
-                for r in touched_cids.select(
-                    _label_bucket("cluster_id", nb).alias("b")
+                for r in lookup_ids.select(
+                    _label_bucket(id_col, nb).alias("b")
                 )
                 .distinct()
                 .collect()
             ]
-            _tick(t0, f"b{batch_id} cwant-collect")
-            members = None
-            if cwant:
-                store_cluster = _read_store_side(
-                    spark, base, "cluster", through, prior_batches,
-                    buckets=cwant,
-                )
-                if store_cluster is not None:
-                    # stale rows cannot survive this semi-join: a
-                    # CURRENT label's membership never shrinks in
-                    # place (see docstring), so every row labelled
-                    # with a touched cid is a true current member
-                    members = (
-                        store_cluster.join(
-                            touched_cids, "cluster_id", "left_semi"
-                        )
-                        .select(id_col, "cluster_id")
-                        .distinct()
-                    )
-            if members is None:
-                members = prior_known.limit(0)
-            fresh = new_ids.join(prior_known, id_col, "left_anti")
-            delta = clusters_delta(
-                members, fresh, edges, id_col=id_col
-            ).persist()
-            tagged = delta.withColumn("batch", F.lit(batch_id))
-            # a pure-redelivery batch folds to an EMPTY delta — skip
-            # both projection writes outright (readers treat a
-            # committed batch with no delta dirs as a no-op); the
-            # isEmpty probe is one cheap action on the persisted delta
-            _tick(t0, f"b{batch_id} delta-build+isEmpty")
-            if not delta.isEmpty():
-                # one pre-write shuffle per projection keyed on the
-                # bucket: without it every task writes a file into
-                # every bucket dir (tasks × buckets small files)
-                (
-                    tagged.select(id_col, "cluster_id", "batch")
-                    .withColumn("dbucket", _label_bucket(id_col, nb))
-                    .repartition(nb, F.col("dbucket"))
-                    .write.mode("overwrite")
-                    .partitionBy("dbucket")
-                    .parquet(batch_out + "/delta_doc")
-                )
-                # sizes/canonical flags ride the cluster projection in
-                # place — no third per-batch artifact to write
-                (
-                    tagged.select(
-                        id_col, "cluster_id", "cluster_size",
-                        "is_canonical", "batch",
-                    )
-                    .withColumn("cbucket", _label_bucket("cluster_id", nb))
-                    .repartition(nb, F.col("cbucket"))
-                    .write.mode("overwrite")
-                    .partitionBy("cbucket")
-                    .parquet(batch_out + "/delta_cluster")
-                )
-                _tick(t0, f"b{batch_id} delta-writes")
-            new_fp.write.mode("overwrite").parquet(fps_out)
-            _tick(t0, f"b{batch_id} fps-write")
-            _touch_success(spark, batch_out)
-            # band rows derive from the committed fps so the index
-            # holds exactly what the batch dir holds
-            _append_index(
-                hamming_band_rows(
-                    spark.read.parquet(fps_out), id_col, hash_col,
-                    bands, width,
-                ).withColumn("ibucket", _index_bucket(inb, "band", "bv")),
-                index_dir,
+            _tick(t0, f"b{batch_id} want-collect")
+            store_doc = _read_store_side(
+                spark, base, "doc", through, prior_batches, buckets=want
             )
-            _tick(t0, f"b{batch_id} index-append")
-        finally:
-            batch_bands.unpersist()
-            new_fp.unpersist()
-            edges.unpersist()
-            if delta is not None:
-                delta.unpersist()
+        if store_doc is None:
+            prior_known = (
+                lookup_ids.limit(0)
+                .withColumn("cluster_id", F.col(id_col))
+            )
+        else:
+            # checkpointed: consumed by the cwant collect, the
+            # members semi-join and the fresh anti-join — left
+            # lazy, each would re-read the pruned store and re-run
+            # the latest-per-key window
+            prior_known = (
+                _latest_per_key(store_doc, id_col)
+                .join(lookup_ids, id_col, "left_semi")
+                .localCheckpoint()
+            )
+        # touched clusters = current clusters of EDGE ENDPOINTS;
+        # a re-delivered doc whose cluster no edge touches stays
+        # out (its store rows are already correct)
+        touched_cids = (
+            prior_known.join(eps, id_col, "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        cwant = [
+            r[0]
+            for r in touched_cids.select(
+                _label_bucket("cluster_id", nb).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        _tick(t0, f"b{batch_id} cwant-collect")
+        members = None
+        if cwant:
+            store_cluster = _read_store_side(
+                spark, base, "cluster", through, prior_batches,
+                buckets=cwant,
+            )
+            if store_cluster is not None:
+                # stale rows cannot survive this semi-join: a
+                # CURRENT label's membership never shrinks in
+                # place (see docstring), so every row labelled
+                # with a touched cid is a true current member
+                members = (
+                    store_cluster.join(
+                        touched_cids, "cluster_id", "left_semi"
+                    )
+                    .select(id_col, "cluster_id")
+                    .distinct()
+                )
+        if members is None:
+            members = prior_known.limit(0)
+        fresh = new_ids.join(prior_known, id_col, "left_anti")
+        # eager checkpoint: ONE job runs the fold (store joins +
+        # the CC pass); the isEmpty probe and both projection
+        # writes then read the materialized rows with a flat plan
+        # instead of re-analyzing the full fold lineage per action
+        delta = clusters_delta(
+            members, fresh, edges, id_col=id_col
+        ).localCheckpoint()
+        tagged = delta.withColumn("batch", F.lit(batch_id))
+        # a pure-redelivery batch folds to an EMPTY delta — skip
+        # both projection writes outright (readers treat a
+        # committed batch with no delta dirs as a no-op)
+        _tick(t0, f"b{batch_id} delta-build+isEmpty")
+        if not delta.isEmpty():
+            # one pre-write shuffle per projection keyed on the
+            # bucket: without it every task writes a file into
+            # every bucket dir (tasks × buckets small files)
+            (
+                tagged.select(id_col, "cluster_id", "batch")
+                .withColumn("dbucket", _label_bucket(id_col, nb))
+                .repartition(nb, F.col("dbucket"))
+                .write.mode("overwrite")
+                .partitionBy("dbucket")
+                .parquet(batch_out + "/delta_doc")
+            )
+            # sizes/canonical flags ride the cluster projection in
+            # place — no third per-batch artifact to write
+            (
+                tagged.select(
+                    id_col, "cluster_id", "cluster_size",
+                    "is_canonical", "batch",
+                )
+                .withColumn("cbucket", _label_bucket("cluster_id", nb))
+                .repartition(nb, F.col("cbucket"))
+                .write.mode("overwrite")
+                .partitionBy("cbucket")
+                .parquet(batch_out + "/delta_cluster")
+            )
+            _tick(t0, f"b{batch_id} delta-writes")
+        new_fp.write.mode("overwrite").parquet(fps_out)
+        _tick(t0, f"b{batch_id} fps-write")
+        _touch_success(spark, batch_out)
+        # band rows re-derive from the SAME checkpointed new_fp
+        # the committed artifact was written from, so the index
+        # holds exactly what the batch dir holds with no read-back
+        _append_index(
+            new_bands.withColumn(
+                "ibucket", _index_bucket(inb, "band", "bv")
+            ),
+            index_dir,
+        )
+        _tick(t0, f"b{batch_id} index-append")
         if compact_every and len(prior_batches) + 1 >= compact_every:
             compact_cluster_store(
                 spark, base, id_col=id_col, n_buckets=nb
