@@ -24,7 +24,9 @@ from .dedup import (  # noqa: F401
 from .join import interval_join  # noqa: F401
 from .quality import (  # noqa: F401
     read_lm_model,
+    run_contamination_stream,
     run_lm_score_stream,
+    write_benchmark_shingles,
     write_lm_model,
 )
 from .similarity import (  # noqa: F401

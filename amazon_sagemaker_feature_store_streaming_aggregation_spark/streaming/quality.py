@@ -113,3 +113,117 @@ def run_lm_score_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_benchmark_shingles(
+    benchmark: DataFrame,
+    shingle_dir: str,
+    text_col: str = "text",
+    k: int | None = None,
+) -> None:
+    """Persist the DISTINCT shingle hashes of a benchmark/eval corpus
+    under ``shingle_dir`` — the offline artifact a standing
+    decontamination guard probes. Eval suites are small and change
+    rarely (a release event, not a stream), so the shingle set is
+    built once like the LM model tables above; 8-byte hashes only,
+    never the benchmark text. Overwrites any prior set at the path."""
+    from ..functions.hashing import shingle_hashes
+    from ..operators.dedup import DEFAULT_SHINGLE_K
+
+    from pyspark.sql import functions as F
+
+    (
+        benchmark.select(
+            F.explode(
+                shingle_hashes(text_col, k or DEFAULT_SHINGLE_K)
+            ).alias("sh")
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(shingle_dir)
+    )
+
+
+def run_contamination_stream(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    shingle_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int | None = None,
+    available_now: bool = True,
+):
+    """Standing benchmark-decontamination guard: per micro-batch, flag
+    arriving documents that share character k-gram shingles with the
+    persisted benchmark set (:func:`write_benchmark_shingles`) and
+    write ``out_dir/batch=<id>/overlap/`` — ``(id, n_overlap)`` rows,
+    the exact output shape of the batch
+    ``operators/dedup.py::contamination_overlap``. The GPT-3/Gopher
+    overlap check every pretraining pipeline runs, moved to ingest
+    time: a contaminated document is quarantined BEFORE it reaches a
+    training shard, not in a later corpus-wide sweep.
+
+    Statelessness is the equivalence proof (the
+    :func:`run_lm_score_stream` argument): a document's overlap count
+    depends only on its own shingles and the FIXED benchmark set, so
+    the union of per-batch outputs equals the one-shot batch run over
+    everything ingested (the registered oracle states exactly that).
+    Documents must not split across micro-batches (the engine-wide
+    id-delivered-once assumption); NULL-text docs shingle to nothing
+    and emit nothing, exactly as in the batch operator.
+
+    Retried committed batches skip wholesale (``_SUCCESS`` gate) —
+    nothing to repair, there is no index to append.
+
+    100 TB: the benchmark side is tiny by nature (eval suites) — it is
+    read ONCE per runner, cached, and broadcast into each batch's
+    scan-side shingle explode, so the corpus stream never shuffles
+    before the contamination filter and per-batch work is O(batch
+    shingles). Only the matched rows reach the per-doc aggregate.
+    """
+    if not checkpoint_dir:
+        raise ValueError(
+            "run_contamination_stream requires a durable checkpoint_dir: "
+            "batch-id-based retry idempotency is only safe when batch "
+            "ids survive restarts"
+        )
+
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import shingle_hashes
+    from ..operators.dedup import DEFAULT_SHINGLE_K
+
+    kk = k or DEFAULT_SHINGLE_K
+    _resolved: dict = {}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
+        if _fs_exists(spark, batch_out + "/_SUCCESS"):
+            return
+        if "bench" not in _resolved:
+            _resolved["bench"] = spark.read.parquet(shingle_dir).persist()
+        bench = _resolved["bench"]
+        from ..operators.dedup import _parallelize_scan
+
+        overlap = (
+            _parallelize_scan(batch_df).select(
+                F.col(id_col),
+                F.explode(shingle_hashes(text_col, kk)).alias("sh"),
+            )
+            .join(F.broadcast(bench), on="sh", how="inner")
+            .groupBy(id_col)
+            .agg(F.count_distinct(F.col("sh")).alias("n_overlap"))
+        )
+        overlap.write.mode("overwrite").parquet(batch_out + "/overlap")
+        _touch_success(spark, batch_out)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2711,6 +2711,80 @@ GROUP BY c.doc_id
 """
 
 
+def _q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing decontamination guard (streaming/quality.py::
+    run_contamination_stream): the benchmark set's (doc_id < 10)
+    distinct shingle hashes persist ONCE up front
+    (write_benchmark_shingles — the offline eval-suite artifact); the
+    corpus (doc_id >= 10) then replays as TWO micro-batches, each
+    probed statelessly against that fixed set. A doc's overlap count
+    depends only on its own shingles and the benchmark, so the union
+    of per-batch outputs equals the one-shot batch
+    contamination_overlap run — the oracle is _CONTAMINATION_ORACLE
+    verbatim."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_contamination_stream,
+        write_benchmark_shingles,
+    )
+    from __spark_entry__ import _set_stream_partitions
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    key = t.column("doc_id")
+    # corpus = doc_id >= 10 (NULL ids excluded, mirroring the batch
+    # query's filter); split at the corpus id midpoint
+    corpus = t.filter(pc.fill_null(pc.greater_equal(key, 10), False))
+    ids = sorted(x.as_py() for x in corpus.column("doc_id"))
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="scont_src_")
+    work = tempfile.mkdtemp(prefix="scont_work_")
+    ckey = corpus.column("doc_id")
+    pq.write_table(
+        corpus.filter(pc.less(ckey, mid)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        corpus.filter(pc.greater_equal(ckey, mid)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    shingle_dir = os.path.join(work, "bench_shingles")
+    write_benchmark_shingles(
+        load_table(spark, sf_dir, "documents").where("doc_id < 10"),
+        shingle_dir,
+    )
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        q = run_contamination_stream(
+            stream,
+            os.path.join(work, "out"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            shingle_dir=shingle_dir,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_contamination availableNow replay exceeded 300s"
+            )
+        return spark.read.parquet(
+            os.path.join(work, "out", "batch=*", "overlap")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 # ------------------------------- substring-level dedup (Lee et al. 2021)
 
 _SUBSTR_K = 8
@@ -5740,6 +5814,7 @@ def ext_queries():
         "pipeline_curate_mix": _q_pipeline_curate_mix,
         "text_ccnet_buckets": _q_ccnet_buckets,
         "s_stream_lm_score": _q_stream_lm_score,
+        "s_stream_contamination": _q_stream_contamination,
         "sim_label_centroids": _q_label_centroids,
         "dedup_url_canonical": _q_dedup_url_canonical,
         "dedup_exact_128": _q_dedup_exact_128,
@@ -5875,5 +5950,6 @@ def ext_oracles():
         "pipeline_curate_mix": _curate_mix_oracle(),
         "text_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "s_stream_lm_score": _LM_SCORE_ORACLE,
+        "s_stream_contamination": _CONTAMINATION_ORACLE,
         "sim_label_centroids": _LABEL_CENTROIDS_ORACLE,
     }

@@ -395,6 +395,7 @@ DIRTY_STREAM_QUERIES = [
     "s_stream_lsh_index",
     "s_stream_semantic_index",
     "s_stream_lm_score",
+    "s_stream_contamination",
     "s4_sliding_agg",
 ]
 

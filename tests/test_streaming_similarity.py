@@ -286,3 +286,75 @@ def test_lm_score_stream_matches_batch_against_fixed_model(spark, tmp_path):
     assert got == direct
     assert got[3] == (0, 0, None) and got[5] == (0, 0, None)
     assert got[1][0] == 2 and got[2][0] == 1
+
+
+def test_contamination_stream_matches_batch_against_fixed_benchmark(
+    spark, tmp_path
+):
+    """The persisted-benchmark contract: per-batch overlap rows from
+    the stream (chunked replay, stateless per batch) equal the
+    one-shot batch contamination_overlap against the SAME benchmark;
+    clean docs emit nothing; NULL-text docs shingle to nothing; a
+    second availableNow run (retry) duplicates nothing."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        contamination_overlap,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_contamination_stream,
+        write_benchmark_shingles,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    chunks = [
+        [
+            (1, "we saw the quick brown fox jumps over the fence"),
+            (2, "completely unrelated text with zero shared grams"),
+            (3, None),
+        ],
+        [(4, "over the lazy dog tonight it went"), (5, "also clean")],
+    ]
+    path = _write_chunks(spark, tmp_path, chunks, "doc_id long, text string")
+    shingle_dir = str(tmp_path / "bench_shingles")
+    write_benchmark_shingles(bench, shingle_dir)
+    out_dir = str(tmp_path / "out")
+
+    def _run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(path)
+        )
+        q = run_contamination_stream(
+            stream,
+            out_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            shingle_dir=shingle_dir,
+        )
+        assert q.awaitTermination(120)
+
+    _run()
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in spark.read.parquet(out_dir + "/batch=*/overlap").collect()
+    }
+    corpus = spark.createDataFrame(
+        [r for c in chunks for r in c], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: r["n_overlap"]
+        for r in contamination_overlap(corpus, bench).collect()
+    }
+    assert got == want
+    assert 1 in got and 4 in got  # both batches flagged something
+    assert 2 not in got and 3 not in got and 5 not in got
+    # retry idempotency: committed batches skip wholesale
+    _run()
+    again = {
+        r["doc_id"]: r["n_overlap"]
+        for r in spark.read.parquet(out_dir + "/batch=*/overlap").collect()
+    }
+    assert again == got
