@@ -85,6 +85,7 @@ from .training_data import (  # noqa: F401
     cap_per_source,
     chunk_documents,
     global_shuffle,
+    leakage_safe_split,
     pack_context_windows,
     remove_boilerplate_lines,
     write_training_shards,

@@ -495,3 +495,49 @@ def remove_boilerplate_lines(
             - F.coalesce(F.col("__n_kept"), F.lit(0))
         ).cast("long").alias("n_removed"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    test_pct: int = 30,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup-aware train/eval split: assign whole near-duplicate
+    CLUSTERS to one side, so a paraphrase or template twin of an eval
+    document can never sit in train — the leakage failure mode a
+    per-document hash split cannot prevent (eval sets built this way
+    overstate model quality; the standard fix in every public
+    pretraining recipe is to split at the duplicate-cluster level).
+
+    ``pairs`` is a near-dup edge/pair table ``(doc_a, doc_b)`` from
+    any discovery family (MinHash-LSH, SimHash-hamming, SemDeDup);
+    feed the SPARSE component-equivalent edges for pile-up safety
+    (the :func:`~.dedup.near_dup_clusters` note). Output: ``(id,
+    cluster_id, split)`` with ``split`` ∈ {'train', 'test'} — the
+    deterministic md5 bucket of the CLUSTER id (the
+    ``plans/train_prep.py::hash_split`` convention: stable across
+    reruns and engines, entity-consistent, incremental — a new
+    near-dup of an already-split cluster lands on its cluster's side
+    as long as it links to it, and the ``salt`` isolates experiments).
+
+    Unpaired docs are singleton clusters: their split is the hash of
+    their own id, exactly ``hash_split`` on the id. NULL-id docs drop
+    out with the label table (the :func:`~.dedup.near_dup_clusters`
+    null-unsafe-join rule — a row without an identity cannot be
+    consistently routed to a side across reruns).
+
+    Scale shape: clustering is the shared :func:`~.dedup
+    .connected_components` machinery (O(E) rounds, O(log d) depth);
+    the split itself is one scan-side md5 over the label table — no
+    extra shuffle beyond the clustering.
+    """
+    from ..plans.train_prep import hash_split
+    from .dedup import near_dup_clusters
+
+    labels = near_dup_clusters(docs, pairs, id_col=id_col, max_iter=max_iter)
+    return hash_split(
+        labels.select(id_col, "cluster_id"), "cluster_id", test_pct, salt
+    )

@@ -5612,6 +5612,37 @@ FROM hassigned a JOIN hsizes s ON a.cluster_id = s.cluster_id
 
 
 
+def _q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/eval split (operators/training_data.py::
+    leakage_safe_split): SimHash hamming edges -> connected-component
+    cluster labels -> deterministic md5 hash split of the CLUSTER id,
+    so no near-dup pair ever straddles train/test — the leakage guard
+    every public pretraining recipe applies before building eval
+    sets. Reuses the cached sparse hamming edge table; the oracle
+    composes the clusters oracle with the hash_split CASE verbatim."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, _hamming_edges(spark, sf_dir))
+
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH lbl AS (
+  SELECT doc_id, cluster_id FROM ({_HAMMING_CLUSTERS_ORACLE})
+)
+SELECT doc_id, cluster_id,
+       -- || (NOT concat) so a NULL cluster hashes NULL -> 'train'
+       -- (unreachable here: NULL-id docs drop with the label table)
+       CASE WHEN CAST('0x' ||
+                substring(md5('split-v1:' || CAST(cluster_id AS VARCHAR)),
+                          1, 15) AS BIGINT) % 100 < 30
+            THEN 'test' ELSE 'train' END AS split
+FROM lbl
+"""
+
+
 def _doc_count(sf_dir: str) -> int:
     """Documents row count from the parquet footer (no Spark job)."""
     import pyarrow.parquet as pq
@@ -5708,6 +5739,7 @@ def ext_queries():
         "dedup_simhash": _q_simhash,
         "dedup_hamming_pairs": _q_hamming_pairs,
         "dedup_hamming_clusters": _q_hamming_clusters,
+        "t_leakage_split": _q_leakage_split,
         "dedup_hamming_edges": _q_hamming_edges,
         "dedup_lsh_edges": _q_lsh_edges,
         "dedup_clusters_append": _q_clusters_append,
@@ -5844,6 +5876,7 @@ def ext_oracles():
         "dedup_simhash": _SIMHASH_ORACLE,
         "dedup_hamming_pairs": _HAMMING_PAIRS_ORACLE,
         "dedup_hamming_clusters": _HAMMING_CLUSTERS_ORACLE,
+        "t_leakage_split": _LEAKAGE_SPLIT_ORACLE,
         "dedup_hamming_edges": _HAMMING_EDGES_ORACLE,
         "dedup_lsh_edges": _LSH_EDGES_ORACLE,
         "dedup_clusters_append": _HAMMING_CLUSTERS_ORACLE,

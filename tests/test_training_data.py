@@ -333,3 +333,42 @@ def test_in_batch_negatives_excludes_cluster_mates(spark):
     again = {(r.anchor_id, r.negative_id) for r in
              in_batch_negatives(docs, clusters, n_batches=2).collect()}
     assert pairs == again
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """No near-dup edge may straddle train/test; singletons get
+    exactly the per-id hash_split assignment; NULL ids drop with the
+    label table (the near_dup_clusters rule)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        leakage_safe_split,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.train_prep import (
+        hash_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)] + [(None,)], "doc_id long"
+    )
+    # chain 0-1-2 and pair (10,11); everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert None not in by_id and len(by_id) == 40
+    # clusters whole: every member shares its cluster's split
+    for a, b in [(0, 1), (1, 2), (10, 11)]:
+        assert by_id[a]["cluster_id"] == by_id[b]["cluster_id"]
+        assert by_id[a]["split"] == by_id[b]["split"]
+    # cluster split == hash_split of the cluster id (the convention)
+    want = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.where("doc_id is not null"), "doc_id").collect()
+    }
+    for r in out:
+        assert r["split"] == want[r["cluster_id"]]
+    # singleton docs: cluster is the own id, split is the own hash
+    assert by_id[25]["cluster_id"] == 25 and by_id[25]["split"] == want[25]
+    # both sides non-empty at this size (sanity that the split splits)
+    splits = {r["split"] for r in out}
+    assert splits == {"train", "test"}
