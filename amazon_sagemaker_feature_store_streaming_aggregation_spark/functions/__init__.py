@@ -3,6 +3,7 @@ from .stable import stabilize_doubles  # noqa: F401
 from .text import (  # noqa: F401
     LANG_STOPWORDS,
     with_fingerprint,
+    with_gopher_flags,
     with_lang_id,
     with_lang_id_ngram,
     with_repetition,

@@ -519,3 +519,106 @@ def with_repetition(
             .drop(tmp)
         )
     return out
+
+
+#: the 8 Gopher "stop words" (Rae et al. 2021, arXiv:2112.11446 App. A)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def with_gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality-rule flags (Rae et al. 2021, arXiv:2112.11446
+    Appendix A — the published heuristic filter every large-scale
+    pretraining recipe applies before model-based scoring): per
+    document, the raw counts, one 0/1 flag per rule, and ``passes``
+    (all rules hold). Rules, restated as INTEGER cross-multiplications
+    so no ratio is ever a float (engine-bit-exact by construction):
+
+    * ``f_word_count`` — ``min_words <= n_words <= max_words``;
+    * ``f_mean_word_len`` — mean word length in [3, 10]:
+      ``3*n_words <= word_chars <= 10*n_words``;
+    * ``f_symbol_ratio`` — symbol-to-word ratio <= 0.1, symbols =
+      '#' occurrences + maximal '...' runs: ``10*n_symbols <= n_words``;
+    * ``f_bullet_lines`` — <= 90% of (non-empty, trimmed) lines start
+      with a bullet ('-' or '*'): ``10*n_bullet_lines <= 9*n_lines``;
+    * ``f_ellipsis_lines`` — <= 30% of lines end with '...':
+      ``10*n_ellipsis_lines <= 3*n_lines``;
+    * ``f_alpha_words`` — >= 80% of words contain an alphabetic char:
+      ``5*n_alpha_words >= 4*n_words``;
+    * ``f_stopwords`` — >= 2 distinct of the 8 Gopher stop words.
+
+    ASCII-only heuristic by design (the paper's thresholds are
+    English-corpus constants; unicode bullets/ellipses are out of
+    scope and stated so). NULL text yields NULL counts, NULL flags and
+    NULL ``passes`` — three-valued logic, the engine-wide NULL rule —
+    so a pipeline must route NULLs explicitly rather than silently
+    keep or drop them. Everything is scan-side codegen off ONE
+    let-bound tokenization + line split (the ``with_lang_id``
+    single-evaluation trick): zero shuffles, embarrassingly parallel.
+    """
+    toks = _TOKENS.format(c=text_col)
+    lines = (
+        f"filter(transform(split({text_col}, '\\n'), l -> trim(l)),"
+        " l -> l != '')"
+    )
+    stop_arr = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    counts = f"""
+      transform(array({toks}), __t ->
+        transform(array(transform(__t, x -> lower(x))), __lt ->
+          transform(array({lines}), __ln ->
+            struct(
+              cast(size(__t) as bigint) as n_words,
+              aggregate(__t, 0L, (a, x) -> a + length(x)) as word_chars,
+              cast(size(filter(__t,
+                x -> regexp_like(x, '[A-Za-z]'))) as bigint) as n_alpha_words,
+              cast(size(filter(array({stop_arr}),
+                w -> array_contains(__lt, w))) as bigint) as n_stop_hits,
+              cast(size(__ln) as bigint) as n_lines,
+              cast(size(filter(__ln,
+                l -> regexp_like(l, '^[\\\\-\\\\*]'))) as bigint)
+                as n_bullet_lines,
+              cast(size(filter(__ln,
+                l -> regexp_like(l, '\\\\.{{3,}}$'))) as bigint)
+                as n_ellipsis_lines
+            )
+          )[0]
+        )[0]
+      )[0]
+    """
+    n_symbols = (
+        f"cast(length({text_col}) -"
+        f" length(replace({text_col}, '#', ''))"
+        f" + size(regexp_extract_all({text_col}, '\\\\.{{3,}}', 0))"
+        " as bigint)"
+    )
+    out = df.withColumn("__g", F.expr(counts)).withColumn(
+        "n_symbols", F.expr(n_symbols)
+    )
+    for c in (
+        "n_words", "word_chars", "n_alpha_words", "n_stop_hits",
+        "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+    ):
+        out = out.withColumn(c, F.col(f"__g.{c}"))
+    out = out.drop("__g")
+    flags = {
+        "f_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "f_mean_word_len": (F.col("word_chars") >= 3 * F.col("n_words"))
+        & (F.col("word_chars") <= 10 * F.col("n_words")),
+        "f_symbol_ratio": 10 * F.col("n_symbols") <= F.col("n_words"),
+        "f_bullet_lines": 10 * F.col("n_bullet_lines")
+        <= 9 * F.col("n_lines"),
+        "f_ellipsis_lines": 10 * F.col("n_ellipsis_lines")
+        <= 3 * F.col("n_lines"),
+        "f_alpha_words": 5 * F.col("n_alpha_words") >= 4 * F.col("n_words"),
+        "f_stopwords": F.col("n_stop_hits") >= 2,
+    }
+    passes = None
+    for name, b in flags.items():
+        out = out.withColumn(name, b.cast("int"))
+        passes = b if passes is None else (passes & b)
+    return out.withColumn("passes", passes.cast("int"))

@@ -726,6 +726,81 @@ SELECT doc_id, n_tokens, n_tokens_bpe, n_chars_m, n_punct, n_stopwords,
 FROM counted
 """
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule flags (functions/text.py::with_gopher_flags,
+    Rae et al. 2021 App. A): per-doc counts + one 0/1 flag per rule +
+    `passes` — every threshold an integer cross-multiplication, so no
+    float exists anywhere in the output."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions import with_gopher_flags
+
+    return with_gopher_flags(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_words", "word_chars", "n_alpha_words", "n_stop_hits",
+        "n_lines", "n_bullet_lines", "n_ellipsis_lines", "n_symbols",
+        "f_word_count", "f_mean_word_len", "f_symbol_ratio",
+        "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words",
+        "f_stopwords", "passes",
+    )
+
+
+_GOPHER_RULES_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t != '') AS toks,
+         list_filter(list_transform(regexp_split_to_array(text, '\n'),
+                                    l -> trim(l)),
+                     l -> l != '') AS lns
+  FROM documents
+), counted AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         -- empty token list sums to 0 (Spark aggregate's zero), NULL
+         -- text stays NULL — the CASE keeps the two apart (DuckDB
+         -- list_sum([]) is NULL)
+         CASE WHEN text IS NULL THEN NULL
+              ELSE CAST(COALESCE(list_sum(list_transform(toks,
+                     t -> length(t))), 0) AS BIGINT) END AS word_chars,
+         CAST(len(list_filter(toks,
+              t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha_words,
+         CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
+                               'have', 'with'],
+              w -> list_contains(list_transform(toks, t -> lower(t)), w)))
+              AS BIGINT) AS n_stop_hits,
+         CAST(len(lns) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lns,
+              l -> regexp_matches(l, '^[-*]'))) AS BIGINT)
+           AS n_bullet_lines,
+         CAST(len(list_filter(lns,
+              l -> regexp_matches(l, '\.{3,}$'))) AS BIGINT)
+           AS n_ellipsis_lines,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + len(regexp_extract_all(text, '\.{3,}'))
+              AS BIGINT) AS n_symbols
+  FROM base
+)
+SELECT doc_id, n_words, word_chars, n_alpha_words, n_stop_hits, n_lines,
+       n_bullet_lines, n_ellipsis_lines, n_symbols,
+       CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS f_word_count,
+       CAST(word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+            AS INTEGER) AS f_mean_word_len,
+       CAST(10 * n_symbols <= n_words AS INTEGER) AS f_symbol_ratio,
+       CAST(10 * n_bullet_lines <= 9 * n_lines AS INTEGER) AS f_bullet_lines,
+       CAST(10 * n_ellipsis_lines <= 3 * n_lines AS INTEGER)
+         AS f_ellipsis_lines,
+       CAST(5 * n_alpha_words >= 4 * n_words AS INTEGER) AS f_alpha_words,
+       CAST(n_stop_hits >= 2 AS INTEGER) AS f_stopwords,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_bullet_lines <= 9 * n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stop_hits >= 2 AS INTEGER) AS passes
+FROM counted
+"""
+
+
 # -------------------------------------------------------------------- PII
 
 
@@ -5732,6 +5807,9 @@ def ext_queries():
         "olap_late_shipment_priority": _q_late_shipment_priority,
         "ts_gap_fill_daily": _q_gap_fill,
         "dedup_exact": _q_dedup_exact,
+        "dedup_url_canonical": _q_dedup_url_canonical,
+        "dedup_exact_128": _q_dedup_exact_128,
+        "mm_image_near_dup": _q_mm_image_near_dup,
         "dedup_minhash_sigs": _q_minhash_signatures,
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -5745,6 +5823,7 @@ def ext_queries():
         "dedup_clusters_append": _q_clusters_append,
         "t_inbatch_negatives": _q_inbatch_negatives,
         "text_stats": _q_text_stats,
+        "text_gopher_rules": _q_gopher_rules,
         "text_repetition": _q_text_repetition,
         "text_lang_id": _q_lang_id,
         "text_lang_id_ngram": _q_lang_id_ngram,
@@ -5848,9 +5927,6 @@ def ext_queries():
         "s_stream_lm_score": _q_stream_lm_score,
         "s_stream_contamination": _q_stream_contamination,
         "sim_label_centroids": _q_label_centroids,
-        "dedup_url_canonical": _q_dedup_url_canonical,
-        "dedup_exact_128": _q_dedup_exact_128,
-        "mm_image_near_dup": _q_mm_image_near_dup,
     }
 
 
@@ -5882,6 +5958,7 @@ def ext_oracles():
         "dedup_clusters_append": _HAMMING_CLUSTERS_ORACLE,
         "t_inbatch_negatives": _INBATCH_NEG_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
+        "text_gopher_rules": _GOPHER_RULES_ORACLE,
         "text_repetition": _REPETITION_ORACLE,
         "text_lang_id": _lang_oracle(),
         "text_lang_id_ngram": _lang_ngram_oracle(),
@@ -5967,8 +6044,8 @@ def ext_oracles():
         "dedup_inc_append": _DEDUP_APPEND_ORACLE,
         "dedup_inc_lsh_append": _LSH_APPEND_ORACLE,
         "s_stream_lsh_index": _LSH_ORACLE,
-        "s_stream_hamming_index": _HAMMING_PAIRS_ORACLE,
         "s_stream_semantic_index": _semantic_oracle(clusters=False),
+        "s_stream_hamming_index": _HAMMING_PAIRS_ORACLE,
         "s_stream_cluster_maintain": _HAMMING_CLUSTERS_ORACLE,
         "dedup_inc_append_bloom": _DEDUP_APPEND_ORACLE,
         "dedup_source_overlap": _SOURCE_OVERLAP_ORACLE,

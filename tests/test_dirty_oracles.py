@@ -248,6 +248,7 @@ DIRTY_QUERIES = [
     "t_inbatch_negatives",
     # text family over NULL/empty text
     "text_stats",
+    "text_gopher_rules",
     "text_lang_id",
     "text_fingerprint",
     "text_repetition",
@@ -399,6 +400,9 @@ DIRTY_STREAM_QUERIES = [
     "s_stream_contamination",
     "s4_sliding_agg",
 ]
+
+# text_gopher_rules rides the batch list below (regex-hostile +
+# NULL-text salts are exactly what its line/token rules must survive)
 
 
 @pytest.mark.parametrize("name", DIRTY_QUERIES)
