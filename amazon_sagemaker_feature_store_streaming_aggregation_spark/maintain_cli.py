@@ -1,0 +1,150 @@
+"""Standing-store maintenance driver: the lifecycle operations a
+long-lived deployment runs BETWEEN streaming triggers, from the
+command line.
+
+The streaming runners (``streaming/dedup.py`` / ``streaming/
+similarity.py``) keep bucket/cell-partitioned indexes and a delta
+label store on disk forever — the reference's online feature store is
+the component that outlives every job (`src/lambda/
+StreamingIngestAggFeatures/lambda_function.py:25-32`), and this repo's
+file-backed twins accumulate small files and outgrow their pinned
+bucket moduli the same way any keyed store does. This CLI is the
+operator-facing surface over the maintenance primitives:
+
+* ``compact-index``    — per-bucket small-file compaction of an
+  ``ibucket=``-partitioned dedup index (exact / LSH band / hamming
+  band): ``compact_banded_index``.
+* ``rebucket-index``   — GROW the pinned modulus online (16 → 4096
+  without a rebuild): ``rebucket_banded_index``; ``--keys`` names the
+  index's probe keys.
+* ``compact-vec-index`` — per-cell compaction of the embedding
+  index: ``compact_embedding_index``.
+* ``compact-store``    — fold the cluster label store's deltas into a
+  fresh full compaction: ``compact_cluster_store``.
+* ``rebucket-store``   — grow the label store's modulus online:
+  ``rebucket_cluster_store``.
+* ``vacuum-store``     — reclaim history superseded by the newest
+  compaction: ``vacuum_cluster_store``.
+
+Every subcommand prints ONE JSON manifest line (the orchestrator
+contract shared with ``cli.py`` / ``curate_cli.py``). All operations
+run quiesced — between triggers of the runner that owns the path —
+exactly as their docstrings require; each is atomic via the
+``_SUCCESS``-gated swap machinery, so a crash mid-operation heals on
+the next runner start (``heal_swap_leftovers`` /
+``heal_compaction_swap``).
+
+Run::
+
+    python -m amazon_sagemaker_feature_store_streaming_aggregation_spark.maintain_cli \
+        rebucket-index --path /data/lsh_index --keys band,bhash --factor 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from collections.abc import Sequence
+
+
+def parse_args(argv: Sequence[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="amazon_sagemaker_feature_store_streaming_aggregation_spark.maintain_cli",
+        description="standing-store maintenance: compaction, online "
+        "re-bucketing, vacuum",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ci = sub.add_parser("compact-index", help="per-bucket small-file "
+                        "compaction of an ibucket= index")
+    ci.add_argument("--path", required=True)
+    ci.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    ci.add_argument("--min-files", type=int, default=2)
+
+    ri = sub.add_parser("rebucket-index", help="grow an ibucket= "
+                        "index's pinned modulus online")
+    ri.add_argument("--path", required=True)
+    ri.add_argument("--keys", required=True,
+                    help="comma-separated probe key columns, e.g. "
+                    "band,bhash (LSH), band,bv (hamming), text_hash")
+    ri.add_argument("--factor", type=int, default=2)
+
+    cv = sub.add_parser("compact-vec-index", help="per-cell compaction "
+                        "of a cell= embedding index")
+    cv.add_argument("--path", required=True)
+    cv.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    cv.add_argument("--min-files", type=int, default=2)
+
+    cs = sub.add_parser("compact-store", help="fold cluster-store "
+                        "deltas into a fresh compaction")
+    cs.add_argument("--path", required=True)
+    cs.add_argument("--id-col", default="doc_id")
+
+    rs = sub.add_parser("rebucket-store", help="grow the cluster "
+                        "store's pinned modulus online")
+    rs.add_argument("--path", required=True)
+    rs.add_argument("--id-col", default="doc_id")
+    rs.add_argument("--factor", type=int, default=2)
+
+    vs = sub.add_parser("vacuum-store", help="reclaim store history "
+                        "superseded by the newest compaction")
+    vs.add_argument("--path", required=True)
+
+    args = p.parse_args(argv)
+    if getattr(args, "factor", 2) < 2:
+        p.error("--factor must be >= 2")
+    return args
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    args = parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark("store-maintenance")
+    out: dict = {"cmd": args.cmd, "path": args.path}
+    if args.cmd == "compact-index":
+        from .streaming.dedup import compact_banded_index
+
+        files = compact_banded_index(
+            spark, args.path,
+            target_bytes=args.target_bytes, min_files=args.min_files,
+        )
+        out["files_per_bucket"] = {str(k): v for k, v in files.items()}
+    elif args.cmd == "rebucket-index":
+        from .streaming.dedup import rebucket_banded_index
+
+        keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+        out["n_buckets"] = rebucket_banded_index(
+            spark, args.path, keys, factor=args.factor
+        )
+    elif args.cmd == "compact-vec-index":
+        from .streaming.similarity import compact_embedding_index
+
+        files = compact_embedding_index(
+            spark, args.path,
+            target_bytes=args.target_bytes, min_files=args.min_files,
+        )
+        out["files_per_cell"] = {str(k): v for k, v in files.items()}
+    elif args.cmd == "compact-store":
+        from .streaming.dedup import compact_cluster_store
+
+        out["compacted_through"] = compact_cluster_store(
+            spark, args.path, id_col=args.id_col
+        )
+    elif args.cmd == "rebucket-store":
+        from .streaming.dedup import rebucket_cluster_store
+
+        out["n_buckets"] = rebucket_cluster_store(
+            spark, args.path, factor=args.factor, id_col=args.id_col
+        )
+    elif args.cmd == "vacuum-store":
+        from .streaming.dedup import vacuum_cluster_store
+
+        out["removed"] = vacuum_cluster_store(spark, args.path)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
