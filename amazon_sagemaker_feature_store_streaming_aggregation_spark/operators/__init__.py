@@ -13,6 +13,7 @@ from .sampling import (  # noqa: F401
     deterministic_sample,
     stratified_sample,
     temperature_mixture,
+    token_budget_mix,
     weighted_sample,
 )
 from .sessionize import session_stats, sessionize  # noqa: F401

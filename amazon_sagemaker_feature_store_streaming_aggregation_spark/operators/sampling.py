@@ -186,3 +186,86 @@ def temperature_mixture(
         .filter(_bucket(id_col, salt) < F.col("__qrate"))
         .drop("__qrate")
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """TOKEN-budget source mixing: select documents so each source
+    contributes (just under, plus at most one document over) its
+    weighted share of a total token budget — "sample 100 B tokens at
+    these mixture weights", the unit pretraining recipes are actually
+    written in (the Pile / LLaMA data tables quote token shares, not
+    document counts; :func:`temperature_mixture` is the doc-count
+    twin for when weights should DERIVE from corpus sizes).
+
+    ``weights`` maps source → basis points (integer 1/10000ths — the
+    engine-wide ``RATE_DENOM`` convention; they need not sum to
+    10000). Per source, ``target_s = budget_tokens * bp_s div 10000``
+    (integer floor), documents order by the deterministic md5 shuffle
+    hash ``(h64(salt:id), id)`` — a reproducible uniform order, the
+    ``cap_per_source`` rank — and a document is kept while the
+    running token total BEFORE it is still under the target: the
+    selection meets the target and overshoots by less than one
+    document, the classic greedy budget cut. Output: the kept rows +
+    ``n_tokens`` (whitespace count, the engine-wide token convention)
+    and ``cum_tokens`` (running total through this row — feed it to a
+    monitoring sink to see how full each source's budget ran).
+
+    Exclusions, all documented one-way doors: sources ABSENT from
+    ``weights`` contribute nothing (the recipe IS the weight table);
+    NULL ``strata_col`` rows have no weight to join; NULL ids have no
+    deterministic rank (h64(NULL) is NULL — the ``cap_per_source``
+    rule); NULL text has no token count and cannot draw down a
+    budget.
+
+    Scale shape: token counting is scan-side codegen; the weight
+    table is vocab-sized and broadcast; the ONE shuffle is the
+    per-source window (same key as every mixer here). A source's
+    rows land in one window partition — at pathological single-source
+    skew, pre-trim with ``cap_per_source(presort_cap=...)`` first (the
+    budget cut is rank-prefix-stable under that trim whenever the
+    survivors still cover the target).
+    """
+    from ..functions.text import _TOKENS
+    from ..session import local_rows
+    from pyspark.sql import Window
+
+    wrows = [(s, int(bp)) for s, bp in sorted(weights.items())]
+    wtab = local_rows(
+        df.sparkSession, wrows, f"{strata_col} string, __bp int"
+    ).withColumn(
+        "__target",
+        F.expr(
+            f"cast({int(budget_tokens)}L * __bp div {RATE_DENOM} as bigint)"
+        ),
+    )
+    toks = F.expr(f"size({_TOKENS.format(c=text_col)})").cast("long")
+    w = Window.partitionBy(strata_col).orderBy("__h", id_col)
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.where(
+            F.col(id_col).isNotNull()
+            & F.col(text_col).isNotNull()
+            & F.col(strata_col).isNotNull()
+        )
+        .withColumn("n_tokens", toks)
+        .join(F.broadcast(wtab), strata_col)
+        # the RAW shuffle hash (not the RATE_DENOM bucket): the order
+        # key must be collision-sparse, the cap_per_source rank
+        .withColumn(
+            "__h",
+            h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        )
+        .withColumn("cum_tokens", cum)
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("__target"))
+        .drop("__bp", "__target", "__h")
+    )

@@ -4861,6 +4861,48 @@ GROUP BY source
 """
 
 
+def _q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget source mixing (operators/sampling.py::
+    token_budget_mix): select docs so each weighted source contributes
+    just-under-plus-one-doc of its share of a total TOKEN budget — the
+    unit pretraining mixes are written in. Budget scales with the
+    corpus (2 tokens/doc x footer count) so the cut discriminates at
+    any sf; weights cover four sources, the rest contribute nothing."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_mix(
+        docs,
+        weights={"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000},
+        budget_tokens=2 * _doc_count(sf_dir),
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH params AS (
+  SELECT 2 * count(*) AS budget FROM documents
+), t AS (
+  SELECT doc_id, source, {_DUCK_NTOK} AS n_tokens,
+         {_SHUF_H.format(seed="budget-v1")} AS h
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL
+), w AS (
+  SELECT * FROM (VALUES ('src0', 4000), ('src1', 3000),
+                        ('src2', 2000), ('src3', 1000)) v(source, bp)
+), c AS (
+  SELECT t.doc_id, t.source, t.n_tokens,
+         sum(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.h, t.doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         CAST((SELECT budget FROM params) * w.bp // 10000 AS BIGINT)
+           AS target
+  FROM t JOIN w ON t.source = w.source
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens - n_tokens < target
+"""
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (operators/sampling.py::
     temperature_mixture, the XLM-R/Pile recipe): per-source keep rates
@@ -5916,6 +5958,7 @@ def ext_queries():
         "dedup_source_overlap": _q_source_overlap,
         "t_weighted_sample": _q_weighted_sample,
         "t_temperature_mix": _q_temperature_mix,
+        "t_token_budget_mix": _q_token_budget_mix,
         "rel_variant_props": _q_variant_props,
         "t_chunk_documents": _q_chunk_documents,
         "text_token_spectrum": _q_token_spectrum,
@@ -6051,6 +6094,7 @@ def ext_oracles():
         "dedup_source_overlap": _SOURCE_OVERLAP_ORACLE,
         "t_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "t_temperature_mix": _TEMPERATURE_MIX_ORACLE,
+        "t_token_budget_mix": _TOKEN_BUDGET_ORACLE,
         "rel_variant_props": _VARIANT_PROPS_ORACLE,
         "t_chunk_documents": _CHUNK_DOCS_ORACLE,
         "text_token_spectrum": _TOKEN_SPECTRUM_ORACLE,

@@ -259,6 +259,7 @@ DIRTY_QUERIES = [
     # sampling / chunking / packing with NULL ids, weights, text
     "t_weighted_sample",
     "t_temperature_mix",
+    "t_token_budget_mix",
     "t_chunk_documents",
     "t_global_shuffle",
     "t_pack_windows",
