@@ -653,69 +653,77 @@ def run_index_lsh_stream(
             _collect_buckets(batch_bands, nb, "band", "bhash"),
             nonempty_memo=_resolved,
         )
+        cross = None
         if idx is None:
-            # empty-index bootstrap: derive the schema from the
-            # batch's own band rows so string/binary doc ids work
-            # unchanged (a hardcoded `long` DDL would mistype the
-            # first micro-batch)
-            idx = batch_bands.limit(0)
-        # redelivered docs — routed around discovery and the
-        # append (their candidates were emitted at first arrival)
-        # — are ids whose band rows ALL match the index, not "any
-        # row matches": a same-id re-ingest with MODIFIED text
-        # shares >=1 band in exactly the near-dup regime, and an
-        # any-match rule would silently route the new version
-        # around indexing forever. All bands matching implies the
-        # identical signature (the bands partition the whole
-        # minhash vector), so the doc truly is a redelivery.
-        # countDistinct tolerates within-batch duplicate rows of
-        # one id. CHECKPOINTED: the id set is tiny (bounded by the
-        # batch) and feeds three consumers — left lazy, each
-        # would re-scan the pruned index.
-        redelivered = (
-            batch_bands.join(
-                idx, on=[id_col, "band", "bhash"], how="left_semi"
+            # cold index: nothing can be redelivered, nothing can
+            # cross-match — skip the redelivery checkpoint, the
+            # anti-joins and the (empty) cross join; the band rows are
+            # already materialized, so the bucket projection below is
+            # a lazy column add, not a recompute
+            new_bands = batch_bands
+            fresh_bands = batch_bands.withColumn(
+                "ibucket", _index_bucket(nb, "band", "bhash")
             )
-            .groupBy(id_col)
-            .agg(F.countDistinct("band").alias("__nb"))
-            .where(F.col("__nb") == F.lit(int(bands)))
-            .select(id_col)
-            .localCheckpoint()
-        )
-        new_bands = batch_bands.join(redelivered, id_col, "left_anti")
-        # rows a PARTIAL-match doc shares with the index must not
-        # re-append (monotonic index growth under re-ingest): the
-        # batch artifact + append source hold only rows the index
-        # lacks, while discovery probes with the full band set.
-        # CHECKPOINTED with the bucket column already attached: the
-        # batch artifact write and the index append both read these
-        # same materialized rows, so the index holds exactly what the
-        # batch dir holds with no read-back of the just-written files.
-        fresh_bands = (
-            new_bands.join(
-                idx, on=[id_col, "band", "bhash"], how="left_anti"
+        else:
+            # redelivered docs — routed around discovery and the
+            # append (their candidates were emitted at first arrival)
+            # — are ids whose band rows ALL match the index, not "any
+            # row matches": a same-id re-ingest with MODIFIED text
+            # shares >=1 band in exactly the near-dup regime, and an
+            # any-match rule would silently route the new version
+            # around indexing forever. All bands matching implies the
+            # identical signature (the bands partition the whole
+            # minhash vector), so the doc truly is a redelivery.
+            # countDistinct tolerates within-batch duplicate rows of
+            # one id. CHECKPOINTED: the id set is tiny (bounded by the
+            # batch) and feeds three consumers — left lazy, each
+            # would re-scan the pruned index.
+            redelivered = (
+                batch_bands.join(
+                    idx, on=[id_col, "band", "bhash"], how="left_semi"
+                )
+                .groupBy(id_col)
+                .agg(F.countDistinct("band").alias("__nb"))
+                .where(F.col("__nb") == F.lit(int(bands)))
+                .select(id_col)
+                .localCheckpoint()
             )
-            .withColumn("ibucket", _index_bucket(nb, "band", "bhash"))
-            .localCheckpoint()
-        )
-        probe = F.broadcast(new_bands) if broadcast_batch else new_bands
-        cross = (
-            idx.alias("a")
-            .join(
-                probe.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bhash") == F.col("b.bhash"))
-                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            new_bands = batch_bands.join(redelivered, id_col, "left_anti")
+            # rows a PARTIAL-match doc shares with the index must not
+            # re-append (monotonic index growth under re-ingest): the
+            # batch artifact + append source hold only rows the index
+            # lacks, while discovery probes with the full band set.
+            # CHECKPOINTED with the bucket column already attached: the
+            # batch artifact write and the index append both read these
+            # same materialized rows, so the index holds exactly what
+            # the batch dir holds with no read-back of the files.
+            fresh_bands = (
+                new_bands.join(
+                    idx, on=[id_col, "band", "bhash"], how="left_anti"
+                )
+                .withColumn("ibucket", _index_bucket(nb, "band", "bhash"))
+                .localCheckpoint()
             )
-            .select(
-                F.least(
-                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-                ).alias("doc_a"),
-                F.greatest(
-                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-                ).alias("doc_b"),
+            probe = (
+                F.broadcast(new_bands) if broadcast_batch else new_bands
             )
-        )
+            cross = (
+                idx.alias("a")
+                .join(
+                    probe.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bhash") == F.col("b.bhash"))
+                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.least(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("doc_a"),
+                    F.greatest(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("doc_b"),
+                )
+            )
         # within-batch pairs straight off the checkpointed band rows —
         # set-identical to lsh_candidate_pairs over the non-redelivered
         # batch docs (pairs sharing >=1 band; the union's distinct
@@ -739,7 +747,9 @@ def run_index_lsh_stream(
                 F.col(f"b.{id_col}").alias("doc_b"),
             )
         )
-        pairs = cross.unionByName(within).distinct()
+        pairs = (
+            within if cross is None else cross.unionByName(within)
+        ).distinct()
         pairs.write.mode("overwrite").parquet(pairs_out)
         fresh_bands.drop("ibucket").write.mode("overwrite").parquet(bands_out)
         # the batch dir's OWN _SUCCESS commits last: both
@@ -906,47 +916,56 @@ def run_index_hamming_stream(
             _collect_buckets(batch_bands, nb, "band", "bv"),
             nonempty_memo=_resolved,
         )
+        cross = None
         if idx is None:
-            idx = batch_bands.limit(0)
-        # redelivered (id, fp) rows are already fully indexed
-        # (torn appends heal on retry before the next batch), so
-        # any band-row match identifies them; route them around
-        # discovery and the append. CHECKPOINTED: new_fp feeds the
-        # probe bands, the within-batch pairs AND the fps write —
-        # left lazy, each consumer would re-run the anti-join
-        # against the pruned index. (No distinct on the index
-        # side: an anti-join only tests existence.)
-        new_fp = batch_fp.join(
-            idx.select(id_col, hash_col),
-            on=[id_col, hash_col],
-            how="left_anti",
-        ).localCheckpoint()
-        new_bands = hamming_band_rows(
-            new_fp, id_col, hash_col, bands, width
-        )
-        probe = F.broadcast(new_bands) if broadcast_batch else new_bands
-        cross = (
-            idx.alias("a")
-            .join(
-                probe.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bv") == F.col("b.bv"))
-                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            # cold index: nothing indexed means nothing redelivered
+            # and nothing to cross-match — skip the anti-join
+            # checkpoint (batch_fp is already materialized) and the
+            # (empty) cross join
+            new_fp = batch_fp
+            new_bands = batch_bands
+        else:
+            # redelivered (id, fp) rows are already fully indexed
+            # (torn appends heal on retry before the next batch), so
+            # any band-row match identifies them; route them around
+            # discovery and the append. CHECKPOINTED: new_fp feeds the
+            # probe bands, the within-batch pairs AND the fps write —
+            # left lazy, each consumer would re-run the anti-join
+            # against the pruned index. (No distinct on the index
+            # side: an anti-join only tests existence.)
+            new_fp = batch_fp.join(
+                idx.select(id_col, hash_col),
+                on=[id_col, hash_col],
+                how="left_anti",
+            ).localCheckpoint()
+            new_bands = hamming_band_rows(
+                new_fp, id_col, hash_col, bands, width
             )
-            .select(
-                F.least(
-                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-                ).alias("doc_a"),
-                F.greatest(
-                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-                ).alias("doc_b"),
-                F.expr(
-                    f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
-                ).alias("hamming"),
+            probe = (
+                F.broadcast(new_bands) if broadcast_batch else new_bands
             )
-            .where(F.col("hamming") <= max_hamming)
-            .distinct()
-        )
+            cross = (
+                idx.alias("a")
+                .join(
+                    probe.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bv") == F.col("b.bv"))
+                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.least(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("doc_a"),
+                    F.greatest(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("doc_b"),
+                    F.expr(
+                        f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
+                    ).alias("hamming"),
+                )
+                .where(F.col("hamming") <= max_hamming)
+                .distinct()
+            )
         within = hamming_near_dup_pairs(
             new_fp,
             id_col=id_col,
@@ -955,7 +974,9 @@ def run_index_hamming_stream(
             bands=bands,
             n_bits=n_bits,
         )
-        pairs = cross.unionByName(within).distinct()
+        pairs = (
+            within if cross is None else cross.unionByName(within)
+        ).distinct()
         pairs.write.mode("overwrite").parquet(pairs_out)
         new_fp.write.mode("overwrite").parquet(fps_out)
         _touch_success(spark, batch_out)
@@ -1690,48 +1711,58 @@ def run_cluster_maintain_stream(
             nonempty_memo=_resolved,
         )
         _tick(t0, f"b{batch_id} bucket-collect+index-read")
+        cross = None
         if idx is None:
-            idx = batch_bands.limit(0)
-        # redelivered (id, fp) rows are already indexed AND already
-        # folded into the label store (the index appends only after
-        # the store commit) — route them around discovery and the
-        # append: their edges were discovered at first arrival, and
-        # re-probing would only re-touch their clusters for nothing.
-        # CHECKPOINTED: new_fp feeds the probe bands, the within-batch
-        # edges AND the fps write — left lazy, each consumer would
-        # re-run the anti-join against the pruned index. (No distinct
-        # on the index side: an anti-join only tests existence.)
-        new_fp = edge_fp.join(
-            idx.select(id_col, hash_col),
-            on=[id_col, hash_col],
-            how="left_anti",
-        ).localCheckpoint()
-        new_bands = hamming_band_rows(
-            new_fp, id_col, hash_col, bands, width
-        )
-        probe = F.broadcast(new_bands) if broadcast_batch else new_bands
-        cross = (
-            idx.alias("a")
-            .join(
-                probe.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bv") == F.col("b.bv"))
-                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            # cold index: nothing indexed means nothing redelivered
+            # and nothing to cross-match — skip the anti-join
+            # checkpoint (edge_fp is already materialized) and the
+            # (empty) cross join
+            new_fp = edge_fp
+            new_bands = batch_bands
+        else:
+            # redelivered (id, fp) rows are already indexed AND
+            # already folded into the label store (the index appends
+            # only after the store commit) — route them around
+            # discovery and the append: their edges were discovered at
+            # first arrival, and re-probing would only re-touch their
+            # clusters for nothing. CHECKPOINTED: new_fp feeds the
+            # probe bands, the within-batch edges AND the fps write —
+            # left lazy, each consumer would re-run the anti-join
+            # against the pruned index. (No distinct on the index
+            # side: an anti-join only tests existence.)
+            new_fp = edge_fp.join(
+                idx.select(id_col, hash_col),
+                on=[id_col, hash_col],
+                how="left_anti",
+            ).localCheckpoint()
+            new_bands = hamming_band_rows(
+                new_fp, id_col, hash_col, bands, width
             )
-            .select(
-                F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
-                    "doc_a"
-                ),
-                F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
-                    "doc_b"
-                ),
-                F.expr(
-                    f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
-                ).alias("hamming"),
+            probe = (
+                F.broadcast(new_bands) if broadcast_batch else new_bands
             )
-            .where(F.col("hamming") <= max_hamming)
-            .distinct()
-        )
+            cross = (
+                idx.alias("a")
+                .join(
+                    probe.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bv") == F.col("b.bv"))
+                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.least(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("doc_a"),
+                    F.greatest(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("doc_b"),
+                    F.expr(
+                        f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
+                    ).alias("hamming"),
+                )
+                .where(F.col("hamming") <= max_hamming)
+                .distinct()
+            )
         within = hamming_near_dup_edges(
             new_fp,
             id_col=id_col,
@@ -1740,11 +1771,11 @@ def run_cluster_maintain_stream(
             bands=bands,
             n_bits=n_bits,
         )
+        within = within.select("doc_a", "doc_b")
         edges = (
-            cross.select("doc_a", "doc_b")
-            .unionByName(within.select("doc_a", "doc_b"))
-            .localCheckpoint()
-        )
+            within if cross is None
+            else cross.select("doc_a", "doc_b").unionByName(within)
+        ).localCheckpoint()
         new_ids = (
             batch_df.select(id_col)
             .where(F.col(id_col).isNotNull())
@@ -1801,14 +1832,19 @@ def run_cluster_maintain_stream(
             .select("cluster_id")
             .distinct()
         )
-        cwant = [
-            r[0]
-            for r in touched_cids.select(
-                _label_bucket("cluster_id", nb).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
+        if store_doc is None:
+            # empty store: no prior labels, hence no touched clusters
+            # — skip the bucket-collect action outright
+            cwant = []
+        else:
+            cwant = [
+                r[0]
+                for r in touched_cids.select(
+                    _label_bucket("cluster_id", nb).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
         _tick(t0, f"b{batch_id} cwant-collect")
         members = None
         if cwant:

@@ -178,13 +178,16 @@ def run_index_embedding_stream(
             idx = spark.read.parquet(index_dir).where(
                 F.col("cell").isin(cells)
             )
+            # redelivered ids (already indexed) are routed around
+            # discovery AND the append — their pairs already emitted
+            batch_rows = all_rows.join(
+                idx.select(id_col), id_col, "left_anti"
+            ).localCheckpoint()
         else:
+            # cold index: nothing can be redelivered — skip the
+            # anti-join checkpoint (all_rows is already materialized)
             idx = all_rows.limit(0)
-        # redelivered ids (already indexed) are routed around
-        # discovery AND the append — their pairs already emitted
-        batch_rows = all_rows.join(
-            idx.select(id_col), id_col, "left_anti"
-        ).localCheckpoint()
+            batch_rows = all_rows
         probe = F.broadcast(batch_rows) if broadcast_batch else batch_rows
 
         def _cos(na: str, nb: str) -> "F.Column":
@@ -198,24 +201,26 @@ def run_index_embedding_stream(
                 )
             )
 
-        cross = (
-            idx.alias("a")
-            .join(
-                probe.alias("b"),
-                (F.col("a.cell") == F.col("b.cell"))
-                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        cross = None
+        if cells:
+            cross = (
+                idx.alias("a")
+                .join(
+                    probe.alias("b"),
+                    (F.col("a.cell") == F.col("b.cell"))
+                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.least(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("id_a"),
+                    F.greatest(
+                        F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                    ).alias("id_b"),
+                    _cos("a", "b").alias("cosine"),
+                )
+                .where(F.col("cosine") >= F.lit(threshold))
             )
-            .select(
-                F.least(
-                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-                ).alias("id_a"),
-                F.greatest(
-                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-                ).alias("id_b"),
-                _cos("a", "b").alias("cosine"),
-            )
-            .where(F.col("cosine") >= F.lit(threshold))
-        )
         # within-batch pairs straight off the checkpointed rows: the
         # same candidate set semantic_dedup_pairs(batch subset,
         # centroids=cents) generates (one cell per id, within-cell
@@ -236,9 +241,8 @@ def run_index_embedding_stream(
             )
             .where(F.col("cosine") >= F.lit(threshold))
         )
-        cross.unionByName(within).write.mode("overwrite").parquet(
-            pairs_out
-        )
+        pairs = within if cross is None else cross.unionByName(within)
+        pairs.write.mode("overwrite").parquet(pairs_out)
         batch_rows.write.mode("overwrite").parquet(vecs_out)
         _touch_success(spark, batch_out)
         # index append from the SAME checkpointed rows the batch
