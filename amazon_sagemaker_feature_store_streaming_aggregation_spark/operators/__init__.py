@@ -68,6 +68,8 @@ from .similarity import (  # noqa: F401
 )
 from .lm import lm_fit, lm_transition_scores  # noqa: F401
 from .multimodal import (  # noqa: F401
+    audio_fingerprint,
+    audio_near_dup_pairs,
     extract_features,
     image_near_dup_pairs,
     perceptual_hashes,

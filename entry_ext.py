@@ -2737,6 +2737,67 @@ def _q_mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+def _q_mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs end to end (operators/multimodal.py::
+    audio_near_dup_pairs = audio_fingerprint -> hamming_near_dup_pairs)
+    over a fingerprint-invertible WAV fixture: window k holds constant
+    amplitude a_k with a_{k+1} = a_k +/- 16 by bit 63-k of the same
+    h(doc_id) the image fixture uses, so the energy-delta fingerprint
+    equals h exactly and the oracle is _MM_NEAR_DUP_ORACLE verbatim —
+    the real WAV encode/decode round-trips inside the gate."""
+    import pandas as _pd
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        audio_near_dup_pairs,
+    )
+
+    def _wav(doc_id):
+        if doc_id is None or _pd.isna(doc_id):
+            return None
+        import io
+        import wave
+
+        g, v = divmod(int(doc_id), 4)
+        h = _mm_phash_h(g) ^ _MM_PHASH_MASKS[v]
+        amp, samples = 2000, []
+        for k in range(65):
+            samples.extend([amp] * 16)
+            if k < 64:
+                amp += 16 if (h >> (63 - k)) & 1 else -16
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(
+                b"".join(int(s).to_bytes(2, "little", signed=True)
+                         for s in samples)
+            )
+        return buf.getvalue()
+
+    def _build(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "content": [_wav(i) for i in pdf["doc_id"]],
+                    "meta": [{"format": "wav"}] * len(pdf),
+                }
+            )
+
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            _build,
+            schema="media_id long, kind string, content binary, "
+            "meta map<string,string>",
+        )
+    )
+    return audio_near_dup_pairs(media)
+
+
 _MM_NEAR_DUP_ORACLE = f"""
 WITH h AS (
   SELECT doc_id AS media_id,
@@ -5852,6 +5913,7 @@ def ext_queries():
         "dedup_url_canonical": _q_dedup_url_canonical,
         "dedup_exact_128": _q_dedup_exact_128,
         "mm_image_near_dup": _q_mm_image_near_dup,
+        "mm_audio_near_dup": _q_mm_audio_near_dup,
         "dedup_minhash_sigs": _q_minhash_signatures,
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -5988,6 +6050,7 @@ def ext_oracles():
         "dedup_url_canonical": _URL_CANONICAL_ORACLE,
         "dedup_exact_128": _DEDUP_EXACT_128_ORACLE,
         "mm_image_near_dup": _MM_NEAR_DUP_ORACLE,
+        "mm_audio_near_dup": _MM_NEAR_DUP_ORACLE,
         "dedup_minhash_sigs": _MINHASH_ORACLE,
         "dedup_minhash_lsh_pairs": _LSH_ORACLE,
         "dedup_ngram_jaccard": _JACCARD_ORACLE,

@@ -1208,3 +1208,61 @@ def test_ivf_excludes_zero_norm_vectors(spark, emb):
     assert outb
     assert all(r.vec_id not in (9001, 9002) for r in outb)
     assert all(r.query_id not in (9001, 9002) for r in outb)
+
+
+def test_audio_fingerprint_energy_deltas_and_near_dup(spark):
+    """audio_fingerprint: bit n_bits-1-k set iff window k+1 carries more
+    energy than window k (MSB-first, real WAV round-trip); NULL payload
+    and too-short clips emit NULL; audio_near_dup_pairs finds the
+    planted 1-bit variant and rejects the unrelated clip."""
+    import io
+    import wave
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    def _wav(bits, w=16):
+        amp, samples = 2000, []
+        for k in range(len(bits) + 1):
+            samples.extend([amp] * w)
+            if k < len(bits):
+                amp += 16 if bits[k] else -16
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(
+                b"".join(int(s).to_bytes(2, "little", signed=True) for s in samples)
+            )
+        return buf.getvalue()
+
+    base = [(1 if (0x9A5F << 48) >> (63 - k) & 1 else 0) for k in range(64)]
+    near = list(base)
+    near[10] ^= 1  # 1-bit flip -> hamming 1
+    far = [1 - b for b in base[:32]] + base[32:]  # 32 flips
+    rows = [
+        (1, "audio", _wav(base), {"format": "wav"}),
+        (2, "audio", _wav(near), {"format": "wav"}),
+        (3, "audio", _wav(far), {"format": "wav"}),
+        (4, "audio", None, {"format": "wav"}),          # NULL payload
+        (5, "audio", _wav(base[:2]), {"format": "wav"}),  # too short? 3 windows
+        (6, "image", _wav(base), {"format": "wav"}),    # wrong kind
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, meta map<string,string>"
+    )
+    fps = {r.media_id: r.afp for r in audio_fingerprint(media).collect()}
+    want = sum(1 << (63 - k) for k, b in enumerate(base) if b)
+    if want >= 1 << 63:  # LongType domain: bit 63 wraps negative
+        want -= 1 << 64
+    assert fps[1] == want
+    assert fps[2] == want ^ (1 << (63 - 10))
+    assert fps[4] is None and fps[5] is None and fps[6] is None
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in audio_near_dup_pairs(media).collect()
+    }
+    assert pairs == {(1, 2): 1}
