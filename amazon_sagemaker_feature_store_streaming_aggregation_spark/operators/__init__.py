@@ -5,6 +5,7 @@ from .window_agg import (  # noqa: F401
     agg_features_query,
 )
 from .asof_join import asof_join  # noqa: F401
+from .embedding import embed_text_hashed  # noqa: F401
 from .incremental import delta_scoped_features  # noqa: F401
 from .range_join import range_join  # noqa: F401
 from .salted_join import salted_join  # noqa: F401

@@ -1860,6 +1860,165 @@ FROM assigned a JOIN sizes s ON a.cluster_id = s.cluster_id
 """
 
 
+# ------------------------------------- in-engine text embeddings (hashing)
+
+_EMBED_DIMS = 64  # matches the fixture embeddings table's width
+_SEMTEXT_THRESHOLD = 0.9  # hashed BoW cosines over the shared-vocab
+# fixture corpus run high (shared tokens everywhere); 0.9 keeps 119 of
+# ~7.4k within-cell candidates at sf0.01 — both paths exercised
+
+
+def _q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed text embedding (operators/embedding.py::
+    embed_text_hashed, Weinberger et al. 2009): signed bag-of-tokens
+    folded into a 64-dim integer vector scan-side, exploded to one
+    (doc, dim) row per NONZERO coordinate with the exact L2 norm² and
+    the micro-unit normalized coordinate — zero shuffles, zero UDFs."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        embed_text_hashed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = embed_text_hashed(docs, dims=_EMBED_DIMS)
+    return (
+        out.select(
+            "doc_id", F.posexplode("hvec").alias("dim", "v"), "norm2", "q_micro"
+        )
+        .where(F.col("v") != 0)
+        .select(
+            "doc_id",
+            "dim",
+            "v",
+            "norm2",
+            F.expr("q_micro[dim]").alias("q_micro"),
+        )
+    )
+
+
+def _hash_embed_cte(dims: int = _EMBED_DIMS) -> str:
+    """DuckDB CTE prefix deriving the signed feature-hash vector from
+    documents.text — THE single SQL spelling of embed_text_hashed's
+    semantics (tokens → md5 60-bit hash → disjoint index/sign bits →
+    signed per-dim sums → exact int64 norm²); both embedding oracles
+    compose it so the two gates can never drift."""
+    return f"""heb_toks AS (
+  SELECT doc_id,
+         lower(unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> t != ''))) AS tok
+  FROM documents
+), heb_hashed AS (
+  SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+  FROM heb_toks
+), heb_raw AS (
+  SELECT doc_id, CAST(h % {dims} AS INTEGER) AS dim,
+         CAST(sum(CASE WHEN (h // {dims}) % 2 = 0 THEN 1 ELSE -1 END)
+              AS BIGINT) AS v
+  FROM heb_hashed GROUP BY doc_id, dim
+), heb_nrm AS (
+  SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS norm2
+  FROM heb_raw GROUP BY doc_id
+)"""
+
+
+_HASH_EMBED_ORACLE = f"""
+WITH {_hash_embed_cte()}
+SELECT r.doc_id, r.dim, r.v, n.norm2,
+       CAST(round(CAST(r.v AS DOUBLE) * 1000000.0
+                  / sqrt(CAST(n.norm2 AS DOUBLE))) AS BIGINT) AS q_micro
+-- NULL-safe join: a NULL-doc_id document still embeds scan-side in
+-- Spark (no join in that plan); the oracle's raw->norm join must not
+-- drop it. (With >1 NULL-id doc the GROUP BY merges them — the same
+-- NULL-key convention as the dedup-family oracles.)
+FROM heb_raw r JOIN heb_nrm n ON r.doc_id IS NOT DISTINCT FROM n.doc_id
+WHERE r.v != 0
+"""
+
+
+def _q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end in-engine semantic near-dup pipeline: documents →
+    embed_text_hashed (derived vectors, no fixture) → SemDeDup cell
+    partition → exact within-cell cosine ≥ threshold. The whole left
+    side of the plan is scan-side; the only shuffles are the cell join
+    the semantic family always pays."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        embed_text_hashed,
+        semantic_dedup_pairs,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        auto_cells,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = embed_text_hashed(docs, dims=_EMBED_DIMS).select("doc_id", "embedding")
+    n = _doc_count(sf_dir)
+    return semantic_dedup_pairs(
+        emb,
+        threshold=_SEMTEXT_THRESHOLD,
+        n_cells=auto_cells(n),
+        id_col="doc_id",
+        corpus_count=n,
+    )
+
+
+def _semantic_text_oracle() -> str:
+    """Composed oracle: the _hash_embed_cte prefix, a float32
+    round-trip quantization (embed_text_hashed emits array<float>;
+    semantic_dedup_pairs re-quantizes it — round(double(float32(v /
+    sqrt(norm2))) * 1e6), one fixed IEEE sequence both engines share),
+    then the seeded-centroid / within-cell / exact-verify pattern of
+    _semantic_oracle with auto_cells(count(documents)) — scale-
+    invariant like every sim_* oracle."""
+    cos_vc = _COS_SQL.format(a="v.qv", b="c.cq")
+    cos_ab = _COS_SQL.format(a="ea.qv", b="eb.qv")
+    auto = (
+        "CAST(power(2, round_even(log2(sqrt(greatest(4.0,"
+        " CAST(count(*) AS DOUBLE)))), 0)) AS BIGINT)"
+    )
+    return f"""
+WITH {_hash_embed_cte()},
+hedims AS (SELECT unnest(range(0, {_EMBED_DIMS})) AS dim),
+hedense AS (
+  SELECT n.doc_id, d.dim, COALESCE(r.v, 0) AS v, n.norm2
+  FROM heb_nrm n CROSS JOIN hedims d
+  LEFT JOIN heb_raw r ON r.doc_id = n.doc_id AND r.dim = d.dim
+  WHERE n.norm2 > 0
+), qraw AS (
+  SELECT doc_id AS vec_id,
+         list(CAST(round(CAST(CAST(CAST(v AS DOUBLE)
+                / sqrt(CAST(norm2 AS DOUBLE)) AS REAL) AS DOUBLE)
+                * 1000000.0) AS BIGINT) ORDER BY dim) AS qv
+  FROM hedense GROUP BY doc_id
+), params AS (
+  SELECT n_cells, greatest(1, n // n_cells) AS step
+  FROM (SELECT greatest(4, least(65536, {auto})) AS n_cells,
+               count(*) AS n
+        FROM documents)
+), q AS (
+  SELECT vec_id, qv FROM qraw
+  WHERE CAST(list_sum([z[1] * z[2] for z in list_zip(qv, qv)])
+             AS BIGINT) > 0
+), cent AS (
+  SELECT CAST(q.vec_id // p.step AS INTEGER) AS cell, q.qv AS cq
+  FROM q, params p
+  WHERE q.vec_id % p.step = 0 AND q.vec_id < p.step * p.n_cells
+), allassign AS (
+  SELECT v.vec_id, c.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {cos_vc} DESC, c.cell) AS rn
+  FROM q v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cell FROM allassign WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {cos_ab} AS cosine
+FROM assign a
+JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+JOIN q ea ON ea.vec_id = a.vec_id
+JOIN q eb ON eb.vec_id = b.vec_id
+WHERE {cos_ab} >= {_SEMTEXT_THRESHOLD}
+"""
+
+
 # ------------------------------------------- S4b windowed sliding agg (1-min)
 
 
@@ -5947,6 +6106,8 @@ def ext_queries():
         "sim_embedding_near_dup": _q_embedding_near_dup,
         "dedup_semantic_pairs": _q_dedup_semantic_pairs,
         "dedup_semantic_clusters": _q_dedup_semantic_clusters,
+        "text_hash_embed": _q_text_hash_embed,
+        "dedup_semantic_text": _q_dedup_semantic_text,
         "rel_semi_join": _q_rel_semi_join,
         "rel_anti_join": _q_rel_anti_join,
         "rel_intersect": _q_rel_intersect,
@@ -6084,6 +6245,8 @@ def ext_oracles():
         "sim_embedding_near_dup": _near_dup_oracle(),
         "dedup_semantic_pairs": _semantic_oracle(clusters=False),
         "dedup_semantic_clusters": _semantic_oracle(clusters=True),
+        "text_hash_embed": _HASH_EMBED_ORACLE,
+        "dedup_semantic_text": _semantic_text_oracle(),
         "rel_semi_join": _REL_SEMI_ORACLE,
         "rel_anti_join": _REL_ANTI_ORACLE,
         "rel_intersect": _REL_INTERSECT_ORACLE,

@@ -283,6 +283,10 @@ DIRTY_QUERIES = [
     "dedup_semantic_pairs",
     "dedup_semantic_clusters",
     "sim_label_centroids",
+    # in-engine hashed embeddings: NULL text, empty text, NULL doc_id,
+    # planted dup text (identical vectors -> cosine 1 pairs)
+    "text_hash_embed",
+    "dedup_semantic_text",
     # pipelines composing the above
     "pipeline_clean_corpus",
     "pipeline_curate_shards",
