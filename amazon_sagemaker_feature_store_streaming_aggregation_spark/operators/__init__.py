@@ -67,7 +67,12 @@ from .similarity import (  # noqa: F401
     srp_signatures,
     train_ivf_centroids,
 )
-from .lm import lm_fit, lm_transition_scores  # noqa: F401
+from .lm import (  # noqa: F401
+    lm3_fit,
+    lm3_transition_scores,
+    lm_fit,
+    lm_transition_scores,
+)
 from .multimodal import (  # noqa: F401
     audio_fingerprint,
     audio_near_dup_pairs,

@@ -296,3 +296,157 @@ def lm_quality_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def _doc_trigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One ``(id, 'w1 w2 w3')`` row per adjacent token triple —
+    the trigram twin of :func:`_doc_bigrams` (same scan-side shape;
+    docs with NULL text or fewer than three tokens emit nothing).
+    Tokens contain no whitespace, so the space-joined string is an
+    injective trigram key and ``substring_index`` recovers every
+    component/sub-key exactly (the DuckDB oracle mirrors with
+    split_part/||)."""
+    toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
+    return (
+        docs.select(F.col(id_col), F.expr(toks).alias("tk"))
+        .where(F.expr("tk IS NOT NULL AND size(tk) >= 3"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 2),"
+                    " i -> concat(element_at(tk, i), ' ',"
+                    " element_at(tk, i + 1), ' ',"
+                    " element_at(tk, i + 2)))"
+                )
+            ).alias("tri"),
+        )
+    )
+
+
+def lm3_fit(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, ...]:
+    """Train the interpolated-trigram model: ``(tri_counts(tri, c3),
+    ctx_counts(ctx, cp3), big_counts(big, cb), prev_counts(w1, cp),
+    uni_counts(w, cu), totals(n_tokens, v))`` — six plain count
+    tables :func:`lm3_transition_scores` consumes via ``model=``
+    (persist them as parquet for a standing deployment, exactly like
+    :func:`lm_fit`). The bigram/vocab legs reuse :func:`lm_fit`."""
+    tri = _doc_trigrams(reference, id_col, text_col)
+    tri_counts = tri.groupBy("tri").agg(F.count("*").alias("c3"))
+    ctx_counts = (
+        tri_counts.withColumn("ctx", F.substring_index("tri", " ", 2))
+        .groupBy("ctx")
+        .agg(F.sum("c3").alias("cp3"))
+    )
+    big_counts, prev_counts, _ = lm_fit(reference, id_col, text_col)
+    toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
+    tok_stream = reference.select(F.explode(F.expr(toks)).alias("t"))
+    uni_counts = tok_stream.groupBy("t").agg(F.count("*").alias("cu"))
+    totals = tok_stream.agg(
+        F.count("*").alias("n_tokens"), F.count_distinct("t").alias("v")
+    )
+    return tri_counts, ctx_counts, big_counts, prev_counts, uni_counts, totals
+
+
+def lm3_transition_scores(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: tuple[DataFrame, ...] | None = None,
+) -> DataFrame:
+    """Per-document INTERPOLATED trigram-LM fit — the higher-order
+    quality scorer the CCNet recipe actually calls for (Wenzek et al.
+    arXiv:1911.00359 use a 5-gram KenLM; the bigram
+    :func:`lm_transition_scores` is the floor approximation, this is
+    the next rung with the same engine-exact arithmetic).
+
+    Per trigram ``w1 w2 w3`` the score is the fixed-weight linear
+    interpolation (Jelinek-Mercer with deterministic λ = (3,2,1)/6 —
+    interpolation rather than Katz/Kneser-Ney because every λ·p term
+    is one correctly-rounded IEEE multiply of an exact-integer
+    division, so the value-hash gate holds across engines; tuned
+    λ would need held-out EM, which a single-engine deployment can
+    swap in at the marked line):
+
+        p  = (3·p3 + 2·p2 + p1) / 6
+        p3 = (c(w1 w2 w3) + 1) / (c(w1 w2 ·) + V)      add-one trigram
+        p2 = (c(w2 w3) + 1)    / (c(w2 ·) + V)         add-one bigram
+        p1 = (c(w3) + 1)       / (N + V)               add-one unigram
+
+    quantized ``round(p * LM_QUANT)`` per transition; the doc score is
+    the mean quantized probability (same contract/shape as the bigram
+    scorer: ``(id, n_trigrams, lm3_prob_sum, lm3_score)``, NULL score
+    for docs with < 3 tokens — no evidence, not bad evidence).
+
+    The backoff behavior falls out of the interpolation: an unseen
+    trigram context contributes its uniform add-one floor while the
+    observed bigram/unigram legs still separate reference-like from
+    gibberish word order — the property the bigram scorer lacks for
+    any SINGLE unseen context (its 1/V artifact, module docstring).
+
+    100 TB: identical shape to the bigram path — scan-side n-gram
+    extraction, count aggregates with map-side combine, Zipf-keyed
+    joins (AQE skew-join), one broadcast totals row; nothing
+    collected.
+    """
+    if model is not None:
+        tri_counts, ctx_counts, big_counts, prev_counts, uni_counts, totals = model
+    else:
+        ref = reference if reference is not None else docs
+        (
+            tri_counts, ctx_counts, big_counts, prev_counts, uni_counts, totals
+        ) = lm3_fit(ref, id_col, text_col)
+    scored = (
+        _doc_trigrams(docs, id_col, text_col)
+        .join(tri_counts, "tri", "left")
+        .withColumn("ctx", F.substring_index("tri", " ", 2))
+        .join(ctx_counts, "ctx", "left")
+        .withColumn("big", F.substring_index("tri", " ", -2))
+        .join(big_counts, "big", "left")
+        .withColumn("w1", F.substring_index("big", " ", 1))
+        .join(prev_counts, "w1", "left")
+        .withColumn("t", F.substring_index("tri", " ", -1))
+        .join(uni_counts, "t", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            # marked line: a single-engine deployment swaps this for
+            # ln(...) (true log-perplexity) or tuned-λ interpolation
+            F.expr(
+                "cast(round(("
+                "3.0 * (cast(coalesce(c3, 0) + 1 as double)"
+                " / cast(coalesce(cp3, 0) + greatest(v, 1) as double))"
+                " + 2.0 * (cast(coalesce(cb, 0) + 1 as double)"
+                " / cast(coalesce(cp, 0) + greatest(v, 1) as double))"
+                " + (cast(coalesce(cu, 0) + 1 as double)"
+                " / cast(n_tokens + greatest(v, 1) as double))"
+                f") / 6.0 * {LM_QUANT}.0) as bigint)"
+            ).alias("qp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum("qp").alias("lm3_prob_sum"),
+    )
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("long").alias(
+            "n_trigrams"
+        ),
+        F.coalesce(F.col("lm3_prob_sum"), F.lit(0)).cast("long").alias(
+            "lm3_prob_sum"
+        ),
+        F.when(
+            F.col("n_trigrams") > 0,
+            (
+                F.col("lm3_prob_sum").cast("double")
+                / F.col("n_trigrams").cast("double")
+            )
+            / F.lit(float(LM_QUANT)),
+        ).alias("lm3_score"),
+    )

@@ -373,6 +373,7 @@ def quality_filter(
     text_col: str = "text",
     corpus_count: int | None = None,
     with_text: bool = False,
+    lm_order: int = 2,
 ) -> DataFrame:
     """The composed CCNet-shaped quality chain, one oracle-checked
     plan: line-level boilerplate removal -> bigram-LM scoring of the
@@ -401,7 +402,9 @@ def quality_filter(
     """
     if cutoff is None and not (0.0 < bottom_frac < 1.0):
         raise ValueError("bottom_frac must be in (0, 1)")
-    from ..operators.lm import lm_transition_scores
+    if lm_order not in (2, 3):
+        raise ValueError(f"lm_order must be 2 or 3, got {lm_order}")
+    from ..operators.lm import lm3_transition_scores, lm_transition_scores
     from ..operators.training_data import remove_boilerplate_lines
 
     cleaned = remove_boilerplate_lines(
@@ -412,12 +415,28 @@ def quality_filter(
         text_col=text_col,
         corpus_count=corpus_count,
     )
-    scored = lm_transition_scores(
-        cleaned.select(F.col(id_col), F.col("text_clean").alias("text")),
-        id_col=id_col,
+    clean_docs = cleaned.select(
+        F.col(id_col), F.col("text_clean").alias("text")
     )
+    # lm_order=3: the interpolated-trigram scorer (lm3_transition_
+    # scores) under the SAME output contract — the score column keeps
+    # the name lm_score so downstream stages are order-agnostic; the
+    # evidence column keeps its true name (n_trigrams). On the fixture
+    # corpus the two orders disagree on which docs the bottom-20% cut
+    # drops (pinned in tests/test_lm3.py) — trigram context separates
+    # reference-like word ORDER that bigram counts cannot.
+    if lm_order == 3:
+        n_col = "n_trigrams"
+        scored = lm3_transition_scores(clean_docs, id_col=id_col).select(
+            F.col(id_col),
+            F.col("n_trigrams"),
+            F.col("lm3_score").alias("lm_score"),
+        )
+    else:
+        n_col = "n_bigrams"
+        scored = lm_transition_scores(clean_docs, id_col=id_col)
     keep_cols = ["n_removed"] + (["text_clean"] if with_text else [])
-    scorable = scored.where(F.col("n_bigrams") > 0).join(
+    scorable = scored.where(F.col(n_col) > 0).join(
         cleaned.select(id_col, *keep_cols), id_col
     )
     if cutoff is not None:
@@ -443,5 +462,5 @@ def quality_filter(
     return (
         scorable.crossJoin(F.broadcast(cut))
         .where(F.col("lm_score") >= F.col("__t"))
-        .select(id_col, "lm_score", "n_bigrams", *keep_cols)
+        .select(id_col, "lm_score", n_col, *keep_cols)
     )

@@ -5388,6 +5388,94 @@ FROM {src} d LEFT JOIN agg a ON d.doc_id = a.doc_id
 _LM_SCORE_ORACLE = _lm_score_sql()
 
 
+def _q_lm3_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram-LM quality score (operators/lm.py::
+    lm3_transition_scores — the higher-order rung of the CCNet filter;
+    fixed λ=(3,2,1)/6 Jelinek-Mercer over add-one trigram/bigram/
+    unigram legs, every step IEEE-correctly-rounded), self-trained on
+    the documents corpus like text_lm_score."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        lm3_transition_scores,
+    )
+
+    return lm3_transition_scores(load_table(spark, sf_dir, "documents"))
+
+
+# trigram key = w1||' '||w2||' '||w3 (injective, whitespace tokenizer);
+# the interpolation is spelled in the exact Spark op order: three
+# exact-int divisions, two weighted multiplies, two adds, /6, *QUANT,
+# half-up round — bit-equal across engines.
+_LM3_SCORE_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id,
+         [lower(t) for t in
+          list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      t -> t != '')] AS tk
+  FROM documents
+), tg AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+                 for i in range(1, len(tk) - 1)]) AS tri
+  FROM tk WHERE tk IS NOT NULL AND len(tk) >= 3
+), tri_counts AS (
+  SELECT tri, count(*) AS c3 FROM tg GROUP BY tri
+), ctx_counts AS (
+  SELECT split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS ctx,
+         CAST(sum(c3) AS BIGINT) AS cp3
+  FROM tri_counts GROUP BY 1
+), bg AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i + 1]
+                 for i in range(1, len(tk))]) AS big
+  FROM tk WHERE tk IS NOT NULL AND len(tk) >= 2
+), big_counts AS (
+  SELECT big, count(*) AS cb FROM bg GROUP BY big
+), prev_counts AS (
+  SELECT split_part(big, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS cp
+  FROM big_counts GROUP BY 1
+), uni_counts AS (
+  SELECT t, count(*) AS cu
+  FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY t
+), totals AS (
+  SELECT count(*) AS n_tokens, count(DISTINCT t) AS v
+  FROM (SELECT unnest(tk) AS t FROM tk)
+), scored AS (
+  SELECT tg.doc_id,
+         CAST(round((
+           3.0 * (CAST(COALESCE(tc.c3, 0) + 1 AS DOUBLE)
+                  / CAST(COALESCE(cc.cp3, 0) + greatest(tt.v, 1) AS DOUBLE))
+           + 2.0 * (CAST(COALESCE(bc.cb, 0) + 1 AS DOUBLE)
+                    / CAST(COALESCE(pc.cp, 0) + greatest(tt.v, 1) AS DOUBLE))
+           + (CAST(COALESCE(uc.cu, 0) + 1 AS DOUBLE)
+              / CAST(tt.n_tokens + greatest(tt.v, 1) AS DOUBLE))
+         ) / 6.0 * 1000000000.0) AS BIGINT) AS qp
+  FROM tg
+  LEFT JOIN tri_counts tc ON tg.tri = tc.tri
+  LEFT JOIN ctx_counts cc
+    ON split_part(tg.tri, ' ', 1) || ' ' || split_part(tg.tri, ' ', 2)
+       = cc.ctx
+  LEFT JOIN big_counts bc
+    ON split_part(tg.tri, ' ', 2) || ' ' || split_part(tg.tri, ' ', 3)
+       = bc.big
+  LEFT JOIN prev_counts pc ON split_part(tg.tri, ' ', 2) = pc.w1
+  LEFT JOIN uni_counts uc ON split_part(tg.tri, ' ', 3) = uc.t
+  CROSS JOIN totals tt
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST(sum(qp) AS BIGINT) AS lm3_prob_sum
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_trigrams, 0) AS n_trigrams,
+       COALESCE(a.lm3_prob_sum, 0) AS lm3_prob_sum,
+       CASE WHEN a.n_trigrams > 0
+            THEN (CAST(a.lm3_prob_sum AS DOUBLE)
+                  / CAST(a.n_trigrams AS DOUBLE)) / 1000000000.0
+            ELSE NULL END AS lm3_score
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def _q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing LM quality scoring (streaming/quality.py::
     run_lm_score_stream): the bigram model is fitted ONCE on the full
@@ -6186,6 +6274,7 @@ def ext_queries():
         "t_chunk_documents": _q_chunk_documents,
         "text_token_spectrum": _q_token_spectrum,
         "text_lm_score": _q_lm_score,
+        "text_lm3_score": _q_lm3_score,
         "text_clean_boilerplate": _q_boilerplate_lines,
         "pipeline_quality_filter": _q_quality_filter,
         "pipeline_curate_mix": _q_pipeline_curate_mix,
@@ -6325,6 +6414,7 @@ def ext_oracles():
         "t_chunk_documents": _CHUNK_DOCS_ORACLE,
         "text_token_spectrum": _TOKEN_SPECTRUM_ORACLE,
         "text_lm_score": _LM_SCORE_ORACLE,
+        "text_lm3_score": _LM3_SCORE_ORACLE,
         "text_clean_boilerplate": _BOILERPLATE_ORACLE,
         "pipeline_quality_filter": _QUALITY_FILTER_ORACLE,
         "pipeline_curate_mix": _curate_mix_oracle(),

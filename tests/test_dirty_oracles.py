@@ -255,6 +255,7 @@ DIRTY_QUERIES = [
     "text_repetition",
     "text_token_spectrum",
     "text_lm_score",
+    "text_lm3_score",
     "text_clean_boilerplate",
     "pipeline_quality_filter",
     # sampling / chunking / packing with NULL ids, weights, text
