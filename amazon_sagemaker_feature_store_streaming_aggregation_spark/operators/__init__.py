@@ -15,6 +15,7 @@ from .sampling import (  # noqa: F401
     stratified_sample,
     temperature_mixture,
     token_budget_mix,
+    token_budget_mix_epochs,
     weighted_sample,
 )
 from .sessionize import session_stats, sessionize  # noqa: F401

@@ -269,3 +269,109 @@ def token_budget_mix(
         .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("__target"))
         .drop("__bp", "__target", "__h")
     )
+
+
+def token_budget_mix_epochs(
+    df: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "budget-v1",
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Epoch-aware token-budget mixing — the data-constrained regime
+    (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    Models", arXiv:2305.16264): when a source's weighted token target
+    EXCEEDS its corpus, :func:`token_budget_mix` silently under-fills;
+    this variant repeats the source for up to ``max_epochs`` epochs
+    (the paper's finding: ~4 epochs of repeated data are nearly as
+    good as fresh data, with rapidly diminishing returns after) and
+    reports how many epochs each kept row came from.
+
+    Semantics: per source, ``n_epochs = clamp(ceil(target /
+    corpus_tokens), 1, max_epochs)`` (exact integer arithmetic —
+    ``(target + corpus - 1) div corpus``); every eligible document is
+    replicated once per epoch; rows order by ``(epoch, h64(salt:e<ep>:
+    id), id)`` — a FRESH deterministic shuffle per epoch, so repeated
+    epochs present the corpus in different orders (the recipe's
+    reshuffle-between-epochs convention) — and the greedy budget cut
+    runs over the concatenated stream: full epochs survive whole, the
+    last epoch is cut mid-stream, overshoot < one document. A source
+    whose budget still exceeds ``max_epochs`` full epochs stops there
+    (the diminishing-returns cap) — visible to monitoring because its
+    last row's ``cum_tokens`` sits below ``n_epochs * corpus`` ...
+    or rather below the target while ``epoch = n_epochs - 1``.
+
+    Output: the kept rows + ``epoch`` (0-based), ``n_tokens``,
+    ``cum_tokens`` (running across ALL epochs of the source) and
+    ``n_epochs`` (the per-source replication the budget demanded).
+    Exclusion rules are exactly :func:`token_budget_mix`'s.
+
+    Scale shape: one extra per-source token-total aggregate vs the
+    base mixer (a source-count-sized table, broadcast back); the
+    replication is a scan-side ``explode(sequence(...))`` whose factor
+    is ≤ ``max_epochs``; the ONE window shuffle keys on the source,
+    unchanged. ``max_epochs`` bounds the blow-up by construction.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import _TOKENS
+    from ..session import local_rows
+
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    wrows = [(s, int(bp)) for s, bp in sorted(weights.items())]
+    wtab = local_rows(
+        df.sparkSession, wrows, f"{strata_col} string, __bp int"
+    ).withColumn(
+        "__target",
+        F.expr(
+            f"cast({int(budget_tokens)}L * __bp div {RATE_DENOM} as bigint)"
+        ),
+    )
+    toks = F.expr(f"size({_TOKENS.format(c=text_col)})").cast("long")
+    eligible = (
+        df.where(
+            F.col(id_col).isNotNull()
+            & F.col(text_col).isNotNull()
+            & F.col(strata_col).isNotNull()
+        )
+        .withColumn("n_tokens", toks)
+        .join(F.broadcast(wtab), strata_col)
+    )
+    totals = eligible.groupBy(strata_col).agg(
+        F.sum("n_tokens").alias("__corpus")
+    )
+    w = Window.partitionBy(strata_col).orderBy("epoch", "__h", id_col)
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        eligible.join(F.broadcast(totals), strata_col)
+        .withColumn(
+            "n_epochs",
+            F.expr(
+                "cast(least(cast(%d as bigint), greatest(1L,"
+                " case when __corpus > 0"
+                " then (__target + __corpus - 1) div __corpus"
+                " else 1 end)) as int)" % int(max_epochs)
+            ),
+        )
+        .withColumn("epoch", F.explode(F.expr("sequence(0, n_epochs - 1)")))
+        .withColumn(
+            "__h",
+            h64(
+                F.concat(
+                    F.lit(salt + ":e"),
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+        )
+        .withColumn("cum_tokens", cum)
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("__target"))
+        .drop("__bp", "__target", "__h", "__corpus")
+    )

@@ -5123,6 +5123,75 @@ FROM c WHERE cum_tokens - n_tokens < target
 """
 
 
+def _q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware token-budget mixing (operators/sampling.py::
+    token_budget_mix_epochs, Muennighoff 2023 data-constrained
+    recipe): sources whose weighted target exceeds their corpus repeat
+    for up to 4 deterministic-reshuffled epochs. Weights are tuned so
+    the gate exercises all three regimes at any sf (tokens/doc is
+    scale-free): src0 hits the max_epochs cap and exhausts below
+    target, src1 runs 2 epochs with a partial second, src2 stays
+    single-epoch partial."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        token_budget_mix_epochs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_mix_epochs(
+        docs,
+        weights={"src0": 6000, "src1": 2000, "src2": 500},
+        budget_tokens=20 * _doc_count(sf_dir),
+        max_epochs=4,
+    ).select("doc_id", "source", "epoch", "n_tokens", "cum_tokens", "n_epochs")
+
+
+_EPOCH_H = _H64.format(
+    x="'budget-v1:e' || CAST(epoch AS VARCHAR) || ':'"
+    " || CAST(doc_id AS VARCHAR)"
+)
+
+_EPOCH_MIX_ORACLE = f"""
+WITH params AS (
+  SELECT 20 * count(*) AS budget FROM documents
+), t AS (
+  SELECT doc_id, source, {_DUCK_NTOK} AS n_tokens
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL
+), w AS (
+  SELECT * FROM (VALUES ('src0', 6000), ('src1', 2000),
+                        ('src2', 500)) v(source, bp)
+), base AS (
+  SELECT t.doc_id, t.source, t.n_tokens,
+         CAST((SELECT budget FROM params) * w.bp // 10000 AS BIGINT)
+           AS target
+  FROM t JOIN w ON t.source = w.source
+), tot AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS corpus
+  FROM base GROUP BY source
+), ep AS (
+  SELECT b.*, CAST(least(4, greatest(1,
+           CASE WHEN tt.corpus > 0
+                THEN (b.target + tt.corpus - 1) // tt.corpus
+                ELSE 1 END)) AS INTEGER) AS n_epochs
+  FROM base b JOIN tot tt ON b.source = tt.source
+), rep AS (
+  SELECT ep.*, CAST(e.epoch AS INTEGER) AS epoch
+  FROM ep, unnest(range(0, ep.n_epochs)) AS e(epoch)
+), hashed AS (
+  SELECT rep.*, {_EPOCH_H} AS h FROM rep
+), c AS (
+  SELECT doc_id, source, epoch, n_tokens, n_epochs, target,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY epoch, h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM hashed
+)
+SELECT doc_id, source, epoch, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens, n_epochs
+FROM c WHERE cum_tokens - n_tokens < target
+"""
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (operators/sampling.py::
     temperature_mixture, the XLM-R/Pile recipe): per-source keep rates
@@ -6270,6 +6339,7 @@ def ext_queries():
         "t_weighted_sample": _q_weighted_sample,
         "t_temperature_mix": _q_temperature_mix,
         "t_token_budget_mix": _q_token_budget_mix,
+        "t_epoch_mix": _q_epoch_mix,
         "rel_variant_props": _q_variant_props,
         "t_chunk_documents": _q_chunk_documents,
         "text_token_spectrum": _q_token_spectrum,
@@ -6410,6 +6480,7 @@ def ext_oracles():
         "t_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "t_temperature_mix": _TEMPERATURE_MIX_ORACLE,
         "t_token_budget_mix": _TOKEN_BUDGET_ORACLE,
+        "t_epoch_mix": _EPOCH_MIX_ORACLE,
         "rel_variant_props": _VARIANT_PROPS_ORACLE,
         "t_chunk_documents": _CHUNK_DOCS_ORACLE,
         "text_token_spectrum": _TOKEN_SPECTRUM_ORACLE,

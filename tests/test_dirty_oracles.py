@@ -262,6 +262,7 @@ DIRTY_QUERIES = [
     "t_weighted_sample",
     "t_temperature_mix",
     "t_token_budget_mix",
+    "t_epoch_mix",
     "t_chunk_documents",
     "t_global_shuffle",
     "t_pack_windows",
