@@ -83,6 +83,9 @@ from .multimodal import (  # noqa: F401
     resize_plan,
     sample_frames,
     synth_media,
+    video_fingerprint,
+    video_frame_hashes,
+    video_near_dup_pairs,
 )
 from .tfidf import (  # noqa: F401
     build_vocabulary,

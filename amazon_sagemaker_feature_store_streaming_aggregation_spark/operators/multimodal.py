@@ -1191,3 +1191,235 @@ def audio_near_dup_pairs(
         bands=bands,
         n_bits=n_bits,
     )
+
+
+# ------------------------------------------------------------- video
+
+
+def _decode_y4m(data: bytes) -> list:
+    """YUV4MPEG2 container -> list of (h, w, 3) uint8 frames (the LUMA
+    plane stacked to three channels — Rec.601 of (y, y, y) is a
+    constant scale of y, so every downstream luma COMPARISON, which is
+    all the perceptual hashes consume, is exact). Pure byte walking,
+    no codec library: the stream is 'YUV4MPEG2 <params>\\n' then per
+    frame 'FRAME[ params]\\n' + raw planes. Colourspaces whose Y plane
+    is the first h*w bytes decode natively (Cmono / C420* / C444 —
+    chroma is skipped by size); anything else raises the explicit
+    plug-in boundary."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    cspace = "420"  # the Y4M default when C is absent
+    for tok in data[:nl].split(b" ")[1:]:
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"C"):
+            cspace = tok[1:].decode("ascii", "replace")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cspace == "mono":
+        frame_len = w * h
+    elif cspace.startswith("420"):
+        frame_len = w * h + 2 * ((w // 2) * (h // 2))
+    elif cspace == "444":
+        frame_len = 3 * w * h
+    else:
+        raise NotImplementedError(
+            f"Y4M colourspace C{cspace} unsupported; mono/420/444 decode"
+            " natively — other samplings plug in here"
+        )
+    frames, pos = [], nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("corrupt Y4M frame marker")
+        body = data[fnl + 1 : fnl + 1 + frame_len]
+        if len(body) < frame_len:
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(body[: w * h], dtype=np.uint8).reshape(h, w)
+        frames.append(np.repeat(y[:, :, None], 3, axis=2))
+        pos = fnl + 1 + frame_len
+    return frames
+
+
+def _split_mjpeg(data: bytes) -> list:
+    """Raw MJPEG stream (concatenated JPEG images, the ffmpeg
+    '.mjpeg' byte format) -> list of per-frame JPEG byte strings.
+    Walks SOI (FFD8) .. EOI (FFD9) pairs; scan payloads are entropy-
+    stuffed (FF is always followed by 00 or a marker), so the naive
+    EOI scan is exact for baseline streams."""
+    frames, pos = [], 0
+    while True:
+        soi = data.find(b"\xff\xd8", pos)
+        if soi < 0:
+            break
+        eoi = data.find(b"\xff\xd9", soi + 2)
+        if eoi < 0:
+            raise ValueError("MJPEG frame missing EOI")
+        frames.append(data[soi : eoi + 2])
+        pos = eoi + 2
+    if not frames:
+        raise ValueError("no JPEG frames in MJPEG payload")
+    return frames
+
+
+def _video_frames(data: bytes, fmt: str) -> list:
+    """Container walk -> list of pixel-array frames, reusing the
+    in-container image decoders (SURVEY §7: the video member completes
+    the image/audio perceptual family). y4m and raw mjpeg decode
+    natively; compressed containers raise the explicit boundary."""
+    if fmt == "y4m":
+        return _decode_y4m(data)
+    if fmt in ("mjpeg", "mjpg"):
+        return [_decode_jpeg(seg) for seg in _split_mjpeg(data)]
+    raise NotImplementedError(
+        f"no in-container walker for video format {fmt!r}; y4m/mjpeg"
+        " decode natively — H.264/VP9/AV1 etc. plug in here"
+    )
+
+
+_VFRAME_SCHEMA = "media_id long, frame_idx int, fhash long"
+
+
+def video_frame_hashes(
+    media: DataFrame, every_n: int = 1, hash_size: int = 8
+) -> DataFrame:
+    """Per-sampled-frame dHash via Arrow-batched ``mapInPandas``: walk
+    the container, keep frames 0, n, 2n, …, dHash each — one
+    ``(media_id, frame_idx, fhash)`` row per sampled frame. The
+    frame-index sampling happens INSIDE the walk (containers are
+    sequential byte streams; unlike ``sample_frames``' metadata plan
+    there is no random access to skip decode I/O, but non-sampled
+    frames skip the hash work). NULL payloads / non-video rows emit
+    nothing."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for mid, content, kind, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["kind"], pdf["meta"]
+            ):
+                if content is None or kind != "video":
+                    continue
+                fmt = (meta or {}).get("format")
+                for k, px in enumerate(_video_frames(bytes(content), fmt)):
+                    if k % every_n:
+                        continue
+                    ids.append(mid)
+                    idxs.append(k)
+                    hs.append(_dhash64(px, hash_size))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "fhash": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=_VFRAME_SCHEMA)
+
+
+_VFP_SCHEMA = "media_id long, vfp long, n_frames_hashed int"
+
+
+def video_fingerprint(
+    media: DataFrame, every_n: int = 1, hash_size: int = 8
+) -> DataFrame:
+    """Fixed-length video fingerprint: bitwise MAJORITY fold of the
+    sampled frames' dHashes — bit j of ``vfp`` is set iff more than
+    half the sampled frames set bit j (ties → 0). The fold keeps the
+    fingerprint 8 bytes regardless of duration, is invariant to frame
+    REORDERING and robust to a minority of edited/inserted frames —
+    the properties a near-dup key needs (a re-encoded or lightly
+    trimmed copy majority-votes to the same bits), at the cost of
+    temporal structure (two videos with the same shots shuffled
+    collide — for near-DUP detection that is a feature). NULL
+    payloads / non-video / zero-frame rows emit NULL (the
+    ``perceptual_hashes`` pass-through rule).
+
+    Scale: the container decode is the scan; the fold is per-row
+    Python ints; pairs (``video_near_dup_pairs``) never touch frames
+    again."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    n_bits = hash_size * hash_size
+    if n_bits > 64:
+        raise ValueError("hash_size**2 must be <= 64 (LongType domain)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, nf = [], []
+            for content, kind, meta in zip(
+                pdf["content"], pdf["kind"], pdf["meta"]
+            ):
+                if content is None or kind != "video":
+                    out.append(None)
+                    nf.append(None)
+                    continue
+                fmt = (meta or {}).get("format")
+                hashes = [
+                    _dhash64(px, hash_size)
+                    for k, px in enumerate(_video_frames(bytes(content), fmt))
+                    if k % every_n == 0
+                ]
+                if not hashes:
+                    out.append(None)
+                    nf.append(0)
+                    continue
+                votes = [0] * n_bits
+                for hv in hashes:
+                    u = hv & ((1 << 64) - 1)  # two's-complement view
+                    for j in range(n_bits):
+                        votes[j] += (u >> j) & 1
+                v = 0
+                half = len(hashes) / 2.0
+                for j in range(n_bits):
+                    if votes[j] > half:
+                        v |= 1 << j
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                out.append(v)
+                nf.append(len(hashes))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "vfp": pd.array(out, dtype="Int64"),
+                    "n_frames_hashed": pd.array(nf, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=_VFP_SCHEMA)
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    every_n: int = 1,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Video near-duplicate pairs: fingerprint each video once
+    (:func:`video_fingerprint` — container walk → per-frame dHash →
+    majority fold), then the generic hamming-LSH banding
+    (``operators/dedup.py::hamming_near_dup_pairs``) — the video
+    member of the perceptual family, byte-for-byte the
+    :func:`image_near_dup_pairs` / :func:`audio_near_dup_pairs` shape.
+    Output ``(doc_a, doc_b, hamming)``; defaults keep the stage
+    pigeonhole-complete (``max_hamming < bands``). Frames decode
+    exactly once; the pair stage is integer-only."""
+    from .dedup import hamming_near_dup_pairs
+
+    fps = video_fingerprint(media, every_n=every_n, hash_size=hash_size)
+    return hamming_near_dup_pairs(
+        fps.select("media_id", "vfp"),
+        id_col="media_id",
+        hash_col="vfp",
+        max_hamming=max_hamming,
+        bands=bands,
+        n_bits=hash_size * hash_size,
+    )

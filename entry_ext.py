@@ -2957,6 +2957,68 @@ def _q_mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dup_pairs(media)
 
 
+def _q_mm_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs end to end (operators/multimodal.py::
+    video_near_dup_pairs = Y4M container walk -> per-frame dHash ->
+    bitwise-majority fold -> hamming_near_dup_pairs) over a
+    fold-invertible Y4M fixture: each video holds THREE 9x8 mono
+    frames — two encoding h(doc_id) as luminance steps (the image
+    fixture's walk) and one minority frame encoding h with four extra
+    bits flipped, which the majority fold must outvote — so
+    vfp(video) == h exactly and the oracle is _MM_NEAR_DUP_ORACLE
+    verbatim. The REAL container walk, frame decode, per-frame dHash
+    and fold all run inside the gate."""
+    import pandas as _pd
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        video_near_dup_pairs,
+    )
+
+    def _frame(h):
+        body = bytearray()
+        for y in range(8):
+            val = 128
+            row = [val]
+            for x in range(8):
+                val += 1 if (h >> (63 - (y * 8 + x))) & 1 else -1
+                row.append(val)
+            body += bytes(row)
+        return b"FRAME\n" + bytes(body)
+
+    def _y4m(doc_id):
+        if doc_id is None or _pd.isna(doc_id):
+            return None
+        g, v = divmod(int(doc_id), 4)
+        h = _mm_phash_h(g) ^ _MM_PHASH_MASKS[v]
+        minority = h ^ (0b1111 << 40)  # outvoted 2:1 by the fold
+        return (
+            b"YUV4MPEG2 W9 H8 F25:1 Ip A0:0 Cmono\n"
+            + _frame(h) + _frame(minority) + _frame(h)
+        )
+
+    def _build(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "content": [_y4m(i) for i in pdf["doc_id"]],
+                    "meta": [{"format": "y4m"}] * len(pdf),
+                }
+            )
+
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            _build,
+            schema="media_id long, kind string, content binary, "
+            "meta map<string,string>",
+        )
+    )
+    return video_near_dup_pairs(media, max_hamming=3, bands=4)
+
+
 _MM_NEAR_DUP_ORACLE = f"""
 WITH h AS (
   SELECT doc_id AS media_id,
@@ -6230,6 +6292,7 @@ def ext_queries():
         "dedup_exact_128": _q_dedup_exact_128,
         "mm_image_near_dup": _q_mm_image_near_dup,
         "mm_audio_near_dup": _q_mm_audio_near_dup,
+        "mm_video_near_dup": _q_mm_video_near_dup,
         "dedup_minhash_sigs": _q_minhash_signatures,
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -6371,6 +6434,7 @@ def ext_oracles():
         "dedup_exact_128": _DEDUP_EXACT_128_ORACLE,
         "mm_image_near_dup": _MM_NEAR_DUP_ORACLE,
         "mm_audio_near_dup": _MM_NEAR_DUP_ORACLE,
+        "mm_video_near_dup": _MM_NEAR_DUP_ORACLE,
         "dedup_minhash_sigs": _MINHASH_ORACLE,
         "dedup_minhash_lsh_pairs": _LSH_ORACLE,
         "dedup_ngram_jaccard": _JACCARD_ORACLE,

@@ -241,6 +241,7 @@ DIRTY_QUERIES = [
     "dedup_hamming_pairs",
     "mm_image_near_dup",
     "mm_audio_near_dup",
+    "mm_video_near_dup",
     "dedup_hamming_clusters",
     "t_leakage_split",
     "dedup_hamming_edges",
