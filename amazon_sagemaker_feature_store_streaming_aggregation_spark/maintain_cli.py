@@ -19,6 +19,12 @@ operator-facing surface over the maintenance primitives:
   index's probe keys.
 * ``compact-vec-index`` — per-cell compaction of the embedding
   index: ``compact_embedding_index``.
+* ``retrain-centroids`` — retrain the embedding index's centroids on
+  its own vectors (sampled seeded k-means) and atomically re-cell the
+  layout: ``recell_embedding_index``. Live runners adopt the flipped
+  layout at their next trigger (per-batch ``_meta`` check); a flip
+  landing mid-batch fails that trigger loudly and the retry routes
+  correctly.
 * ``compact-store``    — fold the cluster label store's deltas into a
   fresh full compaction: ``compact_cluster_store``.
 * ``rebucket-store``   — grow the label store's modulus online:
@@ -75,6 +81,24 @@ def parse_args(argv: Sequence[str] | None = None) -> argparse.Namespace:
     cv.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     cv.add_argument("--min-files", type=int, default=2)
 
+    rc = sub.add_parser(
+        "retrain-centroids",
+        help="retrain the embedding index's centroids on its own "
+        "vectors (sampled seeded k-means) and atomically re-cell "
+        "the layout",
+    )
+    rc.add_argument("--path", required=True, help="cell= embedding index")
+    rc.add_argument("--centroids", required=True,
+                    help="the centroid table dir the runner reads")
+    rc.add_argument("--cells", type=int, default=None,
+                    help="new cell count (default: auto_cells(N))")
+    rc.add_argument("--id-col", default="vec_id")
+    rc.add_argument("--seed", type=int, default=7)
+    rc.add_argument("--max-iter", type=int, default=10)
+    rc.add_argument("--sample-fraction", type=float, default=None,
+                    help="train k-means on a deterministic sample "
+                    "(the 100 TB path); re-assignment is always full")
+
     cs = sub.add_parser("compact-store", help="fold cluster-store "
                         "deltas into a fresh compaction")
     cs.add_argument("--path", required=True)
@@ -126,6 +150,18 @@ def main(argv: Sequence[str] | None = None) -> int:
             target_bytes=args.target_bytes, min_files=args.min_files,
         )
         out["files_per_cell"] = {str(k): v for k, v in files.items()}
+    elif args.cmd == "retrain-centroids":
+        from .streaming.similarity import recell_embedding_index
+
+        out.update(
+            recell_embedding_index(
+                spark, args.path, args.centroids,
+                n_cells=args.cells, id_col=args.id_col, seed=args.seed,
+                max_iter=args.max_iter,
+                sample_fraction=args.sample_fraction,
+            )
+        )
+        out["centroids"] = args.centroids
     elif args.cmd == "compact-store":
         from .streaming.dedup import compact_cluster_store
 

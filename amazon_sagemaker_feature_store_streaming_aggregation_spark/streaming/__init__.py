@@ -31,6 +31,8 @@ from .quality import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     compact_embedding_index,
+    heal_centroid_layout,
+    recell_embedding_index,
     run_index_embedding_stream,
 )
 from .metrics import progress_summary  # noqa: F401

@@ -468,6 +468,10 @@ def rebucket_banded_index(
         fs.delete(sp, True)
         raise IOError(f"rebucket swap failed: rename staging into {base}")
     fs.delete(rp, True)
+    # invalidate any persisted/cached relation plan-matched to this
+    # path (the CacheManager serves stale rows to post-swap readers
+    # otherwise -- the recell_embedding_index lesson)
+    spark.catalog.refreshByPath(base)
     return new_m
 
 
@@ -1562,6 +1566,10 @@ def rebucket_cluster_store(
         fs.delete(sp, True)
         raise IOError(f"rebucket swap failed: rename staging into {base}")
     fs.delete(rp, True)
+    # invalidate any persisted/cached relation plan-matched to this
+    # path (the CacheManager serves stale rows to post-swap readers
+    # otherwise -- the recell_embedding_index lesson)
+    spark.catalog.refreshByPath(base)
     return new_m
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import (
+    _assert_modulus_unchanged,
     _fs_exists,
     _fs_has_parquet_recursive,
     _touch_success,
@@ -123,8 +124,28 @@ def run_index_embedding_stream(
         batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
         vecs_out = batch_out + "/vecs"
         pairs_out = batch_out + "/pairs"
-        if "cents" not in _resolved:
+        # per-batch: one driver-side listStatus of the index _meta — a
+        # recell_embedding_index between triggers is ADOPTED (fresh
+        # centroids + cleared layout memos); pre-recell indexes have
+        # no _meta (stable None signature, zero extra cost)
+        from .dedup import _meta_signature
+
+        if (
+            "cents" not in _resolved
+            or _meta_signature(spark, index_dir)
+            != _resolved.get("cents_meta_sig")
+        ):
+            if "cents" in _resolved:
+                _resolved["cents"].unpersist()
+                _resolved.clear()
+            # another (dead) runner may still hold a persist() over
+            # these paths — refresh so THIS read sees the disk truth,
+            # not a plan-matched stale cache entry
+            spark.catalog.refreshByPath(index_dir)
+            spark.catalog.refreshByPath(centroids_dir)
+            heal_centroid_layout(spark, index_dir, centroids_dir)
             _resolved["cents"] = spark.read.parquet(centroids_dir).persist()
+            _resolved["cents_meta_sig"] = _meta_signature(spark, index_dir)
         cents = _resolved["cents"]
         if _fs_exists(spark, batch_out + "/_SUCCESS"):
             # retried committed batch: repair a possibly lost index
@@ -141,6 +162,9 @@ def run_index_embedding_stream(
                 )
             else:
                 missing = committed
+            _assert_modulus_unchanged(
+                spark, index_dir, _resolved, key="cents"
+            )
             (
                 missing.repartition(F.col("cell"))
                 .write.mode("append")
@@ -249,6 +273,7 @@ def run_index_embedding_stream(
         # artifact was written from (no read-back), with one pre-write
         # shuffle keyed on the partition column: without it every task
         # writes a file into every cell dir (tasks x cells small files)
+        _assert_modulus_unchanged(spark, index_dir, _resolved, key="cents")
         (
             batch_rows.repartition(F.col("cell"))
             .write.mode("append")
@@ -317,3 +342,227 @@ def compact_embedding_index(
             min_files=min_files,
         )
     return out
+
+
+def _read_centroid_version(spark, store_dir: str) -> str | None:
+    """The ``centroid_version`` pinned in ``<store>/_meta`` (one tiny
+    parquet row), or None for a pre-recell layout (no meta)."""
+    from .dedup import _fs_has_parquet
+
+    meta = store_dir.rstrip("/") + "/_meta"
+    if not _fs_has_parquet(spark, meta):
+        return None
+    return str(spark.read.parquet(meta).collect()[0]["centroid_version"])
+
+
+def _write_centroid_meta(spark, dir_str: str, version: str, n_cells: int):
+    from ..session import local_rows
+
+    local_rows(
+        spark, [(version, int(n_cells))],
+        "centroid_version string, n_cells int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        dir_str.rstrip("/") + "/_meta"
+    )
+
+
+def heal_centroid_layout(spark, index_dir: str, centroids_dir: str):
+    """Resolve the one crash window :func:`recell_embedding_index`'s
+    two-directory commit leaves: index root swapped to the new cell
+    layout (its ``_meta`` names centroid version V2 and ``_centroids/``
+    holds the V2 table) but ``centroids_dir`` still holds V1. Reading
+    V1 centroids against a V2 layout would prune probes to the WRONG
+    cells — silent duplicate readmission — so the runner calls this
+    before (re)reading centroids: on version mismatch the centroids
+    dir is restored from the index's own co-committed copy (an atomic
+    staged swap; idempotent). Returns ``"restored"`` or None."""
+    from ..sinks.compaction import _swap_names, heal_compaction_swap
+    from .dedup import _fs_has_parquet, _hadoop_fs
+
+    base = index_dir.rstrip("/")
+    cbase = centroids_dir.rstrip("/")
+    heal_compaction_swap(spark, cbase)
+    iv = _read_centroid_version(spark, base)
+    if iv is None:  # pre-recell layout: centroids_dir is authoritative
+        return None
+    if _read_centroid_version(spark, cbase) == iv:
+        return None
+    copy = base + "/_centroids"
+    if not _fs_has_parquet(spark, copy):
+        raise ValueError(
+            f"index at {index_dir} pins centroid_version={iv} but holds "
+            "no _centroids copy and the centroids dir disagrees — the "
+            "layout cannot be trusted; re-run recell_embedding_index"
+        )
+    n_cells = int(spark.read.parquet(base + "/_meta").collect()[0]["n_cells"])
+    _, staging, retired = _swap_names(cbase)
+    fs, p = _hadoop_fs(spark, cbase)
+    _, sp = _hadoop_fs(spark, staging)
+    _, rp = _hadoop_fs(spark, retired)
+    try:
+        spark.read.parquet(copy).coalesce(1).write.parquet(staging)
+        _write_centroid_meta(spark, staging, iv, n_cells)
+        if fs.exists(p) and not fs.rename(p, rp):
+            raise IOError(f"centroid heal failed: rename {cbase} away")
+    except BaseException:
+        fs.delete(sp, True)
+        raise
+    if not fs.rename(sp, p):
+        fs.rename(rp, p)
+        fs.delete(sp, True)
+        raise IOError(f"centroid heal failed: rename staging into {cbase}")
+    fs.delete(rp, True)
+    # drop any cached relation over the swapped path: runners persist()
+    # this table, and Spark's CacheManager plan-matches any NEW
+    # read.parquet(same path) to the stale cached rows — without the
+    # refresh, post-swap readers keep seeing the OLD table (the bug the
+    # recell mid-replay test caught: a resumed runner assigned batch
+    # vectors with pre-retrain centroids against the re-celled index)
+    spark.catalog.refreshByPath(cbase)
+    return "restored"
+
+
+def recell_embedding_index(
+    spark,
+    index_dir: str,
+    centroids_dir: str,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    seed: int = 7,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> dict:
+    """Retrain the standing vector index's centroids on its OWN
+    vectors (sampled seeded k-means||) and atomically re-cell the
+    layout — the centroid-lifecycle operation the r10 verdict named:
+    a drifting corpus skews cell occupancy around stale centroids and
+    erodes probe recall with no loud signal; periodic retraining is
+    how IVF deployments stay healthy (the ``rebucket_banded_index``
+    growth story applied to the semantic index).
+
+    O(index) rewrite by nature, run as maintenance (the CLI's
+    ``retrain-centroids``). Commit protocol: the new layout stages in
+    a hidden sibling carrying BOTH the re-assigned ``cell=`` rows and
+    its own centroid table (``_centroids/`` + ``_meta`` naming a
+    content-derived ``centroid_version``), swaps in with the
+    compaction two-rename, and only then does ``centroids_dir`` swap
+    to the same version — every crash window either heals via
+    ``heal_compaction_swap`` (index swap) or
+    :func:`heal_centroid_layout` (the between-swaps window: the
+    runner restores centroids from the index's co-committed copy).
+    Live runners notice the flipped ``_meta`` per batch (the
+    ``_resolve_live_modulus`` discipline) and adopt the new layout;
+    a flip mid-batch fails the trigger loudly before the append.
+
+    ``sample_fraction`` trains k-means on a deterministic md5-style
+    sample (xxhash64 of the id — engine-internal, never crosses to an
+    oracle) — the 100 TB path: centroid quality degrades gracefully
+    with sampling, the re-assignment pass is always exact and full.
+    Returns ``{"n_cells", "centroid_version", "n_rows"}``.
+    """
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        QUANT,
+        _dot,
+        auto_cells,
+        train_ivf_centroids,
+    )
+    from ..sinks.compaction import _swap_names, heal_compaction_swap
+    from .dedup import _hadoop_fs
+
+    base = index_dir.rstrip("/")
+    cbase = centroids_dir.rstrip("/")
+    heal_compaction_swap(spark, base)
+    heal_centroid_layout(spark, base, cbase)
+    if not _fs_has_parquet_recursive(spark, base):
+        raise ValueError(
+            f"embedding index at {index_dir} holds no vectors — nothing "
+            "to retrain from (run the stream first)"
+        )
+    rows = spark.read.parquet(base).select(id_col, "qv", "n2")
+    n_rows = rows.count()
+    if n_cells is None:
+        n_cells = auto_cells(n_rows)
+    train_src = rows
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        train_src = rows.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+            < int(sample_fraction * 1_000_000)
+        )
+    emb = train_src.select(
+        F.expr(
+            f"transform(qv, x -> cast(x as double) / {QUANT}.0)"
+        ).alias("__emb")
+    )
+    cents = train_ivf_centroids(
+        emb, n_cells, vec_col="__emb", seed=seed, max_iter=max_iter
+    ).where(F.col("cn2") > 0)
+    # content-derived version tag: n_cells rows collect driver-side
+    # (bounded by the cell count, the same order as every centroid
+    # broadcast in this module)
+    crows = sorted(
+        (int(r["cell"]), tuple(int(x) for x in r["cq"]))
+        for r in cents.collect()
+    )
+    version = hashlib.md5(repr(crows).encode()).hexdigest()[:16]
+    cents = cents.localCheckpoint()  # k-means lineage is NOT replayable
+
+    # exact full re-assignment on the index's own quantized coords
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("cell"))
+    reassigned = (
+        rows.join(F.broadcast(cents))
+        .withColumn(
+            "__cos",
+            F.expr(_dot("qv", "cq")).cast("double")
+            / (
+                F.sqrt(F.col("n2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double"))
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "cell", "qv", "n2")
+    )
+
+    _, staging, retired = _swap_names(base)
+    fs, p = _hadoop_fs(spark, base)
+    _, sp = _hadoop_fs(spark, staging)
+    _, rp = _hadoop_fs(spark, retired)
+    try:
+        # meta + centroid copy first (the rebucket rule: a staging
+        # whose root _SUCCESS exists — created by the rows write —
+        # always carries its layout facts)
+        _write_centroid_meta(spark, staging, version, n_cells)
+        cents.select("cell", "cq", "cn2").coalesce(1).write.parquet(
+            staging + "/_centroids"
+        )
+        (
+            reassigned.repartition(F.col("cell"))
+            .write.mode("append")  # staging already holds _meta/
+            .partitionBy("cell")
+            .parquet(staging)
+        )
+        if not fs.rename(p, rp):
+            raise IOError(f"recell swap failed: rename {base} away")
+    except BaseException:
+        fs.delete(sp, True)
+        raise
+    if not fs.rename(sp, p):
+        fs.rename(rp, p)
+        fs.delete(sp, True)
+        raise IOError(f"recell swap failed: rename staging into {base}")
+    fs.delete(rp, True)
+    spark.catalog.refreshByPath(base)  # invalidate cached plans/listings
+    # second commit: the external centroids dir (crash before/inside
+    # this swap is healed by heal_centroid_layout from _centroids)
+    healed = heal_centroid_layout(spark, base, cbase)
+    assert healed == "restored"
+    return {"n_cells": int(n_cells), "centroid_version": version,
+            "n_rows": int(n_rows)}

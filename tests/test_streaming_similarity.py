@@ -358,3 +358,134 @@ def test_contamination_stream_matches_batch_against_fixed_benchmark(
         for r in spark.read.parquet(out_dir + "/batch=*/overlap").collect()
     }
     assert again == got
+
+
+def test_recell_embedding_index_mid_replay(spark, tmp_path):
+    """Centroid lifecycle (VERDICT r10 task #3): after batch 0 the
+    index is retrained on its own vectors and atomically re-celled;
+    the resumed stream adopts the new layout (fresh centroids via the
+    _meta signature), probes stay cell-pruned, the cross-batch planted
+    pair is still discovered (recall floor 1.0 on the planted set
+    before AND after the re-cell), and the between-swaps crash window
+    heals from the index's co-committed centroid copy."""
+    import numpy as np
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        heal_centroid_layout,
+        recell_embedding_index,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _meta_signature,
+    )
+    from .test_streaming_dedup import _one_file
+
+    rng = np.random.default_rng(29)
+    a = [float(x) for x in rng.normal(0, 1, 16)]
+    b = [float(x) for x in rng.normal(0, 1, 16)]
+    mk = lambda i, base: (
+        i, [float(x) for x in (np.array(base) + rng.normal(0, 1e-3, 16))]
+    )
+    chunk0 = [mk(0, a), mk(1, a), mk(50, b), mk(51, b)] + [
+        mk(100 + i, None) if False else
+        (100 + i, [float(x) for x in rng.normal(0, 1, 16)])
+        for i in range(12)
+    ]
+    work = str(tmp_path / "work")
+    cents_dir = os.path.join(work, "centroids")
+    index_dir = os.path.join(work, "index")
+    schema = "vec_id long, embedding array<double>"
+    emb0 = spark.createDataFrame(chunk0, schema)
+    ivf_centroids(emb0, 4, corpus_count=len(chunk0)).write.parquet(cents_dir)
+    d = tmp_path / "stream"
+    _one_file(spark, d, "00.parquet", chunk0, schema)
+    q = _start(spark, str(d), work, cents_dir)
+    assert q.awaitTermination(180)
+    pairs0 = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(
+            os.path.join(work, "out", "batch=*", "pairs")
+        ).collect()
+    }
+    assert {(0, 1), (50, 51)} <= pairs0  # recall 1.0 pre-retrain
+
+    # retrain + re-cell on the index's own 16 vectors
+    res = recell_embedding_index(
+        spark, index_dir, cents_dir, n_cells=2, id_col="vec_id"
+    )
+    assert res["n_cells"] == 2 and res["n_rows"] == 16
+    sig = _meta_signature(spark, index_dir)
+    assert sig is not None
+    # layout re-celled under the new centroid table: every row's cell
+    # is its exact argmax-cosine assignment against the new centroids
+    idx = spark.read.parquet(index_dir)
+    cells = {r["vec_id"]: r["cell"] for r in idx.collect()}
+    assert sorted(cells) == sorted(
+        [0, 1, 50, 51] + [100 + i for i in range(12)]
+    )
+    assert set(cells.values()) <= {0, 1}
+    assert cells[0] == cells[1] and cells[50] == cells[51]
+    plan = (
+        idx.where(F.col("cell") == 0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+
+    # drift batch: near-dups of batch-0 members arrive after re-cell
+    chunk1 = [mk(2, a), mk(52, b)]
+    _one_file(spark, d, "01.parquet", chunk1, schema)
+    q2 = _start(spark, str(d), work, cents_dir)
+    assert q2.awaitTermination(180)
+    pairs1 = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(
+            os.path.join(work, "out", "batch=*", "pairs")
+        ).collect()
+    }
+    # recall floor 1.0 on the planted set across the re-cell boundary
+    assert {(0, 2), (1, 2), (50, 52), (51, 52)} <= pairs1
+
+    # between-swaps crash window: stale centroids next to a V2 index
+    # heal from the index's co-committed copy
+    import shutil
+
+    new_cents = spark.read.parquet(cents_dir).collect()
+    shutil.rmtree(cents_dir)
+    ivf_centroids(emb0, 4, corpus_count=len(chunk0)).write.parquet(cents_dir)
+    assert heal_centroid_layout(spark, index_dir, cents_dir) == "restored"
+    healed = spark.read.parquet(cents_dir).collect()
+    assert sorted(map(tuple, healed)) == sorted(map(tuple, new_cents))
+    assert heal_centroid_layout(spark, index_dir, cents_dir) is None
+
+
+def test_recell_mid_batch_flip_fails_loudly(spark, tmp_path):
+    """A re-cell landing DURING a batch (between centroid resolution
+    and the index append) raises via the shared mid-batch guard."""
+    import numpy as np
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        recell_embedding_index,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _assert_modulus_unchanged,
+        _meta_signature,
+    )
+    from .test_streaming_dedup import _one_file
+
+    rng = np.random.default_rng(31)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(8)]
+    work = str(tmp_path / "work")
+    cents_dir = os.path.join(work, "centroids")
+    index_dir = os.path.join(work, "index")
+    schema = "vec_id long, embedding array<double>"
+    emb = spark.createDataFrame(rows, schema)
+    ivf_centroids(emb, 2, corpus_count=len(rows)).write.parquet(cents_dir)
+    d = tmp_path / "stream"
+    _one_file(spark, d, "00.parquet", rows, schema)
+    q = _start(spark, str(d), work, cents_dir)
+    assert q.awaitTermination(180)
+
+    resolved = {"cents_meta_sig": _meta_signature(spark, index_dir)}
+    _assert_modulus_unchanged(spark, index_dir, resolved, key="cents")
+    recell_embedding_index(spark, index_dir, cents_dir, n_cells=2)
+    with pytest.raises(RuntimeError, match="mid-batch"):
+        _assert_modulus_unchanged(spark, index_dir, resolved, key="cents")
