@@ -126,3 +126,52 @@ def test_maintain_cli_store_ops(spark, tmp_path, capsys):
         for r in read_cluster_labels(spark, out_dir).collect()
     )
     assert before == after and len(after) == 3
+
+
+def test_maintain_cli_retrain_centroids(spark, tmp_path, capsys):
+    """retrain-centroids end-to-end over a runner-built embedding
+    index: one JSON manifest line, new centroid_version pinned in the
+    index _meta, centroids dir swapped to the same version, layout
+    re-celled to the requested cell count."""
+    import numpy as np
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import ivf_centroids
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_embedding_stream,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.similarity import (
+        _read_centroid_version,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(10)]
+    schema = "vec_id long, embedding array<double>"
+    d = tmp_path / "stream"
+    _one_file(spark, d, "00.parquet", rows, schema)
+    cents_dir = str(tmp_path / "centroids")
+    index_dir = str(tmp_path / "index")
+    emb = spark.createDataFrame(rows, schema)
+    ivf_centroids(emb, 2, corpus_count=len(rows)).write.parquet(cents_dir)
+    q = run_index_embedding_stream(
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(str(d)),
+        str(tmp_path / "out"), index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        centroids_dir=cents_dir, threshold=0.99,
+    )
+    assert q.awaitTermination(180)
+
+    rc = maintain_cli.main(
+        ["retrain-centroids", "--path", index_dir,
+         "--centroids", cents_dir, "--cells", "3", "--seed", "7"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cmd"] == "retrain-centroids"
+    assert out["n_cells"] == 3 and out["n_rows"] == 10
+    v = out["centroid_version"]
+    assert _read_centroid_version(spark, index_dir) == v
+    assert _read_centroid_version(spark, cents_dir) == v
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == 10
+    assert set(r["cell"] for r in idx.select("cell").distinct().collect()) <= {0, 1, 2}
