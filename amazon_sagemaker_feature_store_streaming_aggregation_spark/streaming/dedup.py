@@ -334,13 +334,22 @@ def _read_index_pruned(
     )
 
 
-def _append_index(rows: DataFrame, index_dir: str) -> None:
+def _append_index(
+    rows: DataFrame, index_dir: str, small_batch: bool = False
+) -> None:
     """Append index rows (must carry ``ibucket``) under their bucket
-    partitions — one pre-write shuffle keyed on the bucket so every
-    bucket dir gains ~one file per batch instead of one per task."""
+    partitions. Two layouts for the same one-file-per-bucket result:
+    ``small_batch=True`` (the standing micro-batch regime — callers
+    pass their ``broadcast_batch`` flag) coalesces to ONE task, which
+    under partitionBy writes exactly one file per bucket value present
+    with NO shuffle; the default keeps the bucket-keyed repartition so
+    a corpus-sized backfill batch never has every task writing into
+    every bucket dir."""
+    pre = rows.coalesce(1) if small_batch else rows.repartition(
+        F.col("ibucket")
+    )
     (
-        rows.repartition(F.col("ibucket"))
-        .write.mode("append")
+        pre.write.mode("append")
         .partitionBy("ibucket")
         .parquet(index_dir.rstrip("/"))
     )
@@ -842,7 +851,7 @@ def run_index_lsh_stream(
         # writes) — from the SAME checkpointed rows the batch
         # artifact was written from
         _assert_modulus_unchanged(spark, index_dir, _resolved)
-        _append_index(fresh_bands, index_dir)
+        _append_index(fresh_bands, index_dir, small_batch=broadcast_batch)
 
     writer = (
         stream.writeStream.foreachBatch(_process)
@@ -1074,6 +1083,7 @@ def run_index_hamming_stream(
                 "ibucket", _index_bucket(nb, "band", "bv")
             ),
             index_dir,
+            small_batch=broadcast_batch,
         )
 
     writer = (
@@ -1787,8 +1797,16 @@ def run_cluster_maintain_stream(
         # large, and every later action would otherwise re-analyze —
         # and for uncached consumers recompute — it. Band rows stay
         # LAZY on the flat fingerprints: banding is shift/mask
-        # arithmetic, cheap to re-derive.
-        edge_fp = edge_fp.localCheckpoint()
+        # arithmetic, cheap to re-derive. base_fp keeps NULL-hash rows
+        # (they become singleton docs) so new_ids below derives from
+        # the SAME materialized blocks instead of re-scanning the
+        # source once per consumer action.
+        base_fp = (
+            batch_df.select(id_col, hash_col)
+            .where(F.col(id_col).isNotNull())
+            .localCheckpoint()
+        )
+        edge_fp = base_fp.where(F.col(hash_col).isNotNull())
         batch_bands = hamming_band_rows(
             edge_fp, id_col, hash_col, bands, width
         )
@@ -1864,11 +1882,7 @@ def run_cluster_maintain_stream(
             within if cross is None
             else cross.select("doc_a", "doc_b").unionByName(within)
         ).localCheckpoint()
-        new_ids = (
-            batch_df.select(id_col)
-            .where(F.col(id_col).isNotNull())
-            .distinct()
-        )
+        new_ids = base_fp.select(id_col).distinct()
         eps = (
             edges.select(F.col("doc_a").alias(id_col))
             .unionByName(edges.select(F.col("doc_b").alias(id_col)))
@@ -1969,13 +1983,28 @@ def run_cluster_maintain_stream(
         _tick(t0, f"b{batch_id} delta-build+isEmpty")
         _assert_modulus_unchanged(spark, base, _resolved, key="n_buckets")
         if not delta.isEmpty():
-            # one pre-write shuffle per projection keyed on the
-            # bucket: without it every task writes a file into
-            # every bucket dir (tasks × buckets small files)
+            # pre-write layout control, two regimes: the standing
+            # small-batch regime (broadcast_batch=True, the same flag
+            # that gates the probe broadcast) COALESCES the bucketed
+            # writes to one task — a single task writing partitionBy
+            # dirs emits exactly one file per bucket VALUE present,
+            # the same file count the shuffle bought, minus the
+            # shuffle (2 exchanges/batch, a measured chunk of the
+            # per-trigger fixed cost); a corpus-sized availableNow
+            # backfill (broadcast_batch=False) keeps the bucket-keyed
+            # repartition so no task writes into every bucket dir
+            def _bucketed(df, col):
+                return (
+                    df.coalesce(1) if broadcast_batch
+                    else df.repartition(nb, F.col(col))
+                )
+
             (
-                tagged.select(id_col, "cluster_id", "batch")
-                .withColumn("dbucket", _label_bucket(id_col, nb))
-                .repartition(nb, F.col("dbucket"))
+                _bucketed(
+                    tagged.select(id_col, "cluster_id", "batch")
+                    .withColumn("dbucket", _label_bucket(id_col, nb)),
+                    "dbucket",
+                )
                 .write.mode("overwrite")
                 .partitionBy("dbucket")
                 .parquet(batch_out + "/delta_doc")
@@ -1983,12 +2012,14 @@ def run_cluster_maintain_stream(
             # sizes/canonical flags ride the cluster projection in
             # place — no third per-batch artifact to write
             (
-                tagged.select(
-                    id_col, "cluster_id", "cluster_size",
-                    "is_canonical", "batch",
+                _bucketed(
+                    tagged.select(
+                        id_col, "cluster_id", "cluster_size",
+                        "is_canonical", "batch",
+                    )
+                    .withColumn("cbucket", _label_bucket("cluster_id", nb)),
+                    "cbucket",
                 )
-                .withColumn("cbucket", _label_bucket("cluster_id", nb))
-                .repartition(nb, F.col("cbucket"))
                 .write.mode("overwrite")
                 .partitionBy("cbucket")
                 .parquet(batch_out + "/delta_cluster")
@@ -2006,6 +2037,7 @@ def run_cluster_maintain_stream(
                 "ibucket", _index_bucket(inb, "band", "bv")
             ),
             index_dir,
+            small_batch=broadcast_batch,
         )
         _tick(t0, f"b{batch_id} index-append")
         if compact_every and len(prior_batches) + 1 >= compact_every:

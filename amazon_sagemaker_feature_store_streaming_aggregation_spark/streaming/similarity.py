@@ -274,9 +274,16 @@ def run_index_embedding_stream(
         # shuffle keyed on the partition column: without it every task
         # writes a file into every cell dir (tasks x cells small files)
         _assert_modulus_unchanged(spark, index_dir, _resolved, key="cents")
+        # small-batch regime (broadcast_batch, the same flag gating the
+        # probe broadcast): one coalesced task writes exactly one file
+        # per touched cell with NO shuffle; corpus-sized backfills keep
+        # the cell-keyed repartition
+        pre = (
+            batch_rows.coalesce(1) if broadcast_batch
+            else batch_rows.repartition(F.col("cell"))
+        )
         (
-            batch_rows.repartition(F.col("cell"))
-            .write.mode("append")
+            pre.write.mode("append")
             .partitionBy("cell")
             .parquet(index_dir)
         )

@@ -460,6 +460,91 @@ def _q_stream_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+def _q_stream_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully in-engine STREAMING semantic pipeline: raw documents
+    replay as two micro-batches, each batch embedding its own text
+    (embed_text_hashed — scan-side, stream-safe expressions) before
+    entering the standing cell-partitioned vector index. No fixture
+    vector exists anywhere: text → embedding → index probe → exact
+    cosine pairs, end to end under a streaming trigger. Centroids are
+    the seeded layout over the DERIVED corpus embeddings (written up
+    front — the offline-trained production shape), so the union of
+    per-batch pairs equals the one-shot dedup_semantic_text run and
+    the oracle is _semantic_text_oracle() verbatim."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        embed_text_hashed,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        auto_cells,
+        ivf_centroids,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_embedding_stream,
+    )
+    from __spark_entry__ import _set_stream_partitions
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = sorted(x.as_py() for x in t.column("doc_id") if x.as_py() is not None)
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="ssemtext_src_")
+    work = tempfile.mkdtemp(prefix="ssemtext_work_")
+    key = t.column("doc_id")
+    in_b0 = pc.or_kleene(pc.less(key, mid), pc.is_null(key))
+    pq.write_table(
+        t.filter(pc.fill_null(in_b0, True)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        t.filter(pc.fill_null(pc.invert(in_b0), False)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    n = _doc_count(sf_dir)
+    corpus_emb = embed_text_hashed(
+        load_table(spark, sf_dir, "documents"), dims=_EMBED_DIMS
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    cents_dir = os.path.join(work, "centroids")
+    ivf_centroids(
+        corpus_emb, auto_cells(n), corpus_count=n
+    ).write.parquet(cents_dir)
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        embedded = embed_text_hashed(stream, dims=_EMBED_DIMS).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        q = run_index_embedding_stream(
+            embedded,
+            os.path.join(work, "out"),
+            os.path.join(work, "index"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            centroids_dir=cents_dir,
+            threshold=_SEMTEXT_THRESHOLD,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_semantic_text availableNow replay exceeded 300s"
+            )
+        return spark.read.parquet(
+            os.path.join(work, "out", "batch=*", "pairs")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 def _q_stream_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing cluster maintenance (streaming/dedup.py::
     run_cluster_maintain_stream): the documents table replays as TWO
@@ -1960,22 +2045,16 @@ def _q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_text_oracle() -> str:
-    """Composed oracle: the _hash_embed_cte prefix, a float32
-    round-trip quantization (embed_text_hashed emits array<float>;
-    semantic_dedup_pairs re-quantizes it — round(double(float32(v /
+def _hash_qv_prefix() -> str:
+    """CTE chain documents → dense quantized derived-embedding vectors
+    ``q(vec_id, qv)``: the _hash_embed_cte prefix, a float32 round-trip
+    quantization (embed_text_hashed emits array<float>; every
+    similarity operator re-quantizes it — round(double(float32(v /
     sqrt(norm2))) * 1e6), one fixed IEEE sequence both engines share),
-    then the seeded-centroid / within-cell / exact-verify pattern of
-    _semantic_oracle with auto_cells(count(documents)) — scale-
-    invariant like every sim_* oracle."""
-    cos_vc = _COS_SQL.format(a="v.qv", b="c.cq")
-    cos_ab = _COS_SQL.format(a="ea.qv", b="eb.qv")
-    auto = (
-        "CAST(power(2, round_even(log2(sqrt(greatest(4.0,"
-        " CAST(count(*) AS DOUBLE)))), 0)) AS BIGINT)"
-    )
-    return f"""
-WITH {_hash_embed_cte()},
+    zero-quantized-norm vectors excluded (cosine undefined). Shared by
+    every derived-text-embedding oracle so the quantization spelling
+    can never drift."""
+    return f"""{_hash_embed_cte()},
 hedims AS (SELECT unnest(range(0, {_EMBED_DIMS})) AS dim),
 hedense AS (
   SELECT n.doc_id, d.dim, COALESCE(r.v, 0) AS v, n.norm2
@@ -1988,15 +2067,30 @@ hedense AS (
                 / sqrt(CAST(norm2 AS DOUBLE)) AS REAL) AS DOUBLE)
                 * 1000000.0) AS BIGINT) ORDER BY dim) AS qv
   FROM hedense GROUP BY doc_id
-), params AS (
-  SELECT n_cells, greatest(1, n // n_cells) AS step
-  FROM (SELECT greatest(4, least(65536, {auto})) AS n_cells,
-               count(*) AS n
-        FROM documents)
 ), q AS (
   SELECT vec_id, qv FROM qraw
   WHERE CAST(list_sum([z[1] * z[2] for z in list_zip(qv, qv)])
              AS BIGINT) > 0
+)"""
+
+
+def _semantic_text_oracle() -> str:
+    """Composed oracle: the _hash_qv_prefix derived vectors, then the
+    seeded-centroid / within-cell / exact-verify pattern of
+    _semantic_oracle with auto_cells(count(documents)) — scale-
+    invariant like every sim_* oracle."""
+    cos_vc = _COS_SQL.format(a="v.qv", b="c.cq")
+    cos_ab = _COS_SQL.format(a="ea.qv", b="eb.qv")
+    auto = (
+        "CAST(power(2, round_even(log2(sqrt(greatest(4.0,"
+        " CAST(count(*) AS DOUBLE)))), 0)) AS BIGINT)"
+    )
+    return f"""
+WITH {_hash_qv_prefix()}, params AS (
+  SELECT n_cells, greatest(1, n // n_cells) AS step
+  FROM (SELECT greatest(4, least(65536, {auto})) AS n_cells,
+               count(*) AS n
+        FROM documents)
 ), cent AS (
   SELECT CAST(q.vec_id // p.step AS INTEGER) AS cell, q.qv AS cq
   FROM q, params p
@@ -2016,6 +2110,44 @@ JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
 JOIN q ea ON ea.vec_id = a.vec_id
 JOIN q eb ON eb.vec_id = b.vec_id
 WHERE {cos_ab} >= {_SEMTEXT_THRESHOLD}
+"""
+
+
+def _q_sim_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over DERIVED text embeddings: documents →
+    embed_text_hashed → cosine_topk — similarity search with no
+    fixture vector anywhere in the plan (the ANN composition twin of
+    dedup_semantic_text). Query side = the first 10 doc ids, the
+    sim_cosine_topk convention."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        cosine_topk,
+        embed_text_hashed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = embed_text_hashed(docs, dims=_EMBED_DIMS).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(emb, queries, k=_TOPK_K)
+
+
+def _sim_text_topk_oracle() -> str:
+    cos = _COS_SQL.format(a="c.qv", b="qs.qq")
+    return f"""
+WITH {_hash_qv_prefix()}, qs AS (
+  SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT qs.query_id, c.vec_id AS c_id, {cos} AS cosine
+  FROM q c JOIN qs ON c.vec_id != qs.query_id
+), ranked AS (
+  SELECT query_id, c_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT query_id, c_id AS vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_TOPK_K}
 """
 
 
@@ -6328,6 +6460,7 @@ def ext_queries():
         "dedup_semantic_clusters": _q_dedup_semantic_clusters,
         "text_hash_embed": _q_text_hash_embed,
         "dedup_semantic_text": _q_dedup_semantic_text,
+        "sim_text_topk": _q_sim_text_topk,
         "rel_semi_join": _q_rel_semi_join,
         "rel_anti_join": _q_rel_anti_join,
         "rel_intersect": _q_rel_intersect,
@@ -6395,6 +6528,7 @@ def ext_queries():
         "dedup_inc_lsh_append": _q_lsh_append,
         "s_stream_lsh_index": _q_stream_lsh_index,
         "s_stream_semantic_index": _q_stream_semantic_index,
+        "s_stream_semantic_text": _q_stream_semantic_text,
         "s_stream_hamming_index": _q_stream_hamming_index,
         "s_stream_cluster_maintain": _q_stream_cluster_maintain,
         "dedup_inc_append_bloom": _q_dedup_append_bloom,
@@ -6470,6 +6604,7 @@ def ext_oracles():
         "dedup_semantic_clusters": _semantic_oracle(clusters=True),
         "text_hash_embed": _HASH_EMBED_ORACLE,
         "dedup_semantic_text": _semantic_text_oracle(),
+        "sim_text_topk": _sim_text_topk_oracle(),
         "rel_semi_join": _REL_SEMI_ORACLE,
         "rel_anti_join": _REL_ANTI_ORACLE,
         "rel_intersect": _REL_INTERSECT_ORACLE,
@@ -6537,6 +6672,7 @@ def ext_oracles():
         "dedup_inc_lsh_append": _LSH_APPEND_ORACLE,
         "s_stream_lsh_index": _LSH_ORACLE,
         "s_stream_semantic_index": _semantic_oracle(clusters=False),
+        "s_stream_semantic_text": _semantic_text_oracle(),
         "s_stream_hamming_index": _HAMMING_PAIRS_ORACLE,
         "s_stream_cluster_maintain": _HAMMING_CLUSTERS_ORACLE,
         "dedup_inc_append_bloom": _DEDUP_APPEND_ORACLE,

@@ -290,6 +290,7 @@ DIRTY_QUERIES = [
     # planted dup text (identical vectors -> cosine 1 pairs)
     "text_hash_embed",
     "dedup_semantic_text",
+    "sim_text_topk",
     # pipelines composing the above
     "pipeline_clean_corpus",
     "pipeline_curate_shards",
@@ -405,6 +406,7 @@ DIRTY_STREAM_QUERIES = [
     "s_stream_cluster_maintain",
     "s_stream_lsh_index",
     "s_stream_semantic_index",
+    "s_stream_semantic_text",
     "s_stream_lm_score",
     "s_stream_contamination",
     "s4_sliding_agg",
