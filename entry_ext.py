@@ -5668,13 +5668,14 @@ def _q_lm3_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the interpolation is spelled in the exact Spark op order: three
 # exact-int divisions, two weighted multiplies, two adds, /6, *QUANT,
 # half-up round — bit-equal across engines.
-_LM3_SCORE_ORACLE = r"""
+def _lm3_score_sql(src: str = "documents", text_col: str = "text") -> str:
+    return rf"""
 WITH tk AS (
   SELECT doc_id,
          [lower(t) for t in
-          list_filter(regexp_split_to_array(trim(text), '\s+'),
+          list_filter(regexp_split_to_array(trim({text_col}), '\s+'),
                       t -> t != '')] AS tk
-  FROM documents
+  FROM {src}
 ), tg AS (
   SELECT doc_id,
          unnest([tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
@@ -5735,8 +5736,11 @@ SELECT d.doc_id,
             THEN (CAST(a.lm3_prob_sum AS DOUBLE)
                   / CAST(a.n_trigrams AS DOUBLE)) / 1000000000.0
             ELSE NULL END AS lm3_score
-FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+FROM {src} d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
+
+
+_LM3_SCORE_ORACLE = _lm3_score_sql()
 
 
 def _q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5837,6 +5841,41 @@ WITH cleaned AS (
 )
 SELECT s.doc_id, s.lm_score, s.n_bigrams, s.n_removed
 FROM qscorable s, qcut WHERE s.lm_score >= qcut.t
+"""
+
+
+def _q_quality_filter3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed quality chain under the INTERPOLATED TRIGRAM
+    scorer (plans/pipeline.py::quality_filter(lm_order=3)): same
+    boilerplate-clean and 20% PERCENTILE_DISC cut, higher-order LM —
+    the kept set materially differs from the bigram cut (pinned in
+    tests/test_lm3.py)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.pipeline import (
+        quality_filter,
+    )
+
+    return quality_filter(load_table(spark, sf_dir, "documents"), lm_order=3)
+
+
+_QUALITY_FILTER3_ORACLE = f"""
+WITH cleaned AS (
+{_BOILERPLATE_ORACLE}
+), lm3out AS (
+{_lm3_score_sql("cleaned", "text_clean")}
+), q3scorable AS (
+  SELECT l.doc_id, l.lm3_score AS lm_score, l.n_trigrams, c.n_removed
+  FROM lm3out l JOIN cleaned c ON l.doc_id = c.doc_id
+  WHERE l.n_trigrams > 0
+), q3ranked AS (
+  SELECT lm_score, row_number() OVER (ORDER BY lm_score) AS rn,
+         count(*) OVER () AS n
+  FROM q3scorable
+), q3cut AS (
+  SELECT lm_score AS t FROM q3ranked
+  WHERE rn = CAST(ceil(0.2 * n) AS BIGINT)
+)
+SELECT s.doc_id, s.lm_score, s.n_trigrams, s.n_removed
+FROM q3scorable s, q3cut WHERE s.lm_score >= q3cut.t
 """
 
 
@@ -6544,6 +6583,7 @@ def ext_queries():
         "text_lm3_score": _q_lm3_score,
         "text_clean_boilerplate": _q_boilerplate_lines,
         "pipeline_quality_filter": _q_quality_filter,
+        "pipeline_quality_filter3": _q_quality_filter3,
         "pipeline_curate_mix": _q_pipeline_curate_mix,
         "text_ccnet_buckets": _q_ccnet_buckets,
         "s_stream_lm_score": _q_stream_lm_score,
@@ -6688,6 +6728,7 @@ def ext_oracles():
         "text_lm3_score": _LM3_SCORE_ORACLE,
         "text_clean_boilerplate": _BOILERPLATE_ORACLE,
         "pipeline_quality_filter": _QUALITY_FILTER_ORACLE,
+        "pipeline_quality_filter3": _QUALITY_FILTER3_ORACLE,
         "pipeline_curate_mix": _curate_mix_oracle(),
         "text_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "s_stream_lm_score": _LM_SCORE_ORACLE,
