@@ -259,6 +259,7 @@ DIRTY_QUERIES = [
     "text_lm3_score",
     "text_clean_boilerplate",
     "pipeline_quality_filter",
+    "pipeline_quality_filter3",
     # sampling / chunking / packing with NULL ids, weights, text
     "t_weighted_sample",
     "t_temperature_mix",
