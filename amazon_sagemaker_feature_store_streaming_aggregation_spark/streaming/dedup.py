@@ -493,6 +493,7 @@ def run_index_dedup_stream(
     id_col: str = "doc_id",
     available_now: bool = True,
     n_buckets: int = 16,
+    small_batch: bool = True,
 ):
     """UNBOUNDED-horizon streaming dedup: every micro-batch is deduped
     against the PERSISTENT on-disk hash index (the batch
@@ -600,11 +601,16 @@ def run_index_dedup_stream(
             try:
                 fresh.write.mode("overwrite").parquet(batch_out)
                 _assert_modulus_unchanged(spark, index_dir, _resolved)
+                # small_batch (default — the standing micro-batch
+                # regime): the append coalesces to one task, same
+                # one-file-per-bucket layout, no shuffle; pass False
+                # for a corpus-sized availableNow backfill
                 _append_index(
                     fresh.select("text_hash").withColumn(
                         "ibucket", _index_bucket(nb, "text_hash")
                     ),
                     index_dir,
+                    small_batch=small_batch,
                 )
             finally:
                 fresh.unpersist()
