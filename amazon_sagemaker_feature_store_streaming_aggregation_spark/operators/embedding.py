@@ -42,6 +42,19 @@ NULL text ⇒ NULL vector columns (downstream zero-norm guards drop
 them); empty/whitespace-only text ⇒ all-zero ``hvec``, ``norm2 = 0``,
 NULL ``embedding``/``q_micro`` (cosine is undefined at zero norm — the
 same exclusion rule as ``operators/similarity.py::_ivf_assign``).
+
+FAN-OUT CONTRACT (important): the fold is an interpreted higher-order
+expression, and Catalyst's CollapseProject INLINES it into every
+downstream reference — a similarity join that touches the embedding
+three times per candidate pair re-runs the whole fold three times per
+pair (measured: brute-force cosine top-k over 5,000 docs went
+150 s → 1.2 s with a barrier). MATERIALIZE the embedded frame before
+any fan-out consumption: ``.localCheckpoint()`` in-session, or — the
+production shape at 100 TB — write the embeddings to a table once and
+read them back, exactly how real pipelines treat embeddings as a
+persisted artifact. A single linear pass (the ``text_hash_embed``
+gate, a streaming batch that is checkpointed immediately) needs no
+barrier.
 """
 
 from __future__ import annotations

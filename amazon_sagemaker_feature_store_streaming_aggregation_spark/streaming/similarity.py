@@ -52,8 +52,17 @@ def run_index_embedding_stream(
     vec_col: str = "embedding",
     available_now: bool = True,
     broadcast_batch: bool = True,
+    materialize_input: bool = False,
 ):
     """Standing semantic near-dup discovery over an embedding stream.
+
+    ``materialize_input=True`` localCheckpoints each micro-batch BEFORE
+    the cell assignment — required when the vector column is DERIVED by
+    an interpreted higher-order expression (embed_text_hashed: Catalyst
+    inlines the fold into every downstream reference, so the assignment
+    cosine would re-run it per (row, centroid) pair). A stream reading
+    stored vectors keeps the default (one extra materialization buys
+    nothing there).
 
     Per micro-batch, under ``out_dir/batch=<id>/``:
 
@@ -121,6 +130,8 @@ def run_index_embedding_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if materialize_input:
+            batch_df = batch_df.localCheckpoint()
         batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
         vecs_out = batch_out + "/vecs"
         pairs_out = batch_out + "/pairs"

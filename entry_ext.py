@@ -532,6 +532,9 @@ def _q_stream_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_dir=os.path.join(work, "ckpt"),
             centroids_dir=cents_dir,
             threshold=_SEMTEXT_THRESHOLD,
+            # derived vectors: materialize each batch before the
+            # assignment inlines the embed fold per (row, centroid)
+            materialize_input=True,
         )
         if not q.awaitTermination(300):
             q.stop()
@@ -2034,7 +2037,16 @@ def _q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = embed_text_hashed(docs, dims=_EMBED_DIMS).select("doc_id", "embedding")
+    # materialization barrier (the embed_text_hashed fan-out contract):
+    # the fold expression is an interpreted higher-order function that
+    # CollapseProject inlines into EVERY downstream reference — the
+    # assignment cosine and both pair-score joins would re-evaluate it
+    # per (row, centroid) pair (measured 155 s -> 5 s at sf0.1)
+    emb = (
+        embed_text_hashed(docs, dims=_EMBED_DIMS)
+        .select("doc_id", "embedding")
+        .localCheckpoint()
+    )
     n = _doc_count(sf_dir)
     return semantic_dedup_pairs(
         emb,
@@ -2125,8 +2137,13 @@ def _q_sim_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = embed_text_hashed(docs, dims=_EMBED_DIMS).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
+    # materialization barrier — see _q_dedup_semantic_text (the
+    # brute-force scorer references the fold 3x per joined pair;
+    # measured 145 s -> 1.2 s at sf0.1)
+    emb = (
+        embed_text_hashed(docs, dims=_EMBED_DIMS)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .localCheckpoint()
     )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk(emb, queries, k=_TOPK_K)
