@@ -481,7 +481,6 @@ def _q_stream_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         embed_text_hashed,
     )
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
-        auto_cells,
         ivf_centroids,
     )
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
@@ -512,7 +511,7 @@ def _q_stream_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("vec_id"), "embedding")
     cents_dir = os.path.join(work, "centroids")
     ivf_centroids(
-        corpus_emb, auto_cells(n), corpus_count=n
+        corpus_emb, _semtext_cells(n), corpus_count=n
     ).write.parquet(cents_dir)
     old_parts = _set_stream_partitions(spark)
     try:
@@ -2022,6 +2021,24 @@ WHERE r.v != 0
 """
 
 
+def _semtext_cells(n: int) -> int:
+    """Cell policy for the DERIVED-text semantic family: auto_cells
+    (cells ~ sqrt(N)) — the IVF-flat balanced optimum: assignment is
+    N*cells and within-cell exact verify is N^2/cells, equal at
+    sqrt(N), total ~N^1.5. Measured 10x exponent 1.35 (BENCH_SCALE,
+    documented structural — the fixture dedup_semantic_pairs is the
+    same shape at 1.21). A constant-occupancy policy (cells = N/64)
+    was tried and REVERTED: it makes the assignment stage quadratic
+    (N^2/64 centroid cosines) — measured 2x SLOWER at sf1'. The
+    LINEAR-scale path for derived text vectors is the SRP family
+    (sim_text_near_dup: O(N*planes) bucketing, no centroid scan)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        auto_cells,
+    )
+
+    return auto_cells(n)
+
+
 def _q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end in-engine semantic near-dup pipeline: documents →
     embed_text_hashed (derived vectors, no fixture) → SemDeDup cell
@@ -2032,10 +2049,6 @@ def _q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         embed_text_hashed,
         semantic_dedup_pairs,
     )
-    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
-        auto_cells,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
     # materialization barrier (the embed_text_hashed fan-out contract):
     # the fold expression is an interpreted higher-order function that
@@ -2051,7 +2064,7 @@ def _q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(
         emb,
         threshold=_SEMTEXT_THRESHOLD,
-        n_cells=auto_cells(n),
+        n_cells=_semtext_cells(n),
         id_col="doc_id",
         corpus_count=n,
     )
@@ -2097,6 +2110,8 @@ def _semantic_text_oracle() -> str:
         "CAST(power(2, round_even(log2(sqrt(greatest(4.0,"
         " CAST(count(*) AS DOUBLE)))), 0)) AS BIGINT)"
     )
+    # constant-occupancy cells (~64/cell), floored at the auto_cells
+    # formula — the _semtext_cells policy spelled from count(*)
     return f"""
 WITH {_hash_qv_prefix()}, params AS (
   SELECT n_cells, greatest(1, n // n_cells) AS step
@@ -2147,6 +2162,57 @@ def _q_sim_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk(emb, queries, k=_TOPK_K)
+
+
+def _q_sim_text_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP near-dup pairs over DERIVED text embeddings
+    (embedding_near_dup_pairs): the LINEAR-scale path of the
+    text-semantic family — O(N·planes) sign-random-projection
+    bucketing instead of the IVF cell scan's N^1.5 (see
+    _semtext_cells), same exact-cosine verify, same threshold."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        embed_text_hashed,
+        embedding_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = (
+        embed_text_hashed(docs, dims=_EMBED_DIMS)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .localCheckpoint()  # the embed fan-out barrier
+    )
+    return embedding_near_dup_pairs(
+        emb,
+        threshold=_SEMTEXT_THRESHOLD,
+        n_planes=None,
+        n_tables=_ANN_TABLES,
+        bucket_cap=_ANN_BUCKET_CAP,
+        corpus_count=_doc_count(sf_dir),
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+def _sim_text_near_dup_oracle() -> str:
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        auto_planes,
+    )
+
+    n_planes = auto_planes(_doc_count(_ORACLE_SF_DIR))
+    return f"""
+WITH {_hash_qv_prefix()}, {_sigs_sql(n_planes, capped=True)}
+, cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         {_COS_SQL.format(a="va.qv", b="vb.qv")} AS cosine
+  FROM cand c
+  JOIN q va ON va.vec_id = c.id_a
+  JOIN q vb ON vb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_SEMTEXT_THRESHOLD}
+"""
 
 
 def _sim_text_topk_oracle() -> str:
@@ -6517,6 +6583,7 @@ def ext_queries():
         "text_hash_embed": _q_text_hash_embed,
         "dedup_semantic_text": _q_dedup_semantic_text,
         "sim_text_topk": _q_sim_text_topk,
+        "sim_text_near_dup": _q_sim_text_near_dup,
         "rel_semi_join": _q_rel_semi_join,
         "rel_anti_join": _q_rel_anti_join,
         "rel_intersect": _q_rel_intersect,
@@ -6662,6 +6729,7 @@ def ext_oracles():
         "text_hash_embed": _HASH_EMBED_ORACLE,
         "dedup_semantic_text": _semantic_text_oracle(),
         "sim_text_topk": _sim_text_topk_oracle(),
+        "sim_text_near_dup": _sim_text_near_dup_oracle(),
         "rel_semi_join": _REL_SEMI_ORACLE,
         "rel_anti_join": _REL_ANTI_ORACLE,
         "rel_intersect": _REL_INTERSECT_ORACLE,
