@@ -128,3 +128,52 @@ def test_semantic_text_recall_vs_exact(spark):
     assert got <= exact  # precision 1.0: every pair exactly verified
     recall = len(got & exact) / len(exact)
     assert recall >= 0.6, f"recall {recall} over {len(exact)} exact pairs"
+
+
+def test_srp_text_near_dup_recall_vs_exact(spark):
+    """The linear-path twin of test_semantic_text_recall_vs_exact:
+    documents -> embed_text_hashed -> SRP-bucketed near-dup pairs.
+    Precision 1.0 by construction (exact verify); recall vs the exact
+    all-pairs baseline bounded below — SRP at 2 tables trades recall
+    for the O(N·planes) plan, so the floor is looser than the cell
+    path's."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        embedding_near_dup_pairs,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    rows, planted, did = [], [], 0
+    for p in range(10):
+        base = " ".join(words[(p * 3 + j) % 40] for j in range(12))
+        near = base.rsplit(" ", 1)[0] + " zz" + str(p)
+        rows += [(did, base), (did + 1, near)]
+        planted.append((did, did + 1))
+        did += 2
+    for f in range(40):
+        rows.append((did, " ".join(words[(f * 7 + j * 5) % 40] for j in range(8))))
+        did += 1
+    docs = _docs(spark, rows)
+    emb = (
+        embed_text_hashed(docs)
+        .selectExpr("doc_id as vec_id", "embedding")
+        .localCheckpoint()
+    )
+    vecs = {r.doc_id: list(r.q_micro)
+            for r in embed_text_hashed(docs).select("doc_id", "q_micro").collect()
+            if r.q_micro is not None}
+    th = 0.85
+    exact = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if _cos(vecs[a], vecs[b]) >= th
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, threshold=th, n_planes=4, n_tables=2,
+            corpus_count=len(rows),
+        ).collect()
+    }
+    assert got <= exact  # precision 1.0
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall} over {len(exact)} exact pairs"
