@@ -274,12 +274,21 @@ def _resolve_live_modulus(
     ):
         return resolved[key]
     if key in resolved:
-        # layout flipped under a live runner — drop every cached fact
-        # derived from the old layout, then ADOPT the new pinned
-        # modulus (n_buckets=None: the constructor's value described
-        # the PRE-rebucket layout; re-validating it here would fail
-        # the very flip this path exists to survive)
-        resolved.clear()
+        # layout flipped under a live runner — drop the cached facts
+        # derived from THIS store's old layout, then ADOPT the new
+        # pinned modulus (n_buckets=None: the constructor's value
+        # described the PRE-rebucket layout; re-validating it here
+        # would fail the very flip this path exists to survive).
+        # SCOPED, not resolved.clear(): runners that maintain a store
+        # AND an index (run_cluster_maintain_stream) share one dict, so
+        # wiping it here would erase the OTHER store's signature cached
+        # earlier in the same batch and spuriously fail its later
+        # _assert_modulus_unchanged. The non-emptiness memo is popped
+        # too — it describes partition dirs of the pre-flip layout
+        # (cheap: it can only re-run the O(dirs) listing once).
+        resolved.pop(key, None)
+        resolved.pop(sig_key, None)
+        resolved.pop("nonempty", None)
         n_buckets = None
     resolved[key] = ens(spark, store_dir, n_buckets)
     resolved[sig_key] = _meta_signature(spark, store_dir)

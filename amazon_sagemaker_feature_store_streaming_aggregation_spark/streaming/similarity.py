@@ -160,8 +160,41 @@ def run_index_embedding_stream(
         cents = _resolved["cents"]
         if _fs_exists(spark, batch_out + "/_SUCCESS"):
             # retried committed batch: repair a possibly lost index
-            # append, reading only the batch's own cells
-            committed = spark.read.parquet(vecs_out)
+            # append. The batch artifact's stored cell column was
+            # assigned under whatever centroids were live at commit
+            # time — if recell_embedding_index ran inside the crash
+            # window (after the output commit, before this retry), the
+            # freshly adopted signature above would pass the
+            # _assert_modulus_unchanged guard while the artifact's
+            # cells still describe the OLD layout, landing rows in
+            # wrong cell= dirs where pruned probes never look (silent
+            # duplicate readmission). So the cells are RE-ASSIGNED here
+            # against the currently resolved centroids — the exact
+            # _ivf_assign argmax (cos desc, cell tie-break) over the
+            # stored quantized coords, bit-identical to the original
+            # assignment when no recell intervened.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(id_col).orderBy(
+                F.col("__cos").desc(), F.col("cell")
+            )
+            committed = (
+                spark.read.parquet(vecs_out)
+                .select(id_col, "qv", "n2")
+                .join(F.broadcast(cents.where(F.col("cn2") > 0)))
+                .withColumn(
+                    "__cos",
+                    F.expr(_dot("qv", "cq")).cast("double")
+                    / (
+                        F.sqrt(F.col("n2").cast("double"))
+                        * F.sqrt(F.col("cn2").cast("double"))
+                    ),
+                )
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(id_col, "cell", "qv", "n2")
+                .localCheckpoint()
+            )
             cells = [r[0] for r in committed.select("cell").distinct().collect()]
             if cells and _fs_has_parquet_recursive(spark, index_dir):
                 idx = spark.read.parquet(index_dir).where(
@@ -579,8 +612,18 @@ def recell_embedding_index(
     fs.delete(rp, True)
     spark.catalog.refreshByPath(base)  # invalidate cached plans/listings
     # second commit: the external centroids dir (crash before/inside
-    # this swap is healed by heal_centroid_layout from _centroids)
+    # this swap is healed by heal_centroid_layout from _centroids).
+    # "restored" is the usual outcome; None is ALSO success when the
+    # rerun produced byte-identical centroids (no drift + same seed →
+    # same content-derived version, so the heal sees matching versions
+    # and does nothing). Anything else is a real commit failure — and
+    # a real exception, not a bare assert (stripped under python -O).
     healed = heal_centroid_layout(spark, base, cbase)
-    assert healed == "restored"
+    if healed != "restored" and _read_centroid_version(spark, cbase) != version:
+        raise IOError(
+            f"recell commit incomplete: centroids dir {cbase} does not "
+            f"carry version {version} after heal (got "
+            f"{_read_centroid_version(spark, cbase)})"
+        )
     return {"n_cells": int(n_cells), "centroid_version": version,
             "n_rows": int(n_rows)}

@@ -1240,3 +1240,43 @@ def test_mid_batch_rebucket_fails_loudly(spark, tmp_path):
     # the next batch entry adopts the new modulus and is stable again
     assert _resolve_live_modulus(spark, index_dir, None, resolved) == 8
     _assert_modulus_unchanged(spark, index_dir, resolved)
+
+
+def test_index_only_rebucket_does_not_poison_shared_store_sig(spark, tmp_path):
+    """run_cluster_maintain_stream resolves BOTH the label store's and
+    the discovery index's moduli into ONE shared dict per batch. When
+    only the index re-buckets between triggers, adopting the flip must
+    invalidate the INDEX's cached facts only — wiping the whole dict
+    (the pre-r12 behavior) erased the store's signature cached earlier
+    in the same batch, so the later store-side _assert_modulus_unchanged
+    compared against None and spuriously failed the batch."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        rebucket_banded_index,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _assert_modulus_unchanged,
+        _ensure_store_buckets,
+        _resolve_live_modulus,
+    )
+
+    store_dir = str(tmp_path / "store")
+    index_dir = str(tmp_path / "index")
+    resolved: dict = {}
+    # batch entry: both moduli resolved into the shared dict
+    assert _resolve_live_modulus(
+        spark, store_dir, 4, resolved, key="n_buckets",
+        ensure=_ensure_store_buckets,
+    ) == 4
+    assert _resolve_live_modulus(spark, index_dir, 4, resolved, key="inb") == 4
+    # only the INDEX re-buckets between triggers
+    assert rebucket_banded_index(spark, index_dir, ("band", "bv")) == 8
+    # next batch entry: store re-resolves from cache, index adopts 8
+    assert _resolve_live_modulus(
+        spark, store_dir, 4, resolved, key="n_buckets",
+        ensure=_ensure_store_buckets,
+    ) == 4
+    assert _resolve_live_modulus(spark, index_dir, 4, resolved, key="inb") == 8
+    # the store-side guard still holds its (unchanged) signature — this
+    # raised "mid-batch" before the adoption was scoped per store
+    _assert_modulus_unchanged(spark, store_dir, resolved, key="n_buckets")
+    _assert_modulus_unchanged(spark, index_dir, resolved, key="inb")

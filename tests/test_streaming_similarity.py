@@ -489,3 +489,97 @@ def test_recell_mid_batch_flip_fails_loudly(spark, tmp_path):
     recell_embedding_index(spark, index_dir, cents_dir, n_cells=2)
     with pytest.raises(RuntimeError, match="mid-batch"):
         _assert_modulus_unchanged(spark, index_dir, resolved, key="cents")
+
+
+def test_retry_repair_reassigns_cells_after_recell(spark, tmp_path):
+    """The crash-window race the r11 advice named: batch output commits,
+    the index append is lost, and recell_embedding_index runs BEFORE the
+    retry. The retry adopts the fresh centroids at batch entry (so the
+    mid-batch guard passes), but the batch artifact's stored cell column
+    still describes the OLD layout — replaying it verbatim would land
+    rows in wrong cell= dirs where pruned probes never look. The repair
+    branch must therefore RE-ASSIGN the artifact's vectors against the
+    currently resolved centroids before appending."""
+    import numpy as np
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        _dot,
+        quantize,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        recell_embedding_index,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _touch_success,
+    )
+    from .test_streaming_dedup import _one_file
+
+    rng = np.random.default_rng(53)
+    a = [float(x) for x in rng.normal(0, 1, 16)]
+    b = [float(x) for x in rng.normal(0, 1, 16)]
+    mk = lambda i, base: (
+        i, [float(x) for x in (np.array(base) + rng.normal(0, 1e-3, 16))]
+    )
+    chunk0 = [mk(0, a), mk(1, a), mk(50, b), mk(51, b)]
+    chunk1 = [mk(10, a), mk(60, b)]
+    chunk2 = [mk(20, a)]
+    schema = "vec_id long, embedding array<double>"
+    work = str(tmp_path / "work")
+    cents_dir = os.path.join(work, "centroids")
+    index_dir = os.path.join(work, "index")
+    emb0 = spark.createDataFrame(chunk0, schema)
+    ivf_centroids(emb0, 2, corpus_count=len(chunk0)).write.parquet(cents_dir)
+    d = tmp_path / "stream"
+    _one_file(spark, d, "00.parquet", chunk0, schema)
+    q = _start(spark, str(d), work, cents_dir)
+    assert q.awaitTermination(180)
+
+    # the recell lands INSIDE the crash window: after batch 1's output
+    # commit (simulated below), before its index append
+    recell_embedding_index(spark, index_dir, cents_dir, n_cells=2)
+    # a byte-identical rerun (no drift, same seed -> same content
+    # version) is ALSO success, not an assertion crash (advice r11)
+    res2 = recell_embedding_index(spark, index_dir, cents_dir, n_cells=2)
+    assert res2["n_cells"] == 2
+
+    # hand-commit batch 1's output artifact with a STALE cell column
+    # (cell=777 stands in for any pre-recell assignment): output
+    # committed, index append lost — exactly the retry-repair state
+    batch_out = os.path.join(work, "out", "batch=1")
+    feats = (
+        spark.createDataFrame(chunk1, schema)
+        .select(F.col("vec_id"), quantize("embedding", "qv"))
+        .withColumn("n2", F.expr(_dot("qv", "qv")))
+        .withColumn("cell", F.lit(777))
+    )
+    feats.write.parquet(os.path.join(batch_out, "vecs"))
+    spark.createDataFrame(
+        [], "id_a long, id_b long, cosine double"
+    ).write.parquet(os.path.join(batch_out, "pairs"))
+    _touch_success(spark, batch_out)
+
+    # deliver chunk1 as batch 1 -> the runner takes the repair branch
+    _one_file(spark, d, "01.parquet", chunk1, schema)
+    q2 = _start(spark, str(d), work, cents_dir)
+    assert q2.awaitTermination(180)
+
+    idx = {r["vec_id"]: r["cell"] for r in
+           spark.read.parquet(index_dir).collect()}
+    assert 10 in idx and 60 in idx  # the lost append was repaired
+    assert 777 not in set(idx.values())  # never under the stale cell
+    # re-assignment matches the live layout: the repaired rows share
+    # their group's post-recell cell
+    assert idx[10] == idx[0] and idx[60] == idx[50]
+
+    # and they are probe-VISIBLE: a later near-dup of a repaired row
+    # finds it through the cell-pruned index read
+    _one_file(spark, d, "02.parquet", chunk2, schema)
+    q3 = _start(spark, str(d), work, cents_dir)
+    assert q3.awaitTermination(180)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(
+            os.path.join(work, "out", "batch=*", "pairs")
+        ).collect()
+    }
+    assert {(0, 20), (1, 20), (10, 20)} <= pairs
