@@ -31,6 +31,17 @@ operator-facing surface over the maintenance primitives:
   ``rebucket_cluster_store``.
 * ``vacuum-store``     — reclaim history superseded by the newest
   compaction: ``vacuum_cluster_store``.
+* ``forget``           — erase keys from a standing index
+  (right-to-be-forgotten): key-only tombstones + physical purge of
+  the touched leaves (``streaming/forget.py::forget_index_keys``);
+  ``--scrub-outputs`` also erases the ids from a runner's committed
+  batch artifacts.
+* ``forget-store``     — erase documents from the cluster label store
+  (touched clusters re-derived from surviving members' fingerprints,
+  ``fps/`` scrubbed, corrected state compacted in atomically) and,
+  with ``--index``, from its hamming discovery index; ``--vacuum``
+  reclaims the erased ids' historical label rows immediately
+  (``forget_cluster_store``).
 
 Every subcommand prints ONE JSON manifest line (the orchestrator
 contract shared with ``cli.py`` / ``curate_cli.py``). All operations
@@ -114,10 +125,63 @@ def parse_args(argv: Sequence[str] | None = None) -> argparse.Namespace:
                         "superseded by the newest compaction")
     vs.add_argument("--path", required=True)
 
+    fi = sub.add_parser(
+        "forget",
+        help="erase keys from a standing index (right-to-be-forgotten): "
+        "key-only tombstones + physical purge of the touched leaves",
+    )
+    fi.add_argument("--path", required=True,
+                    help="ibucket= or cell= partitioned index")
+    fi.add_argument("--ids", required=True,
+                    help="comma-separated keys to erase")
+    fi.add_argument("--key-col", default="doc_id",
+                    help="the index's key column (doc_id / vec_id / "
+                    "text_hash)")
+    fi.add_argument("--part-col", default="ibucket",
+                    help="partition column: ibucket (banded) or cell "
+                    "(embedding)")
+    fi.add_argument("--no-purge", action="store_true",
+                    help="tombstone only; physical purge happens at the "
+                    "next compaction (bulk-takedown amortization)")
+    fi.add_argument("--scrub-outputs", default=None,
+                    help="also scrub the ids from this runner out_dir's "
+                    "committed batch artifacts (pairs/bands/fps/vecs)")
+
+    fs_ = sub.add_parser(
+        "forget-store",
+        help="erase documents from the cluster label store (touched "
+        "clusters re-derived, fps scrubbed) and its discovery index",
+    )
+    fs_.add_argument("--path", required=True, help="cluster store root")
+    fs_.add_argument("--index", default=None,
+                     help="the store's hamming discovery index (erased "
+                     "with the same ids when given)")
+    fs_.add_argument("--ids", required=True)
+    fs_.add_argument("--id-col", default="doc_id")
+    fs_.add_argument("--hash-col", default="fp")
+    fs_.add_argument("--max-hamming", type=int, default=3)
+    fs_.add_argument("--bands", type=int, default=4)
+    fs_.add_argument("--n-bits", type=int, default=64)
+    fs_.add_argument("--vacuum", action="store_true",
+                     help="vacuum the store afterwards so the erased "
+                     "ids' historical label rows are physically gone")
+
     args = p.parse_args(argv)
     if getattr(args, "factor", 2) < 2:
         p.error("--factor must be >= 2")
     return args
+
+
+def _parse_ids(s: str) -> list:
+    """Comma-list → typed keys (integral strings become ints so the
+    engine-side isin/anti-join literals match long id columns)."""
+    out = []
+    for x in s.split(","):
+        x = x.strip()
+        if not x:
+            continue
+        out.append(int(x) if x.lstrip("-").isdigit() else x)
+    return out
 
 
 def main(argv: Sequence[str] | None = None) -> int:
@@ -178,6 +242,41 @@ def main(argv: Sequence[str] | None = None) -> int:
         from .streaming.dedup import vacuum_cluster_store
 
         out["removed"] = vacuum_cluster_store(spark, args.path)
+    elif args.cmd == "forget":
+        from .streaming.forget import forget_index_keys, scrub_batch_outputs
+
+        ids = _parse_ids(args.ids)
+        out.update(
+            forget_index_keys(
+                spark, args.path, ids,
+                key_col=args.key_col, part_col=args.part_col,
+                purge=not args.no_purge,
+            )
+        )
+        if args.scrub_outputs:
+            out["scrubbed_batches"] = scrub_batch_outputs(
+                spark, args.scrub_outputs, ids
+            )
+    elif args.cmd == "forget-store":
+        from .streaming.forget import forget_cluster_store, forget_index_keys
+
+        ids = _parse_ids(args.ids)
+        out.update(
+            forget_cluster_store(
+                spark, args.path, ids,
+                id_col=args.id_col, hash_col=args.hash_col,
+                max_hamming=args.max_hamming, bands=args.bands,
+                n_bits=args.n_bits,
+            )
+        )
+        if args.index:
+            out["index"] = forget_index_keys(
+                spark, args.index, ids, key_col=args.id_col
+            )
+        if args.vacuum:
+            from .streaming.dedup import vacuum_cluster_store
+
+            out["vacuumed"] = vacuum_cluster_store(spark, args.path)
     print(json.dumps(out))
     return 0
 

@@ -21,6 +21,15 @@ from .dedup import (  # noqa: F401
     run_index_hamming_stream,
     vacuum_cluster_store,
 )
+from .forget import (  # noqa: F401
+    apply_index_tombstones,
+    forget_cluster_store,
+    forget_index_keys,
+    purge_forgotten,
+    read_index_tombstones,
+    resolve_text_hashes,
+    scrub_batch_outputs,
+)
 from .join import interval_join  # noqa: F401
 from .quality import (  # noqa: F401
     read_lm_model,
@@ -36,6 +45,10 @@ from .similarity import (  # noqa: F401
     run_index_embedding_stream,
 )
 from .metrics import progress_summary  # noqa: F401
+from .substring import (  # noqa: F401
+    read_repeated_spans,
+    run_index_substring_stream,
+)
 from .running_totals import (  # noqa: F401
     running_totals,
     running_totals_tws,

@@ -336,10 +336,17 @@ def _read_index_pruned(
             return None
     elif not _index_nonempty(spark, index_dir):
         return None
-    return (
+    from .forget import apply_index_tombstones
+
+    # pending erasure tombstones (streaming/forget.py) anti-join every
+    # probe: a forgotten key stops matching at the NEXT trigger, even
+    # before its bytes are physically purged
+    return apply_index_tombstones(
+        spark,
+        index_dir,
         spark.read.parquet(index_dir.rstrip("/"))
         .where(F.col("ibucket").isin([int(b) for b in buckets]))
-        .drop("ibucket")
+        .drop("ibucket"),
     )
 
 
@@ -396,12 +403,17 @@ def compact_banded_index(
     between batches. Returns ``{bucket: resulting file count}``.
     """
     from ..sinks.compaction import compact_parquet_dir, heal_swap_leftovers
+    from .forget import purge_forgotten
 
     base = index_dir.rstrip("/")
     # heal interrupted prior swaps FIRST: a leaf that vanished
     # mid-swap is absent from the listing below, so only its hidden
     # leftover dir names it
     heal_swap_leftovers(spark, base)
+    # physically complete any amortized erasure (pending tombstones)
+    # before sizing the leaves: compaction is the contract point where
+    # forgotten rows' bytes actually go away
+    purge_forgotten(spark, base, "ibucket")
     out: dict = {}
     for b in _list_partition_ids(
         spark, base, "ibucket", require_success=False
@@ -465,8 +477,16 @@ def rebucket_banded_index(
             spark, [(int(new_m),)], "n_buckets int"
         ).coalesce(1).write.parquet(staging + "/_meta")
         if _index_nonempty(spark, base):
+            from .forget import apply_index_tombstones
+
+            # pending erasure tombstones are APPLIED during the full
+            # rewrite (the staging layout carries no _tombstones dir,
+            # so this doubles as their physical purge) — without it a
+            # re-bucket would resurrect forgotten rows
             (
-                spark.read.parquet(base)
+                apply_index_tombstones(
+                    spark, base, spark.read.parquet(base)
+                )
                 .drop("ibucket")
                 .withColumn("ibucket", _index_bucket(new_m, *key_cols))
                 .repartition(F.col("ibucket"))
@@ -1156,9 +1176,15 @@ def _check_store_layout(spark, base: str) -> int | None:
     crash-interrupted rebucket root swap first — every store read and
     every runner resume funnels through here, so no probe can see a
     half-swapped root."""
-    from ..sinks.compaction import heal_compaction_swap
+    from ..sinks.compaction import heal_compaction_swap, heal_swap_leftovers
 
     heal_compaction_swap(spark, base)
+    # also heal interrupted CHILD swaps (forget_cluster_store replaces
+    # a committed compact=<T> dir via the same two-rename protocol; a
+    # crash between its renames would otherwise leave the newest
+    # compaction invisible and reads silently reconstructing from
+    # whatever deltas vacuum left behind)
+    heal_swap_leftovers(spark, base)
     meta = base + "/_meta"
     if not _fs_has_parquet(spark, meta):
         return None

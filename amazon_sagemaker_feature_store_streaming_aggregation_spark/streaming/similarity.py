@@ -197,8 +197,14 @@ def run_index_embedding_stream(
             )
             cells = [r[0] for r in committed.select("cell").distinct().collect()]
             if cells and _fs_has_parquet_recursive(spark, index_dir):
-                idx = spark.read.parquet(index_dir).where(
-                    F.col("cell").isin(cells)
+                from .forget import apply_index_tombstones
+
+                idx = apply_index_tombstones(
+                    spark,
+                    index_dir,
+                    spark.read.parquet(index_dir).where(
+                        F.col("cell").isin(cells)
+                    ),
                 )
                 missing = committed.join(
                     idx.select(id_col, "cell"), on=[id_col, "cell"],
@@ -243,8 +249,17 @@ def run_index_embedding_stream(
         else:
             cells = []
         if cells:
-            idx = spark.read.parquet(index_dir).where(
-                F.col("cell").isin(cells)
+            from .forget import apply_index_tombstones
+
+            # pending erasure tombstones anti-join the probe (the
+            # _read_index_pruned rule): a forgotten vector stops
+            # pairing at the next trigger, pre-purge
+            idx = apply_index_tombstones(
+                spark,
+                index_dir,
+                spark.read.parquet(index_dir).where(
+                    F.col("cell").isin(cells)
+                ),
             )
             # redelivered ids (already indexed) are routed around
             # discovery AND the append — their pairs already emitted
@@ -377,11 +392,15 @@ def compact_embedding_index(
     """
     from ..sinks.compaction import compact_parquet_dir, heal_swap_leftovers
     from .dedup import _list_partition_ids
+    from .forget import purge_forgotten
 
     base = index_dir.rstrip("/")
     # heal interrupted prior swaps first — a vanished leaf is named
     # only by its hidden leftover, not the cell listing
     heal_swap_leftovers(spark, base)
+    # physically complete any amortized erasure before sizing leaves
+    # (the compact_banded_index rule)
+    purge_forgotten(spark, base, "cell")
     out: dict = {}
     for cell in _list_partition_ids(
         spark, base, "cell", require_success=False
@@ -533,7 +552,15 @@ def recell_embedding_index(
             f"embedding index at {index_dir} holds no vectors — nothing "
             "to retrain from (run the stream first)"
         )
-    rows = spark.read.parquet(base).select(id_col, "qv", "n2")
+    from .forget import apply_index_tombstones
+
+    # pending erasure tombstones are APPLIED during the full rewrite
+    # (the staging layout carries no _tombstones — the re-cell doubles
+    # as their physical purge; without this the retrain would learn
+    # from AND resurrect forgotten vectors)
+    rows = apply_index_tombstones(
+        spark, base, spark.read.parquet(base)
+    ).select(id_col, "qv", "n2")
     n_rows = rows.count()
     if n_cells is None:
         n_cells = auto_cells(n_rows)
