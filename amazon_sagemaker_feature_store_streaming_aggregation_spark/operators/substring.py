@@ -115,7 +115,21 @@ def repeated_spans(
         .where(F.col("__cnt") >= min_count)
         .select("sh")
     )
-    marked = spans.join(dup, "sh", "left_semi")
+    return merge_marked_windows(
+        spans.join(dup, "sh", "left_semi"), id_col, k
+    )
+
+
+def merge_marked_windows(
+    marked: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Gaps-and-islands merge of marked k-token windows ``(id, pos)``
+    into maximal disjoint span extents ``(id, span_start, span_end,
+    n_windows)`` — the final stage of :func:`repeated_spans`, shared
+    with the streaming runner's read API
+    (``streaming/substring.py::read_repeated_spans``), so batch and
+    streaming spans can never diverge on merge semantics. One
+    doc-keyed window over the marked rows (O(marked windows))."""
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = (
         F.max("pos").over(w.rowsBetween(Window.unboundedPreceding, -1))

@@ -1,0 +1,155 @@
+"""Streaming substring dedup (streaming/substring.py) — the standing
+twin of operators/substring.py::repeated_spans.
+
+Contracts pinned:
+
+* union-of-marks == one-shot: after any chunked replay,
+  read_repeated_spans equals repeated_spans over the whole corpus —
+  including RETROACTIVE marks (a past doc's window becomes repeated
+  when a later batch's copy arrives) and spans that GROW across
+  batches (adjacent windows marked in different triggers merge into
+  one extent at read time);
+* retry idempotency: a second availableNow run over the same source +
+  checkpoint adds no marks and no index rows;
+* at-least-once source redelivery across batch ids: a redelivered
+  document neither recounts (no false min_count crossings) nor
+  re-appends;
+* erasure integration: forget_index_keys removes a document's window
+  occurrences from the substring index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.substring import (
+    repeated_spans,
+)
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+    read_repeated_spans,
+    run_index_substring_stream,
+)
+
+from .test_streaming_dedup import _one_file
+
+K = 3
+SCHEMA = "doc_id long, text string"
+
+# the fixture corpus, spread over three micro-batches:
+#  - P repeats across batches 0/1/2 (doc 1 marked RETROACTIVELY at
+#    batch 1; doc 3 arrives after the crossing and marks on arrival)
+#  - doc 4's two adjacent phrases Q and R are duplicated by DIFFERENT
+#    later batches — its marks span two triggers and must merge into
+#    ONE extent at read time
+#  - doc 7 repeats a phrase WITHIN itself (marked at its own batch)
+CHUNK0 = [
+    (1, "a1 a2 a3 p1 p2 p3 a4 a5 a6"),
+    (4, "x1 q1 q2 q3 r1 r2 r3 x2"),
+    (7, "s1 s2 s3 t s1 s2 s3"),
+    (8, None),
+]
+CHUNK1 = [
+    (2, "b1 b2 p1 p2 p3 b3 b4"),
+    (5, "q1 q2 q3"),
+]
+CHUNK2 = [
+    (3, "c1 p1 p2 p3"),
+    (6, "z1 r1 r2 r3"),
+]
+ALL_DOCS = CHUNK0 + CHUNK1 + CHUNK2
+
+
+def _run(spark, d, out_dir, index_dir, ckpt):
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    q = run_index_substring_stream(
+        stream, out_dir, index_dir, checkpoint_dir=ckpt, k=K, n_buckets=4
+    )
+    assert q.awaitTermination(180)
+
+
+def _spans_set(df):
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in df.collect()
+    )
+
+
+def test_stream_spans_equal_one_shot_and_replay_idempotent(spark, tmp_path):
+    d = tmp_path / "stream"
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    _one_file(spark, d, "00.parquet", CHUNK0, SCHEMA)
+    _one_file(spark, d, "01.parquet", CHUNK1, SCHEMA)
+    _one_file(spark, d, "02.parquet", CHUNK2, SCHEMA)
+    _run(spark, d, out_dir, index_dir, ckpt)
+
+    got = _spans_set(read_repeated_spans(spark, out_dir, k=K))
+    want = _spans_set(
+        repeated_spans(
+            spark.createDataFrame(ALL_DOCS, SCHEMA), k=K, min_count=2
+        )
+    )
+    assert got == want
+    # the cross-batch cases actually exercised:
+    by_doc = {g[0]: g for g in got}
+    assert by_doc[1] == (1, 3, 6, 1)  # retroactive mark at batch 1
+    assert by_doc[3] == (3, 1, 4, 1)  # post-crossing arrival
+    assert by_doc[4] == (4, 1, 7, 2)  # Q (batch 1) + R (batch 2) merged
+    assert by_doc[7][0] == 7  # within-doc repeat marked at batch 0
+
+    # a fresh availableNow run over the same source + checkpoint is a
+    # no-op: no new marks, no duplicate index rows
+    n_marks = spark.read.parquet(
+        os.path.join(out_dir, "batch=*", "marks")
+    ).count()
+    n_idx = spark.read.parquet(index_dir).count()
+    _run(spark, d, out_dir, index_dir, ckpt)
+    assert (
+        spark.read.parquet(os.path.join(out_dir, "batch=*", "marks")).count()
+        == n_marks
+    )
+    assert spark.read.parquet(index_dir).count() == n_idx
+    assert _spans_set(read_repeated_spans(spark, out_dir, k=K)) == want
+
+
+def test_redelivered_doc_does_not_recount(spark, tmp_path):
+    """Doc 10 carries a UNIQUE phrase; redelivering the doc in a later
+    batch must not push that phrase's count to min_count (the per-row
+    anti-join routes indexed occurrences around counting)."""
+    d = tmp_path / "stream"
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    rows = [(10, "u1 u2 u3 u4")]
+    _one_file(spark, d, "00.parquet", rows, SCHEMA)
+    _one_file(spark, d, "01.parquet", rows, SCHEMA)  # redelivery
+    _run(spark, d, out_dir, index_dir, str(tmp_path / "ckpt"))
+    assert read_repeated_spans(spark, out_dir, k=K).count() == 0
+    # the redelivered rows did not re-append either
+    assert spark.read.parquet(index_dir).count() == 2  # 4 tokens, k=3
+
+
+def test_forget_erases_document_windows(spark, tmp_path):
+    """Erasure reaches the substring index: after forget, a later copy
+    of the erased doc's phrase does not mark retroactively against it."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        forget_index_keys,
+    )
+
+    d = tmp_path / "stream"
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    _one_file(spark, d, "00.parquet", [(1, "p1 p2 p3 p4")], SCHEMA)
+    _run(spark, d, out_dir, index_dir, str(tmp_path / "ckpt"))
+    res = forget_index_keys(spark, index_dir, [1], key_col="doc_id")
+    assert res["purged_leaves"] >= 1
+    # a later copy of the phrase sees count 1 (the erased occurrences
+    # are gone) — nothing marks
+    _one_file(spark, d, "01.parquet", [(2, "p1 p2 p3 p4")], SCHEMA)
+    _run(spark, d, out_dir, index_dir, str(tmp_path / "ckpt"))
+    assert read_repeated_spans(spark, out_dir, k=K).count() == 0
