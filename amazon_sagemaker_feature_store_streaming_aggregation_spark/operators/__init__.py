@@ -71,6 +71,8 @@ from .similarity import (  # noqa: F401
 from .lm import (  # noqa: F401
     lm3_fit,
     lm3_transition_scores,
+    lm5_fit,
+    lm5_transition_scores,
     lm_fit,
     lm_transition_scores,
 )

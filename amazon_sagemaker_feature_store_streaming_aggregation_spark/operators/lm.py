@@ -450,3 +450,176 @@ def lm3_transition_scores(
             / F.lit(float(LM_QUANT)),
         ).alias("lm3_score"),
     )
+
+
+def _doc_ngrams(
+    docs: DataFrame, id_col: str, text_col: str, n: int, out: str
+) -> DataFrame:
+    """One ``(id, 'w1 .. wn')`` row per adjacent token n-gram — the
+    order-generic extractor behind :func:`_doc_bigrams` /
+    :func:`_doc_trigrams` (same scan-side shape; docs with NULL text
+    or fewer than ``n`` tokens emit nothing). Tokens contain no
+    whitespace, so the space-joined string is an injective n-gram key
+    and ``substring_index`` recovers every prefix/suffix sub-key."""
+    toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
+    parts = ", ".join(f"element_at(tk, i + {j})" for j in range(n))
+    joined = ", ' ', ".join(f"element_at(tk, i + {j})" for j in range(n))
+    return (
+        docs.select(F.col(id_col), F.expr(toks).alias("tk"))
+        .where(F.expr(f"tk IS NOT NULL AND size(tk) >= {n}"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {n - 1}),"
+                    f" i -> concat({joined}))"
+                )
+            ).alias(out),
+        )
+    )
+
+
+def lm5_fit(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, ...]:
+    """Train the interpolated 5-gram model (the CCNet-published order
+    — Wenzek et al. arXiv:1911.00359 score with a 5-gram KenLM):
+    ``(g5_counts, ctx5_counts, g4_counts, ctx4_counts, tri_counts,
+    ctx_counts, big_counts, prev_counts, uni_counts, totals)`` — ten
+    plain count tables :func:`lm5_transition_scores` consumes via
+    ``model=`` (persist as parquet for a standing deployment). The
+    order-3/2/1 legs reuse :func:`lm3_fit` verbatim, so the lower
+    orders of the two scorers can never drift."""
+    g5 = _doc_ngrams(reference, id_col, text_col, 5, "g5")
+    g5_counts = g5.groupBy("g5").agg(F.count("*").alias("c5"))
+    ctx5_counts = (
+        g5_counts.withColumn("ctx5", F.substring_index("g5", " ", 4))
+        .groupBy("ctx5")
+        .agg(F.sum("c5").alias("cp5"))
+    )
+    g4 = _doc_ngrams(reference, id_col, text_col, 4, "g4")
+    g4_counts = g4.groupBy("g4").agg(F.count("*").alias("c4"))
+    ctx4_counts = (
+        g4_counts.withColumn("ctx4", F.substring_index("g4", " ", 3))
+        .groupBy("ctx4")
+        .agg(F.sum("c4").alias("cp4"))
+    )
+    (
+        tri_counts, ctx_counts, big_counts, prev_counts, uni_counts, totals
+    ) = lm3_fit(reference, id_col, text_col)
+    return (
+        g5_counts, ctx5_counts, g4_counts, ctx4_counts,
+        tri_counts, ctx_counts, big_counts, prev_counts, uni_counts, totals,
+    )
+
+
+def lm5_transition_scores(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: tuple[DataFrame, ...] | None = None,
+) -> DataFrame:
+    """Per-document interpolated 5-GRAM LM fit — the published CCNet
+    order (their KenLM is a 5-gram; :func:`lm3_transition_scores` is
+    the middle rung, this closes the gap with the same engine-exact
+    arithmetic). Per 5-gram ``w1 .. w5`` the score is the fixed-weight
+    Jelinek-Mercer interpolation λ = (5,4,3,2,1)/15 over the add-one
+    legs of orders 5..1 (descending weight with order, the lm3
+    convention extended; tuned λ would need held-out EM — swap at the
+    marked line on a single-engine deployment):
+
+        p  = (5·p5 + 4·p4 + 3·p3 + 2·p2 + p1) / 15
+        pK = (c(w_{6-K} .. w5) + 1) / (c(context) + V)   add-one, K=5..2
+        p1 = (c(w5) + 1) / (N + V)
+
+    every step correctly rounded (integer counts, one exact cast per
+    operand, one division per leg, one multiply, half-up round) →
+    bit-identical across engines, the repo-wide LM determinism
+    contract. Output ``(id, n_5grams, lm5_prob_sum, lm5_score)``;
+    docs with < 5 tokens get ``n_5grams = 0`` and a NULL score (no
+    evidence, not bad evidence). Long-range repetition that trigram
+    context cannot see (4-token templates re-used across a corpus)
+    moves the order-5 legs — which documents a percentile cut keeps
+    changes vs lm3 (pinned in tests/test_lm5.py).
+
+    100 TB: identical shape to the lower orders — scan-side n-gram
+    extraction, map-combined count aggregates, Zipf-keyed joins under
+    AQE skew handling, one broadcast totals row; nothing collected.
+    """
+    if model is not None:
+        (
+            g5_counts, ctx5_counts, g4_counts, ctx4_counts,
+            tri_counts, ctx_counts, big_counts, prev_counts, uni_counts,
+            totals,
+        ) = model
+    else:
+        ref = reference if reference is not None else docs
+        (
+            g5_counts, ctx5_counts, g4_counts, ctx4_counts,
+            tri_counts, ctx_counts, big_counts, prev_counts, uni_counts,
+            totals,
+        ) = lm5_fit(ref, id_col, text_col)
+    scored = (
+        _doc_ngrams(docs, id_col, text_col, 5, "g5")
+        .join(g5_counts, "g5", "left")
+        .withColumn("ctx5", F.substring_index("g5", " ", 4))
+        .join(ctx5_counts, "ctx5", "left")
+        .withColumn("g4", F.substring_index("g5", " ", -4))
+        .join(g4_counts, "g4", "left")
+        .withColumn("ctx4", F.substring_index("g4", " ", 3))
+        .join(ctx4_counts, "ctx4", "left")
+        .withColumn("tri", F.substring_index("g5", " ", -3))
+        .join(tri_counts, "tri", "left")
+        .withColumn("ctx", F.substring_index("tri", " ", 2))
+        .join(ctx_counts, "ctx", "left")
+        .withColumn("big", F.substring_index("g5", " ", -2))
+        .join(big_counts, "big", "left")
+        .withColumn("w1", F.substring_index("big", " ", 1))
+        .join(prev_counts, "w1", "left")
+        .withColumn("t", F.substring_index("g5", " ", -1))
+        .join(uni_counts, "t", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            # marked line: swap for ln(...) / tuned-λ interpolation on
+            # a single-engine deployment
+            F.expr(
+                "cast(round(("
+                "5.0 * (cast(coalesce(c5, 0) + 1 as double)"
+                " / cast(coalesce(cp5, 0) + greatest(v, 1) as double))"
+                " + 4.0 * (cast(coalesce(c4, 0) + 1 as double)"
+                " / cast(coalesce(cp4, 0) + greatest(v, 1) as double))"
+                " + 3.0 * (cast(coalesce(c3, 0) + 1 as double)"
+                " / cast(coalesce(cp3, 0) + greatest(v, 1) as double))"
+                " + 2.0 * (cast(coalesce(cb, 0) + 1 as double)"
+                " / cast(coalesce(cp, 0) + greatest(v, 1) as double))"
+                " + (cast(coalesce(cu, 0) + 1 as double)"
+                " / cast(n_tokens + greatest(v, 1) as double))"
+                f") / 15.0 * {LM_QUANT}.0) as bigint)"
+            ).alias("qp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_5grams"),
+        F.sum("qp").alias("lm5_prob_sum"),
+    )
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_5grams"), F.lit(0)).cast("long").alias(
+            "n_5grams"
+        ),
+        F.coalesce(F.col("lm5_prob_sum"), F.lit(0)).cast("long").alias(
+            "lm5_prob_sum"
+        ),
+        F.when(
+            F.col("n_5grams") > 0,
+            (
+                F.col("lm5_prob_sum").cast("double")
+                / F.col("n_5grams").cast("double")
+            )
+            / F.lit(float(LM_QUANT)),
+        ).alias("lm5_score"),
+    )

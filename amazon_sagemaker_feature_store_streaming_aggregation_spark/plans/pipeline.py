@@ -402,9 +402,13 @@ def quality_filter(
     """
     if cutoff is None and not (0.0 < bottom_frac < 1.0):
         raise ValueError("bottom_frac must be in (0, 1)")
-    if lm_order not in (2, 3):
-        raise ValueError(f"lm_order must be 2 or 3, got {lm_order}")
-    from ..operators.lm import lm3_transition_scores, lm_transition_scores
+    if lm_order not in (2, 3, 5):
+        raise ValueError(f"lm_order must be 2, 3 or 5, got {lm_order}")
+    from ..operators.lm import (
+        lm3_transition_scores,
+        lm5_transition_scores,
+        lm_transition_scores,
+    )
     from ..operators.training_data import remove_boilerplate_lines
 
     cleaned = remove_boilerplate_lines(
@@ -425,7 +429,14 @@ def quality_filter(
     # corpus the two orders disagree on which docs the bottom-20% cut
     # drops (pinned in tests/test_lm3.py) — trigram context separates
     # reference-like word ORDER that bigram counts cannot.
-    if lm_order == 3:
+    if lm_order == 5:
+        n_col = "n_5grams"
+        scored = lm5_transition_scores(clean_docs, id_col=id_col).select(
+            F.col(id_col),
+            F.col("n_5grams"),
+            F.col("lm5_score").alias("lm_score"),
+        )
+    elif lm_order == 3:
         n_col = "n_trigrams"
         scored = lm3_transition_scores(clean_docs, id_col=id_col).select(
             F.col(id_col),

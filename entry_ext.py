@@ -5969,6 +5969,134 @@ FROM {src} d LEFT JOIN agg a ON d.doc_id = a.doc_id
 _LM3_SCORE_ORACLE = _lm3_score_sql()
 
 
+def _q_lm5_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated 5-GRAM LM quality score (operators/lm.py::
+    lm5_transition_scores — the published CCNet order, Wenzek et al.
+    arXiv:1911.00359 use a 5-gram KenLM; fixed λ=(5,4,3,2,1)/15
+    Jelinek-Mercer over add-one legs of orders 5..1, every step
+    IEEE-correctly-rounded), self-trained on the documents corpus like
+    the lower-order keys. Long-range (4-token-context) repetition
+    moves the top legs, so the percentile cut keeps a different set
+    than the trigram scorer (divergence pinned in tests/test_lm5.py)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        lm5_transition_scores,
+    )
+
+    return lm5_transition_scores(load_table(spark, sf_dir, "documents"))
+
+
+# 5-gram key = space-joined tokens (injective); per-leg sub-keys are
+# split_part recompositions; the interpolation is spelled in the exact
+# Spark op order: five exact-int divisions, four weighted multiplies,
+# four adds, /15, *QUANT, half-up round — bit-equal across engines.
+def _lm5_score_sql(src: str = "documents", text_col: str = "text") -> str:
+    j = lambda lo, hi: " || ' ' || ".join(
+        f"split_part(g.g5, ' ', {i})" for i in range(lo, hi + 1)
+    )
+    return rf"""
+WITH tk AS (
+  SELECT doc_id,
+         [lower(t) for t in
+          list_filter(regexp_split_to_array(trim({text_col}), '\s+'),
+                      t -> t != '')] AS tk
+  FROM {src}
+), g5g AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' ||
+                 tk[i + 3] || ' ' || tk[i + 4]
+                 for i in range(1, len(tk) - 3)]) AS g5
+  FROM tk WHERE tk IS NOT NULL AND len(tk) >= 5
+), g5_counts AS (
+  SELECT g5, count(*) AS c5 FROM g5g GROUP BY g5
+), ctx5_counts AS (
+  SELECT split_part(g5, ' ', 1) || ' ' || split_part(g5, ' ', 2) || ' ' ||
+         split_part(g5, ' ', 3) || ' ' || split_part(g5, ' ', 4) AS ctx5,
+         CAST(sum(c5) AS BIGINT) AS cp5
+  FROM g5_counts GROUP BY 1
+), g4g AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' ||
+                 tk[i + 3]
+                 for i in range(1, len(tk) - 2)]) AS g4
+  FROM tk WHERE tk IS NOT NULL AND len(tk) >= 4
+), g4_counts AS (
+  SELECT g4, count(*) AS c4 FROM g4g GROUP BY g4
+), ctx4_counts AS (
+  SELECT split_part(g4, ' ', 1) || ' ' || split_part(g4, ' ', 2) || ' ' ||
+         split_part(g4, ' ', 3) AS ctx4,
+         CAST(sum(c4) AS BIGINT) AS cp4
+  FROM g4_counts GROUP BY 1
+), tg AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+                 for i in range(1, len(tk) - 1)]) AS tri
+  FROM tk WHERE tk IS NOT NULL AND len(tk) >= 3
+), tri_counts AS (
+  SELECT tri, count(*) AS c3 FROM tg GROUP BY tri
+), ctx_counts AS (
+  SELECT split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS ctx,
+         CAST(sum(c3) AS BIGINT) AS cp3
+  FROM tri_counts GROUP BY 1
+), bg AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i + 1]
+                 for i in range(1, len(tk))]) AS big
+  FROM tk WHERE tk IS NOT NULL AND len(tk) >= 2
+), big_counts AS (
+  SELECT big, count(*) AS cb FROM bg GROUP BY big
+), prev_counts AS (
+  SELECT split_part(big, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS cp
+  FROM big_counts GROUP BY 1
+), uni_counts AS (
+  SELECT t, count(*) AS cu
+  FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY t
+), totals AS (
+  SELECT count(*) AS n_tokens, count(DISTINCT t) AS v
+  FROM (SELECT unnest(tk) AS t FROM tk)
+), scored AS (
+  SELECT g.doc_id,
+         CAST(round((
+           5.0 * (CAST(COALESCE(c5c.c5, 0) + 1 AS DOUBLE)
+                  / CAST(COALESCE(x5.cp5, 0) + greatest(tt.v, 1) AS DOUBLE))
+           + 4.0 * (CAST(COALESCE(c4c.c4, 0) + 1 AS DOUBLE)
+                    / CAST(COALESCE(x4.cp4, 0) + greatest(tt.v, 1) AS DOUBLE))
+           + 3.0 * (CAST(COALESCE(tc.c3, 0) + 1 AS DOUBLE)
+                    / CAST(COALESCE(cc.cp3, 0) + greatest(tt.v, 1) AS DOUBLE))
+           + 2.0 * (CAST(COALESCE(bc.cb, 0) + 1 AS DOUBLE)
+                    / CAST(COALESCE(pc.cp, 0) + greatest(tt.v, 1) AS DOUBLE))
+           + (CAST(COALESCE(uc.cu, 0) + 1 AS DOUBLE)
+              / CAST(tt.n_tokens + greatest(tt.v, 1) AS DOUBLE))
+         ) / 15.0 * 1000000000.0) AS BIGINT) AS qp
+  FROM g5g g
+  LEFT JOIN g5_counts c5c ON g.g5 = c5c.g5
+  LEFT JOIN ctx5_counts x5 ON {j(1, 4)} = x5.ctx5
+  LEFT JOIN g4_counts c4c ON {j(2, 5)} = c4c.g4
+  LEFT JOIN ctx4_counts x4 ON {j(2, 4)} = x4.ctx4
+  LEFT JOIN tri_counts tc ON {j(3, 5)} = tc.tri
+  LEFT JOIN ctx_counts cc ON {j(3, 4)} = cc.ctx
+  LEFT JOIN big_counts bc ON {j(4, 5)} = bc.big
+  LEFT JOIN prev_counts pc ON split_part(g.g5, ' ', 4) = pc.w1
+  LEFT JOIN uni_counts uc ON split_part(g.g5, ' ', 5) = uc.t
+  CROSS JOIN totals tt
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_5grams,
+         CAST(sum(qp) AS BIGINT) AS lm5_prob_sum
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_5grams, 0) AS n_5grams,
+       COALESCE(a.lm5_prob_sum, 0) AS lm5_prob_sum,
+       CASE WHEN a.n_5grams > 0
+            THEN (CAST(a.lm5_prob_sum AS DOUBLE)
+                  / CAST(a.n_5grams AS DOUBLE)) / 1000000000.0
+            ELSE NULL END AS lm5_score
+FROM {src} d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+_LM5_SCORE_ORACLE = _lm5_score_sql()
+
+
 def _q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing LM quality scoring (streaming/quality.py::
     run_lm_score_stream): the bigram model is fitted ONCE on the full
@@ -6809,6 +6937,7 @@ def ext_queries():
         "text_token_spectrum": _q_token_spectrum,
         "text_lm_score": _q_lm_score,
         "text_lm3_score": _q_lm3_score,
+        "text_lm5_score": _q_lm5_score,
         "text_clean_boilerplate": _q_boilerplate_lines,
         "pipeline_quality_filter": _q_quality_filter,
         "pipeline_quality_filter3": _q_quality_filter3,
@@ -6956,6 +7085,7 @@ def ext_oracles():
         "text_token_spectrum": _TOKEN_SPECTRUM_ORACLE,
         "text_lm_score": _LM_SCORE_ORACLE,
         "text_lm3_score": _LM3_SCORE_ORACLE,
+        "text_lm5_score": _LM5_SCORE_ORACLE,
         "text_clean_boilerplate": _BOILERPLATE_ORACLE,
         "pipeline_quality_filter": _QUALITY_FILTER_ORACLE,
         "pipeline_quality_filter3": _QUALITY_FILTER3_ORACLE,

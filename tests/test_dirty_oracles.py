@@ -257,6 +257,7 @@ DIRTY_QUERIES = [
     "text_token_spectrum",
     "text_lm_score",
     "text_lm3_score",
+    "text_lm5_score",
     "text_clean_boilerplate",
     "pipeline_quality_filter",
     "pipeline_quality_filter3",
