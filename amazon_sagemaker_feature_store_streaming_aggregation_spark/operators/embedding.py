@@ -79,6 +79,7 @@ def embed_text_hashed(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "embedding",
+    grams: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Append signed-feature-hashing embedding columns to ``docs``.
 
@@ -92,11 +93,53 @@ def embed_text_hashed(
     ``embeddings.embedding`` column; quantizing it back (as every
     similarity operator does) costs one correctly-rounded float32
     round-trip, which the oracles mirror exactly.
+
+    ``grams=(lo, hi)`` swaps the feature stream from whitespace TOKENS
+    to CHARACTER n-grams (all lengths lo..hi) of the lower-cased,
+    whitespace-normalized text — the standard robustness upgrade for
+    near-dup embeddings: word-level hashing treats a one-character
+    typo as a whole-token substitution (the bag moves by two full
+    token weights), while overlapping char-grams keep most features
+    shared, so edited near-dups stay close in cosine (pinned in
+    tests/test_hash_embed.py). Both variants are bag models —
+    word-level is already reorder-invariant; char-grams additionally
+    survive token-INTERNAL edits. Cost: (hi-lo+1) hashes per character
+    instead of one per token — still scan-side, zero shuffles; the
+    gated keys keep the word-level default.
     """
     if dims < 2 or dims > 4096:
         raise ValueError(f"dims must be in [2, 4096], got {dims}")
-    toks = _TOKENS.format(c=text_col)
-    hashes = f"transform({toks}, t -> {_H64_SQL.format(x='lower(t)')})"
+    if grams is not None:
+        lo, hi = grams
+        if not (1 <= lo <= hi <= 16):
+            raise ValueError(
+                f"grams must satisfy 1 <= lo <= hi <= 16, got {grams}"
+            )
+        # whitespace-normalize + lower ONCE, then slide every window
+        # length over the string (single-space joins keep token
+        # boundaries as features, the fastText convention). Short
+        # strings guard: Spark's sequence(1, 0) counts DOWN.
+        norm = (
+            f"lower(array_join({_TOKENS.format(c=text_col)}, ' '))"
+        )
+        per_n = ", ".join(
+            f"case when length(__nt) >= {n} then "
+            f"transform(sequence(1, length(__nt) - {n} + 1), "
+            f"i -> substring(__nt, i, {n})) else array() end"
+            for n in range(lo, hi + 1)
+        )
+        # bind the normalized text ONCE via a 1-element transform (the
+        # repo's _let_bound idiom): the window slicer references it
+        # (hi-lo+1) times, and inlining the normalization per window
+        # length would re-run the tokenize+join per reference
+        feats = (
+            f"case when {text_col} is null then null else "
+            f"transform(array({norm}), __nt -> concat({per_n}))[0] end"
+        )
+        hashes = f"transform({feats}, t -> {_H64_SQL.format(x='t')})"
+    else:
+        toks = _TOKENS.format(c=text_col)
+        hashes = f"transform({toks}, t -> {_H64_SQL.format(x='lower(t)')})"
     # fold token hashes into the dims-wide signed count vector:
     # acc[j] += sign for each token hashing to bucket j
     hvec = (
