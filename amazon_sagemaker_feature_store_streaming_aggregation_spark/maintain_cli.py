@@ -25,6 +25,10 @@ operator-facing surface over the maintenance primitives:
   layout at their next trigger (per-batch ``_meta`` check); a flip
   landing mid-batch fails that trigger loudly and the retry routes
   correctly.
+* ``recode-pq``        — retrain the IVF-PQ code index's centroids on
+  the exact store's vectors, rebuild the seeded codebooks, atomically
+  re-cell + re-code (``streaming/similarity_pq.py::recode_pq_index``);
+  live runners adopt the flipped ``pq_version`` at their next trigger.
 * ``compact-store``    — fold the cluster label store's deltas into a
   fresh full compaction: ``compact_cluster_store``.
 * ``rebucket-store``   — grow the label store's modulus online:
@@ -109,6 +113,24 @@ def parse_args(argv: Sequence[str] | None = None) -> argparse.Namespace:
     rc.add_argument("--sample-fraction", type=float, default=None,
                     help="train k-means on a deterministic sample "
                     "(the 100 TB path); re-assignment is always full")
+
+    rq = sub.add_parser(
+        "recode-pq",
+        help="retrain the IVF-PQ index's centroids on the exact "
+        "store's vectors, rebuild the seeded codebooks and atomically "
+        "re-cell + re-code the layout",
+    )
+    rq.add_argument("--path", required=True, help="cell= PQ code index")
+    rq.add_argument("--vecs", required=True, help="bucketed exact store")
+    rq.add_argument("--centroids", required=True)
+    rq.add_argument("--codebooks", required=True)
+    rq.add_argument("--cells", type=int, default=None)
+    rq.add_argument("--m", type=int, default=4)
+    rq.add_argument("--codes", type=int, default=16)
+    rq.add_argument("--id-col", default="vec_id")
+    rq.add_argument("--seed", type=int, default=7)
+    rq.add_argument("--max-iter", type=int, default=10)
+    rq.add_argument("--sample-fraction", type=float, default=None)
 
     cs = sub.add_parser("compact-store", help="fold cluster-store "
                         "deltas into a fresh compaction")
@@ -226,6 +248,18 @@ def main(argv: Sequence[str] | None = None) -> int:
             )
         )
         out["centroids"] = args.centroids
+    elif args.cmd == "recode-pq":
+        from .streaming.similarity_pq import recode_pq_index
+
+        out.update(
+            recode_pq_index(
+                spark, args.path, args.vecs, args.centroids,
+                args.codebooks, n_cells=args.cells, m=args.m,
+                n_codes=args.codes, id_col=args.id_col, seed=args.seed,
+                max_iter=args.max_iter,
+                sample_fraction=args.sample_fraction,
+            )
+        )
     elif args.cmd == "compact-store":
         from .streaming.dedup import compact_cluster_store
 

@@ -44,6 +44,12 @@ from .similarity import (  # noqa: F401
     recell_embedding_index,
     run_index_embedding_stream,
 )
+from .similarity_pq import (  # noqa: F401
+    heal_pq_layout,
+    pq_index_stats,
+    recode_pq_index,
+    run_index_embedding_pq_stream,
+)
 from .metrics import progress_summary  # noqa: F401
 from .substring import (  # noqa: F401
     read_repeated_spans,

@@ -1,0 +1,698 @@
+"""IVF-PQ STANDING vector index — the compressed-index upgrade of
+``streaming/similarity.py::run_index_embedding_stream`` (the r11
+verdict's "Missing #5"): the probe index stores PQ CODES (m small
+integers per vector) instead of full quantized coordinates, cutting
+standing-index bytes/vector ~an order of magnitude at 100 TB probe
+volumes, with the classic billion-scale layout (IVF cells bound WHO a
+vector is compared against, PQ ADC distances bound the shortlist, an
+exact re-rank restores recall — Jégou et al. 2011, the
+``operators/similarity.py::ivf_pq_topk_batched`` machinery run as a
+standing stream).
+
+Two persistent stores, each the partition layout its probe needs:
+
+* ``index_dir`` — ``(vec_id, codes array<int>)`` PARTITIONED BY CELL:
+  the per-batch candidate read prunes to the batch's touched cells
+  and carries only m+1 integers per row. ``_meta`` pins the
+  content-derived ``pq_version`` (centroids + codebooks), so a
+  maintenance retrain is ADOPTED by live runners per batch (the
+  ``recell_embedding_index`` discipline).
+* ``vecs_dir`` — ``(vec_id, qv, n2)`` PARTITIONED BY ``ibucket =
+  pmod(xxhash64(vec_id), n_buckets)``: the EXACT store, read only (a)
+  bucket-pruned by the batch's own ids for redelivery routing and (b)
+  bucket-pruned by the ADC shortlist's ids for the exact re-rank —
+  O(batch + shortlist) full-width rows per trigger, never the corpus.
+  This is the real-deployment split: the compressed index answers
+  candidate generation; raw vectors are a keyed side-store touched
+  only for survivors.
+
+Discovery contract (uniform, order-free to state): a pair ``(a, b)``
+is surfaced by the LATER arrival's batch — the arriving vector ranks
+all its cellmates seen so far (indexed + smaller-id batchmates) by
+integer ADC distance, keeps the top ``shortlist``, and exact
+quantized cosine ``>= threshold`` verifies the survivors. Under the
+gated id-ordered replay "seen so far" == "smaller id", so the union
+of per-batch pairs equals the one-shot SQL the oracle spells (rank
+smaller-id cellmates per vector by ADC, top ``shortlist``, exact
+verify). Recall is shortlist-bounded by design — near-dups at high
+cosine sit at the TOP of the ADC ranking (distance → 0), so the
+planted-dup recall floor is 1.0 (pinned in tests) while distant
+borderline pairs may fall off the shortlist: exactly the PQ trade.
+
+Delivery: identical to the flat embedding runner — at-least-once,
+batch-id idempotent via the REQUIRED durable checkpoint, both index
+appends after the output commit, retry repairs RE-DERIVED under the
+currently resolved centroids/codebooks (a retrain inside the crash
+window must not land stale cells/codes — the r11 advice fix carried
+over). Erasure: the vecs store rides ``_read_index_pruned`` (tombstone
+anti-joins apply) and the cell index read applies them explicitly;
+``forget_index_keys(key_col="vec_id")`` against BOTH dirs erases a
+vector (``part_col="cell"`` for the index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import (
+    _assert_modulus_unchanged,
+    _fs_exists,
+    _fs_has_parquet,
+    _fs_has_parquet_recursive,
+    _hadoop_fs,
+    _index_bucket,
+    _meta_signature,
+    _read_index_pruned,
+    _resolve_live_modulus,
+    _touch_success,
+)
+from .forget import apply_index_tombstones
+
+
+def _assign_cells(rows: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """argmax-cosine cell per (id, qv, n2) row — the `_ivf_assign`
+    math spelled over pre-quantized coordinates (one spelling for the
+    fresh path, the retry repair and recode, so a repair can never
+    disagree with the original assignment under unchanged centroids)."""
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("cell"))
+    from ..operators.similarity import _dot
+
+    return (
+        rows.join(F.broadcast(cents.where(F.col("cn2") > 0)))
+        .withColumn(
+            "__cos",
+            F.expr(_dot("qv", "cq")).cast("double")
+            / (
+                F.sqrt(F.col("n2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double"))
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("cq", "cn2", "__cos", "__rn")
+    )
+
+
+def _encode_codes(
+    rows: DataFrame, cbs: DataFrame, id_col: str, m: int, w: int
+) -> DataFrame:
+    """(id, codes array<int>) — nearest codebook subvector per
+    subspace by exact integer squared-L2, ties to the lowest code (the
+    ``pq_encode`` contract over pre-quantized coordinates)."""
+    from ..operators.similarity import _l2sq, _pq_slice_rows
+
+    sub = _pq_slice_rows(rows.select(id_col, "qv"), id_col, m, w, "sv")
+    scored = sub.join(F.broadcast(cbs), on="subspace").withColumn(
+        "__d", F.expr(_l2sq("sv", "cb"))
+    )
+    return (
+        scored.groupBy(id_col, "subspace")
+        .agg(F.min(F.struct(F.col("__d"), F.col("code"))).alias("__m"))
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(subspace,"
+                " __m.code as code))), s -> s.code)"
+            ).alias("codes")
+        )
+    )
+
+
+def _batch_lut(rows: DataFrame, cbs: DataFrame, id_col: str, m: int, w: int):
+    """Per-batch-vector ADC lookup table (query_id, subspace, code,
+    __d) — exact integer squared-L2 from each batch subvector to every
+    codebook centroid (the ``_pq_lut`` shape over pre-quantized rows)."""
+    from ..operators.similarity import _l2sq, _pq_slice_rows
+
+    qsub = _pq_slice_rows(
+        rows.select(F.col(id_col).alias("query_id"), "qv"),
+        "query_id", m, w, "sv",
+    )
+    return qsub.join(F.broadcast(cbs), on="subspace").select(
+        "query_id", "subspace", "code",
+        F.expr(_l2sq("sv", "cb")).alias("__d"),
+    )
+
+
+def _read_pq_version(spark, index_dir: str) -> str | None:
+    meta = index_dir.rstrip("/") + "/_meta"
+    if not _fs_has_parquet(spark, meta):
+        return None
+    return str(spark.read.parquet(meta).collect()[0]["pq_version"])
+
+
+def _write_pq_meta(spark, dir_str: str, version: str, n_cells: int, m: int,
+                   n_codes: int) -> None:
+    from ..session import local_rows
+
+    local_rows(
+        spark, [(version, int(n_cells), int(m), int(n_codes))],
+        "pq_version string, n_cells int, m int, n_codes int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        dir_str.rstrip("/") + "/_meta"
+    )
+
+
+def _restore_from_copy(spark, index_dir: str, ext_dir: str, copy_name: str,
+                       version: str, n_cells: int, m: int, n_codes: int):
+    """Swap ``ext_dir`` to the index's co-committed ``copy_name`` table
+    (the heal_centroid_layout two-rename, shared by centroids and
+    codebooks)."""
+    from ..sinks.compaction import _swap_names
+
+    base = index_dir.rstrip("/")
+    ebase = ext_dir.rstrip("/")
+    copy = base + "/" + copy_name
+    if not _fs_has_parquet(spark, copy):
+        raise ValueError(
+            f"index at {index_dir} pins pq_version={version} but holds no "
+            f"{copy_name} copy and {ext_dir} disagrees — the layout cannot "
+            "be trusted; re-run recode_pq_index"
+        )
+    _, staging, retired = _swap_names(ebase)
+    fs, p = _hadoop_fs(spark, ebase)
+    _, sp = _hadoop_fs(spark, staging)
+    _, rp = _hadoop_fs(spark, retired)
+    try:
+        spark.read.parquet(copy).coalesce(1).write.parquet(staging)
+        _write_pq_meta(spark, staging, version, n_cells, m, n_codes)
+        if fs.exists(p) and not fs.rename(p, rp):
+            raise IOError(f"pq heal failed: rename {ebase} away")
+    except BaseException:
+        fs.delete(sp, True)
+        raise
+    if not fs.rename(sp, p):
+        fs.rename(rp, p)
+        fs.delete(sp, True)
+        raise IOError(f"pq heal failed: rename staging into {ebase}")
+    fs.delete(rp, True)
+    spark.catalog.refreshByPath(ebase)
+
+
+def heal_pq_layout(
+    spark, index_dir: str, centroids_dir: str, codebooks_dir: str
+) -> str | None:
+    """Resolve :func:`recode_pq_index`'s crash windows: the index root
+    swapped to the new layout (its ``_meta`` pins ``pq_version`` V2 and
+    ``_centroids/`` / ``_codebooks/`` hold the V2 tables) while the
+    external dirs still hold V1 — reading V1 centroids or codebooks
+    against a V2 layout would prune probes to wrong cells / decode
+    against wrong codebooks (silent duplicate readmission). On version
+    mismatch both external dirs restore from the index's co-committed
+    copies. Returns ``"restored"`` or None (already consistent /
+    pre-recode layout)."""
+    from ..sinks.compaction import heal_compaction_swap
+
+    base = index_dir.rstrip("/")
+    heal_compaction_swap(spark, centroids_dir.rstrip("/"))
+    heal_compaction_swap(spark, codebooks_dir.rstrip("/"))
+    iv = _read_pq_version(spark, base)
+    if iv is None:
+        return None
+    meta = spark.read.parquet(base + "/_meta").collect()[0]
+    healed = None
+    for ext, copy in (
+        (centroids_dir, "_centroids"), (codebooks_dir, "_codebooks")
+    ):
+        if _read_pq_version(spark, ext) != iv:
+            _restore_from_copy(
+                spark, base, ext, copy, iv,
+                int(meta["n_cells"]), int(meta["m"]), int(meta["n_codes"]),
+            )
+            healed = "restored"
+    return healed
+
+
+def run_index_embedding_pq_stream(
+    stream: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    vecs_dir: str,
+    checkpoint_dir: str,
+    centroids_dir: str,
+    codebooks_dir: str,
+    threshold: float = 0.95,
+    shortlist: int = 8,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    broadcast_batch: bool = True,
+    n_buckets: int = 16,
+    materialize_input: bool = False,
+):
+    """Standing IVF-PQ semantic near-dup discovery (see the module
+    docstring for the two-store layout and the discovery contract).
+
+    Per micro-batch, under ``out_dir/batch=<id>/``:
+
+    * ``pairs/`` — exact-cosine-verified ``(id_a, id_b, cosine)``
+      pairs whose ADC rank survived the ``shortlist`` cut;
+    * ``vecs/`` — the batch's ``(id, cell, qv, n2, codes)`` rows; the
+      codes append to the cell index and the ``(id, qv, n2)``
+      projection to the bucketed exact store after the commit.
+    """
+    if not checkpoint_dir:
+        raise ValueError(
+            "run_index_embedding_pq_stream requires a durable "
+            "checkpoint_dir: batch-id-based retry idempotency is only "
+            "safe when batch ids survive restarts"
+        )
+
+    from ..operators.similarity import _dot, quantize
+
+    dims_holder: dict = {}
+    _resolved: dict = {}
+
+    def _cos(na: str, nb: str) -> "F.Column":
+        return (
+            F.expr(_dot(f"{na}.qv", f"{nb}.qv")).cast("double")
+            / (
+                F.sqrt(F.col(f"{na}.n2").cast("double"))
+                * F.sqrt(F.col(f"{nb}.n2").cast("double"))
+            )
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if materialize_input:
+            batch_df = batch_df.localCheckpoint()
+        batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
+        vecs_out = batch_out + "/vecs"
+        pairs_out = batch_out + "/pairs"
+        # the exact store's bucket modulus (pinned in vecs_dir/_meta,
+        # adopts an online re-bucket) + the cell index's pq meta
+        # (adopts a recode_pq_index retrain)
+        nb = _resolve_live_modulus(
+            spark, vecs_dir, n_buckets, _resolved, key="vb"
+        )
+        if (
+            "cents" not in _resolved
+            or _meta_signature(spark, index_dir)
+            != _resolved.get("cents_meta_sig")
+        ):
+            if "cents" in _resolved:
+                _resolved["cents"].unpersist()
+                _resolved["cbs"].unpersist()
+                for k in ("cents", "cbs", "cents_meta_sig", "inonempty"):
+                    _resolved.pop(k, None)
+            spark.catalog.refreshByPath(index_dir)
+            spark.catalog.refreshByPath(centroids_dir)
+            spark.catalog.refreshByPath(codebooks_dir)
+            heal_pq_layout(spark, index_dir, centroids_dir, codebooks_dir)
+            _resolved["cents"] = (
+                spark.read.parquet(centroids_dir)
+                .select("cell", "cq", "cn2")
+                .persist()
+            )
+            _resolved["cbs"] = (
+                spark.read.parquet(codebooks_dir)
+                .select("subspace", "code", "cb")
+                .persist()
+            )
+            _resolved["cents_meta_sig"] = _meta_signature(spark, index_dir)
+        cents, cbs = _resolved["cents"], _resolved["cbs"]
+        if "w" not in dims_holder:
+            d = len(cents.select("cq").first()["cq"])
+            if d % m:
+                raise ValueError(f"m={m} must divide dims={d}")
+            dims_holder["w"] = d // m
+        w = dims_holder["w"]
+
+        def _derive(rows: DataFrame) -> DataFrame:
+            """(id, cell, qv, n2, codes) under the CURRENT centroids +
+            codebooks — fresh path and retry repair share it."""
+            assigned = _assign_cells(rows, cents, id_col)
+            codes = _encode_codes(rows, cbs, id_col, m, w)
+            return assigned.join(codes, id_col).select(
+                id_col, "cell", "qv", "n2", "codes"
+            )
+
+        if _fs_exists(spark, batch_out + "/_SUCCESS"):
+            # retried committed batch: repair possibly lost appends to
+            # EITHER store, re-deriving cells/codes under the CURRENT
+            # layout (a recode inside the crash window re-celled and
+            # re-coded everything — the artifact's stored values may
+            # describe the old layout)
+            committed = _derive(
+                spark.read.parquet(vecs_out).select(id_col, "qv", "n2")
+            ).localCheckpoint()
+            cells = [
+                r[0] for r in committed.select("cell").distinct().collect()
+            ]
+            if cells and _fs_has_parquet_recursive(spark, index_dir):
+                idx = spark.read.parquet(index_dir).where(
+                    F.col("cell").isin(cells)
+                )
+                missing_idx = committed.join(
+                    idx.select(id_col), id_col, "left_anti"
+                )
+            else:
+                missing_idx = committed
+            _assert_modulus_unchanged(spark, index_dir, _resolved, key="cents")
+            (
+                missing_idx.select(id_col, "cell", "codes")
+                .repartition(F.col("cell"))
+                .write.mode("append")
+                .partitionBy("cell")
+                .parquet(index_dir)
+            )
+            vstore = _read_index_pruned(
+                spark, vecs_dir,
+                _collect_id_buckets(committed, nb, id_col),
+            )
+            missing_v = committed if vstore is None else committed.join(
+                vstore.select(id_col), id_col, "left_anti"
+            )
+            _assert_modulus_unchanged(spark, vecs_dir, _resolved, key="vb")
+            (
+                missing_v.select(id_col, "qv", "n2")
+                .withColumn("ibucket", _index_bucket(nb, id_col))
+                .repartition(F.col("ibucket"))
+                .write.mode("append")
+                .partitionBy("ibucket")
+                .parquet(vecs_dir)
+            )
+            return
+        feats = (
+            batch_df.select(F.col(id_col), quantize(vec_col, "qv"))
+            .where(F.col(id_col).isNotNull())
+            .withColumn("n2", F.expr(_dot("qv", "qv")))
+            .where(F.col("n2") > 0)
+        )
+        all_rows = _derive(feats).localCheckpoint()
+        # redelivery routing: ids already in the exact store (bucket-
+        # pruned point lookup) arrived before — their pairs emitted
+        # then; skip discovery and both appends
+        vstore_self = _read_index_pruned(
+            spark, vecs_dir,
+            _collect_id_buckets(all_rows, nb, id_col),
+            nonempty_memo=_resolved,
+        )
+        if vstore_self is None:
+            batch_rows = all_rows
+        else:
+            batch_rows = all_rows.join(
+                vstore_self.select(id_col), id_col, "left_anti"
+            ).localCheckpoint()
+        lut = _batch_lut(batch_rows, cbs, id_col, m, w).localCheckpoint()
+        # candidate codes: indexed cellmates (cell-pruned, tombstone-
+        # filtered) + smaller-id batchmates — ONE ADC ranking over both
+        if not _resolved.get("inonempty"):
+            _resolved["inonempty"] = _fs_has_parquet_recursive(
+                spark, index_dir
+            )
+        cells = (
+            [r[0] for r in batch_rows.select("cell").distinct().collect()]
+            if _resolved["inonempty"] else []
+        )
+        probe = F.broadcast(batch_rows) if broadcast_batch else batch_rows
+        cand = None
+        if cells:
+            idx = apply_index_tombstones(
+                spark,
+                index_dir,
+                spark.read.parquet(index_dir).where(F.col("cell").isin(cells)),
+            )
+            cand = (
+                idx.alias("a")
+                .join(
+                    probe.select(id_col, "cell").alias("b"),
+                    (F.col("a.cell") == F.col("b.cell"))
+                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.col(f"b.{id_col}").alias("query_id"),
+                    F.col(f"a.{id_col}").alias("c_id"),
+                    F.col("a.codes").alias("codes"),
+                )
+            )
+        within = (
+            batch_rows.select(id_col, "cell", "codes").alias("a")
+            .join(
+                probe.select(id_col, "cell").alias("b"),
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"b.{id_col}").alias("query_id"),
+                F.col(f"a.{id_col}").alias("c_id"),
+                F.col("a.codes").alias("codes"),
+            )
+        )
+        cand = within if cand is None else cand.unionByName(within)
+        # ADC distance: explode the candidate's codes against the
+        # query's LUT — m thin rows per (query, cand), summed
+        adc = (
+            cand.select(
+                "query_id", "c_id",
+                F.posexplode("codes").alias("subspace", "code"),
+            )
+            .join(lut, on=["query_id", "subspace", "code"])
+            .groupBy("query_id", "c_id")
+            .agg(F.sum("__d").alias("adc_dist"))
+        )
+        rk = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("c_id").asc()
+        )
+        short = (
+            adc.withColumn("__rk", F.row_number().over(rk))
+            .where(F.col("__rk") <= int(shortlist))
+            .select("query_id", "c_id")
+            .localCheckpoint()
+        )
+        # exact re-rank: survivors' raw coordinates — batchmates from
+        # the checkpointed rows, indexed ids from the bucket-pruned
+        # exact store; O(shortlist) full-width rows, never the corpus
+        ext_ids = short.join(
+            batch_rows.select(id_col), short.c_id == F.col(id_col), "left_anti"
+        ).select(F.col("c_id").alias(id_col)).distinct()
+        vstore_cand = _read_index_pruned(
+            spark, vecs_dir, _collect_id_buckets(ext_ids, nb, id_col)
+        )
+        cand_vecs = batch_rows.select(id_col, "qv", "n2")
+        if vstore_cand is not None:
+            cand_vecs = cand_vecs.unionByName(
+                vstore_cand.join(ext_ids, id_col, "left_semi")
+                .select(id_col, "qv", "n2")
+            )
+        pairs = (
+            short
+            .join(
+                cand_vecs.alias("a"),
+                short.c_id == F.col(f"a.{id_col}"),
+            )
+            .join(
+                batch_rows.select(id_col, "qv", "n2").alias("b"),
+                short.query_id == F.col(f"b.{id_col}"),
+            )
+            .select(
+                F.least(F.col("c_id"), F.col("query_id")).alias("id_a"),
+                F.greatest(F.col("c_id"), F.col("query_id")).alias("id_b"),
+                _cos("a", "b").alias("cosine"),
+            )
+            .where(F.col("cosine") >= F.lit(threshold))
+        )
+        pairs.write.mode("overwrite").parquet(pairs_out)
+        batch_rows.write.mode("overwrite").parquet(vecs_out)
+        _touch_success(spark, batch_out)
+        _assert_modulus_unchanged(spark, index_dir, _resolved, key="cents")
+        pre_i = (
+            batch_rows.select(id_col, "cell", "codes").coalesce(1)
+            if broadcast_batch
+            else batch_rows.select(id_col, "cell", "codes").repartition(
+                F.col("cell")
+            )
+        )
+        pre_i.write.mode("append").partitionBy("cell").parquet(index_dir)
+        _assert_modulus_unchanged(spark, vecs_dir, _resolved, key="vb")
+        vrows = batch_rows.select(id_col, "qv", "n2").withColumn(
+            "ibucket", _index_bucket(nb, id_col)
+        )
+        pre_v = (
+            vrows.coalesce(1) if broadcast_batch
+            else vrows.repartition(F.col("ibucket"))
+        )
+        pre_v.write.mode("append").partitionBy("ibucket").parquet(vecs_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _collect_id_buckets(rows: DataFrame, nb: int, id_col: str) -> list:
+    return [
+        r[0]
+        for r in rows.select(_index_bucket(nb, id_col).alias("b"))
+        .distinct()
+        .collect()
+    ]
+
+
+def pq_index_stats(spark, index_dir: str, vecs_dir: str) -> dict:
+    """Bytes-per-vector of the compressed cell index vs the exact
+    store — the compression the PQ layout buys, measured from the
+    actual parquet footprint (the SCALE.md artifact)."""
+    from ..sinks.compaction import fs_dir_stats
+
+    out = {}
+    for name, d in (("index", index_dir), ("vecs", vecs_dir)):
+        n_rows = (
+            spark.read.parquet(d).count()
+            if _fs_has_parquet_recursive(spark, d) else 0
+        )
+        _, size = fs_dir_stats(spark, d)
+        # exclude the meta sidecars' bytes? they are O(1); keep honest
+        # totals — at corpus scale they vanish
+        out[f"{name}_rows"] = int(n_rows)
+        out[f"{name}_bytes"] = int(size)
+        out[f"{name}_bytes_per_vector"] = (
+            round(size / n_rows, 2) if n_rows else None
+        )
+    return out
+
+
+def recode_pq_index(
+    spark,
+    index_dir: str,
+    vecs_dir: str,
+    centroids_dir: str,
+    codebooks_dir: str,
+    n_cells: int | None = None,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    seed: int = 7,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> dict:
+    """Retrain the PQ index's centroids on the exact store's own
+    vectors (sampled seeded k-means||, the ``recell_embedding_index``
+    recipe), rebuild the SEEDED codebooks over the current corpus, and
+    atomically re-cell + re-code the whole index — the
+    centroid-lifecycle operation for the compressed layout. (A
+    production deployment swaps the seeded codebooks for per-subspace
+    k-means trained offline; only this function changes.)
+
+    Commit protocol (the recell two-phase): the new index stages with
+    ``_meta`` (content-derived ``pq_version``), ``_centroids/`` and
+    ``_codebooks/`` co-committed, swaps in with the two-rename; the
+    external centroid/codebook dirs then swap to the same version —
+    every crash window heals via :func:`heal_pq_layout` from the
+    index's own copies. Live runners adopt the flipped ``_meta`` per
+    batch; a flip mid-batch fails that trigger loudly.
+
+    O(index) rewrite by nature — maintenance-scheduled, quiesced or
+    writer-owned. Returns ``{"n_cells", "pq_version", "n_rows"}``."""
+    import hashlib
+
+    from ..operators.similarity import (
+        QUANT,
+        auto_cells,
+        pq_codebooks,
+        train_ivf_centroids,
+    )
+    from ..sinks.compaction import _swap_names, heal_compaction_swap
+    from .dedup import _hadoop_fs as _hfs
+
+    base = index_dir.rstrip("/")
+    heal_compaction_swap(spark, base)
+    heal_pq_layout(spark, base, centroids_dir, codebooks_dir)
+    if not _fs_has_parquet_recursive(spark, vecs_dir):
+        raise ValueError(
+            f"exact store at {vecs_dir} holds no vectors — nothing to "
+            "retrain from (run the stream first)"
+        )
+    rows = spark.read.parquet(vecs_dir).select(id_col, "qv", "n2")
+    rows = apply_index_tombstones(spark, vecs_dir, rows)
+    n_rows = rows.count()
+    if n_cells is None:
+        n_cells = auto_cells(n_rows)
+    train_src = rows
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        train_src = rows.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+            < int(sample_fraction * 1_000_000)
+        )
+    emb = train_src.select(
+        F.expr(
+            f"transform(qv, x -> cast(x as double) / {QUANT}.0)"
+        ).alias("__emb")
+    )
+    cents = train_ivf_centroids(
+        emb, n_cells, vec_col="__emb", seed=seed, max_iter=max_iter
+    ).where(F.col("cn2") > 0).localCheckpoint()
+    dims = len(rows.select("qv").first()["qv"])
+    cbs = pq_codebooks(
+        rows.select(
+            id_col,
+            F.expr(
+                f"transform(qv, x -> cast(x as double) / {QUANT}.0)"
+            ).alias("embedding"),
+        ),
+        m=m, n_codes=n_codes, id_col=id_col, dims=dims,
+        corpus_count=n_rows,
+    ).localCheckpoint()
+    crows = sorted(
+        (int(r["cell"]), tuple(int(x) for x in r["cq"])) for r in cents.collect()
+    )
+    brows = sorted(
+        (int(r["subspace"]), int(r["code"]), tuple(int(x) for x in r["cb"]))
+        for r in cbs.collect()
+    )
+    version = hashlib.md5(repr((crows, brows)).encode()).hexdigest()[:16]
+
+    reassigned = _assign_cells(rows, cents, id_col)
+    recoded = _encode_codes(rows, cbs, id_col, m, dims // m)
+    new_rows = reassigned.join(recoded, id_col).select(id_col, "cell", "codes")
+
+    _, staging, retired = _swap_names(base)
+    fs, p = _hfs(spark, base)
+    _, sp = _hfs(spark, staging)
+    _, rp = _hfs(spark, retired)
+    try:
+        _write_pq_meta(spark, staging, version, n_cells, m, n_codes)
+        cents.select("cell", "cq", "cn2").coalesce(1).write.parquet(
+            staging + "/_centroids"
+        )
+        cbs.select("subspace", "code", "cb").coalesce(1).write.parquet(
+            staging + "/_codebooks"
+        )
+        (
+            new_rows.repartition(F.col("cell"))
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(staging)
+        )
+        if not fs.rename(p, rp):
+            raise IOError(f"recode swap failed: rename {base} away")
+    except BaseException:
+        fs.delete(sp, True)
+        raise
+    if not fs.rename(sp, p):
+        fs.rename(rp, p)
+        fs.delete(sp, True)
+        raise IOError(f"recode swap failed: rename staging into {base}")
+    fs.delete(rp, True)
+    spark.catalog.refreshByPath(base)
+    healed = heal_pq_layout(spark, base, centroids_dir, codebooks_dir)
+    if healed != "restored" and (
+        _read_pq_version(spark, centroids_dir) != version
+        or _read_pq_version(spark, codebooks_dir) != version
+    ):
+        raise IOError(
+            f"recode commit incomplete: external dirs do not carry "
+            f"pq_version {version} after heal"
+        )
+    return {"n_cells": int(n_cells), "pq_version": version,
+            "n_rows": int(n_rows)}

@@ -460,6 +460,180 @@ def _q_stream_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+_SPQ_SHORTLIST = 8
+
+
+def _q_stream_semantic_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ STANDING vector index (streaming/similarity_pq.py::
+    run_index_embedding_pq_stream — the compressed-index upgrade of
+    s_stream_semantic_index): the embeddings table replays as TWO
+    micro-batches against a cell-partitioned index holding only PQ
+    CODES (m=4 small ints/vector instead of 64 bigints), with the
+    bucketed exact store consulted only for redelivery routing and the
+    ADC shortlist's exact re-rank. Discovery: each arriving vector
+    ranks its cellmates-so-far by integer ADC distance, keeps the top
+    shortlist, exact-verifies cosine >= threshold — under the
+    id-ordered replay that is exactly "rank smaller-id cellmates per
+    vector", which the composed oracle spells (seeded centroids +
+    seeded codebooks + ADC + exact verify, all integer/fixed-IEEE →
+    hash-exact)."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        ivf_centroids,
+        pq_codebooks,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_embedding_pq_stream,
+    )
+    from __spark_entry__ import _set_stream_partitions
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = sorted(x.as_py() for x in t.column("vec_id") if x.as_py() is not None)
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="spq_src_")
+    work = tempfile.mkdtemp(prefix="spq_work_")
+    key = t.column("vec_id")
+    in_b0 = pc.or_kleene(pc.less(key, mid), pc.is_null(key))
+    pq.write_table(
+        t.filter(pc.fill_null(in_b0, True)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        t.filter(pc.fill_null(pc.invert(in_b0), False)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    cents_dir = os.path.join(work, "centroids")
+    cbs_dir = os.path.join(work, "codebooks")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf_centroids(
+        emb, _ivf_cells_for(sf_dir), corpus_count=_emb_count(sf_dir)
+    ).write.parquet(cents_dir)
+    pq_codebooks(
+        emb, m=_PQ_M, n_codes=_PQ_CODES, corpus_count=_emb_count(sf_dir)
+    ).write.parquet(cbs_dir)
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        q = run_index_embedding_pq_stream(
+            stream,
+            os.path.join(work, "out"),
+            os.path.join(work, "index"),
+            os.path.join(work, "vecs"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            centroids_dir=cents_dir,
+            codebooks_dir=cbs_dir,
+            threshold=_SEMDEDUP_THRESHOLD,
+            shortlist=_SPQ_SHORTLIST,
+            m=_PQ_M,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_semantic_pq availableNow replay exceeded 300s"
+            )
+        return spark.read.parquet(os.path.join(work, "out", "batch=*", "pairs"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _stream_semantic_pq_oracle() -> str:
+    """Composed IVF-PQ standing-index oracle: the _semantic_oracle
+    seeded-centroid/assignment CTEs (scale-invariant cells), the
+    _PQ_ORACLE_BODY seeded codebooks/encoding, an ADC ranking of every
+    vector's smaller-id cellmates (== "cellmates seen so far" under
+    the gate's id-ordered replay), top-shortlist cut, exact-cosine
+    verify — every stage integer or fixed-IEEE, hash-exact."""
+    cos_vc = _COS_SQL.format(a="v.qv", b="c.cq")
+    cos_ab = _COS_SQL.format(a="ea.qv", b="eb.qv")
+    return f"""
+WITH pqv AS MATERIALIZED (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+), q AS MATERIALIZED (
+  SELECT vec_id, qv FROM pqv
+  WHERE CAST(list_sum([z[1] * z[2] for z in list_zip(qv, qv)])
+             AS BIGINT) > 0
+), params AS (
+  SELECT n_cells, greatest(1, n // n_cells) AS step
+  FROM (SELECT {_scaled_cells_sql()} AS n_cells, count(*) AS n
+        FROM embeddings)
+), cent AS (
+  SELECT CAST(q.vec_id // p.step AS INTEGER) AS cell, q.qv AS cq
+  FROM q, params p
+  WHERE q.vec_id % p.step = 0 AND q.vec_id < p.step * p.n_cells
+), allassign AS (
+  SELECT v.vec_id, c.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {cos_vc} DESC, c.cell) AS rn
+  FROM q v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cell FROM allassign WHERE rn = 1
+), pqparams AS (
+  SELECT greatest(1, (SELECT count(*) FROM embeddings) // {_PQ_CODES})
+           AS step
+), pqsub AS MATERIALIZED (
+  SELECT vec_id, t.s, qv[t.s*{_PQ_W}+1 : (t.s+1)*{_PQ_W}] AS sv
+  FROM q, unnest(range(0, {_PQ_M})) AS t(s)
+), pqcb AS MATERIALIZED (
+  SELECT CAST(v.vec_id // p.step AS INTEGER) AS code, t.s,
+         v.qv[t.s*{_PQ_W}+1 : (t.s+1)*{_PQ_W}] AS cb
+  FROM pqv v, pqparams p, unnest(range(0, {_PQ_M})) AS t(s)
+  WHERE v.vec_id % p.step = 0 AND v.vec_id < p.step * {_PQ_CODES}
+), pqenc AS MATERIALIZED (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, x.s, c.code,
+           row_number() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {_PQ_L2.format(a="x.sv", b="c.cb")}, c.code
+           ) AS rn
+    FROM pqsub x JOIN pqcb c ON x.s = c.s
+  ) WHERE rn = 1
+), pqlutall AS MATERIALIZED (
+  SELECT x.vec_id AS query_id, x.s, c.code,
+         {_PQ_L2.format(a="x.sv", b="c.cb")} AS d
+  FROM pqsub x JOIN pqcb c ON x.s = c.s
+), spqcand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+), spqadc AS (
+  SELECT c.id_a, c.id_b, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM spqcand c
+  JOIN pqenc e ON e.vec_id = c.id_a
+  JOIN pqlutall l
+    ON l.query_id = c.id_b AND l.s = e.s AND l.code = e.code
+  GROUP BY c.id_a, c.id_b
+), spqshort AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           row_number() OVER (PARTITION BY id_b
+                              ORDER BY adc_dist, id_a) AS rk
+    FROM spqadc
+  ) WHERE rk <= {_SPQ_SHORTLIST}
+)
+SELECT s.id_a, s.id_b, {cos_ab} AS cosine
+FROM spqshort s
+JOIN q ea ON ea.vec_id = s.id_a
+JOIN q eb ON eb.vec_id = s.id_b
+WHERE {cos_ab} >= {_SEMDEDUP_THRESHOLD}
+"""
+
+
 def _q_stream_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fully in-engine STREAMING semantic pipeline: raw documents
     replay as two micro-batches, each batch embedding its own text
@@ -6924,6 +7098,7 @@ def ext_queries():
         "s_stream_lsh_index": _q_stream_lsh_index,
         "s_stream_semantic_index": _q_stream_semantic_index,
         "s_stream_semantic_text": _q_stream_semantic_text,
+        "s_stream_semantic_pq": _q_stream_semantic_pq,
         "s_stream_hamming_index": _q_stream_hamming_index,
         "s_stream_cluster_maintain": _q_stream_cluster_maintain,
         "dedup_inc_append_bloom": _q_dedup_append_bloom,
@@ -7072,6 +7247,7 @@ def ext_oracles():
         "s_stream_lsh_index": _LSH_ORACLE,
         "s_stream_semantic_index": _semantic_oracle(clusters=False),
         "s_stream_semantic_text": _semantic_text_ivf_pairs_oracle(),
+        "s_stream_semantic_pq": _stream_semantic_pq_oracle(),
         "s_stream_hamming_index": _HAMMING_PAIRS_ORACLE,
         "s_stream_cluster_maintain": _HAMMING_CLUSTERS_ORACLE,
         "dedup_inc_append_bloom": _DEDUP_APPEND_ORACLE,
