@@ -634,6 +634,182 @@ WHERE {cos_ab} >= {_SEMDEDUP_THRESHOLD}
 """
 
 
+def _q_stream_semantic_text_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB text near-dup pipeline END TO END on the COMPRESSED
+    index: raw documents replay as two micro-batches, each batch
+    embedding its own text (embed_text_hashed, scan-side) into the
+    IVF-PQ standing index — PQ codes in the cell index, exact
+    coordinates only in the bucketed side store, ADC shortlist + exact
+    re-rank per trigger. Composes the two r12 additions
+    (dedup_semantic_text's derived vectors, s_stream_semantic_pq's
+    compressed layout); centroids and codebooks are the seeded layouts
+    over the derived corpus embeddings, so the composed oracle
+    (derived-qv CTEs + seeded codebooks + ADC + exact verify) is
+    hash-exact."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        embed_text_hashed,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        ivf_centroids,
+        pq_codebooks,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_embedding_pq_stream,
+    )
+    from __spark_entry__ import _set_stream_partitions
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = sorted(x.as_py() for x in t.column("doc_id") if x.as_py() is not None)
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="sstpq_src_")
+    work = tempfile.mkdtemp(prefix="sstpq_work_")
+    key = t.column("doc_id")
+    in_b0 = pc.or_kleene(pc.less(key, mid), pc.is_null(key))
+    pq.write_table(
+        t.filter(pc.fill_null(in_b0, True)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        t.filter(pc.fill_null(pc.invert(in_b0), False)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    n = _doc_count(sf_dir)
+    corpus_emb = embed_text_hashed(
+        load_table(spark, sf_dir, "documents"), dims=_EMBED_DIMS
+    ).select(F.col("doc_id").alias("vec_id"), "embedding").localCheckpoint()
+    cents_dir = os.path.join(work, "centroids")
+    cbs_dir = os.path.join(work, "codebooks")
+    ivf_centroids(
+        corpus_emb, _semtext_cells(n), corpus_count=n
+    ).write.parquet(cents_dir)
+    pq_codebooks(
+        corpus_emb, m=_PQ_M, n_codes=_PQ_CODES, corpus_count=n
+    ).write.parquet(cbs_dir)
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        embedded = embed_text_hashed(stream, dims=_EMBED_DIMS).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        q = run_index_embedding_pq_stream(
+            embedded,
+            os.path.join(work, "out"),
+            os.path.join(work, "index"),
+            os.path.join(work, "vecs"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            centroids_dir=cents_dir,
+            codebooks_dir=cbs_dir,
+            threshold=_SEMTEXT_THRESHOLD,
+            shortlist=_SPQ_SHORTLIST,
+            m=_PQ_M,
+            # derived vectors: materialize each batch before the
+            # assignment/encoding inline the embed fold per reference
+            materialize_input=True,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_semantic_text_pq availableNow replay exceeded 300s"
+            )
+        return spark.read.parquet(os.path.join(work, "out", "batch=*", "pairs"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _stream_semantic_text_pq_oracle() -> str:
+    """Derived-text twin of _stream_semantic_pq_oracle: the
+    _hash_qv_prefix derived quantized vectors feed the seeded-centroid
+    assignment, the seeded codebooks, the ADC smaller-id-cellmate
+    ranking and the exact verify. (For derived vectors the codebook
+    seed set equals q — embed_text_hashed emits NULL embeddings for
+    exactly the zero-norm/NULL-text docs the qv CTE excludes.)"""
+    cos_vc = _COS_SQL.format(a="v.qv", b="c.cq")
+    cos_ab = _COS_SQL.format(a="ea.qv", b="eb.qv")
+    auto = (
+        "CAST(power(2, round_even(log2(sqrt(greatest(4.0,"
+        " CAST(count(*) AS DOUBLE)))), 0)) AS BIGINT)"
+    )
+    return f"""
+WITH {_hash_qv_prefix()}, params AS (
+  SELECT n_cells, greatest(1, n // n_cells) AS step
+  FROM (SELECT greatest(4, least(65536, {auto})) AS n_cells,
+               count(*) AS n
+        FROM documents)
+), cent AS (
+  SELECT CAST(q.vec_id // p.step AS INTEGER) AS cell, q.qv AS cq
+  FROM q, params p
+  WHERE q.vec_id % p.step = 0 AND q.vec_id < p.step * p.n_cells
+), allassign AS (
+  SELECT v.vec_id, c.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {cos_vc} DESC, c.cell) AS rn
+  FROM q v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cell FROM allassign WHERE rn = 1
+), pqparams AS (
+  SELECT greatest(1, (SELECT count(*) FROM documents) // {_PQ_CODES})
+           AS step
+), pqsub AS MATERIALIZED (
+  SELECT vec_id, t.s, qv[t.s*{_PQ_W}+1 : (t.s+1)*{_PQ_W}] AS sv
+  FROM q, unnest(range(0, {_PQ_M})) AS t(s)
+), pqcb AS MATERIALIZED (
+  SELECT CAST(v.vec_id // p.step AS INTEGER) AS code, t.s,
+         v.qv[t.s*{_PQ_W}+1 : (t.s+1)*{_PQ_W}] AS cb
+  FROM q v, pqparams p, unnest(range(0, {_PQ_M})) AS t(s)
+  WHERE v.vec_id % p.step = 0 AND v.vec_id < p.step * {_PQ_CODES}
+), pqenc AS MATERIALIZED (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, x.s, c.code,
+           row_number() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {_PQ_L2.format(a="x.sv", b="c.cb")}, c.code
+           ) AS rn
+    FROM pqsub x JOIN pqcb c ON x.s = c.s
+  ) WHERE rn = 1
+), pqlutall AS MATERIALIZED (
+  SELECT x.vec_id AS query_id, x.s, c.code,
+         {_PQ_L2.format(a="x.sv", b="c.cb")} AS d
+  FROM pqsub x JOIN pqcb c ON x.s = c.s
+), spqcand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+), spqadc AS (
+  SELECT c.id_a, c.id_b, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM spqcand c
+  JOIN pqenc e ON e.vec_id = c.id_a
+  JOIN pqlutall l
+    ON l.query_id = c.id_b AND l.s = e.s AND l.code = e.code
+  GROUP BY c.id_a, c.id_b
+), spqshort AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           row_number() OVER (PARTITION BY id_b
+                              ORDER BY adc_dist, id_a) AS rk
+    FROM spqadc
+  ) WHERE rk <= {_SPQ_SHORTLIST}
+)
+SELECT s.id_a, s.id_b, {cos_ab} AS cosine
+FROM spqshort s
+JOIN q ea ON ea.vec_id = s.id_a
+JOIN q eb ON eb.vec_id = s.id_b
+WHERE {cos_ab} >= {_SEMTEXT_THRESHOLD}
+"""
+
+
 def _q_stream_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fully in-engine STREAMING semantic pipeline: raw documents
     replay as two micro-batches, each batch embedding its own text
@@ -7099,6 +7275,7 @@ def ext_queries():
         "s_stream_semantic_index": _q_stream_semantic_index,
         "s_stream_semantic_text": _q_stream_semantic_text,
         "s_stream_semantic_pq": _q_stream_semantic_pq,
+        "s_stream_semantic_text_pq": _q_stream_semantic_text_pq,
         "s_stream_hamming_index": _q_stream_hamming_index,
         "s_stream_cluster_maintain": _q_stream_cluster_maintain,
         "dedup_inc_append_bloom": _q_dedup_append_bloom,
@@ -7248,6 +7425,7 @@ def ext_oracles():
         "s_stream_semantic_index": _semantic_oracle(clusters=False),
         "s_stream_semantic_text": _semantic_text_ivf_pairs_oracle(),
         "s_stream_semantic_pq": _stream_semantic_pq_oracle(),
+        "s_stream_semantic_text_pq": _stream_semantic_text_pq_oracle(),
         "s_stream_hamming_index": _HAMMING_PAIRS_ORACLE,
         "s_stream_cluster_maintain": _HAMMING_CLUSTERS_ORACLE,
         "dedup_inc_append_bloom": _DEDUP_APPEND_ORACLE,
