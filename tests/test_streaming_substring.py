@@ -103,6 +103,16 @@ def test_stream_spans_equal_one_shot_and_replay_idempotent(spark, tmp_path):
     assert by_doc[4] == (4, 1, 7, 2)  # Q (batch 1) + R (batch 2) merged
     assert by_doc[7][0] == 7  # within-doc repeat marked at batch 0
 
+    # the window-occurrence index is ibucket-partitioned and probes
+    # prune on the partition column (the layout regression guard every
+    # standing index pins)
+    from pyspark.sql import functions as F
+
+    pruned = spark.read.parquet(index_dir).where(F.col("ibucket") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ibucket" in plan.split("PartitionFilters", 1)[1][:120]
+
     # a fresh availableNow run over the same source + checkpoint is a
     # no-op: no new marks, no duplicate index rows
     n_marks = spark.read.parquet(
