@@ -166,8 +166,13 @@ def parse_args(argv: Sequence[str] | None = None) -> argparse.Namespace:
                     help="tombstone only; physical purge happens at the "
                     "next compaction (bulk-takedown amortization)")
     fi.add_argument("--scrub-outputs", default=None,
-                    help="also scrub the ids from this runner out_dir's "
-                    "committed batch artifacts (pairs/bands/fps/vecs)")
+                    help="also scrub from this runner out_dir's committed "
+                    "batch artifacts (pairs/bands/fps/vecs/marks/wins)")
+    fi.add_argument("--scrub-ids", default=None,
+                    help="DOCUMENT ids for --scrub-outputs when --ids is "
+                    "in a different key domain (e.g. --key-col text_hash "
+                    "erases by content hash, but artifacts are keyed by "
+                    "doc id); defaults to --ids when the domains match")
 
     fs_ = sub.add_parser(
         "forget-store",
@@ -288,8 +293,17 @@ def main(argv: Sequence[str] | None = None) -> int:
             )
         )
         if args.scrub_outputs:
+            if args.scrub_ids is None and args.key_col == "text_hash":
+                raise SystemExit(
+                    "forget --scrub-outputs with --key-col text_hash "
+                    "needs --scrub-ids: the artifacts are keyed by "
+                    "document id, not by the content hash being erased "
+                    "(matching hash values against id columns would "
+                    "silently scrub nothing)"
+                )
             out["scrubbed_batches"] = scrub_batch_outputs(
-                spark, args.scrub_outputs, ids
+                spark, args.scrub_outputs,
+                _parse_ids(args.scrub_ids) if args.scrub_ids else ids,
             )
     elif args.cmd == "forget-store":
         from .streaming.forget import forget_cluster_store, forget_index_keys

@@ -462,7 +462,6 @@ def _doc_ngrams(
     whitespace, so the space-joined string is an injective n-gram key
     and ``substring_index`` recovers every prefix/suffix sub-key."""
     toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
-    parts = ", ".join(f"element_at(tk, i + {j})" for j in range(n))
     joined = ", ' ', ".join(f"element_at(tk, i + {j})" for j in range(n))
     return (
         docs.select(F.col(id_col), F.expr(toks).alias("tk"))

@@ -360,7 +360,18 @@ def _append_index(
     under partitionBy writes exactly one file per bucket value present
     with NO shuffle; the default keeps the bucket-keyed repartition so
     a corpus-sized backfill batch never has every task writing into
-    every bucket dir."""
+    every bucket dir.
+
+    Pending erasure tombstones filter EVERY append (fresh and retry
+    repair): no row matching one can enter the index — without this, a
+    retry repairing a crashed batch would re-append rows the probe
+    side is suppressing, and a purge that already dropped their bytes
+    would be silently undone (the r12 review's resurrection race; see
+    streaming/forget.py's crashed-batch caveat for the tombstones-
+    already-retired remainder of that window)."""
+    from .forget import apply_index_tombstones
+
+    rows = apply_index_tombstones(rows.sparkSession, index_dir, rows)
     pre = rows.coalesce(1) if small_batch else rows.repartition(
         F.col("ibucket")
     )

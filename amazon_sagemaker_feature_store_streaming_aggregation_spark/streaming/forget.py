@@ -61,6 +61,20 @@ quiesced-or-writer-owned rule. Interrupted swaps heal via
 ``heal_swap_leftovers`` / ``heal_compaction_swap`` on the next
 maintenance entry or store read.
 
+Crashed-batch caveat (the one erasure/at-least-once race left): every
+index APPEND — fresh and retry repair — anti-joins pending
+tombstones, so while an erasure is in flight no suppressed row can
+(re-)enter an index. But if a batch committed its output, crashed
+before its index append, and a forget WITH PURGE ran before the
+stream restarted, the purge retires the tombstones and the retry's
+repair re-derives the committed rows with nothing left to filter them
+— the erased key returns. "Quiesced" for forget therefore means no
+PENDING RETRIES, not merely no running trigger: restart the stream
+(letting repairs complete) before erasing, or re-run forget after the
+restart; the tombstone-only path (``purge=False``) is immune until
+its deferred purge, which compaction runs from the owning runner's
+side of the same discipline.
+
 Reference anchor: the keyed-deletion lifecycle of the reference's
 online feature store (records are erased by key, never by scanning
 payloads — `src/lambda/StreamingIngestAggFeatures/lambda_function.py:
@@ -267,12 +281,32 @@ def resolve_text_hashes(
     return sorted(hashes)
 
 
+def _typed_literals(dt: str, ids: list) -> list:
+    """Cast erase-keys to the matched column's type python-side (the
+    _typed_keys rule applied to isin literals): a long-vs-str mismatch
+    would otherwise make Spark cast the COLUMN and silently widen or
+    miss matches. Keys that cannot take the column's type are dropped
+    (they can match nothing in that column)."""
+    out = []
+    for k in ids:
+        try:
+            if dt in ("bigint", "int", "smallint", "tinyint"):
+                out.append(int(k))
+            elif dt == "string":
+                out.append(str(k))
+            else:
+                out.append(k)
+        except (TypeError, ValueError):
+            continue
+    return out
+
+
 def scrub_batch_outputs(
     spark,
     out_dir: str,
     ids,
     id_cols: tuple = ("doc_id", "vec_id", "doc_a", "doc_b", "id_a", "id_b"),
-    subdirs: tuple = ("", "pairs", "bands", "fps", "vecs"),
+    subdirs: tuple = ("", "pairs", "bands", "fps", "vecs", "marks", "wins"),
 ) -> list:
     """Erase ``ids`` from a runner's committed batch ARTIFACTS (the
     survivor rows, discovered pairs, band/vector payloads a downstream
@@ -299,12 +333,18 @@ def scrub_batch_outputs(
             if not present:
                 continue
             # rows where ANY present id column matches a forgotten id
-            # (isin with literal ids — NULL id columns compare to NULL
+            # (typed isin literals — NULL id columns compare to NULL
             # and are KEPT: a null-keyed row identifies nobody)
+            dts = dict(df.dtypes)
             cond = None
             for c in present:
-                k = F.col(c).isin(ids)
+                lits = _typed_literals(dts[c], ids)
+                if not lits:
+                    continue
+                k = F.col(c).isin(lits)
                 cond = k if cond is None else (cond | k)
+            if cond is None:
+                continue
             if df.where(cond).isEmpty():
                 continue
             _rewrite_dir_keep(

@@ -39,6 +39,7 @@ from .dedup import (
     _fs_has_parquet_recursive,
     _touch_success,
 )
+from .forget import apply_index_tombstones
 
 
 def run_index_embedding_stream(
@@ -197,8 +198,6 @@ def run_index_embedding_stream(
             )
             cells = [r[0] for r in committed.select("cell").distinct().collect()]
             if cells and _fs_has_parquet_recursive(spark, index_dir):
-                from .forget import apply_index_tombstones
-
                 idx = apply_index_tombstones(
                     spark,
                     index_dir,
@@ -215,8 +214,12 @@ def run_index_embedding_stream(
             _assert_modulus_unchanged(
                 spark, index_dir, _resolved, key="cents"
             )
+            # pending tombstones filter the repair too: re-appending a
+            # suppressed row would undo its (possibly already physical)
+            # erasure — the _append_index rule
             (
-                missing.repartition(F.col("cell"))
+                apply_index_tombstones(spark, index_dir, missing)
+                .repartition(F.col("cell"))
                 .write.mode("append")
                 .partitionBy("cell")
                 .parquet(index_dir)
@@ -249,8 +252,6 @@ def run_index_embedding_stream(
         else:
             cells = []
         if cells:
-            from .forget import apply_index_tombstones
-
             # pending erasure tombstones anti-join the probe (the
             # _read_index_pruned rule): a forgotten vector stops
             # pairing at the next trigger, pre-purge
@@ -336,10 +337,13 @@ def run_index_embedding_stream(
         # small-batch regime (broadcast_batch, the same flag gating the
         # probe broadcast): one coalesced task writes exactly one file
         # per touched cell with NO shuffle; corpus-sized backfills keep
-        # the cell-keyed repartition
+        # the cell-keyed repartition. Pending tombstones filter the
+        # append (the _append_index rule: a suppressed key never
+        # re-enters the index while its erasure is in flight).
+        appendable = apply_index_tombstones(spark, index_dir, batch_rows)
         pre = (
-            batch_rows.coalesce(1) if broadcast_batch
-            else batch_rows.repartition(F.col("cell"))
+            appendable.coalesce(1) if broadcast_batch
+            else appendable.repartition(F.col("cell"))
         )
         (
             pre.write.mode("append")

@@ -301,6 +301,24 @@ def run_index_embedding_pq_stream(
             spark.catalog.refreshByPath(centroids_dir)
             spark.catalog.refreshByPath(codebooks_dir)
             heal_pq_layout(spark, index_dir, centroids_dir, codebooks_dir)
+            # the adopted _meta pins the layout's m/n_codes: a
+            # recode-pq with a DIFFERENT m would otherwise be adopted
+            # silently while this runner keeps slicing the old
+            # subspace count — zip_with over mismatched widths yields
+            # NULL distances and half-blind shortlists with no error
+            # (the r12 review's finding; the pinned-modulus rule)
+            if _fs_has_parquet(spark, index_dir.rstrip("/") + "/_meta"):
+                mrow = spark.read.parquet(
+                    index_dir.rstrip("/") + "/_meta"
+                ).collect()[0]
+                if int(mrow["m"]) != int(m):
+                    raise ValueError(
+                        f"PQ index at {index_dir} was recoded with "
+                        f"m={int(mrow['m'])}, this runner was started "
+                        f"with m={m} — the subspace count is part of "
+                        "the on-disk code layout; restart the runner "
+                        "with the index's m"
+                    )
             _resolved["cents"] = (
                 spark.read.parquet(centroids_dir)
                 .select("cell", "cq", "cn2")
@@ -351,8 +369,11 @@ def run_index_embedding_pq_stream(
             else:
                 missing_idx = committed
             _assert_modulus_unchanged(spark, index_dir, _resolved, key="cents")
+            # pending tombstones filter the repair (the _append_index
+            # rule: a suppressed key never re-enters the index)
             (
-                missing_idx.select(id_col, "cell", "codes")
+                apply_index_tombstones(spark, index_dir, missing_idx)
+                .select(id_col, "cell", "codes")
                 .repartition(F.col("cell"))
                 .write.mode("append")
                 .partitionBy("cell")
@@ -367,7 +388,8 @@ def run_index_embedding_pq_stream(
             )
             _assert_modulus_unchanged(spark, vecs_dir, _resolved, key="vb")
             (
-                missing_v.select(id_col, "qv", "n2")
+                apply_index_tombstones(spark, vecs_dir, missing_v)
+                .select(id_col, "qv", "n2")
                 .withColumn("ibucket", _index_bucket(nb, id_col))
                 .repartition(F.col("ibucket"))
                 .write.mode("append")
@@ -498,18 +520,19 @@ def run_index_embedding_pq_stream(
         batch_rows.write.mode("overwrite").parquet(vecs_out)
         _touch_success(spark, batch_out)
         _assert_modulus_unchanged(spark, index_dir, _resolved, key="cents")
+        # pending tombstones filter both appends (the _append_index rule)
+        irows = apply_index_tombstones(
+            spark, index_dir, batch_rows.select(id_col, "cell", "codes")
+        )
         pre_i = (
-            batch_rows.select(id_col, "cell", "codes").coalesce(1)
-            if broadcast_batch
-            else batch_rows.select(id_col, "cell", "codes").repartition(
-                F.col("cell")
-            )
+            irows.coalesce(1) if broadcast_batch
+            else irows.repartition(F.col("cell"))
         )
         pre_i.write.mode("append").partitionBy("cell").parquet(index_dir)
         _assert_modulus_unchanged(spark, vecs_dir, _resolved, key="vb")
-        vrows = batch_rows.select(id_col, "qv", "n2").withColumn(
-            "ibucket", _index_bucket(nb, id_col)
-        )
+        vrows = apply_index_tombstones(
+            spark, vecs_dir, batch_rows.select(id_col, "qv", "n2")
+        ).withColumn("ibucket", _index_bucket(nb, id_col))
         pre_v = (
             vrows.coalesce(1) if broadcast_batch
             else vrows.repartition(F.col("ibucket"))
@@ -612,6 +635,16 @@ def recode_pq_index(
     rows = spark.read.parquet(vecs_dir).select(id_col, "qv", "n2")
     rows = apply_index_tombstones(spark, vecs_dir, rows)
     n_rows = rows.count()
+    if n_rows == 0:
+        # files on disk but every row tombstoned (bulk takedown with
+        # purge deferred): same no-vectors state as an empty store —
+        # raise the clean message instead of a NoneType subscript in
+        # the dims probe below
+        raise ValueError(
+            f"exact store at {vecs_dir} holds no (unforgotten) vectors "
+            "— nothing to retrain from (purge or re-run the stream "
+            "first)"
+        )
     if n_cells is None:
         n_cells = auto_cells(n_rows)
     train_src = rows

@@ -450,3 +450,32 @@ def test_maintain_cli_forget_end_to_end(spark, tmp_path, capsys):
         r["doc_id"] for r in read_cluster_labels(spark, out_dir).collect()
     }
     assert labels == {1, 9}
+
+
+def test_appends_filter_pending_tombstones(spark, tmp_path):
+    """The r12 review's resurrection guard: while an erasure is in
+    flight (tombstone pending), NO append — fresh or retry repair —
+    can re-enter a suppressed key into the index."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _append_index,
+        _ensure_index_buckets,
+        _index_bucket,
+    )
+
+    index_dir = str(tmp_path / "index")
+    _ensure_index_buckets(spark, index_dir, 4)
+    rows = spark.createDataFrame(
+        [(1, 111), (2, 222)], "doc_id long, text_hash long"
+    ).withColumn("ibucket", _index_bucket(4, "text_hash"))
+    _append_index(rows, index_dir)
+    forget_index_keys(spark, index_dir, [1], key_col="doc_id", purge=False)
+    # a retry repair (or a redelivered batch) re-appends the same rows:
+    # the suppressed key is filtered, the live key is not
+    _append_index(rows, index_dir)
+    idx = spark.read.parquet(index_dir)
+    assert idx.where("doc_id = 1").count() == 1  # only the pre-tombstone copy
+    assert idx.where("doc_id = 2").count() == 2
+    # purge then drops the suppressed copy and retires the tombstone
+    purge_forgotten(spark, index_dir)
+    assert not _val_in_any_parquet(index_dir, "doc_id", 1)
+    assert read_index_tombstones(spark, index_dir) is None

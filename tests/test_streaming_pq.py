@@ -223,3 +223,22 @@ def test_forget_reaches_both_pq_stores(spark, tmp_path, setup):
     }
     assert (1, 2) in batch1
     assert all(0 not in p for p in batch1)
+
+
+def test_runner_rejects_adopted_m_mismatch(spark, tmp_path, setup):
+    """A recode-pq with a DIFFERENT subspace count must fail the
+    resumed runner loudly (the pinned-layout rule): silently slicing
+    the old m against new codes would zip mismatched widths into NULL
+    distances and half-blind shortlists."""
+    d, dirs, chunk0, chunk1, rng, (a, b) = setup
+    q = _start(spark, str(d), dirs)
+    assert q.awaitTermination(180)
+    recode_pq_index(
+        spark, dirs["index"], dirs["vecs"], dirs["cents"], dirs["cbs"],
+        n_cells=2, m=8, n_codes=8,
+    )
+    _one_file(spark, d, "01.parquet", chunk1, SCHEMA)
+    q2 = _start(spark, str(d), dirs)  # still m=4
+    with pytest.raises(Exception, match="m=8"):
+        q2.awaitTermination(180)
+        q2.processAllAvailable()

@@ -151,15 +151,36 @@ def test_forget_erases_document_windows(spark, tmp_path):
         forget_index_keys,
     )
 
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        scrub_batch_outputs,
+    )
+
+    from .test_forget import _val_in_any_parquet
+
     d = tmp_path / "stream"
     out_dir = str(tmp_path / "out")
     index_dir = str(tmp_path / "index")
-    _one_file(spark, d, "00.parquet", [(1, "p1 p2 p3 p4")], SCHEMA)
+    # docs 1 and 9 share a phrase -> doc 1 has committed MARKS too
+    _one_file(
+        spark, d, "00.parquet",
+        [(1, "p1 p2 p3 p4"), (9, "z p1 p2 p3")], SCHEMA,
+    )
     _run(spark, d, out_dir, index_dir, str(tmp_path / "ckpt"))
+    assert read_repeated_spans(spark, out_dir, k=K).count() == 2
     res = forget_index_keys(spark, index_dir, [1], key_col="doc_id")
     assert res["purged_leaves"] >= 1
-    # a later copy of the phrase sees count 1 (the erased occurrences
-    # are gone) — nothing marks
-    _one_file(spark, d, "01.parquet", [(2, "p1 p2 p3 p4")], SCHEMA)
+    # the committed marks/wins artifacts hold the erased doc's rows
+    # (content-derived window hashes included) — the outputs scrub
+    # erases them, and the span reconstruction stops emitting the doc
+    assert scrub_batch_outputs(spark, out_dir, [1]) == [0]
+    assert not _val_in_any_parquet(out_dir, "doc_id", 1)
+    spans = {r["doc_id"] for r in
+             read_repeated_spans(spark, out_dir, k=K).collect()}
+    assert spans == {9}
+    # a later copy of doc 1's unique tail sees count 1 (the erased
+    # index occurrences are gone) — nothing new marks against doc 1
+    _one_file(spark, d, "01.parquet", [(2, "p2 p3 p4 q")], SCHEMA)
     _run(spark, d, out_dir, index_dir, str(tmp_path / "ckpt"))
-    assert read_repeated_spans(spark, out_dir, k=K).count() == 0
+    spans = {r["doc_id"] for r in
+             read_repeated_spans(spark, out_dir, k=K).collect()}
+    assert 1 not in spans and 2 not in spans
