@@ -31,6 +31,7 @@ from .forget import (  # noqa: F401
     scrub_batch_outputs,
 )
 from .join import interval_join  # noqa: F401
+from .curate import run_curate_stream  # noqa: F401
 from .quality import (  # noqa: F401
     read_lm_model,
     run_contamination_stream,

@@ -6226,6 +6226,136 @@ FROM {src} d LEFT JOIN agg a ON d.doc_id = a.doc_id
 
 _LM_SCORE_ORACLE = _lm_score_sql()
 
+_CURATE_SHARDS = 8
+
+
+def _q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STANDING curation (streaming/curate.py::run_curate_stream — the
+    production composition): documents replay as two micro-batches;
+    each batch is LM-scored against the persisted self-trained model,
+    cut at the precomputed P20 threshold (the quality_filter exact
+    PERCENTILE_DISC convention, computed offline here exactly like the
+    model), exact-deduped against the persistent hash index of every
+    previously KEPT document, and assigned its deterministic training
+    shard. Scoring is stateless, the cutoff a value comparison, the
+    shard a pure id hash, dedup keeps first arrival — so the union of
+    per-batch survivors equals the one-shot score→cutoff→min-id-dedup
+    →shard composition the oracle spells."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.lm import (
+        lm_transition_scores,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_curate_stream,
+        write_lm_model,
+    )
+    from __spark_entry__ import _set_stream_partitions
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = sorted(x.as_py() for x in t.column("doc_id") if x.as_py() is not None)
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="scur_src_")
+    work = tempfile.mkdtemp(prefix="scur_work_")
+    key = t.column("doc_id")
+    in_b0 = pc.or_kleene(pc.less(key, mid), pc.is_null(key))
+    pq.write_table(
+        t.filter(pc.fill_null(in_b0, True)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        t.filter(pc.fill_null(pc.invert(in_b0), False)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    model_dir = os.path.join(work, "model")
+    write_lm_model(docs, model_dir)
+    # the offline calibration: exact P20 of the scorable corpus scores
+    # (smallest score with rank >= ceil(0.2 * n) — the quality_filter
+    # spelling, one thin-column driver read)
+    scorable = lm_transition_scores(docs).where(F.col("n_bigrams") > 0)
+    ranked = (
+        scorable.select("lm_score")
+        .withColumn("__rn", F.row_number().over(Window.orderBy("lm_score")))
+        .withColumn("__n", F.count("*").over(Window.partitionBy()))
+    )
+    cutoff = float(
+        ranked.where(
+            F.col("__rn") == F.ceil(F.lit(0.2) * F.col("__n")).cast("int")
+        ).collect()[0]["lm_score"]
+    )
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        q = run_curate_stream(
+            stream,
+            os.path.join(work, "out"),
+            os.path.join(work, "index"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            model_dir=model_dir,
+            cutoff=cutoff,
+            n_shards=_CURATE_SHARDS,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_curate availableNow replay exceeded 300s"
+            )
+        return spark.read.parquet(os.path.join(work, "out", "batch=*"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+# one-shot spelling of the standing curation: score -> exact P20 cut
+# (value comparison) -> min-id exact dedup over the KEPT set -> md5
+# shard. The cut and the dedup commute with the batch boundary because
+# scoring is stateless against the fixed model and only KEPT docs ever
+# enter the index.
+_STREAM_CURATE_ORACLE = f"""
+WITH lmout AS (
+{_lm_score_sql("documents", "text")}
+), cscorable AS (
+  SELECT doc_id, lm_score FROM lmout WHERE n_bigrams > 0
+), cranked AS (
+  SELECT lm_score, row_number() OVER (ORDER BY lm_score) AS rn,
+         count(*) OVER () AS n
+  FROM cscorable
+), ccut AS (
+  SELECT lm_score AS t FROM cranked
+  WHERE rn = CAST(ceil(0.2 * n) AS BIGINT)
+), ckept AS (
+  SELECT d.doc_id, d.text, s.lm_score
+  FROM documents d
+  JOIN cscorable s ON d.doc_id = s.doc_id, ccut
+  WHERE s.lm_score >= ccut.t
+), chashed AS (
+  SELECT doc_id, {_H64.format(x="text")} AS text_hash, lm_score
+  FROM ckept
+), cbest AS (
+  SELECT text_hash, min(doc_id) AS doc_id
+  FROM chashed GROUP BY text_hash
+)
+SELECT b.doc_id, b.text_hash, min(h.lm_score) AS lm_score,
+       CAST({_H64.format(x="'shuffle-v1:' || CAST(b.doc_id AS VARCHAR)")}
+            % {_CURATE_SHARDS} AS INTEGER) AS shard
+FROM cbest b
+JOIN chashed h ON h.text_hash = b.text_hash AND h.doc_id = b.doc_id
+GROUP BY b.doc_id, b.text_hash
+"""
+
 
 def _q_lm3_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated trigram-LM quality score (operators/lm.py::
@@ -7296,6 +7426,7 @@ def ext_queries():
         "pipeline_curate_mix": _q_pipeline_curate_mix,
         "text_ccnet_buckets": _q_ccnet_buckets,
         "s_stream_lm_score": _q_stream_lm_score,
+        "s_stream_curate": _q_stream_curate,
         "s_stream_contamination": _q_stream_contamination,
         "sim_label_centroids": _q_label_centroids,
     }
@@ -7446,6 +7577,7 @@ def ext_oracles():
         "pipeline_curate_mix": _curate_mix_oracle(),
         "text_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "s_stream_lm_score": _LM_SCORE_ORACLE,
+        "s_stream_curate": _STREAM_CURATE_ORACLE,
         "s_stream_contamination": _CONTAMINATION_ORACLE,
         "sim_label_centroids": _LABEL_CENTROIDS_ORACLE,
     }

@@ -184,3 +184,80 @@ def test_forget_erases_document_windows(spark, tmp_path):
     spans = {r["doc_id"] for r in
              read_repeated_spans(spark, out_dir, k=K).collect()}
     assert 1 not in spans and 2 not in spans
+
+
+# -------------------------- standing curation (streaming/curate.py) —
+# housed here with the other composed standing-runner suites
+
+
+def test_curate_stream_orderings(spark, tmp_path):
+    """The orderings the one-shot composition cannot see fail in a
+    broken runner: a REJECTED early copy must not shadow a later
+    acceptable one (quality gate before the index), an accepted copy
+    must shadow later re-submissions across batches, and a second
+    availableNow run is a no-op."""
+    import os
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_curate_stream,
+        write_lm_model,
+    )
+
+    ref = "the cat sat on the mat and the dog sat on the rug"
+    good = "the cat sat on the mat"
+    # scores vs the 8x-ref model: good 0.486, ref 0.499, gibberish
+    # 0.125 (the add-one uniform floor) -> the 0.3 cutoff separates
+    gibberish = "zz qq xx vv kk jj ww"
+    rows0 = [(1, gibberish), (2, good)]
+    rows1 = [(3, good), (4, gibberish + " extra"), (5, ref)]
+    schema = "doc_id long, text string"
+    d = tmp_path / "stream"
+    _one_file(spark, d, "00.parquet", rows0, schema)
+    _one_file(spark, d, "01.parquet", rows1, schema)
+    model_dir = str(tmp_path / "model")
+    # reference model: the fluent corpus — gibberish scores at the
+    # add-one floor, reference-like text far above it
+    write_lm_model(
+        spark.createDataFrame([(i, ref) for i in range(8)], schema),
+        model_dir,
+    )
+
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    q = run_curate_stream(
+        stream, out_dir, str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        model_dir=model_dir, cutoff=0.3, n_buckets=4,
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.parquet(
+            os.path.join(out_dir, "batch=*")
+        ).collect()
+    }
+    # 1 and 4 rejected by quality; 3 deduped against the ACCEPTED 2;
+    # 5 accepted. A rejected doc never entered the index (doc 2's
+    # acceptance is independent of doc 1's earlier rejection).
+    assert set(got) == {2, 5}
+    assert all(0 <= s < 8 for s in got.values())
+
+    # replay idempotency
+    q2 = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    q2 = run_curate_stream(
+        q2, out_dir, str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        model_dir=model_dir, cutoff=0.3, n_buckets=4,
+    )
+    assert q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out_dir, "batch=*")).count() == 2
