@@ -284,6 +284,20 @@ def main(argv: Sequence[str] | None = None) -> int:
     elif args.cmd == "forget":
         from .streaming.forget import forget_index_keys, scrub_batch_outputs
 
+        # argument validation BEFORE any mutation: failing after the
+        # tombstones/purge landed would exit without the manifest and
+        # leave the operator unsure whether the erasure happened
+        if (
+            args.scrub_outputs
+            and args.scrub_ids is None
+            and args.key_col == "text_hash"
+        ):
+            raise SystemExit(
+                "forget --scrub-outputs with --key-col text_hash needs "
+                "--scrub-ids: the artifacts are keyed by document id, "
+                "not by the content hash being erased (matching hash "
+                "values against id columns would silently scrub nothing)"
+            )
         ids = _parse_ids(args.ids)
         out.update(
             forget_index_keys(
@@ -293,14 +307,6 @@ def main(argv: Sequence[str] | None = None) -> int:
             )
         )
         if args.scrub_outputs:
-            if args.scrub_ids is None and args.key_col == "text_hash":
-                raise SystemExit(
-                    "forget --scrub-outputs with --key-col text_hash "
-                    "needs --scrub-ids: the artifacts are keyed by "
-                    "document id, not by the content hash being erased "
-                    "(matching hash values against id columns would "
-                    "silently scrub nothing)"
-                )
             out["scrubbed_batches"] = scrub_batch_outputs(
                 spark, args.scrub_outputs,
                 _parse_ids(args.scrub_ids) if args.scrub_ids else ids,

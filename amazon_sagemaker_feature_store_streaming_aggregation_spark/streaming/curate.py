@@ -112,10 +112,13 @@ def run_curate_stream(
                 index_dir,
             )
             return
-        # the model tables are vocab-scale and probed every trigger:
-        # read once per runner and keep (the centroid-cache rule)
         if not _model:
-            _model.append(read_lm_model(spark, model_dir))
+            # vocab-scale tables probed every trigger: read once per
+            # runner and persist (the centroid-cache rule — a lazy
+            # handle would re-scan the model parquet per batch)
+            _model.append(
+                tuple(df.persist() for df in read_lm_model(spark, model_dir))
+            )
         scores = lm_transition_scores(
             batch_df, id_col=id_col, text_col=text_col, model=_model[0]
         )
@@ -130,7 +133,11 @@ def run_curate_stream(
             .withColumn("text_hash", h64(text_col))
         )
         # within-batch dedup: min id per hash carries its own score
-        # (scores are per id, so the struct-min tie is value-free)
+        # (scores are per id, so the struct-min tie is value-free).
+        # Eagerly localCheckpoint-ed (the standing-runner rule): the
+        # bucket collect, the anti-join, the output write and the
+        # index append all start from a flat LogicalRDD instead of
+        # re-analyzing the score+hash lineage per action
         batch_best = (
             kept.groupBy("text_hash")
             .agg(F.min(F.struct(F.col(id_col), F.col("lm_score"))).alias("__m"))
@@ -139,36 +146,30 @@ def run_curate_stream(
                 F.col(f"__m.{id_col}").alias(id_col),
                 F.col("__m.lm_score").alias("lm_score"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        try:
-            idx = _read_index_pruned(
-                spark, index_dir,
-                _collect_buckets(batch_best, nb, "text_hash"),
-                nonempty_memo=_resolved,
-            )
-            fresh = batch_best if idx is None else batch_best.join(
-                idx.select("text_hash"), on="text_hash", how="left_anti"
-            )
-            fresh = fresh.select(id_col, "text_hash", "lm_score").withColumn(
-                "shard",
-                F.pmod(_shuffle_hash(id_col, shard_seed), F.lit(n_shards))
-                .cast("int"),
-            ).persist()
-            try:
-                fresh.write.mode("overwrite").parquet(batch_out)
-                _assert_modulus_unchanged(spark, index_dir, _resolved)
-                _append_index(
-                    fresh.select("text_hash").withColumn(
-                        "ibucket", _index_bucket(nb, "text_hash")
-                    ),
-                    index_dir,
-                    small_batch=small_batch,
-                )
-            finally:
-                fresh.unpersist()
-        finally:
-            batch_best.unpersist()
+        idx = _read_index_pruned(
+            spark, index_dir,
+            _collect_buckets(batch_best, nb, "text_hash"),
+            nonempty_memo=_resolved,
+        )
+        fresh = batch_best if idx is None else batch_best.join(
+            idx.select("text_hash"), on="text_hash", how="left_anti"
+        )
+        fresh = fresh.select(id_col, "text_hash", "lm_score").withColumn(
+            "shard",
+            F.pmod(_shuffle_hash(id_col, shard_seed), F.lit(n_shards))
+            .cast("int"),
+        ).localCheckpoint()
+        fresh.write.mode("overwrite").parquet(batch_out)
+        _assert_modulus_unchanged(spark, index_dir, _resolved)
+        _append_index(
+            fresh.select("text_hash").withColumn(
+                "ibucket", _index_bucket(nb, "text_hash")
+            ),
+            index_dir,
+            small_batch=small_batch,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_process)

@@ -291,6 +291,8 @@ def _typed_literals(dt: str, ids: list) -> list:
     for k in ids:
         try:
             if dt in ("bigint", "int", "smallint", "tinyint"):
+                if isinstance(k, float) and not k.is_integer():
+                    continue  # truncating would scrub a DIFFERENT key
                 out.append(int(k))
             elif dt == "string":
                 out.append(str(k))

@@ -329,6 +329,18 @@ def run_index_embedding_pq_stream(
                 .select("subspace", "code", "cb")
                 .persist()
             )
+            # the codebook table itself pins m for EVERY layout (the
+            # recode-written _meta only exists after a first recode):
+            # a runner started with the wrong subspace count would
+            # slice mismatched widths into NULL distances silently
+            nsub = _resolved["cbs"].select("subspace").distinct().count()
+            if nsub != int(m):
+                raise ValueError(
+                    f"codebooks at {codebooks_dir} carry {nsub} "
+                    f"subspaces, this runner was started with m={m} — "
+                    "the subspace count is part of the on-disk code "
+                    "layout; restart with the codebooks' m"
+                )
             _resolved["cents_meta_sig"] = _meta_signature(spark, index_dir)
         cents, cbs = _resolved["cents"], _resolved["cbs"]
         if "w" not in dims_holder:

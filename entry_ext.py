@@ -6287,11 +6287,16 @@ def _q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(Window.orderBy("lm_score")))
         .withColumn("__n", F.count("*").over(Window.partitionBy()))
     )
-    cutoff = float(
-        ranked.where(
-            F.col("__rn") == F.ceil(F.lit(0.2) * F.col("__n")).cast("int")
-        ).collect()[0]["lm_score"]
-    )
+    cut_rows = ranked.where(
+        F.col("__rn") == F.ceil(F.lit(0.2) * F.col("__n")).cast("int")
+    ).collect()
+    if not cut_rows:
+        raise ValueError(
+            "stream_curate calibration found no scorable documents "
+            f"under {sf_dir} (every text NULL or single-token?) — "
+            "cannot derive a quality cutoff"
+        )
+    cutoff = float(cut_rows[0]["lm_score"])
     old_parts = _set_stream_partitions(spark)
     try:
         stream = (
