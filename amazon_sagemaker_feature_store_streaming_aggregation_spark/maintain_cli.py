@@ -13,10 +13,12 @@ operator-facing surface over the maintenance primitives:
 
 * ``compact-index``    — per-bucket small-file compaction of an
   ``ibucket=``-partitioned dedup index (exact / LSH band / hamming
-  band): ``compact_banded_index``.
+  band / the substring runner's ``(id, pos, sh)`` window-occurrence
+  index — the largest standing artifact, O(tokens) rows accreting one
+  file per bucket per trigger): ``compact_banded_index``.
 * ``rebucket-index``   — GROW the pinned modulus online (16 → 4096
   without a rebuild): ``rebucket_banded_index``; ``--keys`` names the
-  index's probe keys.
+  index's probe keys (``sh`` for the substring occurrence index).
 * ``compact-vec-index`` — per-cell compaction of the embedding
   index: ``compact_embedding_index``.
 * ``retrain-centroids`` — retrain the embedding index's centroids on
@@ -87,7 +89,8 @@ def parse_args(argv: Sequence[str] | None = None) -> argparse.Namespace:
     ri.add_argument("--path", required=True)
     ri.add_argument("--keys", required=True,
                     help="comma-separated probe key columns, e.g. "
-                    "band,bhash (LSH), band,bv (hamming), text_hash")
+                    "band,bhash (LSH), band,bv (hamming), text_hash "
+                    "(exact), sh (substring occurrence index)")
     ri.add_argument("--factor", type=int, default=2)
 
     cv = sub.add_parser("compact-vec-index", help="per-cell compaction "

@@ -401,11 +401,16 @@ def compact_banded_index(
     min_files: int = 2,
 ) -> dict:
     """Per-bucket small-file compaction for the ``ibucket``-partitioned
-    streaming dedup indexes (exact-hash / LSH band / hamming band —
+    streaming dedup indexes (exact-hash / LSH band / hamming band /
+    the substring runner's ``(id, pos, sh)`` window-occurrence index —
+    any store laid out as ``ibucket=<pmod(xxhash64(keys), n)>`` leaves;
     the twin of ``streaming/similarity.py::compact_embedding_index``
     for cell-partitioned vector indexes): every micro-batch appends
     ~one file per touched bucket, so a standing stream accumulates
-    O(batches) files per hot bucket. Rewrites each ``ibucket=<b>/``
+    O(batches) files per hot bucket. The substring occurrence index is
+    the LARGEST of these by construction (O(tokens) rows vs O(docs))
+    and therefore the one that needs this most — run it on the same
+    between-trigger cadence. Rewrites each ``ibucket=<b>/``
     leaf to ~``target_bytes`` files via ``compact_parquet_dir`` (Hadoop
     FS API — any URI scheme; atomic-swap semantics per its docstring),
     leaf by leaf so the whole index is never rewritten at once and
@@ -448,7 +453,8 @@ def rebucket_banded_index(
     without this, getting from 16 to 4096 meant a full manual
     rebuild). ``key_cols`` must be the index's probe keys (the ones
     every ``_collect_buckets``/``_index_bucket`` call uses —
-    ``("text_hash",)`` / ``("band", "bhash")`` / ``("band", "bv")``):
+    ``("text_hash",)`` / ``("band", "bhash")`` / ``("band", "bv")`` /
+    ``("sh",)`` for the substring window-occurrence index):
     the modulus is only lossless to change because the FULL key rides
     every row, so the new bucket is recomputed from data, never
     derived from the old bucket value.

@@ -261,3 +261,92 @@ def test_curate_stream_orderings(spark, tmp_path):
     )
     assert q2.awaitTermination(120)
     assert spark.read.parquet(os.path.join(out_dir, "batch=*")).count() == 2
+
+
+def test_substring_index_maintenance_mid_replay(spark, tmp_path, capsys):
+    """The (id, pos, sh) occurrence index — the LARGEST standing
+    artifact, O(tokens) rows accreting one file per bucket per trigger
+    — goes through the full maintenance lifecycle MID-replay via the
+    operator CLI (VERDICT r12 task #3): per-bucket compaction, then an
+    online re-bucket (4 -> 8), between micro-batches. The resumed
+    runner adopts the flipped modulus (n_buckets=None — the live
+    _meta adoption rule), retroactive marks against PRE-maintenance
+    occurrences still fire, spans still equal the one-shot run, and a
+    resume pinning the stale modulus fails loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark import maintain_cli
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _ensure_index_buckets,
+        _read_index_pruned,
+    )
+
+    d = tmp_path / "stream"
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run(n_buckets):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(d))
+        )
+        q = run_index_substring_stream(
+            stream, out_dir, index_dir, checkpoint_dir=ckpt, k=K,
+            n_buckets=n_buckets,
+        )
+        assert q.awaitTermination(180)
+
+    # two triggers before maintenance so hot buckets hold >=2 files
+    _one_file(spark, d, "00.parquet", CHUNK0, SCHEMA)
+    _one_file(spark, d, "01.parquet", CHUNK1, SCHEMA)
+    _run(4)
+    before = sorted(
+        map(tuple, spark.read.parquet(index_dir).drop("ibucket").collect())
+    )
+
+    # per-bucket compaction through the CLI (quiesced, between batches)
+    assert maintain_cli.main(["compact-index", "--path", index_dir]) == 0
+    m1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m1["cmd"] == "compact-index" and m1["files_per_bucket"]
+    assert all(int(v) == 1 for v in m1["files_per_bucket"].values())
+
+    # online re-bucket through the CLI: probe key is the window hash
+    assert maintain_cli.main(
+        ["rebucket-index", "--path", index_dir, "--keys", "sh"]
+    ) == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["n_buckets"] == 8
+    assert _ensure_index_buckets(spark, index_dir, None) == 8
+
+    # maintenance is row-preserving and probes stay partition-pruned
+    after = sorted(
+        map(tuple, spark.read.parquet(index_dir).drop("ibucket").collect())
+    )
+    assert before == after
+    plan = (
+        _read_index_pruned(spark, index_dir, [0, 1])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "ibucket" in plan.split("PartitionFilters", 1)[1][:120]
+
+    # a resume pinning the stale modulus fails loudly
+    with _pytest.raises(Exception, match="n_buckets=8"):
+        _ensure_index_buckets(spark, index_dir, 4)
+
+    # the resumed runner adopts the flipped modulus; CHUNK2's copies
+    # still mark RETROACTIVELY against pre-maintenance occurrences
+    _one_file(spark, d, "02.parquet", CHUNK2, SCHEMA)
+    _run(None)
+    got = _spans_set(read_repeated_spans(spark, out_dir, k=K))
+    want = _spans_set(
+        repeated_spans(
+            spark.createDataFrame(ALL_DOCS, SCHEMA), k=K, min_count=2
+        )
+    )
+    assert got == want
