@@ -8,19 +8,45 @@ crawl data arrives, each micro-batch is
 2. cut at a FIXED precomputed threshold (``lm_score >= cutoff``;
    unscorable docs drop with the tail — no evidence is not good
    evidence in a keep-the-best filter, the ``quality_filter`` rule),
-3. exact-deduped against the PERSISTENT bucketed hash index of every
+3. optionally NEAR-deduped against a persistent LSH band index of
+   every gate-passing document seen so far (``near_index_dir=`` —
+   the fuzzy stage a production 100-TB curation stream needs, r12
+   verdict task #1; the batch ``pipeline_curate_mix`` recipe's
+   near-dup analogue, built from the ``run_index_lsh_stream``
+   banding machinery; semantics below),
+4. exact-deduped against the PERSISTENT bucketed hash index of every
    previously KEPT document (the ``run_index_dedup_stream``
    machinery: O(batch) probe I/O pruned to the batch's buckets,
    first-arrival wins, within-batch min-id), and
-4. assigned its deterministic training SHARD (the ``global_shuffle``
+5. assigned its deterministic training SHARD (the ``global_shuffle``
    md5 convention — position-free: within-shard order is a corpus
    property a standing stream deliberately does not claim).
 
+Near-dedup semantics (the min-id band-collision rule): a gate-passing
+document DROPS iff any of its MinHash LSH bands is already held by a
+SMALLER-id gate-passing document — earlier batches' docs via the
+persistent band index, batch-mates via a per-(band, bhash) min. The
+band index covers ALL gate-passing documents (kept AND near-dropped):
+near-duplication is not transitive, so a doc that collides only with
+a near-DROPPED earlier doc must still drop — the corpus already
+carries that content. (Physically the index stores only each band
+value's MIN-id row — a larger-id row can never win a future min, so
+the index is O(distinct band values), not O(gate-passers × bands).) Quality-REJECTED docs never
+band-index (the gate runs first), so a rejected early copy cannot
+near-shadow a later acceptable one — the same non-shadowing ordering
+the exact stage pins. This rule is monotone in arrival order, so the
+union of per-batch survivors under the gated id-ordered replay equals
+the one-shot ``score → cut → min-id band near-dedup → min-id exact
+dedup → shard`` composition the registered oracle spells.
+
 Survivors land under ``out_dir/batch=<id>/`` as ``(id, text_hash,
 lm_score, shard)`` — the append-only feed a training-data loader
-consumes shard-by-shard. The quality gate runs BEFORE the index, so
-rejected documents never consume index space and a rejected early
-copy does not shadow a later acceptable one.
+consumes shard-by-shard (with the near stage enabled, under
+``batch=<id>/kept/``, next to the batch's fresh ``bands/`` — the
+LSH runner's two-artifact layout, so a retry can repair BOTH index
+appends from the committed batch dir). The quality gate runs BEFORE
+the indexes, so rejected documents never consume index space and a
+rejected early copy does not shadow a later acceptable one.
 
 Union-of-batches == one-shot: scoring is stateless against the fixed
 model, the cutoff is a value comparison, the shard is a pure id hash,
@@ -49,6 +75,7 @@ from .dedup import (
     _index_bucket,
     _read_index_pruned,
     _resolve_live_modulus,
+    _touch_success,
 )
 
 
@@ -66,13 +93,28 @@ def run_curate_stream(
     n_buckets: int = 16,
     small_batch: bool = True,
     shard_seed: str = "shuffle-v1",
+    near_index_dir: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
 ):
     """Standing curation runner (see the module docstring). ``cutoff``
     is the precomputed score threshold (e.g. the corpus P20 from a
     calibration run — ``plans/pipeline.py::quality_filter``'s exact
     percentile convention, computed offline exactly like the model);
     ``model_dir`` is ``streaming/quality.py::write_lm_model``'s
-    layout."""
+    layout.
+
+    ``near_index_dir`` enables the fuzzy near-dup stage: a persistent
+    ``(id, band, bhash)`` MinHash LSH band index (the
+    ``run_index_lsh_stream`` banding, bucketed by ``ibucket =
+    pmod(xxhash64(band, bhash), n_buckets)`` with its own ``_meta``)
+    of every gate-passing document. A batch doc drops when any of its
+    bands is held by a smaller-id gate-passer (index or batch-mate);
+    see the module docstring for why dropped docs' bands still index
+    and why this equals the one-shot composition. Per-batch cost is
+    O(batch signatures + touched buckets) — the index never rescans.
+    """
     if not checkpoint_dir:
         raise ValueError(
             "run_curate_stream requires a durable checkpoint_dir: "
@@ -80,23 +122,57 @@ def run_curate_stream(
             "ids survive restarts"
         )
 
+    from ..operators.dedup import band_rows, minhash_signatures
     from ..operators.lm import lm_transition_scores
     from ..operators.training_data import _shuffle_hash
     from .quality import read_lm_model
 
     _resolved: dict = {}
+    # the band index has its own _meta / modulus / non-emptiness
+    # lifecycle — a SEPARATE memo dict, so a re-bucket of one store
+    # can never invalidate (or worse, satisfy) the other's cached
+    # layout facts ("nonempty" is per-dict, the r12 scoped-pop lesson)
+    _resolved_near: dict = {}
     _model: list = []
+
+    def _repair_band_append(spark, committed_bands: DataFrame, bnb: int):
+        """Retry-time repair of a possibly lost band-index append:
+        re-append exactly the committed band rows the index lacks
+        (keyed (id, band, bhash), pruned to their buckets)."""
+        bidx = _read_index_pruned(
+            spark, near_index_dir,
+            _collect_buckets(committed_bands, bnb, "band", "bhash"),
+        )
+        missing = committed_bands if bidx is None else committed_bands.join(
+            bidx, on=[id_col, "band", "bhash"], how="left_anti"
+        )
+        _assert_modulus_unchanged(spark, near_index_dir, _resolved_near)
+        _append_index(
+            missing.withColumn("ibucket", _index_bucket(bnb, "band", "bhash")),
+            near_index_dir,
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         nb = _resolve_live_modulus(spark, index_dir, n_buckets, _resolved)
+        bnb = (
+            _resolve_live_modulus(
+                spark, near_index_dir, n_buckets, _resolved_near
+            )
+            if near_index_dir
+            else None
+        )
         batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
+        kept_out = batch_out + ("/kept" if near_index_dir else "")
+        bands_out = batch_out + "/bands"
         if _fs_exists(spark, batch_out + "/_SUCCESS"):
-            # retried committed batch: repair a possibly lost index
-            # append from the committed survivors (the exact-dedup
-            # runner's branch verbatim; _append_index filters pending
-            # erasure tombstones)
-            committed = spark.read.parquet(batch_out).select("text_hash")
+            # retried committed batch: repair possibly lost index
+            # appends from the committed artifacts (the exact-dedup
+            # runner's branch; _append_index filters pending erasure
+            # tombstones). With the near stage on, the batch dir holds
+            # BOTH halves: kept/ repairs the hash index, bands/ the
+            # band index.
+            committed = spark.read.parquet(kept_out).select("text_hash")
             idx = _read_index_pruned(
                 spark, index_dir,
                 _collect_buckets(committed, nb, "text_hash"),
@@ -111,6 +187,10 @@ def run_curate_stream(
                 ),
                 index_dir,
             )
+            if near_index_dir:
+                _repair_band_append(
+                    spark, spark.read.parquet(bands_out), bnb
+                )
             return
         if not _model:
             # vocab-scale tables probed every trigger: read once per
@@ -133,21 +213,97 @@ def run_curate_stream(
             .withColumn("text_hash", h64(text_col))
         )
         # within-batch dedup: min id per hash carries its own score
-        # (scores are per id, so the struct-min tie is value-free).
+        # (scores are per id, so the struct-min tie is value-free; the
+        # near stage needs the text too — identical hash means
+        # identical text, so the struct-min text is the group's).
         # Eagerly localCheckpoint-ed (the standing-runner rule): the
         # bucket collect, the anti-join, the output write and the
         # index append all start from a flat LogicalRDD instead of
         # re-analyzing the score+hash lineage per action
+        best_cols = [F.col(id_col), F.col("lm_score")] + (
+            [F.col(text_col)] if near_index_dir else []
+        )
         batch_best = (
             kept.groupBy("text_hash")
-            .agg(F.min(F.struct(F.col(id_col), F.col("lm_score"))).alias("__m"))
+            .agg(F.min(F.struct(*best_cols)).alias("__m"))
             .select(
                 "text_hash",
                 F.col(f"__m.{id_col}").alias(id_col),
                 F.col("__m.lm_score").alias("lm_score"),
+                *([F.col(f"__m.{text_col}").alias(text_col)]
+                  if near_index_dir else []),
             )
             .localCheckpoint()
         )
+        fresh_bands = None
+        if near_index_dir:
+            # ---- NEAR stage: min-id band-collision dedup vs the
+            # persistent band index of every gate-passer so far.
+            # ONE signature+banding pass, eagerly checkpointed: the
+            # bucket collect, the probe, the min fold, the batch
+            # artifact and the append all reuse the flat rows.
+            batch_bands = band_rows(
+                minhash_signatures(
+                    batch_best, text_col, id_col, num_hashes
+                ),
+                id_col,
+                bands,
+                rows_per_band,
+            ).localCheckpoint()
+            bidx = _read_index_pruned(
+                spark, near_index_dir,
+                _collect_buckets(batch_bands, bnb, "band", "bhash"),
+                nonempty_memo=_resolved_near,
+            )
+            if bidx is None:
+                gmin = batch_bands.groupBy("band", "bhash").agg(
+                    F.min(id_col).alias("__gmin")
+                )
+                cand_rows = batch_bands.join(gmin, ["band", "bhash"])
+            else:
+                # the bucket prune is coarse; narrow the probed rows to
+                # the batch's band values once, then fold index mins
+                # and within-batch mins into one per-(band, bhash) min
+                touched = bidx.join(
+                    batch_bands.select("band", "bhash").distinct(),
+                    ["band", "bhash"],
+                    "left_semi",
+                )
+                gmin = (
+                    batch_bands.select(id_col, "band", "bhash")
+                    .unionByName(touched.select(id_col, "band", "bhash"))
+                    .groupBy("band", "bhash")
+                    .agg(F.min(id_col).alias("__gmin"))
+                )
+                # rows the index already holds (a redelivered doc's
+                # whole band set, or the min-winning overlap of a
+                # re-ingest) must not re-append — the LSH runner's
+                # partial-match rule
+                cand_rows = batch_bands.join(
+                    touched, on=[id_col, "band", "bhash"], how="left_anti"
+                ).join(gmin, ["band", "bhash"])
+            # only MIN-WINNING rows append: a row whose band value
+            # already has a smaller-id holder can never win a future
+            # per-band min (drop decisions test `holder < id`, and
+            # min_at_arrival < p < f chains), so indexing it is dead
+            # weight — the index stays O(distinct band values), not
+            # O(gate-passers x bands); an exact re-copy of an indexed
+            # doc appends nothing at all. Checkpointed with the bucket
+            # column attached: the batch artifact write and the index
+            # append read the SAME materialized rows (no read-back)
+            fresh_bands = (
+                cand_rows.where(F.col(id_col) == F.col("__gmin"))
+                .select(id_col, "band", "bhash")
+                .withColumn("ibucket", _index_bucket(bnb, "band", "bhash"))
+                .localCheckpoint()
+            )
+            near_drop = (
+                batch_bands.join(gmin, ["band", "bhash"])
+                .where(F.col("__gmin") < F.col(id_col))
+                .select(id_col)
+                .distinct()
+            )
+            batch_best = batch_best.join(near_drop, id_col, "left_anti")
         idx = _read_index_pruned(
             spark, index_dir,
             _collect_buckets(batch_best, nb, "text_hash"),
@@ -161,7 +317,15 @@ def run_curate_stream(
             F.pmod(_shuffle_hash(id_col, shard_seed), F.lit(n_shards))
             .cast("int"),
         ).localCheckpoint()
-        fresh.write.mode("overwrite").parquet(batch_out)
+        fresh.write.mode("overwrite").parquet(kept_out)
+        if near_index_dir:
+            # two sub-artifacts, then the batch dir's OWN _SUCCESS
+            # commits last (the LSH runner's protocol) — a retry can
+            # repair BOTH index appends from the committed halves
+            fresh_bands.drop("ibucket").write.mode("overwrite").parquet(
+                bands_out
+            )
+            _touch_success(spark, batch_out)
         _assert_modulus_unchanged(spark, index_dir, _resolved)
         _append_index(
             fresh.select("text_hash").withColumn(
@@ -170,6 +334,13 @@ def run_curate_stream(
             index_dir,
             small_batch=small_batch,
         )
+        if near_index_dir:
+            _assert_modulus_unchanged(
+                spark, near_index_dir, _resolved_near
+            )
+            _append_index(
+                fresh_bands, near_index_dir, small_batch=small_batch
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_process)

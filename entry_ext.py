@@ -6241,6 +6241,25 @@ def _q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard a pure id hash, dedup keeps first arrival — so the union of
     per-batch survivors equals the one-shot score→cutoff→min-id-dedup
     →shard composition the oracle spells."""
+    return _curate_replay(spark, sf_dir, near=False)
+
+
+def _q_stream_curate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STANDING curation with the FUZZY near-dup stage (streaming/
+    curate.py::run_curate_stream with near_index_dir — the r12
+    verdict's top task): between the quality cut and the exact keep
+    index, each batch is near-deduped against a persistent MinHash LSH
+    band index of every gate-passing document seen so far — a doc
+    drops when any of its bands is held by a smaller-id gate-passer
+    (the min-id band-collision rule; dropped docs' bands still index
+    because near-duplication is not transitive). Monotone in arrival
+    order, so the union of per-batch survivors under the id-ordered
+    replay equals the one-shot score→cut→band-near-dedup→exact-dedup
+    →shard composition the oracle spells."""
+    return _curate_replay(spark, sf_dir, near=True)
+
+
+def _curate_replay(spark: SparkSession, sf_dir: str, near: bool) -> DataFrame:
     import os
     import tempfile
 
@@ -6313,13 +6332,16 @@ def _q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             model_dir=model_dir,
             cutoff=cutoff,
             n_shards=_CURATE_SHARDS,
+            near_index_dir=os.path.join(work, "near_index") if near else None,
         )
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError(
                 "stream_curate availableNow replay exceeded 300s"
             )
-        return spark.read.parquet(os.path.join(work, "out", "batch=*"))
+        return spark.read.parquet(
+            os.path.join(work, "out", "batch=*", *(["kept"] if near else []))
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
@@ -6349,6 +6371,70 @@ WITH lmout AS (
 ), chashed AS (
   SELECT doc_id, {_H64.format(x="text")} AS text_hash, lm_score
   FROM ckept
+), cbest AS (
+  SELECT text_hash, min(doc_id) AS doc_id
+  FROM chashed GROUP BY text_hash
+)
+SELECT b.doc_id, b.text_hash, min(h.lm_score) AS lm_score,
+       CAST({_H64.format(x="'shuffle-v1:' || CAST(b.doc_id AS VARCHAR)")}
+            % {_CURATE_SHARDS} AS INTEGER) AS shard
+FROM cbest b
+JOIN chashed h ON h.text_hash = b.text_hash AND h.doc_id = b.doc_id
+GROUP BY b.doc_id, b.text_hash
+"""
+
+
+def _stream_curate_near_oracle() -> str:
+    """One-shot spelling of the near-enabled standing curation: score
+    → exact P20 cut → min-id BAND near-dedup (a gate-passer drops iff
+    any of its MinHash LSH bands is held by a smaller-id gate-passer —
+    the runner's monotone rule, so the cut/dedup stages commute with
+    the batch boundary exactly like the exact-only composition) →
+    min-id exact dedup over the near-survivors → md5 shard. The band
+    CTEs are the _LSH_ORACLE spelling verbatim, applied to the
+    gate-passing set instead of the whole corpus."""
+    nbands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS bhash FROM nsig"
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH lmout AS (
+{_lm_score_sql("documents", "text")}
+), cscorable AS (
+  SELECT doc_id, lm_score FROM lmout WHERE n_bigrams > 0
+), cranked AS (
+  SELECT lm_score, row_number() OVER (ORDER BY lm_score) AS rn,
+         count(*) OVER () AS n
+  FROM cscorable
+), ccut AS (
+  SELECT lm_score AS t FROM cranked
+  WHERE rn = CAST(ceil(0.2 * n) AS BIGINT)
+), ckept AS (
+  SELECT d.doc_id, d.text, s.lm_score
+  FROM documents d
+  JOIN cscorable s ON d.doc_id = s.doc_id, ccut
+  WHERE s.lm_score >= ccut.t
+), nsh AS (
+  SELECT doc_id, {_SHINGLES} AS __sh FROM ckept
+  WHERE text IS NOT NULL
+), nsig AS (
+  SELECT doc_id, {_minhash_list_sql()} AS minhash FROM nsh
+), nbands AS (
+  {nbands_union}
+), nmin AS (
+  SELECT band, bhash, min(doc_id) AS mid
+  FROM nbands GROUP BY band, bhash
+), ndrop AS (
+  SELECT DISTINCT b.doc_id
+  FROM nbands b JOIN nmin m ON b.band = m.band AND b.bhash = m.bhash
+  WHERE m.mid < b.doc_id
+), nkeep AS (
+  SELECT k.doc_id, k.text, k.lm_score
+  FROM ckept k LEFT JOIN ndrop d ON k.doc_id = d.doc_id
+  WHERE d.doc_id IS NULL
+), chashed AS (
+  SELECT doc_id, {_H64.format(x="text")} AS text_hash, lm_score
+  FROM nkeep
 ), cbest AS (
   SELECT text_hash, min(doc_id) AS doc_id
   FROM chashed GROUP BY text_hash
@@ -7432,6 +7518,7 @@ def ext_queries():
         "text_ccnet_buckets": _q_ccnet_buckets,
         "s_stream_lm_score": _q_stream_lm_score,
         "s_stream_curate": _q_stream_curate,
+        "s_stream_curate_near": _q_stream_curate_near,
         "s_stream_contamination": _q_stream_contamination,
         "sim_label_centroids": _q_label_centroids,
     }
@@ -7583,6 +7670,7 @@ def ext_oracles():
         "text_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "s_stream_lm_score": _LM_SCORE_ORACLE,
         "s_stream_curate": _STREAM_CURATE_ORACLE,
+        "s_stream_curate_near": _stream_curate_near_oracle(),
         "s_stream_contamination": _CONTAMINATION_ORACLE,
         "sim_label_centroids": _LABEL_CENTROIDS_ORACLE,
     }

@@ -350,3 +350,160 @@ def test_substring_index_maintenance_mid_replay(spark, tmp_path, capsys):
         )
     )
     assert got == want
+
+
+def test_curate_near_stream_semantics(spark, tmp_path):
+    """The near-dup stage of the standing curation runner (r12 verdict
+    task #1) — the orderings the one-shot composition cannot see:
+
+    * a quality-REJECTED doc never band-indexes (gate before index);
+    * a later near-dup (similar, NOT identical) of a kept doc drops
+      across batches against the persistent band index;
+    * a near-DROPPED doc's bands still index, so a doc colliding only
+      with the dropped one (near-dup is not transitive) still drops;
+    * an exact re-copy of a kept doc drops via its indexed bands;
+    * replay is a no-op; a redelivered kept doc re-emits nothing and
+      re-appends nothing; forget readmits a later copy.
+
+    The A/B/C texts are chosen so bands(B)∩bands(A) >= 1,
+    bands(C)∩bands(B) >= 1 and bands(C)∩bands(A) == 0 (asserted as a
+    precondition), so C's drop can ONLY come from the dropped B's
+    indexed bands."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions.hashing import (
+        h64,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.dedup import (
+        band_rows,
+        minhash_signatures,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        forget_index_keys,
+        run_curate_stream,
+        write_lm_model,
+    )
+
+    A = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    B = A.replace("gamma", "changedone")
+    C = (B.replace("omicron", "changedtwo")
+          .replace("rho", "changedthree"))
+    D = ("one two three four five six seven eight nine ten "
+         "eleven twelve thirteen fourteen fifteen sixteen")
+    gib = "zz qq xx vv kk jj ww"
+
+    # precondition: the engineered non-transitive band structure
+    tri = spark.createDataFrame(
+        [(1, A), (2, B), (3, C)], "doc_id long, text string"
+    )
+    bs = band_rows(minhash_signatures(tri), "doc_id").collect()
+    bands_of = {i: set() for i in (1, 2, 3)}
+    for r in bs:
+        bands_of[r["doc_id"]].add((r["band"], r["bhash"]))
+    assert bands_of[1] & bands_of[2], "fixture: A and B must collide"
+    assert bands_of[2] & bands_of[3], "fixture: B and C must collide"
+    assert not (bands_of[1] & bands_of[3]), "fixture: A and C must NOT"
+
+    schema = "doc_id long, text string"
+    model_dir = str(tmp_path / "model")
+    write_lm_model(
+        spark.createDataFrame(
+            [(i, A) for i in range(4)] + [(i + 4, D) for i in range(4)],
+            schema,
+        ),
+        model_dir,
+    )
+    # data-derived cutoff: every fluent doc passes, gibberish fails
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.lm import (
+        lm_transition_scores,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.quality import (
+        read_lm_model,
+    )
+
+    probe = spark.createDataFrame(
+        [(1, A), (2, B), (3, C), (4, D), (5, gib)], schema
+    )
+    sc = {
+        r["doc_id"]: r["lm_score"]
+        for r in lm_transition_scores(
+            probe, model=read_lm_model(spark, model_dir)
+        ).collect()
+    }
+    cutoff = min(sc[i] for i in (1, 2, 3, 4))
+    assert sc[5] < cutoff, "fixture: gibberish must fail the gate"
+
+    d = tmp_path / "stream"
+    _one_file(spark, d, "00.parquet", [(1, gib), (2, A)], schema)
+    _one_file(spark, d, "01.parquet", [(3, B), (4, D)], schema)
+    _one_file(spark, d, "02.parquet", [(5, C), (6, A)], schema)
+    out_dir = str(tmp_path / "out")
+    index_dir = str(tmp_path / "index")
+    near_dir = str(tmp_path / "near_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(d))
+        )
+        q = run_curate_stream(
+            stream, out_dir, index_dir, checkpoint_dir=ckpt,
+            model_dir=model_dir, cutoff=cutoff, n_buckets=4,
+            near_index_dir=near_dir,
+        )
+        assert q.awaitTermination(240)
+
+    _run()
+    kept_glob = os.path.join(out_dir, "batch=*", "kept")
+    got = {r["doc_id"] for r in spark.read.parquet(kept_glob).collect()}
+    # 1 quality-rejected; 3 near-dropped vs kept 2 (A~B); 5 dropped
+    # ONLY via the near-DROPPED 3's indexed bands (C∩A empty); 6 an
+    # exact re-copy of 2, dropped via 2's bands
+    assert got == {2, 4}
+
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(near_dir)
+        .select("doc_id").distinct().collect()
+    }
+    # every GATE-PASSER indexes (kept and near-dropped both);
+    # the rejected doc 1 never does; the exact re-copy 6's bands are
+    # all already held under id 2, so nothing of 6 appends
+    assert idx_ids == {2, 3, 4, 5}
+
+    # replay is a no-op: same outputs, no band-index growth
+    n_idx = spark.read.parquet(near_dir).count()
+    _run()
+    assert {
+        r["doc_id"] for r in spark.read.parquet(kept_glob).collect()
+    } == {2, 4}
+    assert spark.read.parquet(near_dir).count() == n_idx
+
+    # source REDELIVERY of the kept doc under a new batch id:
+    # re-emits nothing, re-appends nothing
+    _one_file(spark, d, "03.parquet", [(2, A)], schema)
+    _run()
+    assert {
+        r["doc_id"] for r in spark.read.parquet(kept_glob).collect()
+    } == {2, 4}
+    assert spark.read.parquet(near_dir).count() == n_idx
+
+    # forget doc 2 (and the near-dropped 3, whose bands also cover
+    # A's content) from the band index + doc 2's hash from the keep
+    # index: a LATER copy of A is readmitted
+    forget_index_keys(spark, near_dir, [2, 3], key_col="doc_id")
+    a_hash = spark.createDataFrame([(A,)], "text string").select(
+        h64("text").alias("h")
+    ).first()["h"]
+    forget_index_keys(spark, index_dir, [a_hash], key_col="text_hash")
+    _one_file(spark, d, "04.parquet", [(7, A)], schema)
+    _run()
+    assert {
+        r["doc_id"] for r in spark.read.parquet(kept_glob).collect()
+    } == {2, 4, 7}
