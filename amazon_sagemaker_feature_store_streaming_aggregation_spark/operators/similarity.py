@@ -102,19 +102,41 @@ def _dot(a: str, b: str) -> str:
     return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
 
 
+def _apply_predicate(df: DataFrame, predicate) -> DataFrame:
+    """Metadata-constrained (FILTERED) search support, shared by every
+    top-k operator: apply ``predicate`` (SQL string or Column) to the
+    CORPUS side at operator entry — BEFORE quantization, bucketing,
+    cell assignment or scoring — so when the corpus is a source read
+    the filter reaches the scan (``PushedFilters`` for plain columns;
+    plan-pinned by tests/test_filtered_ann.py), candidate generation
+    only ever sees qualifying vectors, and nothing is ranked and then
+    discarded. Semantics: exact/ANN top-k WITHIN the predicate's
+    subset (the most common real vector-search call — e.g. top-k among
+    ``lang = 'en' AND source = 'web'`` documents); the query side is
+    never filtered."""
+    if predicate is None:
+        return df
+    return df.where(F.expr(predicate) if isinstance(predicate, str) else predicate)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: for each query vector, the k most
     similar corpus vectors (excluding itself), ties broken by vec_id.
 
     Output: ``(query_id, vec_id, cosine, rank)``. The query side is
     broadcast (small by construction); the corpus scan stays narrow.
+    ``predicate`` restricts the corpus side (see
+    :func:`_apply_predicate` — filtered search; extra metadata columns
+    on ``embeddings`` are allowed and dropped after the filter).
     """
+    embeddings = _apply_predicate(embeddings, predicate)
     # zero-norm vectors (all components rounding to 0 at the 1e-6
     # quantization) are EXCLUDED from both sides: cosine is undefined
     # for them (dot/0 -> NULL), and NULL-cosine rows would still
@@ -330,6 +352,7 @@ def ann_srp_topk(
     multi_probe: int = 0,
     bucket_cap: int | None = None,
     corpus_count: int | None = None,
+    predicate=None,
 ) -> DataFrame:
     """Bucketed ANN: exact cosine top-k among SRP bucket collisions
     (candidate = same bucket in ANY of ``n_tables`` tables).
@@ -350,7 +373,12 @@ def ann_srp_topk(
     each survivor joins the per-vector (qvec, squared-norm) computed
     ONCE per vector.
     """
+    # plane policy resolves against the UNFILTERED corpus (the hash
+    # family is a corpus property; a selective predicate must not
+    # change bucket geometry), then the filter applies to every
+    # corpus-side reference — signatures AND the exact re-rank
     n_planes = _resolve_planes(embeddings, n_planes, corpus_count)
+    embeddings = _apply_predicate(embeddings, predicate)
     corpus = _cap_buckets(
         srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
         .select(F.col(id_col).alias("c_id"), "table", "bucket"),
@@ -385,6 +413,7 @@ def ann_topk_batched(
     bucket_cap: int | None = None,
     corpus_count: int | None = None,
     exclude_self: bool = True,
+    predicate=None,
 ) -> DataFrame:
     """Batched-query ANN: SRP-bucket BOTH sides and join on
     ``(table, bucket)`` with NO broadcast of either side.
@@ -408,6 +437,7 @@ def ann_topk_batched(
     must not drop a real neighbor.
     """
     n_planes = _resolve_planes(embeddings, n_planes, corpus_count)
+    embeddings = _apply_predicate(embeddings, predicate)  # see ann_srp_topk
     corpus = _cap_buckets(
         srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
         .select(F.col(id_col).alias("c_id"), "table", "bucket"),
@@ -851,6 +881,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     corpus_count: int | None = None,
     centroids: DataFrame | None = None,
+    predicate=None,
 ) -> DataFrame:
     """IVF(-flat) ANN top-k: corpus vectors are partitioned into
     ``n_cells`` Voronoi cells around seeded centroids; each query scans
@@ -882,6 +913,10 @@ def ivf_topk(
             n_cells = auto_cells(n)
             corpus_count = n
         cents = ivf_centroids(embeddings, n_cells, id_col, vec_col, corpus_count)
+    # cell geometry derives from the UNFILTERED corpus (ann_srp_topk's
+    # plane rule); the filter applies before assignment so only
+    # qualifying vectors are assigned, joined or re-ranked
+    embeddings = _apply_predicate(embeddings, predicate)
     corpus_assign = _ivf_assign(embeddings, cents, 1, id_col, vec_col, "c_id")
     q_assign = _ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
     cand = (
@@ -904,6 +939,7 @@ def ivf_topk_batched(
     corpus_count: int | None = None,
     centroids: DataFrame | None = None,
     exclude_self: bool = True,
+    predicate=None,
 ) -> DataFrame:
     """Batched-query IVF ANN: assign BOTH sides to cells and join on
     ``cell`` with NO broadcast of either side — the IVF twin of
@@ -944,6 +980,7 @@ def ivf_topk_batched(
             n_cells = auto_cells(n)
             corpus_count = n
         cents = ivf_centroids(embeddings, n_cells, id_col, vec_col, corpus_count)
+    embeddings = _apply_predicate(embeddings, predicate)  # see ivf_topk
     corpus_assign = _ivf_assign(embeddings, cents, 1, id_col, vec_col, "c_id")
     q_assign = _ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
     cand = corpus_assign.join(q_assign, on="cell", how="inner")

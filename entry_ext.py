@@ -2659,6 +2659,65 @@ FROM ranked WHERE rank <= {_TOPK_K}
 """
 
 
+#: the filtered-ANN gated key's corpus predicate — a plain metadata
+#: equality, the shape a parquet scan can push (plan-pinned in
+#: tests/test_filtered_ann.py)
+_TOPK_FILTER_PRED = "lang = 'en'"
+
+
+def _q_sim_text_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED (metadata-constrained) exact cosine top-k — the r12
+    verdict's Missing #2: the most common real vector-search call
+    ranks only candidates satisfying a predicate (here ``lang =
+    'en'``), never rank-then-discard. The predicate goes through
+    ``cosine_topk(predicate=...)`` (operators/similarity.py::
+    _apply_predicate — applied to the corpus side BEFORE quantization
+    and scoring; on a direct source read it lands in PushedFilters,
+    plan-pinned by tests/test_filtered_ann.py). Queries stay
+    UNFILTERED (the first 10 doc ids, any language, the sim_text_topk
+    convention): a query needn't satisfy the constraint it searches
+    under."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        cosine_topk,
+        embed_text_hashed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # metadata columns ride through the embed (it APPENDS columns), so
+    # the operator-level predicate can see them; the localCheckpoint
+    # is the embed fan-out barrier (see _q_sim_text_topk)
+    emb = (
+        embed_text_hashed(docs, dims=_EMBED_DIMS)
+        .select(F.col("doc_id").alias("vec_id"), "embedding", "lang")
+        .localCheckpoint()
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    return cosine_topk(emb, queries, k=_TOPK_K, predicate=_TOPK_FILTER_PRED)
+
+
+def _sim_text_topk_filtered_oracle() -> str:
+    cos = _COS_SQL.format(a="c.qv", b="qs.qq")
+    return f"""
+WITH {_hash_qv_prefix()}, qs AS (
+  SELECT vec_id AS query_id, qv AS qq FROM q WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT qs.query_id, c.vec_id AS c_id, {cos} AS cosine
+  FROM q c
+  JOIN documents dd ON dd.doc_id = c.vec_id AND dd.{_TOPK_FILTER_PRED}
+  JOIN qs ON c.vec_id != qs.query_id
+), ranked AS (
+  SELECT query_id, c_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT query_id, c_id AS vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
 # ------------------------------------------- S4b windowed sliding agg (1-min)
 
 
@@ -7519,6 +7578,7 @@ def ext_queries():
         "s_stream_lm_score": _q_stream_lm_score,
         "s_stream_curate": _q_stream_curate,
         "s_stream_curate_near": _q_stream_curate_near,
+        "sim_text_topk_filtered": _q_sim_text_topk_filtered,
         "s_stream_contamination": _q_stream_contamination,
         "sim_label_centroids": _q_label_centroids,
     }
@@ -7671,6 +7731,7 @@ def ext_oracles():
         "s_stream_lm_score": _LM_SCORE_ORACLE,
         "s_stream_curate": _STREAM_CURATE_ORACLE,
         "s_stream_curate_near": _stream_curate_near_oracle(),
+        "sim_text_topk_filtered": _sim_text_topk_filtered_oracle(),
         "s_stream_contamination": _CONTAMINATION_ORACLE,
         "sim_label_centroids": _LABEL_CENTROIDS_ORACLE,
     }

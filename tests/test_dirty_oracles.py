@@ -293,6 +293,7 @@ DIRTY_QUERIES = [
     "text_hash_embed",
     "dedup_semantic_text",
     "sim_text_topk",
+    "sim_text_topk_filtered",
     "sim_text_near_dup",
     # pipelines composing the above
     "pipeline_clean_corpus",
