@@ -6,6 +6,13 @@ from .window_agg import (  # noqa: F401
 )
 from .asof_join import asof_join  # noqa: F401
 from .embedding import embed_text_hashed  # noqa: F401
+from .quality_clf import (  # noqa: F401
+    classify_quality,
+    model_weights_sql,
+    quality_training_fixture,
+    train_quality_classifier,
+    train_quality_classifier_spark,
+)
 from .incremental import delta_scoped_features  # noqa: F401
 from .range_join import range_join  # noqa: F401
 from .salted_join import salted_join  # noqa: F401

@@ -2335,17 +2335,20 @@ def _q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hash_embed_cte(dims: int = _EMBED_DIMS) -> str:
+def _hash_embed_cte(
+    dims: int = _EMBED_DIMS, src: str = "documents", text_col: str = "text"
+) -> str:
     """DuckDB CTE prefix deriving the signed feature-hash vector from
-    documents.text — THE single SQL spelling of embed_text_hashed's
+    ``src.text_col`` — THE single SQL spelling of embed_text_hashed's
     semantics (tokens → md5 60-bit hash → disjoint index/sign bits →
-    signed per-dim sums → exact int64 norm²); both embedding oracles
-    compose it so the two gates can never drift."""
+    signed per-dim sums → exact int64 norm²); every embedding oracle
+    (similarity gates, the quality-classifier gates) composes it so
+    the gates can never drift."""
     return f"""heb_toks AS (
   SELECT doc_id,
-         lower(unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         lower(unnest(list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),
                                   t -> t != ''))) AS tok
-  FROM documents
+  FROM {src}
 ), heb_hashed AS (
   SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
   FROM heb_toks
@@ -6828,6 +6831,95 @@ FROM qscorable s, qcut WHERE s.lm_score >= qcut.t
 """
 
 
+def _clf_margin_cte(src: str = "documents", text_col: str = "text") -> str:
+    """CTE chain ``src`` → ``clfmarg(doc_id, quality_margin)``: the
+    supervised linear quality classifier's EXACT int64 margin
+    (operators/quality_clf.py::classify_quality) — the engine's
+    q_micro integer embedding of each doc dotted with the fixture-
+    trained micro-quantized weights plus the micro²-unit bias, weights
+    inlined as a VALUES table (both engines consume the identical
+    model, trained once per process by the deterministic numpy
+    trainer). Unscorable docs (no tokens / zero-norm bag) have no
+    clfmarg row — callers LEFT JOIN for NULL-margin semantics or
+    inner-join to keep scorable docs only."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        model_weights_sql,
+    )
+
+    wts, bias = model_weights_sql()
+    return f"""{_hash_embed_cte(src=src, text_col=text_col)}, clfq AS (
+  SELECT r.doc_id, r.dim,
+         CAST(round(CAST(r.v AS DOUBLE) * 1000000.0
+                    / sqrt(CAST(n.norm2 AS DOUBLE))) AS BIGINT) AS q
+  FROM heb_raw r JOIN heb_nrm n ON r.doc_id IS NOT DISTINCT FROM n.doc_id
+  WHERE n.norm2 > 0
+), clfmarg AS (
+  SELECT c.doc_id,
+         CAST({bias} + sum(c.q * wts.w) AS BIGINT) AS quality_margin
+  FROM clfq c JOIN {wts} ON wts.dim = c.dim
+  GROUP BY c.doc_id
+)"""
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised quality classifier (operators/quality_clf.py — the
+    r12 verdict's Missing #4, the CCNet/fastText labeled leg): a
+    linear model trained on the built-in labeled fixture (fluent
+    prose positives vs navigation/footer boilerplate negatives;
+    deterministic numpy full-batch GD, the offline-artifact shape)
+    scores every document scan-side — exact int64 margin over the
+    hashed-feature q_micro embedding, quality_keep = margin >= 0
+    (NULL for unscorable docs). Zero shuffles, zero UDFs."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        classify_quality,
+    )
+
+    return classify_quality(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_margin", "quality_keep"
+    )
+
+
+def _quality_classifier_oracle() -> str:
+    return f"""
+WITH {_clf_margin_cte()}
+SELECT d.doc_id, m.quality_margin,
+       m.quality_margin >= 0 AS quality_keep
+FROM documents d
+LEFT JOIN clfmarg m ON d.doc_id IS NOT DISTINCT FROM m.doc_id
+"""
+
+
+def _q_quality_filter_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed quality chain under the SUPERVISED scorer
+    (plans/pipeline.py::quality_filter(scorer='linear', cutoff=0.0)):
+    boilerplate-clean, then keep the docs the fixture-trained linear
+    classifier accepts at its decision boundary — the classifier
+    deployment shape (a fixed threshold, no percentile calibration).
+    The score column keeps the plug-in name lm_score (the margin cast
+    to double — exact, magnitudes sit under 2^53); kept-set
+    divergence vs the lm_order=5 cut is pinned in
+    tests/test_quality_clf.py."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.plans.pipeline import (
+        quality_filter,
+    )
+
+    return quality_filter(
+        load_table(spark, sf_dir, "documents"), scorer="linear", cutoff=0.0
+    )
+
+
+def _quality_filter_linear_oracle() -> str:
+    return f"""
+WITH cleaned AS (
+{_BOILERPLATE_ORACLE}
+), {_clf_margin_cte(src="cleaned", text_col="text_clean")}
+SELECT c.doc_id, CAST(m.quality_margin AS DOUBLE) AS lm_score,
+       CAST(1 AS BIGINT) AS n_scorable, c.n_removed
+FROM cleaned c JOIN clfmarg m ON c.doc_id = m.doc_id
+WHERE CAST(m.quality_margin AS DOUBLE) >= 0.0
+"""
+
+
 def _q_quality_filter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed quality chain under the INTERPOLATED TRIGRAM
     scorer (plans/pipeline.py::quality_filter(lm_order=3)): same
@@ -7572,6 +7664,8 @@ def ext_queries():
         "text_lm5_score": _q_lm5_score,
         "text_clean_boilerplate": _q_boilerplate_lines,
         "pipeline_quality_filter": _q_quality_filter,
+        "text_quality_classifier": _q_quality_classifier,
+        "pipeline_quality_filter_linear": _q_quality_filter_linear,
         "pipeline_quality_filter3": _q_quality_filter3,
         "pipeline_curate_mix": _q_pipeline_curate_mix,
         "text_ccnet_buckets": _q_ccnet_buckets,
@@ -7725,6 +7819,8 @@ def ext_oracles():
         "text_lm5_score": _LM5_SCORE_ORACLE,
         "text_clean_boilerplate": _BOILERPLATE_ORACLE,
         "pipeline_quality_filter": _QUALITY_FILTER_ORACLE,
+        "text_quality_classifier": _quality_classifier_oracle(),
+        "pipeline_quality_filter_linear": _quality_filter_linear_oracle(),
         "pipeline_quality_filter3": _QUALITY_FILTER3_ORACLE,
         "pipeline_curate_mix": _curate_mix_oracle(),
         "text_ccnet_buckets": _CCNET_BUCKETS_ORACLE,

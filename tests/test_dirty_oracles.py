@@ -294,6 +294,8 @@ DIRTY_QUERIES = [
     "dedup_semantic_text",
     "sim_text_topk",
     "sim_text_topk_filtered",
+    "text_quality_classifier",
+    "pipeline_quality_filter_linear",
     "sim_text_near_dup",
     # pipelines composing the above
     "pipeline_clean_corpus",
