@@ -1585,8 +1585,30 @@ FROM zeroed
 # stale, with zero per-round hand edits.
 
 
+# A driver green describes the (query plan, oracle) pair that was live
+# THAT round — when a key's plan or oracle changes semantically in a
+# later round, the old green is evidence about a different computation
+# and must not keep the key out of the gate.  Record such changes here
+# (key -> round the change landed); _gate_history then discounts any
+# green from an earlier round, which mechanically sends the key to the
+# never-green front of the rotation until the driver re-gates it.  This
+# is part of the add-a-key discipline, not a hand-reorder: the rotation
+# ordering itself stays fully derived.  (The four entries below are the
+# r12 re-point of the semantic-text family from the IVF plan to the
+# linear SRP plan — VERDICT r12 "what's wrong #1".)
+_PLAN_CHANGES: dict[str, int] = {
+    "dedup_semantic_text": 12,
+    "sim_text_near_dup": 12,
+    "sim_text_topk": 12,
+    "s_stream_semantic_text": 12,
+}
+
+
 def _gate_history() -> dict[str, int]:
-    """Map query name -> latest round with a fully-green driver row.
+    """Map query name -> latest round with a fully-green driver row
+    that POSTDATES any recorded plan/oracle change for the key
+    (``_PLAN_CHANGES``; an older green describes a different
+    computation and counts as never-green).
 
     Reads the driver-written ``CORRECTNESS_r*.json`` artifacts next to this
     file.  A row counts as green only when it has no error and rows,
@@ -1624,6 +1646,9 @@ def _gate_history() -> dict[str, int]:
             )
             if green:
                 latest[name] = max(latest.get(name, 0), rnd)
+    for name, changed in _PLAN_CHANGES.items():
+        if latest.get(name, 0) < changed:
+            latest.pop(name, None)
     return latest
 
 
