@@ -43,6 +43,7 @@ from .similarity import (  # noqa: F401
     compact_embedding_index,
     heal_centroid_layout,
     recell_embedding_index,
+    probe_embedding_index,
     run_index_embedding_stream,
 )
 from .similarity_pq import (  # noqa: F401

@@ -54,8 +54,17 @@ def run_index_embedding_stream(
     available_now: bool = True,
     broadcast_batch: bool = True,
     materialize_input: bool = False,
+    extra_cols: tuple = (),
 ):
     """Standing semantic near-dup discovery over an embedding stream.
+
+    ``extra_cols`` names stream METADATA columns (e.g. ``label``,
+    ``lang``, ``source``) persisted alongside each index row — the
+    filtered-search contract: :func:`probe_embedding_index` can then
+    push a metadata predicate INTO the pruned ``cell=`` scan
+    (``PushedFilters``) instead of ranking and discarding. They ride
+    the batch artifact, the retry repair, compaction and re-cell
+    unchanged (all row-preserving for non-layout columns).
 
     ``materialize_input=True`` localCheckpoints each micro-batch BEFORE
     the cell assignment — required when the vector column is DERIVED by
@@ -181,7 +190,7 @@ def run_index_embedding_stream(
             )
             committed = (
                 spark.read.parquet(vecs_out)
-                .select(id_col, "qv", "n2")
+                .select(id_col, "qv", "n2", *extra_cols)
                 .join(F.broadcast(cents.where(F.col("cn2") > 0)))
                 .withColumn(
                     "__cos",
@@ -193,7 +202,7 @@ def run_index_embedding_stream(
                 )
                 .withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1)
-                .select(id_col, "cell", "qv", "n2")
+                .select(id_col, "cell", "qv", "n2", *extra_cols)
                 .localCheckpoint()
             )
             cells = [r[0] for r in committed.select("cell").distinct().collect()]
@@ -226,7 +235,10 @@ def run_index_embedding_stream(
             )
             return
         feats = (
-            batch_df.select(F.col(id_col), quantize(vec_col, "qv"))
+            batch_df.select(
+                F.col(id_col), quantize(vec_col, "qv"),
+                *[F.col(c) for c in extra_cols],
+            )
             .where(F.col(id_col).isNotNull())
             .withColumn("n2", F.expr(_dot("qv", "qv")))
             .where(F.col("n2") > 0)
@@ -236,7 +248,7 @@ def run_index_embedding_stream(
         # action (cells collect, anti-join, probe, two writes, append)
         # starts from the materialized rows with a flat plan
         all_rows = assign.join(feats, id_col).select(
-            id_col, "cell", "qv", "n2"
+            id_col, "cell", "qv", "n2", *extra_cols
         ).localCheckpoint()
         # index-nonempty memo: after this runner's first append the
         # answer can never go back to False — skip the recursive FS
@@ -562,9 +574,13 @@ def recell_embedding_index(
     # (the staging layout carries no _tombstones — the re-cell doubles
     # as their physical purge; without this the retrain would learn
     # from AND resurrect forgotten vectors)
+    # every non-layout column survives the rewrite (the filtered-
+    # search extra_cols ride the index rows; dropping them here would
+    # silently break probe predicates after a re-cell)
     rows = apply_index_tombstones(
         spark, base, spark.read.parquet(base)
-    ).select(id_col, "qv", "n2")
+    ).drop("cell")
+    extra = [c for c in rows.columns if c not in (id_col, "qv", "n2")]
     n_rows = rows.count()
     if n_cells is None:
         n_cells = auto_cells(n_rows)
@@ -610,7 +626,7 @@ def recell_embedding_index(
         )
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .select(id_col, "cell", "qv", "n2")
+        .select(id_col, "cell", "qv", "n2", *extra)
     )
 
     _, staging, retired = _swap_names(base)
@@ -658,3 +674,103 @@ def recell_embedding_index(
         )
     return {"n_cells": int(n_cells), "centroid_version": version,
             "n_rows": int(n_rows)}
+
+
+def probe_embedding_index(
+    spark,
+    index_dir: str,
+    centroids_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    predicate=None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k similarity search SERVED from the standing cell index —
+    the batch probe API of :func:`run_index_embedding_stream`'s store
+    (the other half of the filtered-ANN surface next to the batch
+    operators' ``predicate=``).
+
+    Per call: queries assign to their ``nprobe`` nearest cells against
+    the persisted centroid table (broadcast, vocab-scale), the index
+    is read PRUNED to exactly those cells (``PartitionFilters`` on
+    ``cell=`` — a driver-side list bounded by nprobe × queries), and
+    ``predicate`` — a SQL string or Column over the index's
+    ``extra_cols`` metadata — lands IN that same scan
+    (``PushedFilters``), so non-qualifying vectors are skipped at the
+    parquet reader, never ranked and discarded. Pending erasure
+    tombstones anti-join the read (a forgotten vector stops being
+    served immediately). Exact cosine re-rank on the index's stored
+    quantized coordinates; output ``(query_id, vec_id, cosine,
+    rank)`` — the ``cosine_topk`` contract. With ``nprobe >=`` the
+    cell count the probe is EXACT filtered top-k over every indexed
+    vector (the registered oracle states that); smaller ``nprobe`` is
+    the usual IVF recall/latency trade.
+
+    The query side is broadcast (interactive probes are small by
+    construction); corpus-sized query batches should run the batch
+    operators (:func:`~..operators.similarity.ivf_topk_batched`)
+    against the index read instead.
+    """
+    from ..operators.similarity import (
+        _apply_predicate,
+        _dot,
+        _ivf_assign,
+        quantize,
+    )
+
+    base = index_dir.rstrip("/")
+    heal_centroid_layout(spark, base, centroids_dir)
+    cents = spark.read.parquet(centroids_dir.rstrip("/"))
+    q_assign = _ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
+    qfeats = (
+        queries.select(F.col(id_col).alias("query_id"), quantize(vec_col, "q_q"))
+        .withColumn("q_n2", F.expr(_dot("q_q", "q_q")))
+        .where(F.col("q_n2") > 0)
+    )
+    q_side = F.broadcast(
+        q_assign.join(qfeats, "query_id").select(
+            "query_id", "cell", "q_q", "q_n2"
+        ).localCheckpoint()
+    )
+    cells = [r[0] for r in q_side.select("cell").distinct().collect()]
+    if not cells or not _fs_has_parquet_recursive(spark, base):
+        return spark.range(0).select(
+            F.col("id").alias("query_id"),
+            F.col("id").alias(id_col),
+            F.col("id").cast("double").alias("cosine"),
+            F.col("id").cast("int").alias("rank"),
+        )
+    idx = _apply_predicate(
+        apply_index_tombstones(
+            spark,
+            base,
+            spark.read.parquet(base).where(F.col("cell").isin(cells)),
+        ),
+        predicate,
+    )
+    scored = idx.join(q_side, on="cell").withColumn(
+        "cosine",
+        F.expr(_dot("qv", "q_q")).cast("double")
+        / (
+            F.sqrt(F.col("n2").cast("double"))
+            * F.sqrt(F.col("q_n2").cast("double"))
+        ),
+    )
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col("query_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        # a vector probed through several of a query's nprobe cells
+        # appears once per (query, id) thanks to the one-cell-per-
+        # vector index layout, so no candidate dedup pass is needed
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

@@ -460,6 +460,124 @@ def _q_stream_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+def _q_sim_index_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED top-k SERVED from the standing vector index
+    (streaming/similarity.py::probe_embedding_index — the standing-
+    index half of the r12 verdict's Missing #2, next to the batch
+    operators' predicate=): the embeddings table replays as two
+    micro-batches into the cell-partitioned index CARRYING its label
+    metadata (extra_cols), then the probe ranks only ``label = 1``
+    vectors — the predicate pushed into the pruned cell scan
+    (PushedFilters; plan-pinned in tests/test_streaming_similarity),
+    never rank-then-discard. nprobe = the full cell count, so the
+    probe is EXACT filtered top-k over every indexed vector and the
+    oracle is the label-filtered cosine_topk spelling."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        ivf_centroids,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        probe_embedding_index,
+        run_index_embedding_stream,
+    )
+    from __spark_entry__ import _set_stream_partitions
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    ids = sorted(x.as_py() for x in t.column("vec_id") if x.as_py() is not None)
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="sidx_src_")
+    work = tempfile.mkdtemp(prefix="sidx_work_")
+    key = t.column("vec_id")
+    in_b0 = pc.or_kleene(pc.less(key, mid), pc.is_null(key))
+    pq.write_table(
+        t.filter(pc.fill_null(in_b0, True)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        t.filter(pc.fill_null(pc.invert(in_b0), False)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    cents_dir = os.path.join(work, "centroids")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = _ivf_cells_for(sf_dir)
+    ivf_centroids(
+        emb, n_cells, corpus_count=_emb_count(sf_dir)
+    ).write.parquet(cents_dir)
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("vec_id long, embedding array<double>, label int")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        q = run_index_embedding_stream(
+            stream,
+            os.path.join(work, "out"),
+            os.path.join(work, "index"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            centroids_dir=cents_dir,
+            threshold=_SEMDEDUP_THRESHOLD,
+            extra_cols=("label",),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "sim_index_topk_filtered availableNow replay exceeded 300s"
+            )
+        return probe_embedding_index(
+            spark,
+            os.path.join(work, "index"),
+            cents_dir,
+            emb.filter(F.col("vec_id") < _N_QUERIES),
+            k=_TOPK_K,
+            nprobe=n_cells,
+            predicate="label = 1",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+_SIM_INDEX_TOPK_FILTERED_ORACLE_TMPL = """
+WITH q0 AS (
+  SELECT vec_id AS query_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS qq
+  FROM embeddings WHERE vec_id < {n_queries}
+), q AS (
+  SELECT * FROM q0 WHERE len(list_filter(qq, x -> x != 0)) > 0
+), c0 AS (
+  -- the probe's predicate restricts the INDEX side only; NULL ids
+  -- never index (the runner's isNotNull guard)
+  SELECT vec_id AS c_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS cq
+  FROM embeddings WHERE label = 1 AND vec_id IS NOT NULL
+), c AS (
+  SELECT * FROM c0 WHERE len(list_filter(cq, x -> x != 0)) > 0
+), scored AS (
+  SELECT q.query_id, c.c_id,
+         {cos} AS cosine
+  FROM c JOIN q ON c.c_id != q.query_id
+), ranked AS (
+  SELECT query_id, c_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT query_id, c_id AS vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 _SPQ_SHORTLIST = 8
 
 
@@ -7645,6 +7763,7 @@ def ext_queries():
         "dedup_inc_lsh_append": _q_lsh_append,
         "s_stream_lsh_index": _q_stream_lsh_index,
         "s_stream_semantic_index": _q_stream_semantic_index,
+        "sim_index_topk_filtered": _q_sim_index_topk_filtered,
         "s_stream_semantic_text": _q_stream_semantic_text,
         "s_stream_semantic_pq": _q_stream_semantic_pq,
         "s_stream_semantic_text_pq": _q_stream_semantic_text_pq,
@@ -7715,6 +7834,10 @@ def ext_oracles():
         "text_pii_scan": _pii_oracle(),
         "text_fingerprint": _FP_ORACLE,
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
+        "sim_index_topk_filtered": _SIM_INDEX_TOPK_FILTERED_ORACLE_TMPL.format(
+            n_queries=_N_QUERIES, k=_TOPK_K,
+            cos=_COS_SQL.format(a="c.cq", b="q.qq"),
+        ),
         "s4_sliding_windowed": _SLIDING_WINDOWED_ORACLE,
         "sim_ann_srp_topk": _ann_oracle(),
         "sim_ann_batched_topk": _ann_oracle(_BATCH_QUERY_PRED),

@@ -583,3 +583,90 @@ def test_retry_repair_reassigns_cells_after_recell(spark, tmp_path):
         ).collect()
     }
     assert {(0, 20), (1, 20), (10, 20)} <= pairs
+
+
+def test_probe_embedding_index_filtered(spark, tmp_path, corpus):
+    """The standing index as a FILTERED vector-search server
+    (probe_embedding_index + extra_cols): metadata rides the index
+    rows, the probe's predicate lands in the pruned cell scan
+    (PushedFilters + PartitionFilters — never rank-then-discard),
+    nprobe = all cells makes the probe exact vs the hand-filtered
+    brute-force baseline, extras SURVIVE a centroid retrain/re-cell,
+    and a forgotten vector stops being served immediately."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        cosine_topk,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        forget_index_keys,
+        probe_embedding_index,
+        recell_embedding_index,
+    )
+
+    labeled = [
+        (i, v, None if i == 998 else int(i % 2)) for i, v in corpus
+    ]
+    schema = "vec_id long, embedding array<double>, label int"
+    emb = spark.createDataFrame(labeled, schema)
+    work = str(tmp_path / "work")
+    cents_dir = os.path.join(work, "centroids")
+    n_cells = 4
+    ivf_centroids(emb, n_cells).write.parquet(cents_dir)
+    path = _write_chunks(
+        spark, tmp_path, [labeled[: len(labeled) // 2],
+                          labeled[len(labeled) // 2:]], schema,
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = run_index_embedding_stream(
+        stream,
+        os.path.join(work, "out"),
+        os.path.join(work, "index"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        centroids_dir=cents_dir,
+        threshold=0.99,
+        extra_cols=("label",),
+    )
+    assert q.awaitTermination(180)
+    index_dir = os.path.join(work, "index")
+    assert "label" in spark.read.parquet(index_dir).columns
+
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    def probe(**kw):
+        return probe_embedding_index(
+            spark, index_dir, cents_dir, queries,
+            k=4, nprobe=n_cells, predicate="label = 1", **kw
+        )
+
+    def pairs(df):
+        return {(r["query_id"], r["vec_id"], r["rank"]) for r in df.collect()}
+
+    want = pairs(cosine_topk(emb.where("label = 1"), queries, k=4))
+    got_df = probe()
+    assert pairs(got_df) == want
+
+    # the predicate and the cell prune both land in the INDEX scan
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:120]
+    pushed = [s.split("]")[0] for s in plan.split("PushedFilters: [")[1:]]
+    assert any("label" in s for s in pushed), plan
+
+    # extras survive the full re-cell rewrite; the probe still serves
+    recell_embedding_index(
+        spark, index_dir, cents_dir, n_cells=n_cells, max_iter=2
+    )
+    assert "label" in spark.read.parquet(index_dir).columns
+    assert pairs(probe()) == want
+
+    # erasure: a forgotten vector stops being served at the next probe
+    victim = sorted(v for _, v, _ in want)[0]
+    forget_index_keys(
+        spark, index_dir, [victim], key_col="vec_id", part_col="cell"
+    )
+    after = pairs(probe())
+    assert victim not in {v for _, v, _ in after}
