@@ -97,6 +97,8 @@ def run_curate_stream(
     num_hashes: int = 16,
     bands: int = 4,
     rows_per_band: int = 4,
+    scorer: str = "lm",
+    clf_model=None,
 ):
     """Standing curation runner (see the module docstring). ``cutoff``
     is the precomputed score threshold (e.g. the corpus P20 from a
@@ -104,6 +106,20 @@ def run_curate_stream(
     percentile convention, computed offline exactly like the model);
     ``model_dir`` is ``streaming/quality.py::write_lm_model``'s
     layout.
+
+    ``scorer='linear'`` gates with the SUPERVISED quality classifier
+    instead of the n-gram LM (``operators/quality_clf.py`` — the
+    CCNet/fastText labeled leg; the ``quality_filter(scorer=...)``
+    plug-in applied to the standing path): each batch scores
+    scan-side (exact int64 margin, zero shuffles, no model table to
+    probe — the weights ride the plan as literals), the gate is
+    ``margin >= cutoff`` in micro²-units (``cutoff=0`` = the trained
+    decision boundary), and the survivors' score column keeps the
+    plug-in name ``lm_score`` (the margin cast to double — exact,
+    magnitudes sit under 2^53). ``clf_model`` pins a specific
+    :class:`~..operators.quality_clf.QualityModel` (e.g. from the
+    distributed trainer); default = the deterministic fixture-trained
+    artifact. ``model_dir`` is ignored for this scorer.
 
     ``near_index_dir`` enables the fuzzy near-dup stage: a persistent
     ``(id, band, bhash)`` MinHash LSH band index (the
@@ -121,11 +137,18 @@ def run_curate_stream(
             "batch-id-based retry idempotency is only safe when batch "
             "ids survive restarts"
         )
+    if scorer not in ("lm", "linear"):
+        raise ValueError(f"scorer must be 'lm' or 'linear', got {scorer}")
 
     from ..operators.dedup import band_rows, minhash_signatures
     from ..operators.lm import lm_transition_scores
     from ..operators.training_data import _shuffle_hash
     from .quality import read_lm_model
+
+    if scorer == "linear" and clf_model is None:
+        from ..operators.quality_clf import train_quality_classifier
+
+        clf_model = train_quality_classifier()
 
     _resolved: dict = {}
     # the band index has its own _meta / modulus / non-emptiness
@@ -192,26 +215,67 @@ def run_curate_stream(
                     spark, spark.read.parquet(bands_out), bnb
                 )
             return
-        if not _model:
-            # vocab-scale tables probed every trigger: read once per
-            # runner and persist (the centroid-cache rule — a lazy
-            # handle would re-scan the model parquet per batch)
-            _model.append(
-                tuple(df.persist() for df in read_lm_model(spark, model_dir))
+        if scorer == "linear":
+            from ..operators.quality_clf import classify_quality
+
+            # the margin is scan-side (weights are plan literals — no
+            # model table), but its interpreted expression tree is
+            # LARGE (the hashed-feature fold under a 64-literal dot):
+            # a filter ON the margin column before materialization
+            # duplicates that tree into the optimizer (predicate
+            # pushdown substitutes it into the condition) and the
+            # fixed-point rule passes over the doubled tree cost ~35 s
+            # per batch — measured, execution was never the problem.
+            # So: checkpoint the THIN (id, margin) frame FIRST (the
+            # margin appears exactly once in the optimized plan; the
+            # id not-null filter is margin-free and pushes for free),
+            # apply the cut on the flat frame, join back for the text
+            # — the LM path's exact shape.
+            margins = (
+                classify_quality(
+                    batch_df, model=clf_model,
+                    id_col=id_col, text_col=text_col,
+                )
+                .where(F.col(id_col).isNotNull())
+                .select(id_col, "quality_margin")
+                .localCheckpoint()
             )
-        scores = lm_transition_scores(
-            batch_df, id_col=id_col, text_col=text_col, model=_model[0]
-        )
-        kept = (
-            batch_df.join(
-                scores.where(
-                    (F.col("n_bigrams") > 0)
-                    & (F.col("lm_score") >= F.lit(float(cutoff)))
-                ).select(id_col, "lm_score"),
-                id_col,
+            kept = (
+                batch_df.join(
+                    margins.where(
+                        F.col("quality_margin") >= F.lit(int(cutoff))
+                    ).select(
+                        id_col,
+                        F.col("quality_margin").cast("double")
+                        .alias("lm_score"),
+                    ),
+                    id_col,
+                )
+                .withColumn("text_hash", h64(text_col))
             )
-            .withColumn("text_hash", h64(text_col))
-        )
+        else:
+            if not _model:
+                # vocab-scale tables probed every trigger: read once per
+                # runner and persist (the centroid-cache rule — a lazy
+                # handle would re-scan the model parquet per batch)
+                _model.append(
+                    tuple(
+                        df.persist() for df in read_lm_model(spark, model_dir)
+                    )
+                )
+            scores = lm_transition_scores(
+                batch_df, id_col=id_col, text_col=text_col, model=_model[0]
+            )
+            kept = (
+                batch_df.join(
+                    scores.where(
+                        (F.col("n_bigrams") > 0)
+                        & (F.col("lm_score") >= F.lit(float(cutoff)))
+                    ).select(id_col, "lm_score"),
+                    id_col,
+                )
+                .withColumn("text_hash", h64(text_col))
+            )
         # within-batch dedup: min id per hash carries its own score
         # (scores are per id, so the struct-min tie is value-free; the
         # near stage needs the text too — identical hash means

@@ -6439,7 +6439,22 @@ def _q_stream_curate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curate_replay(spark, sf_dir, near=True)
 
 
-def _curate_replay(spark: SparkSession, sf_dir: str, near: bool) -> DataFrame:
+def _q_stream_curate_clf_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production curation composition as one standing job
+    (run_curate_stream(scorer='linear', near_index_dir=...)): each
+    micro-batch is gated by the SUPERVISED quality classifier at its
+    trained decision boundary (scan-side exact-int64 margin — no model
+    table, the weights ride the plan), near-deduped against the
+    persistent LSH band index of every gate-passer, exact-deduped
+    against the keep index, and sharded. Union-of-batches == one-shot
+    by the same monotonicity arguments as s_stream_curate_near; the
+    oracle swaps the LM-score CTEs for the classifier margin CTE."""
+    return _curate_replay(spark, sf_dir, near=True, scorer="linear")
+
+
+def _curate_replay(
+    spark: SparkSession, sf_dir: str, near: bool, scorer: str = "lm"
+) -> DataFrame:
     import os
     import tempfile
 
@@ -6476,26 +6491,35 @@ def _curate_replay(spark: SparkSession, sf_dir: str, near: bool) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     model_dir = os.path.join(work, "model")
-    write_lm_model(docs, model_dir)
-    # the offline calibration: exact P20 of the scorable corpus scores
-    # (smallest score with rank >= ceil(0.2 * n) — the quality_filter
-    # spelling, one thin-column driver read)
-    scorable = lm_transition_scores(docs).where(F.col("n_bigrams") > 0)
-    ranked = (
-        scorable.select("lm_score")
-        .withColumn("__rn", F.row_number().over(Window.orderBy("lm_score")))
-        .withColumn("__n", F.count("*").over(Window.partitionBy()))
-    )
-    cut_rows = ranked.where(
-        F.col("__rn") == F.ceil(F.lit(0.2) * F.col("__n")).cast("int")
-    ).collect()
-    if not cut_rows:
-        raise ValueError(
-            "stream_curate calibration found no scorable documents "
-            f"under {sf_dir} (every text NULL or single-token?) — "
-            "cannot derive a quality cutoff"
+    if scorer == "linear":
+        # the classifier gate needs no corpus-trained model or
+        # percentile calibration: the offline artifact is the
+        # deterministic fixture-trained weights, the cutoff its
+        # trained decision boundary
+        cutoff = 0.0
+    else:
+        write_lm_model(docs, model_dir)
+        # the offline calibration: exact P20 of the scorable corpus
+        # scores (smallest score with rank >= ceil(0.2 * n) — the
+        # quality_filter spelling, one thin-column driver read)
+        scorable = lm_transition_scores(docs).where(F.col("n_bigrams") > 0)
+        ranked = (
+            scorable.select("lm_score")
+            .withColumn(
+                "__rn", F.row_number().over(Window.orderBy("lm_score"))
+            )
+            .withColumn("__n", F.count("*").over(Window.partitionBy()))
         )
-    cutoff = float(cut_rows[0]["lm_score"])
+        cut_rows = ranked.where(
+            F.col("__rn") == F.ceil(F.lit(0.2) * F.col("__n")).cast("int")
+        ).collect()
+        if not cut_rows:
+            raise ValueError(
+                "stream_curate calibration found no scorable documents "
+                f"under {sf_dir} (every text NULL or single-token?) — "
+                "cannot derive a quality cutoff"
+            )
+        cutoff = float(cut_rows[0]["lm_score"])
     old_parts = _set_stream_partitions(spark)
     try:
         stream = (
@@ -6513,6 +6537,7 @@ def _curate_replay(spark: SparkSession, sf_dir: str, near: bool) -> DataFrame:
             cutoff=cutoff,
             n_shards=_CURATE_SHARDS,
             near_index_dir=os.path.join(work, "near_index") if near else None,
+            scorer=scorer,
         )
         if not q.awaitTermination(300):
             q.stop()
@@ -6564,37 +6589,19 @@ GROUP BY b.doc_id, b.text_hash
 """
 
 
-def _stream_curate_near_oracle() -> str:
-    """One-shot spelling of the near-enabled standing curation: score
-    → exact P20 cut → min-id BAND near-dedup (a gate-passer drops iff
-    any of its MinHash LSH bands is held by a smaller-id gate-passer —
-    the runner's monotone rule, so the cut/dedup stages commute with
-    the batch boundary exactly like the exact-only composition) →
-    min-id exact dedup over the near-survivors → md5 shard. The band
-    CTEs are the _LSH_ORACLE spelling verbatim, applied to the
-    gate-passing set instead of the whole corpus."""
+def _curate_near_tail() -> str:
+    """The near-dedup → exact-dedup → shard tail, shared by every
+    near-enabled curation oracle (a ``ckept(doc_id, text, lm_score)``
+    CTE must precede it): min-id BAND near-dedup (a gate-passer drops
+    iff any of its MinHash LSH bands is held by a smaller-id
+    gate-passer — the runner's monotone rule, the _LSH_ORACLE band
+    spelling verbatim), then min-id exact dedup over the
+    near-survivors, then the md5 shard."""
     nbands_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS bhash FROM nsig"
         for b in range(_BANDS)
     )
-    return f"""
-WITH lmout AS (
-{_lm_score_sql("documents", "text")}
-), cscorable AS (
-  SELECT doc_id, lm_score FROM lmout WHERE n_bigrams > 0
-), cranked AS (
-  SELECT lm_score, row_number() OVER (ORDER BY lm_score) AS rn,
-         count(*) OVER () AS n
-  FROM cscorable
-), ccut AS (
-  SELECT lm_score AS t FROM cranked
-  WHERE rn = CAST(ceil(0.2 * n) AS BIGINT)
-), ckept AS (
-  SELECT d.doc_id, d.text, s.lm_score
-  FROM documents d
-  JOIN cscorable s ON d.doc_id = s.doc_id, ccut
-  WHERE s.lm_score >= ccut.t
-), nsh AS (
+    return f""", nsh AS (
   SELECT doc_id, {_SHINGLES} AS __sh FROM ckept
   WHERE text IS NOT NULL
 ), nsig AS (
@@ -6626,6 +6633,46 @@ FROM cbest b
 JOIN chashed h ON h.text_hash = b.text_hash AND h.doc_id = b.doc_id
 GROUP BY b.doc_id, b.text_hash
 """
+
+
+def _stream_curate_near_oracle() -> str:
+    """One-shot spelling of the near-enabled standing curation: score
+    → exact P20 cut → the shared near/exact/shard tail
+    (:func:`_curate_near_tail` — the cut and both dedup stages commute
+    with the batch boundary exactly like the exact-only
+    composition)."""
+    return f"""
+WITH lmout AS (
+{_lm_score_sql("documents", "text")}
+), cscorable AS (
+  SELECT doc_id, lm_score FROM lmout WHERE n_bigrams > 0
+), cranked AS (
+  SELECT lm_score, row_number() OVER (ORDER BY lm_score) AS rn,
+         count(*) OVER () AS n
+  FROM cscorable
+), ccut AS (
+  SELECT lm_score AS t FROM cranked
+  WHERE rn = CAST(ceil(0.2 * n) AS BIGINT)
+), ckept AS (
+  SELECT d.doc_id, d.text, s.lm_score
+  FROM documents d
+  JOIN cscorable s ON d.doc_id = s.doc_id, ccut
+  WHERE s.lm_score >= ccut.t
+){_curate_near_tail()}"""
+
+
+def _stream_curate_clf_near_oracle() -> str:
+    """One-shot spelling of the CLASSIFIER-gated near-enabled standing
+    curation: the supervised margin gate at the trained decision
+    boundary (the _clf_margin_cte spelling, margin cast to double as
+    the plug-in lm_score), then the shared near/exact/shard tail."""
+    return f"""
+WITH {_clf_margin_cte()}, ckept AS (
+  SELECT d.doc_id, d.text, CAST(m.quality_margin AS DOUBLE) AS lm_score
+  FROM documents d
+  JOIN clfmarg m ON d.doc_id = m.doc_id
+  WHERE m.quality_margin >= 0
+){_curate_near_tail()}"""
 
 
 def _q_lm3_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7791,6 +7838,7 @@ def ext_queries():
         "s_stream_lm_score": _q_stream_lm_score,
         "s_stream_curate": _q_stream_curate,
         "s_stream_curate_near": _q_stream_curate_near,
+        "s_stream_curate_clf_near": _q_stream_curate_clf_near,
         "sim_text_topk_filtered": _q_sim_text_topk_filtered,
         "s_stream_contamination": _q_stream_contamination,
         "sim_label_centroids": _q_label_centroids,
@@ -7950,6 +7998,7 @@ def ext_oracles():
         "s_stream_lm_score": _LM_SCORE_ORACLE,
         "s_stream_curate": _STREAM_CURATE_ORACLE,
         "s_stream_curate_near": _stream_curate_near_oracle(),
+        "s_stream_curate_clf_near": _stream_curate_clf_near_oracle(),
         "sim_text_topk_filtered": _sim_text_topk_filtered_oracle(),
         "s_stream_contamination": _CONTAMINATION_ORACLE,
         "sim_label_centroids": _LABEL_CENTROIDS_ORACLE,

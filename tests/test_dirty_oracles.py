@@ -419,6 +419,7 @@ DIRTY_STREAM_QUERIES = [
     "s_stream_lm_score",
     "s_stream_curate",
     "s_stream_curate_near",
+    "s_stream_curate_clf_near",
     "s_stream_contamination",
     "s_stream_substring",
     "s4_sliding_agg",
