@@ -507,3 +507,76 @@ def test_curate_near_stream_semantics(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(kept_glob).collect()
     } == {2, 4, 7}
+
+
+def test_curate_clf_gate_orderings(spark, tmp_path):
+    """The classifier-gated standing curation (scorer='linear'): a
+    boilerplate doc is rejected by the supervised gate and never
+    enters either index (a later prose doc with near-identical
+    BOILERPLATE text is irrelevant — but a rejected PROSE-like copy
+    must not shadow a later identical acceptable one), accepted docs
+    near-dedup and exact-dedup across batches, and the emitted score
+    column is the margin under the plug-in name lm_score."""
+    import os
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.quality_clf import (
+        classify_quality,
+        train_quality_classifier,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_curate_stream,
+    )
+
+    prose = ("the query reads the data so the sort can stay fast "
+             "while the stream stays live and the join stays cheap")
+    prose2 = prose.replace("cheap", "small")   # near-dup of prose
+    other = ("a window groups each row until the batch is done "
+             "and the value stays in order as the merge runs")
+    boiler = "click here to subscribe home about contact privacy policy"
+    schema = "doc_id long, text string"
+
+    # fixture precondition: the trained gate separates these
+    model = train_quality_classifier()
+    probe = spark.createDataFrame(
+        [(1, prose), (2, prose2), (3, other), (4, boiler)], schema
+    )
+    keep = {
+        r["doc_id"]: r["quality_keep"]
+        for r in classify_quality(probe, model).collect()
+    }
+    assert keep == {1: True, 2: True, 3: True, 4: False}
+
+    d = tmp_path / "stream"
+    _one_file(spark, d, "00.parquet", [(1, boiler), (2, prose)], schema)
+    _one_file(spark, d, "01.parquet",
+              [(3, prose2), (4, other), (5, prose)], schema)
+    out_dir = str(tmp_path / "out")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    q = run_curate_stream(
+        stream, out_dir, str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        model_dir=None, cutoff=0, n_buckets=4,
+        near_index_dir=str(tmp_path / "near"),
+        scorer="linear",
+    )
+    assert q.awaitTermination(240)
+    rows = spark.read.parquet(os.path.join(out_dir, "batch=*", "kept"))
+    got = {r["doc_id"]: r["lm_score"] for r in rows.collect()}
+    # 1 rejected by the gate; 3 near-dup of the ACCEPTED 2 (its band
+    # index row, not the rejected 1's absence, decides); 5 an exact
+    # re-copy of 2 -> dropped; 2 and 4 kept with positive margins
+    assert set(got) == {2, 4}
+    assert all(v is not None and v >= 0 for v in got.values())
+    # the rejected doc never entered the band index
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "near"))
+        .select("doc_id").distinct().collect()
+    }
+    assert 1 not in idx_ids and 2 in idx_ids
