@@ -35,6 +35,7 @@ from .curate import run_curate_stream  # noqa: F401
 from .quality import (  # noqa: F401
     read_lm_model,
     run_contamination_stream,
+    run_clf_score_stream,
     run_lm_score_stream,
     write_benchmark_shingles,
     write_lm_model,

@@ -115,6 +115,66 @@ def run_lm_score_stream(
     return writer.start()
 
 
+def run_clf_score_stream(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    model=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Standing SUPERVISED quality scoring — the classifier twin of
+    :func:`run_lm_score_stream`: per micro-batch, score against the
+    linear quality model (``operators/quality_clf.py`` — the model is
+    the offline artifact; its weights ride the plan as literals, so
+    unlike the LM path there is no model table to read or probe) and
+    write ``out_dir/batch=<id>/scores/`` — ``(id, quality_margin,
+    quality_keep)``, the batch operator's exact output shape. The
+    keep decision is emitted but thresholding at other cutoffs stays
+    downstream policy, exactly like the LM scores.
+
+    Scoring is stateless against the fixed model, so union-of-batches
+    == one-shot ``classify_quality`` over everything ingested (the
+    registered oracle states that) and retried committed batches skip
+    wholesale (``_SUCCESS`` gate — nothing to repair). The margin's
+    large interpreted tree lands in exactly ONE optimized plan per
+    batch (the scores write); no filter touches it pre-write (the
+    curate runner's optimizer-blowup lesson).
+    """
+    if not checkpoint_dir:
+        raise ValueError(
+            "run_clf_score_stream requires a durable checkpoint_dir: "
+            "batch-id-based retry idempotency is only safe when batch "
+            "ids survive restarts"
+        )
+
+    from ..operators.quality_clf import classify_quality, train_quality_classifier
+
+    if model is None:
+        model = train_quality_classifier()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
+        if _fs_exists(spark, batch_out + "/_SUCCESS"):
+            return
+        scores = classify_quality(
+            batch_df, model=model, id_col=id_col, text_col=text_col
+        ).select(id_col, "quality_margin", "quality_keep")
+        scores.write.mode("overwrite").parquet(batch_out + "/scores")
+        _touch_success(spark, batch_out)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_benchmark_shingles(
     benchmark: DataFrame,
     shingle_dir: str,

@@ -6895,6 +6895,69 @@ FROM {src} d LEFT JOIN agg a ON d.doc_id = a.doc_id
 _LM5_SCORE_ORACLE = _lm5_score_sql()
 
 
+def _q_stream_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing SUPERVISED quality scoring (streaming/quality.py::
+    run_clf_score_stream — the classifier twin of s_stream_lm_score):
+    the documents corpus replays as TWO micro-batches scored
+    statelessly against the fixture-trained linear model (scan-side
+    exact-int64 margins; the weights ride the plan, no model table).
+    Scoring depends only on each doc's own tokens and the fixed
+    weights, so the union of per-batch scores equals the one-shot
+    classify_quality run — the oracle is the batch classifier oracle
+    verbatim."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_clf_score_stream,
+    )
+    from __spark_entry__ import _set_stream_partitions
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = sorted(x.as_py() for x in t.column("doc_id") if x.as_py() is not None)
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="sclf_src_")
+    work = tempfile.mkdtemp(prefix="sclf_work_")
+    key = t.column("doc_id")
+    in_b0 = pc.or_kleene(pc.less(key, mid), pc.is_null(key))
+    pq.write_table(
+        t.filter(pc.fill_null(in_b0, True)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        t.filter(pc.fill_null(pc.invert(in_b0), False)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        q = run_clf_score_stream(
+            stream,
+            os.path.join(work, "out"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_clf_score availableNow replay exceeded 300s"
+            )
+        return spark.read.parquet(
+            os.path.join(work, "out", "batch=*", "scores")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 def _q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing LM quality scoring (streaming/quality.py::
     run_lm_score_stream): the bigram model is fitted ONCE on the full
@@ -7836,6 +7899,7 @@ def ext_queries():
         "pipeline_curate_mix": _q_pipeline_curate_mix,
         "text_ccnet_buckets": _q_ccnet_buckets,
         "s_stream_lm_score": _q_stream_lm_score,
+        "s_stream_clf_score": _q_stream_clf_score,
         "s_stream_curate": _q_stream_curate,
         "s_stream_curate_near": _q_stream_curate_near,
         "s_stream_curate_clf_near": _q_stream_curate_clf_near,
@@ -7996,6 +8060,7 @@ def ext_oracles():
         "pipeline_curate_mix": _curate_mix_oracle(),
         "text_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "s_stream_lm_score": _LM_SCORE_ORACLE,
+        "s_stream_clf_score": _quality_classifier_oracle(),
         "s_stream_curate": _STREAM_CURATE_ORACLE,
         "s_stream_curate_near": _stream_curate_near_oracle(),
         "s_stream_curate_clf_near": _stream_curate_clf_near_oracle(),

@@ -417,6 +417,7 @@ DIRTY_STREAM_QUERIES = [
     "s_stream_semantic_pq",
     "s_stream_semantic_text_pq",
     "s_stream_lm_score",
+    "s_stream_clf_score",
     "s_stream_curate",
     "s_stream_curate_near",
     "s_stream_curate_clf_near",
