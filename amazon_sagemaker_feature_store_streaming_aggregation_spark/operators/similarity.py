@@ -1260,6 +1260,7 @@ def pq_topk(
     dims: int = 64,
     corpus_count: int | None = None,
     rerank: int | None = None,
+    predicate=None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ top-k: queries keep their exact
     quantized subvectors; corpus vectors are represented ONLY by their
@@ -1281,6 +1282,11 @@ def pq_topk(
     cbs = pq_codebooks(
         embeddings, m, n_codes, id_col, vec_col, dims, corpus_count
     )
+    # codebooks train on the UNFILTERED corpus (the plane/cell rule:
+    # a selective predicate must not move quantization geometry); the
+    # filter applies before encode, so only qualifying vectors are
+    # coded, scored or re-ranked
+    embeddings = _apply_predicate(embeddings, predicate)
     codes = pq_encode(embeddings, cbs, m, id_col, vec_col, dims)
     lut = _pq_lut(queries, cbs, id_col, vec_col, m, dims // m)
     scored = (
@@ -1321,6 +1327,7 @@ def ivf_pq_topk_batched(
     dims: int = 64,
     corpus_count: int | None = None,
     rerank: int | None = None,
+    predicate=None,
 ) -> DataFrame:
     """IVF-PQ for corpus-sized query batches — the composition the flat
     operators promise, shipped as code: IVF cells bound WHICH vectors a
@@ -1360,6 +1367,12 @@ def ivf_pq_topk_batched(
         n_cells = auto_cells(n)
         corpus_count = n
     cents = ivf_centroids(embeddings, n_cells, id_col, vec_col, corpus_count)
+    cbs = pq_codebooks(
+        embeddings, m, n_codes, id_col, vec_col, dims, corpus_count
+    )
+    # cells + codebooks derive from the UNFILTERED corpus (see
+    # pq_topk); the filter applies before assignment and encode
+    embeddings = _apply_predicate(embeddings, predicate)
     corpus_assign = _ivf_assign(embeddings, cents, 1, id_col, vec_col, "c_id")
     q_assign = _ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
     cand = (
@@ -1367,9 +1380,6 @@ def ivf_pq_topk_batched(
         .filter(F.col("c_id") != F.col("query_id"))
         .select("c_id", "query_id")
         .distinct()
-    )
-    cbs = pq_codebooks(
-        embeddings, m, n_codes, id_col, vec_col, dims, corpus_count
     )
     codes = pq_encode(embeddings, cbs, m, id_col, vec_col, dims).select(
         F.col(id_col).alias("c_id"), "subspace", "code"

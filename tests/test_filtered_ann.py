@@ -114,3 +114,41 @@ def test_ann_recall_floor_on_filtered_subset(spark, emb, queries):
     # 4 planes over the ~half-sized subset: partial by design, must be
     # far above random (5 / ~250)
     assert recall > 0.2, recall
+
+
+def test_pq_filtered_membership_and_rerank_recall(spark, emb, queries):
+    """PQ twins: codebooks/cells train on the UNFILTERED corpus (so
+    unlike the flat operators, hand-filtering the frame would ALSO
+    move quantization geometry — predicate= is the semantically
+    stable form); every returned candidate satisfies the predicate,
+    and the exact re-rank over the ADC shortlist recalls against the
+    filtered exact baseline."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        ivf_pq_topk_batched,
+        pq_topk,
+    )
+
+    ok_ids = {
+        r["vec_id"] for r in emb.where(PRED).select("vec_id").collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5, predicate=PRED).collect()
+    }
+
+    got = pq_topk(emb, queries, k=5, rerank=50, predicate=PRED)
+    rows = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    assert {v for _, v in rows} <= ok_ids
+    recall = len(rows & exact) / len(exact)
+    assert recall >= 0.6, recall
+
+    n = emb.count()
+    got2 = ivf_pq_topk_batched(
+        emb, queries, k=5, nprobe=8, corpus_count=n, rerank=50,
+        predicate=PRED,
+    )
+    rows2 = {(r["query_id"], r["vec_id"]) for r in got2.collect()}
+    assert {v for _, v in rows2} <= ok_ids
+    # recall here is IVF-probe-bounded (nprobe of ~sqrt(N) cells), the
+    # usual trade; the floor pins "far above random", not exactness
+    assert len(rows2 & exact) / len(exact) >= 0.4
