@@ -31,7 +31,8 @@ near-duplication is not transitive, so a doc that collides only with
 a near-DROPPED earlier doc must still drop — the corpus already
 carries that content. (Physically the index stores only each band
 value's MIN-id row — a larger-id row can never win a future min, so
-the index is O(distinct band values), not O(gate-passers × bands).) Quality-REJECTED docs never
+the index is O(distinct band values), not O(gate-passers × bands).)
+Quality-REJECTED docs never
 band-index (the gate runs first), so a rejected early copy cannot
 near-shadow a later acceptable one — the same non-shadowing ordering
 the exact stage pins. This rule is monotone in arrival order, so the
