@@ -1653,15 +1653,14 @@ def _gate_history() -> dict[str, int]:
 
 
 def _rotate_for_gate(entries: dict) -> dict:
-    """Order `entries` never-green first, then oldest-green-first."""
+    """Order `entries` never-green first, then oldest-green-first.
+    Ties break by NAME — a dict-independent key, so queries() and
+    oracle_sql() always agree on the ordering even when their
+    registration positions differ (registration-index tie-breaks
+    diverged the two dicts once _PLAN_CHANGES re-tied old keys with
+    new ones registered at different anchor points)."""
     latest = _gate_history()
-    order = sorted(
-        entries,
-        key=lambda name, _idx={k: i for i, k in enumerate(entries)}: (
-            latest.get(name, 0),
-            _idx[name],
-        ),
-    )
+    order = sorted(entries, key=lambda name: (latest.get(name, 0), name))
     return {k: entries[k] for k in order}
 
 
