@@ -51,6 +51,7 @@ from .similarity_pq import (  # noqa: F401
     heal_pq_layout,
     pq_index_stats,
     recode_pq_index,
+    probe_pq_index,
     run_index_embedding_pq_stream,
 )
 from .metrics import progress_summary  # noqa: F401

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from .dedup import (
     _assert_modulus_unchanged,
+    _ensure_index_buckets,
     _fs_exists,
     _fs_has_parquet,
     _fs_has_parquet_recursive,
@@ -241,9 +242,20 @@ def run_index_embedding_pq_stream(
     broadcast_batch: bool = True,
     n_buckets: int = 16,
     materialize_input: bool = False,
+    extra_cols: tuple = (),
 ):
     """Standing IVF-PQ semantic near-dup discovery (see the module
     docstring for the two-store layout and the discovery contract).
+
+    ``extra_cols`` names stream METADATA columns persisted on BOTH
+    stores' rows (the filtered-search contract of
+    ``run_index_embedding_stream``): :func:`probe_pq_index` pushes a
+    metadata predicate into the pruned ``cell=`` CODE scan
+    (``PushedFilters``) so non-qualifying vectors never enter the ADC
+    ranking — never rank-then-discard. They ride the batch artifact,
+    the retry repair and :func:`recode_pq_index`'s full rewrite
+    (which re-derives code rows from the exact store, so the exact
+    store must carry them too — hence both stores).
 
     Per micro-batch, under ``out_dir/batch=<id>/``:
 
@@ -356,7 +368,7 @@ def run_index_embedding_pq_stream(
             assigned = _assign_cells(rows, cents, id_col)
             codes = _encode_codes(rows, cbs, id_col, m, w)
             return assigned.join(codes, id_col).select(
-                id_col, "cell", "qv", "n2", "codes"
+                id_col, "cell", "qv", "n2", "codes", *extra_cols
             )
 
         if _fs_exists(spark, batch_out + "/_SUCCESS"):
@@ -366,7 +378,9 @@ def run_index_embedding_pq_stream(
             # re-coded everything — the artifact's stored values may
             # describe the old layout)
             committed = _derive(
-                spark.read.parquet(vecs_out).select(id_col, "qv", "n2")
+                spark.read.parquet(vecs_out).select(
+                    id_col, "qv", "n2", *extra_cols
+                )
             ).localCheckpoint()
             cells = [
                 r[0] for r in committed.select("cell").distinct().collect()
@@ -385,7 +399,7 @@ def run_index_embedding_pq_stream(
             # rule: a suppressed key never re-enters the index)
             (
                 apply_index_tombstones(spark, index_dir, missing_idx)
-                .select(id_col, "cell", "codes")
+                .select(id_col, "cell", "codes", *extra_cols)
                 .repartition(F.col("cell"))
                 .write.mode("append")
                 .partitionBy("cell")
@@ -401,7 +415,7 @@ def run_index_embedding_pq_stream(
             _assert_modulus_unchanged(spark, vecs_dir, _resolved, key="vb")
             (
                 apply_index_tombstones(spark, vecs_dir, missing_v)
-                .select(id_col, "qv", "n2")
+                .select(id_col, "qv", "n2", *extra_cols)
                 .withColumn("ibucket", _index_bucket(nb, id_col))
                 .repartition(F.col("ibucket"))
                 .write.mode("append")
@@ -410,7 +424,10 @@ def run_index_embedding_pq_stream(
             )
             return
         feats = (
-            batch_df.select(F.col(id_col), quantize(vec_col, "qv"))
+            batch_df.select(
+                F.col(id_col), quantize(vec_col, "qv"),
+                *[F.col(c) for c in extra_cols],
+            )
             .where(F.col(id_col).isNotNull())
             .withColumn("n2", F.expr(_dot("qv", "qv")))
             .where(F.col("n2") > 0)
@@ -534,7 +551,8 @@ def run_index_embedding_pq_stream(
         _assert_modulus_unchanged(spark, index_dir, _resolved, key="cents")
         # pending tombstones filter both appends (the _append_index rule)
         irows = apply_index_tombstones(
-            spark, index_dir, batch_rows.select(id_col, "cell", "codes")
+            spark, index_dir,
+            batch_rows.select(id_col, "cell", "codes", *extra_cols),
         )
         pre_i = (
             irows.coalesce(1) if broadcast_batch
@@ -543,7 +561,8 @@ def run_index_embedding_pq_stream(
         pre_i.write.mode("append").partitionBy("cell").parquet(index_dir)
         _assert_modulus_unchanged(spark, vecs_dir, _resolved, key="vb")
         vrows = apply_index_tombstones(
-            spark, vecs_dir, batch_rows.select(id_col, "qv", "n2")
+            spark, vecs_dir,
+            batch_rows.select(id_col, "qv", "n2", *extra_cols),
         ).withColumn("ibucket", _index_bucket(nb, id_col))
         pre_v = (
             vrows.coalesce(1) if broadcast_batch
@@ -644,8 +663,12 @@ def recode_pq_index(
             f"exact store at {vecs_dir} holds no vectors — nothing to "
             "retrain from (run the stream first)"
         )
-    rows = spark.read.parquet(vecs_dir).select(id_col, "qv", "n2")
+    # every non-layout column survives the rewrite (filtered-search
+    # extra_cols ride both stores; dropping them here would break
+    # probe predicates after a recode)
+    rows = spark.read.parquet(vecs_dir).drop("ibucket")
     rows = apply_index_tombstones(spark, vecs_dir, rows)
+    extra = [c for c in rows.columns if c not in (id_col, "qv", "n2")]
     n_rows = rows.count()
     if n_rows == 0:
         # files on disk but every row tombstoned (bulk takedown with
@@ -699,7 +722,9 @@ def recode_pq_index(
 
     reassigned = _assign_cells(rows, cents, id_col)
     recoded = _encode_codes(rows, cbs, id_col, m, dims // m)
-    new_rows = reassigned.join(recoded, id_col).select(id_col, "cell", "codes")
+    new_rows = reassigned.join(recoded, id_col).select(
+        id_col, "cell", "codes", *extra
+    )
 
     _, staging, retired = _swap_names(base)
     fs, p = _hfs(spark, base)
@@ -741,3 +766,195 @@ def recode_pq_index(
         )
     return {"n_cells": int(n_cells), "pq_version": version,
             "n_rows": int(n_rows)}
+
+
+def probe_pq_index(
+    spark,
+    index_dir: str,
+    vecs_dir: str,
+    centroids_dir: str,
+    codebooks_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    shortlist: int = 64,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    predicate=None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k similarity search SERVED from the standing IVF-PQ index —
+    the compressed-layout twin of ``streaming/similarity.py::
+    probe_embedding_index``, completing the filtered-search surface on
+    the billion-scale layout.
+
+    Per call: queries assign to their ``nprobe`` nearest cells against
+    the persisted centroids, the CODE index is read pruned to exactly
+    those cells (``PartitionFilters``) with ``predicate`` — over the
+    runner's ``extra_cols`` metadata — pushed into the same scan
+    (``PushedFilters``): non-qualifying vectors never enter the ADC
+    ranking, never rank-then-discard. Integer-exact ADC distances
+    shortlist ``shortlist`` candidates per query; ONLY those ids'
+    full-width vectors are read from the bucketed exact store
+    (bucket-pruned point reads) for the exact cosine re-rank — the
+    O(batch + shortlist) cost shape of the standing runner itself.
+    Pending erasure tombstones anti-join both reads. Output
+    ``(query_id, vec_id, cosine, rank)``, the ``cosine_topk``
+    contract. With ``nprobe >=`` the cell count AND ``shortlist >=``
+    the corpus size the probe is EXACT filtered top-k over every
+    indexed vector (the registered oracle states that); production
+    probes trade both knobs for latency, the usual IVF-PQ shape.
+    """
+    base = index_dir.rstrip("/")
+    heal_pq_layout(spark, base, centroids_dir, codebooks_dir)
+    cents = spark.read.parquet(centroids_dir.rstrip("/")).select(
+        "cell", "cq", "cn2"
+    )
+    cbs = spark.read.parquet(codebooks_dir.rstrip("/")).select(
+        "subspace", "code", "cb"
+    )
+    nsub = cbs.select("subspace").distinct().count()
+    if nsub != int(m):
+        raise ValueError(
+            f"codebooks at {codebooks_dir} carry {nsub} subspaces, the "
+            f"probe was called with m={m} — pass the index's m"
+        )
+    from ..operators.similarity import _apply_predicate, _dot, quantize
+
+    dims = len(cents.select("cq").first()["cq"])
+    if dims % m:
+        raise ValueError(f"m={m} must divide dims={dims}")
+    w_sub = dims // m
+    qfeats = (
+        queries.select(F.col(id_col).alias("query_id"), quantize(vec_col, "qv"))
+        .withColumn("n2", F.expr(_dot("qv", "qv")))
+        .where(F.col("n2") > 0)
+    )
+    q_assign = (
+        _assign_cells_nprobe(qfeats, cents, "query_id", nprobe)
+        .select("query_id", "cell")
+    )
+    q_side = F.broadcast(
+        q_assign.join(qfeats, "query_id").localCheckpoint()
+    )
+    cells = [r[0] for r in q_side.select("cell").distinct().collect()]
+    empty = spark.range(0).select(
+        F.col("id").alias("query_id"),
+        F.col("id").alias(id_col),
+        F.col("id").cast("double").alias("cosine"),
+        F.col("id").cast("int").alias("rank"),
+    )
+    if not cells or not _fs_has_parquet_recursive(spark, base):
+        return empty
+    idx = _pruned_code_scan(spark, base, cells, predicate)
+    lut = _batch_lut(
+        q_side.select(F.col("query_id").alias(id_col), "qv"),
+        cbs, id_col, m, w_sub,
+    ).localCheckpoint()
+    cand = idx.alias("a").join(
+        q_side.select("query_id", "cell").alias("b"), on="cell"
+    )
+    if exclude_self:
+        cand = cand.where(F.col(f"a.{id_col}") != F.col("query_id"))
+    adc = (
+        cand.select(
+            "query_id",
+            F.col(f"a.{id_col}").alias("c_id"),
+            F.posexplode("codes").alias("subspace", "code"),
+        )
+        .join(lut, on=["query_id", "subspace", "code"])
+        .groupBy("query_id", "c_id")
+        .agg(F.sum("__d").alias("adc_dist"))
+    )
+    rk = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("c_id").asc()
+    )
+    short = (
+        adc.withColumn("__rk", F.row_number().over(rk))
+        .where(F.col("__rk") <= int(shortlist))
+        .select("query_id", "c_id")
+        .localCheckpoint()
+    )
+    nb = _ensure_index_buckets(spark, vecs_dir, None)
+    sids = short.select(F.col("c_id").alias(id_col)).distinct()
+    vstore = _read_index_pruned(
+        spark, vecs_dir, _collect_id_buckets(sids, nb, id_col)
+    )
+    if vstore is None:
+        return empty
+    cand_vecs = vstore.join(sids, id_col, "left_semi").select(
+        id_col, F.col("qv").alias("c_q"), F.col("n2").alias("c_n2")
+    )
+    scored = (
+        short.join(cand_vecs, short.c_id == cand_vecs[id_col])
+        .join(
+            q_side.select(
+                "query_id", F.col("qv").alias("q_q"), F.col("n2").alias("q_n2")
+            ).distinct(),
+            on="query_id",
+        )
+        .withColumn(
+            "cosine",
+            F.expr(_dot("c_q", "q_q")).cast("double")
+            / (
+                F.sqrt(F.col("c_n2").cast("double"))
+                * F.sqrt(F.col("q_n2").cast("double"))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("c_id").alias(id_col), "cosine", "rank"
+        )
+    )
+
+
+def _pruned_code_scan(spark, base: str, cells, predicate) -> DataFrame:
+    """The probe's CODE-index read: partition-pruned to the queries'
+    cells, tombstone-filtered, with the metadata ``predicate`` pushed
+    into the SAME scan (``PushedFilters``) — named so the plan pin in
+    ``tests/test_streaming_pq.py`` can assert the pushdown on exactly
+    the frame the ADC ranking consumes (``probe_pq_index`` checkpoints
+    the shortlist, which hides this scan from the final plan)."""
+    from ..operators.similarity import _apply_predicate
+
+    return _apply_predicate(
+        apply_index_tombstones(
+            spark,
+            base,
+            spark.read.parquet(base).where(F.col("cell").isin(cells)),
+        ),
+        predicate,
+    )
+
+
+def _assign_cells_nprobe(
+    rows: DataFrame, cents: DataFrame, id_col: str, nprobe: int
+) -> DataFrame:
+    """Top-``nprobe`` cells per (id, qv, n2) row — the probe-side
+    generalization of :func:`_assign_cells` (which is the
+    ``nprobe=1`` case, kept separate so the write-path argmax
+    spelling stays byte-identical to its history)."""
+    from ..operators.similarity import _dot
+
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("cell"))
+    return (
+        rows.join(F.broadcast(cents.where(F.col("cn2") > 0)))
+        .withColumn(
+            "__cos",
+            F.expr(_dot("qv", "cq")).cast("double")
+            / (
+                F.sqrt(F.col("n2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double"))
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(nprobe))
+        .drop("cq", "cn2", "__cos", "__rn")
+    )

@@ -578,6 +578,105 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _q_sim_pq_index_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED top-k SERVED from the standing IVF-PQ index
+    (streaming/similarity_pq.py::probe_pq_index — the compressed-
+    layout twin of sim_index_topk_filtered): the embeddings table
+    replays as two micro-batches into the two-store PQ layout with
+    label metadata on BOTH stores (extra_cols), then the probe ranks
+    only ``label = 1`` vectors — the predicate pushed into the pruned
+    CODE-index cell scan, so non-qualifying vectors never enter the
+    ADC ranking. nprobe = the full cell count and shortlist >= the
+    corpus, so the probe is EXACT filtered top-k over every indexed
+    vector and the oracle is the sim_index_topk_filtered spelling
+    verbatim (two standing layouts, one contract)."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.similarity import (
+        ivf_centroids,
+        pq_codebooks,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        probe_pq_index,
+        run_index_embedding_pq_stream,
+    )
+    from __spark_entry__ import _set_stream_partitions
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    ids = sorted(x.as_py() for x in t.column("vec_id") if x.as_py() is not None)
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="spqf_src_")
+    work = tempfile.mkdtemp(prefix="spqf_work_")
+    key = t.column("vec_id")
+    in_b0 = pc.or_kleene(pc.less(key, mid), pc.is_null(key))
+    pq.write_table(
+        t.filter(pc.fill_null(in_b0, True)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        t.filter(pc.fill_null(pc.invert(in_b0), False)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    cents_dir = os.path.join(work, "centroids")
+    cbs_dir = os.path.join(work, "codebooks")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = _ivf_cells_for(sf_dir)
+    n_vecs = _emb_count(sf_dir)
+    ivf_centroids(emb, n_cells, corpus_count=n_vecs).write.parquet(cents_dir)
+    pq_codebooks(
+        emb, m=_PQ_M, n_codes=_PQ_CODES, corpus_count=n_vecs
+    ).write.parquet(cbs_dir)
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("vec_id long, embedding array<double>, label int")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        q = run_index_embedding_pq_stream(
+            stream,
+            os.path.join(work, "out"),
+            os.path.join(work, "index"),
+            os.path.join(work, "vecs"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            centroids_dir=cents_dir,
+            codebooks_dir=cbs_dir,
+            threshold=_SEMDEDUP_THRESHOLD,
+            shortlist=_SPQ_SHORTLIST,
+            m=_PQ_M,
+            extra_cols=("label",),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "sim_pq_index_topk_filtered availableNow replay "
+                "exceeded 300s"
+            )
+        return probe_pq_index(
+            spark,
+            os.path.join(work, "index"),
+            os.path.join(work, "vecs"),
+            cents_dir,
+            cbs_dir,
+            emb.filter(F.col("vec_id") < _N_QUERIES),
+            k=_TOPK_K,
+            nprobe=n_cells,
+            shortlist=n_vecs,
+            m=_PQ_M,
+            predicate="label = 1",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 _SPQ_SHORTLIST = 8
 
 
@@ -7874,6 +7973,7 @@ def ext_queries():
         "s_stream_lsh_index": _q_stream_lsh_index,
         "s_stream_semantic_index": _q_stream_semantic_index,
         "sim_index_topk_filtered": _q_sim_index_topk_filtered,
+        "sim_pq_index_topk_filtered": _q_sim_pq_index_topk_filtered,
         "s_stream_semantic_text": _q_stream_semantic_text,
         "s_stream_semantic_pq": _q_stream_semantic_pq,
         "s_stream_semantic_text_pq": _q_stream_semantic_text_pq,
@@ -7947,6 +8047,10 @@ def ext_oracles():
         "text_fingerprint": _FP_ORACLE,
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
         "sim_index_topk_filtered": _SIM_INDEX_TOPK_FILTERED_ORACLE_TMPL.format(
+            n_queries=_N_QUERIES, k=_TOPK_K,
+            cos=_COS_SQL.format(a="c.cq", b="q.qq"),
+        ),
+        "sim_pq_index_topk_filtered": _SIM_INDEX_TOPK_FILTERED_ORACLE_TMPL.format(
             n_queries=_N_QUERIES, k=_TOPK_K,
             cos=_COS_SQL.format(a="c.cq", b="q.qq"),
         ),

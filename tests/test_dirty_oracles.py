@@ -413,6 +413,7 @@ DIRTY_STREAM_QUERIES = [
     "s_stream_lsh_index",
     "s_stream_semantic_index",
     "sim_index_topk_filtered",
+    "sim_pq_index_topk_filtered",
     "s_stream_semantic_text",
     "s_stream_semantic_pq",
     "s_stream_semantic_text_pq",

@@ -16,6 +16,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
     ivf_centroids,
@@ -242,3 +243,116 @@ def test_runner_rejects_adopted_m_mismatch(spark, tmp_path, setup):
     with pytest.raises(Exception, match="m=8"):
         q2.awaitTermination(180)
         q2.processAllAvailable()
+
+
+def test_probe_pq_index_filtered(spark, tmp_path):
+    """The IVF-PQ two-store layout as a FILTERED vector-search server
+    (probe_pq_index + extra_cols on BOTH stores): metadata rides the
+    code index AND the exact store, the probe's predicate lands in
+    the pruned cell scan of the CODE index (PushedFilters +
+    PartitionFilters — non-qualifying vectors never enter the ADC
+    ranking), full-probe/full-shortlist equals the hand-filtered
+    exact baseline, extras SURVIVE a recode (which re-derives code
+    rows from the exact store), and a forgotten vector stops being
+    served."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        cosine_topk,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        probe_pq_index,
+    )
+
+    rng = np.random.default_rng(31)
+    labeled = [
+        (i, [float(x) for x in rng.normal(0, 1, 16)], int(i % 2))
+        for i in range(40)
+    ] + [(999, [0.0] * 16, 1), (998, None, 0)]
+    schema = "vec_id long, embedding array<double>, label int"
+    emb = spark.createDataFrame(labeled, schema)
+    work = str(tmp_path / "work")
+    dirs = {
+        "out": os.path.join(work, "out"),
+        "index": os.path.join(work, "index"),
+        "vecs": os.path.join(work, "vecs"),
+        "ckpt": os.path.join(work, "ckpt"),
+        "cents": os.path.join(work, "centroids"),
+        "cbs": os.path.join(work, "codebooks"),
+    }
+    n_cells = 4
+    ivf_centroids(emb, n_cells, corpus_count=42).write.parquet(dirs["cents"])
+    pq_codebooks(emb, m=4, n_codes=8, corpus_count=42).write.parquet(
+        dirs["cbs"]
+    )
+    d = tmp_path / "stream"
+    _one_file(spark, d, "00.parquet", labeled[:20], schema)
+    _one_file(spark, d, "01.parquet", labeled[20:], schema)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    q = run_index_embedding_pq_stream(
+        stream, dirs["out"], dirs["index"], dirs["vecs"],
+        checkpoint_dir=dirs["ckpt"], centroids_dir=dirs["cents"],
+        codebooks_dir=dirs["cbs"], threshold=0.99, shortlist=8,
+        m=4, n_buckets=4, extra_cols=("label",),
+    )
+    assert q.awaitTermination(180)
+    assert "label" in spark.read.parquet(dirs["index"]).columns
+    assert "label" in spark.read.parquet(dirs["vecs"]).columns
+
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    def probe(**kw):
+        return probe_pq_index(
+            spark, dirs["index"], dirs["vecs"], dirs["cents"], dirs["cbs"],
+            queries, k=4, nprobe=n_cells, shortlist=100, m=4,
+            predicate="label = 1", **kw
+        )
+
+    def pairs(df):
+        return {(r["query_id"], r["vec_id"], r["rank"]) for r in df.collect()}
+
+    want = pairs(cosine_topk(emb.where("label = 1"), queries, k=4))
+    got_df = probe()
+    assert pairs(got_df) == want
+
+    # predicate + cell prune both land in the CODE-index scan — pin
+    # the exact frame the ADC ranking consumes (probe_pq_index
+    # checkpoints the shortlist, so this scan never appears in the
+    # final result's plan)
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.similarity_pq import (
+        _pruned_code_scan,
+    )
+
+    cells = [
+        r[0]
+        for r in spark.read.parquet(dirs["cents"]).select("cell").collect()
+    ]
+    plan = (
+        _pruned_code_scan(spark, dirs["index"], cells, "label = 1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters: [", 1)[1][:120], plan
+    pushed = [s.split("]")[0] for s in plan.split("PushedFilters: [")[1:]]
+    assert any("label" in s for s in pushed), plan
+
+    # extras survive the full recode rewrite (code rows re-derived
+    # from the exact store, which carries them)
+    recode_pq_index(
+        spark, dirs["index"], dirs["vecs"], dirs["cents"], dirs["cbs"],
+        n_cells=n_cells, m=4, n_codes=8, max_iter=2,
+    )
+    assert "label" in spark.read.parquet(dirs["index"]).columns
+    assert pairs(probe()) == want
+
+    # erasure: forget from BOTH stores, the probe stops serving it
+    victim = sorted(v for _, v, _ in want)[0]
+    forget_index_keys(
+        spark, dirs["index"], [victim], key_col="vec_id", part_col="cell"
+    )
+    forget_index_keys(spark, dirs["vecs"], [victim], key_col="vec_id")
+    after = pairs(probe())
+    assert victim not in {v for _, v, _ in after}
