@@ -96,6 +96,10 @@ from .multimodal import (  # noqa: F401
     video_frame_hashes,
     video_near_dup_pairs,
 )
+from .retrieval import (  # noqa: F401
+    bm25_topk,
+    rrf_fuse,
+)
 from .tfidf import (  # noqa: F401
     build_vocabulary,
     pmi_collocations,

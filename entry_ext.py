@@ -23,8 +23,10 @@ from amazon_sagemaker_feature_store_streaming_aggregation_spark.functions import
     with_text_stats,
 )
 from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+    bm25_topk,
     cosine_topk,
     dedup_exact,
+    rrf_fuse,
     jaccard_verify_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -1737,6 +1739,140 @@ WITH q0 AS (
 )
 SELECT query_id, c_id AS vec_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+# ------------------------------------------------- BM25 / hybrid retrieval
+
+def _q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical BM25 top-k retrieval (operators/retrieval.py::
+    bm25_topk): the first N docs' texts query the whole corpus.
+    Engine-exact per the module contract — raw Robertson idf ratio
+    (no ln), integer-rational tf saturation (k1=1.2, b=0.75),
+    per-term contributions quantized to micro-units and INTEGER-
+    summed, so the score hashes bit-equal cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.where(f"doc_id < {_N_QUERIES}").select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries, k=_TOPK_K)
+
+
+#: the BM25 CTE chain through the quantized-contribution sum —
+#: shared verbatim by the standalone key and the hybrid fusion
+#: (format args: exclude_self SQL predicate tail)
+_BM25_CTES_TMPL = f"""
+btoks AS (
+  SELECT doc_id, lower(unnest(list_filter(regexp_split_to_array(trim(text),
+                '\\s+'), t -> t != ''))) AS term
+  FROM documents
+), btf AS (
+  SELECT doc_id, term, count(*) AS tf FROM btoks GROUP BY 1, 2
+), bdl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY 1
+), bdf AS (
+  SELECT term, count(*) AS df FROM btf GROUP BY 1
+), bn AS (SELECT count(*) AS n_docs FROM documents),
+btt AS (SELECT count(*) AS t_tokens FROM btoks),
+bqt AS (
+  SELECT DISTINCT doc_id AS query_id,
+         lower(unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+               t -> t != ''))) AS term
+  FROM documents WHERE doc_id < {_N_QUERIES}
+), bscored AS (
+  -- spelled as operators/retrieval.py's contrib expression: idf
+  -- ratio x integer-rational tf part, one multiply, half-up round,
+  -- integer sum (addition-order-free)
+  SELECT query_id, btf.doc_id,
+    CAST(sum(CAST(round((1000000.0
+       * (CAST(2*n_docs - 2*df + 1 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE)))
+       * ((44.0 * CAST(t_tokens AS DOUBLE) * CAST(tf AS DOUBLE))
+          / (20.0 * CAST(t_tokens AS DOUBLE) * CAST(tf AS DOUBLE)
+             + 6.0 * CAST(t_tokens AS DOUBLE)
+             + 18.0 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+      ) AS BIGINT)) AS BIGINT) AS bm25_q
+  FROM btf JOIN bqt USING (term) JOIN bdf USING (term) JOIN bdl USING (doc_id)
+  CROSS JOIN bn CROSS JOIN btt
+  {{self_pred}}
+  GROUP BY 1, 2
+), branked AS (
+  SELECT query_id, doc_id, bm25_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25_q DESC, doc_id) AS rank
+  FROM bscored
+)"""
+
+_BM25_TOPK_ORACLE = f"""
+WITH {_BM25_CTES_TMPL.format(self_pred="")}
+SELECT query_id, doc_id, bm25_q, CAST(rank AS INTEGER) AS rank
+FROM branked WHERE rank <= {_TOPK_K}
+"""
+
+
+def _q_sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.py::rrf_fuse): the BM25
+    lexical leg over documents and the exact-cosine dense leg over
+    the aligned embeddings (doc_id == vec_id in the testdata), fused
+    by reciprocal-rank (k0=60). Both legs exclude the self hit (the
+    cosine_topk convention). Each reciprocal is one correctly-rounded
+    IEEE division and the two-leg sum is spelled in fixed order, so
+    the fused score hashes bit-equal cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = docs.where(f"doc_id < {_N_QUERIES}").select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = bm25_topk(docs, queries, k=_TOPK_K, exclude_self=True)
+    dense = cosine_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_TOPK_K)
+    return rrf_fuse(lex, dense, k=_TOPK_K)
+
+
+_HYBRID_RRF_ORACLE = f"""
+WITH {_BM25_CTES_TMPL.format(self_pred="WHERE btf.doc_id != query_id")},
+dq0 AS (
+  SELECT vec_id AS query_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS qq
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+), dq AS (
+  SELECT * FROM dq0 WHERE len(list_filter(qq, x -> x != 0)) > 0
+), dc0 AS (
+  SELECT vec_id AS c_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS cq
+  FROM embeddings
+), dc AS (
+  SELECT * FROM dc0 WHERE len(list_filter(cq, x -> x != 0)) > 0
+), dscored AS (
+  SELECT dq.query_id, dc.c_id,
+         {{cos}} AS cosine
+  FROM dc JOIN dq ON dc.c_id != dq.query_id
+), dranked AS (
+  SELECT query_id, c_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, c_id) AS rank
+  FROM dscored
+), lex AS (
+  SELECT query_id, doc_id AS id, rank AS rl FROM branked
+  WHERE rank <= {_TOPK_K}
+), dense AS (
+  SELECT query_id, c_id AS id, rank AS rd FROM dranked
+  WHERE rank <= {_TOPK_K}
+), fused AS (
+  SELECT coalesce(lex.query_id, dense.query_id) AS query_id,
+         coalesce(lex.id, dense.id) AS id,
+         coalesce(1.0 / (60 + CAST(rl AS DOUBLE)), 0.0)
+           + coalesce(1.0 / (60 + CAST(rd AS DOUBLE)), 0.0) AS rrf
+  FROM lex FULL OUTER JOIN dense
+    ON lex.query_id = dense.query_id AND lex.id = dense.id
+), franked AS (
+  SELECT query_id, id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, id) AS rank
+  FROM fused
+)
+SELECT query_id, id AS doc_id, rrf, CAST(rank AS INTEGER) AS rank
+FROM franked WHERE rank <= {_TOPK_K}
 """
 
 
@@ -7942,6 +8078,8 @@ def ext_queries():
         "ts_interpolate_hourly": _q_interpolate_hourly,
         "t_hash_split": _q_hash_split,
         "text_tfidf_top_terms": _q_tfidf_top_terms,
+        "text_bm25_topk": _q_text_bm25_topk,
+        "sim_hybrid_rrf_topk": _q_sim_hybrid_rrf_topk,
         "text_vocab_topk": _q_vocab_topk,
         "text_bpe_vocab": _q_bpe_vocab,
         "t_pack_windows_real_bpe": _q_pack_windows_real_bpe,
@@ -8109,6 +8247,10 @@ def ext_oracles():
         "ts_interpolate_hourly": _INTERPOLATE_ORACLE,
         "t_hash_split": _HASH_SPLIT_ORACLE,
         "text_tfidf_top_terms": _TFIDF_ORACLE,
+        "text_bm25_topk": _BM25_TOPK_ORACLE,
+        "sim_hybrid_rrf_topk": _HYBRID_RRF_ORACLE.format(
+            cos=_COS_SQL.format(a="dc.cq", b="dq.qq")
+        ),
         "text_vocab_topk": _VOCAB_ORACLE,
         "text_bpe_vocab": _bpe_oracle(_BPE_K),
         "t_pack_windows_real_bpe": _pack_real_bpe_oracle(_BPE_K),

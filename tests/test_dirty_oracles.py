@@ -384,6 +384,8 @@ DIRTY_QUERIES = [
     "text_pii_scan",
     "text_pmi_collocations",
     "text_tfidf_top_terms",
+    "text_bm25_topk",
+    "sim_hybrid_rrf_topk",
     "text_vocab_coverage",
     "text_vocab_topk",
     "ts_gap_fill_daily",
