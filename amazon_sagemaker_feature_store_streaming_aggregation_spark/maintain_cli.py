@@ -15,10 +15,13 @@ operator-facing surface over the maintenance primitives:
   ``ibucket=``-partitioned dedup index (exact / LSH band / hamming
   band / the substring runner's ``(id, pos, sh)`` window-occurrence
   index — the largest standing artifact, O(tokens) rows accreting one
-  file per bucket per trigger): ``compact_banded_index``.
+  file per bucket per trigger — / the BM25 runner's ``postings`` and
+  ``docs`` stores): ``compact_banded_index``.
 * ``rebucket-index``   — GROW the pinned modulus online (16 → 4096
   without a rebuild): ``rebucket_banded_index``; ``--keys`` names the
-  index's probe keys (``sh`` for the substring occurrence index).
+  index's probe keys (``sh`` for the substring occurrence index,
+  ``term`` / ``doc_id`` for the BM25 postings / docs stores —
+  mid-replay adoption pinned in tests/test_streaming_retrieval.py).
 * ``compact-vec-index`` — per-cell compaction of the embedding
   index: ``compact_embedding_index``.
 * ``retrain-centroids`` — retrain the embedding index's centroids on

@@ -54,6 +54,24 @@ from ..functions.text import _TOKENS
 #: ~10^12 headroom.
 BM25_QUANT = 1_000_000
 
+#: THE per-(term, doc) quantized-BM25 contribution expression —
+#: every BM25-emitting surface (this operator, the standing-index
+#: probe in streaming/retrieval.py, and the DuckDB oracle twins)
+#: spells THIS string so the op order can never drift. Expects
+#: columns tf, df, dl, n_docs, t_tokens in scope. Swap the first
+#: factor for ln((n_docs - df + 0.5)/(df + 0.5)) to get textbook
+#: log-idf on a single engine.
+BM25_CONTRIB_SQL = (
+    "cast(round((1000000.0"
+    " * (cast(2*n_docs - 2*df + 1 as double)"
+    "    / cast(2*df + 1 as double)))"
+    " * ((44.0 * cast(t_tokens as double) * cast(tf as double))"
+    "    / (20.0 * cast(t_tokens as double) * cast(tf as double)"
+    "       + 6.0 * cast(t_tokens as double)"
+    "       + 18.0 * cast(dl as double) * cast(n_docs as double)))"
+    ") as bigint)"
+)
+
 
 def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One (id, lower-cased term) row per token occurrence. NULL/empty
@@ -87,49 +105,53 @@ def bm25_topk(
     drops the ``query_id == id`` hit for corpus-drawn queries (the
     ``cosine_topk`` convention, used by the hybrid composition).
 
-    Plan: tf = one (doc, term) shuffle with map-side combine; dl and
-    df re-aggregate tf; N and T are 1-row broadcast aggregates;
-    query terms broadcast-join tf (inverted-index prune) so only
-    matching docs reach the dl join and the final (query, doc) sum.
+    Plan: the corpus text is scanned, exploded, and shuffled exactly
+    ONCE — the (doc, term) tf aggregation, map-side combined — and
+    eagerly materialized (``localCheckpoint``, the house rule for a
+    frame with multiple differently-keyed consumers: ReuseExchange
+    cannot collapse them because each consumer prunes different
+    columns, so without this the explode+shuffle runs three times —
+    for candidates, df, and dl). df and T re-aggregate the
+    materialized tf; dl aggregates only the CANDIDATE docs' tf rows;
+    N is a count-only corpus scan (column-pruned to parquet
+    metadata); query terms broadcast-join tf (the inverted-index
+    prune) so only matching docs are ever scored.
     """
-    terms = _doc_terms(docs, id_col, text_col)
-    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf = (
+        _doc_terms(docs, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    n_tokens = terms.agg(F.count("*").alias("t_tokens"))
+    n_tokens = tf.agg(F.sum("tf").alias("t_tokens"))
 
     qterms = (
         _doc_terms(queries, query_id_col, text_col)
         .select(F.col(query_id_col).alias("query_id"), "term")
         .distinct()
     )
+    df_tbl = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    matches = tf.join(F.broadcast(qterms), "term")
+    dl = (
+        tf.join(matches.select(id_col).distinct(), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("dl"))
+    )
     cand = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df_tbl.join(qterms.select("term").distinct(), "term")),
-              "term")
+        matches.join(F.broadcast(df_tbl), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(n_docs))
         .crossJoin(F.broadcast(n_tokens))
     )
     if exclude_self:
         cand = cand.where(F.col(id_col) != F.col("query_id"))
-    # spelled identically to the oracle: idf ratio x tf rational,
-    # one multiply, half-up round — swap the first factor for
-    # ln((n_docs - df + 0.5)/(df + 0.5)) to get textbook log-idf on
-    # a single engine
-    contrib = (
-        "cast(round((1000000.0"
-        " * (cast(2*n_docs - 2*df + 1 as double)"
-        "    / cast(2*df + 1 as double)))"
-        " * ((44.0 * cast(t_tokens as double) * cast(tf as double))"
-        "    / (20.0 * cast(t_tokens as double) * cast(tf as double)"
-        "       + 6.0 * cast(t_tokens as double)"
-        "       + 18.0 * cast(dl as double) * cast(n_docs as double)))"
-        ") as bigint)"
-    )
     scored = (
-        cand.withColumn("__c", F.expr(contrib))
+        cand.withColumn("__c", F.expr(BM25_CONTRIB_SQL))
         .groupBy("query_id", id_col)
         .agg(F.sum("__c").alias("bm25_q"))
     )

@@ -47,6 +47,11 @@ from .similarity import (  # noqa: F401
     probe_embedding_index,
     run_index_embedding_stream,
 )
+from .retrieval import (  # noqa: F401
+    forget_bm25_index,
+    probe_bm25_index,
+    run_index_bm25_stream,
+)
 from .similarity_pq import (  # noqa: F401
     heal_pq_layout,
     pq_index_stats,

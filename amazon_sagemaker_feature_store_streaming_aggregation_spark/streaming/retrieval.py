@@ -1,0 +1,365 @@
+"""Standing BM25 postings index: streaming build + served top-k.
+
+The lexical-retrieval twin of the standing vector indexes
+(``streaming/similarity.py`` / ``similarity_pq.py``): documents
+stream in once, a persistent inverted index accretes on storage, and
+``probe_bm25_index`` serves keyword top-k from it at any time —
+scoring EXACTLY what the batch ``operators/retrieval.py::bm25_topk``
+would score over the union of everything indexed (the repo-wide
+union-equals-one-shot standing-index contract), because BM25's
+corpus statistics are all derivable from the index itself:
+
+* df(term) — counted live from the term's own bucket at probe time
+  (every posting of a term lives in ONE ``ibucket =
+  pmod(xxhash64(term), nb)`` partition, so the pruned probe read
+  sees all of them, minus tombstoned rows);
+* dl — denormalized onto each posting row at build time;
+* N, T — per-batch 1-row ledger entries under ``stats/``, summed at
+  probe (O(batches) tiny read); erasure appends compensating
+  negative entries so a post-forget probe equals the batch operator
+  over the SURVIVING corpus exactly.
+
+Three stores under ``index_dir/``:
+
+* ``postings/ibucket=<h(term)>/`` — ``(doc_id, term, tf, dl)``, the
+  probe's data plane;
+* ``docs/ibucket=<h(doc_id)>/`` — ``(doc_id, dl)``, the control
+  plane: at-least-once redelivery routes already-indexed ids AROUND
+  the build (first-writer-wins, the standing-index convention), and
+  erasure resolves a doc's token mass here;
+* ``stats/`` — the (n_rows, n_tokens) ledger (read with
+  recursiveFileLookup; ``batch-<id>/`` entries are path-keyed so a
+  retried batch OVERWRITES rather than double-counts, ``forget-<n>/``
+  entries hold erasure compensation).
+
+Delivery contract (same as ``run_index_dedup_stream``): the batch
+artifact under ``out_dir/batch=<id>/`` (postings/ + docs/ + stats/ +
+root ``_SUCCESS``) commits first; index appends follow; a retry
+whose artifact already committed repairs exactly the appends that
+are missing (anti-joins pruned to the batch's own buckets — a no-op
+when everything landed). Pending erasure tombstones filter every
+probe and every append.
+
+100 TB posture: per trigger the corpus is touched only by the
+batch's own pruned bucket reads — O(batch tokens + touched buckets)
+— never an index scan; a probe costs O(touched term buckets +
+candidates). Both stores are ``ibucket=`` layouts, so the generic
+per-bucket compaction and online rebucket (``maintain_cli
+compact-index`` / ``rebucket-index --keys term`` or ``doc_id``)
+apply unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.retrieval import BM25_CONTRIB_SQL, _doc_terms
+from .dedup import (
+    _append_index,
+    _assert_modulus_unchanged,
+    _collect_buckets,
+    _ensure_index_buckets,
+    _fs_exists,
+    _index_bucket,
+    _read_index_pruned,
+    _resolve_live_modulus,
+    _touch_success,
+)
+
+
+def _stats_ledger(spark, stats_dir: str) -> DataFrame | None:
+    """Sum the (n_rows, n_tokens) ledger — recursiveFileLookup skips
+    partition-name inference so batch-*/ and forget-*/ entries coexist.
+    None when no entry has been written yet."""
+    if not _fs_exists(spark, stats_dir):
+        return None
+    rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(stats_dir.rstrip("/"))
+    )
+    return rows.agg(
+        F.sum("n_rows").alias("n_docs"), F.sum("n_tokens").alias("t_tokens")
+    )
+
+
+def run_index_bm25_stream(
+    stream: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    n_buckets: int = 16,
+    small_batch: bool = True,
+):
+    """Accrete the standing BM25 index from a document stream (see the
+    module docstring for the layout and the union-equals-one-shot
+    probe contract).
+
+    NULL-id rows are dropped wholesale (keyed stores never index a
+    NULL key — the oracle twin states ``WHERE doc_id IS NOT NULL``);
+    rows that share an id WITHIN a batch merge into one document
+    (token counts sum — exactly the batch operator's groupBy), while
+    an id seen in an EARLIER batch is routed around the build
+    entirely (first-writer-wins; at-least-once redelivery safety).
+    Docs with no tokens still ledger into N and hold a docs-store row
+    (dl=0), matching the batch operator's count(*).
+    """
+    if not checkpoint_dir:
+        raise ValueError(
+            "run_index_bm25_stream requires a durable checkpoint_dir: "
+            "batch-id-based retry idempotency is only safe when batch "
+            "ids survive restarts"
+        )
+    postings_dir = index_dir.rstrip("/") + "/postings"
+    docs_dir = index_dir.rstrip("/") + "/docs"
+    stats_dir = index_dir.rstrip("/") + "/stats"
+    _resolved: dict = {}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        nbp = _resolve_live_modulus(
+            spark, postings_dir, n_buckets, _resolved, key="pb"
+        )
+        nbd = _resolve_live_modulus(
+            spark, docs_dir, n_buckets, _resolved, key="db"
+        )
+        batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
+        stats_out = stats_dir + f"/batch-{batch_id}"
+        if _fs_exists(spark, batch_out + "/_SUCCESS"):
+            # retried batch whose artifact committed: repair exactly
+            # the index appends that are missing. Crash windows, in
+            # append order: postings landed / stats missing (the stats
+            # overwrite below is path-keyed, always safe to redo);
+            # stats landed / docs missing (the docs anti-join). The
+            # postings anti-join on (id, term) covers the
+            # postings-landed-docs-missing window without duplicating.
+            committed = spark.read.parquet(batch_out + "/docs")
+            prior = _read_index_pruned(
+                spark, docs_dir,
+                _collect_buckets(committed, nbd, id_col), _resolved,
+            )
+            missing = committed if prior is None else committed.join(
+                prior.select(id_col), id_col, "left_anti"
+            )
+            missing = missing.localCheckpoint()
+            cp = spark.read.parquet(batch_out + "/postings").join(
+                missing.select(id_col), id_col, "left_semi"
+            )
+            have = _read_index_pruned(
+                spark, postings_dir, _collect_buckets(cp, nbp, "term")
+            )
+            to_add = cp if have is None else cp.join(
+                have.select(id_col, "term"), [id_col, "term"], "left_anti"
+            )
+            _assert_modulus_unchanged(spark, postings_dir, _resolved, key="pb")
+            _append_index(
+                to_add.withColumn("ibucket", _index_bucket(nbp, "term")),
+                postings_dir, small_batch=small_batch,
+            )
+            spark.read.parquet(batch_out + "/stats").write.mode(
+                "overwrite"
+            ).parquet(stats_out)
+            _assert_modulus_unchanged(spark, docs_dir, _resolved, key="db")
+            _append_index(
+                missing.withColumn("ibucket", _index_bucket(nbd, id_col)),
+                docs_dir, small_batch=small_batch,
+            )
+            return
+        rows = batch_df.where(F.col(id_col).isNotNull())
+        prior = _read_index_pruned(
+            spark, docs_dir,
+            _collect_buckets(rows.select(id_col).distinct(), nbd, id_col),
+            _resolved,
+        )
+        new_rows = rows if prior is None else rows.join(
+            prior.select(id_col), id_col, "left_anti"
+        )
+        # eager materialization: every frame below re-reads this one
+        # (Catalyst re-analysis of the raw stream source otherwise
+        # dominates per-trigger fixed cost)
+        new_rows = new_rows.localCheckpoint()
+        terms = _doc_terms(new_rows, id_col, text_col)
+        tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        postings = tf.join(dl, id_col).select(id_col, "term", "tf", "dl")
+        docs_rows = (
+            new_rows.select(id_col).distinct()
+            .join(dl, id_col, "left")
+            .select(id_col, F.coalesce("dl", F.lit(0)).alias("dl"))
+        )
+        stats = new_rows.agg(F.count("*").alias("n_rows")).crossJoin(
+            terms.agg(F.count("*").alias("n_tokens"))
+        )
+        # artifact first (the commit point), appends after — then a
+        # crash between the two is repaired by the retry path above
+        postings.write.mode("overwrite").parquet(batch_out + "/postings")
+        docs_rows.write.mode("overwrite").parquet(batch_out + "/docs")
+        stats.write.mode("overwrite").parquet(batch_out + "/stats")
+        _touch_success(spark, batch_out)
+        committed_p = spark.read.parquet(batch_out + "/postings")
+        _assert_modulus_unchanged(spark, postings_dir, _resolved, key="pb")
+        _append_index(
+            committed_p.withColumn("ibucket", _index_bucket(nbp, "term")),
+            postings_dir, small_batch=small_batch,
+        )
+        spark.read.parquet(batch_out + "/stats").write.mode(
+            "overwrite"
+        ).parquet(stats_out)
+        committed_d = spark.read.parquet(batch_out + "/docs")
+        _assert_modulus_unchanged(spark, docs_dir, _resolved, key="db")
+        _append_index(
+            committed_d.withColumn("ibucket", _index_bucket(nbd, id_col)),
+            docs_dir, small_batch=small_batch,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def probe_bm25_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k keyword search SERVED from the standing index — the
+    ``bm25_topk`` contract ``(query_id, <id_col>, bm25_q, rank)``
+    over the union of every indexed document.
+
+    Per call: the queries' distinct terms hash to their postings
+    buckets, ONLY those ``ibucket=`` leaves are read (partition-
+    pruned, tombstone-filtered), df per term is counted from that
+    read (complete by layout), dl rides the posting rows, and N/T
+    come from the stats ledger — so the score is the batch
+    operator's, bit-exactly, including after erasure (compensating
+    ledger entries + tombstoned postings = the surviving corpus)."""
+    postings_dir = index_dir.rstrip("/") + "/postings"
+    stats_dir = index_dir.rstrip("/") + "/stats"
+    empty = spark.range(0).select(
+        F.col("id").alias("query_id"),
+        F.col("id").alias(id_col),
+        F.col("id").alias("bm25_q"),
+        F.col("id").cast("int").alias("rank"),
+    )
+    stats = _stats_ledger(spark, stats_dir)
+    if stats is None:
+        return empty
+    nb = _ensure_index_buckets(spark, postings_dir, None)
+    qterms = (
+        _doc_terms(queries, query_id_col, text_col)
+        .select(F.col(query_id_col).alias("query_id"), "term")
+        .distinct()
+        .localCheckpoint()
+    )
+    idx = _read_index_pruned(
+        spark, postings_dir, _collect_buckets(qterms, nb, "term")
+    )
+    if idx is None:
+        return empty
+    # two differently-keyed consumers (df count, candidate join) —
+    # materialize the bucket-pruned read once (bounded by touched
+    # buckets, never the index)
+    idx = idx.localCheckpoint()
+    # df counted over the touched buckets, restricted to query terms
+    # (a bucket holds every posting of each of its terms, so this IS
+    # the global df) — postings rows are unique per (doc, term)
+    df_tbl = (
+        idx.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    cand = (
+        idx.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    if exclude_self:
+        cand = cand.where(F.col(id_col) != F.col("query_id"))
+    scored = (
+        cand.withColumn("__c", F.expr(BM25_CONTRIB_SQL))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__c").alias("bm25_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", id_col, "bm25_q", "rank")
+    )
+
+
+def forget_bm25_index(
+    spark, index_dir: str, keys, id_col: str = "doc_id"
+) -> dict:
+    """Erase documents from the standing BM25 index (the RTBF path,
+    streaming/forget.py semantics): tombstone-and-purge BOTH stores,
+    and append a compensating NEGATIVE stats entry for the token mass
+    the forgotten docs contributed — after which a probe scores
+    exactly the batch operator over the surviving corpus (df shrinks
+    via the tombstoned postings, N/T via the ledger).
+
+    Ledger entries are numbered ``forget-<n>`` (never overwritten:
+    a later re-forget after readmission must compensate AGAIN, so
+    entries accrete; n is a bounded driver-side listing)."""
+    from .forget import forget_index_keys
+
+    keys = list(keys)
+    postings_dir = index_dir.rstrip("/") + "/postings"
+    docs_dir = index_dir.rstrip("/") + "/docs"
+    stats_dir = index_dir.rstrip("/") + "/stats"
+    nbd = _ensure_index_buckets(spark, docs_dir, None)
+    kdf = spark.createDataFrame([(k,) for k in keys], f"{id_col} long")
+    store = _read_index_pruned(
+        spark, docs_dir, _collect_buckets(kdf, nbd, id_col)
+    )
+    n_rows = n_tokens = 0
+    if store is not None:
+        hit = store.join(F.broadcast(kdf), id_col, "left_semi").agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
+        ).first()
+        n_rows, n_tokens = int(hit["n"]), int(hit["t"])
+    if n_rows:
+        # NOTE: compensation counts one row per docs-store entry; rows
+        # that merged into one doc at build time were ledgered
+        # individually, so a forget of a merged doc slightly
+        # over-counts N relative to the batch operator. Exact only
+        # when ids are unique per batch (the keyed-store contract).
+        from .dedup import _hadoop_fs
+
+        fs, p = _hadoop_fs(spark, stats_dir)
+        n_prior = 0
+        if fs.exists(p):
+            n_prior = sum(
+                1
+                for s in fs.listStatus(p)
+                if s.getPath().getName().startswith("forget-")
+            )
+        spark.createDataFrame(
+            [(-n_rows, -n_tokens)], "n_rows long, n_tokens long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            stats_dir + f"/forget-{n_prior + 1}"
+        )
+    r1 = forget_index_keys(spark, postings_dir, keys, key_col=id_col)
+    r2 = forget_index_keys(spark, docs_dir, keys, key_col=id_col)
+    return {
+        "ledgered_rows": n_rows,
+        "ledgered_tokens": n_tokens,
+        "postings": r1,
+        "docs": r2,
+    }

@@ -462,18 +462,12 @@ def _q_stream_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
-def _q_sim_index_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FILTERED top-k SERVED from the standing vector index
-    (streaming/similarity.py::probe_embedding_index — the standing-
-    index half of the r12 verdict's Missing #2, next to the batch
-    operators' predicate=): the embeddings table replays as two
-    micro-batches into the cell-partitioned index CARRYING its label
-    metadata (extra_cols), then the probe ranks only ``label = 1``
-    vectors — the predicate pushed into the pruned cell scan
-    (PushedFilters; plan-pinned in tests/test_streaming_similarity),
-    never rank-then-discard. nprobe = the full cell count, so the
-    probe is EXACT filtered top-k over every indexed vector and the
-    oracle is the label-filtered cosine_topk spelling."""
+def _emb_standing_index(spark: SparkSession, sf_dir: str):
+    """Build (once per process per sf_dir — see _STANDING_IDX_CACHE)
+    the standing cell-partitioned embedding index carrying its label
+    metadata: the embeddings table replayed as two micro-batches
+    through streaming/similarity.py::run_index_embedding_stream.
+    Returns (index_dir, centroids_dir, n_cells)."""
     import os
     import tempfile
 
@@ -484,11 +478,13 @@ def _q_sim_index_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_centroids,
     )
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
-        probe_embedding_index,
         run_index_embedding_stream,
     )
     from __spark_entry__ import _set_stream_partitions
 
+    ckey = ("emb", sf_dir)
+    if ckey in _STANDING_IDX_CACHE:
+        return _STANDING_IDX_CACHE[ckey]
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding", "label"],
@@ -535,17 +531,41 @@ def _q_sim_index_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError(
                 "sim_index_topk_filtered availableNow replay exceeded 300s"
             )
-        return probe_embedding_index(
-            spark,
-            os.path.join(work, "index"),
-            cents_dir,
-            emb.filter(F.col("vec_id") < _N_QUERIES),
-            k=_TOPK_K,
-            nprobe=n_cells,
-            predicate="label = 1",
-        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _STANDING_IDX_CACHE[ckey] = (
+        os.path.join(work, "index"), cents_dir, n_cells
+    )
+    return _STANDING_IDX_CACHE[ckey]
+
+
+def _q_sim_index_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED top-k SERVED from the standing vector index
+    (streaming/similarity.py::probe_embedding_index — the standing-
+    index half of the r12 verdict's Missing #2, next to the batch
+    operators' predicate=): the embeddings table replays as two
+    micro-batches into the cell-partitioned index CARRYING its label
+    metadata (extra_cols), then the probe ranks only ``label = 1``
+    vectors — the predicate pushed into the pruned cell scan
+    (PushedFilters; plan-pinned in tests/test_streaming_similarity),
+    never rank-then-discard. nprobe = the full cell count, so the
+    probe is EXACT filtered top-k over every indexed vector and the
+    oracle is the label-filtered cosine_topk spelling."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        probe_embedding_index,
+    )
+
+    index_dir, cents_dir, n_cells = _emb_standing_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return probe_embedding_index(
+        spark,
+        index_dir,
+        cents_dir,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=_TOPK_K,
+        nprobe=n_cells,
+        predicate="label = 1",
+    )
 
 
 _SIM_INDEX_TOPK_FILTERED_ORACLE_TMPL = """
@@ -1759,26 +1779,28 @@ def _q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: the BM25 CTE chain through the quantized-contribution sum —
-#: shared verbatim by the standalone key and the hybrid fusion
-#: (format args: exclude_self SQL predicate tail)
+#: shared verbatim by the standalone key, the hybrid fusion, and the
+#: standing-index probe (format args: exclude_self SQL predicate
+#: tail; src = the corpus relation — the streaming key passes the
+#: NULL-id-filtered view, the keyed-store contract)
 _BM25_CTES_TMPL = f"""
 btoks AS (
   SELECT doc_id, lower(unnest(list_filter(regexp_split_to_array(trim(text),
                 '\\s+'), t -> t != ''))) AS term
-  FROM documents
+  FROM {{src}}
 ), btf AS (
   SELECT doc_id, term, count(*) AS tf FROM btoks GROUP BY 1, 2
 ), bdl AS (
   SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY 1
 ), bdf AS (
   SELECT term, count(*) AS df FROM btf GROUP BY 1
-), bn AS (SELECT count(*) AS n_docs FROM documents),
+), bn AS (SELECT count(*) AS n_docs FROM {{src}}),
 btt AS (SELECT count(*) AS t_tokens FROM btoks),
 bqt AS (
   SELECT DISTINCT doc_id AS query_id,
          lower(unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                t -> t != ''))) AS term
-  FROM documents WHERE doc_id < {_N_QUERIES}
+  FROM {{src}} WHERE doc_id < {_N_QUERIES}
 ), bscored AS (
   -- spelled as operators/retrieval.py's contrib expression: idf
   -- ratio x integer-rational tf part, one multiply, half-up round,
@@ -1803,7 +1825,7 @@ bqt AS (
 )"""
 
 _BM25_TOPK_ORACLE = f"""
-WITH {_BM25_CTES_TMPL.format(self_pred="")}
+WITH {_BM25_CTES_TMPL.format(self_pred="", src="documents")}
 SELECT query_id, doc_id, bm25_q, CAST(rank AS INTEGER) AS rank
 FROM branked WHERE rank <= {_TOPK_K}
 """
@@ -1827,8 +1849,14 @@ def _q_sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lex, dense, k=_TOPK_K)
 
 
-_HYBRID_RRF_ORACLE = f"""
-WITH {_BM25_CTES_TMPL.format(self_pred="WHERE btf.doc_id != query_id")},
+def _hybrid_rrf_oracle(cos: str, src: str = "documents",
+                       dense_pred: str = "") -> str:
+    """The RRF hybrid oracle: the BM25 CTE chain (self-excluded) and
+    the quantized-cosine dense leg, fused 1/(60+r) in fixed two-leg
+    order. ``src``/``dense_pred`` carry the standing-index keyed-store
+    contract (NULL ids never index) for the served variant."""
+    return f"""
+WITH {_BM25_CTES_TMPL.format(self_pred="WHERE btf.doc_id != query_id", src=src)},
 dq0 AS (
   SELECT vec_id AS query_id,
          [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
@@ -1840,12 +1868,12 @@ dq0 AS (
   SELECT vec_id AS c_id,
          [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
           for x in embedding] AS cq
-  FROM embeddings
+  FROM embeddings {dense_pred}
 ), dc AS (
   SELECT * FROM dc0 WHERE len(list_filter(cq, x -> x != 0)) > 0
 ), dscored AS (
   SELECT dq.query_id, dc.c_id,
-         {{cos}} AS cosine
+         {cos} AS cosine
   FROM dc JOIN dq ON dc.c_id != dq.query_id
 ), dranked AS (
   SELECT query_id, c_id, cosine,
@@ -1873,6 +1901,147 @@ dq0 AS (
 )
 SELECT query_id, id AS doc_id, rrf, CAST(rank AS INTEGER) AS rank
 FROM franked WHERE rank <= {_TOPK_K}
+"""
+
+
+#: standing-index build memo per (family, sf_dir): the BM25 postings
+#: index feeds BOTH s_stream_bm25_index and the served-hybrid key in
+#: one gate/bench pass, and the build (a two-batch availableNow
+#: replay) is deterministic, so rebuilding it per key is
+#: observationally identical. Dirs live under tempfile for the
+#: process lifetime (the OS tmp reaper owns them).
+_STANDING_IDX_CACHE: dict = {}
+
+
+def _bm25_standing_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) the standing BM25 index:
+    the documents table replayed as TWO micro-batches through
+    streaming/retrieval.py::run_index_bm25_stream. NULL ids ride in
+    batch 0 so the replay delivers them (the runner drops them — the
+    keyed-store contract the oracle's src filter mirrors); splitting
+    ON the id co-locates duplicate ids in one batch, where the
+    runner's groupBy merges them exactly as the batch operator."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        run_index_bm25_stream,
+    )
+    from __spark_entry__ import _set_stream_partitions
+
+    ckey = ("bm25", sf_dir)
+    if ckey in _STANDING_IDX_CACHE:
+        return _STANDING_IDX_CACHE[ckey]
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = sorted(x.as_py() for x in t.column("doc_id") if x.as_py() is not None)
+    mid = ids[len(ids) // 2]
+    stream_dir = tempfile.mkdtemp(prefix="sbm25_src_")
+    work = tempfile.mkdtemp(prefix="sbm25_work_")
+    key = t.column("doc_id")
+    in_b0 = pc.or_kleene(pc.less(key, mid), pc.is_null(key))
+    pq.write_table(
+        t.filter(pc.fill_null(in_b0, True)),
+        os.path.join(stream_dir, "00.parquet"),
+    )
+    pq.write_table(
+        t.filter(pc.fill_null(pc.invert(in_b0), False)),
+        os.path.join(stream_dir, "01.parquet"),
+    )
+    old_parts = _set_stream_partitions(spark)
+    try:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(stream_dir)
+        )
+        q = run_index_bm25_stream(
+            stream,
+            os.path.join(work, "out"),
+            os.path.join(work, "index"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_bm25 availableNow replay exceeded 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _STANDING_IDX_CACHE[ckey] = os.path.join(work, "index")
+    return _STANDING_IDX_CACHE[ckey]
+
+
+def _q_stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword top-k SERVED from the standing BM25 postings index
+    (streaming/retrieval.py::run_index_bm25_stream + probe_bm25_index):
+    the documents table replays as TWO micro-batches into the
+    postings/docs/stats layout, then the probe answers the same first-
+    N-docs queries as the batch key — BM25's corpus stats all derive
+    from the index (df live from the term buckets, dl on the posting
+    rows, N/T from the ledger), so the served scores equal the batch
+    operator over the union corpus bit-exactly and the oracle is the
+    batch _BM25_CTES chain over the NULL-id-filtered corpus (the
+    keyed-store contract: a NULL doc_id is never indexed)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        probe_bm25_index,
+    )
+
+    index_dir = _bm25_standing_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.where(f"doc_id < {_N_QUERIES}").select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return probe_bm25_index(spark, index_dir, queries, k=_TOPK_K)
+
+
+def _q_stream_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search SERVED entirely from standing indexes — the
+    retrieval tier as it actually deploys: the lexical leg probes the
+    standing BM25 postings index (probe_bm25_index, self-excluded),
+    the dense leg probes the standing cell-partitioned vector index
+    (probe_embedding_index at nprobe = the full cell count — exact),
+    and operators/retrieval.py::rrf_fuse fuses the two ranked lists.
+    Both standing builds replay two micro-batches and are shared with
+    their single-leg keys (_STANDING_IDX_CACHE). Oracle = the batch
+    hybrid spelling with the keyed-store contract on both legs (NULL
+    doc/vec ids never index)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        probe_bm25_index,
+        probe_embedding_index,
+    )
+
+    bm25_dir = _bm25_standing_index(spark, sf_dir)
+    emb_dir, cents_dir, n_cells = _emb_standing_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = docs.where(f"doc_id < {_N_QUERIES}").select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = probe_bm25_index(
+        spark, bm25_dir, queries, k=_TOPK_K, exclude_self=True
+    )
+    dense = probe_embedding_index(
+        spark,
+        emb_dir,
+        cents_dir,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=_TOPK_K,
+        nprobe=n_cells,
+    )
+    return rrf_fuse(lex, dense, k=_TOPK_K)
+
+
+_STREAM_BM25_ORACLE = f"""
+WITH {_BM25_CTES_TMPL.format(
+    self_pred="",
+    src="(SELECT * FROM documents WHERE doc_id IS NOT NULL) documents",
+)}
+SELECT query_id, doc_id, bm25_q, CAST(rank AS INTEGER) AS rank
+FROM branked WHERE rank <= {_TOPK_K}
 """
 
 
@@ -8080,6 +8249,8 @@ def ext_queries():
         "text_tfidf_top_terms": _q_tfidf_top_terms,
         "text_bm25_topk": _q_text_bm25_topk,
         "sim_hybrid_rrf_topk": _q_sim_hybrid_rrf_topk,
+        "s_stream_bm25_index": _q_stream_bm25_index,
+        "s_stream_hybrid_rrf": _q_stream_hybrid_rrf,
         "text_vocab_topk": _q_vocab_topk,
         "text_bpe_vocab": _q_bpe_vocab,
         "t_pack_windows_real_bpe": _q_pack_windows_real_bpe,
@@ -8248,8 +8419,15 @@ def ext_oracles():
         "t_hash_split": _HASH_SPLIT_ORACLE,
         "text_tfidf_top_terms": _TFIDF_ORACLE,
         "text_bm25_topk": _BM25_TOPK_ORACLE,
-        "sim_hybrid_rrf_topk": _HYBRID_RRF_ORACLE.format(
+        "s_stream_bm25_index": _STREAM_BM25_ORACLE,
+        "sim_hybrid_rrf_topk": _hybrid_rrf_oracle(
             cos=_COS_SQL.format(a="dc.cq", b="dq.qq")
+        ),
+        "s_stream_hybrid_rrf": _hybrid_rrf_oracle(
+            cos=_COS_SQL.format(a="dc.cq", b="dq.qq"),
+            src="(SELECT * FROM documents WHERE doc_id IS NOT NULL)"
+                " documents",
+            dense_pred="WHERE vec_id IS NOT NULL",
         ),
         "text_vocab_topk": _VOCAB_ORACLE,
         "text_bpe_vocab": _bpe_oracle(_BPE_K),

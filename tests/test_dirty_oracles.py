@@ -416,6 +416,8 @@ DIRTY_STREAM_QUERIES = [
     "s_stream_semantic_index",
     "sim_index_topk_filtered",
     "sim_pq_index_topk_filtered",
+    "s_stream_bm25_index",
+    "s_stream_hybrid_rrf",
     "s_stream_semantic_text",
     "s_stream_semantic_pq",
     "s_stream_semantic_text_pq",

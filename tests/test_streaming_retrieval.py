@@ -1,0 +1,199 @@
+"""Standing BM25 postings index (streaming/retrieval.py).
+
+Contracts pinned: the served probe equals the batch ``bm25_topk``
+over the union corpus (union == one-shot — BM25's global stats all
+derive from the index); cross-batch redelivery is routed around the
+build (first-writer-wins, ledger not double-counted); NULL-id rows
+are never indexed while empty-text docs still count in N; erasure
+(forget_bm25_index) leaves the probe scoring exactly the batch
+operator over the SURVIVING corpus (tombstoned postings shrink df,
+compensating ledger entries shrink N/T); per-bucket compaction of
+both stores changes nothing the probe can see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+    bm25_topk,
+)
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+    forget_bm25_index,
+    probe_bm25_index,
+    run_index_bm25_stream,
+)
+from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+    compact_banded_index,
+)
+
+from .test_streaming_dedup import _one_file
+
+SCHEMA = "doc_id long, text string"
+
+ROWS0 = [
+    (0, "apple banana apple"),
+    (1, "banana cherry"),
+    (2, None),          # tokenless: in N, dl=0, matches nothing
+    (None, "ghost doc"),  # NULL id: never indexed
+]
+ROWS1 = [
+    (3, "cherry cherry cherry apple"),
+    (4, "durian fig"),
+]
+
+
+def _replay(spark, tmp_path, name, batches):
+    d = tmp_path / f"{name}_src"
+    for i, rows in enumerate(batches):
+        _one_file(spark, d, f"{i:02d}.parquet", rows, SCHEMA)
+    work = str(tmp_path / f"{name}_work")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    q = run_index_bm25_stream(
+        stream, work + "/out", work + "/index",
+        checkpoint_dir=work + "/ckpt", n_buckets=4,
+    )
+    assert q.awaitTermination(180)
+    return d, work
+
+
+def _pairs(df):
+    return {(r["query_id"], r["doc_id"], r["bm25_q"], r["rank"])
+            for r in df.collect()}
+
+
+def _batch_ref(spark, rows, queries, k=4):
+    corpus = spark.createDataFrame(
+        [r for r in rows if r[0] is not None], SCHEMA
+    )
+    return _pairs(bm25_topk(corpus, queries, k=k))
+
+
+def test_probe_equals_batch_and_redelivery(spark, tmp_path):
+    d, work = _replay(spark, tmp_path, "a", [ROWS0, ROWS1])
+    queries = spark.createDataFrame(
+        [(100, "apple cherry"), (101, "fig")], "query_id long, text string"
+    )
+    got = _pairs(probe_bm25_index(spark, work + "/index", queries, k=4))
+    want = _batch_ref(spark, ROWS0 + ROWS1, queries)
+    assert got == want
+    # NULL id never indexed; tokenless doc holds a dl=0 docs row
+    docs = spark.read.parquet(work + "/index/docs")
+    assert docs.where(F.col("doc_id").isNull()).count() == 0
+    assert docs.where("doc_id = 2").select("dl").first()["dl"] == 0
+
+    # cross-batch redelivery: batch 0's rows arrive again under a NEW
+    # batch id -> routed around the build, probe and ledger unchanged
+    _one_file(spark, d, "02.parquet", ROWS0, SCHEMA)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    q = run_index_bm25_stream(
+        stream, work + "/out", work + "/index",
+        checkpoint_dir=work + "/ckpt", n_buckets=4,
+    )
+    assert q.awaitTermination(180)
+    assert _pairs(probe_bm25_index(spark, work + "/index", queries, k=4)) \
+        == want
+    post = spark.read.parquet(work + "/index/postings")
+    assert post.groupBy("doc_id", "term").count() \
+        .where("count > 1").count() == 0
+
+
+def test_forget_equals_surviving_corpus(spark, tmp_path):
+    _, work = _replay(spark, tmp_path, "b", [ROWS0, ROWS1])
+    queries = spark.createDataFrame(
+        [(100, "apple cherry")], "query_id long, text string"
+    )
+    res = forget_bm25_index(spark, work + "/index", [0, 3])
+    assert res["ledgered_rows"] == 2
+    assert res["ledgered_tokens"] == 3 + 4
+    got = _pairs(probe_bm25_index(spark, work + "/index", queries, k=4))
+    survivors = [r for r in ROWS0 + ROWS1 if r[0] not in (0, 3)]
+    assert got == _batch_ref(spark, survivors, queries)
+    # physically gone from both stores, not just suppressed
+    assert spark.read.parquet(work + "/index/postings") \
+        .where("doc_id in (0, 3)").count() == 0
+    assert spark.read.parquet(work + "/index/docs") \
+        .where("doc_id in (0, 3)").count() == 0
+
+
+def test_rebucket_mid_replay(spark, tmp_path):
+    """Online bucket growth on BOTH stores between micro-batches: the
+    resumed runner adopts the flipped modulus (n_buckets=None), the
+    probe still equals the batch operator, and a resume passing the
+    stale modulus fails loudly."""
+    import pytest as _pytest
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        rebucket_banded_index,
+    )
+
+    d = tmp_path / "r_src"
+    work = str(tmp_path / "r_work")
+    _one_file(spark, d, "00.parquet", ROWS0, SCHEMA)
+
+    def _run(nb):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(d))
+        )
+        q = run_index_bm25_stream(
+            stream, work + "/out", work + "/index",
+            checkpoint_dir=work + "/ckpt", n_buckets=nb,
+        )
+        assert q.awaitTermination(180)
+
+    _run(4)
+    assert rebucket_banded_index(
+        spark, work + "/index/postings", ("term",)
+    ) == 8
+    assert rebucket_banded_index(
+        spark, work + "/index/docs", ("doc_id",)
+    ) == 8
+    _one_file(spark, d, "01.parquet", ROWS1, SCHEMA)
+    _run(None)
+    queries = spark.createDataFrame(
+        [(100, "apple cherry fig")], "query_id long, text string"
+    )
+    got = _pairs(probe_bm25_index(spark, work + "/index", queries, k=5))
+    assert got == _batch_ref(spark, ROWS0 + ROWS1, queries, k=5)
+    # stale-modulus resume fails loudly
+    _one_file(spark, d, "02.parquet", [(9, "kiwi")], SCHEMA)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    q = run_index_bm25_stream(
+        stream, work + "/out", work + "/index",
+        checkpoint_dir=work + "/ckpt", n_buckets=4,
+    )
+    with _pytest.raises(Exception, match="n_buckets"):
+        q.awaitTermination(180)
+        q.processAllAvailable()
+
+
+def test_compaction_invisible_to_probe(spark, tmp_path):
+    _, work = _replay(spark, tmp_path, "c", [ROWS0, ROWS1])
+    queries = spark.createDataFrame(
+        [(100, "apple cherry banana")], "query_id long, text string"
+    )
+    before = _pairs(probe_bm25_index(spark, work + "/index", queries, k=5))
+    for store in ("postings", "docs"):
+        compact_banded_index(spark, f"{work}/index/{store}")
+    spark.catalog.refreshByPath(work + "/index/postings")
+    spark.catalog.refreshByPath(work + "/index/docs")
+    assert _pairs(probe_bm25_index(spark, work + "/index", queries, k=5)) \
+        == before
