@@ -24,6 +24,10 @@ operator-facing surface over the maintenance primitives:
   mid-replay adoption pinned in tests/test_streaming_retrieval.py).
 * ``compact-vec-index`` — per-cell compaction of the embedding
   index: ``compact_embedding_index``.
+* ``compact-bm25-stats`` — fold the BM25 runner's per-trigger
+  (N, T) stats ledger into one horizon-carrying entry
+  (``streaming/retrieval.py::compact_bm25_stats``; the horizon stops
+  a post-compaction batch retry from double-counting).
 * ``retrain-centroids`` — retrain the embedding index's centroids on
   its own vectors (sampled seeded k-means) and atomically re-cell the
   layout: ``recell_embedding_index``. Live runners adopt the flipped
@@ -101,6 +105,14 @@ def parse_args(argv: Sequence[str] | None = None) -> argparse.Namespace:
     cv.add_argument("--path", required=True)
     cv.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     cv.add_argument("--min-files", type=int, default=2)
+
+    cb = sub.add_parser(
+        "compact-bm25-stats",
+        help="fold the BM25 index's per-trigger stats ledger into one "
+             "horizon-carrying entry (quiesced; atomic swap)",
+    )
+    cb.add_argument("--path", required=True,
+                    help="the BM25 runner's index_dir (holds stats/)")
 
     rc = sub.add_parser(
         "retrain-centroids",
@@ -247,6 +259,10 @@ def main(argv: Sequence[str] | None = None) -> int:
             target_bytes=args.target_bytes, min_files=args.min_files,
         )
         out["files_per_cell"] = {str(k): v for k, v in files.items()}
+    elif args.cmd == "compact-bm25-stats":
+        from .streaming.retrieval import compact_bm25_stats
+
+        out.update(compact_bm25_stats(spark, args.path))
     elif args.cmd == "retrain-centroids":
         from .streaming.similarity import recell_embedding_index
 

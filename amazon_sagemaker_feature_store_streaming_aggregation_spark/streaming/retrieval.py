@@ -70,17 +70,123 @@ from .dedup import (
 
 def _stats_ledger(spark, stats_dir: str) -> DataFrame | None:
     """Sum the (n_rows, n_tokens) ledger — recursiveFileLookup skips
-    partition-name inference so batch-*/ and forget-*/ entries coexist.
-    None when no entry has been written yet."""
+    partition-name inference so batch-*/, forget-*/ and compacted-*/
+    entries coexist. None when no entry has been written yet. A
+    crash-interrupted :func:`compact_bm25_stats` swap heals before
+    the read (the `_ensure_index_buckets` rule applied here)."""
+    from ..sinks.compaction import heal_compaction_swap
+
+    heal_compaction_swap(spark, stats_dir.rstrip("/"))
     if not _fs_exists(spark, stats_dir):
         return None
     rows = (
         spark.read.option("recursiveFileLookup", "true")
+        .schema("n_rows long, n_tokens long")
         .parquet(stats_dir.rstrip("/"))
     )
     return rows.agg(
         F.sum("n_rows").alias("n_docs"), F.sum("n_tokens").alias("t_tokens")
     )
+
+
+def _stats_horizon(spark, stats_dir: str) -> int:
+    """Highest batch id folded into a ``compacted-*`` ledger entry
+    (-1 when never compacted): a retried batch at or below it must
+    NOT re-write its ``batch-<id>`` entry — the compaction already
+    counted it, and recreating the file would double-count."""
+    from .dedup import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, stats_dir)
+    if not fs.exists(p):
+        return -1
+    names = [
+        s.getPath().getName()
+        for s in fs.listStatus(p)
+        if s.getPath().getName().startswith("compacted-")
+    ]
+    if not names:
+        return -1
+    dirs = [stats_dir.rstrip("/") + "/" + n for n in names]
+    h = (
+        spark.read.schema("n_rows long, n_tokens long, horizon long")
+        .parquet(*dirs)
+        .agg(F.max("horizon"))
+        .first()[0]
+    )
+    return -1 if h is None else int(h)
+
+
+def compact_bm25_stats(spark, index_dir: str) -> dict:
+    """Fold the stats ledger's per-batch and forget entries into ONE
+    ``compacted-<n>`` entry (the ledger otherwise accretes a
+    directory per trigger forever — the file-count argument behind
+    every per-bucket compactor, applied to the smallest store).
+
+    Runs quiesced, like every maintenance op. Atomicity: the folded
+    ledger builds as a hidden staging sibling and swaps in with the
+    house two-rename protocol — every crash window heals via
+    ``heal_compaction_swap`` (which :func:`_stats_ledger` runs before
+    any probe read), so the ledger total is never transiently double-
+    or under-counted. Retry safety: the folded entry carries the
+    highest folded batch id as ``horizon``; the runner's retry path
+    skips the ledger re-write for batches at or below it, so a
+    crashed batch retried AFTER a compaction that already counted its
+    entry cannot double-count."""
+    from ..sinks.compaction import _swap_names, heal_compaction_swap
+    from .dedup import _hadoop_fs
+
+    base = index_dir.rstrip("/")
+    stats_dir = base + "/stats"
+    heal_compaction_swap(spark, stats_dir)
+    fs, p = _hadoop_fs(spark, stats_dir)
+    if not fs.exists(p):
+        return {"folded": 0, "horizon": -1}
+    names = [
+        s.getPath().getName()
+        for s in fs.listStatus(p)
+        if not s.getPath().getName().startswith(("_", "."))
+    ]
+    if len(names) <= 1:
+        return {"folded": 0, "horizon": _stats_horizon(spark, stats_dir)}
+    batch_ids = [
+        int(n[len("batch-"):]) for n in names if n.startswith("batch-")
+    ]
+    prior = _stats_horizon(spark, stats_dir)
+    horizon = max(batch_ids + [prior])
+    gen = 1 + max(
+        [int(n[len("compacted-"):]) for n in names
+         if n.startswith("compacted-")] or [0]
+    )
+    total = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("n_rows long, n_tokens long")
+        .parquet(*[stats_dir + "/" + n for n in names])
+        .agg(F.sum("n_rows"), F.sum("n_tokens"))
+        .first()
+    )
+    _, staging, retired = _swap_names(stats_dir)
+    _, sp = _hadoop_fs(spark, staging)
+    _, rp = _hadoop_fs(spark, retired)
+    try:
+        spark.createDataFrame(
+            [(int(total[0] or 0), int(total[1] or 0), horizon)],
+            "n_rows long, n_tokens long, horizon long",
+        ).coalesce(1).write.parquet(staging + f"/compacted-{gen}")
+        _touch_success(spark, staging)
+        if not fs.rename(p, rp):
+            raise IOError(f"stats compaction swap failed: rename {stats_dir}")
+    except BaseException:
+        fs.delete(sp, True)
+        raise
+    if not fs.rename(sp, p):
+        fs.rename(rp, p)
+        fs.delete(sp, True)
+        raise IOError(
+            f"stats compaction swap failed: rename staging into {stats_dir}"
+        )
+    fs.delete(rp, True)
+    spark.catalog.refreshByPath(stats_dir)
+    return {"folded": len(names), "horizon": horizon}
 
 
 def run_index_bm25_stream(
@@ -159,9 +265,13 @@ def run_index_bm25_stream(
                 to_add.withColumn("ibucket", _index_bucket(nbp, "term")),
                 postings_dir, small_batch=small_batch,
             )
-            spark.read.parquet(batch_out + "/stats").write.mode(
-                "overwrite"
-            ).parquet(stats_out)
+            # skip the ledger re-write when a stats compaction already
+            # folded (and counted) this batch's entry — recreating the
+            # batch-<id> file would double-count N/T
+            if batch_id > _stats_horizon(spark, stats_dir):
+                spark.read.parquet(batch_out + "/stats").write.mode(
+                    "overwrite"
+                ).parquet(stats_out)
             _assert_modulus_unchanged(spark, docs_dir, _resolved, key="db")
             _append_index(
                 missing.withColumn("ibucket", _index_bucket(nbd, id_col)),

@@ -185,6 +185,86 @@ def test_rebucket_mid_replay(spark, tmp_path):
         q.processAllAvailable()
 
 
+def test_stats_ledger_compaction_and_retry(spark, tmp_path):
+    """compact_bm25_stats folds the per-trigger (N, T) ledger into one
+    horizon-carrying entry behind an atomic swap: the probe is
+    unchanged, the entry count drops to 1, and a RETRY of an already-
+    committed batch after the compaction (fresh checkpoint over the
+    same source — batch ids replay from 0, hitting the runner's
+    _SUCCESS repair path) does NOT recreate the folded batch entries,
+    so N/T never double-count. A post-compaction forget still
+    compensates correctly on top of the folded entry."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        compact_bm25_stats,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.retrieval import (
+        _stats_horizon,
+    )
+
+    d, work = _replay(spark, tmp_path, "s", [ROWS0, ROWS1])
+    queries = spark.createDataFrame(
+        [(100, "apple cherry fig")], "query_id long, text string"
+    )
+    before = _pairs(probe_bm25_index(spark, work + "/index", queries, k=5))
+    res = compact_bm25_stats(spark, work + "/index")
+    assert res["folded"] == 2 and res["horizon"] == 1
+    assert _stats_horizon(spark, work + "/index/stats") == 1
+    assert _pairs(probe_bm25_index(spark, work + "/index", queries, k=5)) \
+        == before
+
+    # retry after compaction: fresh checkpoint, same source -> batch
+    # ids 0/1 replay into the _SUCCESS repair path; the horizon check
+    # must skip their ledger re-writes
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    q = run_index_bm25_stream(
+        stream, work + "/out", work + "/index",
+        checkpoint_dir=work + "/ckpt2", n_buckets=4,
+    )
+    assert q.awaitTermination(180)
+    import glob
+
+    entries = [
+        p for p in glob.glob(work + "/index/stats/*")
+        if not p.rsplit("/", 1)[1].startswith(("_", "."))
+    ]
+    assert len(entries) == 1, entries
+    assert _pairs(probe_bm25_index(spark, work + "/index", queries, k=5)) \
+        == before
+
+    # idempotent no-op on a single-entry ledger
+    assert compact_bm25_stats(spark, work + "/index")["folded"] == 0
+
+    # forget after compaction: negative entry rides next to the folded
+    # one, probe equals the surviving corpus
+    forget_bm25_index(spark, work + "/index", [1])
+    survivors = [r for r in ROWS0 + ROWS1 if r[0] != 1]
+    assert _pairs(probe_bm25_index(spark, work + "/index", queries, k=5)) \
+        == _batch_ref(spark, survivors, queries, k=5)
+
+
+def test_compact_bm25_stats_cli(spark, tmp_path, capsys):
+    """maintain_cli compact-bm25-stats drives the fold end-to-end and
+    prints the JSON manifest (the orchestrator contract)."""
+    import json
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark import (
+        maintain_cli,
+    )
+
+    _, work = _replay(spark, tmp_path, "cli", [ROWS0, ROWS1])
+    assert maintain_cli.main(
+        ["compact-bm25-stats", "--path", work + "/index"]
+    ) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["cmd"] == "compact-bm25-stats"
+    assert m["folded"] == 2 and m["horizon"] == 1
+
+
 def test_compaction_invisible_to_probe(spark, tmp_path):
     _, work = _replay(spark, tmp_path, "c", [ROWS0, ROWS1])
     queries = spark.createDataFrame(
