@@ -611,7 +611,37 @@ def _q_sim_pq_index_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
     ADC ranking. nprobe = the full cell count and shortlist >= the
     corpus, so the probe is EXACT filtered top-k over every indexed
     vector and the oracle is the sim_index_topk_filtered spelling
-    verbatim (two standing layouts, one contract)."""
+    verbatim (two standing layouts, one contract). The deterministic
+    two-batch build is memoized per process (_STANDING_IDX_CACHE, the
+    served-index convention shared with the flat and BM25 twins)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        probe_pq_index,
+    )
+
+    index_dir, vecs_dir, cents_dir, cbs_dir, n_cells = _pq_standing_index(
+        spark, sf_dir
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return probe_pq_index(
+        spark,
+        index_dir,
+        vecs_dir,
+        cents_dir,
+        cbs_dir,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=_TOPK_K,
+        nprobe=n_cells,
+        shortlist=_emb_count(sf_dir),
+        m=_PQ_M,
+        predicate="label = 1",
+    )
+
+
+def _pq_standing_index(spark: SparkSession, sf_dir: str):
+    """Build (once per process per sf_dir — see _STANDING_IDX_CACHE)
+    the standing IVF-PQ two-store layout with label metadata on both
+    stores. Returns (index_dir, vecs_dir, centroids_dir,
+    codebooks_dir, n_cells)."""
     import os
     import tempfile
 
@@ -623,11 +653,13 @@ def _q_sim_pq_index_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
         pq_codebooks,
     )
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
-        probe_pq_index,
         run_index_embedding_pq_stream,
     )
     from __spark_entry__ import _set_stream_partitions
 
+    ckey = ("pq", sf_dir)
+    if ckey in _STANDING_IDX_CACHE:
+        return _STANDING_IDX_CACHE[ckey]
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding", "label"],
@@ -682,21 +714,13 @@ def _q_sim_pq_index_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
                 "sim_pq_index_topk_filtered availableNow replay "
                 "exceeded 300s"
             )
-        return probe_pq_index(
-            spark,
-            os.path.join(work, "index"),
-            os.path.join(work, "vecs"),
-            cents_dir,
-            cbs_dir,
-            emb.filter(F.col("vec_id") < _N_QUERIES),
-            k=_TOPK_K,
-            nprobe=n_cells,
-            shortlist=n_vecs,
-            m=_PQ_M,
-            predicate="label = 1",
-        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _STANDING_IDX_CACHE[ckey] = (
+        os.path.join(work, "index"), os.path.join(work, "vecs"),
+        cents_dir, cbs_dir, n_cells,
+    )
+    return _STANDING_IDX_CACHE[ckey]
 
 
 _SPQ_SHORTLIST = 8

@@ -185,6 +185,37 @@ def test_rebucket_mid_replay(spark, tmp_path):
         q.processAllAvailable()
 
 
+def test_probe_read_is_partition_pruned(spark, tmp_path):
+    """The probe's postings read prunes to the query terms' buckets
+    (PartitionFilters on ibucket — O(touched buckets), never the
+    index): pinned on the exact frame the scoring consumes
+    (probe_bm25_index checkpoints it, so the scan never appears in
+    the final result's plan)."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.retrieval import (
+        _doc_terms,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.dedup import (
+        _collect_buckets,
+        _ensure_index_buckets,
+        _read_index_pruned,
+    )
+
+    _, work = _replay(spark, tmp_path, "p", [ROWS0, ROWS1])
+    queries = spark.createDataFrame(
+        [(100, "apple")], "query_id long, text string"
+    )
+    nb = _ensure_index_buckets(spark, work + "/index/postings", None)
+    qterms = _doc_terms(queries, "query_id", "text").distinct()
+    buckets = _collect_buckets(qterms, nb, "term")
+    assert 0 < len(buckets) < nb  # a real prune, not the whole index
+    plan = (
+        _read_index_pruned(spark, work + "/index/postings", buckets)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "ibucket" in plan.split("PartitionFilters: [", 1)[1][:120], plan
+
+
 def test_stats_ledger_compaction_and_retry(spark, tmp_path):
     """compact_bm25_stats folds the per-trigger (N, T) ledger into one
     horizon-carrying entry behind an atomic swap: the probe is
