@@ -92,6 +92,7 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     exclude_self: bool = False,
+    predicate=None,
 ) -> DataFrame:
     """Per-query top-``k`` documents by quantized-BM25 (k1=1.2,
     b=0.75 pinned — see the module contract).
@@ -104,6 +105,16 @@ def bm25_topk(
     tokens or no matching document emit nothing. ``exclude_self``
     drops the ``query_id == id`` hit for corpus-drawn queries (the
     ``cosine_topk`` convention, used by the hybrid composition).
+
+    ``predicate`` (a SQL string or Column over ``docs``' metadata
+    columns) restricts CANDIDACY only — a document scores iff ANY of
+    its rows passes — while the corpus statistics (N, T, df, dl)
+    stay global: the deployed IR-engine behavior (a filter narrows
+    the result set, never the ranking model) and the BM25 analogue
+    of the vector family's geometry-from-the-unfiltered-corpus rule.
+    Filtering happens before the scoring join (filter-then-rank,
+    never rank-then-discard); the predicate lands on its own
+    column-pruned docs scan producing the allowed-id list.
 
     Plan: the corpus text is scanned, exploded, and shuffled exactly
     ONCE — the (doc, term) tf aggregation, map-side combined — and
@@ -137,6 +148,11 @@ def bm25_topk(
         .agg(F.count("*").alias("df"))
     )
     matches = tf.join(F.broadcast(qterms), "term")
+    if predicate is not None:
+        from .similarity import _apply_predicate
+
+        allowed = _apply_predicate(docs, predicate).select(id_col)
+        matches = matches.join(allowed, id_col, "left_semi")
     dl = (
         tf.join(matches.select(id_col).distinct(), id_col, "left_semi")
         .groupBy(id_col)

@@ -199,6 +199,7 @@ def run_index_bm25_stream(
     available_now: bool = True,
     n_buckets: int = 16,
     small_batch: bool = True,
+    extra_cols: tuple = (),
 ):
     """Accrete the standing BM25 index from a document stream (see the
     module docstring for the layout and the union-equals-one-shot
@@ -212,6 +213,15 @@ def run_index_bm25_stream(
     entirely (first-writer-wins; at-least-once redelivery safety).
     Docs with no tokens still ledger into N and hold a docs-store row
     (dl=0), matching the batch operator's count(*).
+
+    ``extra_cols`` names stream METADATA columns (lang, source, ...)
+    denormalized onto each posting row — the filtered-search contract
+    (:func:`probe_bm25_index`'s ``predicate`` evaluates against
+    them). Rows that merged into one document pin each extra to its
+    per-id MIN (deterministic under within-batch duplicate ids).
+    They ride the batch artifact and the retry repair generically
+    (both replay the artifact's full schema) and survive compaction
+    and rebucket (full-row rewrites).
     """
     if not checkpoint_dir:
         raise ValueError(
@@ -295,6 +305,11 @@ def run_index_bm25_stream(
         tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
         dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
         postings = tf.join(dl, id_col).select(id_col, "term", "tf", "dl")
+        if extra_cols:
+            meta = new_rows.groupBy(id_col).agg(
+                *[F.min(c).alias(c) for c in extra_cols]
+            )
+            postings = postings.join(meta, id_col)
         docs_rows = (
             new_rows.select(id_col).distinct()
             .join(dl, id_col, "left")
@@ -344,6 +359,7 @@ def probe_bm25_index(
     text_col: str = "text",
     query_id_col: str = "query_id",
     exclude_self: bool = False,
+    predicate=None,
 ) -> DataFrame:
     """Top-k keyword search SERVED from the standing index — the
     ``bm25_topk`` contract ``(query_id, <id_col>, bm25_q, rank)``
@@ -355,7 +371,14 @@ def probe_bm25_index(
     read (complete by layout), dl rides the posting rows, and N/T
     come from the stats ledger — so the score is the batch
     operator's, bit-exactly, including after erasure (compensating
-    ledger entries + tombstoned postings = the surviving corpus)."""
+    ledger entries + tombstoned postings = the surviving corpus).
+
+    ``predicate`` — over the runner's ``extra_cols`` metadata —
+    restricts CANDIDACY only, before the scoring join (filter-then-
+    rank); corpus statistics stay global, matching the batch
+    operator's ``predicate=`` contract. df is deliberately counted
+    from the UNFILTERED bucket rows (global stats), so the one
+    pruned read serves both sides."""
     postings_dir = index_dir.rstrip("/") + "/postings"
     stats_dir = index_dir.rstrip("/") + "/stats"
     empty = spark.range(0).select(
@@ -391,8 +414,13 @@ def probe_bm25_index(
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
+    cside = idx
+    if predicate is not None:
+        from ..operators.similarity import _apply_predicate
+
+        cside = _apply_predicate(idx, predicate)
     cand = (
-        idx.join(F.broadcast(qterms), "term")
+        cside.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_tbl), "term")
         .crossJoin(F.broadcast(stats))
     )

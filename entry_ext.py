@@ -1959,8 +1959,11 @@ def _bm25_standing_index(spark: SparkSession, sf_dir: str) -> str:
     ckey = ("bm25", sf_dir)
     if ckey in _STANDING_IDX_CACHE:
         return _STANDING_IDX_CACHE[ckey]
+    # lang rides as extra_cols metadata on every posting row — inert
+    # for the unfiltered probes, the filtered key's predicate target
     t = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
     )
     ids = sorted(x.as_py() for x in t.column("doc_id") if x.as_py() is not None)
     mid = ids[len(ids) // 2]
@@ -1980,7 +1983,7 @@ def _bm25_standing_index(spark: SparkSession, sf_dir: str) -> str:
     try:
         stream = (
             spark.readStream.format("parquet")
-            .schema("doc_id long, text string")
+            .schema("doc_id long, text string, lang string")
             .option("maxFilesPerTrigger", 1)
             .load(stream_dir)
         )
@@ -1989,6 +1992,7 @@ def _bm25_standing_index(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(work, "out"),
             os.path.join(work, "index"),
             checkpoint_dir=os.path.join(work, "ckpt"),
+            extra_cols=("lang",),
         )
         if not q.awaitTermination(300):
             q.stop()
@@ -2020,6 +2024,70 @@ def _q_stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), "text"
     )
     return probe_bm25_index(spark, index_dir, queries, k=_TOPK_K)
+
+
+def _q_text_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED BM25 (operators/retrieval.py::bm25_topk(predicate=)):
+    top-k among ``lang = 'en'`` documents. The predicate restricts
+    CANDIDACY only — a document scores iff any of its rows passes —
+    while N/T/df/dl stay global (the deployed IR-engine contract: a
+    filter narrows results, never the ranking model; the BM25
+    analogue of the vector family's geometry rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.where(f"doc_id < {_N_QUERIES}").select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries, k=_TOPK_K, predicate="lang = 'en'")
+
+
+_BM25_TOPK_FILTERED_ORACLE = f"""
+WITH {_BM25_CTES_TMPL.format(
+    self_pred=(
+        "WHERE btf.doc_id IN "
+        "(SELECT doc_id FROM documents WHERE lang = 'en')"
+    ),
+    src="documents",
+)}
+SELECT query_id, doc_id, bm25_q, CAST(rank AS INTEGER) AS rank
+FROM branked WHERE rank <= {_TOPK_K}
+"""
+
+
+def _q_stream_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED keyword top-k SERVED from the standing BM25 index:
+    the probe's predicate evaluates against the ``lang`` metadata the
+    runner denormalized onto every posting row (extra_cols),
+    restricting candidacy before the scoring join while df/N/T stay
+    global — the batch ``predicate=`` contract on the standing
+    layout. Merged duplicate ids pin lang to the per-id MIN (the
+    runner's deterministic rule), which the oracle's min-pinned
+    allowed-id subquery states."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        probe_bm25_index,
+    )
+
+    index_dir = _bm25_standing_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.where(f"doc_id < {_N_QUERIES}").select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return probe_bm25_index(
+        spark, index_dir, queries, k=_TOPK_K, predicate="lang = 'en'"
+    )
+
+
+_STREAM_BM25_FILTERED_ORACLE = f"""
+WITH {_BM25_CTES_TMPL.format(
+    self_pred=(
+        "WHERE btf.doc_id IN (SELECT doc_id FROM "
+        "(SELECT doc_id, min(lang) AS l FROM documents "
+        "WHERE doc_id IS NOT NULL GROUP BY doc_id) WHERE l = 'en')"
+    ),
+    src="(SELECT * FROM documents WHERE doc_id IS NOT NULL) documents",
+)}
+SELECT query_id, doc_id, bm25_q, CAST(rank AS INTEGER) AS rank
+FROM branked WHERE rank <= {_TOPK_K}
+"""
 
 
 def _q_stream_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8274,6 +8342,8 @@ def ext_queries():
         "text_bm25_topk": _q_text_bm25_topk,
         "sim_hybrid_rrf_topk": _q_sim_hybrid_rrf_topk,
         "s_stream_bm25_index": _q_stream_bm25_index,
+        "text_bm25_topk_filtered": _q_text_bm25_topk_filtered,
+        "s_stream_bm25_filtered": _q_stream_bm25_filtered,
         "s_stream_hybrid_rrf": _q_stream_hybrid_rrf,
         "text_vocab_topk": _q_vocab_topk,
         "text_bpe_vocab": _q_bpe_vocab,
@@ -8444,6 +8514,8 @@ def ext_oracles():
         "text_tfidf_top_terms": _TFIDF_ORACLE,
         "text_bm25_topk": _BM25_TOPK_ORACLE,
         "s_stream_bm25_index": _STREAM_BM25_ORACLE,
+        "text_bm25_topk_filtered": _BM25_TOPK_FILTERED_ORACLE,
+        "s_stream_bm25_filtered": _STREAM_BM25_FILTERED_ORACLE,
         "sim_hybrid_rrf_topk": _hybrid_rrf_oracle(
             cos=_COS_SQL.format(a="dc.cq", b="dq.qq")
         ),

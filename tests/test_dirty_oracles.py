@@ -385,6 +385,7 @@ DIRTY_QUERIES = [
     "text_pmi_collocations",
     "text_tfidf_top_terms",
     "text_bm25_topk",
+    "text_bm25_topk_filtered",
     "sim_hybrid_rrf_topk",
     "text_vocab_coverage",
     "text_vocab_topk",
@@ -417,6 +418,7 @@ DIRTY_STREAM_QUERIES = [
     "sim_index_topk_filtered",
     "sim_pq_index_topk_filtered",
     "s_stream_bm25_index",
+    "s_stream_bm25_filtered",
     "s_stream_hybrid_rrf",
     "s_stream_semantic_text",
     "s_stream_semantic_pq",

@@ -101,6 +101,30 @@ def test_bm25_exclude_self_and_prune(spark):
     assert 2 not in with_self
 
 
+def test_bm25_predicate_candidacy_not_stats(spark):
+    """predicate= restricts CANDIDACY (any-row-allowed) while the
+    corpus statistics stay GLOBAL: allowed docs keep exactly the
+    scores they had in the unfiltered run (same N/T/df/dl), and
+    non-qualifying docs disappear — never rank-then-discard into
+    different scores, and never the filtered-corpus restatement."""
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana", "en"),
+            (1, "apple cherry", "fr"),
+            (2, "apple apple", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    q = spark.createDataFrame([(9, "apple")], "query_id long, text string")
+    full = {r.doc_id: r.bm25_q for r in bm25_topk(docs, q, k=3).collect()}
+    filt = {
+        r.doc_id: r.bm25_q
+        for r in bm25_topk(docs, q, k=3, predicate="lang = 'en'").collect()
+    }
+    assert set(filt) == {0, 2}
+    assert all(filt[d] == full[d] for d in filt)  # global stats kept
+
+
 def test_rrf_fuse_semantics(spark):
     lex = spark.createDataFrame(
         [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank int"

@@ -185,6 +185,65 @@ def test_rebucket_mid_replay(spark, tmp_path):
         q.processAllAvailable()
 
 
+def test_filtered_probe_with_extras(spark, tmp_path):
+    """extra_cols metadata rides the posting rows; the probe's
+    predicate restricts candidacy with GLOBAL stats (the batch
+    predicate= contract on the standing layout), and extras survive
+    per-bucket compaction and an online rebucket."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        rebucket_banded_index,
+    )
+
+    schema = "doc_id long, text string, lang string"
+    b0 = [(0, "apple banana", "en"), (1, "apple cherry", "fr")]
+    b1 = [(2, "apple apple", "en"), (3, "banana cherry", "de")]
+    d = tmp_path / "f_src"
+    _one_file(spark, d, "00.parquet", b0, schema)
+    _one_file(spark, d, "01.parquet", b1, schema)
+    work = str(tmp_path / "f_work")
+
+    def _run(nb):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(d))
+        )
+        q = run_index_bm25_stream(
+            stream, work + "/out", work + "/index",
+            checkpoint_dir=work + "/ckpt", n_buckets=nb,
+            extra_cols=("lang",),
+        )
+        assert q.awaitTermination(180)
+
+    _run(4)
+    assert "lang" in spark.read.parquet(work + "/index/postings").columns
+    q = spark.createDataFrame([(9, "apple")], "query_id long, text string")
+    corpus = spark.createDataFrame(b0 + b1, schema)
+    want = {
+        (r.query_id, r.doc_id, r.bm25_q, r.rank)
+        for r in bm25_topk(corpus, q, k=3, predicate="lang = 'en'").collect()
+    }
+
+    def probe():
+        return {
+            (r.query_id, r.doc_id, r.bm25_q, r.rank)
+            for r in probe_bm25_index(
+                spark, work + "/index", q, k=3, predicate="lang = 'en'"
+            ).collect()
+        }
+
+    assert probe() == want
+    for store in ("postings", "docs"):
+        compact_banded_index(spark, f"{work}/index/{store}")
+        spark.catalog.refreshByPath(f"{work}/index/{store}")
+    assert probe() == want
+    assert rebucket_banded_index(
+        spark, work + "/index/postings", ("term",)
+    ) == 8
+    assert probe() == want
+
+
 def test_probe_read_is_partition_pruned(spark, tmp_path):
     """The probe's postings read prunes to the query terms' buckets
     (PartitionFilters on ibucket — O(touched buckets), never the
