@@ -185,6 +185,43 @@ def test_rebucket_mid_replay(spark, tmp_path):
         q.processAllAvailable()
 
 
+def test_crash_window_postings_landed_docs_missing(spark, tmp_path):
+    """The narrowest repair window: the batch artifact committed and
+    the POSTINGS append landed, but the crash hit before the docs
+    append. The retry (fresh checkpoint, same source) must re-append
+    ONLY the docs rows — the (id, term) anti-join keeps the already-
+    landed postings from duplicating — and the probe then equals the
+    batch operator."""
+    import shutil
+
+    d, work = _replay(spark, tmp_path, "w", [ROWS0])
+    # simulate the crash: wipe the docs store (keep its _meta)
+    docs_dir = work + "/index/docs"
+    for p in __import__("glob").glob(docs_dir + "/ibucket=*"):
+        shutil.rmtree(p)
+    spark.catalog.refreshByPath(docs_dir)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    q = run_index_bm25_stream(
+        stream, work + "/out", work + "/index",
+        checkpoint_dir=work + "/ckpt_retry", n_buckets=4,
+    )
+    assert q.awaitTermination(180)
+    post = spark.read.parquet(work + "/index/postings")
+    assert post.groupBy("doc_id", "term").count() \
+        .where("count > 1").count() == 0
+    assert spark.read.parquet(docs_dir).count() == 3  # ids 0, 1, 2
+    queries = spark.createDataFrame(
+        [(100, "apple cherry")], "query_id long, text string"
+    )
+    assert _pairs(probe_bm25_index(spark, work + "/index", queries, k=4)) \
+        == _batch_ref(spark, ROWS0, queries)
+
+
 def test_filtered_probe_with_extras(spark, tmp_path):
     """extra_cols metadata rides the posting rows; the probe's
     predicate restricts candidacy with GLOBAL stats (the batch
