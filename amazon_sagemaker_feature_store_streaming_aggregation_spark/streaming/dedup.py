@@ -402,7 +402,8 @@ def compact_banded_index(
 ) -> dict:
     """Per-bucket small-file compaction for the ``ibucket``-partitioned
     streaming dedup indexes (exact-hash / LSH band / hamming band /
-    the substring runner's ``(id, pos, sh)`` window-occurrence index —
+    the substring runner's ``(id, pos, sh)`` window-occurrence index /
+    the BM25 runner's ``postings`` and ``docs`` stores —
     any store laid out as ``ibucket=<pmod(xxhash64(keys), n)>`` leaves;
     the twin of ``streaming/similarity.py::compact_embedding_index``
     for cell-partitioned vector indexes): every micro-batch appends
