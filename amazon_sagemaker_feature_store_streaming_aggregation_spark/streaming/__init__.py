@@ -48,6 +48,7 @@ from .similarity import (  # noqa: F401
     run_index_embedding_stream,
 )
 from .retrieval import (  # noqa: F401
+    bm25_index_stats,
     compact_bm25_stats,
     forget_bm25_index,
     probe_bm25_index,

@@ -441,6 +441,51 @@ def probe_bm25_index(
     )
 
 
+def bm25_index_stats(spark, index_dir: str) -> dict:
+    """Size/shape introspection of the standing BM25 index — the
+    observability twin of ``similarity_pq.py::pq_index_stats``:
+    per-store row counts and parquet bytes, distinct terms, ledger
+    N/T totals and entry count (the compaction trigger signal), and
+    bytes-per-posting (the SCALE.md artifact)."""
+    from ..sinks.compaction import fs_dir_stats
+    from .dedup import _fs_has_parquet_recursive, _hadoop_fs
+
+    base = index_dir.rstrip("/")
+    out = {}
+    for name in ("postings", "docs"):
+        d = f"{base}/{name}"
+        n = (
+            spark.read.parquet(d).count()
+            if _fs_has_parquet_recursive(spark, d) else 0
+        )
+        _, size = fs_dir_stats(spark, d)
+        out[f"{name}_rows"] = int(n)
+        out[f"{name}_bytes"] = int(size)
+    out["bytes_per_posting"] = (
+        round(out["postings_bytes"] / out["postings_rows"], 2)
+        if out["postings_rows"] else None
+    )
+    out["n_terms"] = (
+        spark.read.parquet(f"{base}/postings").select("term")
+        .distinct().count()
+        if out["postings_rows"] else 0
+    )
+    ledger = _stats_ledger(spark, f"{base}/stats")
+    if ledger is None:
+        out["ledger_n_docs"] = out["ledger_t_tokens"] = 0
+        out["ledger_entries"] = 0
+    else:
+        row = ledger.first()
+        out["ledger_n_docs"] = int(row["n_docs"] or 0)
+        out["ledger_t_tokens"] = int(row["t_tokens"] or 0)
+        fs, p = _hadoop_fs(spark, f"{base}/stats")
+        out["ledger_entries"] = sum(
+            1 for s in fs.listStatus(p)
+            if not s.getPath().getName().startswith(("_", "."))
+        ) if fs.exists(p) else 0
+    return out
+
+
 def forget_bm25_index(
     spark, index_dir: str, keys, id_col: str = "doc_id"
 ) -> dict:

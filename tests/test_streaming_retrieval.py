@@ -374,6 +374,31 @@ def test_stats_ledger_compaction_and_retry(spark, tmp_path):
         == _batch_ref(spark, survivors, queries, k=5)
 
 
+def test_bm25_index_stats(spark, tmp_path):
+    """bm25_index_stats reports the standing layout's true shape:
+    ledger N/T equal the indexed corpus (rows with non-NULL ids,
+    tokens), entry count tracks triggers then drops to 1 after the
+    ledger fold."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        bm25_index_stats,
+        compact_bm25_stats,
+    )
+
+    _, work = _replay(spark, tmp_path, "st", [ROWS0, ROWS1])
+    s = bm25_index_stats(spark, work + "/index")
+    assert s["ledger_n_docs"] == 5          # 3 + 2 non-NULL-id rows
+    assert s["ledger_t_tokens"] == 5 + 6    # batch token counts
+    assert s["docs_rows"] == 5
+    assert s["ledger_entries"] == 2
+    assert s["postings_rows"] > 0 and s["bytes_per_posting"] > 0
+    # apple banana cherry durian fig; the NULL-id row's terms never index
+    assert s["n_terms"] == 5
+    compact_bm25_stats(spark, work + "/index")
+    s2 = bm25_index_stats(spark, work + "/index")
+    assert s2["ledger_entries"] == 1
+    assert s2["ledger_n_docs"] == 5 and s2["ledger_t_tokens"] == 11
+
+
 def test_compact_bm25_stats_cli(spark, tmp_path, capsys):
     """maintain_cli compact-bm25-stats drives the fold end-to-end and
     prints the JSON manifest (the orchestrator contract)."""
