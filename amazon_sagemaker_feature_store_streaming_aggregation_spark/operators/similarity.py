@@ -277,6 +277,7 @@ def _exact_topk_on_candidates(
     vec_col: str,
     broadcast_queries: bool = True,
     max_cosine: float | None = None,
+    prequantized: bool = False,
 ) -> DataFrame:
     """Shared ANN tail: exact cosine + per-query top-k over deduped
     candidate ``(c_id, query_id)`` ids. Vectors and squared norms are
@@ -289,18 +290,29 @@ def _exact_topk_on_candidates(
     query batch is itself corpus-sized. ``max_cosine`` (exclusive)
     drops candidates at or above the threshold BEFORE ranking — the
     hard-negative regime, where near-duplicates are positives in
-    disguise and must not occupy top-k slots."""
-    # zero-norm vectors excluded (cosine undefined; see cosine_topk)
-    feats = (
-        embeddings.select(F.col(id_col), quantize(vec_col, "qv"))
-        .withColumn("n2", F.expr(_dot("qv", "qv")))
-        .where(F.col("n2") > 0)
-    )
-    qfeats = (
-        queries.select(F.col(id_col), quantize(vec_col, "qv"))
-        .withColumn("n2", F.expr(_dot("qv", "qv")))
-        .where(F.col("n2") > 0)
-    )
+    disguise and must not occupy top-k slots. ``prequantized=True``
+    takes frames already in ``(id_col, <vec_col>=qv, n2)`` form with
+    zero-norm rows dropped (a caller that materialized the quantize
+    pass once — :func:`hard_negatives`), skipping the re-derivation."""
+    if prequantized:
+        feats = embeddings.select(
+            F.col(id_col), F.col(vec_col).alias("qv"), "n2"
+        )
+        qfeats = queries.select(
+            F.col(id_col), F.col(vec_col).alias("qv"), "n2"
+        )
+    else:
+        # zero-norm vectors excluded (cosine undefined; see cosine_topk)
+        feats = (
+            embeddings.select(F.col(id_col), quantize(vec_col, "qv"))
+            .withColumn("n2", F.expr(_dot("qv", "qv")))
+            .where(F.col("n2") > 0)
+        )
+        qfeats = (
+            queries.select(F.col(id_col), quantize(vec_col, "qv"))
+            .withColumn("n2", F.expr(_dot("qv", "qv")))
+            .where(F.col("n2") > 0)
+        )
     q_side = qfeats.select(
         F.col(id_col).alias("query_id"),
         F.col("qv").alias("q_q"),
@@ -1063,17 +1075,32 @@ def hard_negatives(
     applied before ranking; candidates at or above the threshold never
     occupy a top-k slot. Same bucket policy, determinism contract and
     output shape as the ANN family.
+
+    Self-mining single-pass shape: both candidate sides AND both
+    re-rank sides are the SAME corpus here, so the SRP signatures and
+    the quantized (qv, n2) features are each computed ONCE and
+    eagerly materialized (``localCheckpoint`` — the ``bm25_topk``
+    house rule for a frame with differently-keyed consumers), then
+    consumed by rename. The lazy spelling evaluated the planes x dims
+    signature dots and the quantize+norm pass TWICE each (corpus +
+    query branches are differently-shaped subtrees — window-capped vs
+    probe-exploded — so no exchange reuse can collapse them); the
+    materialized rows are 3-4 integers wide, the same bytes the
+    candidate exchange ships anyway. Row-identical either way.
     """
     n_planes = _resolve_planes(embeddings, n_planes, corpus_count)
-    corpus = _cap_buckets(
+    sigs = (
         srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
-        .select(F.col(id_col).alias("c_id"), "table", "bucket"),
+        .select(F.col(id_col), "table", "bucket")
+        .localCheckpoint()
+    )
+    corpus = _cap_buckets(
+        sigs.select(F.col(id_col).alias("c_id"), "table", "bucket"),
         "c_id",
         bucket_cap,
     )
     qs = _multi_probe(
-        srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
-        .select(F.col(id_col).alias("query_id"), "table", "bucket"),
+        sigs.select(F.col(id_col).alias("query_id"), "table", "bucket"),
         n_planes,
         multi_probe,
     )
@@ -1083,9 +1110,16 @@ def hard_negatives(
         .select("c_id", "query_id")
         .distinct()
     )
+    feats = (
+        embeddings.select(F.col(id_col), quantize(vec_col, "qv"))
+        .withColumn("n2", F.expr(_dot("qv", "qv")))
+        .where(F.col("n2") > 0)
+        .localCheckpoint()
+    )
     return _exact_topk_on_candidates(
-        cand, embeddings, embeddings, k, id_col, vec_col,
+        cand, feats, feats, k, id_col, "qv",
         broadcast_queries=False, max_cosine=dup_threshold,
+        prequantized=True,
     )
 
 

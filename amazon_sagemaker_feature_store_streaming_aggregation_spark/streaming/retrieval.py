@@ -141,11 +141,19 @@ def compact_bm25_stats(spark, index_dir: str) -> dict:
     fs, p = _hadoop_fs(spark, stats_dir)
     if not fs.exists(p):
         return {"folded": 0, "horizon": -1}
-    names = [
+    all_names = [
         s.getPath().getName()
         for s in fs.listStatus(p)
         if not s.getPath().getName().startswith(("_", "."))
     ]
+    # forget-pending-* entries are an in-flight forget's STAGED
+    # compensation (retrieval.py::forget_bm25_index): its retry may
+    # legitimately overwrite them, so folding one here would leave a
+    # counted copy the retry then re-adds — they ride the swap
+    # unfolded instead and seal (or overwrite) on the forget's own
+    # schedule.
+    pending = [n for n in all_names if n.startswith("forget-pending-")]
+    names = [n for n in all_names if not n.startswith("forget-pending-")]
     if len(names) <= 1:
         return {"folded": 0, "horizon": _stats_horizon(spark, stats_dir)}
     batch_ids = [
@@ -172,6 +180,10 @@ def compact_bm25_stats(spark, index_dir: str) -> dict:
             [(int(total[0] or 0), int(total[1] or 0), horizon)],
             "n_rows long, n_tokens long, horizon long",
         ).coalesce(1).write.parquet(staging + f"/compacted-{gen}")
+        for n in pending:  # carried across the swap, never folded
+            spark.read.schema("n_rows long, n_tokens long").parquet(
+                stats_dir + "/" + n
+            ).coalesce(1).write.parquet(staging + "/" + n)
         _touch_success(spark, staging)
         if not fs.rename(p, rp):
             raise IOError(f"stats compaction swap failed: rename {stats_dir}")
@@ -486,60 +498,115 @@ def bm25_index_stats(spark, index_dir: str) -> dict:
     return out
 
 
+def _seal_pending_forget(spark, stats_dir: str, pending: str) -> None:
+    """Rename a ``forget-pending-<keyhash>`` ledger entry to its final
+    accreting ``forget-<n>`` name (atomic FS rename; n = 1 + the
+    highest sealed suffix, so a compaction that folded earlier sealed
+    entries can never cause a name reuse collision). No-op when the
+    pending entry does not exist (already sealed, or folded by a
+    stats compaction that ran after the forget completed)."""
+    from .dedup import _hadoop_fs
+
+    fs, pp = _hadoop_fs(spark, pending)
+    if not fs.exists(pp):
+        return
+    _, sd = _hadoop_fs(spark, stats_dir)
+    n = 0
+    for s in fs.listStatus(sd):
+        name = s.getPath().getName()
+        if name.startswith("forget-") and not name.startswith(
+            "forget-pending-"
+        ):
+            try:
+                n = max(n, int(name[len("forget-"):]))
+            except ValueError:
+                continue
+    _, fp = _hadoop_fs(spark, stats_dir.rstrip("/") + f"/forget-{n + 1}")
+    if not fs.rename(pp, fp):
+        raise IOError(
+            f"forget ledger seal failed: rename {pending} into "
+            f"{stats_dir}/forget-{n + 1}"
+        )
+
+
 def forget_bm25_index(
     spark, index_dir: str, keys, id_col: str = "doc_id"
 ) -> dict:
     """Erase documents from the standing BM25 index (the RTBF path,
     streaming/forget.py semantics): tombstone-and-purge BOTH stores,
-    and append a compensating NEGATIVE stats entry for the token mass
+    and ledger a compensating NEGATIVE stats entry for the token mass
     the forgotten docs contributed — after which a probe scores
     exactly the batch operator over the surviving corpus (df shrinks
     via the tombstoned postings, N/T via the ledger).
 
-    Ledger entries are numbered ``forget-<n>`` (never overwritten:
-    a later re-forget after readmission must compensate AGAIN, so
-    entries accrete; n is a bounded driver-side listing)."""
-    from .forget import forget_index_keys
+    Retry idempotency (the r13 advice's crash window): the
+    compensation stages at a KEYSET-DETERMINISTIC path
+    (``forget-pending-<h(keys)>``, written with overwrite) BEFORE the
+    docs store is touched, so a forget that crashes anywhere before
+    the docs purge and is re-run recomputes the same hit from the
+    still-visible rows and REPLACES the staged entry instead of
+    accreting a second one; once the purge completes, the entry SEALS
+    (atomic rename) to an accreting ``forget-<n>`` name — a re-forget
+    of the same keys after readmission therefore stages at the
+    now-free pending path and compensates AGAIN, as it must. A retry
+    that finds zero visible rows (crash after the purge) just seals
+    the staged entry and completes the postings-side erasure. Same
+    quiesce discipline as every forget: no concurrent runner appends,
+    no pending batch retries, and an interrupted forget is re-run
+    before ingest resumes.
+
+    Key typing follows the docs store's own schema (``_typed_keys``
+    with the store frame as template) — string-keyed indexes forget
+    exactly like long-keyed ones."""
+    import hashlib
+
+    from .dedup import _index_nonempty
+    from .forget import _typed_keys, forget_index_keys
 
     keys = list(keys)
     postings_dir = index_dir.rstrip("/") + "/postings"
     docs_dir = index_dir.rstrip("/") + "/docs"
     stats_dir = index_dir.rstrip("/") + "/stats"
-    nbd = _ensure_index_buckets(spark, docs_dir, None)
-    kdf = spark.createDataFrame([(k,) for k in keys], f"{id_col} long")
-    store = _read_index_pruned(
-        spark, docs_dir, _collect_buckets(kdf, nbd, id_col)
-    )
+    keyhash = hashlib.md5(
+        "\x1f".join(sorted({str(k) for k in keys})).encode()
+    ).hexdigest()[:16]
+    pending = stats_dir + f"/forget-pending-{keyhash}"
     n_rows = n_tokens = 0
-    if store is not None:
-        hit = store.join(F.broadcast(kdf), id_col, "left_semi").agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
-        ).first()
-        n_rows, n_tokens = int(hit["n"]), int(hit["t"])
-    if n_rows:
-        # NOTE: compensation counts one row per docs-store entry; rows
-        # that merged into one doc at build time were ledgered
-        # individually, so a forget of a merged doc slightly
-        # over-counts N relative to the batch operator. Exact only
-        # when ids are unique per batch (the keyed-store contract).
-        from .dedup import _hadoop_fs
-
-        fs, p = _hadoop_fs(spark, stats_dir)
-        n_prior = 0
-        if fs.exists(p):
-            n_prior = sum(
-                1
-                for s in fs.listStatus(p)
-                if s.getPath().getName().startswith("forget-")
-            )
-        spark.createDataFrame(
-            [(-n_rows, -n_tokens)], "n_rows long, n_tokens long"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            stats_dir + f"/forget-{n_prior + 1}"
+    r2 = {"tombstoned": 0, "purged_leaves": 0}
+    if keys and _index_nonempty(spark, docs_dir):
+        nbd = _ensure_index_buckets(spark, docs_dir, None)
+        template = spark.read.parquet(docs_dir)
+        # id type resolved from the store schema — a hardcoded long
+        # would TypeError on a string-keyed index before tombstoning
+        kdf = _typed_keys(spark, template, keys, id_col)
+        store = _read_index_pruned(
+            spark, docs_dir, _collect_buckets(kdf, nbd, id_col)
         )
+        if store is not None:
+            hit = store.join(F.broadcast(kdf), id_col, "left_semi").agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
+            ).first()
+            n_rows, n_tokens = int(hit["n"]), int(hit["t"])
+        if n_rows:
+            # NOTE: compensation counts one row per docs-store entry;
+            # rows that merged into one doc at build time were
+            # ledgered individually, so a forget of a merged doc
+            # slightly over-counts N relative to the batch operator.
+            # Exact only when ids are unique per batch (the
+            # keyed-store contract).
+            spark.createDataFrame(
+                [(-n_rows, -n_tokens)], "n_rows long, n_tokens long"
+            ).coalesce(1).write.mode("overwrite").parquet(pending)
+        r2 = forget_index_keys(spark, docs_dir, keys, key_col=id_col)
+        _seal_pending_forget(spark, stats_dir, pending)
+    else:
+        # docs store empty (a prior forget of this keyset may have
+        # completed its purge — possibly emptying the store — and
+        # crashed before sealing): seal the leftover staged entry so
+        # a future re-forget cannot overwrite it
+        _seal_pending_forget(spark, stats_dir, pending)
     r1 = forget_index_keys(spark, postings_dir, keys, key_col=id_col)
-    r2 = forget_index_keys(spark, docs_dir, keys, key_col=id_col)
     return {
         "ledgered_rows": n_rows,
         "ledgered_tokens": n_tokens,

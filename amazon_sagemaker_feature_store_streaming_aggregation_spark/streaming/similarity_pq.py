@@ -826,18 +826,27 @@ def probe_pq_index(
     if dims % m:
         raise ValueError(f"m={m} must divide dims={dims}")
     w_sub = dims // m
+    # ONE row per query (id, qv, n2), materialized once: the cell
+    # assignment, the ADC LUT and the exact re-rank all read this
+    # frame. The LUT in particular MUST build from here — building it
+    # from the exploded (query x probed cell) assignment duplicates
+    # every (query_id, subspace, code) row nprobe times, multiplying
+    # the ADC join + sum by the probed-cell count (uniform per query,
+    # so the ranking survives, but the work is nprobe x for nothing —
+    # and the exact-probe contract runs nprobe = the full cell count).
     qfeats = (
         queries.select(F.col(id_col).alias("query_id"), quantize(vec_col, "qv"))
         .withColumn("n2", F.expr(_dot("qv", "qv")))
         .where(F.col("n2") > 0)
+        .localCheckpoint()
     )
     q_assign = (
         _assign_cells_nprobe(qfeats, cents, "query_id", nprobe)
         .select("query_id", "cell")
     )
-    q_side = F.broadcast(
-        q_assign.join(qfeats, "query_id").localCheckpoint()
-    )
+    # thin (query_id, cell) pairs only — the qv arrays stay one-per-
+    # query in qfeats instead of riding every probed-cell row
+    q_side = F.broadcast(q_assign.localCheckpoint())
     cells = [r[0] for r in q_side.select("cell").distinct().collect()]
     empty = spark.range(0).select(
         F.col("id").alias("query_id"),
@@ -849,7 +858,7 @@ def probe_pq_index(
         return empty
     idx = _pruned_code_scan(spark, base, cells, predicate)
     lut = _batch_lut(
-        q_side.select(F.col("query_id").alias(id_col), "qv"),
+        qfeats.select(F.col("query_id").alias(id_col), "qv"),
         cbs, id_col, m, w_sub,
     ).localCheckpoint()
     cand = idx.alias("a").join(
@@ -889,9 +898,15 @@ def probe_pq_index(
     scored = (
         short.join(cand_vecs, short.c_id == cand_vecs[id_col])
         .join(
-            q_side.select(
-                "query_id", F.col("qv").alias("q_q"), F.col("n2").alias("q_n2")
-            ).distinct(),
+            # qfeats is one-row-per-query by construction — no
+            # distinct needed (the old exploded q_side required one)
+            F.broadcast(
+                qfeats.select(
+                    "query_id",
+                    F.col("qv").alias("q_q"),
+                    F.col("n2").alias("q_n2"),
+                )
+            ),
             on="query_id",
         )
         .withColumn(

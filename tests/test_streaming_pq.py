@@ -245,6 +245,80 @@ def test_runner_rejects_adopted_m_mismatch(spark, tmp_path, setup):
         q2.processAllAvailable()
 
 
+def test_probe_lut_one_row_per_query(spark, tmp_path, monkeypatch):
+    """probe_pq_index builds its ADC lookup table from ONE row per
+    query — never from the exploded (query x probed cell) assignment
+    (the r13 advice finding: a LUT keyed off that side duplicates
+    every (query_id, subspace, code) row once per probed cell, so the
+    ADC join and sum do nprobe x the work and every adc_dist is
+    scaled by the probed-cell count — and the gated exact-probe
+    contract runs nprobe = the full cell count). Pinned by spying on
+    the LUT builder's input cardinality at nprobe = n_cells, plus the
+    exact-baseline equality that proves the rewrite changed nothing."""
+    import amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.similarity_pq as spq
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators import (
+        cosine_topk,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        probe_pq_index,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, SCHEMA)
+    work = str(tmp_path / "lutwork")
+    dirs = {
+        "out": os.path.join(work, "out"),
+        "index": os.path.join(work, "index"),
+        "vecs": os.path.join(work, "vecs"),
+        "ckpt": os.path.join(work, "ckpt"),
+        "cents": os.path.join(work, "centroids"),
+        "cbs": os.path.join(work, "codebooks"),
+    }
+    n_cells = 4
+    ivf_centroids(emb, n_cells, corpus_count=24).write.parquet(dirs["cents"])
+    pq_codebooks(emb, m=4, n_codes=8, corpus_count=24).write.parquet(
+        dirs["cbs"]
+    )
+    d = tmp_path / "lutstream"
+    _one_file(spark, d, "00.parquet", rows, SCHEMA)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    q = run_index_embedding_pq_stream(
+        stream, dirs["out"], dirs["index"], dirs["vecs"],
+        checkpoint_dir=dirs["ckpt"], centroids_dir=dirs["cents"],
+        codebooks_dir=dirs["cbs"], threshold=0.99, m=4, n_buckets=4,
+    )
+    assert q.awaitTermination(180)
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    seen: list = []
+    orig = spq._batch_lut
+
+    def spy(lrows, cbs, id_col, m, w):
+        seen.append(lrows.count())
+        return orig(lrows, cbs, id_col, m, w)
+
+    monkeypatch.setattr(spq, "_batch_lut", spy)
+    got = probe_pq_index(
+        spark, dirs["index"], dirs["vecs"], dirs["cents"], dirs["cbs"],
+        queries, k=4, nprobe=n_cells, shortlist=100, m=4,
+    )
+    assert seen == [3]  # one LUT row-source row per query, not x nprobe
+    want = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in cosine_topk(emb, queries, k=4).collect()
+    }
+    assert {(r["query_id"], r["vec_id"], r["rank"])
+            for r in got.collect()} == want
+
+
 def test_probe_pq_index_filtered(spark, tmp_path):
     """The IVF-PQ two-store layout as a FILTERED vector-search server
     (probe_pq_index + extra_cols on BOTH stores): metadata rides the

@@ -417,6 +417,168 @@ def test_compact_bm25_stats_cli(spark, tmp_path, capsys):
     assert m["folded"] == 2 and m["horizon"] == 1
 
 
+def _pending_path(work: str, keys) -> str:
+    import hashlib
+
+    kh = hashlib.md5(
+        "\x1f".join(sorted({str(k) for k in keys})).encode()
+    ).hexdigest()[:16]
+    return work + f"/index/stats/forget-pending-{kh}"
+
+
+def test_forget_retry_idempotent_compensation(spark, tmp_path):
+    """The r13 advice's crash window: a forget that wrote its
+    compensating ledger entry and crashed BEFORE tombstoning leaves
+    the docs rows visible, so a naive retry recomputes the same
+    nonzero hit and accretes a second negative entry — permanently
+    understating N/T. The staged-pending protocol instead REPLACES
+    the keyset-keyed entry on retry and seals it exactly once; a
+    genuine re-forget after readmission still accretes."""
+    import glob
+
+    d, work = _replay(spark, tmp_path, "ri", [ROWS0, ROWS1])
+    queries = spark.createDataFrame(
+        [(100, "apple cherry fig")], "query_id long, text string"
+    )
+    # simulate the crashed first attempt: the staged compensation for
+    # keys [0, 3] landed (the exact rows a real run stages), nothing
+    # was tombstoned or purged
+    spark.createDataFrame(
+        [(-2, -(3 + 4))], "n_rows long, n_tokens long"
+    ).coalesce(1).write.mode("overwrite").parquet(_pending_path(work, [0, 3]))
+    # the retry: rows still visible -> recomputes the same hit,
+    # REPLACES the staged entry (same path), purges, seals
+    res = forget_bm25_index(spark, work + "/index", [0, 3])
+    assert res["ledgered_rows"] == 2 and res["ledgered_tokens"] == 7
+    sealed = [
+        p for p in glob.glob(work + "/index/stats/forget-*")
+        if "forget-pending-" not in p
+    ]
+    assert len(sealed) == 1, sealed
+    assert glob.glob(work + "/index/stats/forget-pending-*") == []
+    survivors = [r for r in ROWS0 + ROWS1 if r[0] not in (0, 3)]
+    assert _pairs(probe_bm25_index(spark, work + "/index", queries, k=5)) \
+        == _batch_ref(spark, survivors, queries, k=5)
+
+    # readmission + re-forget: doc 0 streams in again (1/2/4 route
+    # around the build), and a SECOND forget of the same keyset must
+    # compensate again — the sealed entry freed the pending path
+    _one_file(spark, d, "02.parquet", [ROWS0[0]], SCHEMA)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    q = run_index_bm25_stream(
+        stream, work + "/out", work + "/index",
+        checkpoint_dir=work + "/ckpt", n_buckets=4,
+    )
+    assert q.awaitTermination(180)
+    res2 = forget_bm25_index(spark, work + "/index", [0, 3])
+    assert res2["ledgered_rows"] == 1 and res2["ledgered_tokens"] == 3
+    sealed = [
+        p for p in glob.glob(work + "/index/stats/forget-*")
+        if "forget-pending-" not in p
+    ]
+    assert len(sealed) == 2, sealed
+    assert _pairs(probe_bm25_index(spark, work + "/index", queries, k=5)) \
+        == _batch_ref(spark, survivors, queries, k=5)
+
+
+def test_forget_seals_leftover_after_completed_purge(spark, tmp_path):
+    """Crash AFTER the purge but BEFORE the seal: the retry finds
+    zero visible rows, must NOT write a new compensation, and must
+    seal the leftover staged entry (else a future re-forget would
+    overwrite it and lose the compensation)."""
+    import glob
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.forget import (
+        forget_index_keys,
+    )
+
+    _, work = _replay(spark, tmp_path, "rs", [ROWS0, ROWS1])
+    # simulate: staged entry written AND purge completed, no seal
+    spark.createDataFrame(
+        [(-1, -2)], "n_rows long, n_tokens long"
+    ).coalesce(1).write.mode("overwrite").parquet(_pending_path(work, [1]))
+    forget_index_keys(spark, work + "/index/docs", [1], key_col="doc_id")
+    forget_index_keys(spark, work + "/index/postings", [1], key_col="doc_id")
+    res = forget_bm25_index(spark, work + "/index", [1])
+    assert res["ledgered_rows"] == 0  # nothing visible to re-compensate
+    assert glob.glob(work + "/index/stats/forget-pending-*") == []
+    sealed = [
+        p for p in glob.glob(work + "/index/stats/forget-*")
+        if "forget-pending-" not in p
+    ]
+    assert len(sealed) == 1, sealed
+    queries = spark.createDataFrame(
+        [(100, "apple cherry fig")], "query_id long, text string"
+    )
+    survivors = [r for r in ROWS0 + ROWS1 if r[0] != 1]
+    assert _pairs(probe_bm25_index(spark, work + "/index", queries, k=5)) \
+        == _batch_ref(spark, survivors, queries, k=5)
+
+
+def test_forget_string_keyed_index(spark, tmp_path):
+    """The docs store's own schema types the forget keys (the r13
+    advice's hardcoded-long finding): a string-keyed BM25 index
+    forgets exactly like a long-keyed one."""
+    schema = "doc_id string, text string"
+    rows = [("a", "apple banana"), ("b", "cherry apple"), ("c", "fig")]
+    d = tmp_path / "sk_src"
+    _one_file(spark, d, "00.parquet", rows, schema)
+    work = str(tmp_path / "sk_work")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    q = run_index_bm25_stream(
+        stream, work + "/out", work + "/index",
+        checkpoint_dir=work + "/ckpt", n_buckets=4,
+    )
+    assert q.awaitTermination(180)
+    res = forget_bm25_index(spark, work + "/index", ["a"])
+    assert res["ledgered_rows"] == 1 and res["ledgered_tokens"] == 2
+    queries = spark.createDataFrame(
+        [(100, "apple fig")], "query_id long, text string"
+    )
+    got = _pairs(probe_bm25_index(spark, work + "/index", queries, k=4))
+    corpus = spark.createDataFrame(rows[1:], schema)
+    assert got == _pairs(bm25_topk(corpus, queries, k=4))
+    assert spark.read.parquet(work + "/index/docs") \
+        .where("doc_id = 'a'").count() == 0
+
+
+def test_stats_compaction_carries_pending_unfolded(spark, tmp_path):
+    """compact_bm25_stats must NOT fold a forget-pending-* entry: an
+    in-flight forget's retry may legitimately overwrite it, and a
+    folded copy plus the rewrite would double-count. Pending entries
+    ride the swap verbatim; totals are unchanged."""
+    import glob
+
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+        compact_bm25_stats,
+    )
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming.retrieval import (
+        _stats_ledger,
+    )
+
+    _, work = _replay(spark, tmp_path, "cp", [ROWS0, ROWS1])
+    spark.createDataFrame(
+        [(-1, -2)], "n_rows long, n_tokens long"
+    ).coalesce(1).write.mode("overwrite").parquet(_pending_path(work, [1]))
+    before = _stats_ledger(spark, work + "/index/stats").first()
+    res = compact_bm25_stats(spark, work + "/index")
+    assert res["folded"] == 2  # the two batch entries, NOT the pending
+    assert len(glob.glob(work + "/index/stats/forget-pending-*")) == 1
+    after = _stats_ledger(spark, work + "/index/stats").first()
+    assert (before["n_docs"], before["t_tokens"]) \
+        == (after["n_docs"], after["t_tokens"])
+
+
 def test_compaction_invisible_to_probe(spark, tmp_path):
     _, work = _replay(spark, tmp_path, "c", [ROWS0, ROWS1])
     queries = spark.createDataFrame(
