@@ -58,25 +58,51 @@ from ..functions.text import _TOKENS  # single tokenizer source
 LM_QUANT = 1_000_000_000
 
 
+def _token_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, tk)`` lowered token arrays — THE single tokenize pass
+    every n-gram order derives from. A self-trained scorer runs many
+    n-gram extractions over one corpus (order-5 fit + score is seven:
+    g5/g4/tri/big/uni/totals legs plus the scoring stream); sharing a
+    MATERIALIZED token frame replaces seven regex-tokenize corpus
+    scans with one tokenize plus six re-reads of the flat arrays (the
+    measured win behind :func:`_shared_tokens`)."""
+    toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
+    return docs.select(F.col(id_col), F.expr(toks).alias("tk"))
+
+
+def _shared_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Materialized token arrays for a BATCH frame (streaming frames
+    pass through lazily — ``localCheckpoint`` is illegal on them, and
+    micro-batch scoring runs a single extraction anyway)."""
+    tok = _token_arrays(docs, id_col, text_col)
+    return tok if docs.isStreaming else tok.localCheckpoint()
+
+
+def _ngrams_from_tokens(
+    tok: DataFrame, id_col: str, n: int, out: str
+) -> DataFrame:
+    """``(id, 'w1 .. wn')`` rows from a ``(id, tk)`` token frame —
+    the extraction tail of :func:`_doc_ngrams` (same scan-side shape;
+    NULL/short token arrays emit nothing; the sequence() guard
+    matters: Spark's sequence(1, 0) counts DOWN)."""
+    joined = ", ' ', ".join(f"element_at(tk, i + {j})" for j in range(n))
+    return tok.where(F.expr(f"tk IS NOT NULL AND size(tk) >= {n}")).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {n - 1}),"
+                f" i -> concat({joined}))"
+            )
+        ).alias(out),
+    )
+
+
 def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One ``(id, 'w1 w2')`` row per adjacent token pair. Scan-side:
     the token array, lowering, and pairing all run inside codegen;
-    docs with NULL text or fewer than two tokens emit nothing (the
-    sequence() guard matters: Spark's sequence(1, 0) counts DOWN)."""
-    toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
-    return (
-        docs.select(F.col(id_col), F.expr(toks).alias("tk"))
-        .where(F.expr("tk IS NOT NULL AND size(tk) >= 2"))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(tk) - 1),"
-                    " i -> concat(element_at(tk, i), ' ',"
-                    " element_at(tk, i + 1)))"
-                )
-            ).alias("big"),
-        )
+    docs with NULL text or fewer than two tokens emit nothing."""
+    return _ngrams_from_tokens(
+        _token_arrays(docs, id_col, text_col), id_col, 2, "big"
     )
 
 
@@ -84,23 +110,30 @@ def lm_fit(
     reference: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the bigram model: ``(big_counts(big, cb),
     prev_counts(w1, cp), vocab(v))`` — the three tables
     :func:`lm_transition_scores` consumes via ``model=``. Persist them
     (plain parquet) to score many corpora — or a STREAM
     (``streaming/quality.py::run_lm_score_stream``) — against one
-    fixed reference without refitting."""
-    ref_bg = _doc_bigrams(reference, id_col, text_col)
+    fixed reference without refitting.
+
+    ``tokens=`` takes a pre-tokenized ``(id, tk)`` frame (the
+    :func:`_shared_tokens` shape) so the bigram and vocab legs share
+    one tokenize pass; by default one is materialized here."""
+    tok = tokens if tokens is not None else _shared_tokens(
+        reference, id_col, text_col
+    )
+    ref_bg = _ngrams_from_tokens(tok, id_col, 2, "big")
     big_counts = ref_bg.groupBy("big").agg(F.count("*").alias("cb"))
     prev_counts = (
         big_counts.withColumn("w1", F.substring_index("big", " ", 1))
         .groupBy("w1")
         .agg(F.sum("cb").alias("cp"))
     )
-    toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
     vocab = (
-        reference.select(F.explode(F.expr(toks)).alias("t"))
+        tok.select(F.explode(F.col("tk")).alias("t"))
         .agg(F.count_distinct("t").alias("v"))
     )
     return big_counts, prev_counts, vocab
@@ -140,13 +173,23 @@ def lm_transition_scores(
     group, NULL ids ride through with NULL stats (null-unsafe join,
     the engine-wide rule).
     """
+    doc_bg = None
     if model is not None:
         big_counts, prev_counts, vocab = model
     else:
         ref = reference if reference is not None else docs
-        big_counts, prev_counts, vocab = lm_fit(ref, id_col, text_col)
+        tok = _shared_tokens(ref, id_col, text_col)
+        big_counts, prev_counts, vocab = lm_fit(
+            ref, id_col, text_col, tokens=tok
+        )
+        if ref is docs:
+            # self-trained: the scoring stream reads the SAME
+            # materialized token arrays the fit legs read
+            doc_bg = _ngrams_from_tokens(tok, id_col, 2, "big")
+    if doc_bg is None:
+        doc_bg = _doc_bigrams(docs, id_col, text_col)
     scored = (
-        _doc_bigrams(docs, id_col, text_col)
+        doc_bg
         .join(big_counts, "big", "left")
         .withColumn("w1", F.substring_index("big", " ", 1))
         .join(prev_counts, "w1", "left")
@@ -306,21 +349,8 @@ def _doc_trigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     injective trigram key and ``substring_index`` recovers every
     component/sub-key exactly (the DuckDB oracle mirrors with
     split_part/||)."""
-    toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
-    return (
-        docs.select(F.col(id_col), F.expr(toks).alias("tk"))
-        .where(F.expr("tk IS NOT NULL AND size(tk) >= 3"))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(tk) - 2),"
-                    " i -> concat(element_at(tk, i), ' ',"
-                    " element_at(tk, i + 1), ' ',"
-                    " element_at(tk, i + 2)))"
-                )
-            ).alias("tri"),
-        )
+    return _ngrams_from_tokens(
+        _token_arrays(docs, id_col, text_col), id_col, 3, "tri"
     )
 
 
@@ -328,23 +358,31 @@ def lm3_fit(
     reference: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: DataFrame | None = None,
 ) -> tuple[DataFrame, ...]:
     """Train the interpolated-trigram model: ``(tri_counts(tri, c3),
     ctx_counts(ctx, cp3), big_counts(big, cb), prev_counts(w1, cp),
     uni_counts(w, cu), totals(n_tokens, v))`` — six plain count
     tables :func:`lm3_transition_scores` consumes via ``model=``
     (persist them as parquet for a standing deployment, exactly like
-    :func:`lm_fit`). The bigram/vocab legs reuse :func:`lm_fit`."""
-    tri = _doc_trigrams(reference, id_col, text_col)
+    :func:`lm_fit`). The bigram/vocab legs reuse :func:`lm_fit`; every
+    leg reads ONE shared materialized token frame (``tokens=`` to
+    share it wider — :func:`lm5_fit` and the self-trained scorers
+    do)."""
+    tok = tokens if tokens is not None else _shared_tokens(
+        reference, id_col, text_col
+    )
+    tri = _ngrams_from_tokens(tok, id_col, 3, "tri")
     tri_counts = tri.groupBy("tri").agg(F.count("*").alias("c3"))
     ctx_counts = (
         tri_counts.withColumn("ctx", F.substring_index("tri", " ", 2))
         .groupBy("ctx")
         .agg(F.sum("c3").alias("cp3"))
     )
-    big_counts, prev_counts, _ = lm_fit(reference, id_col, text_col)
-    toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
-    tok_stream = reference.select(F.explode(F.expr(toks)).alias("t"))
+    big_counts, prev_counts, _ = lm_fit(
+        reference, id_col, text_col, tokens=tok
+    )
+    tok_stream = tok.select(F.explode(F.col("tk")).alias("t"))
     uni_counts = tok_stream.groupBy("t").agg(F.count("*").alias("cu"))
     totals = tok_stream.agg(
         F.count("*").alias("n_tokens"), F.count_distinct("t").alias("v")
@@ -394,16 +432,28 @@ def lm3_transition_scores(
     joins (AQE skew-join), one broadcast totals row; nothing
     collected.
     """
+    doc_tri = None
+    base = None
     if model is not None:
         tri_counts, ctx_counts, big_counts, prev_counts, uni_counts, totals = model
     else:
         ref = reference if reference is not None else docs
+        tok = _shared_tokens(ref, id_col, text_col)
         (
             tri_counts, ctx_counts, big_counts, prev_counts, uni_counts, totals
-        ) = lm3_fit(ref, id_col, text_col)
-    scored = (
-        _doc_trigrams(docs, id_col, text_col)
-        .join(tri_counts, "tri", "left")
+        ) = lm3_fit(ref, id_col, text_col, tokens=tok)
+        if ref is docs:
+            doc_tri = _ngrams_from_tokens(tok, id_col, 3, "tri")
+            base = tri_counts  # self-trained: corpus grams == count keys
+    if doc_tri is None:
+        doc_tri = _doc_trigrams(docs, id_col, text_col)
+    if base is None:
+        base = doc_tri.select("tri").distinct().join(tri_counts, "tri", "left")
+    # model joins over the DISTINCT-trigram table; the per-occurrence
+    # stream shuffles twice instead of riding all five joins — exact
+    # integer arithmetic, bit-identical score (see the lm5 spelling)
+    qp_tbl = (
+        base
         .withColumn("ctx", F.substring_index("tri", " ", 2))
         .join(ctx_counts, "ctx", "left")
         .withColumn("big", F.substring_index("tri", " ", -2))
@@ -414,7 +464,7 @@ def lm3_transition_scores(
         .join(uni_counts, "t", "left")
         .crossJoin(F.broadcast(totals))
         .select(
-            F.col(id_col),
+            "tri",
             # marked line: a single-engine deployment swaps this for
             # ln(...) (true log-perplexity) or tuned-λ interpolation
             F.expr(
@@ -429,9 +479,14 @@ def lm3_transition_scores(
             ).alias("qp"),
         )
     )
-    agg = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_trigrams"),
-        F.sum("qp").alias("lm3_prob_sum"),
+    occ = doc_tri.groupBy(id_col, "tri").agg(F.count("*").alias("__m"))
+    agg = (
+        occ.join(qp_tbl, "tri")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__m").alias("n_trigrams"),
+            F.sum(F.col("__m") * F.col("qp")).alias("lm3_prob_sum"),
+        )
     )
     return docs.select(id_col).join(agg, id_col, "left").select(
         F.col(id_col),
@@ -461,20 +516,8 @@ def _doc_ngrams(
     or fewer than ``n`` tokens emit nothing). Tokens contain no
     whitespace, so the space-joined string is an injective n-gram key
     and ``substring_index`` recovers every prefix/suffix sub-key."""
-    toks = f"transform({_TOKENS.format(c=text_col)}, t -> lower(t))"
-    joined = ", ' ', ".join(f"element_at(tk, i + {j})" for j in range(n))
-    return (
-        docs.select(F.col(id_col), F.expr(toks).alias("tk"))
-        .where(F.expr(f"tk IS NOT NULL AND size(tk) >= {n}"))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(tk) - {n - 1}),"
-                    f" i -> concat({joined}))"
-                )
-            ).alias(out),
-        )
+    return _ngrams_from_tokens(
+        _token_arrays(docs, id_col, text_col), id_col, n, out
     )
 
 
@@ -482,6 +525,7 @@ def lm5_fit(
     reference: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: DataFrame | None = None,
 ) -> tuple[DataFrame, ...]:
     """Train the interpolated 5-gram model (the CCNet-published order
     — Wenzek et al. arXiv:1911.00359 score with a 5-gram KenLM):
@@ -490,15 +534,20 @@ def lm5_fit(
     plain count tables :func:`lm5_transition_scores` consumes via
     ``model=`` (persist as parquet for a standing deployment). The
     order-3/2/1 legs reuse :func:`lm3_fit` verbatim, so the lower
-    orders of the two scorers can never drift."""
-    g5 = _doc_ngrams(reference, id_col, text_col, 5, "g5")
+    orders of the two scorers can never drift. Every order's
+    extraction reads ONE shared materialized token frame (``tokens=``
+    to share it with the caller's own scoring pass)."""
+    tok = tokens if tokens is not None else _shared_tokens(
+        reference, id_col, text_col
+    )
+    g5 = _ngrams_from_tokens(tok, id_col, 5, "g5")
     g5_counts = g5.groupBy("g5").agg(F.count("*").alias("c5"))
     ctx5_counts = (
         g5_counts.withColumn("ctx5", F.substring_index("g5", " ", 4))
         .groupBy("ctx5")
         .agg(F.sum("c5").alias("cp5"))
     )
-    g4 = _doc_ngrams(reference, id_col, text_col, 4, "g4")
+    g4 = _ngrams_from_tokens(tok, id_col, 4, "g4")
     g4_counts = g4.groupBy("g4").agg(F.count("*").alias("c4"))
     ctx4_counts = (
         g4_counts.withColumn("ctx4", F.substring_index("g4", " ", 3))
@@ -507,7 +556,7 @@ def lm5_fit(
     )
     (
         tri_counts, ctx_counts, big_counts, prev_counts, uni_counts, totals
-    ) = lm3_fit(reference, id_col, text_col)
+    ) = lm3_fit(reference, id_col, text_col, tokens=tok)
     return (
         g5_counts, ctx5_counts, g4_counts, ctx4_counts,
         tri_counts, ctx_counts, big_counts, prev_counts, uni_counts, totals,
@@ -548,6 +597,8 @@ def lm5_transition_scores(
     extraction, map-combined count aggregates, Zipf-keyed joins under
     AQE skew handling, one broadcast totals row; nothing collected.
     """
+    doc_g5 = None
+    base = None
     if model is not None:
         (
             g5_counts, ctx5_counts, g4_counts, ctx4_counts,
@@ -556,14 +607,32 @@ def lm5_transition_scores(
         ) = model
     else:
         ref = reference if reference is not None else docs
+        tok = _shared_tokens(ref, id_col, text_col)
         (
             g5_counts, ctx5_counts, g4_counts, ctx4_counts,
             tri_counts, ctx_counts, big_counts, prev_counts, uni_counts,
             totals,
-        ) = lm5_fit(ref, id_col, text_col)
-    scored = (
-        _doc_ngrams(docs, id_col, text_col, 5, "g5")
-        .join(g5_counts, "g5", "left")
+        ) = lm5_fit(ref, id_col, text_col, tokens=tok)
+        if ref is docs:
+            doc_g5 = _ngrams_from_tokens(tok, id_col, 5, "g5")
+            # self-trained: the corpus's distinct 5-grams ARE the
+            # fitted count table's keys — no distinct pass, and the
+            # c5 leg needs no join
+            base = g5_counts
+    if doc_g5 is None:
+        doc_g5 = _doc_ngrams(docs, id_col, text_col, 5, "g5")
+    if base is None:
+        base = doc_g5.select("g5").distinct().join(g5_counts, "g5", "left")
+    # qp is a pure function of the 5-gram STRING (every joined count
+    # keys off g5 or a substring of it), so the model joins run over
+    # the DISTINCT-gram table — gram + count rows only — and the
+    # per-occurrence corpus stream shuffles twice (the (id, g5)
+    # pre-aggregation and the qp attach) instead of riding all nine
+    # model joins. sum over occurrences == sum over distinct
+    # (id, g5) of occurrences x qp: exact integer arithmetic either
+    # way, bit-identical score.
+    qp_tbl = (
+        base
         .withColumn("ctx5", F.substring_index("g5", " ", 4))
         .join(ctx5_counts, "ctx5", "left")
         .withColumn("g4", F.substring_index("g5", " ", -4))
@@ -582,7 +651,7 @@ def lm5_transition_scores(
         .join(uni_counts, "t", "left")
         .crossJoin(F.broadcast(totals))
         .select(
-            F.col(id_col),
+            "g5",
             # marked line: swap for ln(...) / tuned-λ interpolation on
             # a single-engine deployment
             F.expr(
@@ -601,9 +670,16 @@ def lm5_transition_scores(
             ).alias("qp"),
         )
     )
-    agg = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_5grams"),
-        F.sum("qp").alias("lm5_prob_sum"),
+    occ = doc_g5.groupBy(id_col, "g5").agg(F.count("*").alias("__m"))
+    # inner join: every doc gram is in base by construction (the
+    # self-trained count table / the docs-side distinct)
+    agg = (
+        occ.join(qp_tbl, "g5")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__m").alias("n_5grams"),
+            F.sum(F.col("__m") * F.col("qp")).alias("lm5_prob_sum"),
+        )
     )
     return docs.select(id_col).join(agg, id_col, "left").select(
         F.col(id_col),
