@@ -329,8 +329,10 @@ def run_curate_stream(
                 # the bucket prune is coarse; narrow the probed rows to
                 # the batch's band values once, then fold index mins
                 # and within-batch mins into one per-(band, bhash) min
+                # no distinct on the prune side: a left-semi join is
+                # duplicate-insensitive
                 touched = bidx.join(
-                    batch_bands.select("band", "bhash").distinct(),
+                    batch_bands.select("band", "bhash"),
                     ["band", "bhash"],
                     "left_semi",
                 )
@@ -362,11 +364,11 @@ def run_curate_stream(
                 .withColumn("ibucket", _index_bucket(bnb, "band", "bhash"))
                 .localCheckpoint()
             )
+            # no distinct: consumed by a left-anti join only
             near_drop = (
                 batch_bands.join(gmin, ["band", "bhash"])
                 .where(F.col("__gmin") < F.col(id_col))
                 .select(id_col)
-                .distinct()
             )
             batch_best = batch_best.join(near_drop, id_col, "left_anti")
         idx = _read_index_pruned(

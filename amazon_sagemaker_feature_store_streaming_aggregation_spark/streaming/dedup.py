@@ -1109,6 +1109,10 @@ def run_index_hamming_stream(
                     ).alias("hamming"),
                 )
                 .where(F.col("hamming") <= max_hamming)
+                # the inner distinct is LOAD-BEARING: band collisions
+                # multiply cross rows and the probe side re-evaluates
+                # per consumer — removing it measured 4x slower on the
+                # gated replay (r14), not faster
                 .distinct()
             )
         within = hamming_near_dup_pairs(
@@ -1942,12 +1946,15 @@ def run_cluster_maintain_stream(
             else cross.select("doc_a", "doc_b").unionByName(within)
         ).localCheckpoint()
         new_ids = base_fp.select(id_col).distinct()
-        eps = (
-            edges.select(F.col("doc_a").alias(id_col))
-            .unionByName(edges.select(F.col("doc_b").alias(id_col)))
-            .distinct()
+        # eps/lookup_ids feed ONLY duplicate-insensitive consumers
+        # (left-semi joins and the bucket-list distinct-collects), so
+        # the id-level distinct exchanges they used to pay bought
+        # nothing — two fewer shuffles per trigger (new_ids keeps its
+        # distinct: `fresh` feeds clusters_delta one row per doc)
+        eps = edges.select(F.col("doc_a").alias(id_col)).unionByName(
+            edges.select(F.col("doc_b").alias(id_col))
         )
-        lookup_ids = eps.unionByName(new_ids).distinct()
+        lookup_ids = eps.unionByName(base_fp.select(id_col))
         through, prior_batches = _cluster_store_parts(spark, base)
         if through is None and not prior_batches:
             # empty store (first batch): nothing to look up — skip
@@ -1988,10 +1995,11 @@ def run_cluster_maintain_stream(
         # touched clusters = current clusters of EDGE ENDPOINTS;
         # a re-delivered doc whose cluster no edge touches stays
         # out (its store rows are already correct)
-        touched_cids = (
-            prior_known.join(eps, id_col, "left_semi")
-            .select("cluster_id")
-            .distinct()
+        # no distinct: consumed by a bucket-list distinct-collect and
+        # a left-semi join, both duplicate-insensitive (members keeps
+        # ITS distinct — clusters_delta's membership join is not)
+        touched_cids = prior_known.join(eps, id_col, "left_semi").select(
+            "cluster_id"
         )
         if store_doc is None:
             # empty store: no prior labels, hence no touched clusters

@@ -303,7 +303,9 @@ def run_index_bm25_stream(
         rows = batch_df.where(F.col(id_col).isNotNull())
         prior = _read_index_pruned(
             spark, docs_dir,
-            _collect_buckets(rows.select(id_col).distinct(), nbd, id_col),
+            # no id-level distinct: _collect_buckets dedups the bucket
+            # ints itself — the extra exchange bought nothing
+            _collect_buckets(rows.select(id_col), nbd, id_col),
             _resolved,
         )
         new_rows = rows if prior is None else rows.join(

@@ -516,9 +516,11 @@ def run_index_embedding_pq_stream(
         # exact re-rank: survivors' raw coordinates — batchmates from
         # the checkpointed rows, indexed ids from the bucket-pruned
         # exact store; O(shortlist) full-width rows, never the corpus
+        # no distinct: consumed by the bucket-list collect and a
+        # left-semi join, both duplicate-insensitive
         ext_ids = short.join(
             batch_rows.select(id_col), short.c_id == F.col(id_col), "left_anti"
-        ).select(F.col("c_id").alias(id_col)).distinct()
+        ).select(F.col("c_id").alias(id_col))
         vstore_cand = _read_index_pruned(
             spark, vecs_dir, _collect_id_buckets(ext_ids, nb, id_col)
         )
@@ -886,7 +888,9 @@ def probe_pq_index(
         .localCheckpoint()
     )
     nb = _ensure_index_buckets(spark, vecs_dir, None)
-    sids = short.select(F.col("c_id").alias(id_col)).distinct()
+    # no distinct: the bucket-list collect and the left-semi join
+    # below are both duplicate-insensitive
+    sids = short.select(F.col("c_id").alias(id_col))
     vstore = _read_index_pruned(
         spark, vecs_dir, _collect_id_buckets(sids, nb, id_col)
     )
