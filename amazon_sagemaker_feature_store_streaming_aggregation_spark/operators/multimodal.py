@@ -27,6 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# decode work must not serialize onto one task when the input is an
+# under-split local file (a 100 TB media table has thousands of
+# splits and passes through untouched — the dedup.py guard's rule)
+from .dedup import _parallelize_scan
+
 #: media payload + typed metadata (one row per asset)
 MEDIA_SCHEMA = T.StructType(
     [
@@ -917,7 +922,7 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(run, schema=_FEATURES_SCHEMA)
+    return _parallelize_scan(media).mapInPandas(run, schema=_FEATURES_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
@@ -1074,7 +1079,7 @@ def perceptual_hashes(media: DataFrame, hash_size: int = 8) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=_PHASH_SCHEMA)
+    return _parallelize_scan(media).mapInPandas(run, schema=_PHASH_SCHEMA)
 
 
 def image_near_dup_pairs(
@@ -1163,7 +1168,7 @@ def audio_fingerprint(
                 }
             )
 
-    return media.mapInPandas(run, schema=_AFP_SCHEMA)
+    return _parallelize_scan(media).mapInPandas(run, schema=_AFP_SCHEMA)
 
 
 def audio_near_dup_pairs(
@@ -1321,7 +1326,7 @@ def video_frame_hashes(
                 }
             )
 
-    return media.mapInPandas(run, schema=_VFRAME_SCHEMA)
+    return _parallelize_scan(media).mapInPandas(run, schema=_VFRAME_SCHEMA)
 
 
 _VFP_SCHEMA = "media_id long, vfp long, n_frames_hashed int"

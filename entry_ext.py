@@ -4203,6 +4203,10 @@ def _q_mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
+        # spread the thin ids so payload GENERATION parallelizes too
+        # (the single-file scan is 1 split; the decode stage's own
+        # _parallelize_scan guard only parallelizes AFTER the build)
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(
             _build,
             schema="media_id long, kind string, content binary, "
@@ -4264,6 +4268,10 @@ def _q_mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
+        # spread the thin ids so payload GENERATION parallelizes too
+        # (the single-file scan is 1 split; the decode stage's own
+        # _parallelize_scan guard only parallelizes AFTER the build)
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(
             _build,
             schema="media_id long, kind string, content binary, "
@@ -4326,6 +4334,10 @@ def _q_mm_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
+        # spread the thin ids so payload GENERATION parallelizes too
+        # (the single-file scan is 1 split; the decode stage's own
+        # _parallelize_scan guard only parallelizes AFTER the build)
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(
             _build,
             schema="media_id long, kind string, content binary, "
