@@ -109,6 +109,13 @@ def embed_text_hashed(
     """
     if dims < 2 or dims > 4096:
         raise ValueError(f"dims must be in [2, 4096], got {dims}")
+    # the O(n_tokens * dims) fold runs at the scan: an under-split
+    # local input (single parquet file -> 1 split) would serialize
+    # every document's fold onto one task. Guarded no-op on real
+    # splits and streaming frames (the dedup.py rule).
+    from .dedup import _parallelize_scan
+
+    docs = _parallelize_scan(docs)
     if grams is not None:
         lo, hi = grams
         if not (1 <= lo <= hi <= 16):

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import local_rows
+from .dedup import _parallelize_scan
 
 QUANT = 1_000_000
 
@@ -137,6 +138,11 @@ def cosine_topk(
     on ``embeddings`` are allowed and dropped after the filter).
     """
     embeddings = _apply_predicate(embeddings, predicate)
+    # under-split local scans must not serialize the quantize+dot
+    # work onto one task (the broadcast join preserves the corpus
+    # partitioning, so THIS is the parallelism the scorer gets);
+    # guarded no-op on well-split inputs (_parallelize_scan)
+    embeddings = _parallelize_scan(embeddings)
     # zero-norm vectors (all components rounding to 0 at the 1e-6
     # quantization) are EXCLUDED from both sides: cosine is undefined
     # for them (dot/0 -> NULL), and NULL-cosine rows would still
@@ -190,6 +196,9 @@ def srp_signatures(
     lever: a neighbor is a candidate if it collides in ANY table
     (recall 1-(1-p)^T for per-table collision rate p).
     """
+    # plane dots run at the scan — an under-split local input would
+    # serialize them onto one task (guarded no-op on real splits)
+    embeddings = _parallelize_scan(embeddings)
     q = quantize(vec_col, "qvec")
 
     def bucket_expr(t: int) -> str:
@@ -304,7 +313,8 @@ def _exact_topk_on_candidates(
     else:
         # zero-norm vectors excluded (cosine undefined; see cosine_topk)
         feats = (
-            embeddings.select(F.col(id_col), quantize(vec_col, "qv"))
+            _parallelize_scan(embeddings)
+            .select(F.col(id_col), quantize(vec_col, "qv"))
             .withColumn("n2", F.expr(_dot("qv", "qv")))
             .where(F.col("n2") > 0)
         )
@@ -449,7 +459,7 @@ def ann_topk_batched(
     must not drop a real neighbor.
     """
     n_planes = _resolve_planes(embeddings, n_planes, corpus_count)
-    embeddings = _apply_predicate(embeddings, predicate)  # see ann_srp_topk
+    embeddings = _parallelize_scan(_apply_predicate(embeddings, predicate))  # see ann_srp_topk
     corpus = _cap_buckets(
         srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
         .select(F.col(id_col).alias("c_id"), "table", "bucket"),
@@ -541,7 +551,8 @@ def _score_pairs(
     divisor) — every candidate source already excludes them, this is
     the belt to that suspender."""
     feats = (
-        embeddings.select(F.col(id_col), quantize(vec_col, "qv"))
+        _parallelize_scan(embeddings)
+        .select(F.col(id_col), quantize(vec_col, "qv"))
         .withColumn("n2", F.expr(_dot("qv", "qv")))
         .where(F.col("n2") > 0)
     )
@@ -928,7 +939,7 @@ def ivf_topk(
     # cell geometry derives from the UNFILTERED corpus (ann_srp_topk's
     # plane rule); the filter applies before assignment so only
     # qualifying vectors are assigned, joined or re-ranked
-    embeddings = _apply_predicate(embeddings, predicate)
+    embeddings = _parallelize_scan(_apply_predicate(embeddings, predicate))
     corpus_assign = _ivf_assign(embeddings, cents, 1, id_col, vec_col, "c_id")
     q_assign = _ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
     cand = (
@@ -992,7 +1003,7 @@ def ivf_topk_batched(
             n_cells = auto_cells(n)
             corpus_count = n
         cents = ivf_centroids(embeddings, n_cells, id_col, vec_col, corpus_count)
-    embeddings = _apply_predicate(embeddings, predicate)  # see ivf_topk
+    embeddings = _parallelize_scan(_apply_predicate(embeddings, predicate))  # see ivf_topk
     corpus_assign = _ivf_assign(embeddings, cents, 1, id_col, vec_col, "c_id")
     q_assign = _ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
     cand = corpus_assign.join(q_assign, on="cell", how="inner")
@@ -1320,7 +1331,9 @@ def pq_topk(
     # a selective predicate must not move quantization geometry); the
     # filter applies before encode, so only qualifying vectors are
     # coded, scored or re-ranked
-    embeddings = _apply_predicate(embeddings, predicate)
+    embeddings = _parallelize_scan(
+        _apply_predicate(embeddings, predicate)
+    )
     codes = pq_encode(embeddings, cbs, m, id_col, vec_col, dims)
     lut = _pq_lut(queries, cbs, id_col, vec_col, m, dims // m)
     scored = (
@@ -1406,7 +1419,7 @@ def ivf_pq_topk_batched(
     )
     # cells + codebooks derive from the UNFILTERED corpus (see
     # pq_topk); the filter applies before assignment and encode
-    embeddings = _apply_predicate(embeddings, predicate)
+    embeddings = _parallelize_scan(_apply_predicate(embeddings, predicate))
     corpus_assign = _ivf_assign(embeddings, cents, 1, id_col, vec_col, "c_id")
     q_assign = _ivf_assign(queries, cents, nprobe, id_col, vec_col, "query_id")
     cand = (
