@@ -7009,8 +7009,17 @@ def _curate_replay(
         write_lm_model(docs, model_dir)
         # the offline calibration: exact P20 of the scorable corpus
         # scores (smallest score with rank >= ceil(0.2 * n) — the
-        # quality_filter spelling, one thin-column driver read)
-        scorable = lm_transition_scores(docs).where(F.col("n_bigrams") > 0)
+        # quality_filter spelling, one thin-column driver read).
+        # Scored against the JUST-PERSISTED model tables (bit-equal to
+        # a self-trained refit — same fit wrote them) so the count
+        # aggregations run once, not twice.
+        from amazon_sagemaker_feature_store_streaming_aggregation_spark.streaming import (
+            read_lm_model,
+        )
+
+        scorable = lm_transition_scores(
+            docs, model=read_lm_model(spark, model_dir)
+        ).where(F.col("n_bigrams") > 0)
         ranked = (
             scorable.select("lm_score")
             .withColumn(
