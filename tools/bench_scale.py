@@ -33,6 +33,24 @@ def main() -> None:
     ap.add_argument("--ratio", type=float, default=10.0)
     ap.add_argument("--out", required=True)
     ap.add_argument("--bar", type=float, default=1.3)
+    ap.add_argument(
+        "--merge-into",
+        default=None,
+        help="existing cross-round ledger (BENCH_SCALE.json): fresh "
+        "rows REPLACE same-name entries there, summary fields are "
+        "recomputed over the merge, and --out is written FROM the "
+        "merged result — so a per-round snapshot can never re-carry a "
+        "stale row from the live file (the r13 dedup_semantic_text "
+        "bookkeeping slip: the r12 re-measure landed only in the "
+        "per-round file while the manual merge into the ledger was "
+        "missed, and the next snapshot re-published the obsolete row)",
+    )
+    ap.add_argument(
+        "--round",
+        type=int,
+        default=None,
+        help="stamp measured_round on every fresh row (merge hygiene)",
+    )
     args = ap.parse_args()
     with open(args.lo) as fh:
         lo = json.load(fh)
@@ -65,8 +83,25 @@ def main() -> None:
                 (["lo"] if name in sus_lo else [])
                 + (["hi"] if name in sus_hi else [])
             )
+        if args.round is not None:
+            qs[name]["measured_round"] = args.round
         if worst is None or exp > qs[worst]["exponent"]:
             worst = name
+    if args.merge_into:
+        with open(args.merge_into) as fh:
+            ledger = json.load(fh)
+        merged = dict(ledger.get("queries") or {})
+        merged.update(qs)  # fresh rows replace stale same-name rows
+        qs = merged
+        worst = max(qs, key=lambda n: qs[n]["exponent"])
+        ledger["queries"] = qs
+        ledger["worst"] = worst
+        ledger["all_near_linear"] = all(
+            q.get("near_linear", True) for q in qs.values()
+        )
+        with open(args.merge_into, "w") as fh:
+            json.dump(ledger, fh, indent=1)
+            fh.write("\n")
     out = {
         "metric": "scaling_exponent",
         "ratio": args.ratio,
