@@ -302,7 +302,23 @@ def _exact_topk_on_candidates(
     disguise and must not occupy top-k slots. ``prequantized=True``
     takes frames already in ``(id_col, <vec_col>=qv, n2)`` form with
     zero-norm rows dropped (a caller that materialized the quantize
-    pass once — :func:`hard_negatives`), skipping the re-derivation."""
+    pass once — :func:`hard_negatives`), skipping the re-derivation.
+
+    The candidate frame is round-robin spread to the session's
+    default parallelism before the score joins: each candidate row
+    costs one exact 64-dim integer dot ahead, and AQE's BYTE-based
+    partition coalescing is blind to that — 16-byte id pairs coalesce
+    to a handful of ~minPartitionSize partitions and the compute-dense
+    re-rank serializes onto a few cores (measured: the
+    t_hard_negatives re-rank ran 10 tasks × 3.7 s on 32 cores while
+    the planner broadcast both vector sides). A user-specified
+    repartition count is never coalesced by AQE, and the extra
+    exchange ships ONLY the two ids — at every scale it is dominated
+    by the dot work it spreads (16 B/pair shuffled vs ~µs/pair
+    scored)."""
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism
+    )
     if prequantized:
         feats = embeddings.select(
             F.col(id_col), F.col(vec_col).alias("qv"), "n2"
