@@ -565,7 +565,18 @@ def _score_pairs(
     norm computed ONCE, one dot product per pair. Zero-norm vectors
     are excluded (cosine undefined; ANSI mode would error on the 0
     divisor) — every candidate source already excludes them, this is
-    the belt to that suspender."""
+    the belt to that suspender.
+
+    The candidate id pairs are round-robin spread to the session's
+    default parallelism before the score joins — the same rule as
+    :func:`_exact_topk_on_candidates`: AQE coalesces the candidate
+    stage by BYTES (16 B/pair), blind to the exact 64-dim dot each
+    row costs ahead, and the compute-dense verify serializes onto a
+    few cores. The id-only exchange is dominated by the dot work it
+    spreads at every scale."""
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism
+    )
     feats = (
         _parallelize_scan(embeddings)
         .select(F.col(id_col), quantize(vec_col, "qv"))
