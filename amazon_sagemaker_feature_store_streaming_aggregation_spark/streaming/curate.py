@@ -76,6 +76,7 @@ from .dedup import (
     _index_bucket,
     _read_index_pruned,
     _resolve_live_modulus,
+    _run_independent,
     _touch_success,
 )
 
@@ -384,30 +385,47 @@ def run_curate_stream(
             F.pmod(_shuffle_hash(id_col, shard_seed), F.lit(n_shards))
             .cast("int"),
         ).localCheckpoint()
-        fresh.write.mode("overwrite").parquet(kept_out)
         if near_index_dir:
-            # two sub-artifacts, then the batch dir's OWN _SUCCESS
-            # commits last (the LSH runner's protocol) — a retry can
-            # repair BOTH index appends from the committed halves
-            fresh_bands.drop("ibucket").write.mode("overwrite").parquet(
-                bands_out
+            # two order-free sub-artifacts overlapped, then the batch
+            # dir's OWN _SUCCESS commits last (the LSH runner's
+            # protocol) — a retry can repair BOTH index appends from
+            # the committed halves
+            _run_independent(
+                lambda: fresh.write.mode("overwrite").parquet(kept_out),
+                lambda: fresh_bands.drop("ibucket")
+                .write.mode("overwrite")
+                .parquet(bands_out),
             )
             _touch_success(spark, batch_out)
+        else:
+            fresh.write.mode("overwrite").parquet(kept_out)
         _assert_modulus_unchanged(spark, index_dir, _resolved)
-        _append_index(
-            fresh.select("text_hash").withColumn(
-                "ibucket", _index_bucket(nb, "text_hash")
-            ),
-            index_dir,
-            small_batch=small_batch,
-        )
         if near_index_dir:
             _assert_modulus_unchanged(
                 spark, near_index_dir, _resolved_near
             )
-            _append_index(
-                fresh_bands, near_index_dir, small_batch=small_batch
-            )
+        # the two appends are order-free: the retry branch repairs the
+        # hash index from kept/ and the band index from bands/, each
+        # with its own anti-join — neither repair reads the other store
+        _run_independent(
+            lambda: _append_index(
+                fresh.select("text_hash").withColumn(
+                    "ibucket", _index_bucket(nb, "text_hash")
+                ),
+                index_dir,
+                small_batch=small_batch,
+            ),
+            *(
+                [
+                    lambda: _append_index(
+                        fresh_bands, near_index_dir,
+                        small_batch=small_batch,
+                    )
+                ]
+                if near_index_dir
+                else []
+            ),
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_process)

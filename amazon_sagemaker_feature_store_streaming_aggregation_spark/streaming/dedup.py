@@ -31,6 +31,7 @@ infinite stream is impossible by construction, which is why the batch
 from __future__ import annotations
 
 import os as _os
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -392,6 +393,78 @@ def _collect_buckets(rows: DataFrame, n_buckets: int, *key_cols) -> list:
         .distinct()
         .collect()
     ]
+
+
+def _run_independent(*thunks) -> None:
+    """Run order-free Spark ACTIONS concurrently from a small driver
+    thread pool. Spark schedules concurrent jobs FIFO, so the later
+    job's tasks back-fill executors the earlier job's tail leaves idle
+    — at micro-batch scale the per-action driver windows (planning,
+    commit protocol) overlap too, which is most of a small write's
+    wall-clock.
+
+    ONLY protocol-order-free groups may use this:
+
+    * the batch-artifact writes BEFORE a runner's ``_touch_success`` —
+      visibility is gated atomically on the ``_SUCCESS`` marker written
+      strictly after this returns, so any thunk failing fails the
+      trigger before the batch becomes visible (the same crash window
+      as a sequential crash between two of the writes; the retry
+      overwrites the whole batch dir);
+    * post-commit index appends whose retry repairs derive each
+      store's missing-set INDEPENDENTLY from the committed batch
+      artifact (curate's hash/band appends, the PQ runner's code/exact
+      appends). An append group whose repair reads one store to decide
+      another's missing-set (the BM25 postings→stats→docs chain) is
+      order-DEPENDENT and must stay sequential.
+
+    All thunks run to completion before the first exception (if any)
+    propagates — no thread is abandoned mid-write.
+
+    The pool is ONE process-lived shared executor, not a fresh pool per
+    call: every new Python driver thread costs a new py4j connection
+    plus a paired JVM thread, and a per-call pool re-pays that churn on
+    every micro-batch (measured as a consistent ~1 s/key bleed into
+    UNTOUCHED keys sharing the session). Reused workers hold their py4j
+    connection for the life of the process. The first thunk runs on the
+    CALLING thread — only siblings go to the pool — so a full pool can
+    never deadlock the caller and a 2-thunk group costs one worker."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    futures = [_indep_pool().submit(t) for t in thunks[1:]]
+    errs = []
+    try:
+        thunks[0]()
+    except BaseException as exc:  # noqa: BLE001 — re-raised below
+        errs.append(exc)
+    for f in futures:
+        try:
+            f.result()
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            errs.append(exc)
+    if errs:
+        raise errs[0]
+
+
+_INDEP_POOL = None
+_INDEP_POOL_LOCK = threading.Lock()
+
+
+def _indep_pool():
+    """The process-lived executor behind ``_run_independent`` (see its
+    docstring for why the pool is shared). Sized to the largest
+    sibling group (2, with the group leader on the calling thread)
+    plus slack; groups never nest, so it cannot deadlock."""
+    global _INDEP_POOL
+    with _INDEP_POOL_LOCK:
+        if _INDEP_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _INDEP_POOL = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="indep-action"
+            )
+        return _INDEP_POOL
 
 
 def compact_banded_index(
@@ -893,8 +966,14 @@ def run_index_lsh_stream(
         pairs = (
             within if cross is None else cross.unionByName(within)
         ).distinct()
-        pairs.write.mode("overwrite").parquet(pairs_out)
-        fresh_bands.drop("ibucket").write.mode("overwrite").parquet(bands_out)
+        # the two sub-artifacts are order-free (visibility is gated on
+        # the _SUCCESS written after BOTH) — overlap them
+        _run_independent(
+            lambda: pairs.write.mode("overwrite").parquet(pairs_out),
+            lambda: fresh_bands.drop("ibucket")
+            .write.mode("overwrite")
+            .parquet(bands_out),
+        )
         # the batch dir's OWN _SUCCESS commits last: both
         # sub-outputs are durably in place before a retry could
         # skip this batch
@@ -1126,8 +1205,12 @@ def run_index_hamming_stream(
         pairs = (
             within if cross is None else cross.unionByName(within)
         ).distinct()
-        pairs.write.mode("overwrite").parquet(pairs_out)
-        new_fp.write.mode("overwrite").parquet(fps_out)
+        # order-free sub-artifacts (visibility gated on the _SUCCESS
+        # written after both) — overlap them
+        _run_independent(
+            lambda: pairs.write.mode("overwrite").parquet(pairs_out),
+            lambda: new_fp.write.mode("overwrite").parquet(fps_out),
+        )
         _touch_success(spark, batch_out)
         # index append after output commit (at-least-once; the
         # retry branch repairs a crash between these writes) —
@@ -2066,34 +2149,44 @@ def run_cluster_maintain_stream(
                     else df.repartition(nb, F.col(col))
                 )
 
-            (
-                _bucketed(
-                    tagged.select(id_col, "cluster_id", "batch")
-                    .withColumn("dbucket", _label_bucket(id_col, nb)),
-                    "dbucket",
-                )
-                .write.mode("overwrite")
-                .partitionBy("dbucket")
-                .parquet(batch_out + "/delta_doc")
-            )
+            # all three sub-artifacts (the two delta projections from
+            # the checkpointed delta, fps from the checkpointed new_fp)
+            # are order-free — visibility is gated on the _SUCCESS
+            # written after ALL of them — so the writes overlap
             # sizes/canonical flags ride the cluster projection in
-            # place — no third per-batch artifact to write
-            (
-                _bucketed(
-                    tagged.select(
-                        id_col, "cluster_id", "cluster_size",
-                        "is_canonical", "batch",
+            # place — no third per-batch sizes artifact to write
+            _run_independent(
+                lambda: (
+                    _bucketed(
+                        tagged.select(id_col, "cluster_id", "batch")
+                        .withColumn("dbucket", _label_bucket(id_col, nb)),
+                        "dbucket",
                     )
-                    .withColumn("cbucket", _label_bucket("cluster_id", nb)),
-                    "cbucket",
-                )
-                .write.mode("overwrite")
-                .partitionBy("cbucket")
-                .parquet(batch_out + "/delta_cluster")
+                    .write.mode("overwrite")
+                    .partitionBy("dbucket")
+                    .parquet(batch_out + "/delta_doc")
+                ),
+                lambda: (
+                    _bucketed(
+                        tagged.select(
+                            id_col, "cluster_id", "cluster_size",
+                            "is_canonical", "batch",
+                        )
+                        .withColumn(
+                            "cbucket", _label_bucket("cluster_id", nb)
+                        ),
+                        "cbucket",
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("cbucket")
+                    .parquet(batch_out + "/delta_cluster")
+                ),
+                lambda: new_fp.write.mode("overwrite").parquet(fps_out),
             )
-            _tick(t0, f"b{batch_id} delta-writes")
-        new_fp.write.mode("overwrite").parquet(fps_out)
-        _tick(t0, f"b{batch_id} fps-write")
+            _tick(t0, f"b{batch_id} delta+fps-writes")
+        else:
+            new_fp.write.mode("overwrite").parquet(fps_out)
+            _tick(t0, f"b{batch_id} fps-write")
         _touch_success(spark, batch_out)
         # band rows re-derive from the SAME checkpointed new_fp
         # the committed artifact was written from, so the index

@@ -64,6 +64,7 @@ from .dedup import (
     _index_bucket,
     _read_index_pruned,
     _resolve_live_modulus,
+    _run_independent,
     _touch_success,
 )
 
@@ -333,10 +334,19 @@ def run_index_bm25_stream(
             terms.agg(F.count("*").alias("n_tokens"))
         )
         # artifact first (the commit point), appends after — then a
-        # crash between the two is repaired by the retry path above
-        postings.write.mode("overwrite").parquet(batch_out + "/postings")
-        docs_rows.write.mode("overwrite").parquet(batch_out + "/docs")
-        stats.write.mode("overwrite").parquet(batch_out + "/stats")
+        # crash between the two is repaired by the retry path above.
+        # The three sub-artifacts are order-free (visibility gated on
+        # the _SUCCESS written after all of them) and overlap; the
+        # APPENDS below stay sequential — their postings→stats→docs
+        # order is load-bearing for the retry repair's crash windows
+        _run_independent(
+            lambda: postings.write.mode("overwrite")
+            .parquet(batch_out + "/postings"),
+            lambda: docs_rows.write.mode("overwrite")
+            .parquet(batch_out + "/docs"),
+            lambda: stats.write.mode("overwrite")
+            .parquet(batch_out + "/stats"),
+        )
         _touch_success(spark, batch_out)
         committed_p = spark.read.parquet(batch_out + "/postings")
         _assert_modulus_unchanged(spark, postings_dir, _resolved, key="pb")

@@ -37,6 +37,7 @@ from .dedup import (
     _assert_modulus_unchanged,
     _fs_exists,
     _fs_has_parquet_recursive,
+    _run_independent,
     _touch_success,
 )
 from .forget import apply_index_tombstones
@@ -338,8 +339,13 @@ def run_index_embedding_stream(
             .where(F.col("cosine") >= F.lit(threshold))
         )
         pairs = within if cross is None else cross.unionByName(within)
-        pairs.write.mode("overwrite").parquet(pairs_out)
-        batch_rows.write.mode("overwrite").parquet(vecs_out)
+        # order-free sub-artifacts (visibility gated on the _SUCCESS
+        # written after both) — overlap the pair discovery with the
+        # trivial vecs write
+        _run_independent(
+            lambda: pairs.write.mode("overwrite").parquet(pairs_out),
+            lambda: batch_rows.write.mode("overwrite").parquet(vecs_out),
+        )
         _touch_success(spark, batch_out)
         # index append from the SAME checkpointed rows the batch
         # artifact was written from (no read-back), with one pre-write

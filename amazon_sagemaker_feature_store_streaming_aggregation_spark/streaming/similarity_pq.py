@@ -66,6 +66,7 @@ from .dedup import (
     _meta_signature,
     _read_index_pruned,
     _resolve_live_modulus,
+    _run_independent,
     _touch_success,
 )
 from .forget import apply_index_tombstones
@@ -433,12 +434,26 @@ def run_index_embedding_pq_stream(
             .where(F.col("n2") > 0)
         )
         all_rows = _derive(feats).localCheckpoint()
+        # ONE driver collect serves both prune lists: the exact store's
+        # id buckets AND the cell list for the pruned code-index read —
+        # at most n_buckets x n_cells (id-bucket, cell) pairs, both
+        # driver-side constants. The cell list is all_rows' (a superset
+        # of batch_rows' on a redelivered batch): the candidate join
+        # filters on exact cell equality, so a redelivered id's cell in
+        # the prune list adds scan I/O on that retry only, never rows.
+        bc = (
+            all_rows.select(
+                _index_bucket(nb, id_col).alias("__b"), "cell"
+            )
+            .distinct()
+            .collect()
+        )
         # redelivery routing: ids already in the exact store (bucket-
         # pruned point lookup) arrived before — their pairs emitted
         # then; skip discovery and both appends
         vstore_self = _read_index_pruned(
             spark, vecs_dir,
-            _collect_id_buckets(all_rows, nb, id_col),
+            sorted({r["__b"] for r in bc}),
             nonempty_memo=_resolved,
         )
         if vstore_self is None:
@@ -455,7 +470,7 @@ def run_index_embedding_pq_stream(
                 spark, index_dir
             )
         cells = (
-            [r[0] for r in batch_rows.select("cell").distinct().collect()]
+            sorted({r["cell"] for r in bc})
             if _resolved["inonempty"] else []
         )
         probe = F.broadcast(batch_rows) if broadcast_batch else batch_rows
@@ -547,10 +562,16 @@ def run_index_embedding_pq_stream(
             )
             .where(F.col("cosine") >= F.lit(threshold))
         )
-        pairs.write.mode("overwrite").parquet(pairs_out)
-        batch_rows.write.mode("overwrite").parquet(vecs_out)
+        # order-free sub-artifacts (visibility gated on the _SUCCESS
+        # written after both) — overlap the pair discovery with the
+        # trivial vecs write
+        _run_independent(
+            lambda: pairs.write.mode("overwrite").parquet(pairs_out),
+            lambda: batch_rows.write.mode("overwrite").parquet(vecs_out),
+        )
         _touch_success(spark, batch_out)
         _assert_modulus_unchanged(spark, index_dir, _resolved, key="cents")
+        _assert_modulus_unchanged(spark, vecs_dir, _resolved, key="vb")
         # pending tombstones filter both appends (the _append_index rule)
         irows = apply_index_tombstones(
             spark, index_dir,
@@ -560,8 +581,6 @@ def run_index_embedding_pq_stream(
             irows.coalesce(1) if broadcast_batch
             else irows.repartition(F.col("cell"))
         )
-        pre_i.write.mode("append").partitionBy("cell").parquet(index_dir)
-        _assert_modulus_unchanged(spark, vecs_dir, _resolved, key="vb")
         vrows = apply_index_tombstones(
             spark, vecs_dir,
             batch_rows.select(id_col, "qv", "n2", *extra_cols),
@@ -570,7 +589,17 @@ def run_index_embedding_pq_stream(
             vrows.coalesce(1) if broadcast_batch
             else vrows.repartition(F.col("ibucket"))
         )
-        pre_v.write.mode("append").partitionBy("ibucket").parquet(vecs_dir)
+        # the two appends are order-free: the retry repair derives each
+        # store's missing-set independently from the committed batch
+        # artifact (vecs_out), so either crash half heals on its own
+        _run_independent(
+            lambda: pre_i.write.mode("append")
+            .partitionBy("cell")
+            .parquet(index_dir),
+            lambda: pre_v.write.mode("append")
+            .partitionBy("ibucket")
+            .parquet(vecs_dir),
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_process)

@@ -79,6 +79,7 @@ from .dedup import (
     _index_bucket,
     _read_index_pruned,
     _resolve_live_modulus,
+    _run_independent,
     _touch_success,
 )
 
@@ -206,8 +207,12 @@ def run_index_substring_stream(
             )
         else:
             marks = marked_fresh.select(id_col, "pos", "sh")
-        marks.write.mode("overwrite").parquet(marks_out)
-        fresh.write.mode("overwrite").parquet(wins_out)
+        # order-free sub-artifacts (visibility gated on the _SUCCESS
+        # written after both) — overlap them
+        _run_independent(
+            lambda: marks.write.mode("overwrite").parquet(marks_out),
+            lambda: fresh.write.mode("overwrite").parquet(wins_out),
+        )
         _touch_success(spark, batch_out)
         # index append after output commit (at-least-once; the retry
         # branch repairs a crash between the two writes)
