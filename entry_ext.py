@@ -46,6 +46,22 @@ _SHINGLES = (
     "for i in range(1, greatest(length(text) - 8, 1) + 1)])"
 )
 
+
+def _spread_replay(stream: DataFrame) -> DataFrame:
+    """The replay harnesses feed ONE small file per trigger
+    (maxFilesPerTrigger=1 over a two-file tempdir), so every
+    micro-batch scan is a single partition — and any heavy scan-side
+    expression attached in the STREAM lineage (the embed fold, the
+    SimHash tree, IVF assign/encode) runs on one task. Round-robin the
+    thin raw rows across the session's cores BEFORE the heavy
+    expression: the streaming twin of operators/dedup.
+    _parallelize_scan, which cannot introspect (and so passes through)
+    streaming plans. Row-identical — everything downstream is per-row
+    pure or set-shaped. A production stream with well-split
+    micro-batches would not route through this harness helper."""
+    sc = stream.sparkSession.sparkContext
+    return stream.repartition(sc.defaultParallelism)
+
 # ------------------------------------------------------------- exact dedup
 
 
@@ -367,7 +383,9 @@ def _q_stream_hamming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .load(stream_dir)
         )
-        fps = simhash(stream).withColumnRenamed("simhash", "fp")
+        fps = simhash(_spread_replay(stream)).withColumnRenamed(
+            "simhash", "fp"
+        )
         q = run_index_hamming_stream(
             fps,
             os.path.join(work, "out"),
@@ -445,7 +463,7 @@ def _q_stream_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(stream_dir)
         )
         q = run_index_embedding_stream(
-            stream,
+            _spread_replay(stream),
             os.path.join(work, "out"),
             os.path.join(work, "index"),
             checkpoint_dir=os.path.join(work, "ckpt"),
@@ -518,7 +536,7 @@ def _emb_standing_index(spark: SparkSession, sf_dir: str):
             .load(stream_dir)
         )
         q = run_index_embedding_stream(
-            stream,
+            _spread_replay(stream),
             os.path.join(work, "out"),
             os.path.join(work, "index"),
             checkpoint_dir=os.path.join(work, "ckpt"),
@@ -696,7 +714,7 @@ def _pq_standing_index(spark: SparkSession, sf_dir: str):
             .load(stream_dir)
         )
         q = run_index_embedding_pq_stream(
-            stream,
+            _spread_replay(stream),
             os.path.join(work, "out"),
             os.path.join(work, "index"),
             os.path.join(work, "vecs"),
@@ -791,7 +809,7 @@ def _q_stream_semantic_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(stream_dir)
         )
         q = run_index_embedding_pq_stream(
-            stream,
+            _spread_replay(stream),
             os.path.join(work, "out"),
             os.path.join(work, "index"),
             os.path.join(work, "vecs"),
@@ -964,7 +982,9 @@ def _q_stream_semantic_text_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .load(stream_dir)
         )
-        embedded = embed_text_hashed(stream, dims=_EMBED_DIMS).select(
+        embedded = embed_text_hashed(
+            _spread_replay(stream), dims=_EMBED_DIMS
+        ).select(
             F.col("doc_id").alias("vec_id"), "embedding"
         )
         q = run_index_embedding_pq_stream(
@@ -1137,7 +1157,9 @@ def _q_stream_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .load(stream_dir)
         )
-        embedded = embed_text_hashed(stream, dims=_EMBED_DIMS).select(
+        embedded = embed_text_hashed(
+            _spread_replay(stream), dims=_EMBED_DIMS
+        ).select(
             F.col("doc_id").alias("vec_id"), "embedding"
         )
         q = run_index_embedding_stream(
@@ -1213,7 +1235,9 @@ def _q_stream_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .load(stream_dir)
         )
-        fps = simhash(stream).withColumnRenamed("simhash", "fp")
+        fps = simhash(_spread_replay(stream)).withColumnRenamed(
+            "simhash", "fp"
+        )
         out = os.path.join(work, "out")
         q = run_cluster_maintain_stream(
             fps,
