@@ -1547,10 +1547,21 @@ def _hamming_rep_pairs(
     excluded outright (neither can appear in an output pair).
     """
     width = _hamming_band_width(bands, n_bits)
-    fp = hashes.where(
-        F.col(hash_col).isNotNull() & F.col(id_col).isNotNull()
-    ).select(F.col(id_col), F.col(hash_col).alias("__fp"))
-    mem = _collapse_members(fp, id_col, "__fp")
+    # NULL routing AFTER the collapse's eager checkpoint, not before:
+    # a pre-collapse `where(hash_col IS NOT NULL)` is pushed below the
+    # scan-spread exchange all the way to the FileScan, where the
+    # optimizer substitutes the fingerprint's full expression tree
+    # into the predicate — the SimHash vote tree then evaluates TWICE
+    # per row, once SERIALLY on the under-split scan (measured 2.2 s
+    # single-task at sf0.1) and once spread for the projection.
+    # Filtering the materialized flat rows is exact: F.min over the
+    # window skips NULL ids, so each surviving row's representative is
+    # the same with or without the dropped rows in its group, and the
+    # dropped rows themselves appear in no output.
+    fp = hashes.select(F.col(id_col), F.col(hash_col).alias("__fp"))
+    mem = _collapse_members(fp, id_col, "__fp").where(
+        F.col("__fp").isNotNull() & F.col(id_col).isNotNull()
+    )
     reps = mem.where(F.col(id_col) == F.col("__rep")).select(id_col, "__fp")
     exploded = _cap_band_buckets(
         hamming_band_rows(reps, id_col, "__fp", bands, width).drop("__fp"),

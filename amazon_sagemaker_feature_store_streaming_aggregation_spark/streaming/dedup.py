@@ -1097,9 +1097,13 @@ def run_index_hamming_stream(
         batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
         fps_out = batch_out + "/fps"
         pairs_out = batch_out + "/pairs"
-        batch_fp = batch_df.select(id_col, hash_col).where(
-            F.col(hash_col).isNotNull()
-        )
+        # the NULL-fingerprint filter applies AFTER the checkpoint
+        # below: filtering the lazy select would be pushed to the
+        # batch scan with the fingerprint's full expression tree
+        # substituted into the predicate — the stream-lineage hash
+        # (e.g. a SimHash vote tree) would then evaluate twice per
+        # row, once serially on the under-split micro-batch scan
+        batch_fp = batch_df.select(id_col, hash_col)
         if _fs_exists(spark, batch_out + "/_SUCCESS"):
             # retried batch whose output committed: repair a possibly
             # lost index append (band-row-keyed, pruned to the
@@ -1130,8 +1134,11 @@ def run_index_hamming_stream(
         # the stream) are large, and every later action would
         # otherwise re-analyze — and for uncached consumers recompute
         # — them. Band rows stay LAZY on top of the flat fingerprints:
-        # banding is shift/mask arithmetic, cheap to re-derive.
-        batch_fp = batch_fp.localCheckpoint()
+        # banding is shift/mask arithmetic, cheap to re-derive. The
+        # NULL-fingerprint filter reads the flat rows (see above).
+        batch_fp = batch_fp.localCheckpoint().where(
+            F.col(hash_col).isNotNull()
+        )
         batch_bands = hamming_band_rows(
             batch_fp, id_col, hash_col, bands, width
         )
