@@ -351,15 +351,35 @@ def _read_index_pruned(
     )
 
 
+def _keyed_fan(rows: DataFrame, *cols) -> DataFrame:
+    """Small-batch pre-write layout for a ``partitionBy`` append: hash-
+    repartition on the partition column(s) into a SMALL EXPLICIT task
+    count. Each partition value lands in exactly one task, so the write
+    still emits one file per value present — but the per-file writer
+    overhead (parquet footer, commit rename, zstd context) is paid by
+    up to 16 tasks in parallel instead of one task serially. Measured
+    on the 64-cell PQ index append at sf0.1: the ``coalesce(1)``
+    spelling ran a 1.5-3.1 s single-task job (64 sequential file
+    opens); the keyed fan is a ~0.1 s exchange of batch-sized rows plus
+    ~0.2 s of parallel writes. The count is EXPLICIT (REPARTITION_BY_NUM)
+    because AQE's byte-based coalescing would fold a micro-batch's tiny
+    shuffle back to one task — the same trap as compute-dense thin rows
+    (guide §2.5); it is also capped (16) and batch-sized, never
+    corpus-scale: backfill callers keep their plain keyed repartition."""
+    n = max(1, min(16, rows.sparkSession.sparkContext.defaultParallelism))
+    return rows.repartition(n, *[F.col(c) for c in cols])
+
+
 def _append_index(
     rows: DataFrame, index_dir: str, small_batch: bool = False
 ) -> None:
     """Append index rows (must carry ``ibucket``) under their bucket
     partitions. Two layouts for the same one-file-per-bucket result:
     ``small_batch=True`` (the standing micro-batch regime — callers
-    pass their ``broadcast_batch`` flag) coalesces to ONE task, which
-    under partitionBy writes exactly one file per bucket value present
-    with NO shuffle; the default keeps the bucket-keyed repartition so
+    pass their ``broadcast_batch`` flag) hash-fans the batch across a
+    small explicit task count (:func:`_keyed_fan`) so the per-bucket
+    files write in parallel while still emitting one file per bucket
+    value present; the default keeps the bucket-keyed repartition so
     a corpus-sized backfill batch never has every task writing into
     every bucket dir.
 
@@ -373,7 +393,7 @@ def _append_index(
     from .forget import apply_index_tombstones
 
     rows = apply_index_tombstones(rows.sparkSession, index_dir, rows)
-    pre = rows.coalesce(1) if small_batch else rows.repartition(
+    pre = _keyed_fan(rows, "ibucket") if small_batch else rows.repartition(
         F.col("ibucket")
     )
     (
@@ -2142,17 +2162,17 @@ def run_cluster_maintain_stream(
         if not delta.isEmpty():
             # pre-write layout control, two regimes: the standing
             # small-batch regime (broadcast_batch=True, the same flag
-            # that gates the probe broadcast) COALESCES the bucketed
-            # writes to one task — a single task writing partitionBy
-            # dirs emits exactly one file per bucket VALUE present,
-            # the same file count the shuffle bought, minus the
-            # shuffle (2 exchanges/batch, a measured chunk of the
-            # per-trigger fixed cost); a corpus-sized availableNow
-            # backfill (broadcast_batch=False) keeps the bucket-keyed
-            # repartition so no task writes into every bucket dir
+            # that gates the probe broadcast) hash-FANS the bucketed
+            # writes across a small explicit task count — still
+            # exactly one file per bucket VALUE present, but the
+            # per-file writer costs pay in parallel instead of one
+            # serial task (see _keyed_fan); a corpus-sized
+            # availableNow backfill (broadcast_batch=False) keeps the
+            # bucket-keyed repartition so no task writes into every
+            # bucket dir
             def _bucketed(df, col):
                 return (
-                    df.coalesce(1) if broadcast_batch
+                    _keyed_fan(df, col) if broadcast_batch
                     else df.repartition(nb, F.col(col))
                 )
 

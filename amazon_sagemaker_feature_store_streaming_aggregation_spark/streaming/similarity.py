@@ -37,6 +37,7 @@ from .dedup import (
     _assert_modulus_unchanged,
     _fs_exists,
     _fs_has_parquet_recursive,
+    _keyed_fan,
     _run_independent,
     _touch_success,
 )
@@ -353,14 +354,16 @@ def run_index_embedding_stream(
         # writes a file into every cell dir (tasks x cells small files)
         _assert_modulus_unchanged(spark, index_dir, _resolved, key="cents")
         # small-batch regime (broadcast_batch, the same flag gating the
-        # probe broadcast): one coalesced task writes exactly one file
-        # per touched cell with NO shuffle; corpus-sized backfills keep
-        # the cell-keyed repartition. Pending tombstones filter the
-        # append (the _append_index rule: a suppressed key never
-        # re-enters the index while its erasure is in flight).
+        # probe broadcast): keyed fan — still exactly one file per
+        # touched cell, but the ~n_cells per-file writer costs pay in
+        # parallel instead of one serial task (see _keyed_fan); corpus-
+        # sized backfills keep the cell-keyed repartition. Pending
+        # tombstones filter the append (the _append_index rule: a
+        # suppressed key never re-enters the index while its erasure is
+        # in flight).
         appendable = apply_index_tombstones(spark, index_dir, batch_rows)
         pre = (
-            appendable.coalesce(1) if broadcast_batch
+            _keyed_fan(appendable, "cell") if broadcast_batch
             else appendable.repartition(F.col("cell"))
         )
         (

@@ -63,6 +63,7 @@ from .dedup import (
     _fs_has_parquet_recursive,
     _hadoop_fs,
     _index_bucket,
+    _keyed_fan,
     _meta_signature,
     _read_index_pruned,
     _resolve_live_modulus,
@@ -577,8 +578,11 @@ def run_index_embedding_pq_stream(
             spark, index_dir,
             batch_rows.select(id_col, "cell", "codes", *extra_cols),
         )
+        # small-batch regime: keyed fan (one file per cell, parallel
+        # writers) — the coalesce(1) spelling serialized ~n_cells file
+        # opens into one 1.5-3 s task (see _keyed_fan)
         pre_i = (
-            irows.coalesce(1) if broadcast_batch
+            _keyed_fan(irows, "cell") if broadcast_batch
             else irows.repartition(F.col("cell"))
         )
         vrows = apply_index_tombstones(
@@ -586,7 +590,7 @@ def run_index_embedding_pq_stream(
             batch_rows.select(id_col, "qv", "n2", *extra_cols),
         ).withColumn("ibucket", _index_bucket(nb, id_col))
         pre_v = (
-            vrows.coalesce(1) if broadcast_batch
+            _keyed_fan(vrows, "ibucket") if broadcast_batch
             else vrows.repartition(F.col("ibucket"))
         )
         # the two appends are order-free: the retry repair derives each
