@@ -500,15 +500,19 @@ def quality_filter(
         # clean+score chain (the two heavy shuffles) runs twice
         scorable = scorable.localCheckpoint()
     if cutoff is None:
-        ranked = (
-            scorable.select("lm_score")
-            .withColumn("__rn", F.row_number().over(Window.orderBy("lm_score")))
-            .withColumn("__n", F.count("*").over(Window.partitionBy()))
+        # exact PERCENTILE_DISC as ONE aggregate: "smallest score with
+        # rank >= ceil(frac * n)" is percentile_disc's definition, and
+        # the value is bit-identical to the former ranked-window
+        # spelling (verified over ties/singletons/random doubles) —
+        # but the aggregate runs with map-side partials instead of
+        # TWO single-partition window passes (global sort row_number +
+        # unbounded count) over the scorable corpus.
+        cut = scorable.select("lm_score").agg(
+            F.expr(
+                f"percentile_disc({float(bottom_frac)!r}) "
+                "WITHIN GROUP (ORDER BY lm_score)"
+            ).alias("__t")
         )
-        cut = ranked.where(
-            F.col("__rn")
-            == F.ceil(F.lit(bottom_frac) * F.col("__n")).cast("int")
-        ).select(F.col("lm_score").alias("__t"))
     return (
         scorable.crossJoin(F.broadcast(cut))
         .where(F.col("lm_score") >= F.col("__t"))

@@ -7044,23 +7044,21 @@ def _curate_replay(
         scorable = lm_transition_scores(
             docs, model=read_lm_model(spark, model_dir)
         ).where(F.col("n_bigrams") > 0)
-        ranked = (
-            scorable.select("lm_score")
-            .withColumn(
-                "__rn", F.row_number().over(Window.orderBy("lm_score"))
-            )
-            .withColumn("__n", F.count("*").over(Window.partitionBy()))
-        )
-        cut_rows = ranked.where(
-            F.col("__rn") == F.ceil(F.lit(0.2) * F.col("__n")).cast("int")
-        ).collect()
-        if not cut_rows:
+        # exact P20 as ONE percentile_disc aggregate (bit-identical to
+        # the former ranked-window spelling — quality_filter's shared
+        # convention — minus its two single-partition window passes)
+        cut_row = scorable.select("lm_score").agg(
+            F.expr(
+                "percentile_disc(0.2) WITHIN GROUP (ORDER BY lm_score)"
+            ).alias("lm_score")
+        ).collect()[0]
+        if cut_row["lm_score"] is None:
             raise ValueError(
                 "stream_curate calibration found no scorable documents "
                 f"under {sf_dir} (every text NULL or single-token?) — "
                 "cannot derive a quality cutoff"
             )
-        cutoff = float(cut_rows[0]["lm_score"])
+        cutoff = float(cut_row["lm_score"])
     old_parts = _set_stream_partitions(spark)
     try:
         stream = (
