@@ -318,17 +318,22 @@ def learn_bpe_merges(
     the |V|-row word table (millions of rows, not billions) and
     collects exactly ONE row (the arg-max pair — loop state, not
     data), re-symbolizing via a scan-side ``replace``. Stages persist
-    and the predecessor unpersists, so plan depth and cached footprint
-    stay O(1) — a lazy k-stage chain would double the logical plan per
-    stage (2^k word-table subtrees; measured 19 s vs 2 s at sf0.01).
-    The learned table is O(k) and broadcasts into
-    :func:`bpe_token_counts`.
+    and the GRANDPARENT unpersists: step t's arg-max action is the one
+    job that materializes stage t's cache (reading stage t-1's still-
+    cached rows), so no separate ``count()`` materialization action is
+    needed and the final stage's re-symbolization never runs at all —
+    k+1 actions total instead of 2k+1, with at most two O(|V|) stages
+    cached at once. Plan depth still stays O(1) — a lazy k-stage chain
+    would double the logical plan per stage (2^k word-table subtrees;
+    measured 19 s vs 2 s at sf0.01). The learned table is O(k) and
+    broadcasts into :func:`bpe_token_counts`.
     """
     s = (
         _bpe_word_counts(docs, text_col)
         .select(F.expr(_wrap_chars("word")).alias("seq"), "n")
         .persist()
     )
+    prev = None
     syms = f"split(substring(seq, 2, length(seq) - 2), '{_STX}{_SOH}')"
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -357,6 +362,10 @@ def learn_bpe_merges(
                     F.struct((-F.col("weight")).alias("w"), "lhs", "rhs"),
                 ).alias("__b")
             ).first()["__b"]
+            # this action just materialized s's cache; its input is no
+            # longer needed by anything downstream
+            if prev is not None:
+                prev.unpersist()
             if best is None or best["lhs"] is None:
                 break
             lhs, rhs, weight = best["lhs"], best["rhs"], best["weight"]
@@ -371,10 +380,11 @@ def learn_bpe_merges(
                 ).alias("seq"),
                 "n",
             ).persist()
-            nxt.count()  # materialize before dropping the predecessor
-            s.unpersist()
+            prev = s
             s = nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         s.unpersist()
     return local_rows(
         docs.sparkSession, merges,

@@ -124,6 +124,21 @@ def test_bpe_stops_when_merges_exhausted(spark):
     assert got == [(1, "a", "b", 2)]
 
 
+def test_bpe_learn_leaves_nothing_cached(spark):
+    """The deferred-unpersist drive keeps ≤2 stages cached mid-loop and
+    must release BOTH live handles (s and its predecessor) on exit —
+    normal completion and the merges-exhausted break path alike."""
+    from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import learn_bpe_merges
+
+    jsc = spark.sparkContext._jsc.sc()
+    for text, k in [("low low lower newest new", 4), ("ab ab", 5)]:
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        learn_bpe_merges(docs, k=k).collect()
+        assert jsc.getPersistentRDDs().size() == 0
+
+
 def test_bpe_token_counts_apply_merges_in_order(spark):
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.tfidf import (
         bpe_token_counts,
