@@ -135,8 +135,11 @@ def test_bpe_learn_leaves_nothing_cached(spark):
         docs = spark.createDataFrame(
             [(1, text)], "doc_id long, text string"
         )
+        # other tests may share this session's cache: assert no NEW
+        # RDDs survive the call, not that the cache is globally empty
+        before = jsc.getPersistentRDDs().size()
         learn_bpe_merges(docs, k=k).collect()
-        assert jsc.getPersistentRDDs().size() == 0
+        assert jsc.getPersistentRDDs().size() == before
 
 
 def test_bpe_token_counts_apply_merges_in_order(spark):
