@@ -463,7 +463,10 @@ def run_index_embedding_pq_stream(
             batch_rows = all_rows.join(
                 vstore_self.select(id_col), id_col, "left_anti"
             ).localCheckpoint()
-        lut = _batch_lut(batch_rows, cbs, id_col, m, w).localCheckpoint()
+        # single consumer (the ADC join) — inline, no checkpoint: the
+        # LUT is m x n_codes rows per query, so materializing it eagerly
+        # is a full extra pass over the batch's largest intermediate
+        lut = _batch_lut(batch_rows, cbs, id_col, m, w)
         # candidate codes: indexed cellmates (cell-pruned, tombstone-
         # filtered) + smaller-id batchmates — ONE ADC ranking over both
         if not _resolved.get("inonempty"):
@@ -892,10 +895,12 @@ def probe_pq_index(
     if not cells or not _fs_has_parquet_recursive(spark, base):
         return empty
     idx = _pruned_code_scan(spark, base, cells, predicate)
+    # single consumer (the ADC join) — inline, no checkpoint (see the
+    # runner's lut note)
     lut = _batch_lut(
         qfeats.select(F.col("query_id").alias(id_col), "qv"),
         cbs, id_col, m, w_sub,
-    ).localCheckpoint()
+    )
     cand = idx.alias("a").join(
         q_side.select("query_id", "cell").alias("b"), on="cell"
     )
