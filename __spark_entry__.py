@@ -1601,6 +1601,29 @@ _PLAN_CHANGES: dict[str, int] = {
     "sim_text_near_dup": 12,
     "sim_text_topk": 12,
     "s_stream_semantic_text": 12,
+    # r14 optimization-round rewrites that restructured how the key's
+    # result is COMPUTED (one-pass tokenize + distinct-gram LM joins;
+    # percentile_disc calibration; hamming NULL routing after the
+    # collapse checkpoint; curate's persisted-model calibration +
+    # parallel-action protocol; BPE deferred-unpersist drive).  Each was
+    # builder-verified vs the DuckDB oracle in-commit, but the driver's
+    # rotation sample missed them in r14 — recording the change round
+    # front-loads their re-gating (VERDICT r14 "what's wrong #2").
+    "text_lm_score": 14,
+    "text_lm3_score": 14,
+    "text_lm5_score": 14,
+    "text_ccnet_buckets": 14,
+    "pipeline_quality_filter": 14,
+    "pipeline_quality_filter3": 14,
+    "pipeline_quality_filter_linear": 14,
+    "dedup_hamming_pairs": 14,
+    "dedup_hamming_edges": 14,
+    "s_stream_curate": 14,
+    "s_stream_curate_near": 14,
+    "s_stream_curate_clf_near": 14,
+    "text_bpe_vocab": 14,
+    "text_bpe_encode": 14,
+    "t_pack_windows_real_bpe": 14,
 }
 
 

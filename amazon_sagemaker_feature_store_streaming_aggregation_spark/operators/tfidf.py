@@ -363,9 +363,12 @@ def learn_bpe_merges(
                 ).alias("__b")
             ).first()["__b"]
             # this action just materialized s's cache; its input is no
-            # longer needed by anything downstream
+            # longer needed by anything downstream (prev reset to None
+            # so the finally block's release is visibly the OTHER exit
+            # path's, not a second unpersist of this handle)
             if prev is not None:
                 prev.unpersist()
+                prev = None
             if best is None or best["lhs"] is None:
                 break
             lhs, rhs, weight = best["lhs"], best["rhs"], best["weight"]

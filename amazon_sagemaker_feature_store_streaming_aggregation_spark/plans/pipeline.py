@@ -402,12 +402,13 @@ def quality_filter(
     scores (smallest score with rank >= ceil(frac * n)) — kept =
     ``score >= cut``, a VALUE comparison, so rank-order ties between
     engines cannot change membership. Calibration is deliberately a
-    single-group exact percentile: the ranked frame is one thin score
-    column, but it does serialize through one partition — at 100 TB
-    either calibrate on a :func:`~..operators.sampling.
-    deterministic_sample` or pass a precomputed ``cutoff`` (the CCNet
-    recipe's fixed per-bucket thresholds), which skips the ranking
-    entirely.
+    single-group exact percentile: map-side partial percentile buffers
+    merge in ONE final task (the single-point stage — the partial
+    buffers hold every distinct score value, mostly-distinct doubles,
+    in that task's heap without spilling) — at 100 TB either calibrate
+    on a :func:`~..operators.sampling.deterministic_sample` or pass a
+    precomputed ``cutoff`` (the CCNet recipe's fixed per-bucket
+    thresholds), which skips the percentile entirely.
 
     ``with_text=True`` appends the boilerplate-cleaned ``text_clean``
     column to the output — the downstream stages of a composed

@@ -6993,8 +6993,6 @@ def _curate_replay(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from pyspark.sql import Window
-
     from amazon_sagemaker_feature_store_streaming_aggregation_spark.operators.lm import (
         lm_transition_scores,
     )
