@@ -491,19 +491,25 @@ def _collapse_members(
     k²-per-bucket candidate blowup collapses to O(distinct²), and the
     group members re-attach afterwards at output-sized cost.
 
-    The result is materialized ONCE (eager ``localCheckpoint``, the
+    The result is materialized ONCE (``localCheckpoint``, the
     :func:`jaccard_verify_pairs` precedent): downstream it feeds up to
     six subtrees (two banded join sides, two expansion link sides, two
     intra-pair sides) whose exchanges hash on different keys, so
-    Catalyst's ReuseExchange cannot deduplicate them — left lazy, the
-    md5-heavy signature scan under the window re-runs per subtree
-    (measured 6-8 FileScans, +25-70% on the sf0.1 bench). The cached
-    rows are (id, fingerprint/signature, rep) — tens of bytes per
-    document, far below corpus bytes; a standing pipeline would persist
-    the same table between stages."""
+    Catalyst's ReuseExchange cannot deduplicate them — without the
+    checkpoint, the md5-heavy signature scan under the window re-runs
+    per subtree (measured 6-8 FileScans, +25-70% on the sf0.1 bench).
+    The checkpoint is LAZY: the plan is a flat LogicalRDD immediately
+    (so a caller's filter on the derived key still cannot push the
+    hash tree into a scan predicate — the NULL-routing contract), and
+    materialization rides the caller's FIRST action instead of a
+    dedicated job (one fewer driver action per operator call; the six
+    subtrees within that action read the cache per partition). The
+    cached rows are (id, fingerprint/signature, rep) — tens of bytes
+    per document, far below corpus bytes; a standing pipeline would
+    persist the same table between stages."""
     w = Window.partitionBy(key_col)
     return rows.withColumn("__rep", F.min(id_col).over(w)).localCheckpoint(
-        eager=True
+        eager=False
     )
 
 
@@ -1046,6 +1052,11 @@ def connected_components(
     # against it, and without the checkpoint each round would re-run
     # the entire upstream pipeline that produced the pairs (for the
     # LSH workflow that is the full signature+banding computation).
+    # LAZY checkpoint: the size probe right below is the
+    # materializing action (its doCheckpoint completes any partitions
+    # the limit left uncomputed), so the truncation costs no
+    # dedicated job — one fewer driver action per CC call, which the
+    # streaming delta fold pays every micro-batch.
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(
@@ -1053,16 +1064,17 @@ def connected_components(
                 F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cap = 2 * small_graph_max_edges
     if small_graph_max_edges and sym.limit(cap + 1).count() <= cap:
         return _cc_union_find(sym)
+    # lazy: the prev_sum agg below materializes the label table
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _round(lab):
@@ -1092,7 +1104,9 @@ def connected_components(
         # QUADRUPLES per iteration. Convergence stays sound: at a
         # fixpoint two more rounds change nothing (sum equal → stop);
         # off fixpoint the sum strictly decreases across the block.
-        new_labels = _round(_round(labels)).localCheckpoint()
+        # Lazy checkpoint: the new_sum agg IS the materializing
+        # action — one action per iteration instead of two.
+        new_labels = _round(_round(labels)).localCheckpoint(eager=False)
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels

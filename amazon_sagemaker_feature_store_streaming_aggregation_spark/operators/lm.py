@@ -75,7 +75,10 @@ def _shared_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     pass through lazily — ``localCheckpoint`` is illegal on them, and
     micro-batch scoring runs a single extraction anyway)."""
     tok = _token_arrays(docs, id_col, text_col)
-    return tok if docs.isStreaming else tok.localCheckpoint()
+    # lazy: the caller's first action materializes the token arrays —
+    # the flat-plan truncation (one tokenize, six re-reads) costs no
+    # dedicated job
+    return tok if docs.isStreaming else tok.localCheckpoint(eager=False)
 
 
 def _ngrams_from_tokens(

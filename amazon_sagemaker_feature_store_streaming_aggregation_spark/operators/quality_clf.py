@@ -240,8 +240,9 @@ def train_quality_classifier_spark(
             F.col(label_col).cast("double").alias("__y"),
             F.col("embedding").alias("__x"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # the count right here is the materializing action (lazy ckpt)
     n = emb.count()
     if n == 0:
         raise ValueError("no scorable labeled examples to train on")

@@ -132,7 +132,7 @@ def bm25_topk(
         _doc_terms(docs, id_col, text_col)
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     n_tokens = tf.agg(F.sum("tf").alias("t_tokens"))

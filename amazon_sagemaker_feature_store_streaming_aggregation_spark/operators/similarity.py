@@ -1130,7 +1130,7 @@ def hard_negatives(
     sigs = (
         srp_signatures(embeddings, n_planes, id_col, vec_col, dims, n_tables)
         .select(F.col(id_col), "table", "bucket")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     corpus = _cap_buckets(
         sigs.select(F.col(id_col).alias("c_id"), "table", "bucket"),
@@ -1152,7 +1152,7 @@ def hard_negatives(
         embeddings.select(F.col(id_col), quantize(vec_col, "qv"))
         .withColumn("n2", F.expr(_dot("qv", "qv")))
         .where(F.col("n2") > 0)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return _exact_topk_on_candidates(
         cand, feats, feats, k, id_col, "qv",

@@ -459,7 +459,7 @@ def quality_filter(
         scored = (
             classify_quality(clean_docs, id_col=id_col)
             .select(id_col, "quality_margin")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
             .select(
                 F.col(id_col),
                 F.when(F.col("quality_margin").isNotNull(), 1)
@@ -497,9 +497,11 @@ def quality_filter(
     else:
         # the calibration subquery and the returned plan both consume
         # scorable with DIFFERENT column pruning, so ReuseExchange
-        # cannot merge them — without this eager checkpoint the whole
-        # clean+score chain (the two heavy shuffles) runs twice
-        scorable = scorable.localCheckpoint()
+        # cannot merge them — without this checkpoint the whole
+        # clean+score chain (the two heavy shuffles) runs twice.
+        # Lazy: the first consumer action materializes it; no
+        # dedicated checkpoint job
+        scorable = scorable.localCheckpoint(eager=False)
     if cutoff is None:
         # exact PERCENTILE_DISC as ONE aggregate: "smallest score with
         # rank >= ceil(frac * n)" is percentile_disc's definition, and

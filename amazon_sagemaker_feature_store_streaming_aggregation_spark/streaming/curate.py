@@ -232,7 +232,11 @@ def run_curate_stream(
             # margin appears exactly once in the optimized plan; the
             # id not-null filter is margin-free and pushes for free),
             # apply the cut on the flat frame, join back for the text
-            # — the LM path's exact shape.
+            # — the LM path's exact shape. The checkpoint is LAZY:
+            # the plan flattens to a LogicalRDD immediately (the cut
+            # still cannot push into the margin tree) and
+            # materialization rides batch_best's chain instead of a
+            # dedicated job.
             margins = (
                 classify_quality(
                     batch_df, model=clf_model,
@@ -240,7 +244,7 @@ def run_curate_stream(
                 )
                 .where(F.col(id_col).isNotNull())
                 .select(id_col, "quality_margin")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             kept = (
                 batch_df.join(
@@ -282,10 +286,12 @@ def run_curate_stream(
         # (scores are per id, so the struct-min tie is value-free; the
         # near stage needs the text too — identical hash means
         # identical text, so the struct-min text is the group's).
-        # Eagerly localCheckpoint-ed (the standing-runner rule): the
-        # bucket collect, the anti-join, the output write and the
-        # index append all start from a flat LogicalRDD instead of
-        # re-analyzing the score+hash lineage per action
+        # localCheckpoint-ed LAZILY (the standing-runner rule, minus
+        # the dedicated materialization job): the bucket collect, the
+        # anti-join, the output write and the index append all start
+        # from a flat LogicalRDD instead of re-analyzing the
+        # score+hash lineage per action; the first bucket collect is
+        # the materializing action
         best_cols = [F.col(id_col), F.col("lm_score")] + (
             [F.col(text_col)] if near_index_dir else []
         )
@@ -299,7 +305,7 @@ def run_curate_stream(
                 *([F.col(f"__m.{text_col}").alias(text_col)]
                   if near_index_dir else []),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         fresh_bands = None
         if near_index_dir:
@@ -315,7 +321,7 @@ def run_curate_stream(
                 id_col,
                 bands,
                 rows_per_band,
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             bidx = _read_index_pruned(
                 spark, near_index_dir,
                 _collect_buckets(batch_bands, bnb, "band", "bhash"),
@@ -363,7 +369,7 @@ def run_curate_stream(
                 cand_rows.where(F.col(id_col) == F.col("__gmin"))
                 .select(id_col, "band", "bhash")
                 .withColumn("ibucket", _index_bucket(bnb, "band", "bhash"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             # no distinct: consumed by a left-anti join only
             near_drop = (
@@ -384,7 +390,7 @@ def run_curate_stream(
             "shard",
             F.pmod(_shuffle_hash(id_col, shard_seed), F.lit(n_shards))
             .cast("int"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         if near_index_dir:
             # two order-free sub-artifacts overlapped, then the batch
             # dir's OWN _SUCCESS commits last (the LSH runner's

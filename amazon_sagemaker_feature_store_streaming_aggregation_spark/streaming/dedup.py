@@ -871,19 +871,21 @@ def run_index_lsh_stream(
                 index_dir,
             )
             return
-        # ONE signature+banding pass per batch, eagerly
-        # localCheckpoint-ed: the bucket collect, the probe join, the
-        # redelivery guard, the within-batch pairs AND the append all
-        # start from a flat LogicalRDD — Catalyst never re-analyzes
-        # the (large) minhash expression tree again this batch, and
-        # nothing recomputes it (measured: plan re-analysis and
-        # recompute were most of the per-trigger fixed cost)
+        # ONE signature+banding pass per batch, localCheckpoint-ed
+        # LAZILY: the plan is a flat LogicalRDD immediately (Catalyst
+        # never re-analyzes the large minhash tree, nothing recomputes
+        # it), and materialization rides the bucket collect right
+        # below instead of a dedicated job — one fewer driver action
+        # per trigger (measured: plan re-analysis, recompute AND the
+        # per-action driver window were most of the per-trigger fixed
+        # cost). The probe join, the redelivery guard, the
+        # within-batch pairs and the append then read the cached rows.
         batch_bands = band_rows(
             minhash_signatures(batch_df, text_col, id_col, num_hashes),
             id_col,
             bands,
             rows_per_band,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         idx = _read_index_pruned(
             spark, index_dir,
             _collect_buckets(batch_bands, nb, "band", "bhash"),
@@ -911,9 +913,12 @@ def run_index_lsh_stream(
             # identical signature (the bands partition the whole
             # minhash vector), so the doc truly is a redelivery.
             # countDistinct tolerates within-batch duplicate rows of
-            # one id. CHECKPOINTED: the id set is tiny (bounded by the
-            # batch) and feeds three consumers — left lazy, each
-            # would re-scan the pruned index.
+            # one id. CHECKPOINTED (lazily): the id set is tiny
+            # (bounded by the batch) and feeds three consumers — left
+            # unchecked, each would re-scan the pruned index; the lazy
+            # spelling materializes inside fresh_bands' EAGER
+            # checkpoint below (its anti-join reads this frame) instead
+            # of a dedicated job.
             redelivered = (
                 batch_bands.join(
                     idx, on=[id_col, "band", "bhash"], how="left_semi"
@@ -922,7 +927,7 @@ def run_index_lsh_stream(
                 .agg(F.countDistinct("band").alias("__nb"))
                 .where(F.col("__nb") == F.lit(int(bands)))
                 .select(id_col)
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             new_bands = batch_bands.join(redelivered, id_col, "left_anti")
             # rows a PARTIAL-match doc shares with the index must not
@@ -1149,14 +1154,18 @@ def run_index_hamming_stream(
                 index_dir,
             )
             return
-        # ONE fingerprint pass per batch, eagerly localCheckpoint-ed:
-        # upstream hash exprs (e.g. a 60-bit SimHash tree computed in
-        # the stream) are large, and every later action would
-        # otherwise re-analyze — and for uncached consumers recompute
-        # — them. Band rows stay LAZY on top of the flat fingerprints:
-        # banding is shift/mask arithmetic, cheap to re-derive. The
-        # NULL-fingerprint filter reads the flat rows (see above).
-        batch_fp = batch_fp.localCheckpoint().where(
+        # ONE fingerprint pass per batch, localCheckpoint-ed LAZILY:
+        # the plan flattens to a LogicalRDD immediately — upstream
+        # hash exprs (e.g. a 60-bit SimHash tree computed in the
+        # stream) are large, and every later action would otherwise
+        # re-analyze (and for uncached consumers recompute) them —
+        # while materialization rides the bucket collect below instead
+        # of a dedicated job. Band rows stay LAZY on top of the flat
+        # fingerprints: banding is shift/mask arithmetic, cheap to
+        # re-derive. The NULL-fingerprint filter reads the flat rows
+        # (see above; flat BEFORE materialization too, so the pushed
+        # predicate still cannot re-derive the hash).
+        batch_fp = batch_fp.localCheckpoint(eager=False).where(
             F.col(hash_col).isNotNull()
         )
         batch_bands = hamming_band_rows(
@@ -1179,16 +1188,19 @@ def run_index_hamming_stream(
             # redelivered (id, fp) rows are already fully indexed
             # (torn appends heal on retry before the next batch), so
             # any band-row match identifies them; route them around
-            # discovery and the append. CHECKPOINTED: new_fp feeds the
-            # probe bands, the within-batch pairs AND the fps write —
-            # left lazy, each consumer would re-run the anti-join
-            # against the pruned index. (No distinct on the index
-            # side: an anti-join only tests existence.)
+            # discovery and the append. CHECKPOINTED (lazily): new_fp
+            # feeds the probe bands, the within-batch pairs AND the
+            # fps write — left unchecked, each consumer would re-run
+            # the anti-join against the pruned index; materialization
+            # rides the first downstream action instead of a dedicated
+            # job (concurrent first consumers are safe: block-level
+            # locks serialize per-partition computes). (No distinct on
+            # the index side: an anti-join only tests existence.)
             new_fp = batch_fp.join(
                 idx.select(id_col, hash_col),
                 on=[id_col, hash_col],
                 how="left_anti",
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             new_bands = hamming_band_rows(
                 new_fp, id_col, hash_col, bands, width
             )
@@ -1964,20 +1976,23 @@ def run_cluster_maintain_stream(
                 index_dir,
             )
             return
-        # ONE fingerprint pass per batch, eagerly localCheckpoint-ed
-        # (the run_index_hamming_stream rule): the upstream hash expr
-        # (e.g. the 60-bit SimHash tree computed in the stream) is
-        # large, and every later action would otherwise re-analyze —
-        # and for uncached consumers recompute — it. Band rows stay
-        # LAZY on the flat fingerprints: banding is shift/mask
-        # arithmetic, cheap to re-derive. base_fp keeps NULL-hash rows
-        # (they become singleton docs) so new_ids below derives from
-        # the SAME materialized blocks instead of re-scanning the
-        # source once per consumer action.
+        # ONE fingerprint pass per batch, localCheckpoint-ed LAZILY
+        # (the run_index_hamming_stream rule, minus its dedicated
+        # materialization job): the plan flattens to a LogicalRDD
+        # immediately — the upstream hash expr (e.g. the 60-bit
+        # SimHash tree computed in the stream) is large, and every
+        # later action would otherwise re-analyze (and for uncached
+        # consumers recompute) it — while materialization rides the
+        # bucket collect below. Band rows stay LAZY on the flat
+        # fingerprints: banding is shift/mask arithmetic, cheap to
+        # re-derive. base_fp keeps NULL-hash rows (they become
+        # singleton docs) so new_ids below derives from the SAME
+        # materialized blocks instead of re-scanning the source once
+        # per consumer action.
         base_fp = (
             batch_df.select(id_col, hash_col)
             .where(F.col(id_col).isNotNull())
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         edge_fp = base_fp.where(F.col(hash_col).isNotNull())
         batch_bands = hamming_band_rows(
@@ -2004,16 +2019,18 @@ def run_cluster_maintain_stream(
             # only after the store commit) — route them around
             # discovery and the append: their edges were discovered at
             # first arrival, and re-probing would only re-touch their
-            # clusters for nothing. CHECKPOINTED: new_fp feeds the
-            # probe bands, the within-batch edges AND the fps write —
-            # left lazy, each consumer would re-run the anti-join
-            # against the pruned index. (No distinct on the index
+            # clusters for nothing. CHECKPOINTED (lazily): new_fp
+            # feeds the probe bands, the within-batch edges AND the
+            # fps write — left unchecked, each consumer would re-run
+            # the anti-join against the pruned index; materialization
+            # rides the first downstream action (the edges chain)
+            # instead of a dedicated job. (No distinct on the index
             # side: an anti-join only tests existence.)
             new_fp = edge_fp.join(
                 idx.select(id_col, hash_col),
                 on=[id_col, hash_col],
                 how="left_anti",
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             new_bands = hamming_band_rows(
                 new_fp, id_col, hash_col, bands, width
             )
@@ -2051,10 +2068,14 @@ def run_cluster_maintain_stream(
             n_bits=n_bits,
         )
         within = within.select("doc_a", "doc_b")
+        # lazy checkpoint: flat plan now, materialization rides the
+        # want-collect below (or, on an empty store, the delta fold) —
+        # edges feeds eps/lookup_ids AND clusters_delta, so the
+        # truncation still pays; the dedicated job does not
         edges = (
             within if cross is None
             else cross.select("doc_a", "doc_b").unionByName(within)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         new_ids = base_fp.select(id_col).distinct()
         # eps/lookup_ids feed ONLY duplicate-insensitive consumers
         # (left-semi joins and the bucket-list distinct-collects), so
@@ -2093,14 +2114,15 @@ def run_cluster_maintain_stream(
                 .withColumn("cluster_id", F.col(id_col))
             )
         else:
-            # checkpointed: consumed by the cwant collect, the
-            # members semi-join and the fresh anti-join — left
-            # lazy, each would re-read the pruned store and re-run
-            # the latest-per-key window
+            # checkpointed (lazily): consumed by the cwant collect,
+            # the members semi-join and the fresh anti-join — left
+            # unchecked, each would re-read the pruned store and
+            # re-run the latest-per-key window; the cwant collect
+            # right below is the materializing action
             prior_known = (
                 _latest_per_key(store_doc, id_col)
                 .join(lookup_ids, id_col, "left_semi")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         # touched clusters = current clusters of EDGE ENDPOINTS;
         # a re-delivered doc whose cluster no edge touches stays
@@ -2146,13 +2168,15 @@ def run_cluster_maintain_stream(
         if members is None:
             members = prior_known.limit(0)
         fresh = new_ids.join(prior_known, id_col, "left_anti")
-        # eager checkpoint: ONE job runs the fold (store joins +
-        # the CC pass); the isEmpty probe and both projection
-        # writes then read the materialized rows with a flat plan
-        # instead of re-analyzing the full fold lineage per action
+        # lazy checkpoint: the isEmpty probe just below is the
+        # materializing action (ONE driver action runs the fold —
+        # store joins + the CC pass — and the missing-partition
+        # completion), and the projection writes then read the
+        # materialized rows with a flat plan instead of re-analyzing
+        # the full fold lineage per action
         delta = clusters_delta(
             members, fresh, edges, id_col=id_col
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         tagged = delta.withColumn("batch", F.lit(batch_id))
         # a pure-redelivery batch folds to an EMPTY delta — skip
         # both projection writes outright (readers treat a

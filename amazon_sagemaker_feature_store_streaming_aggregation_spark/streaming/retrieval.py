@@ -273,7 +273,8 @@ def run_index_bm25_stream(
             missing = committed if prior is None else committed.join(
                 prior.select(id_col), id_col, "left_anti"
             )
-            missing = missing.localCheckpoint()
+            # lazy: the postings bucket collect below materializes it
+            missing = missing.localCheckpoint(eager=False)
             cp = spark.read.parquet(batch_out + "/postings").join(
                 missing.select(id_col), id_col, "left_semi"
             )
@@ -419,7 +420,7 @@ def probe_bm25_index(
         _doc_terms(queries, query_id_col, text_col)
         .select(F.col(query_id_col).alias("query_id"), "term")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     idx = _read_index_pruned(
         spark, postings_dir, _collect_buckets(qterms, nb, "term")
@@ -428,8 +429,10 @@ def probe_bm25_index(
         return empty
     # two differently-keyed consumers (df count, candidate join) —
     # materialize the bucket-pruned read once (bounded by touched
-    # buckets, never the index)
-    idx = idx.localCheckpoint()
+    # buckets, never the index). Lazy: the caller's single action
+    # materializes it; both consumer subtrees inside that action read
+    # the cached partitions
+    idx = idx.localCheckpoint(eager=False)
     # df counted over the touched buckets, restricted to query terms
     # (a bucket holds every posting of each of its terms, so this IS
     # the global df) — postings rows are unique per (doc, term)

@@ -143,7 +143,7 @@ def run_index_embedding_stream(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if materialize_input:
-            batch_df = batch_df.localCheckpoint()
+            batch_df = batch_df.localCheckpoint(eager=False)
         batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
         vecs_out = batch_out + "/vecs"
         pairs_out = batch_out + "/pairs"
@@ -205,7 +205,7 @@ def run_index_embedding_stream(
                 .withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1)
                 .select(id_col, "cell", "qv", "n2", *extra_cols)
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             cells = [r[0] for r in committed.select("cell").distinct().collect()]
             if cells and _fs_has_parquet_recursive(spark, index_dir):
@@ -246,12 +246,14 @@ def run_index_embedding_stream(
             .where(F.col("n2") > 0)
         )
         assign = _ivf_assign(batch_df, cents, 1, id_col, vec_col, id_col)
-        # eager checkpoint: ONE job runs the assignment; every later
-        # action (cells collect, anti-join, probe, two writes, append)
-        # starts from the materialized rows with a flat plan
+        # lazy checkpoint: ONE action runs the assignment — the cells
+        # collect below (or, on a cold index, the first batch write)
+        # materializes it; every later action (anti-join, probe, two
+        # writes, append) starts from the materialized rows with a
+        # flat plan and no dedicated checkpoint job is spent
         all_rows = assign.join(feats, id_col).select(
             id_col, "cell", "qv", "n2", *extra_cols
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         # index-nonempty memo: after this runner's first append the
         # answer can never go back to False — skip the recursive FS
         # walk (and, on a cold empty index, the cells collect too)
@@ -280,7 +282,7 @@ def run_index_embedding_stream(
             # discovery AND the append — their pairs already emitted
             batch_rows = all_rows.join(
                 idx.select(id_col), id_col, "left_anti"
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         else:
             # cold index: nothing can be redelivered — skip the
             # anti-join checkpoint (all_rows is already materialized)
@@ -739,10 +741,11 @@ def probe_embedding_index(
         .withColumn("q_n2", F.expr(_dot("q_q", "q_q")))
         .where(F.col("q_n2") > 0)
     )
+    # lazy checkpoint: the cells collect below materializes it
     q_side = F.broadcast(
         q_assign.join(qfeats, "query_id").select(
             "query_id", "cell", "q_q", "q_n2"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     )
     cells = [r[0] for r in q_side.select("cell").distinct().collect()]
     if not cells or not _fs_has_parquet_recursive(spark, base):

@@ -291,7 +291,7 @@ def run_index_embedding_pq_stream(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if materialize_input:
-            batch_df = batch_df.localCheckpoint()
+            batch_df = batch_df.localCheckpoint(eager=False)
         batch_out = out_dir.rstrip("/") + f"/batch={batch_id}"
         vecs_out = batch_out + "/vecs"
         pairs_out = batch_out + "/pairs"
@@ -383,7 +383,7 @@ def run_index_embedding_pq_stream(
                 spark.read.parquet(vecs_out).select(
                     id_col, "qv", "n2", *extra_cols
                 )
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             cells = [
                 r[0] for r in committed.select("cell").distinct().collect()
             ]
@@ -434,7 +434,9 @@ def run_index_embedding_pq_stream(
             .withColumn("n2", F.expr(_dot("qv", "qv")))
             .where(F.col("n2") > 0)
         )
-        all_rows = _derive(feats).localCheckpoint()
+        # lazy checkpoint: the bc collect below is the materializing
+        # action — no dedicated checkpoint job for the derive pass
+        all_rows = _derive(feats).localCheckpoint(eager=False)
         # ONE driver collect serves both prune lists: the exact store's
         # id buckets AND the cell list for the pruned code-index read —
         # at most n_buckets x n_cells (id-bucket, cell) pairs, both
@@ -462,7 +464,7 @@ def run_index_embedding_pq_stream(
         else:
             batch_rows = all_rows.join(
                 vstore_self.select(id_col), id_col, "left_anti"
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         # single consumer (the ADC join) — inline, no checkpoint: the
         # LUT is m x n_codes rows per query, so materializing it eagerly
         # is a full extra pass over the batch's largest intermediate
@@ -526,11 +528,13 @@ def run_index_embedding_pq_stream(
         rk = Window.partitionBy("query_id").orderBy(
             F.col("adc_dist").asc(), F.col("c_id").asc()
         )
+        # lazy checkpoint: the shortlist-id bucket collect below is
+        # the materializing action (one action runs ADC + ranking)
         short = (
             adc.withColumn("__rk", F.row_number().over(rk))
             .where(F.col("__rk") <= int(shortlist))
             .select("query_id", "c_id")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # exact re-rank: survivors' raw coordinates — batchmates from
         # the checkpointed rows, indexed ids from the bucket-pruned
@@ -876,7 +880,7 @@ def probe_pq_index(
         queries.select(F.col(id_col).alias("query_id"), quantize(vec_col, "qv"))
         .withColumn("n2", F.expr(_dot("qv", "qv")))
         .where(F.col("n2") > 0)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     q_assign = (
         _assign_cells_nprobe(qfeats, cents, "query_id", nprobe)
@@ -884,7 +888,9 @@ def probe_pq_index(
     )
     # thin (query_id, cell) pairs only — the qv arrays stay one-per-
     # query in qfeats instead of riding every probed-cell row
-    q_side = F.broadcast(q_assign.localCheckpoint())
+    # both lazy checkpoints (qfeats above, q_assign here) materialize
+    # in the cells collect below — one action instead of three
+    q_side = F.broadcast(q_assign.localCheckpoint(eager=False))
     cells = [r[0] for r in q_side.select("cell").distinct().collect()]
     empty = spark.range(0).select(
         F.col("id").alias("query_id"),
@@ -919,11 +925,12 @@ def probe_pq_index(
     rk = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("c_id").asc()
     )
+    # lazy: the shortlist-id bucket collect below materializes it
     short = (
         adc.withColumn("__rk", F.row_number().over(rk))
         .where(F.col("__rk") <= int(shortlist))
         .select("query_id", "c_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nb = _ensure_index_buckets(spark, vecs_dir, None)
     # no distinct: the bucket-list collect and the left-semi join

@@ -148,13 +148,14 @@ def run_index_substring_stream(
                 index_dir,
             )
             return
-        # ONE shingling pass per batch, eagerly localCheckpoint-ed (the
-        # standing-runner rule): the bucket collect, the probe join,
-        # the counts, both writes and the append all start from a flat
-        # LogicalRDD instead of re-analyzing the md5 window tree
+        # ONE shingling pass per batch, localCheckpoint-ed LAZILY (the
+        # standing-runner rule minus the dedicated materialization
+        # job — the bucket collect below materializes it): the probe
+        # join, the counts, both writes and the append all start from
+        # a flat LogicalRDD instead of re-analyzing the md5 window tree
         batch_wins = _span_rows(
             batch_df, id_col, text_col, k
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         idx = _read_index_pruned(
             spark, index_dir,
             _collect_buckets(batch_wins, nb, "sh"),
@@ -170,14 +171,14 @@ def run_index_substring_stream(
             # anti-join all read these same materialized rows
             idx_touch = idx.join(
                 batch_wins.select("sh").distinct(), "sh", "left_semi"
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             # per-row redelivery routing: an occurrence already indexed
             # neither recounts nor re-appends nor re-marks (full
             # redeliveries drop wholesale; modified same-id re-ingests
             # contribute only their genuinely new windows)
             fresh = batch_wins.join(
                 idx_touch, on=[id_col, "pos", "sh"], how="left_anti"
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         cnt_fresh = fresh.groupBy("sh").agg(F.count("*").alias("__cf"))
         if idx_touch is None:
             tot = cnt_fresh.withColumn("__cb", F.lit(0).cast("long"))
@@ -189,9 +190,14 @@ def run_index_substring_stream(
                 "sh", "__cf",
                 F.coalesce(F.col("__cb"), F.lit(0)).cast("long").alias("__cb"),
             )
+        # all four checkpoints this trigger are LAZY: the first
+        # actions are the two overlapped artifact writes, whose jobs
+        # materialize the chain once (concurrent first consumers are
+        # safe — per-partition block locks); every checkpoint still
+        # truncates its plan immediately
         hot = (
             tot.where(F.col("__cb") + F.col("__cf") >= F.lit(int(min_count)))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         marked_fresh = fresh.join(hot.select("sh"), "sh", "left_semi")
         if idx_touch is not None:

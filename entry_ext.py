@@ -965,7 +965,7 @@ def _q_stream_semantic_text_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _doc_count(sf_dir)
     corpus_emb = embed_text_hashed(
         load_table(spark, sf_dir, "documents"), dims=_EMBED_DIMS
-    ).select(F.col("doc_id").alias("vec_id"), "embedding").localCheckpoint()
+    ).select(F.col("doc_id").alias("vec_id"), "embedding").localCheckpoint(eager=False)
     cents_dir = os.path.join(work, "centroids")
     cbs_dir = os.path.join(work, "codebooks")
     ivf_centroids(
@@ -3070,7 +3070,7 @@ def _q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         embed_text_hashed(docs, dims=_EMBED_DIMS)
         .select(F.col("doc_id").alias("vec_id"), "embedding")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pairs = embedding_near_dup_pairs(
         emb,
@@ -3224,7 +3224,7 @@ def _q_sim_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         embed_text_hashed(docs, dims=_EMBED_DIMS)
         .select(F.col("doc_id").alias("vec_id"), "embedding")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk(emb, queries, k=_TOPK_K)
@@ -3245,7 +3245,7 @@ def _q_sim_text_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         embed_text_hashed(docs, dims=_EMBED_DIMS)
         .select(F.col("doc_id").alias("vec_id"), "embedding")
-        .localCheckpoint()  # the embed fan-out barrier
+        .localCheckpoint(eager=False)  # the embed fan-out barrier
     )
     return embedding_near_dup_pairs(
         emb,
@@ -3330,7 +3330,7 @@ def _q_sim_text_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         embed_text_hashed(docs, dims=_EMBED_DIMS)
         .select(F.col("doc_id").alias("vec_id"), "embedding", "lang")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         "vec_id", "embedding"
